@@ -1,13 +1,503 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.bank.{BankDataGen, BankRules}
+import graft.ops.{Ann, Dedup, Similarity}
+import graft.rules.{Checks, Rule, RuleSet}
+import graft.text.TextAnalysis
+import graft.validate.Validator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query covers.
+  *
+  * Correctness protocol: every query with an `oracle` is mirrored in
+  * DuckDB SQL over the same parquet tables; computed columns carry the
+  * same alias on both sides, double aggregates are rounded identically,
+  * and both sides ORDER BY the same deterministic key.
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- //
+  // Inline rule sets for the TPC-H-shaped test tables (the bank rule
+  // set itself is exercised by bank_gen_validate + ScalaTest).
+  // ---------------------------------------------------------------- //
+  import Checks._
+
+  private val customerRules = RuleSet(Seq(
+    Rule("acctbal_nonneg", col("c_acctbal") < 0, "c_acctbal must be non-negative"),
+    Rule("mktsegment_enum",
+      inSet(col("c_mktsegment"), Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+      "c_mktsegment must be a known segment"),
+    Rule("name_format", matches(col("c_name"), "^Customer#[0-9]{9}$"),
+      "c_name must match Customer#NNNNNNNNN"),
+    Rule("nationkey_range", col("c_nationkey") < 0 || col("c_nationkey") > 24,
+      "c_nationkey must be between 0 and 24")))
+
+  private val orderRules = RuleSet(Seq(
+    Rule("status_enum", inSet(col("o_orderstatus"), Seq("O", "F", "P")),
+      "o_orderstatus must be O, F or P"),
+    Rule("totalprice_positive", col("o_totalprice") <= 0,
+      "o_totalprice must be positive"),
+    Rule("priority_format", matches(col("o_orderpriority"), "^[1-5]-[A-Z ]+$"),
+      "o_orderpriority has invalid format"),
+    Rule("open_order_stale",
+      (col("o_orderstatus") === "O") && (col("o_orderdate") < to_timestamp(lit("1996-01-01"))),
+      "open orders must be dated 1996 or later"),
+    Rule("totalprice_cap", col("o_totalprice") > 450000,
+      "o_totalprice exceeds 450000 cap")))
+
+  private val lineitemRules = RuleSet(Seq(
+    Rule("quantity_range", col("l_quantity") < 1 || col("l_quantity") > 50,
+      "l_quantity must be between 1 and 50"),
+    Rule("discount_cap", col("l_discount") > 0.08,
+      "l_discount must be at most 0.08"),
+    Rule("tax_cap", col("l_tax") > 0.08, "l_tax must be at most 0.08"),
+    Rule("extendedprice_positive", col("l_extendedprice") <= 0,
+      "l_extendedprice must be positive")))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // Queries
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- analytics ------------------------------------------------- //
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_window_top_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
+      rev.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("p_brand", "rnk")
+    }),
+
+    "q_anti_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts_us")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q_events_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("es", expr("ts div 1000000000"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("pes", lag("es", 1).over(w))
+        .withColumn("new_sess",
+          when(col("pes").isNull || (col("es") - col("pes")) > 1800, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    "q_top_purchasers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val agg = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total_spent"))
+      val w = Window.orderBy(col("total_spent").desc, col("user_id").asc)
+      agg.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 20)
+        .orderBy("rnk")
+    }),
+
+    // -- validation (reference core, on TPC-H-shaped tables) ------- //
+
+    "v_customer_errors" -> ((s, dir) => {
+      Validator.validate(t(s, dir, "customer"), customerRules)
+        .where(!col(Validator.ValidCol))
+        .select(col("c_custkey"), concat_ws(", ", col(Validator.ErrorsCol)).as("error_desc"))
+        .orderBy("c_custkey")
+    }),
+
+    "v_customer_summary" -> ((s, dir) =>
+      Validator.summary(t(s, dir, "customer"), customerRules)),
+
+    "v_orders_errors" -> ((s, dir) => {
+      Validator.validate(t(s, dir, "orders"), orderRules)
+        .where(!col(Validator.ValidCol))
+        .select(col("o_orderkey"), concat_ws(", ", col(Validator.ErrorsCol)).as("error_desc"))
+        .orderBy("o_orderkey")
+    }),
+
+    "v_lineitem_split" -> ((s, dir) =>
+      Validator.splitCounts(t(s, dir, "lineitem"), lineitemRules)),
+
+    "bank_gen_validate" -> ((s, dir) => {
+      val df = BankDataGen.generate(s, 2000, seed = 7)
+      Validator.summary(df, BankRules.all)
+    }),
+
+    // -- dedup ----------------------------------------------------- //
+
+    "dedup_exact_docs" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash")
+    }),
+
+    "dup_key_docs" -> ((s, dir) => {
+      Dedup.duplicateKeys(t(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+
+    "dup_events_keys" -> ((s, dir) => {
+      Dedup.duplicateKeys(Tables.events(s, dir).drop("ts_us"), Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      Similarity.ngramJaccard(docs, "doc_id", "text", k = 5, threshold = 0.2)
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Similarity.minhashPairs(docs, "doc_id", "text",
+          k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // -- similarity search ---------------------------------------- //
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, numPlanes = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // -- text analysis --------------------------------------------- //
+
+    "text_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "text_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- //
+  // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
+  // Omitted for non-SQL-expressible ops (minhash/simhash/LSH/langid/
+  // bank generator) — the driver records a rows-only check for those.
+  // ---------------------------------------------------------------- //
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_window_top_parts" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INTEGER) AS rnk
+        |FROM rev
+        |QUALIFY rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pes
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_top_purchasers" ->
+      """WITH agg AS (
+        |  SELECT user_id, round(sum(value), 2) AS total_spent
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, total_spent,
+        |  CAST(row_number() OVER (ORDER BY total_spent DESC, user_id ASC) AS INTEGER) AS rnk
+        |FROM agg
+        |QUALIFY rnk <= 20
+        |ORDER BY rnk""".stripMargin,
+
+    "v_customer_errors" ->
+      """SELECT c_custkey, concat_ws(', ',
+        |  CASE WHEN c_acctbal < 0 THEN 'c_acctbal must be non-negative' END,
+        |  CASE WHEN c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> '' AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 'c_mktsegment must be a known segment' END,
+        |  CASE WHEN c_name IS NOT NULL AND trim(c_name) <> '' AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 'c_name must match Customer#NNNNNNNNN' END,
+        |  CASE WHEN c_nationkey < 0 OR c_nationkey > 24 THEN 'c_nationkey must be between 0 and 24' END) AS error_desc
+        |FROM customer
+        |WHERE c_acctbal < 0
+        |   OR (c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> '' AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'))
+        |   OR (c_name IS NOT NULL AND trim(c_name) <> '' AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$'))
+        |   OR (c_nationkey < 0 OR c_nationkey > 24)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "v_customer_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'acctbal_nonneg' AS rule, count(*) FILTER (WHERE c_acctbal < 0) AS violations FROM customer
+        |  UNION ALL
+        |  SELECT 'mktsegment_enum', count(*) FILTER (WHERE c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> '' AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) FROM customer
+        |  UNION ALL
+        |  SELECT 'name_format', count(*) FILTER (WHERE c_name IS NOT NULL AND trim(c_name) <> '' AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')) FROM customer
+        |  UNION ALL
+        |  SELECT 'nationkey_range', count(*) FILTER (WHERE c_nationkey < 0 OR c_nationkey > 24) FROM customer)
+        |ORDER BY rule""".stripMargin,
+
+    "v_orders_errors" ->
+      """SELECT o_orderkey, concat_ws(', ',
+        |  CASE WHEN o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> '' AND o_orderstatus NOT IN ('O','F','P') THEN 'o_orderstatus must be O, F or P' END,
+        |  CASE WHEN o_totalprice <= 0 THEN 'o_totalprice must be positive' END,
+        |  CASE WHEN o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> '' AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 'o_orderpriority has invalid format' END,
+        |  CASE WHEN o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1996-01-01' THEN 'open orders must be dated 1996 or later' END,
+        |  CASE WHEN o_totalprice > 450000 THEN 'o_totalprice exceeds 450000 cap' END) AS error_desc
+        |FROM orders
+        |WHERE (o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> '' AND o_orderstatus NOT IN ('O','F','P'))
+        |   OR o_totalprice <= 0
+        |   OR (o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> '' AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+        |   OR (o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |   OR o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "v_lineitem_split" ->
+      """SELECT status, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN (l_quantity < 1 OR l_quantity > 50) OR l_discount > 0.08
+        |                    OR l_tax > 0.08 OR l_extendedprice <= 0
+        |              THEN 'invalid' ELSE 'valid' END AS status
+        |  FROM lineitem)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "dedup_exact_docs" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin,
+
+    "dup_key_docs" ->
+      """SELECT lang, source, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY lang, source
+        |HAVING count(*) > 1
+        |ORDER BY lang, source""".stripMargin,
+
+    "dup_events_keys" ->
+      """SELECT user_id, event_type, count(*) AS dup_count
+        |FROM events
+        |GROUP BY user_id, event_type
+        |HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents
+        |  WHERE doc_id < 100 AND length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
+        |  FROM docs, unnest(range(1, length(s) - 3)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id1, p.id2,
+        |  round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id1
+        |JOIN sizes sb ON sb.doc_id = p.id2
+        |WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |FROM sc
+        |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS ws_tokens,
+        |  CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0) AS INTEGER) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  floor(least(1.0,
+        |    (CASE WHEN nchars > 0 THEN nalpha / nchars ELSE 0.0 END) * 0.4
+        |    + (1.0 - least((CASE WHEN nchars > 0 THEN nsym / nchars ELSE 0.0 END) * 5, 1.0)) * 0.2
+        |    + (CASE WHEN nchars >= 50 AND nchars <= 100000 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(trim(text)) AS DOUBLE) AS nchars,
+        |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntokens,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym,
+        |    CASE WHEN (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+        |         THEN CAST(length(trim(text)) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |         ELSE 0.0 END AS meanword
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k — the query set is small
+  * and broadcast, so the corpus streams through one narrow pass
+  * (cost = |corpus|·|queries|·dim multiply-adds, no shuffle of the
+  * corpus). Scale path: random-hyperplane LSH buckets the corpus once
+  * (cost ≈ one groupBy), and each query probes only its bucket.
+  */
+object Ann {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision via higher-order array expressions (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dd(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    dd(a, b) / (sqrt(dd(a, a)) * sqrt(dd(b, b)))
+  }
+
+  /** Exact top-k neighbors per query by cosine similarity.
+    *
+    * `queries` is broadcast; the join is a BroadcastNestedLoopJoin so
+    * the corpus is scanned exactly once with no shuffle; the only
+    * shuffled data is (qid, cid, sim) — already reduced. Ties broken by
+    * ascending corpus id for determinism.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
+  /** All corpus vectors within `threshold` cosine of any query —
+    * embedding-based near-duplicate detection (deterministic, no
+    * top-k selection instability). */
+  def cosineNeighbors(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (plane p, dimension d): a hash mapped into [-1, 1). Seeds the LSH
+    * without any driver-side RNG state. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d, lit(0x5eed)), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-random-projection bucket id: one bit per hyperplane. */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: probe only the query's bucket. Recall trades off
+    * with `numPlanes` (16 planes ⇒ 65k buckets). The corpus bucket
+    * assignment is one narrow pass; at scale you'd persist/bucket-write
+    * it once and reuse across query batches. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int = 8): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket")))
+    val scored = cb.join(qb, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * Reference scenarios: full-row duplicate
+  * (DM_bankfile_validate_pipeline.py:2636 run_duplicate_row_scenario)
+  * and duplicate business key (:2696 run_duplicate_payee_id_scenario).
+  * Generalized here to scale-ready groupBy/window forms: one hash
+  * shuffle on the dedup key, partial-aggregated map-side; no driver
+  * materialization, no cross joins.
+  */
+object Dedup {
+
+  /** Exact content dedup groups: one row per distinct content hash with
+    * the surviving (minimum) id and the duplicate count. Keep-min is
+    * deterministic under retries — at 100 TB this is a single
+    * partial-aggregable groupBy on a 128-bit hash (collision odds
+    * negligible; no need to shuffle full payloads). */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("string")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Input rows minus exact duplicates (keeps the min-id row of each
+    * content group). Implemented as a window rank rather than a
+    * self-join: one shuffle, no second scan. */
+  def dropExact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol).cast("string")))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keys appearing more than once — the duplicate-PayeeID check. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+
+  /** Fully-duplicated rows (every column identical) with multiplicity —
+    * the duplicate-row scenario. Hashes the whole row so the shuffle
+    * carries (hash, count), not payloads. */
+  def duplicateRows(df: DataFrame): DataFrame = {
+    val allCols = df.columns.map(c => col(c).cast("string"))
+    df.groupBy(md5(concat_ws("", allCols: _*)).as("row_hash"))
+      .agg(count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A single declarative validation rule.
+  *
+  * A rule is a named, boolean *violation* expression plus a human message
+  * — the Spark-first re-expression of the reference's per-field Glue
+  * checks (observable via the reference's tests directory and the
+  * `FILENAME|PayeeId|ERROR_DESC` error CSVs,
+  * DM_bankfile_validate_pipeline.py:833).
+  *
+  * Rules are pure `Column` expressions: evaluating a whole RuleSet is ONE
+  * narrow projection — no UDF, no shuffle, whole-stage-codegen'd — so a
+  * 100 TB scan validates at I/O speed.
+  *
+  * @param name      stable identifier (used in summaries)
+  * @param violation boolean Column, true ⇔ the row breaks this rule
+  * @param message   ERROR_DESC text emitted for violating rows
+  */
+final case class Rule(name: String, violation: Column, message: String) {
+
+  /** Restrict the rule to rows matching `cond` (conditional requiredness,
+    * e.g. "AccountNumber required when PaymentMode=EFT and OrgCode in
+    * D/P" — reference tests/test_accountnumber_blank_eft_required.py). */
+  def onlyWhen(cond: Column): Rule =
+    copy(violation = cond && violation)
+
+  /** Column holding `message` when violated, else NULL. */
+  private[rules] def messageOrNull: Column =
+    when(coalesce(violation, lit(false)), lit(message))
+}
+
+/** An ordered collection of rules evaluated together in one projection. */
+final case class RuleSet(rules: Seq[Rule]) {
+  require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+
+  def ++(other: RuleSet): RuleSet = RuleSet(rules ++ other.rules)
+  def +(r: Rule): RuleSet = RuleSet(rules :+ r)
+
+  /** `array<string>` of messages for every violated rule, in declaration
+    * order. Empty array ⇔ valid row. */
+  def errorsCol: Column =
+    filter(array(rules.map(_.messageOrNull): _*), _.isNotNull)
+
+  /** Joined ERROR_DESC string (reference joins rule texts with ", "). */
+  def errorDescCol: Column = concat_ws(", ", errorsCol)
+
+  /** true ⇔ the row passes every rule. */
+  def validCol: Column =
+    !rules.map(r => coalesce(r.violation, lit(false))).reduce(_ || _)
+}
+
+object RuleSet {
+  def apply(rules: Rule*)(implicit d: DummyImplicit): RuleSet = RuleSet(rules.toSeq)
+}
+
+/** Column-level check combinators. Each returns a *violation* Column.
+  *
+  * Blank semantics follow the reference: NULL and ""/whitespace-only are
+  * both "blank" (newaugsver_clean.py:475-479 treats '' and null as the
+  * same missing value; CSV feeds lose the distinction anyway).
+  */
+object Checks {
+
+  def blank(c: Column): Column = c.isNull || trim(c) === ""
+  def present(c: Column): Column = !blank(c)
+
+  /** Violated when the field is blank. */
+  def required(c: Column): Column = blank(c)
+
+  /** Violated when present and longer than `n` chars. */
+  def maxLength(c: Column, n: Int): Column = present(c) && length(c) > n
+
+  /** Violated when present and shorter than `n` chars. */
+  def minLength(c: Column, n: Int): Column = present(c) && length(c) < n
+
+  /** Violated when present and not exactly `n` chars. */
+  def exactLength(c: Column, n: Int): Column = present(c) && length(c) =!= n
+
+  /** Violated when present and not one of `values` (case-sensitive —
+    * reference rejects lowercase 'checking'/'savings',
+    * tests/test_accounttype_invalid_lowercase_checking.py). */
+  def inSet(c: Column, values: Seq[String]): Column =
+    present(c) && !c.isInCollection(values)
+
+  /** Violated when present and not fully matching `regex`. */
+  def matches(c: Column, regex: String): Column =
+    present(c) && !regexp_like(c, lit(regex))
+
+  /** Violated when present and not all-digits. */
+  def numeric(c: Column): Column = matches(c, "^[0-9]+$")
+
+  /** Violated when present and not exactly `n` digits. */
+  def digits(c: Column, n: Int): Column = matches(c, s"^[0-9]{$n}$$")
+
+  /** Violated when the field contains characters outside letters,
+    * digits, and `extra`. `extra` is spliced into a character class —
+    * caller escapes regex metacharacters as needed. */
+  def charsetOnly(c: Column, extra: String): Column =
+    present(c) && regexp_like(c, lit(s"[^A-Za-z0-9$extra]"))
+
+  /** Violated when present and not a plausible email (reference rejects
+    * specials / over-long, tests/test_contactemail_over_max_length.py). */
+  def email(c: Column): Column =
+    matches(c, "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+
+  /** Violated when present and not phone-like: digits with optional
+    * punctuation/extension (reference faker phone formats;
+    * tests/test_contactphone_invalid_format.py rejects embedded letters
+    * like 123ABC4567 but faker emits x-extensions, dots, parens). */
+  def phone(c: Column): Column =
+    matches(c, "^\\+?[0-9().\\-\\s]+(x[0-9]+)?$")
+
+  /** Violated when present and not a YYYY-MM-DD calendar date. */
+  def dateYmd(c: Column): Column =
+    present(c) && (
+      !regexp_like(c, lit("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")) ||
+        try_to_date(c, "yyyy-MM-dd").isNull
+    )
+
+  /** Violated when the field is present but must be blank in context. */
+  def mustBeBlank(c: Column): Column = present(c)
+
+  /** Violated when present and out of [lo, hi]. */
+  def between(c: Column, lo: Double, hi: Double): Column =
+    c.isNotNull && (c < lo || c > hi)
+}

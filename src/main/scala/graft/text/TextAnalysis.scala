@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All are pure `functions._` column expressions — narrow, codegen'd,
+  * no UDFs — so they run at scan speed over any corpus size and can be
+  * fused into the same projection as validation rules.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank/NULL). */
+  def wsTokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-unit count: runs of letters, single digits, and
+    * single non-alphanumeric marks — a cheap proxy for tokenizer cost
+    * (GPT-2-style pre-tokenization splits on exactly these classes). */
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
+
+  /** Heuristic quality score in [0,1]:
+    * mean word length in a sane band, low symbol ratio, reasonable
+    * length — the length/punct/stopword-ratio family of filters used by
+    * web-corpus pipelines (C4/Gopher-style rules). Deterministic,
+    * SQL-expressible (mirrored in the DuckDB oracle). */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val nChars = length(t).cast("double")
+    val nTokens = wsTokenCount(text).cast("double")
+    val nAlpha = coalesce(regexp_count(t, lit("[A-Za-z]")), lit(0)).cast("double")
+    val nSym = coalesce(regexp_count(t, lit("[^A-Za-z0-9\\s]")), lit(0)).cast("double")
+    val meanWord = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
+    val symRatio = when(nChars > 0, nSym / nChars).otherwise(lit(0.0))
+    val lenOk = when(nChars >= 50 && nChars <= 100000, 1.0).otherwise(0.5)
+    val wordOk = when(meanWord >= 3 && meanWord <= 12, 1.0).otherwise(0.5)
+    // floor-quantize instead of round: the score formula can land
+    // exactly on a half-ulp boundary where Spark (HALF_UP on the exact
+    // binary value) and other engines (multiply-then-round) disagree;
+    // floor of an identical IEEE double is engine-stable.
+    floor(least(lit(1.0),
+      alphaRatio * 0.4 + (lit(1.0) - least(symRatio * 5, lit(1.0))) * 0.2 +
+        lenOk * 0.2 + wordOk * 0.2) * 10000) / 10000
+  }
+
+  /** Stopword evidence per language: tiny high-frequency function-word
+    * lists; the language with the most hits wins (ties → 'und'). The
+    * n-gram-free cousin of CLD-style detectors — O(tokens) per doc. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"))
+
+  def langId(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, ties broken by the
+    // lexicographically-largest lang — deterministic; 0 hits → 'und'.
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of case-folded, whitespace-collapsed
+    * text. Canonical exact-dup key that survives formatting jitter. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling/positional fingerprint: xxhash64 of each `w`-token window
+    * — winnowing-style shingle hashes for partial-overlap detection. */
+  def windowFingerprints(text: Column, w: Int = 8): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+}
