@@ -182,7 +182,11 @@ object SparkEntry {
       Validator.splitCounts(t(s, dir, "lineitem"), lineitemRules)),
 
     "bank_gen_validate" -> ((s, dir) => {
-      val df = BankDataGen.generate(s, 2000, seed = 7)
+      // cache() is a plan barrier, not (only) a perf cache: without it
+      // CollapseProject inlines the generator's expression trees into
+      // every one of the ~68 rule expressions and plan compilation
+      // explodes (7s → 1.2s at 2k rows; far worse at more rules).
+      val df = BankDataGen.generate(s, 2000, seed = 7).cache()
       Validator.summary(df, BankRules.all)
     }),
 

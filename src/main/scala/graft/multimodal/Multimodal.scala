@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract / resize / frame-sample operator surface.
+  *
+  * The actual codecs are NOT available in this environment, so the
+  * decode kernels are deterministic STUBS (clearly marked below) —
+  * but everything Spark-side is real: schema, partition-preserving
+  * mapPartitions plumbing, batch shape, null/corrupt handling. On a
+  * cluster you swap `StubCodec` for a real JNI/FFmpeg/libvips binding
+  * without touching the operator code.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image|audio|video
+    StructField("format", StringType),       // png|jpeg|wav|mp4|...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("byte_len", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** ====== STUBBED DECODE KERNELS ======
+    * Deterministic fakes standing in for real codecs: every derived
+    * value is a pure function of the payload bytes, so tests are
+    * stable and the operator contracts (shapes, types) are exact. */
+  object StubCodec {
+    /** "Decode" an image to (height, width, meanLuma). Real impl:
+      * libvips/ImageIO. */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+      val h = math.floorMod(bytesHash(payload, 1), 960) + 64
+      val w = math.floorMod(bytesHash(payload, 2), 1280) + 64
+      val luma = math.floorMod(bytesHash(payload, 3), 256) / 255.0
+      (h, w, luma)
+    }
+
+    /** "Extract" a fixed-size feature vector. Real impl: a vision
+      * encoder via ONNX/JNI. */
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        (math.floorMod(bytesHash(payload, 100 + i), 2000) - 1000) / 1000.0f)
+
+    /** "Resize": returns a deterministic re-encoding (here a hash-
+      * sized slice). Real impl: codec resample. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(16, math.min(payload.length, (w * h) / 64))
+      java.util.Arrays.copyOf(payload, n)
+    }
+
+    /** "Sample" frame offsets from a video payload. Real impl: demuxer
+      * keyframe index. */
+    def frameOffsets(payload: Array[Byte], n: Int): Array[Long] =
+      Array.tabulate(n)(i => math.floorMod(bytesHash(payload, 200 + i), math.max(payload.length, 1)).toLong)
+
+    private def bytesHash(b: Array[Byte], salt: Int): Int = {
+      var h = salt * 0x9E3779B9
+      var i = 0
+      while (i < b.length) { h = h * 31 + b(i); i += 1 }
+      math.abs(h)
+    }
+  }
+
+  /** Decode metadata for each payload. mapPartitions keeps the work
+    * executor-side, batch-at-a-time, no shuffle; the output schema is
+    * explicit so downstream pruning works. */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("decoded_h", IntegerType),
+      StructField("decoded_w", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val (h, w, luma) = StubCodec.decodeImage(payload)
+          // Seq[Any] is load-bearing: a plain Seq(h, w, luma) would
+          // numerically widen the Ints to Double (LUB inference) and
+          // break the encoder's INT fields.
+          Row.fromSeq(r.toSeq ++ Seq[Any](h, w, luma))
+        }
+      }
+    }(enc)
+  }
+
+  /** Feature-extract into an `array<float>` embedding column, ready
+    * for [[graft.ops.Ann]]. */
+  def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = if (payload == null) null else StubCodec.features(payload, dim)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic media table for tests/bench: payloads are
+    * seeded byte blobs with plausible metadata. */
+  def syntheticMedia(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(rows).map { id =>
+      val rnd = new scala.util.Random(seed ^ id)
+      val len = 256 + rnd.nextInt(1024)
+      val payload = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      (id, payload, "image", "png")
+    }.toDF("media_id", "payload", "media_type", "format")
+  }
+}

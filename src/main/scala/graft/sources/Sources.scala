@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.schema.SchemaCheck
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema-enforced file sources — the reference ingests parquet/csv/
+  * xlsx/json drops (newaugsver_clean.py save_to_formats :521) and
+  * rejects unexpected extensions (run_invalid_extension_scenario,
+  * DM_bankfile_validate_pipeline.py:3040).
+  *
+  * Reads enforce a caller-supplied schema so Catalyst prunes columns
+  * at the scan and malformed rows are captured, not thrown: CSV/JSON
+  * read PERMISSIVE with a `_corrupt_record` column. Extension checks
+  * are metadata-only (no I/O).
+  */
+object Sources {
+
+  val CorruptCol = "_corrupt_record"
+
+  sealed trait ReadResult { def df: DataFrame }
+  final case class Ok(df: DataFrame) extends ReadResult
+  final case class BadExtension(df: DataFrame, extension: String) extends ReadResult
+  final case class SchemaDrift(df: DataFrame, report: SchemaCheck.Report) extends ReadResult
+
+  private val knownExtensions = Set("parquet", "csv", "json")
+
+  def extensionOf(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot < 0) "" else base.substring(dot + 1).toLowerCase
+  }
+
+  /** Read `path` with `expected` schema enforced. Returns BadExtension
+    * (empty frame) for unknown extensions, SchemaDrift when the file's
+    * own schema disagrees (parquet only — CSV/JSON are cast into the
+    * expected shape), else Ok. */
+  def read(spark: SparkSession, path: String, expected: StructType): ReadResult = {
+    extensionOf(path) match {
+      case "parquet" =>
+        val actual = spark.read.parquet(path)
+        val report = SchemaCheck.check(expected, actual.schema)
+        if (report.ok) Ok(actual) else SchemaDrift(actual, report)
+      case "csv" =>
+        Ok(spark.read
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .schema(withCorrupt(expected))
+          .csv(path))
+      case "json" =>
+        Ok(spark.read
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .schema(withCorrupt(expected))
+          .json(path))
+      case ext =>
+        BadExtension(spark.emptyDataFrame, ext)
+    }
+  }
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+
+  /** Rows the PERMISSIVE parser could not fit into the schema.
+    * Spark refuses to query only the corrupt-record column of a raw
+    * CSV/JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first,
+    * as the Spark docs prescribe; the cached parse is then shared with
+    * the caller's valid-row slice instead of re-reading the file. */
+  def corruptRows(df: DataFrame): DataFrame =
+    if (df.columns.contains(CorruptCol)) df.cache().where(col(CorruptCol).isNotNull)
+    else df.limit(0)
+
+  /** Partitioned parquet writer with target file sizing — the scale-
+    * friendly default sink (dataset partitioned by a low-cardinality
+    * key, files sized by `spark.sql.files.maxRecordsPerFile`). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference pipeline is batch (Glue-triggered per file drop), but
+  * its "file lands → validate → route" loop is exactly a stream; these
+  * operators are the Spark-native continuous form. State is bounded by
+  * watermarks (windowed aggs) and explicit timeouts (sessions), so they
+  * run indefinitely at any input rate without driver growth.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type counts with a watermark: late events
+    * beyond `lateness` are dropped, so state is bounded by
+    * (windows in flight × event types). */
+  def hourlyCounts(events: DataFrame, lateness: String = "30 minutes",
+                   windowesize: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_us", lateness)
+      .groupBy(window(col("ts_us"), windowesize), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts_us: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)
+  final case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMs` of event-time inactivity. Gaps observed
+    * within a batch close immediately; trailing sessions close via
+    * event-time timeout once the watermark passes last + gap. State is
+    * bounded to live users only. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts_us", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts_us.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+                    s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.ops.Ann
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("syntheticMedia produces binary payloads with stable seed") {
+    val a = Multimodal.syntheticMedia(spark, 10).select("payload").collect()
+    val b = Multimodal.syntheticMedia(spark, 10).select("payload").collect()
+    assert(a.map(_.getAs[Array[Byte]](0).toSeq).toSeq ==
+           b.map(_.getAs[Array[Byte]](0).toSeq).toSeq)
+  }
+
+  test("decodeImages appends typed decode columns, preserves rows and partitioning") {
+    val media = Multimodal.syntheticMedia(spark, 50).repartition(4)
+    val decoded = Multimodal.decodeImages(media)
+    assert(decoded.count() == 50)
+    assert(decoded.schema("decoded_h").dataType == IntegerType)
+    assert(decoded.schema("mean_luma").dataType == DoubleType)
+    assert(decoded.rdd.getNumPartitions == 4) // mapPartitions: no shuffle
+    val lumas = decoded.select("mean_luma").as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(lumas.forall(l => l >= 0.0 && l <= 1.0))
+    // read the INT columns through the encoder too — guards against
+    // silent Int→Double widening in the mapPartitions output rows
+    val dims = decoded.select("decoded_h", "decoded_w")
+      .as[(Int, Int)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt))
+      .collect()
+    assert(dims.forall { case (h, w) => h >= 64 && w >= 64 })
+  }
+
+  test("null payloads yield null decode columns, not exceptions") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[Array[Byte]], "image", "png"))
+      .toDF("media_id", "payload", "media_type", "format")
+    val decoded = Multimodal.decodeImages(df)
+    assert(decoded.where(col("decoded_h").isNull).count() == 1)
+  }
+
+  test("extractFeatures output feeds Ann.bruteTopK directly") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    assert(feats.schema("embedding").dataType == ArrayType(FloatType))
+    val top = Ann.bruteTopK(feats, feats.where(col("vec_id") < 2), "vec_id", "embedding", k = 3)
+    assert(top.count() == 6) // 2 queries × top-3
+  }
+
+  test("stub decode is deterministic per payload") {
+    val p = Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.StubCodec.decodeImage(p) == Multimodal.StubCodec.decodeImage(p))
+    assert(Multimodal.StubCodec.features(p, 8).toSeq == Multimodal.StubCodec.features(p, 8).toSeq)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different content about spark engines and scale"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")   // case-variant
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id per content hash") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .where(col("dup_count") > 1).as[(String, Long, Long)].collect()
+    assert(g.length == 1 && g.head._2 == 1L && g.head._3 == 2L)
+  }
+
+  test("dropExact removes later duplicates only") {
+    val kept = Dedup.dropExact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("duplicateKeys flags repeated business keys") {
+    val df = Seq(("A", 1), ("A", 2), ("B", 1)).toDF("k", "v")
+    val d = Dedup.duplicateKeys(df, Seq("k")).as[(String, Long)].collect()
+    assert(d.toSeq == Seq(("A", 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "spark streaming stateful aggregation with watermarks and windows"),
+    (4L, "spark streaming stateful aggregation with watermarks and windows"),
+    (5L, "zebra xylophone quartz jackdaw vexing mymph blitz fjord glyphs")
+  ).toDF("doc_id", "text")
+
+  test("ngramJaccard finds near-dups, not unrelated docs") {
+    val pairs = Similarity.ngramJaccard(docs, "doc_id", "text", k = 5, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccard maxDf cap drops hot-gram pairs") {
+    val pairs = Similarity.ngramJaccard(docs, "doc_id", "text", k = 5,
+      threshold = 0.0, maxDf = 1L)
+    assert(pairs.count() == 0) // every shared gram has df >= 2
+  }
+
+  test("minhash identical docs share full signature; est_jaccard = 1") {
+    val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
+      k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
+  }
+
+  test("simhash of identical docs is equal; near-dups within hamming bound") {
+    val h = Similarity.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(3L) == h(4L))
+    val pairs = Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.95f, 0.05f, 0.0f))  // closest to 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteTopK ranks by cosine with deterministic ties") {
+    val top = Ann.bruteTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toMap
+    assert(top == Map(4L -> 1, 1L -> 2))
+  }
+
+  test("cosineNeighbors thresholds correctly") {
+    val n = Ann.cosineNeighbors(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", threshold = 0.99)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(n == Set(1L, 4L)) // cos(0,1)=0.9938, cos(0,4)=0.9986, cos(0,2)=0
+  }
+
+  test("lshTopK returns only same-bucket candidates; identical vectors always co-bucket") {
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Ann.lshTopK(vecs.union(dup), vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 5, numPlanes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.contains(10L)) // exact duplicate must share every hyperplane sign
+  }
+}

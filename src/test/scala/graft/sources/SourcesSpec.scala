@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.bank.BankDataGen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("parquet roundtrip with matching schema → Ok") {
+    import spark.implicits._
+    val dir = tmpDir() + "/ok.parquet"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+      .write.parquet(dir)
+    Sources.read(spark, dir, schema) match {
+      case Sources.Ok(df) => assert(df.count() == 2)
+      case other => fail(s"expected Ok, got $other")
+    }
+  }
+
+  test("parquet with renamed column → SchemaDrift with rename identified") {
+    import spark.implicits._
+    val dir = tmpDir() + "/drift.parquet"
+    Seq((1L, "a", 1.5)).toDF("id", "fullname", "score").write.parquet(dir)
+    Sources.read(spark, dir, schema) match {
+      case Sources.SchemaDrift(_, report) =>
+        assert(report.renamed.exists(r => r.column == "name" && r.renamedTo == "fullname"))
+      case other => fail(s"expected SchemaDrift, got $other")
+    }
+  }
+
+  test("unknown extension rejected without I/O (run_invalid_extension_scenario)") {
+    Sources.read(spark, "/some/path/data.xyz", schema) match {
+      case Sources.BadExtension(_, ext) => assert(ext == "xyz")
+      case other => fail(s"expected BadExtension, got $other")
+    }
+  }
+
+  test("csv malformed rows land in _corrupt_record, not exceptions") {
+    val dir = tmpDir()
+    val f = java.nio.file.Paths.get(dir, "data.csv")
+    Files.writeString(f, "id,name,score\n1,a,1.5\nnot-a-long,b,oops\n2,c,2.5\n")
+    Sources.read(spark, f.toString, schema) match {
+      case Sources.Ok(df) =>
+        assert(df.count() == 3)
+        assert(Sources.corruptRows(df).count() == 1) // must not need caller-side cache
+        df.unpersist()
+      case other => fail(s"expected Ok, got $other")
+    }
+  }
+
+  test("writePartitioned produces partition directories") {
+    val dir = tmpDir() + "/out"
+    val df = BankDataGen.generate(spark, 100)
+    Sources.writePartitioned(df, dir, Seq("OrganizationCode"))
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("OrganizationCode="))
+    assert(parts.nonEmpty)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+  }
+}

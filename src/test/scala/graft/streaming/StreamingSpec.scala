@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourlyCounts aggregates tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(15), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark past the 10:00 window
+      mem.addData(Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 2h later one more
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, Timestamp.valueOf("2024-01-01 12:30:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      // first session closed immediately (same batch saw the gap)
+      assert(sessions.exists(s =>
+        s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0))
+    } finally q.stop()
+  }
+
+  test("sessionize batch-mode equivalence on the events table") {
+    // same gap logic as the q_events_sessions batch query, via the
+    // streaming operator run over a bounded stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "click", 1.0),
+        Event(3, ts(30), 7, "click", 1.0),  // new session (25 min gap)
+        Event(4, ts(35), 7, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions2").as[Session].collect()
+      assert(closed.length == 1 && closed.head.n_events == 2)
+    } finally q.stop()
+  }
+}

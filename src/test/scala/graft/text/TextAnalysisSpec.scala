@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wsTokenCount handles blanks, nulls, and runs of whitespace") {
+    val df = Seq(("a b  c"), (" "), ("one"), ("tab\tsep words")).toDF("text")
+      .union(Seq.empty[String].toDF("text"))
+    val counts = df.select(TextAnalysis.wsTokenCount(col("text"))).as[Int].collect()
+    assert(counts.toSeq == Seq(3, 0, 1, 3))
+  }
+
+  test("bpeishTokenCount splits letters runs, digits, and marks") {
+    val df = Seq("hello world42!").toDF("text")
+    val n = df.select(TextAnalysis.bpeishTokenCount(col("text"))).as[Int].head()
+    // hello | world | 4 | 2 | !
+    assert(n == 5)
+  }
+
+  test("qualityScore rewards clean prose, penalizes symbol soup") {
+    val clean = "The quick brown fox jumps over the lazy dog near the riverbank today."
+    val soup = "@#$% ^&* !!! ### $$$ %%% ^^^ &&& *** ((( )))"
+    val df = Seq(clean, soup).toDF("text")
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(q(0) > 0.8 && q(1) < 0.4)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy",
+      "der hund ist nicht auf das sofa und die katze",
+      "el perro y la casa de mi amigo en un lugar",
+      "zzz qqq xxx yyy").toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val df = Seq("Hello   World", "hello world", "different").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("windowFingerprints produces one hash per token window") {
+    val df = Seq("a b c d e f g h i j").toDF("text")
+    val fps = df.select(TextAnalysis.windowFingerprints(col("text"), 8)).as[Seq[Long]].head()
+    assert(fps.length == 3) // 10 tokens, window 8 → positions 1..3
+  }
+}
