@@ -153,10 +153,12 @@ object SparkEntry {
     "q_top_purchasers" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
       val agg = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total_spent"))
+      // orderBy+limit → TakeOrderedAndProject (distributed top-k);
+      // ranking a global Window here would funnel every user into one
+      // partition. The window below runs over only the 20 survivors.
+      val top = agg.orderBy(col("total_spent").desc, col("user_id").asc).limit(20)
       val w = Window.orderBy(col("total_spent").desc, col("user_id").asc)
-      agg.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 20)
-        .orderBy("rnk")
+      top.withColumn("rnk", row_number().over(w)).orderBy("rnk")
     }),
 
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
@@ -215,8 +217,14 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Similarity.minhashPairs(docs, "doc_id", "text",
-          k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.5)
+      // persist the signature table — banding and both re-attach joins
+      // read it; recomputing the minhash three times costs more than
+      // the ~300B/doc of memory (at cluster scale: write it to parquet
+      // once and share it across dedup runs).
+      val sigs = Similarity.minhashSignatures(docs, "doc_id", "text",
+        k = 5, numHashes = 32).cache()
+      Similarity.minhashPairsFromSigs(sigs, numHashes = 32, rowsPerBand = 8,
+          threshold = 0.5)
         .orderBy("id1", "id2")
     }),
 

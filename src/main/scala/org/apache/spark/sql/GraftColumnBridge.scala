@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters so graft
+  * can expose native Catalyst expressions (e.g.
+  * [[graft.expr.MinHashSig]]) through the public Column API. Placing a
+  * converter in the extension's own jar is the standard pattern for
+  * Spark-native libraries (Delta, Sedona, Qbeast all ship one). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
