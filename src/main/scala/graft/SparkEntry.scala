@@ -183,6 +183,32 @@ object SparkEntry {
     "v_lineitem_split" -> ((s, dir) =>
       Validator.splitCounts(t(s, dir, "lineitem"), lineitemRules)),
 
+    // ErrorCompare over two rule variants of the same table — the
+    // reference's CSV-vs-DB ERROR_DESC token reconciliation
+    // (compare_csv_and_db_error_desc). The right side drops one rule,
+    // so the diff must surface exactly that rule's tokens as
+    // left-only.
+    "v_error_compare" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val left = Validator.errorFile(ord, orderRules, "o_orderkey")
+      val fourRules = RuleSet(orderRules.rules.filterNot(_.name == "totalprice_cap"))
+      val right = Validator.errorFile(ord, fourRules, "o_orderkey")
+      graft.validate.ErrorCompare.diff(
+        left, "PayeeId", "ERROR_DESC", right, "PayeeId", "ERROR_DESC")
+    }),
+
+    // Reference-shaped error file over seeded bank data with injected
+    // invalid values (run_invalid_values_scenario shape) — rows-only.
+    "bank_error_file" -> ((s, dir) => {
+      val base = BankDataGen.generate(s, 500, seed = 13).cache()
+      val broken = BankDataGen.withInvalid(
+        BankDataGen.withInvalid(base, "RoutingTransitNumber", "12345ABCD",
+          (0L until 50L)),
+        "State", "C1", (50L until 80L))
+      Validator.errorFile(broken, BankRules.all, "PayeeID", "bankfile")
+        .orderBy("PayeeId")
+    }),
+
     "bank_gen_validate" -> ((s, dir) => {
       // cache() is a plan barrier, not (only) a perf cache: without it
       // CollapseProject inlines the generator's expression trees into
@@ -240,6 +266,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.bruteTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rnk")
+    }),
+
+    // embedding-cosine near-duplicate pairs: threshold form of the
+    // brute pass — deterministic (no top-k selection instability).
+    "emb_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.cosineNeighbors(emb, emb.where(col("vec_id") < 50), "vec_id", "embedding",
+          threshold = 0.3)
+        .orderBy("query_id", "neighbor_id")
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -416,6 +451,48 @@ object SparkEntry {
         |              THEN 'invalid' ELSE 'valid' END AS status
         |  FROM lineitem)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "v_error_compare" ->
+      """WITH viol AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> '' AND o_orderstatus NOT IN ('O','F','P') THEN 'o_orderstatus must be O, F or P' END AS m1,
+        |    CASE WHEN o_totalprice <= 0 THEN 'o_totalprice must be positive' END AS m2,
+        |    CASE WHEN o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> '' AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 'o_orderpriority has invalid format' END AS m3,
+        |    CASE WHEN o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1996-01-01' THEN 'open orders must be dated 1996 or later' END AS m4,
+        |    CASE WHEN o_totalprice > 450000 THEN 'o_totalprice exceeds 450000 cap' END AS m5
+        |  FROM orders),
+        |l AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, concat_ws(', ', m1, m2, m3, m4, m5) AS d
+        |      FROM viol WHERE m1 IS NOT NULL OR m2 IS NOT NULL OR m3 IS NOT NULL OR m4 IS NOT NULL OR m5 IS NOT NULL),
+        |r AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, concat_ws(', ', m1, m2, m3, m4) AS d
+        |      FROM viol WHERE m1 IS NOT NULL OR m2 IS NOT NULL OR m3 IS NOT NULL OR m4 IS NOT NULL),
+        |lt AS (SELECT DISTINCT key, trim(regexp_replace(u.t, '\s+', ' ', 'g')) AS token
+        |       FROM l, unnest(string_split(d, ',')) AS u(t)
+        |       WHERE trim(regexp_replace(u.t, '\s+', ' ', 'g')) <> ''),
+        |rt AS (SELECT DISTINCT key, trim(regexp_replace(u.t, '\s+', ' ', 'g')) AS token
+        |       FROM r, unnest(string_split(d, ',')) AS u(t)
+        |       WHERE trim(regexp_replace(u.t, '\s+', ' ', 'g')) <> '')
+        |SELECT coalesce(lt.key, rt.key) AS key, coalesce(lt.token, rt.token) AS token,
+        |       lt.key IS NOT NULL AS in_left, rt.key IS NOT NULL AS in_right
+        |FROM lt FULL OUTER JOIN rt ON lt.key = rt.key AND lt.token = rt.token
+        |WHERE lt.key IS NULL OR rt.key IS NULL
+        |ORDER BY key, token""".stripMargin,
+
+    "emb_near_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 50
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, cid AS neighbor_id,
+        |       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "dedup_exact_docs" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
