@@ -1,0 +1,51 @@
+package graft
+
+import graft.expr.{KmvSketch, MinHashSig}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Public function surface of the engine, Column-API and SQL.
+  *
+  * `register(spark)` exposes the native expressions to `spark.sql`
+  * users (`SELECT minhash_sig(text, 5, 32) FROM docs`), mirroring how
+  * the built-in registry exposes `functions._`.
+  */
+object GraftFunctions {
+
+  def minhash_sig(text: Column, k: Int = 5, numHashes: Int = 32): Column =
+    graft.expr.Exprs.minhashSig(text, k, numHashes)
+
+  def kmv_distinct(c: Column, k: Int = 256): Column =
+    KmvSketch.kmvDistinct(c, k)
+
+  def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
+  def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
+  def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
+  def ws_token_count(text: Column): Column = graft.text.TextAnalysis.wsTokenCount(text)
+  def cosine_sim(a: Column, b: Column): Column = graft.ops.Ann.cosine(a, b)
+
+  /** Register the native expressions for SQL use on `spark`. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.{expression => ex}
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("minhash_sig", exprs => exprs match {
+      case Seq(text, k, n) =>
+        MinHashSig(text, intLit(k), intLit(n))
+      case Seq(text) => MinHashSig(text, 5, 32)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig expects (text[, k, numHashes]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("kmv_distinct", exprs => exprs match {
+      case Seq(c, k) => KmvSketch(c, intLit(k)).toAggregateExpression()
+      case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+  }
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+}

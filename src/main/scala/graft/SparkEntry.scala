@@ -161,6 +161,17 @@ object SparkEntry {
       top.withColumn("rnk", row_number().over(w)).orderBy("rnk")
     }),
 
+    // KMV bottom-k sketch: below k distinct values the sketch is EXACT,
+    // so with k ≫ |users| the DuckDB count(DISTINCT) oracle applies —
+    // while the plan still exercises the mergeable TypedImperative
+    // aggregate path (partial sketches merged across partitions).
+    "q_kmv_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.expr.KmvSketch.kmvDistinct(col("user_id"), 8192).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -404,6 +415,12 @@ object SparkEntry {
         |FROM agg
         |QUALIFY rnk <= 20
         |ORDER BY rnk""".stripMargin,
+
+    "q_kmv_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS approx_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "v_customer_errors" ->
       """SELECT c_custkey, concat_ws(', ',

@@ -1,0 +1,58 @@
+package graft.expr
+
+import graft.{GraftFunctions, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHashSig: identical strings → identical signatures; length honored") {
+    val df = Seq("abcdefghij", "abcdefghij", "zzzzzzzzzz").toDF("s")
+    val sigs = df.select(Exprs.minhashSig(col("s"), 5, 16)).as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 16)
+  }
+
+  test("MinHashSig: signature agreement tracks gram overlap") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((a, a), (a, "totally unrelated text with different grams")).toDF("x", "y")
+    val withSigs = df.select(
+      Exprs.minhashSig(col("x"), 5, 32).as("xs"),
+      Exprs.minhashSig(col("y"), 5, 32).as("ys"))
+    val ns = withSigs.selectExpr("size(filter(zip_with(xs, ys, (p,q) -> p = q), v -> v)) as n")
+      .as[Int].collect()
+    assert(ns(0) == 32)      // identical
+    assert(ns(1) < 8)        // near-zero overlap
+  }
+
+  test("KmvSketch: exact below k, approximate above") {
+    val small = spark.range(100).select(col("id").cast("string").as("s"))
+    val exactish = small.select(KmvSketch.kmvDistinct(col("s"), 256)).as[Long].head()
+    assert(exactish == 100L)
+
+    val big = spark.range(100000).select(col("id").cast("string").as("s"))
+    val est = big.select(KmvSketch.kmvDistinct(col("s"), 256)).as[Long].head()
+    assert(math.abs(est - 100000L) < 15000L, s"estimate $est too far from 100000")
+  }
+
+  test("KmvSketch merges across partitions and groups") {
+    val df = spark.range(10000).select(
+      (col("id") % 4).as("g"), col("id").cast("string").as("s"))
+      .repartition(8)
+    val perGroup = df.groupBy("g").agg(KmvSketch.kmvDistinct(col("s"), 128).as("d"))
+      .as[(Long, Long)].collect().toMap
+    perGroup.values.foreach(d => assert(math.abs(d - 2500L) < 600L, s"got $d"))
+  }
+
+  test("SQL registration: minhash_sig and kmv_distinct usable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq("hello world document", "hello world document").toDF("text")
+      .createOrReplaceTempView("sqldocs")
+    val sig = spark.sql("SELECT minhash_sig(text, 5, 8) AS sig FROM sqldocs")
+      .as[Seq[Long]].collect()
+    assert(sig(0) == sig(1) && sig(0).length == 8)
+    val d = spark.sql("SELECT kmv_distinct(text) AS d FROM sqldocs").as[Long].head()
+    assert(d == 1L)
+  }
+}
