@@ -161,6 +161,40 @@ object SparkEntry {
       top.withColumn("rnk", row_number().over(w)).orderBy("rnk")
     }),
 
+    // as-of join composed from union + carry-forward window — each
+    // purchase is paired with the user's most recent signup at-or-
+    // before it; DuckDB's native ASOF JOIN is the oracle.
+    "q_asof_signup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val signups = ev.where(col("event_type") === "signup")
+      graft.ops.AsofJoin.asofJoin(purchases, signups, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // rollup with subtotal rows (coalesced to 'ALL' so both engines
+    // order identically regardless of null-sort defaults)
+    "q_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("revenue"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    "q_semi_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // KMV bottom-k sketch: below k distinct values the sketch is EXACT,
     // so with k ≫ |users| the DuckDB count(DISTINCT) oracle applies —
     // while the plan still exercises the mergeable TypedImperative
@@ -415,6 +449,31 @@ object SparkEntry {
         |FROM agg
         |QUALIFY rnk <= 20
         |ORDER BY rnk""".stripMargin,
+
+    "q_asof_signup" ->
+      """SELECT l.event_id, l.user_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_semi_customers" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_kmv_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS approx_users
