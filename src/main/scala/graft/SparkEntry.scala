@@ -329,6 +329,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, numCells = 16, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // -- text analysis --------------------------------------------- //
 
     "text_token_counts" -> ((s, dir) => {

@@ -76,6 +76,56 @@ object Ann {
       when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into cells
+    * around deterministic hash-sampled centroid vectors; each query
+    * probes only its `nprobe` nearest cells.
+    *
+    * Build cost: one broadcast pass scoring corpus × centroids (the
+    * classic IVF coarse quantizer, centroids here are sampled rather
+    * than k-means-trained — at 100 TB you'd persist the cell
+    * assignment once and train centroids offline). Query cost:
+    * |probed cells| / numCells of the corpus instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic pseudo-random centroid sample: smallest numCells
+    // ids by hash — stable across runs, no RNG state
+    val cents = broadcast(
+      corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+        .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+        .limit(numCells))
+
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("cscore").desc, col("cent_id").asc)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cents)
+      .select(col("neighbor_id"), col("cv"), col("cent_id"),
+        cosine(col("cv"), col("cent_vec")).as("cscore"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
+
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("cent_id").asc)
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(cents)
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          cosine(col("qv"), col("cent_vec")).as("qscore"))
+        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
+
+    val scored = assigned.join(probes, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket. Recall trades off
     * with `numPlanes` (16 planes ⇒ 65k buckets). The corpus bucket
     * assignment is one narrow pass; at scale you'd persist/bucket-write

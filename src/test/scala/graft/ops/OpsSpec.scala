@@ -100,6 +100,15 @@ class AnnSpec extends SparkSpec {
     assert(n == Set(1L, 4L)) // cos(0,1)=0.9938, cos(0,4)=0.9986, cos(0,2)=0
   }
 
+  test("ivfTopK finds an exact duplicate vector (shares the query's cell)") {
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = vecs.union(dup)
+    val res = Ann.ivfTopK(corpus, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, numCells = 3, nprobe = 2)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(res.contains(10L) && res(10L) == 1.0)
+  }
+
   test("lshTopK returns only same-bucket candidates; identical vectors always co-bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val res = Ann.lshTopK(vecs.union(dup), vecs.where(col("vec_id") === 0L),

@@ -54,6 +54,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed agg resumes from checkpoint with state intact (reference checkpoint_manager analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val mem = MemoryStream[Event]
+    // memory sinks cannot recover from a checkpoint — use the file sink
+    def start() = hourlyCounts(mem.toDF(), lateness = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      mem.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the same checkpoint: pending window state must
+    // survive and close once the watermark passes
+    val q2 = start()
+    try {
+      mem.addData(Event(3, ts(20), 1, "click", 4.0))
+      q2.processAllAvailable()
+      mem.addData(Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 0.5))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .where(col("event_type") === "click")
+        .select("n", "total_value").as[(Long, Double)].collect().toSet
+      // all three clicks (2 pre-restart + 1 post-restart) in one window
+      assert(rows == Set((3L, 7.0)))
+    } finally q2.stop()
+  }
+
   test("sessionize batch-mode equivalence on the events table") {
     // same gap logic as the q_events_sessions batch query, via the
     // streaming operator run over a bounded stream
