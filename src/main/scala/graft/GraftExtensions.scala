@@ -1,0 +1,46 @@
+package graft
+
+import graft.expr.{KmvSketch, MinHashSig}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extension entry point: makes graft's native expressions
+  * available to every session on a cluster via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (no per-session register() call needed — the idiomatic deployment
+  * for a Spark-native library).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(text, k, n) =>
+            MinHashSig(text, evalInt(k), evalInt(n))
+          case Seq(text) => MinHashSig(text, 5, 32)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig expects (text[, k, numHashes]), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c, k) => KmvSketch(c, evalInt(k)).toAggregateExpression()
+          case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct expects (col[, k]), got ${other.size} args")
+        }))
+  }
+
+  private def evalInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+}

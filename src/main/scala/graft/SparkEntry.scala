@@ -670,6 +670,29 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // hits = |stopword-list ∩ token-set| per language; argmax with the
+    // lexicographically-largest language winning ties (mirrors the
+    // struct array_max tie-break in TextAnalysis.langId): sequential
+    // CASE checked fr → es → en → de with >= comparisons.
+    "text_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], w -> list_contains(toks, w))) AS h_de,
+        |    len(list_filter(['the','a','of','and','to','in','is','that','it','for'], w -> list_contains(toks, w))) AS h_en,
+        |    len(list_filter(['el','la','de','que','y','en','un','por','con','para'], w -> list_contains(toks, w))) AS h_es,
+        |    len(list_filter(['le','la','de','et','un','est','que','pour','dans','sur'], w -> list_contains(toks, w))) AS h_fr
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }

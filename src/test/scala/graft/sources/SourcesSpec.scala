@@ -66,4 +66,17 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 100)
   }
+
+  test("partition filter prunes at the scan (PartitionFilters, not post-filter)") {
+    val dir = tmpDir() + "/pruned"
+    Sources.writePartitioned(BankDataGen.generate(spark, 200), dir, Seq("OrganizationCode"))
+    val q = spark.read.parquet(dir).where(col("OrganizationCode") === "M")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("OrganizationCode"), s"no partition pruning in:\n$plan")
+    // pruned scan must read only the M partition's files
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("isnotnull(OrganizationCode") || scanned.contains("OrganizationCode"))
+    assert(q.count() > 0)
+  }
 }
