@@ -672,6 +672,52 @@ object SparkEntry {
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // IVF mirrored step-by-step: md5-sampled centroids, rounded-score
+    // cell assignment, nprobe probing, per-query top-k.
+    "ann_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |cents AS (
+        |  SELECT vec_id AS cent_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |cscores AS (
+        |  SELECT a.vec_id AS item_id, c.cent_id,
+        |         round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM e a
+        |  JOIN cents c ON true
+        |  JOIN e b ON b.vec_id = c.cent_id AND b.i = a.i
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = c.cent_id
+        |  GROUP BY a.vec_id, c.cent_id, na.nrm, nb.nrm),
+        |assigned AS (
+        |  SELECT item_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT item_id, cent_id,
+        |      row_number() OVER (PARTITION BY item_id ORDER BY score DESC, cent_id ASC) AS rn
+        |    FROM cscores) WHERE rn = 1),
+        |probes AS (
+        |  SELECT item_id AS query_id, cent_id AS cell FROM (
+        |    SELECT item_id, cent_id,
+        |      row_number() OVER (PARTITION BY item_id ORDER BY score DESC, cent_id ASC) AS rn
+        |    FROM cscores WHERE item_id < 5) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |         round(sum(qe.v * ce.v) / (nq.nrm * nc.nrm), 6) AS cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ce ON ce.vec_id = a.neighbor_id AND ce.i = qe.i
+        |  JOIN n nq ON nq.vec_id = p.query_id
+        |  JOIN n nc ON nc.vec_id = a.neighbor_id
+        |  GROUP BY p.query_id, a.neighbor_id, nq.nrm, nc.nrm)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |FROM pairs
+        |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // hits = |stopword-list ∩ token-set| per language; argmax with the
     // lexicographically-largest language winning ties (mirrors the
     // struct array_max tie-break in TextAnalysis.langId): sequential

@@ -90,18 +90,21 @@ object Ann {
               idCol: String, vecCol: String, k: Int,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     // deterministic pseudo-random centroid sample: smallest numCells
-    // ids by hash — stable across runs, no RNG state
+    // ids by md5 of the id string — stable across runs, no RNG state,
+    // and reproducible by any engine with md5 (enables a SQL oracle).
     val cents = broadcast(
       corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-        .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+        .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
         .limit(numCells))
 
+    // scores are rounded before the argmax windows so cell assignment
+    // is stable across engines/fp-summation orders
     val wAssign = Window.partitionBy("neighbor_id")
       .orderBy(col("cscore").desc, col("cent_id").asc)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cents)
       .select(col("neighbor_id"), col("cv"), col("cent_id"),
-        cosine(col("cv"), col("cent_vec")).as("cscore"))
+        round(cosine(col("cv"), col("cent_vec")), 6).as("cscore"))
       .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
       .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
 
@@ -111,7 +114,7 @@ object Ann {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .crossJoin(cents)
         .select(col("query_id"), col("qv"), col("cent_id"),
-          cosine(col("qv"), col("cent_vec")).as("qscore"))
+          round(cosine(col("qv"), col("cent_vec")), 6).as("qscore"))
         .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
         .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
 
