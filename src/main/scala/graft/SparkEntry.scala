@@ -123,6 +123,18 @@ object SparkEntry {
         .orderBy("p_brand", "rnk")
     }),
 
+    // exact percentiles (continuous interpolation — matches DuckDB
+    // quantile_cont), rounded for cross-engine fp parity
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_anti_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
@@ -420,6 +432,15 @@ object SparkEntry {
         |FROM rev
         |QUALIFY rnk <= 3
         |ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_anti_customers" ->
       """SELECT c_mktsegment, count(*) AS n
