@@ -374,6 +374,13 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")
+    }),
+
+    "text_scrubbed" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -738,6 +745,13 @@ object SparkEntry {
         |FROM pairs
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "text_scrubbed" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // hits = |stopword-list ∩ token-set| per language; argmax with the
     // lexicographically-largest language winning ties (mirrors the

@@ -24,7 +24,7 @@ object Sources {
   final case class BadExtension(df: DataFrame, extension: String) extends ReadResult
   final case class SchemaDrift(df: DataFrame, report: SchemaCheck.Report) extends ReadResult
 
-  private val knownExtensions = Set("parquet", "csv", "json")
+  private val knownExtensions = Set("parquet", "orc", "csv", "json")
 
   def extensionOf(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
@@ -40,6 +40,10 @@ object Sources {
     extensionOf(path) match {
       case "parquet" =>
         val actual = spark.read.parquet(path)
+        val report = SchemaCheck.check(expected, actual.schema)
+        if (report.ok) Ok(actual) else SchemaDrift(actual, report)
+      case "orc" =>
+        val actual = spark.read.orc(path)
         val report = SchemaCheck.check(expected, actual.schema)
         if (report.ok) Ok(actual) else SchemaDrift(actual, report)
       case "csv" =>

@@ -69,6 +69,16 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII-style scrubbing for training corpora: emails → <EMAIL>,
+    * long digit runs (phone/account numbers) → <NUM>. Pure
+    * regexp_replace — runs at scan speed; patterns restricted to
+    * POSIX-safe classes so any engine reproduces them. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Content fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Canonical exact-dup key that survives formatting jitter. */
   def fingerprint(text: Column): Column =

@@ -37,6 +37,16 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("orc roundtrip with matching schema → Ok") {
+    import spark.implicits._
+    val dir = tmpDir() + "/ok.orc"
+    Seq((1L, "a", 1.5)).toDF("id", "name", "score").write.orc(dir)
+    Sources.read(spark, dir, schema) match {
+      case Sources.Ok(df) => assert(df.count() == 1)
+      case other => fail(s"expected Ok, got $other")
+    }
+  }
+
   test("unknown extension rejected without I/O (run_invalid_extension_scenario)") {
     Sources.read(spark, "/some/path/data.xyz", schema) match {
       case Sources.BadExtension(_, ext) => assert(ext == "xyz")

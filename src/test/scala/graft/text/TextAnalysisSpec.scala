@@ -44,6 +44,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("scrubPii masks emails and long digit runs, leaves prose alone") {
+    val df = Seq(
+      "contact jane.doe+x@corp.example.com or call 18005551234 now",
+      "short 123456 stays, 1234567 goes",
+      "no pii here").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text"))).as[String].collect()
+    assert(out(0) == "contact <EMAIL> or call <NUM> now")
+    assert(out(1) == "short 123456 stays, <NUM> goes")
+    assert(out(2) == "no pii here")
+  }
+
   test("windowFingerprints produces one hash per token window") {
     val df = Seq("a b c d e f g h i j").toDF("text")
     val fps = df.select(TextAnalysis.windowFingerprints(col("text"), 8)).as[Seq[Long]].head()
