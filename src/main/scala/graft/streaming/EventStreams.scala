@@ -1,8 +1,10 @@
 package graft.streaming
 
+import graft.rules.RuleSet
+import graft.validate.Validator
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import java.sql.Timestamp
 
 /** Structured-Streaming operators over the `events` shape
@@ -26,6 +28,36 @@ object EventStreams {
       .groupBy(window(col("ts_us"), windowesize), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Continuous validate-and-route: the reference's batch loop (file
+    * lands → Glue validates → valid/error routing,
+    * DM_bankfile_validate_pipeline.py run_full_etl_pipeline_*) as a
+    * streaming pipeline. Each micro-batch is validated once (cached),
+    * the valid slice appends to `validPath`, the invalid slice is
+    * written in the reference's error-file shape to `errorPath`;
+    * exactly-once via the checkpoint + idempotent batch-id-partitioned
+    * sinks. Works over any streaming source (file drops included:
+    * spark.readStream.schema(...).parquet(dropDir)). */
+  def validateAndRoute(stream: DataFrame, rules: RuleSet, keyCol: String,
+                       validPath: String, errorPath: String,
+                       checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = Validator.validate(batch, rules).cache()
+        try {
+          v.where(col(Validator.ValidCol))
+            .drop(Validator.ErrorsCol, Validator.ValidCol)
+            .write.mode("append").parquet(validPath)
+          v.where(!col(Validator.ValidCol))
+            .select(lit(s"batch_$batchId").as("FILENAME"),
+              col(keyCol).cast("string").as("PayeeId"),
+              concat_ws(", ", col(Validator.ErrorsCol)).as("ERROR_DESC"))
+            .write.mode("append").parquet(errorPath)
+        } finally { v.unpersist(); () }
+      }
+      .start()
 
   final case class Event(event_id: Long, ts_us: Timestamp, user_id: Long,
                          event_type: String, value: Double)

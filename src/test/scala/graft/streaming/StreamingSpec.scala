@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("validateAndRoute splits a file-drop stream into valid/error sinks") {
+    import graft.rules.{Checks, Rule, RuleSet}
+    val dir = java.nio.file.Files.createTempDirectory("graft-route").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    val rules = RuleSet(Seq(
+      Rule("code.digits", Checks.digits(col("code"), 3), "code must be 3 digits")))
+
+    // land a "file drop" before the stream starts (AvailableNow drains it)
+    import spark.implicits._
+    Seq(("P1", "123"), ("P2", "12X"), ("P3", "999"), ("P4", ""))
+      .toDF("pid", "code").write.mode("append").parquet(drop)
+
+    val stream = spark.readStream
+      .schema("pid STRING, code STRING")
+      .parquet(drop)
+    val q = EventStreams.validateAndRoute(stream, rules, "pid",
+      s"$dir/valid", s"$dir/errors", s"$dir/ckpt")
+    try q.awaitTermination(60000) finally q.stop()
+
+    val valid = spark.read.parquet(s"$dir/valid").select("pid").as[String].collect().toSet
+    // blank code passes the digits rule (format rules skip blanks)
+    assert(valid == Set("P1", "P3", "P4"))
+    val errs = spark.read.parquet(s"$dir/errors")
+      .select("PayeeId", "ERROR_DESC").as[(String, String)].collect().toMap
+    assert(errs == Map("P2" -> "code must be 3 digits"))
+  }
+
   test("sessionize batch-mode equivalence on the events table") {
     // same gap logic as the q_events_sessions batch query, via the
     // streaming operator run over a bounded stream
