@@ -311,6 +311,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // corpus-level near-dedup (minhash LSH + mega-cluster
+    // representative linking): surviving doc count per lang
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Similarity.dropNearDuplicates(docs, "doc_id", "text",
+          k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.8, maxBucket = 500)
+        .groupBy("lang").agg(count(lit(1)).as("survivors"))
+        .orderBy("lang")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
       Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 3)

@@ -65,6 +65,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
   }
 
+  test("dropNearDuplicates keeps one representative per near-dup group") {
+    val kept = Similarity.dropNearDuplicates(docs, "doc_id", "text",
+        k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && !kept.contains(4L)) // 3/4 identical → keep min
+    assert(kept.contains(5L))                       // unique survives
+  }
+
+  test("dropNearDuplicates handles a mega-cluster via representative linking") {
+    // 60 identical boilerplate docs + 2 distinct ones; bucket cap 10
+    // forces the representative-linking path for the big cluster
+    val boiler = (100L until 160L).map(i => (i, "identical boilerplate text repeated everywhere"))
+    val rest = Seq((1L, "a genuinely unique document about spark"),
+      (2L, "another unique doc mentioning catalyst internals"))
+    val df = (boiler ++ rest).toDF("doc_id", "text")
+    val kept = Similarity.dropNearDuplicates(df, "doc_id", "text",
+        k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9, maxBucket = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(100L))                     // cluster representative
+    assert((101L until 160L).forall(i => !kept.contains(i)))
+    assert(kept.contains(1L) && kept.contains(2L))
+  }
+
   test("simhash of identical docs is equal; near-dups within hamming bound") {
     val h = Similarity.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
