@@ -109,6 +109,22 @@ object Multimodal {
     }(enc)
   }
 
+  /** Sample `n` frame offsets per video payload into an
+    * `array<bigint>` column — the frame-extraction plumbing (schema,
+    * batching, null handling) with the demuxer stubbed. */
+  def sampleFrames(df: DataFrame, n: Int = 4): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("frame_offsets", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val offs = if (payload == null) null else StubCodec.frameOffsets(payload, n)
+        Row.fromSeq(r.toSeq :+ offs)
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic media table for tests/bench: payloads are
     * seeded byte blobs with plausible metadata. */
   def syntheticMedia(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {

@@ -49,6 +49,18 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 6) // 2 queries × top-3
   }
 
+  test("sampleFrames yields n in-bounds offsets per payload") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val sampled = Multimodal.sampleFrames(media, 4)
+    assert(sampled.schema("frame_offsets").dataType == ArrayType(LongType))
+    val rows = sampled.select("payload", "frame_offsets").collect()
+    rows.foreach { r =>
+      val len = r.getAs[Array[Byte]](0).length
+      val offs = r.getSeq[Long](1)
+      assert(offs.length == 4 && offs.forall(o => o >= 0 && o < len))
+    }
+  }
+
   test("stub decode is deterministic per payload") {
     val p = Array[Byte](1, 2, 3, 4)
     assert(Multimodal.StubCodec.decodeImage(p) == Multimodal.StubCodec.decodeImage(p))
