@@ -198,6 +198,29 @@ object SparkEntry {
         .orderBy("returnflag", "linestatus")
     }),
 
+    "q_cube_counts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    }),
+
+    // correlated-subquery shape (TPC-H Q17): lineitems whose quantity
+    // is below 20% of their part's average — Catalyst decorrelates
+    // into an aggregate + join; no per-row subquery execution.
+    "q_small_quantity_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap"))
+        .agg((avg("l_quantity") * 0.2).as("qty_cap"))
+      li.join(avgQty, col("l_partkey") === col("ap"))
+        .where(col("l_quantity") < col("qty_cap"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     "q_semi_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
@@ -510,6 +533,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube_counts" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+        |FROM lineitem l
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * avg(l_quantity) FROM lineitem
+        |  WHERE l_partkey = l.l_partkey)""".stripMargin,
 
     "q_semi_customers" ->
       """SELECT c_mktsegment, count(*) AS n
