@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -17,6 +18,32 @@ class AsofJoinSpec extends SparkSpec {
       "p1" -> Some(100.0),   // 8 <= 10 < 15
       "p2" -> Some(200.0),   // 15 <= 20
       "q1" -> None))         // right at 60 is after 50
+  }
+
+  test("native as-of exec matches the composed operator on real event data") {
+    import graft.plans.NativeAsofJoin
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001").drop("ts_us")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+
+    val composed = AsofJoin.asofJoin(purchases, signups, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    val native = NativeAsofJoin.asofJoin(purchases, signups, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("native as-of exec basic semantics (no match → null, newest-at-or-before wins)") {
+    import graft.plans.NativeAsofJoin
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "q1"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 8L, 100.0), (1L, 15L, 200.0), (2L, 60L, 300.0))
+      .toDF("k", "t", "v")
+    val res = NativeAsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(res == Map(
+      "p0" -> None, "p1" -> Some(100.0), "p2" -> Some(200.0), "q1" -> None))
   }
 
   test("right row exactly at the left timestamp is visible") {
