@@ -146,4 +146,22 @@ object BankDataGen {
   /** Duplicate specific rows (run_duplicate_row_scenario :2636). */
   def withDuplicatedRows(df: DataFrame, rowIds: Seq[Long]): DataFrame =
     df.union(df.where(col("id").isInCollection(rowIds)))
+
+  /** Convert empty-string fields to real NULLs — the generator's
+    * `--blank-as-null` flag (newaugsver_clean.py:475-479,605). The
+    * rule engine treats both identically (Checks.blank). */
+  def withNullBlanks(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(c, when(col(c) === "", lit(null)).otherwise(col(c)))
+      else d
+    }
+
+  /** Append synthetic extra columns — the `--extra-columns` upload
+    * scenario (newaugsver_clean.py save_to_formats :526-528 writes
+    * "Extra_<name>_<row>"). SchemaCheck flags them as ExtraColumn. */
+  def withExtraColumns(df: DataFrame, names: Seq[String]): DataFrame =
+    names.foldLeft(df) { (d, n) =>
+      d.withColumn(n, concat(lit(s"Extra_${n}_"), col("id").cast("string")))
+    }
 }

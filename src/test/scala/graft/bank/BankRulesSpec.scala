@@ -164,6 +164,21 @@ class BankRulesSpec extends SparkSpec {
     assert(dups.count() == 1)
   }
 
+  test("blank-as-null generation still validates clean (--blank-as-null flag)") {
+    val nulled = BankDataGen.withNullBlanks(gen(50))
+    // at least one optional field should actually be null now
+    assert(nulled.where(col("EffectiveEndDate").isNull).count() > 0)
+    val v = Validator.validate(nulled, BankRules.all)
+    assert(v.where(!col(Validator.ValidCol)).count() == 0)
+  }
+
+  test("extra columns are detected by the schema gate (--extra-columns flag)") {
+    import graft.schema.SchemaCheck
+    val extra = BankDataGen.withExtraColumns(gen(), Seq("AuditTag"))
+    val report = SchemaCheck.check(BankSchema.schema, extra.drop("id").schema)
+    assert(report.extra.map(_.column) == Seq("AuditTag"))
+  }
+
   test("duplicate full-row detection (run_duplicate_row_scenario)") {
     import graft.ops.Dedup
     val df = BankDataGen.withDuplicatedRows(gen(), Seq(3L))
