@@ -124,14 +124,17 @@ object SparkEntry {
     }),
 
     // exact percentiles (continuous interpolation — matches DuckDB
-    // quantile_cont), rounded for cross-engine fp parity
+    // quantile_cont). floor(x*100)/100, not round(,2): both engines
+    // interpolate to the identical double, but their round() half-rules
+    // can split on a .xx5 boundary; floor of the same double is stable.
     "q_percentiles" -> ((s, dir) => {
+      def f2(c: Column): Column = floor(c * 100) / 100
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+          f2(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
+          f2(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+          f2(expr("percentile(l_quantity, 0.5)")).as("p50_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -475,9 +478,9 @@ object SparkEntry {
 
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50_price,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 100) / 100 AS p95_price,
+        |  floor(quantile_cont(l_quantity, 0.5) * 100) / 100 AS p50_qty
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

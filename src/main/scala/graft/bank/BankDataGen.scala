@@ -58,20 +58,23 @@ object BankDataGen {
   private val titles = Seq("Director", "Manager", "Analyst", "Controller",
     "Coordinator", "Specialist", "Officer", "Administrator")
 
-  /** Generate `rows` valid bank records. */
+  /** Generate `rows` valid bank records. `startId` offsets the id
+    * range (ids are `[startId, startId + rows)`), so shards of one
+    * logical file can be generated independently and tests can probe
+    * high-id behavior directly. */
   def generate(spark: SparkSession, rows: Long, seed: Long = 42L,
                asOfDate: String = "2026-01-15",
-               numPartitions: Int = 0): DataFrame = {
-    val base0 = if (numPartitions > 0) spark.range(0, rows, 1, numPartitions)
-                else spark.range(rows)
+               numPartitions: Int = 0, startId: Long = 0L): DataFrame = {
+    val base0 = if (numPartitions > 0) spark.range(startId, startId + rows, 1, numPartitions)
+                else spark.range(startId, startId + rows)
     val df = base0.toDF("id")
 
     val oc = pick(seed, "oc", Seq("M", "D", "P"))
-    val prefix = when(oc === "M", "MFR").when(oc === "D", "DISP").otherwise("PC")
-    // id-derived numeric tail keeps PayeeID unique without coordination;
-    // width ≤ 5 digits + prefix ≤ 4 stays within the 9-char max.
-    val orgId = concat(prefix, lpad(pmod(col("id"), lit(100000L)).cast("string"), 5, "0"),
-                       when(col("id") >= 100000L, (col("id") / 100000L).cast("long").cast("string")).otherwise(""))
+    val prefix = when(oc === "M", "MF").when(oc === "D", "DS").otherwise("PC")
+    // id-derived base-36 tail keeps PayeeID unique without coordination
+    // AND within the 9-char rule max at any scale: 2-char prefix +
+    // 7 base-36 chars covers 36^7 ≈ 7.8e10 ids at exactly 9 chars.
+    val orgId = concat(prefix, lpad(conv(col("id"), 10, 36), 7, "0"))
     val pm = when(oc === "M", lit("EFT")).otherwise(pick(seed, "pm", Seq("EFT", "CHK")))
     val isEft = pm === "EFT"
     val recOp = pick(seed, "rec", Seq("A", "A", "A", "D"))

@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * Composed from built-ins (preference (a) of the extension ladder):
   * tag and union both sides, sort within each key by (time, side),
-  * carry the latest right-side values forward with `last(_, ignoreNulls)`
-  * over an unbounded-preceding window, then keep left rows. One shuffle
-  * on the key (the union sorts within partitions) — same cost shape as
-  * a sort-merge join, no range explosion, AQE-compatible. Equivalent to
-  * DuckDB/QuestDB ASOF JOIN semantics: each left row pairs with the
-  * newest right row whose time ≤ the left time.
+  * carry the latest right-side ROW forward as a single
+  * `last(struct(valueCols), ignoreNulls)` over an unbounded-preceding
+  * window, then keep left rows. One shuffle on the key (the union
+  * sorts within partitions) — same cost shape as a sort-merge join, no
+  * range explosion, AQE-compatible. Equivalent to DuckDB/QuestDB ASOF
+  * JOIN semantics: each left row pairs with the newest right row whose
+  * time ≤ the left time, and ALL attached columns come from that one
+  * row — a NULL in a value column of the matched row stays NULL rather
+  * than being backfilled from an older row. Right rows with a NULL key
+  * never match (aligned with [[graft.plans.NativeAsofJoin]], whose
+  * carried-key comparison rejects nulls), so left rows with NULL keys
+  * get all-null asof columns.
   *
   * @param left      probe side (keeps all rows)
   * @param right     reference side (values carried forward)
@@ -26,11 +32,20 @@ object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, valueCols: Seq[String]): DataFrame = {
+    // one struct per right row: the carried unit is the whole matched
+    // row, so multi-column attachment can't stitch values from
+    // different right rows and row-level nulls survive.
+    val rightStructFields = valueCols.map(v =>
+      org.apache.spark.sql.types.StructField(v, right.schema(v).dataType))
+    val rightStructType = org.apache.spark.sql.types.StructType(rightStructFields)
+
     val leftTagged = left.withColumn("__side", lit(1))
-      .withColumns(valueCols.map(v => s"__r_$v" -> lit(null).cast(right.schema(v).dataType)).toMap)
-    val rightTagged = right.select(
-      (Seq(col(keyCol), col(timeCol), lit(0).as("__side")) ++
-        valueCols.map(v => col(v).as(s"__r_$v"))): _*)
+      .withColumn("__rvals", lit(null).cast(rightStructType))
+    val rightTagged = right
+      .where(col(keyCol).isNotNull) // null keys never match
+      .select(col(keyCol), col(timeCol), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__rvals"))
+
     // align columns for union
     val leftCols = leftTagged.columns
     val rightAligned = leftCols.foldLeft(rightTagged) { (df, c) =>
@@ -42,10 +57,10 @@ object AsofJoin {
     // so a right row AT the left row's time is visible to it.
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__carried",
+      last(col("__rvals"), ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
-      .drop((Seq("__side") ++ valueCols.map(v => s"__r_$v")): _*)
+      .select(left.columns.map(col) ++
+        valueCols.map(v => col(s"__carried.$v").as(s"asof_$v")): _*)
   }
 }

@@ -44,8 +44,12 @@ object Dedup {
     * the duplicate-row scenario. Hashes the whole row so the shuffle
     * carries (hash, count), not payloads. */
   def duplicateRows(df: DataFrame): DataFrame = {
-    val allCols = df.columns.map(c => col(c).cast("string"))
-    df.groupBy(md5(concat_ws("", allCols: _*)).as("row_hash"))
+    // JSON-encode (field names + explicit nulls) before hashing: an
+    // unambiguous encoding, unlike concat_ws, whose null-skipping makes
+    // ("a",null) and (null,"a") collide.
+    val rowJson = to_json(struct(df.columns.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
+    df.groupBy(md5(rowJson).as("row_hash"))
       .agg(count(lit(1)).as("dup_count"))
       .where(col("dup_count") > 1)
   }

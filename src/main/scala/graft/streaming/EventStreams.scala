@@ -33,11 +33,13 @@ object EventStreams {
     * lands → Glue validates → valid/error routing,
     * DM_bankfile_validate_pipeline.py run_full_etl_pipeline_*) as a
     * streaming pipeline. Each micro-batch is validated once (cached),
-    * the valid slice appends to `validPath`, the invalid slice is
-    * written in the reference's error-file shape to `errorPath`;
-    * exactly-once via the checkpoint + idempotent batch-id-partitioned
-    * sinks. Works over any streaming source (file drops included:
-    * spark.readStream.schema(...).parquet(dropDir)). */
+    * the valid slice is written to `validPath`, the invalid slice is
+    * written in the reference's error-file shape to `errorPath`.
+    * Exactly-once: each batch lands in its own `batch_id=<id>`
+    * partition via dynamic-partition overwrite, so a foreachBatch
+    * retry (at-least-once delivery) replaces that batch's partition
+    * instead of appending duplicates. Works over any streaming source
+    * (file drops included: spark.readStream.schema(...).parquet(dropDir)). */
   def validateAndRoute(stream: DataFrame, rules: RuleSet, keyCol: String,
                        validPath: String, errorPath: String,
                        checkpoint: String): StreamingQuery =
@@ -49,12 +51,20 @@ object EventStreams {
         try {
           v.where(col(Validator.ValidCol))
             .drop(Validator.ErrorsCol, Validator.ValidCol)
-            .write.mode("append").parquet(validPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(validPath)
           v.where(!col(Validator.ValidCol))
             .select(lit(s"batch_$batchId").as("FILENAME"),
               col(keyCol).cast("string").as("PayeeId"),
-              concat_ws(", ", col(Validator.ErrorsCol)).as("ERROR_DESC"))
-            .write.mode("append").parquet(errorPath)
+              concat_ws(", ", col(Validator.ErrorsCol)).as("ERROR_DESC"),
+              lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(errorPath)
         } finally { v.unpersist(); () }
       }
       .start()

@@ -185,4 +185,24 @@ class BankRulesSpec extends SparkSpec {
     val dups = Dedup.duplicateRows(df)
     assert(dups.count() == 1)
   }
+
+  test("generator output validates clean across the 100k id boundary and at huge ids") {
+    // ids 99_000..101_000 span the old failure point (PayeeID grew a
+    // 10th char at id >= 100000); base-36 tail must stay at 9 chars
+    val boundary = BankDataGen.generate(spark, 2000, seed = 11, startId = 99000L).cache()
+    try {
+      assert(boundary.where(length(col("PayeeID")) =!= 9).count() == 0)
+      assert(boundary.select("PayeeID").distinct().count() == 2000)
+      val v = Validator.validate(boundary, BankRules.all)
+      assert(v.where(!col(Validator.ValidCol)).count() == 0)
+    } finally { boundary.unpersist(); () }
+
+    // 50e9 > 36^6: a 7-char base-36 tail still fits the 9-char max
+    val huge = BankDataGen.generate(spark, 100, seed = 11, startId = 50_000_000_000L).cache()
+    try {
+      assert(huge.where(length(col("PayeeID")) =!= 9).count() == 0)
+      val v = Validator.validate(huge, BankRules.all)
+      assert(v.where(!col(Validator.ValidCol)).count() == 0)
+    } finally { huge.unpersist(); () }
+  }
 }

@@ -53,4 +53,41 @@ class AsofJoinSpec extends SparkSpec {
       .select("asof_v").as[Option[Double]].head()
     assert(res.contains(7.0))
   }
+
+  test("a NULL in the matched row's value column stays NULL (no backfill)") {
+    // newest at-or-before row for t=12 is (t=10, v=null); an older
+    // non-null v=1.0 must NOT leak through
+    val left = Seq((1L, 12L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, Some(1.0)), (1L, 10L, None)).toDF("k", "t", "v")
+    val res = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(res.isEmpty)
+  }
+
+  test("multiple value columns come from the SAME matched right row") {
+    // matched row (t=10) has a=null, b=2.0; older row has a=1.0, b=null.
+    // Per-column carry would stitch (1.0, 2.0) from two rows — wrong.
+    val left = Seq((1L, 12L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, Some(1.0), None: Option[Double]),
+                    (1L, 10L, None: Option[Double], Some(2.0)))
+      .toDF("k", "t", "a", "b")
+    val res = AsofJoin.asofJoin(left, right, "k", "t", Seq("a", "b"))
+      .select("asof_a", "asof_b").as[(Option[Double], Option[Double])].head()
+    assert(res == (None, Some(2.0)))
+  }
+
+  test("NULL keys never match (aligned with the native exec)") {
+    val left = Seq((None: Option[Long], 10L, "l-null"), (Some(1L), 10L, "l-1"))
+      .toDF("k", "t", "name")
+    val right = Seq((None: Option[Long], 5L, 9.0), (Some(1L), 5L, 4.0))
+      .toDF("k", "t", "v")
+    val res = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(res == Map("l-null" -> None, "l-1" -> Some(4.0)))
+
+    import graft.plans.NativeAsofJoin
+    val native = NativeAsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(native == res)
+  }
 }

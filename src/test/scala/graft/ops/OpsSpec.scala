@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     val d = Dedup.duplicateKeys(df, Seq("k")).as[(String, Long)].collect()
     assert(d.toSeq == Seq(("A", 2L)))
   }
+
+  test("duplicateRows does not collide distinct rows (boundary/null ambiguity)") {
+    // concat-style encodings collide on all of these; the JSON encoding
+    // must report zero duplicates
+    val distinctRows = Seq(
+      (Some("ab"), Some("c")), (Some("a"), Some("bc")),   // boundary shift
+      (Some("a"), None), (None, Some("a")),               // null position
+      (Some(""), Some("a"))                               // empty vs null
+    ).toDF("x", "y")
+    assert(Dedup.duplicateRows(distinctRows).count() == 0)
+
+    val withDup = distinctRows.union(Seq((Some("a"), None: Option[String])).toDF("x", "y"))
+    val dups = Dedup.duplicateRows(withDup).as[(String, Long)].collect()
+    assert(dups.length == 1 && dups.head._2 == 2L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

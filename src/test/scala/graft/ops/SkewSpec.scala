@@ -29,4 +29,19 @@ class SkewSpec extends SparkSpec {
     assert(salted.keySet == plain.keySet)
     salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
   }
+
+  test("salt is deterministic (content-derived) and duplicate rows still count") {
+    // identical rows share a salt — counts must survive, and two
+    // evaluations of the same plan must route rows identically (the
+    // retry-safety property monotonically_increasing_id() lacked)
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0))
+      .toDF("k", "v")
+    val r1 = Skew.saltedSum(df, "k", "v", factor = 4).as[(String, Double)].collect().toMap
+    val r2 = Skew.saltedSum(df, "k", "v", factor = 4).as[(String, Double)].collect().toMap
+    assert(r1 == Map("a" -> 4.0, "b" -> 3.0))
+    assert(r1 == r2)
+
+    val joined = Skew.saltedJoin(df, Seq(("a", "x"), ("b", "y")).toDF("k", "name"), "k", factor = 4)
+    assert(joined.count() == 4)
+  }
 }

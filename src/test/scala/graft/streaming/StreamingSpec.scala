@@ -113,6 +113,15 @@ class StreamingSpec extends SparkSpec {
     val errs = spark.read.parquet(s"$dir/errors")
       .select("PayeeId", "ERROR_DESC").as[(String, String)].collect().toMap
     assert(errs == Map("P2" -> "code must be 3 digits"))
+
+    // replay the same drop as batch 0 again (fresh checkpoint = the
+    // worst-case foreachBatch retry): the batch_id-partitioned dynamic
+    // overwrite must replace, not append — counts unchanged
+    val q2 = EventStreams.validateAndRoute(stream, rules, "pid",
+      s"$dir/valid", s"$dir/errors", s"$dir/ckpt2")
+    try q2.awaitTermination(60000) finally q2.stop()
+    assert(spark.read.parquet(s"$dir/valid").count() == 3)
+    assert(spark.read.parquet(s"$dir/errors").count() == 1)
   }
 
   test("sessionize batch-mode equivalence on the events table") {
