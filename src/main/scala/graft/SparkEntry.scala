@@ -244,6 +244,116 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // pivot (wide conditional aggregation): order counts per priority,
+    // one column per status. Pivot with an explicit value list keeps
+    // the plan a single pass (no distinct-scan to discover columns).
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // GROUPING SETS — the general subtotal form rollup/cube specialize;
+    // Catalyst expands it into one Expand + single aggregate (one
+    // shuffle, not one scan per set).
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       count(*) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM graft_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+
+    // bounded-interval range join (bucketed equi-join scale path, see
+    // graft.ops.RangeJoin): clicks in the hour before each purchase.
+    "q_range_clicks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us", "props")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val clicks = ev.where(col("event_type") === "click")
+      graft.ops.RangeJoin.rangeJoin(purchases, clicks, "user_id", "ts", "ts",
+          lower = -3600L * 1000000000L, upper = -1L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("r_value")), 2).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // correlated min-subquery shape (TPC-H Q2's price-floor pattern):
+    // parts at their brand's minimum retail price. The per-brand min is
+    // tiny → broadcast; no decorrelation shuffle on the probe side.
+    "q_min_retail_parts" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val minPer = part.groupBy(col("p_brand").as("b"))
+        .agg(min("p_retailprice").as("min_price"))
+      part.join(broadcast(minPer),
+          col("p_brand") === col("b") && col("p_retailprice") === col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    // ntile deciles over a global order. NOTE: a global window funnels
+    // all rows through one task — fine for dimension-sized inputs; for
+    // fact-scale deciles use approxQuantile boundaries + a narrow
+    // bucket-assignment map instead (no total sort).
+    "q_decile_acctbal" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("c_acctbal"), 2).as("lo"),
+          round(max("c_acctbal"), 2).as("hi"))
+        .orderBy("decile")
+    }),
+
+    // fuzzy string matching (edit distance ≤ 4 name pairs). The tiny
+    // side is broadcast; levenshtein is codegen'd in both engines.
+    "q_fuzzy_nations" -> ((s, dir) => {
+      val a = t(s, dir, "nation").select(col("n_name").as("name1"))
+      val b = t(s, dir, "nation").select(col("n_name").as("name2"))
+      a.crossJoin(broadcast(b)).where(col("name1") < col("name2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .where(col("dist") <= 4)
+        .orderBy("name1", "name2")
+    }),
+
+    // set operators (INTERSECT / EXCEPT) — distinct-key semantics, each
+    // planned as an aggregate-style shuffle on the key.
+    "q_setops_customers" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val urgent = ord.where(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val finished = ord.where(col("o_orderstatus") === "F")
+        .select("o_custkey").distinct()
+      val both = urgent.intersect(finished).agg(count(lit(1)).as("n"))
+        .select(lit("urgent_and_finished").as("set_op"), col("n"))
+      val only = urgent.except(finished).agg(count(lit(1)).as("n"))
+        .select(lit("urgent_never_finished").as("set_op"), col("n"))
+      both.union(only).orderBy("set_op")
+    }),
+
+    // semi-structured extraction: JSON path over the events.props
+    // column (get_json_object is codegen'd; no UDF).
+    "q_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          countDistinct("k").as("n_k"))
+        .orderBy("event_type")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -566,6 +676,79 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_range_clicks" ->
+      """SELECT l.event_id, l.user_id, count(*) AS n_clicks,
+        |       round(sum(r.value), 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON r.user_id = l.user_id
+        | AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 3600000000000
+        | AND epoch_ns(r.ts) <= epoch_ns(l.ts) - 1
+        |GROUP BY 1, 2
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_min_retail_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q_decile_acctbal" ->
+      """WITH d AS (
+        |  SELECT c_acctbal,
+        |    CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
+        |  FROM customer)
+        |SELECT decile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_fuzzy_nations" ->
+      """SELECT a.n_name AS name1, b.n_name AS name2,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+        |ORDER BY name1, name2""".stripMargin,
+
+    "q_setops_customers" ->
+      """SELECT 'urgent_and_finished' AS set_op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'urgent_never_finished', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY set_op""".stripMargin,
+
+    "q_json_props" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, count(DISTINCT k) AS n_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "v_customer_errors" ->
       """SELECT c_custkey, concat_ws(', ',

@@ -62,6 +62,29 @@ object Multimodal {
     def frameOffsets(payload: Array[Byte], n: Int): Array[Long] =
       Array.tabulate(n)(i => math.floorMod(bytesHash(payload, 200 + i), math.max(payload.length, 1)).toLong)
 
+    /** "Decode" audio metadata to (sampleRate, nSamples, rms). Real
+      * impl: WAV/FLAC header parse + PCM scan. */
+    def decodeAudio(payload: Array[Byte]): (Int, Long, Double) = {
+      val rate = Seq(8000, 16000, 22050, 44100, 48000)(
+        math.floorMod(bytesHash(payload, 4), 5))
+      val nSamples = math.floorMod(bytesHash(payload, 5), 10 * rate).toLong + rate
+      val rms = math.floorMod(bytesHash(payload, 6), 1000) / 1000.0
+      (rate, nSamples, rms)
+    }
+
+    /** A "codec context" whose construction is expensive in the real
+      * world (JNI handle, GPU session, model weights). The batched
+      * decode path amortizes ONE of these per batch instead of one per
+      * row — the whole point of batch decode. Instances are NOT
+      * thread-safe (like real codec handles). */
+    final class CodecContext {
+      var decodeCalls: Long = 0L
+      def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+        decodeCalls += 1
+        StubCodec.decodeImage(payload)
+      }
+    }
+
     private def bytesHash(b: Array[Byte], salt: Int): Int = {
       var h = salt * 0x9E3779B9
       var i = 0
@@ -89,6 +112,58 @@ object Multimodal {
           // numerically widen the Ints to Double (LUB inference) and
           // break the encoder's INT fields.
           Row.fromSeq(r.toSeq ++ Seq[Any](h, w, luma))
+        }
+      }
+    }(enc)
+  }
+
+  /** Batched decode: the columnar-ish path. Rows are pulled in chunks
+    * of `batchSize`; ONE codec context is created per batch and reused
+    * across its rows (real codecs pay per-handle setup — JNI init, GPU
+    * session, model load — that must not be per-row). The iterator
+    * stays lazy (`grouped` pulls one chunk at a time), so memory is
+    * bounded by batchSize × payload, not the partition. Same output
+    * contract as [[decodeImages]]. This is the Scala analogue of a
+    * pandas/Arrow batch UDF: batch-shaped kernel calls inside a
+    * partition-preserving, shuffle-free map. */
+  def decodeImagesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("decoded_h", IntegerType),
+      StructField("decoded_w", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val ctx = new StubCodec.CodecContext // one per batch, not per row
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val (h, w, luma) = ctx.decodeImage(payload)
+            Row.fromSeq(r.toSeq ++ Seq[Any](h, w, luma))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio metadata decode: sample rate, sample count, derived
+    * duration, RMS level — same stubbed-kernel/real-plumbing contract
+    * as [[decodeImages]]. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val (rate, n, rms) = StubCodec.decodeAudio(payload)
+          Row.fromSeq(r.toSeq ++ Seq[Any](rate, n, n * 1000L / rate, rms))
         }
       }
     }(enc)

@@ -69,6 +69,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming exact dedup: drop re-deliveries of the same key(s)
+    * arriving within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). Unlike plain
+    * `dropDuplicates`, whose key state grows forever, state here is
+    * evicted once the watermark passes — bounded by (event rate ×
+    * lateness), which is what an at-least-once upstream (Kinesis/
+    * Kafka redelivery, the reference's re-uploaded file drops) needs
+    * at any scale. */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                  lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts_us", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's signups in `[purchase_ts - windowSec, purchase_ts]`. Both
+    * sides carry watermarks AND the join condition bounds event time
+    * on both sides — that pair of constraints is what lets Spark
+    * evict buffered rows from join state (an unbounded stream-stream
+    * join would buffer forever). */
+  def purchasesWithRecentSignups(events: DataFrame,
+                                 windowSec: Long = 3600,
+                                 lateness: String = "10 minutes"): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", lateness)
+    val sgn = events.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts_us").as("s_ts"))
+      .withWatermark("s_ts", lateness)
+    p.join(sgn,
+        col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("s_ts") <= col("p_ts"))
+      .select("p_id", "user_id", "p_ts", "p_value", "s_id", "s_ts")
+  }
+
   final case class Event(event_id: Long, ts_us: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)

@@ -61,6 +61,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImagesBatched matches row-at-a-time decode exactly") {
+    val media = Multimodal.syntheticMedia(spark, 100).repartition(4)
+    val rowWise = Multimodal.decodeImages(media)
+      .select("media_id", "decoded_h", "decoded_w", "mean_luma").collect().toSet
+    val batched = Multimodal.decodeImagesBatched(media, batchSize = 16)
+      .select("media_id", "decoded_h", "decoded_w", "mean_luma").collect().toSet
+    assert(batched == rowWise)
+    // partition-preserving, no shuffle
+    assert(Multimodal.decodeImagesBatched(media, 16).rdd.getNumPartitions == 4)
+  }
+
+  test("decodeAudio appends rate/samples/duration/rms with consistent duration") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val decoded = Multimodal.decodeAudio(media)
+    assert(decoded.schema("duration_ms").dataType == LongType)
+    val rows = decoded.select("sample_rate", "n_samples", "duration_ms").collect()
+    rows.foreach { r =>
+      val (rate, n, dur) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(rate > 0 && dur == n * 1000L / rate)
+    }
+  }
+
   test("stub decode is deterministic per payload") {
     val p = Array[Byte](1, 2, 3, 4)
     assert(Multimodal.StubCodec.decodeImage(p) == Multimodal.StubCodec.decodeImage(p))

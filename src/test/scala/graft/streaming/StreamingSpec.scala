@@ -124,6 +124,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/errors").count() == 1)
   }
 
+  test("dedupStream drops redelivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF(), keys = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),   // same-batch duplicate
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(1), 1, "click", 1.0)) // cross-batch redelivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs purchases with recent signups only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = purchasesWithRecentSignups(mem.toDF(), windowSec = 1800)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(10, ts(0), 1, "signup", 0.0),
+        Event(11, ts(20), 1, "purchase", 9.0),  // 20 min after signup → match
+        Event(12, ts(0), 2, "signup", 0.0),
+        Event(13, Timestamp.valueOf("2024-01-01 11:30:00"), 2, "purchase", 5.0)) // 90 min → no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").select("p_id", "s_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((11L, 10L)))
+    } finally q.stop()
+  }
+
   test("sessionize batch-mode equivalence on the events table") {
     // same gap logic as the q_events_sessions batch query, via the
     // streaming operator run over a bounded stream
