@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{KmvSketch, MinHashSig}
+import graft.expr.{CosineSimF, KmvSketch, MinHashSig}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Public function surface of the engine, Column-API and SQL.
@@ -39,6 +39,11 @@ object GraftFunctions {
       case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
+      case Seq(a, b) => CosineSimF(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_sim expects (arrayA, arrayB), got ${other.size} args")
     }, "built-in")
   }
 

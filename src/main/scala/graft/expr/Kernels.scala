@@ -5,10 +5,61 @@ import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by the interpreted eval paths and the
-  * generated code of [[MinHashSig]] / [[SimHash64]] (Scala objects
-  * emit static forwarders, so generated Java can call
+  * generated code of [[MinHashSig]] / [[SimHash64]] / [[CosineSimF]]
+  * (Scala objects emit static forwarders, so generated Java can call
   * `graft.expr.Kernels.minhashSig(...)` directly). */
 object Kernels {
+
+  /** Fused cosine similarity over two float arrays, accumulated in
+    * double precision in index order — bit-identical to the sequential
+    * `aggregate(zip_with(...))` higher-order formulation it replaces
+    * (three independent sequential sums, same IEEE op order), but one
+    * tight loop instead of interpreted lambda calls per element.
+    * Boxed null iff lengths differ (zip_with's null-padding would
+    * yield null there too). */
+  def cosineF(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Sign-random-projection LSH bucket id over a float vector: bit p
+    * of the result is set iff the dot product with pseudo-random
+    * hyperplane p is ≥ 0. Plane components replicate the Column
+    * formulation exactly — `pmod(xxhash64(p, i, 0x5eed), 2e6)/1e6 - 1`
+    * with Spark's int-typed xxhash64 chain (seed 42) — so native and
+    * composed buckets are identical. One fused loop per row instead of
+    * numPlanes interpreted zip_with/aggregate passes. */
+  def lshBucket(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                numPlanes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        var h = XXH64.hashInt(p, 42L)
+        h = XXH64.hashInt(i, h)
+        h = XXH64.hashInt(0x5eed, h)
+        val comp = java.lang.Math.floorMod(h, 2000000L) / 1000000.0 - 1.0
+        dot += vec.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 
   /** MinHash signature via K-M double hashing; null iff no k-gram. */
   def minhashSig(input: UTF8String, k: Int, numHashes: Int): Array[Long] = {

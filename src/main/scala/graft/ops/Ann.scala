@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double precision via higher-order array expressions (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two float-array columns: native fused
+    * expression (graft.expr.CosineSimF) — bit-identical to the
+    * higher-order formulation below but one codegen'd loop instead of
+    * interpreted lambdas (the ANN hot path). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.CosineSimF.cosineSim(a, b)
+
+  /** The composed higher-order form of [[cosine]] — kept as the
+    * executable spec the native expression is tested against. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     def dd(x: Column, y: Column) = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0d), (acc, v) => acc + v)
@@ -66,8 +73,15 @@ object Ann {
   private def planeComponent(p: Int, d: Column): Column =
     (pmod(xxhash64(lit(p), d, lit(0x5eed)), lit(2000000L)).cast("double") / 1000000.0) - 1.0
 
-  /** Sign-random-projection bucket id: one bit per hyperplane. */
+  /** Sign-random-projection bucket id: one bit per hyperplane. Native
+    * fused expression (graft.expr.LshBucket64), identical output to
+    * [[lshBucketHof]]. */
   def lshBucket(vec: Column, numPlanes: Int): Column =
+    graft.expr.LshBucket64.lshBucket(vec, numPlanes)
+
+  /** The composed higher-order form of [[lshBucket]] — the executable
+    * spec the native expression is tested against. */
+  private[graft] def lshBucketHof(vec: Column, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

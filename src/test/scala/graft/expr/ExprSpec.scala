@@ -45,6 +45,39 @@ class ExprSpec extends SparkSpec {
     perGroup.values.foreach(d => assert(math.abs(d - 2500L) < 600L, s"got $d"))
   }
 
+  test("native cosine_sim is bit-identical to the higher-order formulation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.select(col("id").as("id1"), col("v").as("v1"))
+      .crossJoin(df.select(col("id").as("id2"), col("v").as("v2")))
+      .where(col("id1") < col("id2") && col("id2") < col("id1") + 5)
+    val native = pairs.select(graft.ops.Ann.cosine(col("v1"), col("v2")).as("c"))
+      .as[Double].collect()
+    val hof = pairs.select(graft.ops.Ann.cosineHof(col("v1"), col("v2")).as("c"))
+      .as[Double].collect()
+    assert(native.length == hof.length && native.sameElements(hof)) // exact, no tolerance
+
+    // length mismatch → null (zip_with padding parity)
+    val m = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(graft.ops.Ann.cosine(col("a"), col("b")).as("c"))
+      .as[Option[Double]].head()
+    assert(m.isEmpty)
+  }
+
+  test("native lsh_bucket matches the higher-order formulation exactly") {
+    val rnd = new scala.util.Random(21)
+    val df = Seq.tabulate(300)(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val native = df.select(graft.ops.Ann.lshBucket(col("v"), 8).as("b"))
+      .as[Long].collect()
+    val hof = df.select(graft.ops.Ann.lshBucketHof(col("v"), 8).as("b"))
+      .as[Long].collect()
+    assert(native.sameElements(hof))
+    assert(native.distinct.length > 1) // buckets actually spread
+  }
+
   test("SQL registration: minhash_sig and kmv_distinct usable from spark.sql") {
     GraftFunctions.register(spark)
     Seq("hello world document", "hello world document").toDF("text")
