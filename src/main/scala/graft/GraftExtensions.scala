@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{KmvSketch, MinHashSig}
+import graft.expr.{CosineSimF, KmvSketch, LshBucket64, MinHashSig, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,6 +35,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"kmv_distinct expects (col[, k]), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(a, b) => CosineSimF(a, b)
+          case other => throw new IllegalArgumentException(
+            s"cosine_sim expects (arrayA, arrayB), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(t) => SimHash64(t)
+          case other => throw new IllegalArgumentException(
+            s"simhash64 expects (text), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket64].getName, "lsh_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(v, p) => LshBucket64(v, evalInt(p))
+          case Seq(v) => LshBucket64(v, 8)
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket expects (vec[, numPlanes]), got ${other.size} args")
         }))
   }
 

@@ -522,6 +522,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // vocabulary building: global token frequencies, top-50. The
+    // groupBy partial-aggregates map-side (token counts combine before
+    // the shuffle) and the top-k is TakeOrderedAndProject — at corpus
+    // scale only (token, count) pairs ever move.
+    "q_vocab_top" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50)
+    }),
+
+    // running (cumulative) aggregate — explicit ROWS frame so both
+    // engines accumulate in the identical fully-specified order;
+    // floor-stabilized like q_percentiles.
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (floor(sum(col("o_totalprice")).over(w) * 100) / 100).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "text_scrubbed" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -979,6 +1005,25 @@ object SparkEntry {
         |FROM pairs
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_vocab_top" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS freq FROM toks
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY freq DESC, token ASC
+        |LIMIT 50""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) / 100
+        |    AS running_spend
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "text_scrubbed" ->
       """SELECT doc_id,
