@@ -61,6 +61,24 @@ object Kernels {
     bucket
   }
 
+  /** Fraction of positions where two long-array signatures agree —
+    * the MinHash estimated-Jaccard kernel. Matches the
+    * `size(filter(zip_with(a, b, (x,y) -> x = y), v -> v)) / size(a)`
+    * higher-order form (int/int division in Spark SQL is double).
+    * Boxed null iff lengths differ or empty. */
+  def sigAgreement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(eq.toDouble / n)
+  }
+
   /** MinHash signature via K-M double hashing; null iff no k-gram. */
   def minhashSig(input: UTF8String, k: Int, numHashes: Int): Array[Long] = {
     val bytes = input.getBytes

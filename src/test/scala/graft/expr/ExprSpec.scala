@@ -78,6 +78,22 @@ class ExprSpec extends SparkSpec {
     assert(native.distinct.length > 1) // buckets actually spread
   }
 
+  test("native sig_agreement matches the higher-order formulation exactly") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(32)(rnd.nextInt(4).toLong))).toDF("id", "sig")
+    val pairs = df.select(col("id").as("id1"), col("sig").as("sig1"))
+      .crossJoin(df.select(col("id").as("id2"), col("sig").as("sig2")))
+      .where(col("id1") < col("id2") && col("id2") < col("id1") + 3)
+    val native = pairs.select(
+      graft.expr.SigAgreement.sigAgreement(col("sig1"), col("sig2")).as("a"))
+      .as[Double].collect()
+    val hof = pairs.select(
+      expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / size(sig1)").as("a"))
+      .as[Double].collect()
+    assert(native.length == hof.length && native.sameElements(hof))
+  }
+
   test("SQL registration: minhash_sig and kmv_distinct usable from spark.sql") {
     GraftFunctions.register(spark)
     Seq("hello world document", "hello world document").toDF("text")
