@@ -376,6 +376,31 @@ object SparkEntry {
     "v_lineitem_split" -> ((s, dir) =>
       Validator.splitCounts(t(s, dir, "lineitem"), lineitemRules)),
 
+    // one-pass data profile (per-column null/distinct/min/max); exact
+    // distincts here so the DuckDB oracle applies — the cluster mode
+    // is approx_count_distinct (see Profiler).
+    "v_profile_customer" -> ((s, dir) => {
+      graft.validate.Profiler.profile(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+          exactDistinct = true)
+        .orderBy("col_name")
+    }),
+
+    // table-level referential integrity: FK orphan counts across the
+    // star schema (anti joins; see TableChecks.orphans).
+    "v_fk_orphans" -> ((s, dir) => {
+      import graft.validate.TableChecks
+      val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val o1 = TableChecks.orphans(ord, Seq("o_custkey"), cust, Seq("c_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_without_customer").as("chk"), col("n"))
+      val o2 = TableChecks.orphans(li, Seq("l_orderkey"), ord, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem_without_order").as("chk"), col("n"))
+      o1.union(o2).orderBy("chk")
+    }),
+
     // ErrorCompare over two rule variants of the same table — the
     // reference's CSV-vs-DB ERROR_DESC token reconciliation
     // (compare_csv_and_db_error_desc). The right side drops one rule,
@@ -822,6 +847,37 @@ object SparkEntry {
         |              THEN 'invalid' ELSE 'valid' END AS status
         |  FROM lineitem)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "v_profile_customer" ->
+      """WITH s AS (
+        |  SELECT 'c_custkey' AS col_name, count(*) AS n_rows, count(c_custkey) AS n_nonnull,
+        |    count(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_val, CAST(max(c_custkey) AS VARCHAR) AS max_val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
+        |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer)
+        |SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null,
+        |       n_distinct, min_val, max_val
+        |FROM s ORDER BY col_name""".stripMargin,
+
+    "v_fk_orphans" ->
+      """SELECT 'lineitem_without_order' AS chk, count(*) AS n
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_without_customer', count(*)
+        |FROM orders o
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY chk""".stripMargin,
 
     "v_error_compare" ->
       """WITH viol AS (
