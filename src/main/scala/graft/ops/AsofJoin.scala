@@ -27,16 +27,24 @@ import org.apache.spark.sql.functions._
   * @param keyCol    equi-key column name (same on both sides)
   * @param timeCol   orderable time column name (same on both sides)
   * @param valueCols right-side columns to attach (prefixed `asof_`)
+  * @param tolerance optional max staleness: a matched right row older
+  *                  than `leftTime - tolerance` is treated as no
+  *                  match (all asof columns null) — the standard ASOF
+  *                  tolerance bound for time-series joins
   */
 object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               timeCol: String, valueCols: Seq[String]): DataFrame = {
+               timeCol: String, valueCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     // one struct per right row: the carried unit is the whole matched
-    // row, so multi-column attachment can't stitch values from
-    // different right rows and row-level nulls survive.
-    val rightStructFields = valueCols.map(v =>
-      org.apache.spark.sql.types.StructField(v, right.schema(v).dataType))
+    // row (time included, for the tolerance test), so multi-column
+    // attachment can't stitch values from different right rows and
+    // row-level nulls survive.
+    val rightStructFields =
+      org.apache.spark.sql.types.StructField("__t", right.schema(timeCol).dataType) +:
+      valueCols.map(v =>
+        org.apache.spark.sql.types.StructField(v, right.schema(v).dataType))
     val rightStructType = org.apache.spark.sql.types.StructType(rightStructFields)
 
     val leftTagged = left.withColumn("__side", lit(1))
@@ -44,7 +52,7 @@ object AsofJoin {
     val rightTagged = right
       .where(col(keyCol).isNotNull) // null keys never match
       .select(col(keyCol), col(timeCol), lit(0).as("__side"),
-        struct(valueCols.map(col): _*).as("__rvals"))
+        struct((col(timeCol).as("__t") +: valueCols.map(col)): _*).as("__rvals"))
 
     // align columns for union
     val leftCols = leftTagged.columns
@@ -59,8 +67,13 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__carried",
       last(col("__rvals"), ignoreNulls = true).over(w))
+    val fresh = tolerance match {
+      case Some(tol) => col(s"__carried.__t") >= col(timeCol) - lit(tol)
+      case None => lit(true)
+    }
     carried.where(col("__side") === 1)
       .select(left.columns.map(col) ++
-        valueCols.map(v => col(s"__carried.$v").as(s"asof_$v")): _*)
+        valueCols.map(v =>
+          when(fresh, col(s"__carried.$v")).as(s"asof_$v")): _*)
   }
 }

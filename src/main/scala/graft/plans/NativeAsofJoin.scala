@@ -31,7 +31,9 @@ final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                               // survive optimizer copies of this node,
                               // so they are constructor state, not a
                               // lazily recomputed val
-                              asofAttrs: Seq[Attribute]) extends BinaryNode {
+                              asofAttrs: Seq[Attribute],
+                              // max staleness (time units); < 0 disables
+                              tolerance: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
 
@@ -53,9 +55,9 @@ final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case n @ AsofJoinNode(l, r, key, time, values, _) =>
+    case n @ AsofJoinNode(l, r, key, time, values, _, tol) =>
       AsofJoinExec(planLater(l), planLater(r), key, time, values,
-        n.output) :: Nil
+        n.output, tol) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +65,8 @@ object AsofJoinStrategy extends SparkStrategy {
 final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                               keyName: String, timeName: String,
                               valueNames: Seq[String],
-                              override val output: Seq[Attribute])
+                              override val output: Seq[Attribute],
+                              tolerance: Long = -1L)
   extends BinaryExecNode {
 
   private def lKey = left.output.find(_.name == keyName).get
@@ -106,6 +109,7 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val rBuf = rit.buffered
       var carriedKey: Any = null
       var carriedVals: GenericInternalRow = null
+      var carriedTime: Long = 0L
 
       def keyOf(row: InternalRow, idx: Int, isRight: Boolean): InternalRow = {
         val g = new GenericInternalRow(2)
@@ -129,10 +133,14 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             while (i < rightOutLen) { vals.update(i, r.get(rValIdx(i), rValTypes(i))); i += 1 }
             carriedKey = keyVal
             carriedVals = vals
+            // timestamps/longs/ints are all integral in InternalRow
+            carriedTime = r.get(rTimeIdx, timeType).asInstanceOf[Number].longValue
           } else advanced = false
         }
         val lKeyVal = lrow.get(keyOrd, keyType)
-        val matches = carriedKey != null && carriedKey == lKeyVal
+        val withinTol = tolerance < 0L ||
+          (lrow.get(timeOrdL, timeType).asInstanceOf[Number].longValue - carriedTime <= tolerance)
+        val matches = carriedKey != null && carriedKey == lKeyVal && withinTol
         proj(joined(lrow, if (matches) carriedVals else nullRight))
       }
     }
@@ -147,7 +155,8 @@ object NativeAsofJoin {
     * [[AsofJoinStrategy]] registered (GraftExtensions does this, or
     * call [[register]]). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               timeCol: String, valueCols: Seq[String]): DataFrame = {
+               timeCol: String, valueCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val rightPlan = GraftColumnBridge.logicalPlan(right)
@@ -158,7 +167,7 @@ object NativeAsofJoin {
     }
     GraftColumnBridge.dataFrame(spark,
       AsofJoinNode(GraftColumnBridge.logicalPlan(left), rightPlan,
-        keyCol, timeCol, valueCols, asofAttrs))
+        keyCol, timeCol, valueCols, asofAttrs, tolerance.getOrElse(-1L)))
   }
 
   def register(spark: SparkSession): Unit =

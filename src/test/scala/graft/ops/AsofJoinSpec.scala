@@ -76,6 +76,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(res == (None, Some(2.0)))
   }
 
+  test("tolerance bounds staleness identically in composed and native forms") {
+    // right at t=5; left probes at t=10 (staleness 5) and t=40 (30)
+    val left = Seq((1L, 10L, "near"), (1L, 40L, "far")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, 7.0)).toDF("k", "t", "v")
+
+    val composed = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"), tolerance = Some(10L))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(composed == Map("near" -> Some(7.0), "far" -> None))
+
+    import graft.plans.NativeAsofJoin
+    val native = NativeAsofJoin.asofJoin(left, right, "k", "t", Seq("v"), tolerance = Some(10L))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(native == composed)
+
+    // no tolerance → both rows match
+    val open = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("name", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(open == Map("near" -> Some(7.0), "far" -> Some(7.0)))
+  }
+
   test("NULL keys never match (aligned with the native exec)") {
     val left = Seq((None: Option[Long], 10L, "l-null"), (Some(1L), 10L, "l-1"))
       .toDF("k", "t", "name")
