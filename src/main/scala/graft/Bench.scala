@@ -22,10 +22,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       try {
-        if (!cold) fn(spark, sfDir).count() // warm-up: codegen + JIT
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        if (!cold) {
+          fn(spark, sfDir).count() // warm-up: codegen + JIT
+          // min of two timed runs: single-shot numbers on a shared box
+          // carry ±50% scheduler noise; the min is the reproducible
+          // steady-state cost
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> times.min
+        } else {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       } catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

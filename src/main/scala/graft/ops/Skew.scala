@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, factor) from the full row content. */
+  /** Deterministic salt in [0, factor) from the full row content.
+    * Requires hashable column types (xxhash64 rejects MapType) — for
+    * frames with maps, pass a projection of hashable columns. */
   private def contentSalt(df: DataFrame, factor: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(factor)).cast("int")
 
