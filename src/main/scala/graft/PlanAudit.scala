@@ -13,13 +13,17 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // the tuned front-door session — audited plans must be the plans
+    // the engine actually produces (AQE, skew handling, extensions)
+    val spark = GraftSession.local(8, "graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- names) {
       println(s"===== $q =====")
-      SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(q) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query '$q' — known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      }
     }
     spark.stop()
   }

@@ -2,10 +2,11 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity between two `array<float>` columns as a native
   * expression.
@@ -23,6 +24,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 final case class CosineSimF(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // explicit type check: a mistyped call (e.g. a bare array<double>
+  // literal from SQL) must be an analysis error, not garbage floats
+  // silently read through ArrayData.getFloat
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+      s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"

@@ -49,8 +49,23 @@ object AsofJoin {
 
     val leftTagged = left.withColumn("__side", lit(1))
       .withColumn("__rvals", lit(null).cast(rightStructType))
+    tolerance.foreach { _ =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = right.schema(timeCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"tolerance requires an integral time column (got " +
+        s"${right.schema(timeCol).dataType.simpleString}); convert timestamps " +
+        "to epoch units first, or use NativeAsofJoin")
+    }
     val rightTagged = right
-      .where(col(keyCol).isNotNull) // null keys never match
+      // null keys AND null times never match (a null time would sort
+      // first and be carried into every row of its key — DuckDB ASOF's
+      // r.t <= l.t predicate rejects null times, as does the native
+      // exec's tolerance path)
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
       .select(col(keyCol), col(timeCol), lit(0).as("__side"),
         struct((col(timeCol).as("__t") +: valueCols.map(col)): _*).as("__rvals"))
 

@@ -23,11 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, factor) from the full row content.
-    * Requires hashable column types (xxhash64 rejects MapType) — for
-    * frames with maps, pass a projection of hashable columns. */
-  private def contentSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(factor)).cast("int")
+  /** Deterministic salt in [0, factor). Hashes `uniqueCol` when given
+    * (a stable unique id — e.g. a source-generated event id — spreads
+    * even byte-identical duplicate rows), else the full row content,
+    * skipping MapType columns (xxhash64 rejects maps). Fully-duplicate
+    * rows share a salt in content mode — the price of retry
+    * determinism; supply `uniqueCol` when the data has one. */
+  private def contentSalt(df: DataFrame, factor: Int,
+                          uniqueCol: Option[String]): Column = {
+    val basis = uniqueCol match {
+      case Some(c) => Seq(col(c))
+      case None => df.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)).toSeq
+    }
+    pmod(xxhash64(basis: _*), lit(factor)).cast("int")
+  }
 
   /** Salted inner equi-join: the skewed (big) side gets a
     * content-derived salt in [0, factor); the other side is replicated
@@ -37,8 +48,8 @@ object Skew {
     * broadcast but small enough to replicate.
     */
   def saltedJoin(big: DataFrame, right: DataFrame, key: String,
-                 factor: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("__salt", contentSalt(big, factor))
+                 factor: Int = 8, uniqueCol: Option[String] = None): DataFrame = {
+    val saltedBig = big.withColumn("__salt", contentSalt(big, factor, uniqueCol))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -53,8 +64,8 @@ object Skew {
     * partials still overwhelm one reducer (e.g., high-cardinality
     * payloads per key such as collect-style aggs). */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
-                factor: Int = 8): DataFrame =
-    df.withColumn("__salt", contentSalt(df, factor))
+                factor: Int = 8, uniqueCol: Option[String] = None): DataFrame =
+    df.withColumn("__salt", contentSalt(df, factor, uniqueCol))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

@@ -133,13 +133,21 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             while (i < rightOutLen) { vals.update(i, r.get(rValIdx(i), rValTypes(i))); i += 1 }
             carriedKey = keyVal
             carriedVals = vals
-            // timestamps/longs/ints are all integral in InternalRow
-            carriedTime = r.get(rTimeIdx, timeType).asInstanceOf[Number].longValue
+            // only materialized when the tolerance bound is active:
+            // timestamps/longs/ints are integral in InternalRow, but
+            // the cast must not run for other orderable time types
+            // (or NULL times) when no tolerance is set
+            if (tolerance >= 0L) {
+              carriedTime =
+                if (r.isNullAt(rTimeIdx)) Long.MinValue
+                else r.get(rTimeIdx, timeType).asInstanceOf[Number].longValue
+            }
           } else advanced = false
         }
         val lKeyVal = lrow.get(keyOrd, keyType)
         val withinTol = tolerance < 0L ||
-          (lrow.get(timeOrdL, timeType).asInstanceOf[Number].longValue - carriedTime <= tolerance)
+          (!lrow.isNullAt(timeOrdL) && carriedTime != Long.MinValue &&
+            lrow.get(timeOrdL, timeType).asInstanceOf[Number].longValue - carriedTime <= tolerance)
         val matches = carriedKey != null && carriedKey == lKeyVal && withinTol
         proj(joined(lrow, if (matches) carriedVals else nullRight))
       }

@@ -35,14 +35,21 @@ object EventStreams {
     * streaming pipeline. Each micro-batch is validated once (cached),
     * the valid slice is written to `validPath`, the invalid slice is
     * written in the reference's error-file shape to `errorPath`.
-    * Exactly-once: each batch lands in its own `batch_id=<id>`
-    * partition via dynamic-partition overwrite, so a foreachBatch
-    * retry (at-least-once delivery) replaces that batch's partition
-    * instead of appending duplicates. Works over any streaming source
-    * (file drops included: spark.readStream.schema(...).parquet(dropDir)). */
+    * Exactly-once: each batch lands in its own
+    * `run_id=<ckpt-hash>/batch_id=<id>` partition via dynamic-partition
+    * overwrite, so a foreachBatch retry (at-least-once delivery)
+    * replaces exactly that batch's partition instead of appending
+    * duplicates. The run discriminator is derived from the checkpoint
+    * location — batch ids restart at 0 whenever a NEW checkpoint is
+    * used, and without the run_id a fresh stream pointed at an old
+    * output path would silently overwrite historical batches (batch
+    * ids are only unique per checkpoint). Works over any streaming
+    * source (file drops included:
+    * spark.readStream.schema(...).parquet(dropDir)). */
   def validateAndRoute(stream: DataFrame, rules: RuleSet, keyCol: String,
                        validPath: String, errorPath: String,
-                       checkpoint: String): StreamingQuery =
+                       checkpoint: String): StreamingQuery = {
+    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -51,23 +58,26 @@ object EventStreams {
         try {
           v.where(col(Validator.ValidCol))
             .drop(Validator.ErrorsCol, Validator.ValidCol)
+            .withColumn("run_id", lit(runId))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("run_id", "batch_id")
             .parquet(validPath)
           v.where(!col(Validator.ValidCol))
             .select(lit(s"batch_$batchId").as("FILENAME"),
               col(keyCol).cast("string").as("PayeeId"),
               concat_ws(", ", col(Validator.ErrorsCol)).as("ERROR_DESC"),
+              lit(runId).as("run_id"),
               lit(batchId).as("batch_id"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("run_id", "batch_id")
             .parquet(errorPath)
         } finally { v.unpersist(); () }
       }
       .start()
+  }
 
   /** Streaming exact dedup: drop re-deliveries of the same key(s)
     * arriving within the watermark horizon

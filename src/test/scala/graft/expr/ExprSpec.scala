@@ -78,6 +78,25 @@ class ExprSpec extends SparkSpec {
     assert(native.distinct.length > 1) // buckets actually spread
   }
 
+  test("array expressions reject mistyped inputs at analysis time") {
+    // array<double> through cosine_sim must be an analysis error, not
+    // garbage floats silently read through getFloat
+    val doubles = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(graft.ops.Ann.cosine(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("array<float>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(graft.ops.Ann.lshBucket(col("a"), 8)).collect()
+    }
+    assert(e2.getMessage.contains("array<float>"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1, 2), Array(1, 2))).toDF("a", "b")
+        .select(graft.expr.SigAgreement.sigAgreement(col("a"), col("b"))).collect()
+    }
+    assert(e3.getMessage.contains("array<bigint>"))
+  }
+
   test("native sig_agreement matches the higher-order formulation exactly") {
     val rnd = new scala.util.Random(5)
     val df = Seq.tabulate(100)(i =>

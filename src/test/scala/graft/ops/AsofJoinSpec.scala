@@ -96,6 +96,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(open == Map("near" -> Some(7.0), "far" -> Some(7.0)))
   }
 
+  test("NULL right-side times never match and never crash (both forms)") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "name")
+    val right = Seq((Some(1L), None: Option[Long], 9.0), (Some(1L), Some(5L), 4.0))
+      .toDF("k", "t", "v")
+    val composed = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(composed.contains(4.0)) // the null-time row must not be carried
+
+    import graft.plans.NativeAsofJoin
+    // native with tolerance active exercises the carried-time extraction
+    val native = NativeAsofJoin.asofJoin(left, right, "k", "t", Seq("v"),
+        tolerance = Some(100L))
+      .select("asof_v").as[Option[Double]].head()
+    assert(native.contains(4.0))
+  }
+
   test("NULL keys never match (aligned with the native exec)") {
     val left = Seq((None: Option[Long], 10L, "l-null"), (Some(1L), 10L, "l-1"))
       .toDF("k", "t", "name")

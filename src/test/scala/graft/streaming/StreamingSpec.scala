@@ -114,14 +114,24 @@ class StreamingSpec extends SparkSpec {
       .select("PayeeId", "ERROR_DESC").as[(String, String)].collect().toMap
     assert(errs == Map("P2" -> "code must be 3 digits"))
 
-    // replay the same drop as batch 0 again (fresh checkpoint = the
-    // worst-case foreachBatch retry): the batch_id-partitioned dynamic
-    // overwrite must replace, not append — counts unchanged
+    // wipe the checkpoint and rerun with the SAME checkpoint path —
+    // the worst-case foreachBatch retry (batch 0 replays the same
+    // files under the same run identity): the (run_id, batch_id)
+    // dynamic overwrite must replace, not append — counts unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/ckpt"))
     val q2 = EventStreams.validateAndRoute(stream, rules, "pid",
-      s"$dir/valid", s"$dir/errors", s"$dir/ckpt2")
+      s"$dir/valid", s"$dir/errors", s"$dir/ckpt")
     try q2.awaitTermination(60000) finally q2.stop()
     assert(spark.read.parquet(s"$dir/valid").count() == 3)
     assert(spark.read.parquet(s"$dir/errors").count() == 1)
+
+    // a DIFFERENT checkpoint is a different run: its batches must land
+    // beside the old ones, never overwrite them
+    val q3 = EventStreams.validateAndRoute(stream, rules, "pid",
+      s"$dir/valid", s"$dir/errors", s"$dir/ckpt-new")
+    try q3.awaitTermination(60000) finally q3.stop()
+    assert(spark.read.parquet(s"$dir/valid").count() == 6)
+    assert(spark.read.parquet(s"$dir/valid").select("run_id").distinct().count() == 2)
   }
 
   test("dedupStream drops redelivered events within the watermark") {
