@@ -79,6 +79,27 @@ object EventStreams {
       .start()
   }
 
+  /** Gap-based sessions via Spark's built-in `session_window` — the
+    * declarative complement to [[sessionize]]'s explicit
+    * flatMapGroupsWithState machine. Same shape over batch and
+    * streaming input (pass `lateness` to watermark a stream; sessions
+    * emit once the watermark passes their close). Prefer this form
+    * when per-session output is an aggregate; the explicit state
+    * machine remains for custom per-event logic the window function
+    * can't express. Boundary note: session_window closes a session
+    * when the next event is >= start + gap (a gap of EXACTLY `gap`
+    * starts a new session). */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         lateness: Option[String] = None): DataFrame = {
+    val src = lateness.map(events.withWatermark("ts_us", _)).getOrElse(events)
+    src.groupBy(col("user_id"), session_window(col("ts_us"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key(s)
     * arriving within the watermark horizon
     * (`dropDuplicatesWithinWatermark`). Unlike plain

@@ -134,6 +134,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/valid").select("run_id").distinct().count() == 2)
   }
 
+  test("sessionWindowStats merges gap-based sessions in batch and streaming") {
+    import spark.implicits._
+    // batch: 2 events 5 min apart + 1 event 2h later → 2 sessions
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 12:30:00"), 1, "view", 5.0)).toDF()
+    val sessions = sessionWindowStats(batch, gap = "30 minutes")
+      .select("n_events", "total_value").as[(Long, Double)].collect().toSet
+    assert(sessions == Set((2L, 3.0), (1L, 5.0)))
+
+    // streaming: same input through a watermark; first session emits
+    // once the watermark passes its close
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionWindowStats(mem.toDF(), gap = "30 minutes",
+        lateness = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, Timestamp.valueOf("2024-01-01 12:30:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sw_sessions")
+        .select("n_events", "total_value").as[(Long, Double)].collect().toSet
+      assert(emitted == Set((2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops redelivered events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
