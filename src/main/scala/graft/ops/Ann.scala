@@ -90,6 +90,46 @@ object Ann {
       when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Lloyd-iteration k-means over an embedding column, cosine
+    * assignment — refines the hash-sampled IVF centroids into trained
+    * ones. Structure per iteration: score corpus × broadcast(current
+    * centroids) (narrow pass), argmax per vector, element-wise mean
+    * per cell. The model (k × dim doubles) is the ONLY driver-side
+    * data — the classic distributed k-means shape. The per-cell mean
+    * uses posexplode + groupBy(cell, pos): |corpus|·dim shuffled
+    * doubles per iteration; at extreme scale swap in a mergeable
+    * vector-sum aggregate, the driver protocol is unchanged.
+    * Empty cells keep their previous centroid. Deterministic: seeded
+    * by the md5 sample, fixed iteration count, rounded scores. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 16, iters: Int = 5): DataFrame = {
+    var cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
+      .limit(k)
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vid")
+        .orderBy(col("score").desc, col("cent_id").asc)
+      val assigned = c.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cv"), col("cent_id"),
+          round(cosine(col("cv"), col("cent_vec")), 6).as("score"))
+        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+        .select(col("cent_id").as("cell"), col("cv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_vec"))
+      // empty cells: keep the previous centroid
+      val kept = cents.join(means.select(col("cent_id").as("mid")),
+          col("cent_id") === col("mid"), "left_anti")
+      cents = means.union(kept).cache()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells
     * around deterministic hash-sampled centroid vectors; each query
     * probes only its `nprobe` nearest cells.
@@ -102,14 +142,17 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic pseudo-random centroid sample: smallest numCells
-    // ids by md5 of the id string — stable across runs, no RNG state,
-    // and reproducible by any engine with md5 (enables a SQL oracle).
-    val cents = broadcast(
+              numCells: Int = 16, nprobe: Int = 4,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    // default: deterministic pseudo-random centroid sample — smallest
+    // numCells ids by md5 of the id string — stable across runs, no
+    // RNG state, reproducible by any engine with md5 (enables a SQL
+    // oracle). Pass `centroids` (cent_id, cent_vec) for a trained
+    // quantizer, e.g. [[kmeansCentroids]].
+    val cents = broadcast(centroids.getOrElse(
       corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
         .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
-        .limit(numCells))
+        .limit(numCells)))
 
     // scores are rounded before the argmax windows so cell assignment
     // is stable across engines/fp-summation orders

@@ -154,4 +154,27 @@ class AnnSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(res.contains(10L)) // exact duplicate must share every hyperplane sign
   }
+
+  test("k-means-trained IVF centroids beat the hash sample at equal probe budget") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    def recallOf(res: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double = {
+      val got = res.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val truth = Ann.bruteTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = recallOf(
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", 10, 16, 4), truth)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 5)
+    assert(cents.count() == 16)
+    val trained = recallOf(
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", 10, 16, 4, Some(cents)), truth)
+    // everything is seeded and rounded → deterministic: 0.485 vs 0.54
+    assert(trained >= sampled,
+      s"trained recall $trained should be >= sampled recall $sampled")
+    assert(trained >= 0.5)
+  }
 }
