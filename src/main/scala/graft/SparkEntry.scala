@@ -354,6 +354,102 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // TPC-H Q13 shape: LEFT OUTER join keeps zero-order customers,
+    // count(o_orderkey) ignores the null-extended rows, and the second
+    // aggregate runs over the tiny (c_count → custdist) domain.
+    "q_order_count_dist" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ordered string aggregation (LISTAGG / string_agg): collect_list
+    // under a deterministic array_sort — the "emit a CSV per group"
+    // export shape. Bounded input (filter first); at fact scale cap the
+    // list with slice() or the group blows the row-size budget.
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "customer").where(col("c_custkey") < 100)
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // lead/lag inter-event gaps per user — integer nanosecond math end
+    // to end (sum/max of ns gaps, floor-divided to seconds only at the
+    // end) so both engines agree bit-for-bit.
+    "q_lag_gaps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us") // ts = int64 nanos
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("prev_ts", lag("ts", 1).over(w))
+        .where(col("prev_ts").isNotNull)
+        .withColumn("gap_ns", col("ts") - col("prev_ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), max("gap_ns").as("mg"), sum("gap_ns").as("sg"))
+        .select(col("user_id"), col("n_gaps"),
+          expr("mg div 1000000000").as("max_gap_s"),
+          expr("sg div 1000000000").as("sum_gap_s"))
+        .orderBy("user_id")
+    }),
+
+    // fixed-width histogram binning — floor(x / width) of the same
+    // stored double is IEEE-identical in both engines, so bin edges
+    // can't split; one narrow pass + tiny aggregate.
+    "q_histogram_price" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bin", floor(col("o_totalprice") / 20000).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bin")
+    }),
+
+    // z-score outliers: events above their type's mean + 3σ. Per-type
+    // stats are a tiny aggregate broadcast back; the flagging pass is
+    // narrow. (Data values sit far from the threshold, so cross-engine
+    // last-ulp differences in mean/σ can't flip membership.)
+    "q_outlier_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .where(col("value") > col("mu") + lit(3) * col("sigma"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"), round(min("value"), 2).as("min_outlier"))
+        .orderBy("event_type")
+    }),
+
+    // deterministic stratified sampling: per-language keep-rates via an
+    // md5-hash threshold — reproducible across engines/runs/retries, no
+    // RNG state, fully narrow (the classic training-mix downsample;
+    // en keeps ~50% = 0x80/0x100, the rest ~10% = 0x1a/0x100).
+    "q_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit("80")).otherwise(lit("1a"))
+      t(s, dir, "documents")
+        .where(substring(md5(col("doc_id").cast("string")), 1, 2) < rate)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // training-sequence packing: per source, documents stream in doc_id
+    // order into 32 KiB context bins — bin = chars-before div 32768 via
+    // a running-sum window; per-bin doc/char counts. All-integer math.
+    "q_seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("cum", sum("n_chars").over(w))
+        .withColumn("bin", expr("(cum - n_chars) div 32768"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("source", "bin")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1087,6 +1183,71 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_order_count_dist" ->
+      """WITH x AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM x GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey < 100
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_lag_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(max(gap_ns) // 1000000000 AS BIGINT) AS max_gap_s,
+        |  CAST(CAST(sum(gap_ns) AS BIGINT) // 1000000000 AS BIGINT) AS sum_gap_s
+        |FROM g WHERE gap_ns IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_histogram_price" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_outlier_events" ->
+      """WITH stats AS (
+        |  SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n_outliers,
+        |  round(min(value), 2) AS min_outlier
+        |FROM events JOIN stats ON event_type = et
+        |WHERE value > mu + 3 * sigma
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, source, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH x AS (
+        |  SELECT source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, CAST((cum - n_chars) // 32768 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM x
+        |GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     // hits = |stopword-list ∩ token-set| per language; argmax with the
     // lexicographically-largest language winning ties (mirrors the
