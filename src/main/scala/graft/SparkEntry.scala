@@ -450,6 +450,24 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // SCD2 merge (graft.ops.Merge): customers bootstrapped as an open
+    // dimension, then one update batch — %10==0 keys drift (+100 bal,
+    // exact IEEE add, no rounding needed), %10==1 keys arrive unchanged
+    // (no churn), keys+1M insert. Doubles pass through both engines
+    // bit-identically because nothing re-aggregates them.
+    "q_scd2_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+      val base = graft.ops.Merge.asScd2(cust, "2024-01-01")
+      val updates = cust.where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"), col("c_mktsegment"))
+        .union(cust.where(col("c_custkey") % 10 === 1))
+        .union(cust.where(col("c_custkey") < 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+      graft.ops.Merge.scd2(base, updates, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"), "2025-06-01")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1248,6 +1266,41 @@ object SparkEntry {
         |FROM x
         |GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin,
+
+    "q_scd2_customers" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey < 5),
+        |changed AS (
+        |  SELECT b.c_custkey, b.c_acctbal AS old_bal,
+        |         u.c_acctbal AS new_bal, u.c_mktsegment
+        |  FROM base b JOIN upd u USING (c_custkey)
+        |  WHERE b.c_acctbal IS DISTINCT FROM u.c_acctbal
+        |     OR b.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+        |SELECT b.c_custkey, b.c_acctbal, b.c_mktsegment,
+        |       '2024-01-01' AS valid_from,
+        |       CASE WHEN c.c_custkey IS NULL THEN '9999-12-31'
+        |            ELSE '2025-06-01' END AS valid_to,
+        |       c.c_custkey IS NULL AS is_current
+        |FROM base b LEFT JOIN changed c USING (c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, new_bal, c_mktsegment,
+        |       '2025-06-01', '9999-12-31', true
+        |FROM changed
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+        |       '2025-06-01', '9999-12-31', true
+        |FROM upd u LEFT JOIN base b USING (c_custkey)
+        |WHERE b.c_custkey IS NULL
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     // hits = |stopword-list ∩ token-set| per language; argmax with the
     // lexicographically-largest language winning ties (mirrors the
