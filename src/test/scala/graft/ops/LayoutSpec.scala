@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleaveBits round-robins bits (known small values)") {
+    // x=0b11 at even positions, y=0b00 at odd → z = 0b0101 = 5
+    val z = Seq((3L, 0L)).toDF("x", "y")
+      .select(Layout.interleaveBits(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .head().getLong(0)
+    assert(z === 5L)
+    // x=0, y=0b11 → 0b1010 = 10
+    val z2 = Seq((0L, 3L)).toDF("x", "y")
+      .select(Layout.interleaveBits(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .head().getLong(0)
+    assert(z2 === 10L)
+  }
+
+  test("z-order layout keeps BOTH columns' per-file spans narrow") {
+    // 64x64 grid: sorting by x gives perfect x-spans but every file
+    // covers y's full range; z-order keeps both narrow.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val zCol = Layout.zorderValue(grid, Seq("x", "y"), bits = 6)
+    val rowsPerFile = 256 // → 16 simulated files
+
+    val ySpanXSort = Layout.avgFileSpan(grid, col("x"), "y", rowsPerFile)
+    val ySpanZSort = Layout.avgFileSpan(grid.withColumn("z", zCol), col("z"), "y", rowsPerFile)
+    val xSpanZSort = Layout.avgFileSpan(grid.withColumn("z", zCol), col("z"), "x", rowsPerFile)
+
+    assert(ySpanXSort === 63.0) // x-sorted files see all of y
+    // 256 rows of a 64x64 z-curve = one 16x16 tile → span 15 on both axes
+    assert(ySpanZSort === 15.0)
+    assert(xSpanZSort === 15.0)
+  }
+
+  test("zorderValue handles constant columns (degenerate bounds)") {
+    val df = spark.range(10).select(col("id").as("x"), lit(7L).as("y"))
+    val z = df.select(Layout.zorderValue(df, Seq("x", "y"), bits = 4).as("z"))
+      .agg(countDistinct("z")).head().getLong(0)
+    assert(z === 10L) // constant col contributes 0 bits, x still orders
+  }
+}
