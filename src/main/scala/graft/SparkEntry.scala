@@ -468,6 +468,26 @@ object SparkEntry {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // incremental aggregate maintenance: yesterday's materialized agg
+    // plus today's delta partition, combined WITHOUT rescanning history
+    // — counts/sums re-aggregate losslessly (union of partials + one
+    // tiny groupBy; both legs partial-aggregate map-side). The oracle
+    // is the full recompute, proving merge ≡ rescan. At 100 TB this is
+    // the difference between reading one day and reading three years.
+    "q_incremental_agg" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1997-01-01"))
+      val prev = ord.where(col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      val delta = ord.where(col("o_orderdate") >= cut)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      prev.union(delta).groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), round(sum("total"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1301,6 +1321,14 @@ object SparkEntry {
         |FROM upd u LEFT JOIN base b USING (c_custkey)
         |WHERE b.c_custkey IS NULL
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // full recompute — the incremental merge must equal this exactly
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // hits = |stopword-list ∩ token-set| per language; argmax with the
     // lexicographically-largest language winning ties (mirrors the

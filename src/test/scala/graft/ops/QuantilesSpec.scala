@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+
+  test("exact boundaries give near-equal bucket sizes and ordered ranges") {
+    val df = spark.range(10000).select((col("id") * 7919 % 10007).cast("double").as("v"))
+    val out = Quantiles.bucketize(df, "v", 10, relativeError = 0.0).cache()
+    val sizes = out.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket").collect()
+    assert(sizes.length === 10)
+    sizes.foreach(r => assert(math.abs(r.getLong(1) - 1000L) <= 10,
+      s"bucket ${r.getInt(0)} size ${r.getLong(1)}"))
+    // ranges must not overlap: max(bucket i) <= min(bucket i+1)
+    val ranges = out.groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi")).orderBy("bucket").collect()
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(1))
+    }
+    out.unpersist()
+  }
+
+  test("bucketize at the ntile scale matches ntile bucket sizes") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val fast = Quantiles.bucketize(df, "c_acctbal", 10, relativeError = 0.0)
+      .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")
+      .collect().map(_.getLong(1))
+    // ntile splits remainder across leading buckets; exact-quantile
+    // splits can differ by 1 around tied values — compare loosely
+    val n = df.count()
+    fast.foreach(sz => assert(math.abs(sz - n / 10) <= 2))
+    assert(fast.sum === n)
+  }
+
+  test("null values get null bucket") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    val out = Quantiles.bucketize(df, "v", 2, relativeError = 0.0)
+    assert(out.where(col("v").isNull).select("bucket").head().isNullAt(0))
+    assert(out.where(col("bucket").isNull).count() === 1)
+  }
+}
