@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.ops.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN index maintenance: the ingest-side of IVF search.
+  *
+  * Batch IVF ([[Ann.ivfTopK]]) re-partitions the whole corpus per run;
+  * an embedding feed cannot. Here each arriving micro-batch is assigned
+  * to its nearest centroid cell (broadcast centroids — a narrow pass)
+  * and appended to a parquet index PARTITIONED BY cell, so the index
+  * grows append-only and probes read only their cells via partition
+  * pruning. Same (run_id, batch_id) dynamic-overwrite discipline as
+  * [[DedupIngest]] → idempotent under foreachBatch retry.
+  *
+  * At 100 TB this is the standard serving shape: the quantizer
+  * (centroids, k × dim doubles) is the only coordinated state; cells
+  * re-cluster independently offline (e.g. [[Ann.kmeansCentroids]] on a
+  * sample) without touching the ingest path.
+  */
+object AnnIngest {
+
+  /** (id, vec, cell) assignment of a batch against broadcast centroids;
+    * scores rounded like Ann.ivfTopK so assignment is reproducible. */
+  private[streaming] def assignCells(batch: DataFrame, centroids: DataFrame,
+                                     idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("cell").asc)
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids.select(col("cent_id").as("cell"), col("cent_vec"))))
+      .select(col("id"), col("vec"),
+        col("cell"), round(Ann.cosine(col("vec"), col("cent_vec")), 6).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("id", "vec", "cell")
+  }
+
+  def start(stream: DataFrame, centroids: DataFrame,
+            idCol: String, vecCol: String,
+            indexPath: String, checkpoint: String): StreamingQuery = {
+    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, centroids, idCol, vecCol, indexPath, runId, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch; factored out so tests can drive it directly. */
+  private[streaming] def processBatch(batch: DataFrame, centroids: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      indexPath: String, runId: String,
+                                      batchId: Long): Unit =
+    assignCells(batch, centroids, idCol, vecCol)
+      .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "run_id", "batch_id")
+      .parquet(indexPath)
+
+  /** Top-k probe against the persisted index. Each query maps to its
+    * `nprobe` nearest cells; the index read carries cell IN (...) so
+    * only those partitions are listed/scanned — probe cost tracks the
+    * probed fraction, not the index size. */
+  def probe(spark: SparkSession, indexPath: String, centroids: DataFrame,
+            queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids.select(col("cent_id").as("cell"), col("cent_vec"))))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(Ann.cosine(col("qv"), col("cent_vec")), 6).as("score"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    // queries are small by contract → the probed cell set is tiny;
+    // materializing it gives the scan a static partition filter
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val index = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
+
+    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    index.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(Ann.cosine(col("qv"), col("vec")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(wk)).where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+}
