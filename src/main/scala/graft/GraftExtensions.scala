@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimF, KmvSketch, LshBucket64, MinHashSig, SimHash64}
+import graft.expr.{CosineSimF, HeavyHitters, KmvSketch, LshBucket64, MinHashSig, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"kmv_distinct expects (col[, k]), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "mg_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c, k) => HeavyHitters(c, evalInt(k)).toAggregateExpression()
+          case Seq(c) => HeavyHitters(c, 64).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"mg_topk expects (col[, k]), got ${other.size} args")
         }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),

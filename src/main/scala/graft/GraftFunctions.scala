@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimF, KmvSketch, MinHashSig}
+import graft.expr.{CosineSimF, HeavyHitters, KmvSketch, MinHashSig}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Public function surface of the engine, Column-API and SQL.
@@ -16,6 +16,9 @@ object GraftFunctions {
 
   def kmv_distinct(c: Column, k: Int = 256): Column =
     KmvSketch.kmvDistinct(c, k)
+
+  def mg_topk(c: Column, k: Int = 64): Column =
+    HeavyHitters.mgTopK(c, k)
 
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
@@ -39,6 +42,12 @@ object GraftFunctions {
       case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("mg_topk", exprs => exprs match {
+      case Seq(c, k) => HeavyHitters(c, intLit(k)).toAggregateExpression()
+      case Seq(c) => HeavyHitters(c, 64).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"mg_topk expects (col[, k]), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)
