@@ -488,6 +488,72 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC compaction / latest-record-per-key — the "current state from
+    // an append-only change log" shape. row_number per key, never a
+    // global window; dedup state is one row per key per partition.
+    "q_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir).drop("ts_us", "props")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        // raw value: pass-through doubles compare bit-identically,
+        // rounding would only add a half-rule boundary risk
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // funnel analysis: signup → later click → later purchase, stage
+    // mins carried forward stage-to-stage. Each stage is one tiny
+    // per-user aggregate; the per-user stage tables broadcast.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us", "props")
+      def stage(tpe: String) = ev.where(col("event_type") === tpe)
+      val s1 = stage("signup").groupBy("user_id").agg(min("ts").as("s_ts"))
+      val s2 = stage("click").join(broadcast(s1), "user_id")
+        .where(col("ts") > col("s_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val s3 = stage("purchase").join(broadcast(s2), "user_id")
+        .where(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      s1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"), lit("signup").as("name"), col("n"))
+        .union(s2.agg(count(lit(1)).as("n")).select(lit(2).as("stage"), lit("click_after").as("name"), col("n")))
+        .union(s3.agg(count(lit(1)).as("n")).select(lit(3).as("stage"), lit("purchase_after").as("name"), col("n")))
+        .orderBy("stage")
+    }),
+
+    // time-grid resampling with forward fill: each user's value series
+    // re-sampled onto an hourly grid, gaps carried forward — the grid
+    // is generated per user (sequence + explode, narrow) and filled by
+    // the SAME as-of machinery as q_asof_signup (grid as-of events).
+    "q_resample_ffill" -> ((s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val ev = Tables.events(s, dir).drop("ts_us", "props")
+        .where(col("user_id") < 10)
+      val start = (expr("t0 div 3600000000000") + 1) * hourNs
+      val grid = ev.groupBy("user_id")
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+        // CASE keeps sequence() off the sub-hour-span users (Spark's
+        // sequence throws on start > stop); CaseWhen is lazy per branch
+        .select(col("user_id"),
+          explode(when(start <= col("t1"),
+            sequence(start, col("t1"), lit(hourNs)))).as("ts"))
+      graft.ops.AsofJoin.asofJoin(grid, ev, "user_id", "ts", Seq("value"))
+        .select(col("user_id"), col("ts"), col("asof_value").as("value"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // document chunking (TextAnalysis.chunks): context-window splits
+    // with overlap; emitted as (doc, chunk_idx, len, fingerprint) so
+    // the oracle stays compact. posexplode keeps the index.
+    "doc_chunks" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), size = 500, overlap = 100)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1321,6 +1387,62 @@ object SparkEntry {
         |FROM upd u LEFT JOIN base b USING (c_custkey)
         |WHERE b.c_custkey IS NULL
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.s_ts
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'signup' AS name, count(*) AS n FROM s1
+        |UNION ALL
+        |SELECT 2, 'click_after', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase_after', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, epoch_ns(ts) AS tns
+        |  FROM events WHERE user_id < 10),
+        |b AS (
+        |  SELECT user_id, min(tns) AS t0, max(tns) AS t1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(
+        |      (t0 // 3600000000000 + 1) * 3600000000000, t1,
+        |      3600000000000)) AS ts
+        |  FROM b)
+        |SELECT g.user_id, g.ts, e.value
+        |FROM grid g
+        |ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.ts >= e.tns
+        |ORDER BY g.user_id, g.ts""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (length(text) - 1) // 400)) AS i
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(i * 400 + 1 AS INTEGER), 500)) AS INTEGER) AS chunk_len,
+        |  md5(substr(text, CAST(i * 400 + 1 AS INTEGER), 500)) AS chunk_fp
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // full recompute — the incremental merge must equal this exactly
     "q_incremental_agg" ->

@@ -86,6 +86,20 @@ object TextAnalysis {
 
   /** Rolling/positional fingerprint: xxhash64 of each `w`-token window
     * — winnowing-style shingle hashes for partial-overlap detection. */
+  /** Fixed-size overlapping character chunks of `text` as
+    * array<string> — the training-data chunking shape (split long
+    * documents into model-context-sized windows, `overlap` chars of
+    * continuity between neighbors). Chunk i starts at i*(size-overlap);
+    * the last chunk may be short. Pure codegen'd built-ins
+    * (transform/sequence/substring), narrow, explode at the caller. */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    transform(
+      sequence(lit(0), floor((length(text) - 1) / step).cast("int")),
+      i => text.substr((i * step + 1).cast("int"), lit(size)))
+  }
+
   def windowFingerprints(text: Column, w: Int = 8): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),

@@ -55,6 +55,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == "no pii here")
   }
 
+  test("chunks: overlapping windows cover the text and reconstruct it") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val df = Seq(text).toDF("text")
+    val cs = df.select(TextAnalysis.chunks(col("text"), size = 100, overlap = 20))
+      .as[Seq[String]].head()
+    assert(cs.length == 7) // starts at 0,80,...,480 (step 80)
+    assert(cs.init.forall(_.length == 100) && cs.last.length == 40)
+    cs.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(20) == b.take(20)) }
+    // dropping each chunk's leading overlap reconstructs the original
+    assert((cs.head +: cs.tail.map(_.drop(20))).mkString == text)
+    // short text → single chunk
+    val one = Seq("tiny").toDF("text")
+      .select(TextAnalysis.chunks(col("text"), 100, 20)).as[Seq[String]].head()
+    assert(one == Seq("tiny"))
+  }
+
   test("windowFingerprints produces one hash per token window") {
     val df = Seq("a b c d e f g h i j").toDF("text")
     val fps = df.select(TextAnalysis.windowFingerprints(col("text"), 8)).as[Seq[Long]].head()
