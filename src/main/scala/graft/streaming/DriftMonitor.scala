@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.validate.Drift
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous distribution monitoring over a streaming feed: every
+  * micro-batch is compared against a FIXED baseline snapshot (PSI for
+  * numeric columns, TVD for categorical) and the per-batch metrics are
+  * appended to a parquet metrics sink — the streaming form of
+  * [[Drift]], and the piece the reference's scenario driver lacks: it
+  * validates each file drop in isolation, so a slow population shift
+  * across drops goes unseen.
+  *
+  * The baseline's per-column bins/frequencies are recomputed per batch
+  * against a (typically small, cacheable) baseline table; metric rows
+  * are (run_id, batch_id)-partitioned dynamic overwrites → idempotent
+  * under foreachBatch retries, same discipline as [[DedupIngest]].
+  */
+object DriftMonitor {
+
+  def start(stream: DataFrame, baseline: DataFrame,
+            numericCols: Seq[String], categoricalCols: Seq[String],
+            metricsPath: String, checkpoint: String,
+            bins: Int = 10): StreamingQuery = {
+    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, baseline, numericCols, categoricalCols,
+          metricsPath, runId, batchId, bins)
+      }
+      .start()
+  }
+
+  /** One micro-batch; factored out so tests can drive it directly. */
+  private[streaming] def processBatch(batch: DataFrame, baseline: DataFrame,
+                                      numericCols: Seq[String],
+                                      categoricalCols: Seq[String],
+                                      metricsPath: String, runId: String,
+                                      batchId: Long, bins: Int): Unit = {
+    if (batch.isEmpty) return
+    val num =
+      if (numericCols.isEmpty) None
+      else Some(Drift.psiNumeric(baseline, batch, numericCols, bins)
+        .select(col("col_name"), lit("psi").as("metric"),
+          col("psi").as("value"), col("drifted")))
+    val cat =
+      if (categoricalCols.isEmpty) None
+      else Some(Drift.categoricalDrift(baseline, batch, categoricalCols)
+        .select(col("col_name"), lit("tvd").as("metric"),
+          col("tvd").as("value"), col("drifted")))
+    val all = (num.toSeq ++ cat.toSeq).reduce(_ union _)
+    all.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id")
+      .parquet(metricsPath)
+  }
+}
