@@ -659,6 +659,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // connected components over the near-dup pair graph (transitive
+    // closure: A~B, B~C ⇒ one cluster even if A,C never matched).
+    // Self-loops make every doc a node so singletons stay visible; the
+    // oracle replays the closure with a recursive CTE.
+    "q_dup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      val pairs = Similarity.ngramJaccard(docs, "doc_id", "text", k = 5, threshold = 0.2)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val edges = pairs.union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      graft.ops.ConnectedComponents.components(edges)
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+        .orderBy("component")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // persist the signature table — banding and both re-attach joins
@@ -1160,6 +1174,33 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = p.id2
         |WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= 0.2
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_dup_components" ->
+      """WITH RECURSIVE alldocs AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 100),
+        |docs5 AS (SELECT * FROM alldocs WHERE length(s) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
+        |  FROM docs5, unnest(range(1, length(s) - 3)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id1, p.id2
+        |  FROM pr p JOIN sizes sa ON sa.doc_id = p.id1
+        |            JOIN sizes sb ON sb.doc_id = p.id2
+        |  WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= 0.2),
+        |e AS (SELECT id1 AS src, id2 AS dst FROM jp
+        |      UNION SELECT id2, id1 FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM alldocs
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT component, count(*) AS n_members
+        |FROM lab GROUP BY component ORDER BY component""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the transitive
+  * closure pass a dedup pipeline needs when near-duplicate PAIRS must
+  * become near-duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C} even though A and
+  * C never matched directly; [[Similarity.dropNearDuplicates]] links
+  * one hop, this closes arbitrary chains).
+  *
+  * Algorithm: iterative minimum-label propagation — every node starts
+  * labeled with its own id; each round every node adopts the minimum
+  * label in its closed neighborhood; stop when no label changes. State
+  * is only (node, label) pairs; each round is ONE equi-join of the
+  * (static, pre-shuffled-by-key) edge list with the current labels
+  * plus a min-aggregate, then a pointer-jumping self-join (component →
+  * component-of-component) that doubles effective propagation distance
+  * — no driver-side graph, no quadratic blowup, O(log diameter) rounds
+  * (dedup graphs: 2-4; a 10^6-hop pathological chain: ~20).
+  *
+  * Each round localCheckpoints to cut the exponentially growing
+  * iterative lineage (the classic iterative-DataFrame hazard; at
+  * production scale, reliable checkpoints or inter-round parquet).
+  */
+object ConnectedComponents {
+
+  /** Returns (id, component) for every node appearing in `edges`, with
+    * component = min reachable node id. `edges` needs two long-castable
+    * columns `src`, `dst`; self-loops are fine (isolated nodes can be
+    * passed as self-loops). */
+  def components(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // symmetric closure, cached: reused every round unchanged
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .select(col("src").as("e_id"), col("dst").as("e_nbr"))
+      .cache()
+
+    var labels = und.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighbor labels flow along edges; closed neighborhood = self ∪ nbrs
+      val prop = sym.join(labels, sym("e_nbr") === labels("id"))
+        .select(col("e_id").as("id"), col("component"))
+      val propagated = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+      // pointer jumping: follow component → component-of(component),
+      // doubling effective propagation distance per round (a 2^r-hop
+      // path resolves in ~r rounds instead of its diameter)
+      val ptrs = propagated.select(col("id").as("p_id"), col("component").as("p_comp"))
+      val next = propagated.join(ptrs, propagated("component") === ptrs("p_id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("p_comp"), col("component"))).as("component"))
+        .localCheckpoint()
+      // a label only ever decreases → changed ⇔ any strict decrease
+      converged = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.component") < col("o.component")).isEmpty
+      labels = next
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}
