@@ -554,6 +554,39 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // global-threshold scalar subquery (TPC-H Q11 shape): groups kept
+    // only if they exceed a fraction of a GLOBAL aggregate. The scalar
+    // total broadcasts; all-integer math (cnt*1000 > total) so the
+    // threshold can't split on a float ulp.
+    "q_popular_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val total = li.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .where(col("cnt") * 1000 > col("total"))
+        .select(col("l_partkey"), col("cnt"))
+        .orderBy("l_partkey")
+    }),
+
+    // window-function suite: lag/lead/first_value/rank/percent_rank in
+    // one pass over each customer's order history (single shuffle on
+    // o_custkey feeds every frame). percent_rank is a small-int ratio —
+    // IEEE-identical across engines.
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wp = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").where(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          first("o_orderkey").over(w).as("first_order"),
+          rank().over(wp).as("price_rank"),
+          round(percent_rank().over(wp), 6).as("price_pct"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1484,6 +1517,26 @@ object SparkEntry {
         |  CAST(length(substr(text, CAST(i * 400 + 1 AS INTEGER), 500)) AS INTEGER) AS chunk_len,
         |  md5(substr(text, CAST(i * 400 + 1 AS INTEGER), 500)) AS chunk_fp
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_popular_parts" ->
+      """SELECT l_partkey, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING count(*) * 1000 > (SELECT count(*) FROM lineitem)
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER wd AS prev_order,
+        |  lead(o_orderkey) OVER wd AS next_order,
+        |  first_value(o_orderkey) OVER wd AS first_order,
+        |  CAST(rank() OVER wp AS INTEGER) AS price_rank,
+        |  round(percent_rank() OVER wp, 6) AS price_pct
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW
+        |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // full recompute — the incremental merge must equal this exactly
     "q_incremental_agg" ->

@@ -43,6 +43,24 @@ class HeavyHittersSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) === 200L, r.toString))
   }
 
+  test("mg_topk aggregates across streaming micro-batches (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().select(col("value").as("item"))
+      .agg(HeavyHitters.mgTopK(col("item"), 4).as("hh"))
+      .select(col("hh")(0).getField("item").as("top"),
+        col("hh")(0).getField("count_lo").as("cnt"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData("a", "a", "b"); q.processAllAvailable()
+      in.addData("a", "c", "c"); q.processAllAvailable()
+      val r = spark.table("hh_stream").collect().last
+      assert(r.getString(0) === "a" && r.getLong(1) === 3L)
+    } finally q.stop()
+  }
+
   test("SQL registration: mg_topk usable from spark.sql") {
     graft.GraftFunctions.register(spark)
     Seq("a", "a", "a", "b").toDF("s").createOrReplaceTempView("hh_in")
