@@ -26,6 +26,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.values.forall(_ == 0L))
   }
 
+  test("random graphs agree with a driver-side union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+
+      // textbook union-find as the executable spec
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component = min member id reachable
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root)
+            .filter(u => edges.exists(e => e._1 == u || e._2 == u)).min.toLong
+        }).toMap
+
+      assert(cc(edges) === expected, s"trial $trial")
+    }
+  }
+
   test("near-dup pairs close transitively into clusters") {
     // A~B and B~C but never A~C: pair output from banded minhash can
     // miss the far pair; components must still unite them

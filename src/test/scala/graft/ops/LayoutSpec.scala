@@ -37,6 +37,45 @@ class LayoutSpec extends SparkSpec {
     assert(xSpanZSort === 15.0)
   }
 
+  test("real parquet footers: z-order narrows y min/max stats vs x-sort") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val z = grid.withColumn("z", Layout.zorderValue(grid, Seq("x", "y"), bits = 6))
+
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.parquet(s"$dir/by_x")
+    z.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.parquet(s"$dir/by_z")
+
+    // per-row-group y spans straight from the parquet footers — the
+    // stats a reader's row-group skipping actually consults
+    def ySpans(path: String): Seq[Long] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val s = b.getColumns.asScala
+              .find(_.getPath.toDotString == "y").get.getStatistics
+            s.genericGetMax.asInstanceOf[java.lang.Long] -
+              s.genericGetMin.asInstanceOf[java.lang.Long]
+          } finally r.close()
+        }
+
+    val xSpans = ySpans(s"$dir/by_x")
+    val zSpans = ySpans(s"$dir/by_z")
+    assert(xSpans.nonEmpty && zSpans.nonEmpty)
+    val xAvg = xSpans.sum.toDouble / xSpans.size
+    val zAvg = zSpans.sum.toDouble / zSpans.size
+    // x-sorted files each cover ~the full y range; z-tiles cover ~1/4
+    assert(zAvg < xAvg / 2, s"zAvg=$zAvg xAvg=$xAvg")
+  }
+
   test("zorderValue handles constant columns (degenerate bounds)") {
     val df = spark.range(10).select(col("id").as("x"), lit(7L).as("y"))
     val z = df.select(Layout.zorderValue(df, Seq("x", "y"), bits = 4).as("z"))
