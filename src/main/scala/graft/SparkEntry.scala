@@ -587,6 +587,45 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // date-part extraction / seasonality: year-month-dow grouping.
+    // ISO dayofweek via built-ins on both engines.
+    "q_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m", "dow")
+    }),
+
+    // string-function surface: trim/case/pad/replace/substring parity
+    // on one deterministic pass (no aggregation, raw pass-through).
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").where(col("c_custkey") < 50)
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_up"),
+          lower(col("c_name")).as("name_lo"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+          substring(col("c_name"), 1, 10).as("name_10"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey")
+    }),
+
+    // argmax via struct-max: the per-group "row with the max" WITHOUT a
+    // window shuffle-and-rank — max(struct(orderCol, tiebreak, payload))
+    // partial-aggregates map-side like any max. The deterministic
+    // tie-break (custkey) is part of the struct ordering.
+    "q_argmax_balance" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_mktsegment"), col("m.c_acctbal").as("top_bal"),
+          col("m.c_custkey").as("top_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1537,6 +1576,35 @@ object SparkEntry {
         |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY y, m, dow""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_up,
+        |  lower(c_name) AS name_lo,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  substr(c_name, 1, 10) AS name_10,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer WHERE c_custkey < 50
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_argmax_balance" ->
+      """SELECT c_mktsegment, c_acctbal AS top_bal, c_custkey AS top_cust
+        |FROM customer
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey DESC) = 1
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // full recompute — the incremental merge must equal this exactly
     "q_incremental_agg" ->
