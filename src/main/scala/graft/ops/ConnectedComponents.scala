@@ -64,6 +64,11 @@ object ConnectedComponents {
       round += 1
     }
     sym.unpersist()
+    // silent non-convergence would hand back labels that LOOK like
+    // components but still straddle cluster boundaries — fail instead
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents: not converged after $maxRounds rounds — " +
+        "raise maxRounds (rounds needed ≈ log2 of the longest chain)")
     labels
   }
 }

@@ -37,7 +37,13 @@ object Merge {
     *   - open rows with no update, or an attribute-identical update,
     *     pass through;
     *   - keys present only in `updates` insert as new open rows.
-    * Keys must be non-null (dimension business keys).
+    * Keys must be non-null (dimension business keys), and `updates`
+    * must carry AT MOST ONE row per key — a feed with several changes
+    * for one key in one batch must be compacted to the latest first
+    * (the q_latest_per_key shape); otherwise the key joins against
+    * each update row and the snapshot double-counts. Enforced with one
+    * window pass over the (small) update batch: a duplicate update key
+    * fails the job rather than corrupting the dimension.
     */
   def scd2(current: DataFrame, updates: DataFrame, keyCols: Seq[String],
            attrCols: Seq[String], effectiveDate: String,
@@ -47,10 +53,17 @@ object Merge {
     val hist = current.where(!col("is_current")).select(outCols: _*)
     val cur = current.where(col("is_current"))
 
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val u = attrCols
       .foldLeft(updates.select((keyCols ++ attrCols).map(col): _*)) {
         (d, c) => d.withColumnRenamed(c, "u_" + c)
       }
+      // duplicate-key guard: assert_true survives column pruning only
+      // inside a predicate, so it rides the filter
+      .withColumn("_dup", count(lit(1)).over(wk))
+      .where(assert_true(col("_dup") === 1, lit(
+        "Merge.scd2: duplicate key in updates batch — compact to latest-per-key first")).isNull)
+      .drop("_dup")
       .withColumn("_in_upd", lit(true))
 
     val j = cur.withColumn("_in_cur", lit(true))

@@ -41,6 +41,8 @@ object DriftMonitor {
                                       categoricalCols: Seq[String],
                                       metricsPath: String, runId: String,
                                       batchId: Long, bins: Int): Unit = {
+    require(numericCols.nonEmpty || categoricalCols.nonEmpty,
+      "DriftMonitor: need at least one monitored column")
     if (batch.isEmpty) return
     val num =
       if (numericCols.isEmpty) None

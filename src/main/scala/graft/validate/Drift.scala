@@ -38,8 +38,10 @@ object Drift {
 
     def binned(df: DataFrame, side: String): DataFrame = {
       val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-        val lo = bounds.getDouble(2 * i)
-        val hi = bounds.getDouble(2 * i + 1)
+        // all-null baseline column → no bounds → degenerate single bin
+        val degenerate = bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)
+        val lo = if (degenerate) 0.0 else bounds.getDouble(2 * i)
+        val hi = if (degenerate) 0.0 else bounds.getDouble(2 * i + 1)
         val b =
           if (hi <= lo) "0L"
           else s"least(${bins - 1}L, greatest(0L, CAST(floor((CAST(`$c` AS DOUBLE) - $lo) / ${(hi - lo) / bins}) AS LONG)))"

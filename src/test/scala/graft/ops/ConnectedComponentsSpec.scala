@@ -51,6 +51,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("non-convergence at maxRounds throws instead of returning bad labels") {
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxRounds = 2).collect()
+    }
+  }
+
   test("near-dup pairs close transitively into clusters") {
     // A~B and B~C but never A~C: pair output from banded minhash can
     // miss the far pair; components must still unite them

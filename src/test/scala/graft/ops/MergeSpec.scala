@@ -39,6 +39,16 @@ class MergeSpec extends SparkSpec {
     assert(out.count() === 5)
   }
 
+  test("scd2: duplicate update key fails fast instead of corrupting the dim") {
+    val ex = intercept[Exception] {
+      Merge.scd2(dim(), Seq((1L, "a3"), (1L, "a4")).toDF("k", "attr"),
+        Seq("k"), Seq("attr"), "2025-06-01").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("compact to latest-per-key")))
+  }
+
   test("scd2: null attribute drift is detected null-safely") {
     val out = Merge.scd2(dim(),
       Seq((3L, Option.empty[String])).toDF("k", "attr"),
