@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimF, HeavyHitters, KmvSketch, LshBucket64, MinHashSig, SimHash64}
+import graft.expr.{CosineSimF, CountMin, HeavyHitters, KmvSketch, LshBucket64, MinHashSig, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"kmv_distinct expects (col[, k]), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMin].getName, "cms_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c, d, w) => CountMin(c, evalInt(d), evalInt(w)).toAggregateExpression()
+          case Seq(c) => CountMin(c, 4, 1024).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch expects (col[, depth, width]), got ${other.size} args")
         }))
     ext.injectFunction((
       new FunctionIdentifier("mg_topk"),

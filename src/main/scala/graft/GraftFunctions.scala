@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimF, HeavyHitters, KmvSketch, MinHashSig}
+import graft.expr.{CosineSimF, CountMin, HeavyHitters, KmvSketch, MinHashSig}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Public function surface of the engine, Column-API and SQL.
@@ -19,6 +19,12 @@ object GraftFunctions {
 
   def mg_topk(c: Column, k: Int = 64): Column =
     HeavyHitters.mgTopK(c, k)
+
+  def cms_sketch(c: Column, depth: Int = 4, width: Int = 1024): Column =
+    CountMin.cmsSketch(c, depth, width)
+
+  def cms_query(sketch: Column, item: Column, depth: Int = 4, width: Int = 1024): Column =
+    CountMin.cmsQuery(sketch, item, depth, width)
 
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
@@ -42,6 +48,12 @@ object GraftFunctions {
       case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("cms_sketch", exprs => exprs match {
+      case Seq(c, d, w) => CountMin(c, intLit(d), intLit(w)).toAggregateExpression()
+      case Seq(c) => CountMin(c, 4, 1024).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"cms_sketch expects (col[, depth, width]), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("mg_topk", exprs => exprs match {
       case Seq(c, k) => HeavyHitters(c, intLit(k)).toAggregateExpression()
