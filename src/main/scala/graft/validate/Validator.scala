@@ -48,6 +48,24 @@ object Validator {
         col(keyCol).cast("string").as("PayeeId"),
         concat_ws(", ", col(ErrorsCol)).as("ERROR_DESC"))
 
+  /** Write an [[errorFile]] result in the reference's on-disk shape:
+    * pipe-delimited CSV with a FILENAME|PayeeId|ERROR_DESC header
+    * (DM_bankfile_validate_pipeline.py:841 parses with delimiter='|').
+    * ERROR_DESC keeps its internal ", " separators unquoted — the
+    * reference tokenizer splits on commas, and descriptions never
+    * contain pipes. `singleFile` mirrors the reference's one-file
+    * download; leave false at scale (one file = one writer task). */
+  def writeErrorCsv(errors: DataFrame, path: String,
+                    singleFile: Boolean = false): Unit =
+    (if (singleFile) errors.coalesce(1) else errors)
+      .write.option("sep", "|").option("header", "true")
+      .mode("overwrite").csv(path)
+
+  /** Read a pipe-delimited error CSV back (the other half of the
+    * round trip — feeds [[ErrorCompare]] against a second source). */
+  def readErrorCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "|").option("header", "true").csv(path)
+
   /** Per-rule violation counts: (rule, violations), ordered by rule
     * name. One distributed agg pass — each rule contributes a
     * `sum(case when violated then 1)` that partial-aggregates map-side;

@@ -31,6 +31,33 @@ class ErrorCompareSpec extends SparkSpec {
       ("P2", "rule D", false, true)))
   }
 
+  test("error CSV round-trips through the reference's pipe-delimited shape") {
+    import graft.bank.{BankDataGen, BankRules}
+    val dir = java.nio.file.Files.createTempDirectory("graft-errcsv").toString
+    // cache() = plan barrier: without it CollapseProject inlines the
+    // generator's trees into all ~68 rules (see bank_gen_validate)
+    val feed = BankDataGen.withInvalid(
+      BankDataGen.generate(spark, 200, seed = 7).cache(), "OrganizationTIN", "12",
+      rowIds = (0L until 200L by 10L))
+    val errors = Validator.errorFile(feed, BankRules.all, "PayeeID", "feed.csv")
+    Validator.writeErrorCsv(errors, s"$dir/errors", singleFile = true)
+
+    // on-disk shape: one part file, pipe header, commas survive unquoted
+    val part = new java.io.File(s"$dir/errors").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(part.length === 1)
+    val lines = scala.io.Source.fromFile(part.head).getLines().toSeq
+    assert(lines.head === "FILENAME|PayeeId|ERROR_DESC")
+    assert(lines.tail.forall(_.split('|').length === 3))
+
+    // read-back compares clean against the in-memory error table
+    val back = Validator.readErrorCsv(spark, s"$dir/errors")
+    assert(ErrorCompare.diff(
+      back, "PayeeId", "ERROR_DESC",
+      errors, "PayeeId", "ERROR_DESC").isEmpty)
+    assert(back.count() === errors.count() && errors.count() > 0)
+  }
+
   test("tokens deduplicate within a key") {
     val csv = Seq(("P1", "rule A, rule A"), ("P1", "rule A")).toDF("payee", "desc")
     val db = Seq(("P1", "rule A")).toDF("pid", "err")
