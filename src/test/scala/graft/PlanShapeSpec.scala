@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-SHAPE regressions: the optimizations SURVEY §6 documents are
+  * asserted here so they cannot silently rot — pushdown reaching the
+  * scan, dims broadcasting, top-k avoiding a global sort, and no
+  * accidental cartesian products anywhere in the suite.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: scan is pruned to the referenced columns only") {
+    val p = plan("q1_pricing_summary")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      s"q1 should not read join keys it never uses: $read")
+  }
+
+  test("q5: all four dimension joins broadcast") {
+    val p = plan("q5_region_revenue")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"expected >= 4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
+    assert(plan("q_top_purchasers").contains("TakeOrderedAndProject"))
+    assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("no query plans a cartesian product (broadcast NLJ only on ANN scans)") {
+    for (name <- SparkEntry.queries.keys) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("validation is a single narrow projection: no shuffle before the filter") {
+    val p = plan("v_customer_errors")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "row validation must not shuffle")
+  }
+}

@@ -103,6 +103,30 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(2L))
   }
 
+  test("minhash LSH recall vs exact n-gram Jaccard on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 300)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact 5-gram Jaccard >= 0.5
+    val exact = pairSet(
+      Similarity.ngramJaccard(docs, "doc_id", "text", k = 5, threshold = 0.5))
+    // banded minhash at the same threshold
+    val approx = pairSet(
+      Similarity.minhashPairs(docs, "doc_id", "text",
+        k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.5))
+    assert(exact.nonEmpty, "fixture must contain true near-dup pairs")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    val precision =
+      if (approx.isEmpty) 1.0
+      else approx.count { case (a, b) =>
+        exact.contains((a, b))
+      }.toDouble / approx.size
+    // deterministic given the seeded corpus + hash family
+    assert(recall >= 0.8, s"recall $recall")
+    assert(precision >= 0.6, s"precision $precision")
+  }
+
   test("simhash of identical docs is equal; near-dups within hamming bound") {
     val h = Similarity.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
