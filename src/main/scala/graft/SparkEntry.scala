@@ -626,6 +626,48 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // snapshot table diff (graft.validate.TableDiff): which keys were
+    // added/removed/changed between two feed versions — the row-level
+    // companion to drift (distribution) and rules (values).
+    "v_table_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val before = cust.where(col("c_custkey") % 7 =!= 0) // 0 mod-7 keys "new"
+      val after = cust.where(col("c_custkey") % 5 =!= 0)  // 0 mod-5 keys "gone"
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1)
+            .otherwise(col("c_acctbal")))
+      graft.validate.TableDiff.summary(before, after, Seq("c_custkey"))
+    }),
+
+    // unpivot / melt — the inverse of q_pivot_status, one Expand pass
+    // (each input row fans out to 3 (status, n) rows, no shuffle).
+    "q_unpivot_status" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_open"), col("n_finished"), col("n_pending")),
+          "status", "n")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // regex group extraction: pull the numeric id out of c_name and
+    // prove it round-trips to the key (extraction parity + int cast).
+    "q_regex_extract" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "^Customer#([0-9]+)$", 1)
+            .cast("long").as("name_id"))
+        .withColumn("id_matches", col("name_id") === col("c_custkey"))
+        .groupBy("id_matches").agg(count(lit(1)).as("n"))
+        .orderBy("id_matches")
+    }),
+
     // -- validation (reference core, on TPC-H-shaped tables) ------- //
 
     "v_customer_errors" -> ((s, dir) => {
@@ -1605,6 +1647,46 @@ object SparkEntry {
         |  PARTITION BY c_mktsegment
         |  ORDER BY c_acctbal DESC, c_custkey DESC) = 1
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "v_table_diff" ->
+      """WITH before AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |after AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |            WHEN a.c_custkey IS NULL THEN 'removed'
+        |            WHEN b.c_name IS NOT DISTINCT FROM a.c_name
+        |             AND b.c_nationkey IS NOT DISTINCT FROM a.c_nationkey
+        |             AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal
+        |             AND b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment
+        |            THEN 'unchanged' ELSE 'changed' END AS diff_status,
+        |  count(*) AS n
+        |FROM before b FULL OUTER JOIN after a USING (c_custkey)
+        |GROUP BY diff_status
+        |ORDER BY diff_status""".stripMargin,
+
+    "q_unpivot_status" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, CAST(n AS BIGINT) AS n
+        |FROM wide
+        |UNPIVOT (n FOR status IN (n_open, n_finished, n_pending))
+        |ORDER BY o_orderpriority, status""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(c_name, '^Customer#([0-9]+)$', 1) AS BIGINT)
+        |         = c_custkey AS id_matches,
+        |       count(*) AS n
+        |FROM customer
+        |GROUP BY 1 ORDER BY id_matches""".stripMargin,
 
     // full recompute — the incremental merge must equal this exactly
     "q_incremental_agg" ->
