@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset mixing — the "recipe" step of a
+  * training-data pipeline: given per-source target proportions, derive
+  * per-source keep-rates and apply them with a content-hash threshold.
+  *
+  * Hash-threshold sampling (keep iff xxhash64(id) maps below rate) is
+  * the only sampling that survives distribution: deterministic across
+  * runs, retries and executor placement (no RNG state), stable under
+  * repartitioning, and reproducible by any engine with the same hash —
+  * df.sample() guarantees none of these.
+  */
+object Sampling {
+
+  /** Keep-decision column: true for ~`rate` of rows, keyed on idCol's
+    * content. Different `salt`s give independent samples. */
+  def keep(idCol: Column, rate: Double, salt: Long = 0L): Column = {
+    require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
+    // xxhash64 → [0, 2^63): compare against rate * 2^63
+    (pmod(xxhash64(idCol, lit(salt)), lit(Long.MaxValue)).cast("double")
+      < lit(rate * Long.MaxValue.toDouble))
+  }
+
+  /** Bernoulli sample of ~`rate` keyed on `idCol`. */
+  def sample(df: DataFrame, idCol: String, rate: Double, salt: Long = 0L): DataFrame =
+    df.where(keep(col(idCol), rate, salt))
+
+  /** Downsample each stratum so the OUTPUT mix matches `targetWeights`
+    * (normalized internally). Keep-rates are solved from the observed
+    * stratum sizes (one tiny count aggregate): the largest feasible
+    * output keeps every stratum's rate <= 1, i.e. the binding stratum
+    * (largest target/size ratio) passes through whole and everything
+    * else downsamples around it. Strata absent from `targetWeights`
+    * are dropped. Narrow apart from the size aggregate.
+    */
+  def mix(df: DataFrame, stratumCol: String, idCol: String,
+          targetWeights: Map[String, Double], salt: Long = 0L): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "weights must be positive")
+    val total = targetWeights.values.sum
+    val target = targetWeights.map { case (k, w) => k -> w / total }
+
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val present = target.filter { case (k, _) => sizes.getOrElse(k, 0L) > 0L }
+    require(present.nonEmpty, "no targeted stratum present in the data")
+
+    // output scale N: rate_k = target_k * N / size_k <= 1 for all k
+    val n = present.map { case (k, t) => sizes(k) / t }.min
+    val rates = present.map { case (k, t) => k -> math.min(1.0, t * n / sizes(k)) }
+
+    val rateCol = rates.foldLeft(lit(-1.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("_rate", rateCol)
+      .where(col("_rate") >= 0 &&
+        (pmod(xxhash64(col(idCol), lit(salt)), lit(Long.MaxValue)).cast("double")
+          < col("_rate") * Long.MaxValue.toDouble))
+      .drop("_rate")
+  }
+}

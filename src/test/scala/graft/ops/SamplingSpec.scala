@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("hash sampling is deterministic, rate-accurate and salt-independent") {
+    val n = docs.count()
+    val a = Sampling.sample(docs, "doc_id", 0.3)
+    val b = Sampling.sample(docs, "doc_id", 0.3)
+    assert(a.count() === b.count()) // bit-for-bit repeatable
+    assert(math.abs(a.count().toDouble / n - 0.3) < 0.08)
+    // different salts draw (nearly) independent samples
+    val c = Sampling.sample(docs, "doc_id", 0.3, salt = 1)
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cIds = c.select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = aIds.intersect(cIds).size.toDouble / aIds.size
+    assert(overlap < 0.5, s"salted samples overlap $overlap")
+  }
+
+  test("mix hits target source proportions with the binding stratum intact") {
+    val mixed = Sampling.mix(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val counts = mixed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("en", "de", "fr")) // others dropped
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("en") / total - 0.5) < 0.1)
+    assert(math.abs(counts("de") / total - 0.25) < 0.07)
+    assert(math.abs(counts("fr") / total - 0.25) < 0.07)
+    // the binding stratum passes through whole: at least one source
+    // keeps (close to) all its rows
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("en", "de", "fr").exists(l => counts(l) === sizes(l)))
+  }
+
+  test("mix rejects impossible inputs") {
+    intercept[IllegalArgumentException] {
+      Sampling.mix(docs, "lang", "doc_id", Map("klingon" -> 1.0)).count()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sample(docs, "doc_id", 1.5).count()
+    }
+  }
+}
