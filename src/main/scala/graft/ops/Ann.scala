@@ -90,6 +90,37 @@ object Ann {
       when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Fold the (tiny) centroid set into ONE array-typed row —
+    * `collect_list` of (cent_id, cent_vec) structs, sorted by cent_id
+    * for a deterministic element order. Broadcast-joined onto the
+    * corpus, this makes cell assignment a narrow projection: the only
+    * job over the centroids is a k-row aggregate. */
+  private[graft] def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
+
+  /** Narrow per-row best-cell assignment: score every broadcast
+    * centroid inside one projection and take the argmax with
+    * `array_max` over (score, -index, cent_id) structs — highest
+    * score wins, ties go to the smallest cent_id (elements are sorted
+    * by cent_id, so the larger -index is the earlier element).
+    * Replaces the r2 `Window.partitionBy(unique id)` form, which
+    * shuffled the entire corpus (vectors included) on a unique key
+    * just to compute a per-row max — pure overhead at any scale. */
+  private[graft] def bestCell(vec: Column, centsArr: Column): Column =
+    array_max(transform(centsArr, (c, i) => struct(
+      round(cosine(vec, c.getField("cent_vec")), 6).as("score"),
+      (-i).as("ni"),
+      c.getField("cent_id").as("cent_id")))).getField("cent_id")
+
+  /** Narrow top-`nprobe` probe-cell selection per query vector:
+    * sort the per-centroid scores ascending on (-score, cent_id) and
+    * slice — score desc, cent_id asc, same order the r2 window used. */
+  private[graft] def topCells(qv: Column, centsArr: Column, nprobe: Int): Column =
+    slice(array_sort(transform(centsArr, c => struct(
+      (-round(cosine(qv, c.getField("cent_vec")), 6)).as("ns"),
+      c.getField("cent_id").as("cent_id")))), 1, nprobe)
+
   /** Lloyd-iteration k-means over an embedding column, cosine
     * assignment — refines the hash-sampled IVF centroids into trained
     * ones. Structure per iteration: score corpus × broadcast(current
@@ -108,13 +139,8 @@ object Ann {
       .limit(k)
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
     for (_ <- 1 to iters) {
-      val wAssign = Window.partitionBy("vid")
-        .orderBy(col("score").desc, col("cent_id").asc)
-      val assigned = c.crossJoin(broadcast(cents))
-        .select(col("vid"), col("cv"), col("cent_id"),
-          round(cosine(col("cv"), col("cent_vec")), 6).as("score"))
-        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-        .select(col("cent_id").as("cell"), col("cv"))
+      val assigned = c.crossJoin(broadcast(centroidArray(cents)))
+        .select(bestCell(col("cv"), col("cents")).as("cell"), col("cv"))
       val means = assigned
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
@@ -149,31 +175,25 @@ object Ann {
     // RNG state, reproducible by any engine with md5 (enables a SQL
     // oracle). Pass `centroids` (cent_id, cent_vec) for a trained
     // quantizer, e.g. [[kmeansCentroids]].
-    val cents = broadcast(centroids.getOrElse(
+    val cents = broadcast(centroidArray(centroids.getOrElse(
       corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
         .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
-        .limit(numCells)))
+        .limit(numCells))))
 
-    // scores are rounded before the argmax windows so cell assignment
-    // is stable across engines/fp-summation orders
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("cscore").desc, col("cent_id").asc)
+    // scores are rounded before the argmax so cell assignment is
+    // stable across engines/fp-summation orders; assignment and
+    // probing are both narrow projections against the one-row
+    // broadcast centroid array — the corpus is never shuffled here
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cents)
-      .select(col("neighbor_id"), col("cv"), col("cent_id"),
-        round(cosine(col("cv"), col("cent_vec")), 6).as("cscore"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
+      .select(col("neighbor_id"), col("cv"), bestCell(col("cv"), col("cents")).as("cell"))
 
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("cent_id").asc)
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .crossJoin(cents)
-        .select(col("query_id"), col("qv"), col("cent_id"),
-          round(cosine(col("qv"), col("cent_vec")), 6).as("qscore"))
-        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
-        .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
+        .select(col("query_id"), col("qv"),
+          explode(topCells(col("qv"), col("cents"), nprobe)).as("p"))
+        .select(col("query_id"), col("qv"), col("p.cent_id").as("cell")))
 
     val scored = assigned.join(probes, "cell")
       .where(col("query_id") =!= col("neighbor_id"))

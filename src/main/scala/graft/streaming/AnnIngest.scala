@@ -24,17 +24,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object AnnIngest {
 
   /** (id, vec, cell) assignment of a batch against broadcast centroids;
-    * scores rounded like Ann.ivfTopK so assignment is reproducible. */
+    * scores rounded like Ann.ivfTopK so assignment is reproducible.
+    * Narrow: the centroid set folds into one broadcast array row and
+    * each vector takes its argmax inside a single projection — no
+    * Window, so the batch is never shuffled (r2 shuffled it on the
+    * unique id just to rank a per-row max). */
   private[streaming] def assignCells(batch: DataFrame, centroids: DataFrame,
-                                     idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("score").desc, col("cell").asc)
+                                     idCol: String, vecCol: String): DataFrame =
     batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(centroids.select(col("cent_id").as("cell"), col("cent_vec"))))
-      .select(col("id"), col("vec"),
-        col("cell"), round(Ann.cosine(col("vec"), col("cent_vec")), 6).as("score"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select("id", "vec", "cell")
-  }
+      .crossJoin(broadcast(Ann.centroidArray(centroids)))
+      .select(col("id"), col("vec"), Ann.bestCell(col("vec"), col("cents")).as("cell"))
 
   def start(stream: DataFrame, centroids: DataFrame,
             idCol: String, vecCol: String,
@@ -68,13 +67,11 @@ object AnnIngest {
   def probe(spark: SparkSession, indexPath: String, centroids: DataFrame,
             queries: DataFrame, idCol: String, vecCol: String,
             k: Int, nprobe: Int): DataFrame = {
-    val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids.select(col("cent_id").as("cell"), col("cent_vec"))))
-      .select(col("query_id"), col("qv"), col("cell"),
-        round(Ann.cosine(col("qv"), col("cent_vec")), 6).as("score"))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select("query_id", "qv", "cell")
+      .crossJoin(broadcast(Ann.centroidArray(centroids)))
+      .select(col("query_id"), col("qv"),
+        explode(Ann.topCells(col("qv"), col("cents"), nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cent_id").as("cell"))
 
     // queries are small by contract → the probed cell set is tiny;
     // materializing it gives the scan a static partition filter

@@ -52,4 +52,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "row validation must not shuffle")
   }
+
+  test("IVF cell assignment is narrow: the only exchange is the final top-k") {
+    // r2 assigned cells with Window.partitionBy(unique id) — a
+    // full-corpus shuffle (vectors included). The narrow argmax form
+    // must leave exactly one hashpartitioning exchange in the whole
+    // plan: the per-query top-k window over already-reduced
+    // (query_id, neighbor_id, cosine) rows.
+    val p = plan("ann_ivf_topk")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"IVF must not shuffle the corpus, got $exchanges exchanges:\n$p")
+  }
 }
