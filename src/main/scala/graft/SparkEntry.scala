@@ -560,10 +560,15 @@ object SparkEntry {
     // threshold can't split on a float ulp.
     "q_popular_parts" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-      val total = li.agg(count(lit(1)).as("total"))
-      counts.crossJoin(broadcast(total))
-        .where(col("cnt") * 1000 > col("total"))
+      // threshold is relative to the MEAN per-part count (1.3×), not a
+      // fixed fraction of the total — the r2 fixed-fraction form went
+      // vacuously empty above sf0.001. Integer-only comparison keeps
+      // both engines exact. counts is per-part (tiny) and cached so
+      // the scalar-aggregate branch doesn't rescan lineitem.
+      val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt")).cache()
+      val stats = counts.agg(sum("cnt").as("total"), count(lit(1)).as("nparts"))
+      counts.crossJoin(broadcast(stats))
+        .where(col("cnt") * col("nparts") * 10 > col("total") * 13)
         .select(col("l_partkey"), col("cnt"))
         .orderBy("l_partkey")
     }),
@@ -722,9 +727,21 @@ object SparkEntry {
     // left-only.
     "v_error_compare" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
-      val left = Validator.errorFile(ord, orderRules, "o_orderkey")
-      val fourRules = RuleSet(orderRules.rules.filterNot(_.name == "totalprice_cap"))
-      val right = Validator.errorFile(ord, fourRules, "o_orderkey")
+      // ONE validation pass, cached: the r2 form ran two independent
+      // errorFile scans that each re-evaluated ~all rules (4.6× the
+      // r1 cost). Rule messages are static strings, so the 4-rule
+      // side is the 5-rule side minus the dropped rule's message.
+      val capMsg = orderRules.rules.find(_.name == "totalprice_cap").get.message
+      val errs = Validator.validate(ord, orderRules)
+        .where(!col(Validator.ValidCol))
+        .select(lit("input").as("FILENAME"),
+          col("o_orderkey").cast("string").as("PayeeId"),
+          col(Validator.ErrorsCol).as("errors"))
+        .cache()
+      val left = errs.select(col("FILENAME"), col("PayeeId"),
+        concat_ws(", ", col("errors")).as("ERROR_DESC"))
+      val right = errs.select(col("FILENAME"), col("PayeeId"),
+        concat_ws(", ", filter(col("errors"), e => e =!= capMsg)).as("ERROR_DESC"))
       graft.validate.ErrorCompare.diff(
         left, "PayeeId", "ERROR_DESC", right, "PayeeId", "ERROR_DESC")
     }),
@@ -1600,10 +1617,10 @@ object SparkEntry {
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_popular_parts" ->
-      """SELECT l_partkey, count(*) AS cnt
-        |FROM lineitem
-        |GROUP BY l_partkey
-        |HAVING count(*) * 1000 > (SELECT count(*) FROM lineitem)
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nparts FROM c)
+        |SELECT l_partkey, cnt FROM c, s
+        |WHERE cnt * nparts * 10 > total * 13
         |ORDER BY l_partkey""".stripMargin,
 
     "q_window_suite" ->

@@ -51,6 +51,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode produces the same components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val m = ConnectedComponents.components(edges, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("non-convergence at maxRounds throws instead of returning bad labels") {
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {
