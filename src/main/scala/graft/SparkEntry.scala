@@ -809,11 +809,14 @@ object SparkEntry {
       // persist the signature table — banding and both re-attach joins
       // read it; recomputing the minhash three times costs more than
       // the ~300B/doc of memory (at cluster scale: write it to parquet
-      // once and share it across dedup runs).
-      val sigs = Similarity.minhashSignatures(docs, "doc_id", "text",
+      // once and share it across dedup runs). md5-derived signatures +
+      // md5 band buckets so the DuckDB oracle replays the ENTIRE
+      // pipeline (shingle → sig → band → pair → score) from raw text;
+      // the native xxhash kernel path is parity-pinned in SimilaritySpec.
+      val sigs = Similarity.minhashSignaturesMd5(docs, "doc_id", "text",
         k = 5, numHashes = 32).cache()
       Similarity.minhashPairsFromSigs(sigs, numHashes = 32, rowsPerBand = 8,
-          threshold = 0.5)
+          threshold = 0.5, replayableBuckets = true)
         .orderBy("id1", "id2")
     }),
 
@@ -821,15 +824,29 @@ object SparkEntry {
     // representative linking): surviving doc count per lang
     "dedup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Similarity.dropNearDuplicates(docs, "doc_id", "text",
-          k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.8, maxBucket = 500)
+      // md5-signature variant of the full survivor pipeline (banding,
+      // hot-bucket representative linking, pair victims, anti join) —
+      // DuckDB replays every stage from raw text.
+      val sigs = Similarity.minhashSignaturesMd5(docs, "doc_id", "text",
+        k = 5, numHashes = 32).cache()
+      Similarity.dropNearDuplicatesFromSigs(docs, "doc_id", sigs,
+          numHashes = 32, rowsPerBand = 8, threshold = 0.8, maxBucket = 500,
+          replayableBuckets = true)
         .groupBy("lang").agg(count(lit(1)).as("survivors"))
         .orderBy("lang")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
-      Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      // 60-bit md5-token SimHash through the SAME banding/verify path
+      // as the native 64-bit kernel — DuckDB recomputes hash, bands
+      // and hamming from raw text.
+      // cache: the banding derivation is referenced three times (hot
+      // list + both sides of the candidate self-join) and each
+      // reference would otherwise recompute the md5 token fold
+      Similarity.simhashPairsFromHashes(
+          Similarity.simhashMd5(docs, "doc_id", "text").cache(),
+          maxHamming = 3, maxBucket = 500, bits = 60)
         .orderBy("id1", "id2")
     }),
 
@@ -852,8 +869,12 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // md5-seeded hyperplanes (replayable = true) so the DuckDB
+      // oracle recomputes bucket assignment + probe from the raw
+      // vectors; the native LshBucket64 path is parity-pinned in
+      // AnnSpec.
       Ann.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, numPlanes = 8)
+          k = 10, numPlanes = 8, replayable = true)
         .orderBy("query_id", "rnk")
     }),
 
@@ -928,11 +949,169 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- //
   // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
-  // Omitted for non-SQL-expressible ops (minhash/simhash/LSH/langid/
-  // bank generator) — the driver records a rows-only check for those.
+  // The minhash/simhash/LSH queries run their md5-derived replayable
+  // hash variants, so DuckDB recomputes the FULL pipeline (hashing,
+  // banding, pairing, survivor selection) from the raw tables.
   // ---------------------------------------------------------------- //
 
   def oracleSql: Map[String, String] = Map(
+
+    // md5 K-M double-hash minhash → banded buckets → capped candidate
+    // pairs → signature-agreement estimate. Mirrors
+    // Similarity.minhashSignaturesMd5 + minhashPairsFromSigs
+    // (replayableBuckets) step by step.
+    "dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT id, substr(s, CAST(t.i AS INTEGER), 5) AS g
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |gh AS (
+        |  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(g), 17, 14)) AS BIGINT) AS h2
+        |  FROM grams),
+        |sig AS (
+        |  SELECT id, CAST(t.i AS INTEGER) AS i,
+        |         min((h1 + t.i * h2) % 1152921504606846976) AS v
+        |  FROM gh, unnest(range(0, 32)) AS t(i)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT id, i // 8 AS band,
+        |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bucket
+        |  FROM sig GROUP BY id, i // 8),
+        |hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) > 500),
+        |capped AS (
+        |  SELECT b.* FROM bands b WHERE NOT EXISTS (
+        |    SELECT 1 FROM hot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |agree AS (
+        |  SELECT c.id1, c.id2,
+        |         round(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+        |  FROM cand c JOIN sig s1 ON s1.id = c.id1
+        |              JOIN sig s2 ON s2.id = c.id2 AND s2.i = s1.i
+        |  GROUP BY c.id1, c.id2)
+        |SELECT id1, id2, est_jaccard FROM agree WHERE est_jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // full survivor pipeline: same sigs/bands as dedup_minhash, plus
+    // hot-bucket representative linking and the pair-victim anti join
+    // (Similarity.dropNearDuplicatesFromSigs).
+    "dedup_survivors" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT id, substr(s, CAST(t.i AS INTEGER), 5) AS g
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |gh AS (
+        |  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(g), 17, 14)) AS BIGINT) AS h2
+        |  FROM grams),
+        |sig AS (
+        |  SELECT id, CAST(t.i AS INTEGER) AS i,
+        |         min((h1 + t.i * h2) % 1152921504606846976) AS v
+        |  FROM gh, unnest(range(0, 32)) AS t(i)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT id, i // 8 AS band,
+        |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bucket
+        |  FROM sig GROUP BY id, i // 8),
+        |hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) > 500),
+        |hotvic AS (
+        |  SELECT b.id AS victim
+        |  FROM bands b JOIN hot h ON h.band = b.band AND h.bucket = b.bucket
+        |  QUALIFY b.id > min(b.id) OVER (PARTITION BY b.band, b.bucket)),
+        |capped AS (
+        |  SELECT b.* FROM bands b WHERE NOT EXISTS (
+        |    SELECT 1 FROM hot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |agree AS (
+        |  SELECT c.id1, c.id2,
+        |         round(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+        |  FROM cand c JOIN sig s1 ON s1.id = c.id1
+        |              JOIN sig s2 ON s2.id = c.id2 AND s2.i = s1.i
+        |  GROUP BY c.id1, c.id2),
+        |vic AS (
+        |  SELECT victim FROM hotvic
+        |  UNION SELECT id2 AS victim FROM agree WHERE est_jaccard >= 0.8)
+        |SELECT lang, count(*) AS survivors
+        |FROM documents WHERE doc_id NOT IN (SELECT victim FROM vic)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // 60-bit md5-token simhash → pigeonhole bands → exact hamming
+    // verify (Similarity.simhashMd5 + simhashPairsFromHashes).
+    "dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, trim(lower(text)) AS s FROM documents
+        |  WHERE doc_id < 1000 AND trim(lower(text)) <> ''),
+        |toks AS (
+        |  SELECT id, t.tok FROM d, unnest(regexp_split_to_array(s, '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |th AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |bits AS (
+        |  SELECT id, CAST(b.b AS INTEGER) AS b,
+        |         CASE WHEN sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM th, unnest(range(0, 60)) AS b(b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY id),
+        |bands AS (
+        |  SELECT id, simhash, CAST(t.b AS INTEGER) AS band,
+        |         (simhash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS bandval
+        |  FROM sh, unnest(range(0, 4)) AS t(b)),
+        |hot AS (SELECT band, bandval FROM bands GROUP BY band, bandval HAVING count(*) > 500),
+        |capped AS (
+        |  SELECT b.* FROM bands b WHERE NOT EXISTS (
+        |    SELECT 1 FROM hot h WHERE h.band = b.band AND h.bandval = b.bandval)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS s1, b.simhash AS s2
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bandval = b.bandval AND a.id < b.id)
+        |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
+    // md5-seeded sign-random-projection buckets + in-bucket cosine
+    // top-k (Ann.lshBucketMd5 + lshTopK replayable path). Dots are
+    // rounded to 6dp before the sign test, matching the Spark side.
+    "ann_lsh_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |pc AS (
+        |  SELECT CAST(p.p AS INTEGER) AS p, CAST(d.i AS INTEGER) AS i,
+        |         (CAST(('0x' || substr(md5(p.p || ':' || d.i), 1, 15)) AS BIGINT) % 2000000)
+        |           / 1000000.0 - 1.0 AS c
+        |  FROM unnest(range(0, 8)) AS p(p), unnest(range(0, 64)) AS d(i)),
+        |dots AS (
+        |  SELECT e.vec_id, pc.p, round(sum(e.v * pc.c), 6) AS dot
+        |  FROM e JOIN pc ON pc.i = e.i - 1 GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |dotp AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+        |         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+        |  FROM dotp d
+        |  JOIN n nq ON nq.vec_id = d.qid JOIN n nc ON nc.vec_id = d.cid
+        |  JOIN bk bq ON bq.vec_id = d.qid JOIN bk bc ON bc.vec_id = d.cid
+        |  WHERE bq.bucket = bc.bucket),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -79,6 +79,36 @@ object Ann {
   def lshBucket(vec: Column, numPlanes: Int): Column =
     graft.expr.LshBucket64.lshBucket(vec, numPlanes)
 
+  /** md5-seeded hyperplane matrix for the engine-replayable bucket
+    * variant: component (p, d) = md5("p:d") first 15 hex chars as a
+    * 60-bit int, mapped into [-1, 1). The matrix is a MODEL constant
+    * (numPlanes × dim doubles), so it is evaluated once on the driver
+    * and embedded as literals — zero per-row hashing; an external SQL
+    * engine recomputes the identical values from md5 directly. */
+  private[graft] def md5PlaneMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000000L)
+        .toDouble / 1000000.0 - 1.0
+    }
+
+  /** Engine-replayable sign-random-projection bucket over `dim`-wide
+    * vectors: literal md5-derived planes; the dot product is rounded
+    * to 6dp before the sign test so bucket assignment cannot split on
+    * floating summation order across engines. Used by the DuckDB
+    * oracle path; [[lshBucket]] (native codegen) is the fast default. */
+  def lshBucketMd5(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes = md5PlaneMatrix(numPlanes, dim)
+    (0 until numPlanes).map { p =>
+      val arr = array(planes(p).map(lit): _*)
+      val dot = round(aggregate(
+        zip_with(vec, arr, (v, c) => v.cast("double") * c),
+        lit(0.0d), (acc, x) => acc + x), 6)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** The composed higher-order form of [[lshBucket]] — the executable
     * spec the native expression is tested against. */
   private[graft] def lshBucketHof(vec: Column, numPlanes: Int): Column =
@@ -212,11 +242,14 @@ object Ann {
     * it once and reuse across query batches. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8): DataFrame = {
+              numPlanes: Int = 8, replayable: Boolean = false,
+              dim: Int = 64): DataFrame = {
+    def bucket(vec: Column): Column =
+      if (replayable) lshBucketMd5(vec, numPlanes, dim) else lshBucket(vec, numPlanes)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      bucket(col(vecCol)).as("bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket")))
+      bucket(col(vecCol)).as("bucket")))
     val scored = cb.join(qb, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
