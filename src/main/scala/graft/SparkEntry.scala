@@ -747,24 +747,54 @@ object SparkEntry {
     }),
 
     // Reference-shaped error file over seeded bank data with injected
-    // invalid values (run_invalid_values_scenario shape) — rows-only.
+    // invalid values (run_invalid_values_scenario shape). The broken
+    // frame is dumped to a fixed parquet path so the DuckDB oracle can
+    // re-validate the same input with its own independently-written
+    // rule predicates (BankRulesSql).
     "bank_error_file" -> ((s, dir) => {
-      val base = BankDataGen.generate(s, 500, seed = 13).cache()
-      val broken = BankDataGen.withInvalid(
-        BankDataGen.withInvalid(base, "RoutingTransitNumber", "12345ABCD",
-          (0L until 50L)),
-        "State", "C1", (50L until 80L))
-      Validator.errorFile(broken, BankRules.all, "PayeeID", "bankfile")
+      // injections span every rule family (charset, enum, length,
+      // format, date order, conditional requiredness, context blanks)
+      // so the oracle's independently-written predicates are exercised
+      // broadly, not just on two columns
+      val injections: Seq[(String, String, Long, Long)] = Seq(
+        ("RoutingTransitNumber", "12345ABCD", 0L, 50L),
+        ("State", "C1", 50L, 80L),
+        ("ContactEmail", "bad-email@@example", 80L, 100L),
+        ("EffectiveEndDate", "2020-13-45", 100L, 120L),
+        ("EffectiveEndDate", "2020-01-01", 120L, 140L),
+        ("PayeeID", "A!", 140L, 160L),
+        ("OrganizationTINType", "XYZ", 160L, 180L),
+        ("AccountType", "checking", 180L, 200L),
+        ("CityName", "Spring8field", 200L, 220L),
+        ("PostalCode", "1234", 220L, 240L),
+        ("ContactPhone", "123ABC4567", 240L, 260L),
+        ("OrganizationName", "Bad@Name!", 260L, 280L),
+        ("OrganizationNPI", "0123456789", 280L, 300L),
+        ("ContactFirstName", "J0hn", 300L, 320L),
+        ("OrganizationCode", "X", 320L, 330L),
+        ("RecordOperation", "Z", 330L, 340L),
+        ("EffectiveStartDate", "", 340L, 350L),
+        ("ContactTitle", "An Extremely Long Title That Overflows", 350L, 360L),
+        ("AddressLine1", "1234567890123456789012345678901234567890X", 360L, 370L))
+      val broken = injections.foldLeft(BankDataGen.generate(s, 500, seed = 13)) {
+        case (df, (colName, value, lo, hi)) =>
+          BankDataGen.withInvalid(df, colName, value, lo until hi)
+      }
+      broken.write.mode("overwrite").parquet(graft.bank.BankRulesSql.brokenPath)
+      Validator.errorFile(s.read.parquet(graft.bank.BankRulesSql.brokenPath),
+          BankRules.all, "PayeeID", "bankfile")
         .orderBy("PayeeId")
     }),
 
     "bank_gen_validate" -> ((s, dir) => {
-      // cache() is a plan barrier, not (only) a perf cache: without it
-      // CollapseProject inlines the generator's expression trees into
-      // every one of the ~68 rule expressions and plan compilation
-      // explodes (7s → 1.2s at 2k rows; far worse at more rules).
-      val df = BankDataGen.generate(s, 2000, seed = 7).cache()
-      Validator.summary(df, BankRules.all)
+      // the parquet round trip is BOTH the oracle's input copy and the
+      // plan barrier (without one, CollapseProject inlines the
+      // generator's expression trees into every one of the ~68 rule
+      // expressions and plan compilation explodes: 7s → 1.2s at 2k
+      // rows in r1 with a cache; a materialized file is stronger).
+      BankDataGen.generate(s, 2000, seed = 7)
+        .write.mode("overwrite").parquet(graft.bank.BankRulesSql.genPath)
+      Validator.summary(s.read.parquet(graft.bank.BankRulesSql.genPath), BankRules.all)
     }),
 
     // -- dedup ----------------------------------------------------- //
@@ -955,6 +985,16 @@ object SparkEntry {
   // ---------------------------------------------------------------- //
 
   def oracleSql: Map[String, String] = Map(
+
+    // independently-authored SQL predicates for all ~68 bank rules
+    // (BankRulesSql) over the dumped generator output — double-entry
+    // validation of the whole rule engine
+    "bank_gen_validate" ->
+      graft.bank.BankRulesSql.summarySql(graft.bank.BankRulesSql.genPath),
+
+    "bank_error_file" ->
+      graft.bank.BankRulesSql.errorFileSql(
+        graft.bank.BankRulesSql.brokenPath, "bankfile"),
 
     // md5 K-M double-hash minhash → banded buckets → capped candidate
     // pairs → signature-agreement estimate. Mirrors
