@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, plus the
   * decode / feature-extract / resize / frame-sample operator surface.
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode kernels are deterministic STUBS (clearly marked below) —
-  * but everything Spark-side is real: schema, partition-preserving
-  * mapPartitions plumbing, batch shape, null/corrupt handling. On a
-  * cluster you swap `StubCodec` for a real JNI/FFmpeg/libvips binding
-  * without touching the operator code.
+  * Image decode is REAL — `javax.imageio` ships PNG/JPEG/BMP/GIF
+  * readers in the JDK ([[Multimodal.decodeImagesJdk]]). Audio/video
+  * codecs are NOT available in this environment, so those kernels are
+  * deterministic STUBS (clearly marked below) — but everything
+  * Spark-side is real: schema, partition-preserving mapPartitions
+  * plumbing, batch shape, null/corrupt handling. On a cluster you swap
+  * `StubCodec` for a real JNI/FFmpeg/libvips binding without touching
+  * the operator code.
   */
 object Multimodal {
 
@@ -91,6 +93,60 @@ object Multimodal {
       while (i < b.length) { h = h * 31 + b(i); i += 1 }
       math.abs(h)
     }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship in the JDK — no external dependency). Returns
+    * (height, width, mean luma in [0,1]); luma is averaged over a
+    * bounded sample grid (≤ 256×256 probe points) so decode cost does
+    * not scale with megapixels. Unreadable/corrupt payloads → None,
+    * which the operator surfaces as nulls (same contract as the
+    * stubbed path). */
+  object JdkImageCodec {
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (h, w) = (img.getHeight, img.getWidth)
+          val (sy, sx) = (math.max(1, h / 256), math.max(1, w / 256))
+          var (sum, n) = (0.0, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          Some((h, w, if (n == 0) 0.0 else sum / n))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[decodeImages]] with the REAL JDK codec: same schema/plumbing
+    * contract, actual pixel decode. Swap point for libvips/FFmpeg on
+    * formats the JDK lacks. */
+  def decodeImagesJdk(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("decoded_h", IntegerType),
+      StructField("decoded_w", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded = Option(payload).flatMap(JdkImageCodec.decodeImage)
+        decoded match {
+          case Some((h, w, luma)) => Row.fromSeq(r.toSeq ++ Seq[Any](h, w, luma))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
   }
 
   /** Decode metadata for each payload. mapPartitions keeps the work

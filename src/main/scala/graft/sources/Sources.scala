@@ -24,7 +24,7 @@ object Sources {
   final case class BadExtension(df: DataFrame, extension: String) extends ReadResult
   final case class SchemaDrift(df: DataFrame, report: SchemaCheck.Report) extends ReadResult
 
-  private val knownExtensions = Set("parquet", "orc", "csv", "json")
+  private val knownExtensions = Set("parquet", "orc", "csv", "json", "xlsx")
 
   def extensionOf(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
@@ -59,6 +59,15 @@ object Sources {
           .option("columnNameOfCorruptRecord", CorruptCol)
           .schema(withCorrupt(expected))
           .json(path))
+      case "xlsx" =>
+        // xlsx carries no types — compare on column NAMES, with the
+        // frame read all-string (the reference's generator writes
+        // xlsx as an all-text feed, newaugsver_clean.py:521)
+        val actual = Xlsx.read(spark, path)
+        val expectedAsStrings = StructType(
+          expected.fields.map(f => StructField(f.name, StringType, f.nullable)))
+        val report = SchemaCheck.check(expectedAsStrings, actual.schema)
+        if (report.ok) Ok(actual) else SchemaDrift(actual, report)
       case ext =>
         BadExtension(spark.emptyDataFrame, ext)
     }

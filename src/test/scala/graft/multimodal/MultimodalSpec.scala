@@ -32,6 +32,32 @@ class MultimodalSpec extends SparkSpec {
     assert(dims.forall { case (h, w) => h >= 64 && w >= 64 })
   }
 
+  test("decodeImagesJdk decodes a real PNG's true dimensions and luma") {
+    import spark.implicits._
+    // render known images with java.awt, encode as real PNGs
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(37, 21, 0xffffff), "image", "png"),  // white → luma 1.0
+      (2L, png(64, 48, 0x000000), "image", "png"),  // black → luma 0.0
+      (3L, Array[Byte](1, 2, 3), "image", "png"))   // corrupt → nulls
+      .toDF("media_id", "payload", "media_type", "format")
+    val out = Multimodal.decodeImagesJdk(df)
+      .select("media_id", "decoded_w", "decoded_h", "mean_luma")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getDouble(3)))))
+      .toMap
+    assert(out(1L).exists { case (w, h, l) => w == 37 && h == 21 && math.abs(l - 1.0) < 1e-6 })
+    assert(out(2L).exists { case (w, h, l) => w == 64 && h == 48 && l < 1e-6 })
+    assert(out(3L).isEmpty) // unreadable bytes → null decode columns
+  }
+
   test("null payloads yield null decode columns, not exceptions") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[Array[Byte]], "image", "png"))

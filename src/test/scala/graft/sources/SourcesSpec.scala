@@ -47,6 +47,46 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("xlsx round trip: write, read back, values and header survive") {
+    import spark.implicits._
+    val df = Seq(("A1", "hello & <world>", "1"), ("B2", null, "2"), ("C3", "quote\"d", "3"))
+      .toDF("PayeeID", "OrganizationName", "Seq")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").toString + "/feed.xlsx"
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("PayeeID", "OrganizationName", "Seq"))
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = back.orderBy("PayeeID").collect().map(_.toSeq)
+    assert(rows(0) == Seq("A1", "hello & <world>", "1"))
+    assert(rows(1) == Seq("B2", null, "2")) // nulls survive as absent cells
+    assert(rows(2) == Seq("C3", "quote\"d", "3"))
+  }
+
+  test("xlsx through Sources.read: extension accepted, name drift detected") {
+    import spark.implicits._
+    val df = Seq(("X", "1")).toDF("PayeeID", "Amount")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx2").toString
+    Xlsx.write(df, s"$dir/drop.xlsx")
+    val expected = StructType(Seq(
+      StructField("PayeeID", StringType), StructField("Amount", StringType)))
+    assert(Sources.read(spark, s"$dir/drop.xlsx", expected).isInstanceOf[Sources.Ok])
+    val drifted = StructType(Seq(
+      StructField("PayeeID", StringType), StructField("Total", StringType)))
+    assert(Sources.read(spark, s"$dir/drop.xlsx", drifted).isInstanceOf[Sources.SchemaDrift])
+  }
+
+  test("xlsx distributed readDir parses many workbooks executor-side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx3").toString
+    for (i <- 1 to 3)
+      Xlsx.write(Seq((s"P$i", s"$i")).toDF("PayeeID", "Seq"), s"$dir/part$i.xlsx")
+    val schema = StructType(Seq(
+      StructField("PayeeID", StringType), StructField("Seq", StringType)))
+    val all = Xlsx.readDir(spark, s"$dir/*.xlsx", schema)
+    assert(all.count() == 3)
+    assert(all.orderBy("PayeeID").collect().map(_.getString(0)).toSeq == Seq("P1", "P2", "P3"))
+  }
+
   test("unknown extension rejected without I/O (run_invalid_extension_scenario)") {
     Sources.read(spark, "/some/path/data.xyz", schema) match {
       case Sources.BadExtension(_, ext) => assert(ext == "xyz")
