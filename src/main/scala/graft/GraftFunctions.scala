@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimF, CountMin, HeavyHitters, KmvSketch, MinHashSig}
+import graft.expr.{CosineSimF, CountMin, HeavyHitters, KllSketch, KmvSketch, MinHashSig}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Public function surface of the engine, Column-API and SQL.
@@ -25,6 +25,9 @@ object GraftFunctions {
 
   def cms_query(sketch: Column, item: Column, depth: Int = 4, width: Int = 1024): Column =
     CountMin.cmsQuery(sketch, item, depth, width)
+
+  def kll_quantiles(c: Column, probabilities: Seq[Double], k: Int = 200): Column =
+    KllSketch.kllQuantiles(c, probabilities, k)
 
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
@@ -61,6 +64,13 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"mg_topk expects (col[, k]), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("kll_quantiles", exprs => exprs match {
+      // kll_quantiles(col, array(p1, p2, ...)[, k])
+      case Seq(c, ps, k) => KllSketch(c, intLit(k), doubleLits(ps)).toAggregateExpression()
+      case Seq(c, ps) => KllSketch(c, 200, doubleLits(ps)).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"kll_quantiles expects (col, probabilities[, k]), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)
       case other => throw new IllegalArgumentException(
@@ -73,5 +83,12 @@ object GraftFunctions {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+
+  private def doubleLits(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(s"expected array<double> literal, got $other")
     }
 }

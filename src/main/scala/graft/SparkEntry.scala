@@ -188,6 +188,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // same as-of semantics through the NATIVE path — custom
+    // LogicalPlan + Strategy + SparkPlan (plans/NativeAsofJoin.scala)
+    // — so the custom operator itself sits under the DuckDB ASOF
+    // oracle, not just composed-form parity tests.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val signups = ev.where(col("event_type") === "signup")
+      graft.plans.NativeAsofJoin.asofJoin(purchases, signups, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // rollup with subtotal rows (coalesced to 'ALL' so both engines
     // order identically regardless of null-sort defaults)
     "q_rollup_revenue" -> ((s, dir) => {
@@ -1247,6 +1260,13 @@ object SparkEntry {
         |ORDER BY rnk""".stripMargin,
 
     "q_asof_signup" ->
+      """SELECT l.event_id, l.user_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_native" ->
       """SELECT l.event_id, l.user_id, r.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r

@@ -63,4 +63,47 @@ class PipelineScenarioSpec extends SparkSpec {
     Sources.writePartitioned(valid, s"$dir/archive", Seq("OrganizationCode"))
     assert(spark.read.parquet(s"$dir/archive").count() == nValid)
   }
+
+  test("composite transform scenario: rename + drop + invalid values, one merged report") {
+    // mirrors run_composite_transform_scenario
+    // (DM_bankfile_validate_pipeline.py:2510): rename first, then
+    // drop, then inject — one pass, one report
+    val base = BankDataGen.generate(spark, 100, seed = 21)
+    val expected = base.schema
+    val report = graft.bank.Scenario.compositeTransform(
+      base,
+      renames = Seq("OrganizationName" -> "OrgName"),
+      dropColumns = Seq("ContactFax"),
+      invalid = Seq(
+        ("RoutingTransitNumber", "12345ABCD", 0L until 10L),
+        ("State", "C1", 10L until 20L)),
+      expected = expected,
+      rules = BankRules.all,
+      keyCol = "PayeeID",
+      fileName = "composite")
+
+    // schema side: the rename is detected as a rename (same type
+    // missing+extra pair), the drop as missing
+    assert(report.schema.renamed.exists(r =>
+      r.column == "OrganizationName" && r.renamedTo == "OrgName"))
+    assert(report.schema.missing.exists(_.column == "ContactFax"))
+
+    // rule side: rules over transformed-away columns are skipped and
+    // REPORTED; everything else still validates
+    assert(report.skippedRules.toSet ==
+      Set("OrganizationName.required", "OrganizationName.maxLength",
+        "OrganizationName.charset", "ContactFax.maxLength", "ContactFax.format"))
+    assert(report.appliedRules.size == BankRules.all.rules.size - 5)
+
+    // row side: both injections surface in the merged error file
+    val errs = report.errorFile.collect()
+    assert(errs.length >= 20)
+    val descs = errs.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(descs.values.exists(_.contains("RoutingTransitNumber must be 9 digits")))
+    assert(descs.values.exists(_.contains("State must be a 2-letter uppercase code")))
+    val summary = report.summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("RoutingTransitNumber.format") == 10L)
+    assert(summary("State.format") == 10L)
+    assert(!summary.contains("ContactFax.format"))
+  }
 }
