@@ -78,17 +78,32 @@ object GraftFunctions {
     }, "built-in")
   }
 
-  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected an integer literal, got non-foldable expression $e")
     e.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
     }
+  }
 
-  private def doubleLits(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
+  private def doubleLits(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      "probabilities must be a literal array<double>, got non-foldable expression")
+    val elemOk = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        et == org.apache.spark.sql.types.DoubleType
+      case _ => false
+    }
+    if (!elemOk) throw new IllegalArgumentException(
+      s"probabilities must be a literal array<double>, got ${e.dataType.sql}")
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         a.toDoubleArray().toSeq
       case other => throw new IllegalArgumentException(s"expected array<double> literal, got $other")
     }
+  }
 }

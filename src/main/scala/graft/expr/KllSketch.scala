@@ -28,9 +28,11 @@ import scala.collection.mutable.ArrayBuffer
   * KllSketchSpec.
   *
   * The compaction coin is a fixed-seed xorshift; results are exactly
-  * reproducible for a given input ORDER (like any randomized sketch —
-  * spark-side determinism under retries holds because retried
-  * partitions replay identical input order).
+  * reproducible for a given input ORDER within a partition (retried
+  * partitions replay identical input order). Across runs the
+  * FINAL-stage merge order of partial buffers is scheduler-dependent,
+  * so coin state at merge time — and thus the exact output — is only
+  * per-partition-replay deterministic, not globally order-free.
   */
 final case class KllSketch(
     child: Expression, k: Int, probabilities: Seq[Double],
@@ -69,7 +71,7 @@ final case class KllSketch(
 
   override def eval(buf: KllSketch.Buffer): Any =
     if (buf.n == 0L) null
-    else ArrayData.toArrayData(probabilities.map(buf.quantile).toArray)
+    else ArrayData.toArrayData(buf.quantiles(probabilities))
 
   override def serialize(buf: KllSketch.Buffer): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): KllSketch.Buffer =
@@ -146,19 +148,29 @@ object KllSketch {
     }
 
     /** Smallest value whose cumulative weight reaches p·n. */
-    def quantile(p: Double): Double = {
+    def quantile(p: Double): Double = quantiles(Seq(p))(0)
+
+    /** All requested quantiles from ONE weighted sort + one cumulative
+      * prefix array + a binary search per probability (the
+      * per-probability form rebuilt and re-sorted the item list
+      * |probabilities| times per group). */
+    def quantiles(ps: Seq[Double]): Array[Double] = {
       val weighted = ArrayBuffer.empty[(Double, Long)]
       for (l <- levels.indices; v <- levels(l)) weighted += v -> (1L << l)
       val sorted = weighted.sortBy(_._1)
-      val target = math.max(1L, math.ceil(p * n).toLong)
-      var cum = 0L
-      var i = 0
-      while (i < sorted.length) {
-        cum += sorted(i)._2
-        if (cum >= target) return sorted(i)._1
-        i += 1
-      }
-      sorted.last._1
+      val cum = new Array[Long](sorted.length)
+      var acc = 0L
+      for (i <- sorted.indices) { acc += sorted(i)._2; cum(i) = acc }
+      ps.map { p =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        // first index with cum(i) >= target
+        var lo = 0; var hi = sorted.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cum(mid) >= target) hi = mid else lo = mid + 1
+        }
+        sorted(lo)._1
+      }.toArray
     }
 
     def serialize(): Array[Byte] = {

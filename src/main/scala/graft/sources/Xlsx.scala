@@ -27,9 +27,18 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Xlsx {
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def esc(s: String): String = {
+    // XML 1.0 forbids most control chars even as numeric references —
+    // a DocumentBuilder (including parseBytes' own) rejects them, so a
+    // stray U+0001 in a cell would break the write→read round trip.
+    // Strip anything outside the XML 1.0 character range first.
+    val clean = s.filter { c =>
+      c == '\t' || c == '\n' || c == '\r' ||
+        (c >= 0x20 && c <= 0xD7FF) || (c >= 0xE000 && c <= 0xFFFD)
+    }
+    clean.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+  }
 
   /** Column index (0-based) from an A1-style cell reference. */
   private[sources] def colIndex(ref: String): Int = {
