@@ -54,7 +54,9 @@ object Bench {
     // millisecond precision keeps the stdout line ~2.2 KB for 73
     // queries — the driver's stdout tail capture truncated the r2/r3
     // full-precision line (~2.9 KB), leaving the artifact unparseable
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT pins the decimal separator to '.': the JVM-default
+    // locale can be comma-decimal (de_DE), which would emit invalid JSON
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

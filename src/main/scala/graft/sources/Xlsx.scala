@@ -31,12 +31,18 @@ object Xlsx {
     // XML 1.0 forbids most control chars even as numeric references —
     // a DocumentBuilder (including parseBytes' own) rejects them, so a
     // stray U+0001 in a cell would break the write→read round trip.
-    // Strip anything outside the XML 1.0 character range first.
-    val clean = s.filter { c =>
-      c == '\t' || c == '\n' || c == '\r' ||
-        (c >= 0x20 && c <= 0xD7FF) || (c >= 0xE000 && c <= 0xFFFD)
+    // Filter by CODE POINT, not code unit: XML 1.0 allows
+    // #x10000-#x10FFFF, so well-formed surrogate pairs (emoji,
+    // supplementary CJK) must survive; only unpaired surrogates and
+    // disallowed controls are dropped.
+    val sb = new java.lang.StringBuilder(s.length)
+    s.codePoints().forEach { cp =>
+      val ok = cp == '\t' || cp == '\n' || cp == '\r' ||
+        (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
+        (cp >= 0x10000 && cp <= 0x10FFFF)
+      if (ok) sb.appendCodePoint(cp)
     }
-    clean.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    sb.toString.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
   }
 
