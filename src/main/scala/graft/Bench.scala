@@ -10,6 +10,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_COLD=1 to time single cold runs instead.
   */
 object Bench {
+  /** Artifact path: a name-filtered (local-iteration) run writes to a
+    * side file by default so it never replaces the audited full-run
+    * artifact; SPARK_GRAFT_BENCH_OUT overrides both. */
+  def outPath(only: Set[String], env: String => Option[String]): String =
+    env("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isEmpty) "BENCH_LAST.json" else "BENCH_SUBSET.json")
+
+  /** One-line JSON artifact. Millisecond precision keeps the stdout
+    * line ~2.2 KB for 73 queries — the driver's stdout tail capture
+    * truncated the r2/r3 full-precision line (~2.9 KB), leaving the
+    * artifact unparseable. Locale.ROOT pins the decimal separator to
+    * '.': the JVM-default locale can be comma-decimal (de_DE), which
+    * would emit invalid JSON. */
+  def jsonLine(results: Map[String, Double], sfDir: String): String = {
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +43,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args: bench only the named queries (local iteration)
     val only: Set[String] = args.toSet
-    val results = SparkEntry.queries
+    // benchOnlyQueries: production (xxhash-native) dedup paths — no
+    // DuckDB oracle can replay them, but the bench must measure what
+    // users run, not only the md5 oracle variants
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val r = try {
@@ -51,25 +75,12 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
-    // millisecond precision keeps the stdout line ~2.2 KB for 73
-    // queries — the driver's stdout tail capture truncated the r2/r3
-    // full-precision line (~2.9 KB), leaving the artifact unparseable
-    // Locale.ROOT pins the decimal separator to '.': the JVM-default
-    // locale can be comma-decimal (de_DE), which would emit invalid JSON
-    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = jsonLine(results, sfDir)
     println(json)
     // the r2 artifact captured a truncated stdout line — persist the
-    // full JSON so the recorded numbers are always auditable. A
-    // name-filtered run writes to a side path by default so a local
-    // subset iteration never replaces the audited full artifact.
-    val defaultOut = if (only.isEmpty) "BENCH_LAST.json" else "BENCH_SUBSET.json"
+    // full JSON so the recorded numbers are always auditable
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), json)
+      java.nio.file.Paths.get(outPath(only, sys.env.get)), json)
     spark.stop()
   }
 }

@@ -990,6 +990,46 @@ object SparkEntry {
     })
   )
 
+  /** Bench-only queries: the production code paths a user actually
+    * runs where the oracle-gated [[queries]] entry must use a
+    * replayable (md5) variant so DuckDB can recompute it. Not part of
+    * [[queries]] — no DuckDB oracle exists for xxhash64, and a
+    * rows-only correctness entry would be weaker than the ScalaTest
+    * parity pin (SimilaritySpec) these paths already carry. Bench runs
+    * them so the recorded numbers measure what production executes. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // native xxhash64 MinHash kernel (graft.expr.MinHashSig, codegen)
+    // through the same banding/pair path as dedup_minhash
+    "dedup_minhash_native" -> ((s, dir) => {
+      val sigs = Similarity.minhashSignatures(t(s, dir, "documents"),
+          "doc_id", "text", k = 5, numHashes = 32)
+        .repartition(col("id")).cache()
+      Similarity.minhashPairsFromSigs(sigs, numHashes = 32, rowsPerBand = 8,
+          threshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // native survivor pipeline (xxhash sigs + murmur band buckets) —
+    // the production analogue of dedup_survivors
+    "dedup_survivors_native" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.transform(d => Similarity.dropNearDuplicates(d, "doc_id", "text",
+          k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.8,
+          maxBucket = 500))
+        .groupBy("lang").agg(count(lit(1)).as("survivors"))
+        .orderBy("lang")
+    }),
+
+    // native 64-bit fused SimHash kernel (graft.expr.SimHash64)
+    "dedup_simhash_native" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      Similarity.simhashPairsFromHashes(
+          Similarity.simhash(docs, "doc_id", "text").repartition(col("id")).cache(),
+          maxHamming = 3, maxBucket = 500, bits = 64)
+        .orderBy("id1", "id2")
+    })
+  )
+
   // ---------------------------------------------------------------- //
   // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
   // The minhash/simhash/LSH queries run their md5-derived replayable

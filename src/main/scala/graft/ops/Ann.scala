@@ -157,11 +157,13 @@ object Ann {
     * centroids) (narrow pass), argmax per vector, element-wise mean
     * per cell. The model (k × dim doubles) is the ONLY driver-side
     * data — the classic distributed k-means shape. The per-cell mean
-    * uses posexplode + groupBy(cell, pos): |corpus|·dim shuffled
-    * doubles per iteration; at extreme scale swap in a mergeable
-    * vector-sum aggregate, the driver protocol is unchanged.
-    * Empty cells keep their previous centroid. Deterministic: seeded
-    * by the md5 sample, fixed iteration count, rounded scores. */
+    * is one mergeable vector-sum aggregate (graft.expr.VectorSum):
+    * partials combine map-side, so each iteration's shuffle carries
+    * one (dim doubles + count) buffer per (cell × map task) — NOT the
+    * |corpus|·dim scalar rows the posexplode + groupBy(cell, pos)
+    * formulation would move. Empty cells keep their previous centroid.
+    * Deterministic: seeded by the md5 sample, fixed iteration count,
+    * rounded scores. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int = 16, iters: Int = 5): DataFrame = {
     var cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
@@ -172,12 +174,9 @@ object Ann {
       val assigned = c.crossJoin(broadcast(centroidArray(cents)))
         .select(bestCell(col("cv"), col("cents")).as("cell"), col("cv"))
       val means = assigned
-        .select(col("cell"), posexplode(col("cv")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .groupBy("cell").agg(graft.expr.VectorSum.vectorSum(col("cv")).as("s"))
         .select(col("cell").as("cent_id"),
-          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_vec"))
+          expr("transform(s.sums, x -> CAST(x / s.n AS FLOAT))").as("cent_vec"))
       // empty cells: keep the previous centroid
       val kept = cents.join(means.select(col("cent_id").as("mid")),
           col("cent_id") === col("mid"), "left_anti")

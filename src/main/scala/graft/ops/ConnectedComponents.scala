@@ -41,6 +41,12 @@ object ConnectedComponents {
                  reliable: Boolean = false): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // lazy variant: marks the plan's RDD for checkpointing but defers
+    // materialization to the FIRST action over it — so the per-round
+    // convergence count below is the job that also persists + truncates
+    // the round (one job per round, not checkpoint-then-isEmpty two)
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
     // symmetric closure, checkpointed (not just cached): a cache keeps
@@ -72,12 +78,15 @@ object ConnectedComponents {
       // doubling effective propagation distance per round (a 2^r-hop
       // path resolves in ~r rounds instead of its diameter)
       val ptrs = merged.select(col("id").as("p_id"), col("component").as("p_comp"))
-      val next = ckpt(merged.join(ptrs, merged("component") === ptrs("p_id"), "left")
+      val next = ckptLazy(merged.join(ptrs, merged("component") === ptrs("p_id"), "left")
         .select(col("id"), col("old_comp"),
           least(col("component"), coalesce(col("p_comp"), col("component"))).as("component")))
-      // a label only ever decreases → changed ⇔ any strict decrease;
-      // next is already materialized, so this is a narrow local scan
-      converged = next.where(col("component") < col("old_comp")).isEmpty
+      // a label only ever decreases → changed ⇔ any strict decrease.
+      // This count is the round's ONLY driver action: computing it
+      // forces the lazily-marked checkpoint above (RDD.doCheckpoint
+      // runs over the action's whole ancestor DAG), so materialization
+      // and convergence detection share one job instead of two.
+      converged = next.where(col("component") < col("old_comp")).count() == 0L
       labels = next.select("id", "component")
       round += 1
     }

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench artifact contract without launching a session:
+  * name-filtered runs must never overwrite the audited full-run
+  * artifact, and the JSON line must stay locale-proof and parseable. */
+class BenchSpec extends AnyFunSuite {
+
+  test("full run writes BENCH_LAST.json; name-filtered run writes the side file") {
+    val noEnv: String => Option[String] = _ => None
+    assert(Bench.outPath(Set.empty, noEnv) == "BENCH_LAST.json")
+    assert(Bench.outPath(Set("q1_pricing_summary"), noEnv) == "BENCH_SUBSET.json")
+  }
+
+  test("SPARK_GRAFT_BENCH_OUT overrides both defaults") {
+    val env: String => Option[String] =
+      k => if (k == "SPARK_GRAFT_BENCH_OUT") Some("/tmp/out.json") else None
+    assert(Bench.outPath(Set.empty, env) == "/tmp/out.json")
+    assert(Bench.outPath(Set("x"), env) == "/tmp/out.json")
+  }
+
+  test("jsonLine is valid JSON with '.' decimals and millisecond precision") {
+    val line = Bench.jsonLine(Map("q1" -> 1.23456, "q2" -> 0.1), "/data/sf0.1")
+    assert(line.contains("\"q1\":1.235") && line.contains("\"q2\":0.100"))
+    assert(line.contains("\"value\":1.335"))
+    // structural sanity: balanced braces, no raw newlines
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(!line.contains("\n"))
+  }
+
+  test("benchOnlyQueries never overlap the oracle-gated queries map") {
+    // a shared name would make Bench run the bench-only variant twice
+    // and — worse — suggest to a reader that the native path is
+    // oracle-verified when only the md5 variant is
+    assert(SparkEntry.queries.keySet.intersect(SparkEntry.benchOnlyQueries.keySet).isEmpty)
+  }
+}

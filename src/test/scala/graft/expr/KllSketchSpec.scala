@@ -49,6 +49,24 @@ class KllSketchSpec extends SparkSpec {
     for (p <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(p) === buf.quantile(p))
   }
 
+  test("SQL kll_quantiles rejects non-literal and mistyped probabilities clearly") {
+    graft.GraftFunctions.register(spark)
+    spark.range(10).select(col("id").cast("double").as("v"), col("id").as("k"))
+      .createOrReplaceTempView("kll_in")
+    // probabilities referencing a column are not foldable → must raise
+    // the registration's IllegalArgumentException, not a planner error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT kll_quantiles(v, array(v)) FROM kll_in").collect()
+    }
+    assert(e1.getMessage.contains("non-foldable") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-foldable")))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT kll_quantiles(v, array('a','b')) FROM kll_in").collect()
+    }
+    assert(e2.getMessage.contains("array<double>") ||
+      Option(e2.getCause).exists(_.getMessage.contains("array<double>")))
+  }
+
   test("distributed agg: partial+merge path matches exact percentiles within bound") {
     val n = 50000
     val df = spark.range(n).repartition(8)

@@ -103,6 +103,18 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(2L))
   }
 
+  test("dropNearDuplicates reliable-checkpoint mode keeps the same survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("sim-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val default = Similarity.dropNearDuplicates(docs, "doc_id", "text",
+        k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val rel = Similarity.dropNearDuplicates(docs, "doc_id", "text",
+        k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9, reliable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rel === default)
+  }
+
   test("minhash LSH recall vs exact n-gram Jaccard on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(col("doc_id") < 300)
@@ -200,5 +212,31 @@ class AnnSpec extends SparkSpec {
     assert(trained >= sampled,
       s"trained recall $trained should be >= sampled recall $sampled")
     assert(trained >= 0.5)
+  }
+
+  test("vector_sum mean matches the posexplode formulation; no Generate in plan") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)), (0L, Array(3.0f, 6.0f)),
+      (1L, Array(10.0f, 0.0f))).toDF("cell", "cv")
+    val agg = df.groupBy("cell")
+      .agg(graft.expr.VectorSum.vectorSum(col("cv")).as("s"))
+      .select(col("cell"), expr("transform(s.sums, x -> CAST(x / s.n AS FLOAT))").as("m"))
+    val m = agg.as[(Long, Seq[Float])].collect().toMap
+    assert(m(0L) == Seq(2.0f, 4.0f) && m(1L) == Seq(10.0f, 0.0f))
+    // the whole point: per-cell centroid update must NOT explode the
+    // vectors into |rows|·dim scalars before the shuffle
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"unexpected explode in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg in:\n$plan")
+  }
+
+  test("vector_sum rejects mixed vector lengths instead of truncating") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (0L, Array(3.0f))).toDF("cell", "cv")
+    val e = intercept[Exception] {
+      df.groupBy("cell").agg(graft.expr.VectorSum.vectorSum(col("cv"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("mixed vector lengths")))
   }
 }

@@ -62,6 +62,22 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2) == Seq("C3", "quote\"d", "3"))
   }
 
+  test("xlsx cells with control chars and supplementary chars round-trip") {
+    import spark.implicits._
+    // U+0001 is forbidden by XML 1.0 even as a numeric reference — it
+    // must be STRIPPED (not escaped) or the write→read round trip dies
+    // in the reader's XML parse; supplementary-plane code points
+    // (emoji = a surrogate PAIR in UTF-16) are legal XML and must
+    // survive — a code-unit filter would drop them.
+    val df = Seq(("A1", "badctl"), ("B2", "ok 😀 emoji"), ("C3", "tab\tkept"))
+      .toDF("PayeeID", "OrganizationName")
+    val path = java.nio.file.Files.createTempDirectory("xlsxc").toString + "/ctl.xlsx"
+    Xlsx.write(df, path)
+    val rows = Xlsx.read(spark, path).orderBy("PayeeID").collect()
+      .map(_.getString(1)).toSeq
+    assert(rows == Seq("badctl", "ok 😀 emoji", "tab\tkept"))
+  }
+
   test("xlsx through Sources.read: extension accepted, name drift detected") {
     import spark.implicits._
     val df = Seq(("X", "1")).toDF("PayeeID", "Amount")
