@@ -29,9 +29,10 @@ object BankRules {
 
   /** Name/address-safe charset: letters, digits, space and -&.,'() —
     * reference rejects !@#$%^* in name fields
-    * (tests/test_chk_core_fields_special_characters_combined.py). */
-  private val nameExtra = "\\-&.,'() "
-  private val alphaExtra = "\\-.' "
+    * (tests/test_chk_core_fields_special_characters_combined.py).
+    * Literal character list — charsetOnly is translate-based, so no
+    * regex escaping. */
+  private val nameExtra = "-&.,'() "
 
   val recordOperation: RuleSet = RuleSet(Seq(
     Rule("RecordOperation.required", required(c("RecordOperation")),
@@ -48,7 +49,7 @@ object BankRules {
     Rule("PayeeID.required", required(c("PayeeID")), "PayeeID is required"),
     Rule("PayeeID.length", maxLength(c("PayeeID"), 9) || minLength(c("PayeeID"), 2),
       "PayeeID must be 2-9 characters"),
-    Rule("PayeeID.charset", matches(c("PayeeID"), "^[A-Za-z0-9]+$"),
+    Rule("PayeeID.charset", alnum(c("PayeeID")),
       "PayeeID must be alphanumeric"),
     Rule("PayeeID.matchesOrgIdentifier",
       (present(c("PayeeID")) && present(c("OrganizationIdentifier")) &&
@@ -60,7 +61,7 @@ object BankRules {
       maxLength(c("OrganizationIdentifier"), 12) || minLength(c("OrganizationIdentifier"), 3),
       "OrganizationIdentifier must be 3-12 characters"),
     Rule("OrganizationIdentifier.charset",
-      matches(c("OrganizationIdentifier"), "^[A-Za-z0-9]+$"),
+      alnum(c("OrganizationIdentifier")),
       "OrganizationIdentifier must be alphanumeric"),
     Rule("OrganizationIdentifier.rFormat",
       matches(c("OrganizationIdentifier"), "^[1-9][0-9]{9}$").onlyWhenCol(isR),
@@ -118,7 +119,9 @@ object BankRules {
     Rule("AccountNumber.requiredEft",
       required(c("AccountNumber")).onlyWhenCol(isMDP && isEft),
       "AccountNumber is required for M, D and P records with payment type as EFT"),
-    Rule("AccountNumber.format", matches(c("AccountNumber"), "^[0-9]{1,17}$"),
+    // 1-17 digits without regex: any non-digit trips numeric, length
+    // is bounded separately (present ⇒ length >= 1 already)
+    Rule("AccountNumber.format", numeric(c("AccountNumber")) || maxLength(c("AccountNumber"), 17),
       "AccountNumber must be 1-17 digits"),
     Rule("AccountType.requiredEft",
       required(c("AccountType")).onlyWhenCol(isMDP && isEft),
@@ -170,9 +173,9 @@ object BankRules {
       "AddressLine2 contains invalid characters"),
     Rule("CityName.maxLength", maxLength(c("CityName"), 25),
       "CityName exceeds 25 characters"),
-    Rule("CityName.charset", matches(c("CityName"), "^[A-Za-z][A-Za-z.' \\-]*$"),
+    Rule("CityName.charset", nameFormat(c("CityName")),
       "CityName contains invalid characters"),
-    Rule("State.format", matches(c("State"), "^[A-Z]{2}$"),
+    Rule("State.format", upperCode(c("State"), 2),
       "State must be a 2-letter uppercase code"),
     Rule("PostalCode.format", matches(c("PostalCode"), "^[0-9]{5}(-[0-9]{4})?$"),
       "PostalCode must be 5 digits or ZIP+4")))
@@ -182,11 +185,11 @@ object BankRules {
       "ContactCode must be AO or DO"),
     Rule("ContactFirstName.maxLength", maxLength(c("ContactFirstName"), 20),
       "ContactFirstName exceeds 20 characters"),
-    Rule("ContactFirstName.charset", matches(c("ContactFirstName"), "^[A-Za-z][A-Za-z.' \\-]*$"),
+    Rule("ContactFirstName.charset", nameFormat(c("ContactFirstName")),
       "ContactFirstName contains invalid characters"),
     Rule("ContactLastName.maxLength", maxLength(c("ContactLastName"), 25),
       "ContactLastName exceeds 25 characters"),
-    Rule("ContactLastName.charset", matches(c("ContactLastName"), "^[A-Za-z][A-Za-z.' \\-]*$"),
+    Rule("ContactLastName.charset", nameFormat(c("ContactLastName")),
       "ContactLastName contains invalid characters"),
     Rule("ContactTitle.maxLength", maxLength(c("ContactTitle"), 23),
       "ContactTitle exceeds 23 characters"),

@@ -89,17 +89,48 @@ object Checks {
   def matches(c: Column, regex: String): Column =
     present(c) && !regexp_like(c, lit(regex))
 
+  private val Digits = "0123456789"
+  private val Alnum = ('A' to 'Z').mkString + ('a' to 'z').mkString + Digits
+
+  /** Character-class membership without regex: `translate` deletes
+    * every allowed char; a non-empty remainder means some char was
+    * outside the set. translate is a codegen'd dictionary lookup per
+    * char (the dictionary is built once per distinct literal arg, not
+    * per row) — on short fields it beats java.util.regex several-fold,
+    * and these class checks are the bulk of the ~68-rule bank stack,
+    * so the whole rule projection stays scan-bound at 100 TB. */
+  private def outsideClass(c: Column, allowed: String): Column =
+    length(translate(c, allowed, "")) > 0
+
   /** Violated when present and not all-digits. */
-  def numeric(c: Column): Column = matches(c, "^[0-9]+$")
+  def numeric(c: Column): Column = present(c) && outsideClass(c, Digits)
 
   /** Violated when present and not exactly `n` digits. */
-  def digits(c: Column, n: Int): Column = matches(c, s"^[0-9]{$n}$$")
+  def digits(c: Column, n: Int): Column =
+    present(c) && (length(c) =!= n || outsideClass(c, Digits))
 
   /** Violated when the field contains characters outside letters,
-    * digits, and `extra`. `extra` is spliced into a character class —
-    * caller escapes regex metacharacters as needed. */
+    * digits, and `extra`. `extra` is a LITERAL character list (no
+    * regex escaping — translate has no metacharacters). */
   def charsetOnly(c: Column, extra: String): Column =
-    present(c) && regexp_like(c, lit(s"[^A-Za-z0-9$extra]"))
+    present(c) && outsideClass(c, Alnum + extra)
+
+  /** Violated when present and not entirely ASCII letters/digits. */
+  def alnum(c: Column): Column = charsetOnly(c, "")
+
+  private val Alpha = ('A' to 'Z').mkString + ('a' to 'z').mkString
+  private val Upper = ('A' to 'Z').mkString
+
+  /** Violated when present and not "leading ASCII letter, remainder
+    * letters + `extra`" — the regex-free form of the reference's
+    * name-field pattern `^[A-Za-z][A-Za-z<extra>]*$`. */
+  def nameFormat(c: Column, extra: String = ".' -"): Column =
+    present(c) && (outsideClass(substring(c, 1, 1), Alpha) ||
+      outsideClass(c, Alpha + extra))
+
+  /** Violated when present and not exactly `n` uppercase ASCII letters. */
+  def upperCode(c: Column, n: Int): Column =
+    present(c) && (length(c) =!= n || outsideClass(c, Upper))
 
   /** Violated when present and not a plausible email (reference rejects
     * specials / over-long, tests/test_contactemail_over_max_length.py). */

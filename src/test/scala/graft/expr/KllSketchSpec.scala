@@ -49,6 +49,36 @@ class KllSketchSpec extends SparkSpec {
     for (p <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(p) === buf.quantile(p))
   }
 
+  test("kll_quantiles merges per watermarked window in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.GraftFunctions.kll_quantiles(col("v"), Seq(0.5)).as("qs"))
+      .select(col("window.start").as("ws"), col("qs")(0).as("p50"))
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("append").start()
+    try {
+      // hour-0 values arrive across TWO micro-batches: the final
+      // window result must come from sketch MERGE under the watermark,
+      // not a single-batch update
+      in.addData((0 until 50).map(i => (ts(i % 60), i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((50 until 100).map(i => (ts(i % 60), i.toDouble)): _*)
+      q.processAllAvailable()
+      // event 2h later pushes the watermark past hour-0 close → append
+      in.addData((ts(130), 1000.0)); q.processAllAvailable()
+      val rows = spark.table("kll_stream").collect()
+      assert(rows.length == 1, s"exactly the closed hour-0 window: ${rows.mkString}")
+      val p50 = rows.head.getDouble(1)
+      // n=100 at k=200 → the sketch is exact; allow the ±1 rank split
+      assert(p50 >= 49.0 && p50 <= 51.0, s"median of 0..99 was $p50")
+    } finally q.stop()
+  }
+
   test("SQL kll_quantiles rejects non-literal and mistyped probabilities clearly") {
     graft.GraftFunctions.register(spark)
     spark.range(10).select(col("id").cast("double").as("v"), col("id").as("k"))
