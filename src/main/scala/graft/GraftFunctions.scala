@@ -29,6 +29,12 @@ object GraftFunctions {
   def kll_quantiles(c: Column, probabilities: Seq[Double], k: Int = 200): Column =
     KllSketch.kllQuantiles(c, probabilities, k)
 
+  def quantize_int8(vec: Column): Column =
+    graft.expr.QuantizeInt8.quantizeInt8(vec)
+
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    graft.expr.TopKByScore.topKBy(score, id, k)
+
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
@@ -70,6 +76,16 @@ object GraftFunctions {
       case Seq(c, ps) => KllSketch(c, 200, doubleLits(ps)).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kll_quantiles expects (col, probabilities[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("quantize_int8", exprs => exprs match {
+      case Seq(v) => graft.expr.QuantizeInt8(v)
+      case other => throw new IllegalArgumentException(
+        s"quantize_int8 expects (vec), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("topk_by", exprs => exprs match {
+      case Seq(s, i, k) => graft.expr.TopKByScore(s, i, intLit(k)).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"topk_by expects (score, id, k), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)

@@ -987,6 +987,48 @@ object SparkEntry {
         .select(col("doc_id"),
           md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_fp"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 relevance scoring against a seed-term bag — per-(doc, term)
+    // partial scores (floor-stabilized; the cross-term SUM is float-
+    // addition-order dependent, so the oracle verifies the scoring
+    // math and Bm25Spec pins the summed ranking). The oracle replays
+    // tokenize → df → idf → tf-norm from raw text.
+    "text_bm25" -> ((s, dir) => {
+      graft.text.Bm25.scoreTerms(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "stream", "vector"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // top-k per group via the mergeable bounded-heap aggregate
+    // (graft.expr.TopKByScore): map-side partials mean at most k
+    // entries per (group x task) reach the shuffle — the scale-safe
+    // form of the window row_number pattern. Oracle replays with a
+    // window; the aggregate's (score desc, id asc) order matches.
+    "q_topk_brand_parts" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(graft.expr.TopKByScore.topKBy(
+          col("p_retailprice").cast("double"), col("p_partkey").cast("long"), 3).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("p_partkey"),
+          (floor(col("col.score") * 100) / 100).as("price"))
+        .orderBy("p_brand", "rnk")
+    }),
+
+    // symmetric int8 embedding quantization (native one-pass kernel):
+    // 4x storage cut, dequant error <= scale/2 per element. floor(x +
+    // 0.5) half-up spelling makes the rounding engine-exact.
+    "emb_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.expr.QuantizeInt8.quantizeInt8(col("embedding")).as("qz"))
+        // the array travels as a comma-joined string: the driver's
+        // row-hash compare handles scalars only
+        .select(col("vec_id"), col("qz.scale").as("scale"),
+          concat_ws(",", col("qz.q").cast("array<string>")).as("qvec"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1738,6 +1780,65 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full BM25 replay from raw text: tokenize -> doc length ->
+    // corpus stats (exact-sum avgdl) -> tf -> df -> idf * tf-norm.
+    // Every fractional constant is CAST to DOUBLE (DuckDB literals are
+    // DECIMAL; decimal arithmetic would diverge from Spark's doubles),
+    // and the arithmetic shape mirrors the Column expression exactly.
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (
+        |  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, count(*) AS dl FROM toks WHERE length(token) > 0
+        |    GROUP BY doc_id) x USING (doc_id)),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE token IN ('spark', 'stream', 'vector') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |  floor(ln(CAST(1.0 AS DOUBLE) +
+        |           ((stats.n_docs - dfreq.df) + CAST(0.5 AS DOUBLE)) /
+        |           (dfreq.df + CAST(0.5 AS DOUBLE))) *
+        |        (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |        (tf.tf + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+        |        * 10000) / 10000 AS score
+        |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // the aggregate's (score desc, id asc) retention = window order
+    "q_topk_brand_parts" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(p_retailprice AS DOUBLE) DESC, p_partkey ASC) AS rnk
+        |  FROM part)
+        |SELECT p_brand, CAST(rnk AS INTEGER) AS rnk, p_partkey,
+        |  floor(price * 100) / 100 AS price
+        |FROM r WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    // int8 quantization replay: identical double math (abs-max / 127,
+    // floor(x/scale + 0.5)); all-zero vectors -> scale 0, zero quants
+    "emb_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) AS INTEGER))
+        |    END, ',') AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_order_count_dist" ->
       """WITH x AS (

@@ -32,6 +32,37 @@ object Kernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Symmetric per-vector int8 quantization in ONE pass: scale =
+    * max(|v|)/127, q_i = floor(v_i/scale + 0.5) (half-up, identical
+    * for any engine replaying the same doubles — no banker's-rounding
+    * divergence). Returns (scale, int[] quants); all-zero vectors get
+    * scale 0 and zero quants. The declarative formulation would
+    * re-evaluate the array-max inside the per-element lambda after
+    * CollapseProject inlining — O(dim²) per row; this kernel is
+    * O(dim). */
+  def quantizeInt8(vec: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var absmax = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(vec.getFloat(i).toDouble)
+      if (x > absmax) absmax = x
+      i += 1
+    }
+    val scale = absmax / 127.0
+    val q = new Array[Int](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(vec.getFloat(i).toDouble / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
   /** Sign-random-projection LSH bucket id over a float vector: bit p
     * of the result is set iff the dot product with pseudo-random
     * hyperplane p is ≥ 0. Plane components replicate the Column

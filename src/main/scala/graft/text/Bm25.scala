@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring of a document corpus against a bag of query
+  * terms (Robertson & Spärck Jones probabilistic retrieval; the
+  * Okapi BM25 form with the standard k1/b length normalization) — the
+  * corpus-search / relevance-filter operator of a training-data
+  * pipeline ("keep documents relevant to these seed terms").
+  *
+  * 100 TB shape: the only full-corpus work is two narrow scans (one
+  * aggregate for corpus stats, one tokenize+explode). Postings are
+  * filtered to the query terms BEFORE any shuffle, so both groupBys
+  * move |matching postings| rows, not the corpus; document frequency
+  * and corpus stats are broadcast back. No driver-side data beyond
+  * the (tiny) term list.
+  */
+object Bm25 {
+
+  /** Per-(doc, term) BM25 partial scores — the engine-replayable form
+    * (every value is derived through floor-stabilized double math, no
+    * cross-term summation whose float addition order could differ
+    * between engines). Columns: doc_id, token, tf, df, score. */
+  def scoreTerms(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term list")
+    val base = docs.select(col(idCol).as("doc_id"),
+      trim(lower(col(textCol))).as("t"))
+    // corpus stats: one aggregate pass, 1-row result, broadcast.
+    // avgdl spelled sum/count (exact integer sum, one double division)
+    // rather than avg(): engines disagree on avg's internal
+    // accumulation order, exact-sum-then-divide is reproducible.
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(TextAnalysis.wsTokenCount(col("t"))).cast("double") /
+        count(lit(1))).as("avgdl"))
+    // postings: doc length rides along as a grouping key (functionally
+    // dependent on doc_id) so no corpus-wide doc-length join is needed
+    val tf = base
+      .select(col("doc_id"), TextAnalysis.wsTokenCount(col("t")).as("dl"),
+        explode(split(col("t"), "\\s+")).as("token"))
+      .where(length(col("token")) > 0 && col("token").isInCollection(terms))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // arithmetic shape mirrors the DuckDB oracle exactly (IEEE ops are
+    // commutative, only re-association would diverge); constants enter
+    // as doubles on both sides
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (floor(idf * tfNorm * 10000) / 10000).as("score"))
+  }
+
+  /** Summed BM25 per document, ranked. The cross-term sum is float-
+    * addition-order dependent in the last bits, so this form is pinned
+    * by ScalaTest against a driver-side reference rather than by the
+    * cross-engine oracle (which verifies [[scoreTerms]]). */
+  def rank(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreTerms(docs, idCol, textCol, terms, k1, b)
+      .groupBy("doc_id").agg(sum("score").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+}

@@ -113,6 +113,76 @@ class ExprSpec extends SparkSpec {
     assert(native.length == hof.length && native.sameElements(hof))
   }
 
+  test("quantize_int8: bounded dequant error, exact extremes, zero-vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // all-zero: scale 0
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("id", "vec")
+    val rows = df.select(col("id"), col("vec"),
+        graft.expr.QuantizeInt8.quantizeInt8(col("vec")).as("qz"))
+      .select(col("id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+        graft.expr.QuantizeInt8.dequantize(col("qz.q"), col("qz.scale")).as("back"),
+        col("vec"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val back = r.getSeq[Float](3)
+      val orig = r.getSeq[Float](4)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      if (r.getLong(0) == 2L) {
+        assert(scale == 0.0 && q.forall(_ == 0))
+      } else {
+        // the max-|v| element must quantize exactly to ±127
+        assert(q.map(math.abs).max == 127)
+        orig.zip(back).foreach { case (o, b) =>
+          assert(math.abs(o - b) <= scale / 2 + 1e-6, s"row $r")
+        }
+      }
+    }
+  }
+
+  test("quantize_int8 rejects non-float arrays at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1.0, 2.0)).toDF("v")
+        .select(graft.expr.QuantizeInt8.quantizeInt8(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("quantize_int8"))
+  }
+
+  test("topk_by matches the window row_number formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      (s"g${i % 7}", rnd.nextInt(40).toDouble, i.toLong) // dup scores → tie paths
+    }
+    val df = rows.toDF("g", "s", "id").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.expr.TopKByScore.topKBy(col("s"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("col.id").as("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5).select("g", "rnk", "id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topk_by partials combine map-side (ObjectHashAggregate, no window sort of the input)") {
+    val df = spark.range(1000)
+      .select((col("id") % 5).cast("string").as("g"),
+        col("id").cast("double").as("s"), col("id").as("i"))
+    val plan = df.groupBy("g")
+      .agg(graft.expr.TopKByScore.topKBy(col("s"), col("i"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topk_by") || plan.contains("partial_topkbyscore"),
+      s"expected a partial (map-side) aggregate mode in:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("SQL registration: minhash_sig and kmv_distinct usable from spark.sql") {
     GraftFunctions.register(spark)
     Seq("hello world document", "hello world document").toDF("text")
