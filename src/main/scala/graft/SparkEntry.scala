@@ -1062,6 +1062,15 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // production profiling path: HyperLogLog distincts (one pass, no
+    // Expand) — the oracle-gated v_profile_customer runs the exact-
+    // distinct mode so DuckDB can replay it
+    "v_profile_customer_native" -> ((s, dir) => {
+      graft.validate.Profiler.profile(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("col_name")
+    }),
+
     // native 64-bit fused SimHash kernel (graft.expr.SimHash64)
     "dedup_simhash_native" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
