@@ -48,7 +48,12 @@ object ConnectedComponents {
     def ckptLazy(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
-    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // materialize the edge list FIRST: `und` is referenced by both the
+    // symmetric-closure job and the initial-labels job below — without
+    // this checkpoint the caller's whole upstream pipeline (e.g. an
+    // n-gram Jaccard pair join) executes once per reference, since
+    // exchange reuse never spans separate actions
+    val und = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long")))
     // symmetric closure, checkpointed (not just cached): a cache keeps
     // the upstream logical plan — e.g. a whole near-dup pair pipeline —
     // and every round's join re-runs the optimizer over that subtree;
