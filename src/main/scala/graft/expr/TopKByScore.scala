@@ -48,7 +48,9 @@ final case class TopKByScore(
   override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
+    // NaN scores are unrankable (every comparison is false, so one
+    // would enter the heap and never be evicted) — skip them like nulls
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

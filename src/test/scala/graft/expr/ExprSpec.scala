@@ -183,6 +183,53 @@ class ExprSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("TopKByScore heap property: random inserts+merges match sort reference") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 200) {
+      val k = Seq(1, 2, 3, 5, 8, 32)(rnd.nextInt(6))
+      val n = rnd.nextInt(50)
+      // few distinct scores → exercise the tie paths hard
+      val items = Seq.fill(n)((rnd.nextInt(6).toDouble, rnd.nextInt(40).toLong))
+      // random split into sub-buffers merged in random order — models
+      // arbitrary partials
+      val bufs = Seq.fill(rnd.nextInt(3) + 1)(new TopKByScore.Buf(k))
+      items.foreach { case (s, id) => bufs(rnd.nextInt(bufs.size)).insert(s, id) }
+      val merged = bufs.reduce { (a, b) =>
+        (0 until b.size).foreach(i => a.insert(b.scores(i), b.ids(i))); a
+      }
+      val got = (0 until merged.size)
+        .map(i => (merged.scores(i), merged.ids(i)))
+        .sortBy(p => (-p._1, p._2))
+      val want = items.sortBy(p => (-p._1, p._2)).take(k)
+      assert(got === want, s"trial $trial k=$k n=$n")
+    }
+  }
+
+  test("topk_by skips NaN scores instead of pinning them in the heap") {
+    val df = Seq((1.0, 1L), (Double.NaN, 2L), (3.0, 3L)).toDF("s", "id")
+    val top = df.agg(graft.expr.TopKByScore.topKBy(col("s"), col("id"), 2).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.id"))
+      .as[Long].collect().toSeq
+    assert(top === Seq(3L, 1L))
+  }
+
+  test("topk_by aggregates across streaming micro-batches (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Double, Long)]
+    val q = in.toDF().toDF("s", "id")
+      .agg(graft.expr.TopKByScore.topKBy(col("s"), col("id"), 2).as("t"))
+      .select(col("t")(0).getField("id").as("best"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData((1.0, 10L), (5.0, 20L)); q.processAllAvailable()
+      in.addData((9.0, 30L)); q.processAllAvailable()
+      val last = spark.table("topk_stream").collect().last
+      assert(last.getLong(0) === 30L)
+    } finally q.stop()
+  }
+
   test("SQL registration: minhash_sig and kmv_distinct usable from spark.sql") {
     GraftFunctions.register(spark)
     Seq("hello world document", "hello world document").toDF("text")
