@@ -87,6 +87,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"topk_by expects (score, id, k), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("vector_sum", exprs => exprs match {
+      case Seq(v) => graft.expr.VectorSum(v).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"vector_sum expects (vec), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)
       case other => throw new IllegalArgumentException(

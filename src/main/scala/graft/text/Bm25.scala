@@ -24,7 +24,10 @@ object Bm25 {
     * between engines). Columns: doc_id, token, tf, df, score. */
   def scoreTerms(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25: empty term list")
+    // tokenization case-folds the text, so fold the query bag the same
+    // way — a caller passing "Spark" must not silently match nothing
+    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "bm25: empty term list")
     val base = docs.select(col(idCol).as("doc_id"),
       trim(lower(col(textCol))).as("t"))
     // corpus stats: one aggregate pass, 1-row result, broadcast.
@@ -40,7 +43,7 @@ object Bm25 {
     val tf = base
       .select(col("doc_id"), TextAnalysis.wsTokenCount(col("t")).as("dl"),
         explode(split(col("t"), "\\s+")).as("token"))
-      .where(length(col("token")) > 0 && col("token").isInCollection(terms))
+      .where(length(col("token")) > 0 && col("token").isInCollection(qTerms))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // arithmetic shape mirrors the DuckDB oracle exactly (IEEE ops are

@@ -45,6 +45,14 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("query terms are case-folded like the tokenization") {
+    val viaUpper = Bm25.scoreTerms(docs, "doc_id", "text", Seq(" Spark ", "STREAM"))
+      .select("doc_id", "token", "tf").as[(Long, String, Long)].collect().toSet
+    val viaLower = Bm25.scoreTerms(docs, "doc_id", "text", Seq("spark", "stream"))
+      .select("doc_id", "token", "tf").as[(Long, String, Long)].collect().toSet
+    assert(viaUpper === viaLower && viaLower.nonEmpty)
+  }
+
   test("scoreTerms df counts documents, tf counts occurrences") {
     val rows = Bm25.scoreTerms(docs, "doc_id", "text", Seq("spark", "stream"))
       .select("doc_id", "token", "tf", "df")
