@@ -92,6 +92,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"vector_sum expects (vec), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("normalize_text", exprs => exprs match {
+      case Seq(t, f) => graft.expr.NormalizeText(t, stringLit(f))
+      case Seq(t) => graft.expr.NormalizeText(t, "NFC")
+      case other => throw new IllegalArgumentException(
+        s"normalize_text expects (text[, form]), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)
       case other => throw new IllegalArgumentException(
@@ -108,6 +114,16 @@ object GraftFunctions {
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+  }
+
+  private def stringLit(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    if (!e.foldable || e.dataType != org.apache.spark.sql.types.StringType)
+      throw new IllegalArgumentException(
+        s"expected a string literal, got ${e.dataType.simpleString} $e")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"expected string literal, got $other")
     }
   }
 

@@ -989,6 +989,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode-canonical fingerprinting: both a composed (U+00E9) and a
+    // decomposed (e + U+0301) "café" are appended to every doc, so the
+    // fingerprints only match the oracle if BOTH engines NFC-normalize
+    // identically (UAX#15) — the ASCII corpus alone would not exercise
+    // the normalizer.
+    "text_fingerprint_nfc" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.canonicalFingerprint(
+          concat(col("text"), lit(" cafe\u0301 caf\u00e9"))).as("nfc_fp"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 relevance scoring against a seed-term bag — per-(doc, term)
     // partial scores (floor-stabilized; the cross-term SUM is float-
     // addition-order dependent, so the oracle verifies the scoring
@@ -1788,6 +1800,13 @@ object SparkEntry {
         |  md5(regexp_replace(
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(233) = U+00E9 composed é
+    "text_fingerprint_nfc" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(nfc_normalize(
+        |    text || ' cafe' || chr(769) || ' caf' || chr(233)))), '\s+', ' ', 'g')) AS nfc_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // full BM25 replay from raw text: tokenize -> doc length ->

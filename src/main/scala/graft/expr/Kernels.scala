@@ -32,6 +32,18 @@ object Kernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Unicode normalization (UAX#15) of a UTF8String. The
+    * `isNormalized` fast path makes ASCII (and already-normalized)
+    * text a near-no-op scan — the common case for web corpora — while
+    * composed/decomposed variants of the same glyphs ("é" as U+00E9
+    * vs e+U+0301) canonicalize to identical bytes, which is what makes
+    * normalization-then-fingerprint a sound exact-dup key. */
+  def normalizeText(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
   /** Symmetric per-vector int8 quantization in ONE pass: scale =
     * max(|v|)/127, q_i = floor(v_i/scale + 0.5) (half-up, identical
     * for any engine replaying the same doubles — no banker's-rounding

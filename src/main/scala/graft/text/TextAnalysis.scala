@@ -84,6 +84,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** [[fingerprint]] with Unicode NFC canonicalization first
+    * (graft.expr.NormalizeText): composed and decomposed spellings of
+    * the same glyphs ("é" as U+00E9 vs e+U+0301) fingerprint
+    * identically — the form web-scraped corpora actually need. */
+  def canonicalFingerprint(text: Column): Column =
+    fingerprint(graft.expr.NormalizeText.normalize(text, "NFC"))
+
   /** Rolling/positional fingerprint: xxhash64 of each `w`-token window
     * — winnowing-style shingle hashes for partial-overlap detection. */
   /** Fixed-size overlapping character chunks of `text` as
