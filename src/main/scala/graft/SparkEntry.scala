@@ -989,6 +989,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition filter: duplicate-token fraction per doc
+    "text_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode-canonical fingerprinting: both a composed (U+00E9) and a
     // decomposed (e + U+0301) "café" are appended to every doc, so the
     // fingerprints only match the oracle if BOTH engines NFC-normalize
@@ -1801,6 +1809,20 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // duplicate-token fraction: 1 - distinct/total over ws tokens
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                t -> length(t) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(tk) = 0 THEN 0.0
+        |       ELSE floor((CAST(1.0 AS DOUBLE) -
+        |         CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)) * 10000) / 10000
+        |  END AS rep_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     // chr(769) = U+0301 combining acute, chr(233) = U+00E9 composed é
     "text_fingerprint_nfc" ->

@@ -69,6 +69,18 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Repetition ratio in [0,1]: fraction of token occurrences that are
+    * repeats of an earlier token — the Gopher-style "duplicate
+    * fraction" filter (templated/boilerplate docs score high, natural
+    * prose low). 0 for blank docs. Narrow codegen'd array ops, no
+    * shuffle; floor-quantized for cross-engine stability. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val n = wsTokenCount(text).cast("double")
+    when(n === 0, 0.0).otherwise(
+      floor((lit(1.0) - size(array_distinct(toks)) / n) * 10000) / 10000)
+  }
+
   /** PII-style scrubbing for training corpora: emails → <EMAIL>,
     * long digit runs (phone/account numbers) → <NUM>. Pure
     * regexp_replace — runs at scan speed; patterns restricted to

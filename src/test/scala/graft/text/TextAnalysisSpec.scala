@@ -44,6 +44,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("repetitionRatio: 0 for all-distinct and blank, high for boilerplate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "every token here is fully distinct"),
+      (2L, "spam spam spam spam spam"),   // 1 distinct of 5 → 0.8
+      (3L, "a b a b"),                    // 2 distinct of 4 → 0.5
+      (4L, "  "),                         // blank → 0
+      (5L, "Spam SPAM spam")              // case-folded → 0.6667
+    ).toDF("id", "text")
+    val m = df.select(col("id"), TextAnalysis.repetitionRatio(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) === 0.0)
+    assert(m(2L) === 0.8)
+    assert(m(3L) === 0.5)
+    assert(m(4L) === 0.0)
+    assert(m(5L) === 0.6666)
+  }
+
   test("scrubPii masks emails and long digit runs, leaves prose alone") {
     val df = Seq(
       "contact jane.doe+x@corp.example.com or call 18005551234 now",
