@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the core validation path: generate N bank rows
+  * distributed, materialize to parquet (the real pipeline validates
+  * FILES — and the barrier stops CollapseProject from inlining the
+  * generator's expression trees into every rule reference), then run
+  * the full ~68-rule set in one codegen'd projection over the scan.
+  * Reports scan+validate wall time and rows/s — the per-row cost a
+  * 1000-executor cluster multiplies out. One JSON line →
+  * BENCH_SCALE.json.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val path = java.nio.file.Files.createTempDirectory("scale-smoke").toString + "/bank"
+    val (_, tGen) = time {
+      graft.bank.BankDataGen.generate(spark, rows, seed = 3)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    // warm-up: codegen compile of the 68-rule projection + scan JIT
+    val feed = spark.read.parquet(path)
+    graft.validate.Validator.validate(feed.limit(10000), graft.bank.BankRules.all)
+      .select(count(when(!col(graft.validate.Validator.ValidCol), 1))).head()
+
+    val (bad, tVal) = time {
+      graft.validate.Validator.validate(feed, graft.bank.BankRules.all)
+        .select(count(when(!col(graft.validate.Validator.ValidCol), 1))).head().getLong(0)
+    }
+    val json =
+      s"""{"metric":"validation_scale","rows":$rows,""" +
+      s""""gen_write_sec":${"%.2f".format(tGen)},"scan_validate_sec":${"%.2f".format(tVal)},""" +
+      s""""rows_per_sec":${(rows / tVal).toLong},"invalid_rows":$bad}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
+    spark.stop()
+  }
+}

@@ -32,6 +32,126 @@ object Kernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  // ------------------------------------------------------------------ //
+  // Validation-rule kernels: allocation-free single-pass predicates
+  // over UTF8String bytes. The Column formulations they replace
+  // (trim-and-compare, translate-and-length, java.util.regex) allocate
+  // per row per rule — at a ~68-rule stack that is the difference
+  // between scan-bound and 3x slower. Each kernel's equivalence to its
+  // regex/Column spec is pinned by property tests (StringCheckSpec).
+  // ------------------------------------------------------------------ //
+
+  /** trim(s) == "" without the trim allocation — Spark's SQL trim
+    * strips ASCII space (0x20) ONLY, so a tab-only string is NOT
+    * blank; this mirrors that exactly. */
+  def isBlankStr(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) { if (s.getByte(i) != 0x20) return false; i += 1 }
+    true
+  }
+
+  /** Every byte's bit set in the 128-bit ASCII mask (m0 = bytes 0-63,
+    * m1 = 64-127); any non-ASCII byte fails — identical to a regex
+    * char class / translate over an ASCII allowed set. */
+  def allInSet(s: UTF8String, m0: Long, m1: Long): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b >= 128) return false
+      val ok = if (b < 64) ((m0 >>> b) & 1L) == 1L else ((m1 >>> (b - 64)) & 1L) == 1L
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isDigitB(b: Int): Boolean = b >= '0' && b <= '9'
+  private def isAlphaB(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  /** java.util.regex \s = [ \t\n\x0B\f\r] (ASCII only). */
+  private def isWsB(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Exact DFA of `^\+?[0-9().\-\s]+(x[0-9]+)?$`. */
+  def isPhone(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    if (i < n && s.getByte(i) == '+') i += 1
+    val start = i
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (isDigitB(b) || b == '(' || b == ')' || b == '.' || b == '-' || isWsB(b)) i += 1
+      else if (b >= 128) return false
+      else {
+        // only a trailing x<digits...> extension may follow
+        if (b != 'x' || i == start) return false
+        i += 1
+        if (i == n) return false
+        while (i < n) { if (!isDigitB(s.getByte(i) & 0xff)) return false; i += 1 }
+        return true
+      }
+    }
+    i > start
+  }
+
+  /** Exact match of `^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$`:
+    * local part, '@', then a domain whose last '.' is followed by >= 2
+    * letters and preceded by >= 1 domain-class char (any earlier '.'
+    * split the regex could pick implies this one works too). */
+  def isEmail(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    // local part
+    var nl = 0
+    while (i < n && {
+      val b = s.getByte(i) & 0xff
+      isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+    }) { i += 1; nl += 1 }
+    if (nl == 0 || i >= n || s.getByte(i) != '@') return false
+    i += 1
+    val domStart = i
+    var lastDot = -1
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (!(isAlphaB(b) || isDigitB(b) || b == '.' || b == '-')) return false
+      if (b == '.') lastDot = i
+      i += 1
+    }
+    if (lastDot < domStart + 1 || n - lastDot - 1 < 2) return false
+    var j = lastDot + 1
+    while (j < n) { if (!isAlphaB(s.getByte(j) & 0xff)) return false; j += 1 }
+    true
+  }
+
+  /** Strict `yyyy-MM-dd` calendar validity in one pass: 4-2-2 digit
+    * format AND a real proleptic-Gregorian date (leap-aware), exactly
+    * what `regexp ^\d{4}-\d{2}-\d{2}$` + non-null
+    * `try_to_date(c, 'yyyy-MM-dd')` accepts. */
+  def isYmdDate(s: UTF8String): Boolean = {
+    if (s.numBytes != 10) return false
+    var i = 0
+    while (i < 10) {
+      val b = s.getByte(i) & 0xff
+      if (i == 4 || i == 7) { if (b != '-') return false }
+      else if (!isDigitB(b)) return false
+      i += 1
+    }
+    def d(i: Int): Int = (s.getByte(i) & 0xff) - '0'
+    val y = d(0) * 1000 + d(1) * 100 + d(2) * 10 + d(3)
+    val m = d(5) * 10 + d(6)
+    val dd = d(8) * 10 + d(9)
+    if (m < 1 || m > 12 || dd < 1) return false
+    val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    val maxD = m match {
+      case 2 => if (leap) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    dd <= maxD
+  }
+
   /** Unicode normalization (UAX#15) of a UTF8String. The
     * `isNormalized` fast path makes ASCII (and already-normalized)
     * text a near-no-op scan — the common case for web corpora — while

@@ -63,8 +63,15 @@ object RuleSet {
   * same missing value; CSV feeds lose the distinction anyway).
   */
 object Checks {
+  import graft.expr.StringCheck.{check => sc}
 
-  def blank(c: Column): Column = c.isNull || trim(c) === ""
+  // Hot predicates run as native codegen kernels (graft.expr.
+  // StringCheck): one allocation-free byte pass per check instead of
+  // per-row trim/translate/regex-Matcher allocations — at a ~68-rule
+  // stack that keeps validation scan-bound. Each kernel's equivalence
+  // to the regex/Column spec it replaced is pinned by StringCheckSpec.
+
+  def blank(c: Column): Column = sc(c, "blank")
   def present(c: Column): Column = !blank(c)
 
   /** Violated when the field is blank. */
@@ -92,28 +99,18 @@ object Checks {
   private val Digits = "0123456789"
   private val Alnum = ('A' to 'Z').mkString + ('a' to 'z').mkString + Digits
 
-  /** Character-class membership without regex: `translate` deletes
-    * every allowed char; a non-empty remainder means some char was
-    * outside the set. translate is a codegen'd dictionary lookup per
-    * char (the dictionary is built once per distinct literal arg, not
-    * per row) — on short fields it beats java.util.regex several-fold,
-    * and these class checks are the bulk of the ~68-rule bank stack,
-    * so the whole rule projection stays scan-bound at 100 TB. */
-  private def outsideClass(c: Column, allowed: String): Column =
-    length(translate(c, allowed, "")) > 0
-
   /** Violated when present and not all-digits. */
-  def numeric(c: Column): Column = present(c) && outsideClass(c, Digits)
+  def numeric(c: Column): Column = present(c) && !sc(c, "allin", Digits)
 
   /** Violated when present and not exactly `n` digits. */
   def digits(c: Column, n: Int): Column =
-    present(c) && (length(c) =!= n || outsideClass(c, Digits))
+    present(c) && (length(c) =!= n || !sc(c, "allin", Digits))
 
   /** Violated when the field contains characters outside letters,
     * digits, and `extra`. `extra` is a LITERAL character list (no
-    * regex escaping — translate has no metacharacters). */
+    * regex escaping). */
   def charsetOnly(c: Column, extra: String): Column =
-    present(c) && outsideClass(c, Alnum + extra)
+    present(c) && !sc(c, "allin", Alnum + extra)
 
   /** Violated when present and not entirely ASCII letters/digits. */
   def alnum(c: Column): Column = charsetOnly(c, "")
@@ -122,34 +119,31 @@ object Checks {
   private val Upper = ('A' to 'Z').mkString
 
   /** Violated when present and not "leading ASCII letter, remainder
-    * letters + `extra`" — the regex-free form of the reference's
-    * name-field pattern `^[A-Za-z][A-Za-z<extra>]*$`. */
+    * letters + `extra`" — the reference's name-field pattern
+    * `^[A-Za-z][A-Za-z<extra>]*$`. */
   def nameFormat(c: Column, extra: String = ".' -"): Column =
-    present(c) && (outsideClass(substring(c, 1, 1), Alpha) ||
-      outsideClass(c, Alpha + extra))
+    present(c) && !sc(c, "namefmt", Alpha + extra)
 
   /** Violated when present and not exactly `n` uppercase ASCII letters. */
   def upperCode(c: Column, n: Int): Column =
-    present(c) && (length(c) =!= n || outsideClass(c, Upper))
+    present(c) && (length(c) =!= n || !sc(c, "allin", Upper))
 
   /** Violated when present and not a plausible email (reference rejects
-    * specials / over-long, tests/test_contactemail_over_max_length.py). */
-  def email(c: Column): Column =
-    matches(c, "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+    * specials / over-long, tests/test_contactemail_over_max_length.py).
+    * Kernel DFA of `^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$`. */
+  def email(c: Column): Column = present(c) && !sc(c, "email")
 
   /** Violated when present and not phone-like: digits with optional
     * punctuation/extension (reference faker phone formats;
     * tests/test_contactphone_invalid_format.py rejects embedded letters
-    * like 123ABC4567 but faker emits x-extensions, dots, parens). */
-  def phone(c: Column): Column =
-    matches(c, "^\\+?[0-9().\\-\\s]+(x[0-9]+)?$")
+    * like 123ABC4567 but faker emits x-extensions, dots, parens).
+    * Kernel DFA of `^\+?[0-9().\-\s]+(x[0-9]+)?$`. */
+  def phone(c: Column): Column = present(c) && !sc(c, "phone")
 
-  /** Violated when present and not a YYYY-MM-DD calendar date. */
-  def dateYmd(c: Column): Column =
-    present(c) && (
-      !regexp_like(c, lit("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")) ||
-        try_to_date(c, "yyyy-MM-dd").isNull
-    )
+  /** Violated when present and not a YYYY-MM-DD calendar date
+    * (kernel: strict 4-2-2 digit format + leap-aware validity — what
+    * the format regex + non-null try_to_date pair accepted). */
+  def dateYmd(c: Column): Column = present(c) && !sc(c, "ymd")
 
   /** Violated when the field is present but must be blank in context. */
   def mustBeBlank(c: Column): Column = present(c)
