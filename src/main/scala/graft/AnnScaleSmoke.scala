@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for similarity search over N hash-derived 64-dim
+  * vectors (no driver state): exact brute-force top-10 for 100
+  * queries, then the serving shape — build the cell-partitioned IVF
+  * index ONCE (AnnIngest), probe the same 100 queries against it with
+  * partition pruning. Reports brute vs build vs probe wall times and
+  * probe recall against the brute ground truth. One JSON line →
+  * BENCH_SCALE_ANN.json.
+  */
+object AnnScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("ann-smoke").toString
+    spark.range(rows).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val corpus = spark.read.parquet(s"$dir/emb")
+    val queries = corpus.where(col("vec_id") < 100)
+    val centroids = corpus.where(col("vec_id") < 64)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // warm-up (codegen + JIT) on a slice
+    graft.ops.Ann.bruteTopK(corpus.where(col("vec_id") < 10000), queries,
+      "vec_id", "embedding", 10).count()
+
+    val (truth, tBrute) = time(pairs(
+      graft.ops.Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 10)))
+    // serving shape: one-time cell-partitioned index build...
+    val (_, tBuild) = time(graft.streaming.AnnIngest.processBatch(
+      corpus, centroids, "vec_id", "embedding", s"$dir/ivf", "smoke", 0L))
+    // ...then partition-pruned probes per query batch
+    val (got, tProbe) = time(pairs(graft.streaming.AnnIngest.probe(
+      spark, s"$dir/ivf", centroids, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8)))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    val json =
+      s"""{"metric":"ann_scale","rows":$rows,"dim":64,"queries":100,"k":10,""" +
+      s""""brute_sec":${"%.2f".format(tBrute)},"index_build_sec":${"%.2f".format(tBuild)},""" +
+      s""""probe_sec":${"%.2f".format(tProbe)},"probe_recall":${"%.3f".format(recall)},""" +
+      s""""cells":64,"nprobe":8}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE_ANN.json"), json)
+    spark.stop()
+  }
+}

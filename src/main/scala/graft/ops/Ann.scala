@@ -31,11 +31,26 @@ object Ann {
     dd(a, b) / (sqrt(dd(a, a)) * sqrt(dd(b, b)))
   }
 
+  /** (query_id, neighbor_id, cosine, rnk) from a scored candidate
+    * frame via the mergeable bounded-heap aggregate
+    * (graft.expr.TopKByScore): each map task keeps only its local
+    * top-k per query, so the shuffle carries k·tasks rows per query —
+    * NOT the |candidates| rows a `row_number()` window would move
+    * (at |corpus| × |queries| candidates that window shuffle was the
+    * dominant cost of the brute path at scale). Identical output to
+    * the window form: (score desc, id asc) order and tie-breaks. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.expr.TopKByScore.topKBy(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+
   /** Exact top-k neighbors per query by cosine similarity.
     *
     * `queries` is broadcast; the join is a BroadcastNestedLoopJoin so
-    * the corpus is scanned exactly once with no shuffle; the only
-    * shuffled data is (qid, cid, sim) — already reduced. Ties broken by
+    * the corpus is scanned exactly once with no shuffle; the top-k
+    * reduction is map-side (see [[topKPerQuery]]). Ties broken by
     * ascending corpus id for determinism.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
@@ -46,11 +61,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** All corpus vectors within `threshold` cosine of any query —
@@ -228,11 +239,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: probe only the query's bucket. Recall trades off
@@ -253,10 +260,6 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKPerQuery(scored, k)
   }
 }

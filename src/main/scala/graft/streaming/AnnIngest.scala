@@ -48,8 +48,9 @@ object AnnIngest {
       .start()
   }
 
-  /** One micro-batch; factored out so tests can drive it directly. */
-  private[streaming] def processBatch(batch: DataFrame, centroids: DataFrame,
+  /** One micro-batch; factored out so tests and the batch index-build
+    * path (AnnScaleSmoke) can drive it directly. */
+  private[graft] def processBatch(batch: DataFrame, centroids: DataFrame,
                                       idCol: String, vecCol: String,
                                       indexPath: String, runId: String,
                                       batchId: Long): Unit =
@@ -78,12 +79,10 @@ object AnnIngest {
     val cells = probes.select("cell").distinct().collect().map(_.get(0))
     val index = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
 
-    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    index.join(broadcast(probes), Seq("cell"))
-      .where(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(Ann.cosine(col("qv"), col("vec")), 6).as("cosine"))
-      .withColumn("rnk", row_number().over(wk)).where(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    Ann.topKPerQuery(
+      index.join(broadcast(probes), Seq("cell"))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(Ann.cosine(col("qv"), col("vec")), 6).as("cosine")), k)
   }
 }
