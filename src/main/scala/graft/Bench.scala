@@ -4,10 +4,21 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query steady-state seconds.
   *
   * Each query runs once untimed (JIT + whole-stage-codegen compile,
-  * shuffle file warmup) and once timed — the steady-state number is
+  * shuffle file warmup) and min-of-3 timed — the steady-state number is
   * what a resident cluster service would see; first-run plan compile
   * is a per-plan constant independent of data size. Set
   * SPARK_GRAFT_BENCH_COLD=1 to time single cold runs instead.
+  *
+  * Robustness (r7): the r6 end-of-round capture recorded 3-9x spikes on
+  * eight queries whose code had not changed — machine contention during
+  * the capture window survived even min-of-2. Two defenses now:
+  * (a) min-of-3 timed runs per query, and (b) after the full pass, any
+  * query whose time exceeds 3x its value in the previous BENCH_LAST.json
+  * (and 0.3 s absolute) is re-measured from scratch and the better
+  * number kept — transient contention must now span two widely separated
+  * windows to corrupt an entry. The artifact records the 1-minute system
+  * load average before and after the run plus which queries were re-run,
+  * so a reader can judge capture quality without forensics.
   */
 object Bench {
   /** Artifact path: a name-filtered (local-iteration) run writes to a
@@ -17,18 +28,44 @@ object Bench {
     env("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (only.isEmpty) "BENCH_LAST.json" else "BENCH_SUBSET.json")
 
+  /** Extract the per-query seconds map from a prior artifact line (our
+    * own single-line format — no JSON lib on the classpath, and the
+    * "queries" object is flat, so substring + regex is exact). */
+  def parsePrior(text: String): Map[String, Double] = {
+    val tag = "\"queries\":"
+    val i = text.indexOf(tag + "{")
+    if (i < 0) Map.empty
+    else {
+      val start = i + tag.length
+      val end = text.indexOf('}', start)
+      if (end < 0) Map.empty
+      else """"([^"]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(text.substring(start, end + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    }
+  }
+
   /** One-line JSON artifact. Millisecond precision keeps the stdout
     * line ~2.2 KB for 73 queries — the driver's stdout tail capture
     * truncated the r2/r3 full-precision line (~2.9 KB), leaving the
     * artifact unparseable. Locale.ROOT pins the decimal separator to
     * '.': the JVM-default locale can be comma-decimal (de_DE), which
     * would emit invalid JSON. */
-  def jsonLine(results: Map[String, Double], sfDir: String): String = {
+  def jsonLine(results: Map[String, Double], sfDir: String): String =
+    jsonLine(results, sfDir, Map.empty)
+
+  /** `meta` pairs are emitted as extra top-level string fields (load
+    * averages, re-run list). Values must not contain quotes. */
+  def jsonLine(results: Map[String, Double], sfDir: String,
+               meta: Map[String, String]): String = {
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val metaStr = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":"$v"""" }.mkString
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$metaStr}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -43,39 +80,69 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args: bench only the named queries (local iteration)
     val only: Set[String] = args.toSet
-    // benchOnlyQueries: production (xxhash-native) dedup paths — no
-    // DuckDB oracle can replay them, but the bench must measure what
-    // users run, not only the md5 oracle variants
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val r = try {
+    val prior: Map[String, Double] =
+      try parsePrior(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_LAST.json")))
+      catch { case _: Throwable => Map.empty }
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def fmtLoad(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val load0 = loadAvg
+
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
         if (!cold) {
           fn(spark, sfDir).count() // warm-up: codegen + JIT
-          // min of two timed runs: single-shot numbers on a shared box
+          // min of three timed runs: single-shot numbers on a shared box
           // carry ±50% scheduler noise; the min is the reproducible
           // steady-state cost
-          val times = (1 to 2).map { _ =>
+          (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          }
-          name -> times.min
+          }.min
         } else {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          (System.nanoTime() - t0) / 1e9
         }
-      } catch { case _: Throwable => name -> -1.0 }
+      } catch { case _: Throwable => -1.0 }
+
+    // benchOnlyQueries: production (xxhash-native) dedup paths — no
+    // DuckDB oracle can replay them, but the bench must measure what
+    // users run, not only the md5 oracle variants
+    val all = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val firstPass = all.map { case (name, fn) =>
+      val t = timeOne(fn)
       // queries that cache intermediates (minhash/simhash sigs) would
       // otherwise pin executor storage for the remaining ~70 queries —
       // the r3 artifact showed 3-5x "regressions" on late-running
       // queries that vanish when run in isolation. Evict between
       // queries so each is measured against an empty store.
       spark.catalog.clearCache()
-      r
+      name -> t
     }
-    val json = jsonLine(results, sfDir)
+    // Outlier re-run: a time >3x the previous artifact's (and >0.3 s —
+    // sub-100ms queries jitter legitimately) is presumed contention
+    // until a second, later measurement window agrees.
+    val suspects = firstPass.collect {
+      case (name, t) if t > 0.3 && prior.get(name).exists(p => p > 0 && t > 3 * p) => name
+    }.toSeq.sorted
+    val results = firstPass.map { case (name, t) =>
+      if (!suspects.contains(name)) name -> t
+      else {
+        val t2 = timeOne(all(name))
+        spark.catalog.clearCache()
+        name -> (if (t2 > 0) math.min(t, t2) else t)
+      }
+    }
+    val load1 = loadAvg
+    val meta = Map(
+      "load" -> s"${fmtLoad(load0)},${fmtLoad(load1)}",
+      "runs" -> (if (cold) "cold-1" else "warm-min3"),
+      "reruns" -> suspects.mkString(";"))
+    val json = jsonLine(results, sfDir, meta)
     println(json)
     // the r2 artifact captured a truncated stdout line — persist the
     // full JSON so the recorded numbers are always auditable

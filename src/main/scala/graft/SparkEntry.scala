@@ -1010,14 +1010,21 @@ object SparkEntry {
     }),
 
     // BM25 relevance scoring against a seed-term bag — per-(doc, term)
-    // partial scores (floor-stabilized; the cross-term SUM is float-
-    // addition-order dependent, so the oracle verifies the scoring
-    // math and Bm25Spec pins the summed ranking). The oracle replays
-    // tokenize → df → idf → tf-norm from raw text.
+    // partial scores (floor-quantized; the oracle replays tokenize →
+    // df → idf → tf-norm from raw text with the identical left-to-
+    // right association).
     "text_bm25" -> ((s, dir) => {
       graft.text.Bm25.scoreTerms(t(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "stream", "vector"))
         .orderBy("doc_id", "token")
+    }),
+
+    // summed BM25 ranking — the form users call. Replayable since r7:
+    // the per-term partials are floor-quantized to 1e-4 as INTEGERS
+    // and summed as integers (order-independent), divided once.
+    "text_bm25_ranked" -> ((s, dir) => {
+      graft.text.Bm25.rank(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "vector"))
     }),
 
     // top-k per group via the mergeable bounded-heap aggregate
@@ -1706,8 +1713,8 @@ object SparkEntry {
 
     "text_token_counts" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS ws_tokens,
+        |  CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                t -> length(t) > 0)), 0) AS INTEGER) AS ws_tokens,
         |  CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1719,18 +1726,16 @@ object SparkEntry {
         |    + (CASE WHEN nchars >= 50 AND nchars <= 100000 THEN 1.0 ELSE 0.5 END) * 0.2
         |    + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS quality
         |FROM (
-        |  SELECT doc_id,
-        |    CAST(length(trim(text)) AS DOUBLE) AS nchars,
-        |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntokens,
-        |    CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
-        |    CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym,
-        |    CASE WHEN (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
-        |         THEN CAST(length(trim(text)) AS DOUBLE)
-        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
-        |         ELSE 0.0 END AS meanword
-        |  FROM documents)
+        |  SELECT doc_id, nchars, ntokens, nalpha, nsym,
+        |    CASE WHEN ntokens > 0 THEN nchars / ntokens ELSE 0.0 END AS meanword
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(length(trim(text)) AS DOUBLE) AS nchars,
+        |      CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                    t -> length(t) > 0)), 0) AS DOUBLE) AS ntokens,
+        |      CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
+        |      CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym
+        |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
@@ -1862,6 +1867,39 @@ object SparkEntry {
         |        * 10000) / 10000 AS score
         |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
         |ORDER BY doc_id, token""".stripMargin,
+
+    // summed ranking replay: identical per-term floor-quantized
+    // INTEGER partials, integer SUM (associative — no float-order
+    // caveat), one final division
+    "text_bm25_ranked" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (
+        |  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, count(*) AS dl FROM toks WHERE length(token) > 0
+        |    GROUP BY doc_id) x USING (doc_id)),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE token IN ('spark', 'stream', 'vector') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |terms AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln(CAST(1.0 AS DOUBLE) +
+        |             ((stats.n_docs - dfreq.df) + CAST(0.5 AS DOUBLE)) /
+        |             (dfreq.df + CAST(0.5 AS DOUBLE))) *
+        |          (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |          (tf.tf + CAST(1.2 AS DOUBLE) *
+        |            (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+        |          * 10000) AS BIGINT) AS score_q
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(score_q) AS DOUBLE) / 10000 AS bm25
+        |FROM terms GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id""".stripMargin,
 
     // the aggregate's (score desc, id asc) retention = window order
     "q_topk_brand_parts" ->

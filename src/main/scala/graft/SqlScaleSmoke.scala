@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics-suite scale smoke (the r6 verdict's missing evidence):
+  * the 48 analytics queries had only ever run at sf0.1 (~600 K
+  * lineitem). This main generates schema-identical synthetic tables at
+  * 1× and `mult`× the sf0.1 row counts — the BankDataGen seeded-hash
+  * technique (spark.range + xxhash64-derived columns, fully
+  * distributed, no driver loop) applied to the TPC-H-ish star schema —
+  * and times a representative query subset at both scales on the SAME
+  * distribution. A query whose time grows ≫ mult× has a scale problem
+  * its sf0.1 number hides; ~mult× (or less, where a filter or
+  * broadcast caps the growth) is the pass grade. One JSON line →
+  * BENCH_SCALE_SQL.json.
+  *
+  * Not covered here: ANN/embedding queries (BENCH_SCALE_ANN.json) and
+  * the validation stack (BENCH_SCALE.json) — both already measured at
+  * 2 M vectors / 50 M rows.
+  */
+object SqlScaleSmoke {
+
+  private val seed = 0x57a1e7L
+
+  /** Deterministic per-row stream `tag` over [0, n). */
+  private def pm(tag: String, n: Long): Column =
+    pmod(xxhash64(lit(seed), lit(tag), col("id")), lit(n))
+
+  private def pick(tag: String, vals: String*): Column =
+    element_at(array(vals.map(lit): _*), (pm(tag, vals.size) + 1).cast("int"))
+
+  /** sf0.1-shaped tables at multiplier `m`, parquet under `dir` with
+    * the exact TESTDATA.md names/schemas so SparkEntry.queries run
+    * unmodified against `dir`. */
+  def generate(spark: SparkSession, dir: String, m: Long): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+    val nCust = 15000L * m
+    val nOrd = 150000L * m
+    val nPart = 20000L * m
+    val nSupp = 1000L * m
+    val nUsers = 2000L * m
+
+    write(spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+        .map(lit): _*), col("id").cast("int") + 1).as("r_name")), "region")
+
+    write(spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+      format_string("NATION_%02d", col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey")), "nation")
+
+    write(spark.range(nCust).select(col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      pm("cn", 25).cast("int").as("c_nationkey"),
+      ((pm("cb", 1100000) - 100000) / 100.0).as("c_acctbal"),
+      pick("cs", "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .as("c_mktsegment")), "customer")
+
+    write(spark.range(nSupp).select(col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), col("id")).as("s_name"),
+      pm("sn", 25).cast("int").as("s_nationkey"),
+      ((pm("sb", 1100000) - 100000) / 100.0).as("s_acctbal")), "supplier")
+
+    write(spark.range(nPart).select(col("id").as("p_partkey"),
+      concat(lit("part "), col("id")).as("p_name"),
+      concat(lit("Brand#"), pm("pb", 25) + 1).as("p_brand"),
+      pick("pt", "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD").as("p_type"),
+      (pm("ps", 50) + 1).cast("int").as("p_size"),
+      ((pm("pr", 200000) + 90000) / 100.0).as("p_retailprice")), "part")
+
+    write(spark.range(nOrd).select(col("id").as("o_orderkey"),
+      pm("oc", nCust).as("o_custkey"),
+      pick("os", "F", "O", "P").as("o_orderstatus"),
+      ((pm("ot", 45000000) + 100000) / 100.0).as("o_totalprice"),
+      to_timestamp(date_add(to_date(lit("1995-01-01")),
+        pm("od", 2400).cast("int"))).as("o_orderdate"),
+      pick("op", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        .as("o_orderpriority")), "orders")
+
+    // 4 lines per order: l_orderkey = id div 4 keys into the full
+    // orders range, matching TPC-H's few-lines-per-order fan-out
+    write(spark.range(nOrd * 4).select((col("id") / 4).cast("long").as("l_orderkey"),
+      pm("lp", nPart).as("l_partkey"),
+      pm("ls", nSupp).as("l_suppkey"),
+      (col("id") % 4 + 1).cast("int").as("l_linenumber"),
+      (pm("lq", 50) + 1).cast("double").as("l_quantity"),
+      ((pm("le", 9000000) + 100000) / 100.0).as("l_extendedprice"),
+      (pm("ld", 11) / 100.0).as("l_discount"),
+      (pm("lt", 9) / 100.0).as("l_tax"),
+      pick("lr", "A", "N", "R").as("l_returnflag"),
+      pick("ll", "F", "O").as("l_linestatus"),
+      to_timestamp(date_add(to_date(lit("1995-01-01")),
+        pm("lsd", 2550).cast("int"))).as("l_shipdate")), "lineitem")
+
+    // ts stays INT64 raw nanoseconds — exactly how the testdata events
+    // table reads under nanosAsLong (graft.Tables.events)
+    val ns0 = 1704067200000000000L // 2024-01-01T00:00:00Z
+    write(spark.range(100000L * m).select(col("id").as("event_id"),
+      (lit(ns0) + pm("ets", 2592000L) * 1000000000L + pm("etn", 1000000000L)).as("ts"),
+      pm("eu", nUsers).as("user_id"),
+      pick("ee", "click", "error", "purchase", "signup", "view").as("event_type"),
+      (pm("ev", 56021) / 100.0).as("value"),
+      concat(lit("{\"k\": "), pm("ek", 100), lit("}")).as("props")), "events")
+
+    val vocab = ("spark stream vector batch part line column order small sort " +
+      "fast value scan a hash slow group agg filter query big key window row " +
+      "table merge data join scale shuffle plan").split(" ").toSeq
+    write(spark.range(5000L * m)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(1), (pm("dn", 60) + 40).cast("int")),
+          i => element_at(array(vocab.map(lit): _*),
+            pmod(xxhash64(lit(seed), col("id"), i), lit(vocab.size)).cast("int") + 1)))
+          .as("text"),
+        pick("dl", "de", "en", "es", "fr", "zh").as("lang"),
+        concat(lit("src"), pm("dsrc", 20)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+  }
+
+  /** The headline TPC-H-shaped / window / join / text queries plus the
+    * eight entries the r6 capture spiked — the set whose >sf0.1
+    * behavior was unmeasured. */
+  val names: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q_window_top_parts", "q_small_quantity_revenue", "q_rollup_revenue",
+    "q_order_count_dist", "q_incremental_agg",
+    "q_events_hourly", "q_events_sessions", "q_top_purchasers",
+    "q_asof_native", "q_latest_per_key", "q_lag_gaps", "q_funnel",
+    "q_outlier_events", "q_running_total", "q_window_suite",
+    "q_scd2_customers", "v_error_compare", "dup_key_docs", "text_bm25")
+
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toLong else 10L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val root = java.nio.file.Files.createTempDirectory("sql-scale").toString
+    val (dir1, dirN) = (s"$root/m1", s"$root/m$mult")
+    val t0 = System.nanoTime()
+    generate(spark, dir1, 1L)
+    generate(spark, dirN, mult)
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    def timeOn(dir: String, fn: (SparkSession, String) => DataFrame): Double = {
+      fn(spark, dir).count() // warm: codegen/JIT
+      val times = (1 to 2).map { _ =>
+        val s0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - s0) / 1e9
+      }
+      spark.catalog.clearCache()
+      times.min
+    }
+
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, tN) =
+        try (timeOn(dir1, fn), timeOn(dirN, fn))
+        catch { case e: Throwable =>
+          println(s"FAIL $name: ${e.getMessage}"); (-1.0, -1.0) }
+      val ratio = if (t1 > 0) tN / t1 else -1.0
+      println(f"SCALE $name%-26s x1 ${fmt(t1)}%7s  x$mult ${fmt(tN)}%7s  ratio ${fmt(ratio)}%6s")
+      name -> ((t1, tN, ratio))
+    }
+    val qs = rows.map { case (n, (t1, tN, r)) =>
+      s""""$n":{"t1":${fmt(t1)},"t$mult":${fmt(tN)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"sql_scale","mult":$mult,"lineitem_rows":${600000L * mult},""" +
+      s""""gen_sec":${fmt(tGen)},"t1_total":${fmt(rows.map(_._2._1).filter(_ > 0).sum)},""" +
+      s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_SQL.json"), json)
+    spark.stop()
+  }
+}

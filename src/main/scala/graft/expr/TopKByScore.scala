@@ -108,7 +108,11 @@ object TopKByScore {
     private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
       s1 < s2 || (s1 == s2 && i1 > i2)
 
-    def insert(s: Double, id: Long): Unit = {
+    def insert(s0: Double, id: Long): Unit = {
+      // normalize -0.0 → 0.0: the heap's primitive < treats them as
+      // equal while eval's sort (boxed total ordering) would not —
+      // retention and output ordering must agree on ONE ordering
+      val s = if (s0 == 0.0) 0.0 else s0
       if (size < k) {
         if (size == scores.length) {
           val cap = math.min(k, scores.length * 2)

@@ -36,8 +36,12 @@ object Ann {
     * top-k per query, so the shuffle carries k·tasks rows per query —
     * NOT the |candidates| rows a `row_number()` window would move
     * (at |corpus| × |queries| candidates that window shuffle was the
-    * dominant cost of the brute path at scale). Identical output to
-    * the window form: (score desc, id asc) order and tie-breaks. */
+    * dominant cost of the brute path at scale). Output matches the
+    * window form's (score desc, id asc) order and tie-breaks for all
+    * comparable scores, with ONE deliberate divergence: NaN cosines
+    * (zero-magnitude vectors: 0/0) are dropped, where the window form
+    * ranked them first (Spark sorts NaN above any double desc) — a
+    * zero vector is "similar to nothing", not "most similar". */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.expr.TopKByScore.topKBy(col("cosine"), col("neighbor_id"), k).as("top"))
@@ -50,7 +54,9 @@ object Ann {
     * `queries` is broadcast; the join is a BroadcastNestedLoopJoin so
     * the corpus is scanned exactly once with no shuffle; the top-k
     * reduction is map-side (see [[topKPerQuery]]). Ties broken by
-    * ascending corpus id for determinism.
+    * ascending corpus id for determinism. Zero-magnitude vectors have
+    * no defined cosine (NaN) and never appear as neighbors; a query
+    * whose candidates are all zero vectors returns no rows.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -165,34 +171,78 @@ object Ann {
     * assignment — refines the hash-sampled IVF centroids into trained
     * ones. Structure per iteration: score corpus × broadcast(current
     * centroids) (narrow pass), argmax per vector, element-wise mean
-    * per cell. The model (k × dim doubles) is the ONLY driver-side
-    * data — the classic distributed k-means shape. The per-cell mean
-    * is one mergeable vector-sum aggregate (graft.expr.VectorSum):
-    * partials combine map-side, so each iteration's shuffle carries
-    * one (dim doubles + count) buffer per (cell × map task) — NOT the
-    * |corpus|·dim scalar rows the posexplode + groupBy(cell, pos)
-    * formulation would move. Empty cells keep their previous centroid.
-    * Deterministic: seeded by the md5 sample, fixed iteration count,
-    * rounded scores. */
+    * per cell. The per-cell mean is one mergeable vector-sum aggregate
+    * (graft.expr.VectorSum): partials combine map-side, so each
+    * iteration's shuffle carries one (dim doubles + count) buffer per
+    * (cell × map task) — NOT the |corpus|·dim scalar rows the
+    * posexplode + groupBy(cell, pos) formulation would move.
+    *
+    * The model (k × dim floats) lives ON THE DRIVER between
+    * iterations — the classic distributed k-means shape: each
+    * iteration is exactly one Spark job (the means aggregate) against
+    * a fresh LocalRelation of the current centroids. The r6 form kept
+    * the model as a chained DataFrame instead; each iteration's plan
+    * then referenced the previous iteration's in three places, so
+    * Catalyst's analysis cost grew ~3^iters — a 12-iteration run spun
+    * the optimizer for minutes and every iteration leaked a cached
+    * frame. Now plan size is constant per iteration, nothing is
+    * cached, and a 50-iteration run is 50 flat jobs.
+    *
+    * Empty cells keep their previous centroid. Deterministic: seeded
+    * by the md5 sample, fixed iteration count, rounded scores. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int = 16, iters: Int = 5): DataFrame = {
-    var cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-      .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
-      .limit(k)
+    val spark = corpus.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    def toDf(m: Seq[(Long, Seq[Float])]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(m.map { case (id, v) =>
+          org.apache.spark.sql.Row(id, v) }: _*), schema)
+
+    // deterministic md5-sampled seed model (TakeOrdered: map-side
+    // partial top-k, never a full sort) — k rows to the driver
+    var cents: Seq[(Long, Seq[Float])] =
+      corpus.select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec"))
+        .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
+        .limit(k).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = c.crossJoin(broadcast(centroidArray(cents)))
+      val assigned = c.crossJoin(broadcast(centroidArray(toDf(cents))))
         .select(bestCell(col("cv"), col("cents")).as("cell"), col("cv"))
       val means = assigned
         .groupBy("cell").agg(graft.expr.VectorSum.vectorSum(col("cv")).as("s"))
-        .select(col("cell").as("cent_id"),
+        .select(col("cell").cast("long").as("cent_id"),
           expr("transform(s.sums, x -> CAST(x / s.n AS FLOAT))").as("cent_vec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
       // empty cells: keep the previous centroid
-      val kept = cents.join(means.select(col("cent_id").as("mid")),
-          col("cent_id") === col("mid"), "left_anti")
-      cents = means.union(kept).cache()
+      cents = cents.map { case (id, v) => id -> means.getOrElse(id, v) }
     }
-    cents
+    toDf(cents)
+  }
+
+  /** Persist a trained IVF/k-means centroid model (cent_id, cent_vec)
+    * as parquet — train once offline ([[kmeansCentroids]]), serve many
+    * query batches against the saved model via `ivfTopK(...,
+    * centroids = Some(loadCentroids(...)))` without re-sampling or
+    * re-training per call. The model is k×dim — driver-trivial. */
+  def saveCentroids(cents: DataFrame, path: String): Unit =
+    cents.select(col("cent_id"), col("cent_vec"))
+      .repartition(1) // k rows: one file, no small-file spray
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a centroid model written by [[saveCentroids]]. Fails fast on
+    * a frame that is not (cent_id, cent_vec). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == Set("cent_id", "cent_vec"),
+      s"not a centroid model: ${df.columns.mkString(",")}")
+    df
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells

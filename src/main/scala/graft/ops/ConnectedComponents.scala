@@ -38,7 +38,16 @@ object ConnectedComponents {
     * checkpoint dir — the mode a 1000-executor production run wants.
     * Caller must have set `spark.sparkContext.setCheckpointDir`. */
   def components(edges: DataFrame, maxRounds: Int = 20,
-                 reliable: Boolean = false): DataFrame = {
+                 reliable: Boolean = false): DataFrame =
+    componentsInstrumented(edges, maxRounds, reliable)._1
+
+  /** [[components]] plus (rounds taken, per-round wall seconds) — the
+    * scale-smoke evidence that rounds ≈ log₂(longest chain) and that
+    * per-round time stays flat (checkpointing truncates the iterative
+    * lineage; without it each round would replan and re-execute every
+    * earlier round's DAG). */
+  def componentsInstrumented(edges: DataFrame, maxRounds: Int = 20,
+                 reliable: Boolean = false): (DataFrame, Int, Seq[Double]) = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // lazy variant: marks the plan's RDD for checkpointing but defers
@@ -68,7 +77,9 @@ object ConnectedComponents {
 
     var round = 0
     var converged = false
+    val roundSecs = Seq.newBuilder[Double]
     while (!converged && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       // neighbor labels flow along edges; merging with the node's own
       // label via a left join (not union+groupBy) keeps the previous
       // label on the row, so convergence is readable off the
@@ -94,12 +105,13 @@ object ConnectedComponents {
       converged = next.where(col("component") < col("old_comp")).count() == 0L
       labels = next.select("id", "component")
       round += 1
+      roundSecs += (System.nanoTime() - roundT0) / 1e9
     }
     // silent non-convergence would hand back labels that LOOK like
     // components but still straddle cluster boundaries — fail instead
     if (!converged) throw new IllegalStateException(
       s"ConnectedComponents: not converged after $maxRounds rounds — " +
         "raise maxRounds (rounds needed ≈ log2 of the longest chain)")
-    labels
+    (labels, round, roundSecs.result())
   }
 }

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Per-(doc, term) BM25 partial scores — the engine-replayable form
-    * (every value is derived through floor-stabilized double math, no
-    * cross-term summation whose float addition order could differ
-    * between engines). Columns: doc_id, token, tf, df, score. */
-  def scoreTerms(docs: DataFrame, idCol: String, textCol: String,
+  /** Per-(doc, term) quantized partial scores: `score_q` =
+    * floor(score · 10⁴) as BIGINT. The integer partials are what make
+    * [[rank]]'s cross-term sum exactly engine-replayable — integer
+    * addition is associative, so no float-summation-order caveat
+    * survives the quantization. Columns: doc_id, token, tf, df,
+    * score_q. */
+  private[graft] def scoreTermsQ(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // tokenization case-folds the text, so fold the query bag the same
     // way — a caller passing "Spark" must not silently match nothing
@@ -46,26 +48,37 @@ object Bm25 {
       .where(length(col("token")) > 0 && col("token").isInCollection(qTerms))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // arithmetic shape mirrors the DuckDB oracle exactly (IEEE ops are
-    // commutative, only re-association would diverge); constants enter
-    // as doubles on both sides
+    // arithmetic shape AND association mirror the DuckDB oracle exactly
+    // (IEEE mul/div are not associative, so idf*(num/denom) vs
+    // (idf*num)/denom can floor() differently at a 1e-4 boundary —
+    // both sides spell ((idf * num) / denom) * 10000, left-to-right);
+    // constants enter as doubles on both sides
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val tfNum = col("tf") * lit(k1 + 1.0)
+    val tfDenom =
+      col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        (floor(idf * tfNorm * 10000) / 10000).as("score"))
+        floor(idf * tfNum / tfDenom * lit(10000.0)).cast("long").as("score_q"))
   }
 
-  /** Summed BM25 per document, ranked. The cross-term sum is float-
-    * addition-order dependent in the last bits, so this form is pinned
-    * by ScalaTest against a driver-side reference rather than by the
-    * cross-engine oracle (which verifies [[scoreTerms]]). */
+  /** Per-(doc, term) BM25 partial scores — the engine-replayable form.
+    * Columns: doc_id, token, tf, df, score (= score_q / 10⁴, one exact
+    * double division of an integral value). */
+  def scoreTerms(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreTermsQ(docs, idCol, textCol, terms, k1, b)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("score_q") / lit(10000)).as("score"))
+
+  /** Summed BM25 per document, ranked. Sums the INTEGER partials and
+    * divides once, so the result is independent of addition order and
+    * replayable by any engine — the r6 float-sum caveat is gone. */
   def rank(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    scoreTerms(docs, idCol, textCol, terms, k1, b)
-      .groupBy("doc_id").agg(sum("score").as("bm25"))
+    scoreTermsQ(docs, idCol, textCol, terms, k1, b)
+      .groupBy("doc_id").agg((sum("score_q") / lit(10000)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
 }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for blank/NULL). */
+  /** Whitespace token count (0 for blank/NULL). Counts NON-EMPTY
+    * tokens: `trim` strips only 0x20, so a tab/newline at either edge
+    * of the text yields "" entries from `split` — counting those would
+    * diverge from any length>0-filtered tokenization (the r6 oracle
+    * divergence class). */
   def wsTokenCount(text: Column): Column =
-    when(text.isNull || trim(text) === "", 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+    coalesce(size(filter(split(text, "\\s+"), t => length(t) > 0)), lit(0))
 
   /** BPE-ish subword-unit count: runs of letters, single digits, and
     * single non-alphanumeric marks — a cheap proxy for tokenizer cost
@@ -75,8 +78,12 @@ object TextAnalysis {
     * prose low). 0 for blank docs. Narrow codegen'd array ops, no
     * shuffle; floor-quantized for cross-engine stability. */
   def repetitionRatio(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val n = wsTokenCount(text).cast("double")
+    // empty tokens (tab/newline at the text edges survive the
+    // space-only trim) are filtered BEFORE distinct/total, matching
+    // the length>0-filtered oracle tokenization — a tab-only doc is
+    // blank (ratio 0), not 50% repetitious
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val n = coalesce(size(toks), lit(0)).cast("double")
     when(n === 0, 0.0).otherwise(
       floor((lit(1.0) - size(array_distinct(toks)) / n) * 10000) / 10000)
   }

@@ -29,6 +29,23 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("parsePrior extracts exactly the per-query map from a prior artifact line") {
+    val line = Bench.jsonLine(Map("q1" -> 1.23456, "q_lag_gaps" -> 0.241), "/d/sf0.1",
+      Map("load" -> "0.50,0.80", "reruns" -> ""))
+    val prior = Bench.parsePrior(line)
+    assert(prior == Map("q1" -> 1.235, "q_lag_gaps" -> 0.241))
+    // top-level fields ("value", meta) must not leak into the map
+    assert(!prior.contains("value") && !prior.contains("load"))
+    assert(Bench.parsePrior("not json") == Map.empty)
+    assert(Bench.parsePrior("""{"metric":"total","value":1.0}""") == Map.empty)
+  }
+
+  test("jsonLine appends meta pairs as top-level string fields") {
+    val line = Bench.jsonLine(Map("q1" -> 0.5), "/d", Map("runs" -> "warm-min3"))
+    assert(line.contains("\"runs\":\"warm-min3\""))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
   test("benchOnlyQueries never overlap the oracle-gated queries map") {
     // a shared name would make Bench run the bench-only variant twice
     // and — worse — suggest to a reader that the native path is

@@ -213,6 +213,20 @@ class ExprSpec extends SparkSpec {
     assert(top === Seq(3L, 1L))
   }
 
+  test("topk_by treats -0.0 and 0.0 as one score (retention = output ordering)") {
+    // heap retention compares with primitive < (-0.0 == 0.0) while
+    // eval sorts with the boxed total ordering (-0.0 < 0.0) — without
+    // normalization a group holding both can order/retain differently
+    val df = Seq((-0.0, 1L), (0.0, 2L), (-0.0, 3L), (0.0, 4L)).toDF("s", "id")
+    val rows = df.agg(graft.expr.TopKByScore.topKBy(col("s"), col("id"), 3).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.id")).as[(Double, Long)].collect().toSeq
+    // one score class → pure id ascending, and no -0.0 survives
+    assert(rows === Seq((0.0, 1L), (0.0, 2L), (0.0, 3L)))
+    assert(rows.forall { case (s, _) =>
+      java.lang.Double.doubleToRawLongBits(s) == 0L })
+  }
+
   test("topk_by aggregates across streaming micro-batches (complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

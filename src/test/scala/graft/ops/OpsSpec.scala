@@ -214,6 +214,46 @@ class AnnSpec extends SparkSpec {
     assert(trained >= 0.5)
   }
 
+  test("kmeansCentroids: flat per-iteration cost, zero cache accumulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    emb.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 25 iterations: the r6 chained-DataFrame form grew the logical
+    // plan ~3x per iteration (Catalyst spun for minutes beyond ~10)
+    // and leaked one cached frame per iteration; the driver-resident
+    // model makes this a sequence of flat one-job iterations
+    val t0 = System.nanoTime()
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 25)
+    assert(cents.count() == 4)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, s"25 iterations took $secs s — plan growth is back")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"cached RDDs grew $before -> $after")
+    emb.unpersist()
+  }
+
+  test("IVF centroid model round-trips through parquet with identical probes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-model").toString
+    Ann.saveCentroids(cents, dir)
+    val loaded = Ann.loadCentroids(spark, dir)
+    def probe(c: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2, Some(c))
+        .select("query_id", "neighbor_id", "rnk")
+        .as[(Long, Long, Int)].collect().toSet
+    val direct = probe(cents)
+    assert(direct.nonEmpty && probe(loaded) == direct)
+    val e = intercept[IllegalArgumentException] {
+      val bad = java.nio.file.Files.createTempDirectory("ivf-bad").toString
+      vecs.write.mode("overwrite").parquet(bad)
+      Ann.loadCentroids(spark, bad)
+    }
+    assert(e.getMessage.contains("not a centroid model"))
+  }
+
   test("vector_sum mean matches the posexplode formulation; no Generate in plan") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f)), (0L, Array(3.0f, 6.0f)),
