@@ -51,6 +51,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("only the final round's label blocks stay persisted (bounded storage)") {
+    // a 64-hop path forces ~7 pointer-jump rounds; without the
+    // per-round unpersist every round's localCheckpoint blocks stay
+    // pinned (the r7 10M-edge smoke thrashed the block store, 20-80x
+    // round spikes) — after the run at most one round's state and the
+    // symmetric edge list may remain
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = ConnectedComponents.components(
+      (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst"))
+    assert(labels.select(countDistinct("component")).head().getLong(0) == 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"persisted RDDs grew $before -> $after: round blocks are leaking")
+  }
+
   test("reliable-checkpoint mode produces the same components") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
