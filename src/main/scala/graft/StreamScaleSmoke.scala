@@ -30,10 +30,17 @@ object StreamScaleSmoke {
     val root = java.nio.file.Files.createTempDirectory("stream-scale").toString
     val drop = s"$root/drop"
     // three 1 M-row file drops, each FILES_PER_BATCH part files so
-    // maxFilesPerTrigger carves exactly one drop per micro-batch
+    // maxFilesPerTrigger carves exactly one drop per micro-batch;
+    // ~1% of rows get an enum-invalid RecordOperation so the error
+    // route actually carries traffic (the generator's defaults are
+    // all-valid)
     val filesPerBatch = 4
     (0 until nBatches).foreach { i =>
+      import org.apache.spark.sql.functions.{col, lit, pmod, when}
       graft.bank.BankDataGen.generate(spark, rowsPerBatch, seed = 100 + i)
+        .withColumn("RecordOperation",
+          when(pmod(col("id"), lit(100)) === 0, lit("X"))
+            .otherwise(col("RecordOperation")))
         .coalesce(filesPerBatch)
         .write.mode("append").parquet(drop)
     }
