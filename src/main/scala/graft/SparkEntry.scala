@@ -1027,6 +1027,15 @@ object SparkEntry {
         Seq("spark", "stream", "vector"))
     }),
 
+    // unigram-LM mean log-prob per doc (perplexity-filter family):
+    // Laplace-smoothed self-scoring; per-token log-probs quantized to
+    // integer 1e-4 partials so the per-doc sum is order-independent
+    // and the oracle replays it exactly.
+    "text_unigram_lp" -> ((s, dir) => {
+      graft.text.UnigramLm.scoreSelf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // top-k per group via the mergeable bounded-heap aggregate
     // (graft.expr.TopKByScore): map-side partials mean at most k
     // entries per (group x task) reach the shuffle — the scale-safe
@@ -1900,6 +1909,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(score_q) AS DOUBLE) / 10000 AS bm25
         |FROM terms GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // unigram-LM replay: token counts -> (N, V) -> Laplace-smoothed
+    // ln p per token quantized to BIGINT 1e-4 -> integer sum per doc.
+    // Casts pin every operand to the same types Spark divides.
+    "text_unigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |         CAST(count(*) AS BIGINT) AS v_size FROM freq),
+        |scored AS (
+        |  SELECT tk.doc_id,
+        |    CAST(floor(ln((coalesce(freq.cnt, 0) + 1) /
+        |      CAST(stats.n_total + stats.v_size AS DOUBLE)) * 10000) AS BIGINT) AS lp_q
+        |  FROM tk LEFT JOIN freq USING (token) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the aggregate's (score desc, id asc) retention = window order
     "q_topk_brand_parts" ->

@@ -81,4 +81,15 @@ object Bm25 {
     scoreTermsQ(docs, idCol, textCol, terms, k1, b)
       .groupBy("doc_id").agg((sum("score_q") / lit(10000)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
+
+  /** Best `n` documents for the term bag — the serving form. The
+    * orderBy+limit plans as TakeOrderedAndProject (each task keeps its
+    * local top-n, the driver merges k·tasks rows), so answering "top
+    * 100 documents for these seed terms" never global-sorts the scored
+    * corpus — the difference between shuffling every matching doc and
+    * shuffling n per task at 100 TB. */
+  def rankTopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], n: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rank(docs, idCol, textCol, terms, k1, b).limit(n)
 }

@@ -62,6 +62,16 @@ class Bm25Spec extends SparkSpec {
       (2L, "stream", 1L, 2L), (4L, "stream", 8L, 2L)))
   }
 
+  test("rankTopK returns rank's head and plans as TakeOrdered, not a global sort") {
+    val full = Bm25.rank(docs, "doc_id", "text", Seq("spark", "stream"))
+      .as[(Long, Double)].collect().toSeq
+    val top = Bm25.rankTopK(docs, "doc_id", "text", Seq("spark", "stream"), n = 2)
+    assert(top.as[(Long, Double)].collect().toSeq === full.take(2))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected map-side top-n in:\n$plan")
+  }
+
   test("postings are term-filtered between the explode and the tf aggregate") {
     val plan = Bm25.scoreTerms(docs, "doc_id", "text", Seq("spark"))
       .queryExecution.optimizedPlan.toString
