@@ -1027,6 +1027,18 @@ object SparkEntry {
         Seq("spark", "stream", "vector"))
     }),
 
+    // benchmark decontamination: corpus docs sharing >=1 distinct
+    // 4-word-gram with the probe set (doc_id < 20 stands in for a
+    // benchmark). Probe grams broadcast; the corpus never shuffles —
+    // only actual hits aggregate.
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.overlaps(
+          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 4, minHits = 1L)
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM mean log-prob per doc (perplexity-filter family):
     // Laplace-smoothed self-scoring; per-token log-probs quantized to
     // integer 1e-4 partials so the per-doc sum is order-independent
@@ -1909,6 +1921,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(score_q) AS DOUBLE) / 10000 AS bm25
         |FROM terms GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // decontamination replay: distinct word 4-grams per doc, probe set
+    // = doc_id < 20, string-equality gram join, distinct-hit counts
+    "decontam_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 3), ' ')))) AS gram
+        |  FROM tk WHERE len(tk) >= 4),
+        |pg AS (SELECT DISTINCT doc_id AS probe_id, gram FROM grams WHERE doc_id < 20)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT pg.probe_id) AS BIGINT) AS n_probes
+        |FROM grams g JOIN pg USING (gram) WHERE g.doc_id >= 20
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // unigram-LM replay: token counts -> (N, V) -> Laplace-smoothed
     // ln p per token quantized to BIGINT 1e-4 -> integer sum per doc.

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-corpus hygiene pass that
+  * flags documents sharing long word n-grams with an evaluation/test
+  * set (the GPT-3/PaLM-style "13-gram overlap" check): a training doc
+  * that contains a benchmark's exact phrasing leaks the benchmark.
+  *
+  * 100 TB shape: the probe side is a BENCHMARK (thousands of rows, not
+  * billions) — its distinct gram set broadcasts, so the corpus-side
+  * gram stream is filtered by a BroadcastHashJoin BEFORE any shuffle
+  * and only actual hits ever aggregate. The corpus is scanned once,
+  * narrow (tokenize + slice inside one projection); nothing corpus-
+  * sized shuffles. Grams join as plain strings (no hashing), so any
+  * SQL engine replays the check exactly.
+  */
+object Decontaminate {
+
+  /** Distinct lower-cased word `n`-grams per row: (id, gram). Tokens
+    * are length>0-filtered (tab/newline edges yield no empty tokens —
+    * same convention as TextAnalysis). */
+  private[graft] def wordNgrams(df: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks: Column = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => concat_ws(" ", slice(col("tk"), i, lit(n)))))).as("gram"))
+  }
+
+  /** Corpus documents sharing ≥ `minHits` distinct word `n`-grams with
+    * any probe document. Output: (doc_id, n_hits = distinct overlapping
+    * grams, n_probes = distinct probe docs hit). Drop or audit the
+    * flagged set before training. */
+  def overlaps(corpus: DataFrame, probes: DataFrame,
+               idCol: String, textCol: String,
+               n: Int = 8, minHits: Long = 1L): DataFrame = {
+    val pg = broadcast(
+      wordNgrams(probes, idCol, textCol, n)
+        .select(col("id").as("probe_id"), col("gram")).distinct())
+    wordNgrams(corpus, idCol, textCol, n)
+      .join(pg, "gram")
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct("gram").as("n_hits"),
+        countDistinct("probe_id").as("n_probes"))
+      .where(col("n_hits") >= minHits)
+  }
+}
