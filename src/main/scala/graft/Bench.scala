@@ -28,6 +28,13 @@ object Bench {
     env("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (only.isEmpty) "BENCH_LAST.json" else "BENCH_SUBSET.json")
 
+  /** The "sf" field of a prior artifact line ("" if absent) — the
+    * outlier re-run gate must not compare timings across scale
+    * factors (a prior sf0.1 artifact would flag every query of an
+    * sf1 run as a suspect and re-measure the whole suite). */
+  def parsePriorSf(text: String): String =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+
   /** Extract the per-query seconds map from a prior artifact line (our
     * own single-line format — no JSON lib on the classpath, and the
     * "queries" object is flat, so substring + regex is exact). */
@@ -80,10 +87,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args: bench only the named queries (local iteration)
     val only: Set[String] = args.toSet
+    // prior timings gate the outlier re-run — only comparable runs
+    // qualify: same scale factor, and never in cold mode (a cold
+    // first-timing is legitimately >3x the warm prior, and a re-run
+    // in the now-JIT-warm JVM would silently record a WARM number
+    // into an artifact labeled cold)
     val prior: Map[String, Double] =
-      try parsePrior(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("BENCH_LAST.json")))
-      catch { case _: Throwable => Map.empty }
+      if (cold) Map.empty
+      else try {
+        val text = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_LAST.json"))
+        if (parsePriorSf(text) == sfDir) parsePrior(text) else Map.empty
+      } catch { case _: Throwable => Map.empty }
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     def fmtLoad(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

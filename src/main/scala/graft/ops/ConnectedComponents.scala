@@ -57,16 +57,24 @@ object ConnectedComponents {
     def ckptLazy(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
-    val sc0 = edges.sparkSession.sparkContext
-    def persisted0: Set[Int] = sc0.getPersistentRDDs.keySet.toSet
+    // release exactly the blocks a checkpointed frame persisted: the
+    // checkpoint APIs return a Dataset whose logical plan is the
+    // LogicalRDD wrapping the persisted RDD, so unpersisting THAT rdd
+    // frees precisely this computation's blocks — no session-global
+    // persistent-RDD-id diffing, which would race with (and could
+    // fatally unpersist) concurrent jobs' localCheckpoints on the same
+    // SparkSession. A reliable checkpoint's rdd is not block-persisted;
+    // unpersist is a no-op there.
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     // materialize the edge list FIRST: `und` is referenced by both the
     // symmetric-closure job and the initial-labels job below — without
     // this checkpoint the caller's whole upstream pipeline (e.g. an
     // n-gram Jaccard pair join) executes once per reference, since
     // exchange reuse never spans separate actions
-    val beforeUnd = persisted0
     val und = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long")))
-    val undIds = persisted0 -- beforeUnd
     // symmetric closure, checkpointed (not just cached): a cache keeps
     // the upstream logical plan — e.g. a whole near-dup pair pipeline —
     // and every round's join re-runs the optimizer over that subtree;
@@ -76,26 +84,20 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst")).distinct()
       .select(col("src").as("e_id"), col("dst").as("e_nbr")))
 
-    val sc = sc0
-    def persistedIds: Set[Int] = persisted0
-
-    val beforeLabels = persistedIds
-    var labels = ckpt(und.select(explode(array(col("src"), col("dst"))).as("id"))
+    val labels0 = ckpt(und.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().select(col("id"), col("id").as("component")))
-    // block ids of the CURRENT round's label state (localCheckpoint
-    // persists into the executor block store; reliable checkpoints
-    // write files and register nothing — the set is empty then)
-    var roundIds: Set[Int] = persistedIds -- beforeLabels
+    var labels: DataFrame = labels0
+    // the checkpointed frame holding the CURRENT round's label state
+    var roundCkpt: DataFrame = labels0
     // `und` fed only the symmetric closure and the initial labels,
     // both now materialized — release its full-edge-copy blocks
-    undIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    release(und)
 
     var round = 0
     var converged = false
     val roundSecs = Seq.newBuilder[Double]
     while (!converged && round < maxRounds) {
       val roundT0 = System.nanoTime()
-      val beforeRound = persistedIds
       // neighbor labels flow along edges; merging with the node's own
       // label via a left join (not union+groupBy) keeps the previous
       // label on the row, so convergence is readable off the
@@ -123,16 +125,17 @@ object ConnectedComponents {
       // the new round is materialized — free the PREVIOUS round's
       // localCheckpoint blocks. Without this, every round's full label
       // frame stays pinned in the block store; at 10 M nodes the
-      // accumulated rounds overflow executor storage and the eviction/
-      // GC thrash showed up as 20-80x per-round spikes in the r7 scale
-      // smoke (910 s → the fix target is the reliable mode's flat
-      // ~15 s/round without its checkpoint-file writes).
-      val newIds = persistedIds -- beforeRound
-      roundIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      roundIds = newIds
+      // accumulated rounds overflowed executor storage and the
+      // eviction/GC thrash showed up as 20-80x per-round spikes in the
+      // r7 scale smoke (910 s vs 162 s with per-round release).
+      release(roundCkpt)
+      roundCkpt = next
       round += 1
       roundSecs += (System.nanoTime() - roundT0) / 1e9
     }
+    // the result depends only on the final round's truncated state —
+    // the doubled edge list (the largest persisted object) can go
+    release(sym)
     // silent non-convergence would hand back labels that LOOK like
     // components but still straddle cluster boundaries — fail instead
     if (!converged) throw new IllegalStateException(

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * 1-row corpus stats broadcast.
   *
   * Cross-engine determinism: per-token log-probs are floor-quantized
-  * to 1e-6 as INTEGERS and summed as integers (associative — no float
+  * to 1e-4 as INTEGERS and summed as integers (associative — no float
   * summation-order caveat), then divided once per doc — the same
   * technique as [[Bm25]]'s ranked sum, so a SQL engine replays the
   * score bit-for-bit.

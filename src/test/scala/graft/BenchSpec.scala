@@ -40,6 +40,12 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrior("""{"metric":"total","value":1.0}""") == Map.empty)
   }
 
+  test("parsePriorSf reads the artifact's scale factor for the re-run gate") {
+    val line = Bench.jsonLine(Map("q1" -> 1.0), "/root/testdata/sf0.1")
+    assert(Bench.parsePriorSf(line) == "/root/testdata/sf0.1")
+    assert(Bench.parsePriorSf("""{"metric":"total"}""") == "")
+  }
+
   test("jsonLine appends meta pairs as top-level string fields") {
     val line = Bench.jsonLine(Map("q1" -> 0.5), "/d", Map("runs" -> "warm-min3"))
     assert(line.contains("\"runs\":\"warm-min3\""))
