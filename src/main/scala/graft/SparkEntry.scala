@@ -1027,6 +1027,15 @@ object SparkEntry {
         Seq("spark", "stream", "vector"))
     }),
 
+    // deterministic exact-k-per-group sampling (reservoir shape):
+    // md5-rank rows within each lang, keep the 5 smallest — selection
+    // via the mergeable bounded-heap aggregate, no window shuffle
+    "q_sample_per_lang" -> ((s, dir) => {
+      graft.ops.Sampling.kPerGroup(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // benchmark decontamination: corpus docs sharing >=1 distinct
     // 4-word-gram with the probe set (doc_id < 20 stands in for a
     // benchmark). Probe grams broadcast; the corpus never shuffles —
@@ -1921,6 +1930,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(score_q) AS DOUBLE) / 10000 AS bm25
         |FROM terms GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    // k-per-group replay: identical md5 rank (15-hex prefix folded
+    // into 2^40), window form — (rank asc, id asc) = the aggregate's
+    // (-rank desc, id asc) retention order
+    "q_sample_per_lang" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT)
+        |        % 1099511627776 ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // decontamination replay: distinct word 4-grams per doc, probe set
     // = doc_id < 20, string-equality gram join, distinct-hit counts

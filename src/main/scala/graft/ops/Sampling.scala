@@ -28,6 +28,40 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, rate: Double, salt: Long = 0L): DataFrame =
     df.where(keep(col(idCol), rate, salt))
 
+  /** Deterministic EXACT-k-per-group sample — the reservoir-sampling
+    * shape (uniform k rows per group) with none of the randomness:
+    * rows rank inside each group by a seeded content hash and the k
+    * smallest win, so the same input always yields the same sample
+    * and any engine with md5 replays it.
+    *
+    * Scale shape: the per-group selection is the mergeable bounded-
+    * heap aggregate (graft.expr.TopKByScore) — each map task keeps at
+    * most k candidates per group, so the shuffle carries k·tasks rows
+    * per group instead of the full table a `row_number()` window
+    * would move; winners then join back to the source rows on the
+    * (group, id) pair. The hash is the md5 prefix folded into 2^40
+    * (< 2^53, so the double-typed heap score is exact — no cross-
+    * engine tie drift).
+    */
+  def kPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                k: Int, salt: Long = 0L): DataFrame = {
+    // md5-derived rank in [0, 2^40): exact as double, replayable
+    val rank = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":"), lit(salt))), 1, 15), 16, 10).cast("long")
+      % lit(1099511627776L)).cast("double")
+    val winners = df
+      .select(col(groupCol).as("g"), col(idCol).cast("long").as("i"), rank.as("r"))
+      .groupBy("g")
+      // TopKByScore keeps HIGHEST scores: negate so the smallest
+      // hashes (the canonical "first k of the shuffled order") win
+      .agg(graft.expr.TopKByScore.topKBy(-col("r"), col("i"), k).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.id").as("i"))
+    df.join(winners,
+      col(groupCol) === col("g") && col(idCol).cast("long") === col("i"), "inner")
+      .drop("g", "i")
+  }
+
   /** Downsample each stratum so the OUTPUT mix matches `targetWeights`
     * (normalized internally). Keep-rates are solved from the observed
     * stratum sizes (one tiny count aggregate): the largest feasible

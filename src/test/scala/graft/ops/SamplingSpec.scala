@@ -39,6 +39,37 @@ class SamplingSpec extends SparkSpec {
     assert(Seq("en", "de", "fr").exists(l => counts(l) === sizes(l)))
   }
 
+  test("kPerGroup: exactly k rows per group, deterministic, salt-varied") {
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS grp",
+      "id * 2 AS payload")
+    val s1 = Sampling.kPerGroup(df, "grp", "id", k = 10)
+    val sizes = s1.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(sizes.length == 7 && sizes.forall(_ == 10L))
+    // source columns survive the join-back
+    assert(s1.columns.toSeq == Seq("id", "grp", "payload"))
+    // deterministic: same call → identical sample
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.kPerGroup(df, "grp", "id", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // different salt → a different (but equally sized) sample
+    val ids3 = Sampling.kPerGroup(df, "grp", "id", k = 10, salt = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids3 != ids1 && ids3.size == 70)
+    // a group smaller than k passes through whole
+    val tiny = Sampling.kPerGroup(df.where(col("id") < 3), "grp", "id", k = 10)
+    assert(tiny.count() == 3)
+  }
+
+  test("kPerGroup selects via the bounded-heap aggregate, not a window sort") {
+    val df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS grp")
+    val plan = Sampling.kPerGroup(df, "grp", "id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by") || plan.contains("topk_by"),
+      s"expected topk_by aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
   test("mix rejects impossible inputs") {
     intercept[IllegalArgumentException] {
       Sampling.mix(docs, "lang", "doc_id", Map("klingon" -> 1.0)).count()
