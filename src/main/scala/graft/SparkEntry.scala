@@ -1057,6 +1057,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality-rule bundle: word-count band, mean word
+    // length band, alphabetic-word fraction, duplicate-bigram
+    // fraction, and the combined keep decision. All metrics are
+    // floor-quantized scan-speed column expressions (no shuffle), so
+    // the keep decision replays bit-identically in any engine.
+    "text_gopher_flags" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents").select(col("doc_id"),
+          wsTokenCount(col("text")).cast("long").as("n_words"),
+          meanWordLen(col("text")).as("mean_word_q"),
+          alphaWordFrac(col("text")).as("alpha_frac_q"),
+          dupNgramFrac(col("text"), 2).as("dup_bigram_q"),
+          gopherKeep(col("text")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // top-k per group via the mergeable bounded-heap aggregate
     // (graft.expr.TopKByScore): map-side partials mean at most k
     // entries per (group x task) reach the shuffle — the scale-safe
@@ -1985,6 +2001,41 @@ object SparkEntry {
         |  CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Gopher bundle replay: same tokenization (length>0-filtered
+    // whitespace split of the case-folded text), same metric shapes
+    // and left-to-right association, same floor-1e-4 quantization.
+    "text_gopher_flags" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0) AS toks,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(chars / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS mean_word_q,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(CAST(len(list_filter(toks,
+        |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS alpha_frac_q,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |      ELSE floor((CAST(1.0 AS DOUBLE)
+        |             - CAST(len(list_distinct(list_transform(
+        |                 generate_series(1, len(toks) - 1),
+        |                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+        |               / CAST(len(toks) - 1 AS DOUBLE)) * 10000) / 10000
+        |    END AS dup_bigram_q
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_q, alpha_frac_q, dup_bigram_q,
+        |  (n_words BETWEEN 30 AND 100000)
+        |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
+        |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // the aggregate's (score desc, id asc) retention = window order
     "q_topk_brand_parts" ->

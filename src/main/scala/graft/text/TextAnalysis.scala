@@ -88,6 +88,63 @@ object TextAnalysis {
       floor((lit(1.0) - size(array_distinct(toks)) / n) * 10000) / 10000)
   }
 
+  /** Mean length of non-empty whitespace tokens (0 for blank/NULL
+    * docs); floor-quantized to 1e-4 for cross-engine stability. Total
+    * token chars = doc length with all whitespace removed, so no
+    * per-token aggregation is needed — one regexp, one division. */
+  def meanWordLen(text: Column): Column = {
+    val n = wsTokenCount(text).cast("double")
+    val chars =
+      length(regexp_replace(coalesce(text, lit("")), "\\s+", "")).cast("double")
+    when(n === 0, 0.0).otherwise(floor(chars / n * 10000) / 10000)
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter — the
+    * Gopher "≥80% of words must have an alphabetic character" filter
+    * (numeric/symbol-soup docs score low). Tokens come from the
+    * case-folded text, so the class is just [a-z]. */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val n = coalesce(size(toks), lit(0)).cast("double")
+    val nAlpha = coalesce(
+      size(filter(toks, t => regexp_count(t, lit("[a-z]")) > 0)), lit(0))
+      .cast("double")
+    when(n === 0, 0.0).otherwise(floor(nAlpha / n * 10000) / 10000)
+  }
+
+  /** Duplicate word-n-gram fraction (the Gopher "fraction of
+    * duplicated n-grams" repetition filter, generalizing
+    * [[repetitionRatio]] from unigrams): 1 − distinct/total over the
+    * doc's adjacent n-token shingles; 0 when the doc has fewer than n
+    * tokens. Narrow codegen'd array ops, no shuffle. */
+  def dupNgramFrac(text: Column, n: Int = 2): Column = {
+    require(n >= 1, "need n >= 1")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val total = coalesce(size(toks), lit(0)) - (n - 1)
+    // sequence(1, 0) runs DESCENDING in Spark ([1, 0]) — clamp the
+    // stop to 1 and mask the <n-token case with the outer when
+    val grams = transform(sequence(lit(1), greatest(total, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(total <= 0, 0.0).otherwise(
+      floor((lit(1.0) - size(array_distinct(grams)).cast("double")
+        / total.cast("double")) * 10000) / 10000)
+  }
+
+  /** Gopher-style document keep decision: word count in band, mean
+    * word length in band, enough alphabetic words, low n-gram
+    * repetition. Thresholds default to values meaningful for prose;
+    * all inputs are the floor-quantized metrics above, so the decision
+    * replays identically in any engine. */
+  def gopherKeep(text: Column, minWords: Int = 30, maxWords: Int = 100000,
+      minMeanWord: Double = 4.0, maxMeanWord: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxDupBigramFrac: Double = 0.05): Column = {
+    val n = wsTokenCount(text)
+    n.geq(minWords) && n.leq(maxWords) &&
+      meanWordLen(text).between(minMeanWord, maxMeanWord) &&
+      alphaWordFrac(text) >= minAlphaFrac &&
+      dupNgramFrac(text, 2) <= maxDupBigramFrac
+  }
+
   /** PII-style scrubbing for training corpora: emails → <EMAIL>,
     * long digit runs (phone/account numbers) → <NUM>. Pure
     * regexp_replace — runs at scan speed; patterns restricted to
@@ -128,7 +185,12 @@ object TextAnalysis {
 
   def windowFingerprints(text: Column, w: Int = 8): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+    val total = size(toks) - (w - 1)
+    // sequence(1, 0) runs DESCENDING ([1, 0]): a doc shorter than w
+    // tokens would get two bogus window hashes — clamp and mask to
+    // an empty array instead
+    val fps = transform(sequence(lit(1), greatest(total, lit(1))),
       i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+    when(total <= 0, array().cast("array<bigint>")).otherwise(fps)
   }
 }

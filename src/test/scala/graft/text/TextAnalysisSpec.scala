@@ -95,4 +95,64 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.windowFingerprints(col("text"), 8)).as[Seq[Long]].head()
     assert(fps.length == 3) // 10 tokens, window 8 → positions 1..3
   }
+
+  test("windowFingerprints: doc shorter than the window yields NO hashes") {
+    // sequence(1, 0) is descending in Spark — unguarded it yields two
+    // bogus windows for short docs
+    val fps = Seq("only three tokens").toDF("text")
+      .select(TextAnalysis.windowFingerprints(col("text"), 8)).as[Seq[Long]].head()
+    assert(fps.isEmpty)
+  }
+
+  test("meanWordLen: total token chars / token count, 0 for blank") {
+    val m = Seq((1L, "ab cdef"), (2L, "  "), (3L, "abc\tde\nf"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.meanWordLen(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) === 3.0)   // 6 chars / 2 tokens
+    assert(m(2L) === 0.0)
+    assert(m(3L) === 2.0)   // 6 chars / 3 tokens
+  }
+
+  test("alphaWordFrac: fraction of tokens with a letter") {
+    val m = Seq((1L, "abc 123 x9 42"), (2L, "1 2 3"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.alphaWordFrac(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) === 0.5)   // abc, x9 of 4
+    assert(m(2L) === 0.0)
+    assert(m(3L) === 0.0)
+  }
+
+  test("dupNgramFrac: duplicate-bigram fraction, 0 below n tokens") {
+    val m = Seq(
+      (1L, "a b a b a"),         // bigrams: ab ba ab ba → 2 distinct of 4 → 0.5
+      (2L, "all words differ here"), // 3 distinct of 3 → 0.0
+      (3L, "single"),            // < 2 tokens → 0
+      (4L, "x x x x"))           // bigrams: xx xx xx → 1 of 3 → 0.6666
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.dupNgramFrac(col("text"), 2))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) === 0.5)
+    assert(m(2L) === 0.0)
+    assert(m(3L) === 0.0)
+    assert(m(4L) === 0.6666)
+  }
+
+  test("gopherKeep: clean prose passes, short/repetitive docs fail") {
+    // 31 distinct words (no duplicate bigrams), mean word length ~4.9
+    val prose = "the quick brown fox jumps over a lazy dog while seven " +
+      "wizards quietly brew strong coffee under bright autumn skies and " +
+      "children watch distant ships sail past rocky harbor cliffs today"
+    val m = Seq(
+      (1L, prose),                          // 30 words, mean len ~4.9
+      (2L, "too short to keep"),            // word count below band
+      (3L, Seq.fill(30)("spam spam").mkString(" "))) // dup bigrams
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.gopherKeep(col("text")))
+      .as[(Long, Boolean)].collect().toMap
+    assert(m(1L))
+    assert(!m(2L))
+    assert(!m(3L))
+  }
 }
