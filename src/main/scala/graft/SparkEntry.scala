@@ -1073,6 +1073,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dominant-writing-system detection (charset routing for
+    // multilingual corpora). The corpus is ASCII word soup, so the
+    // query rotates injected samples across docs (doc_id % 7) to
+    // exercise every script branch plus the no-script 'other' case.
+    "text_script_id" -> ((s, dir) => {
+      val input = element_at(array(
+          col("text"),            // 0: the doc's own latin text
+          lit("123 456 !!!"),     // 1: no script chars → other
+          lit("мир и труд май"),  // 2: cyrillic
+          lit("你好世界 こんにちは"), // 3: cjk
+          lit("مرحبا بالعالم"),    // 4: arabic
+          lit("αβγ δεζ ηθι"),     // 5: greek
+          lit("안녕하세요 세계")),  // 6: hangul
+        (col("doc_id") % 7 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.scriptId(input).as("script"))
+        .orderBy("doc_id")
+    }),
+
     // top-k per group via the mergeable bounded-heap aggregate
     // (graft.expr.TopKByScore): map-side partials mean at most k
     // entries per (group x task) reach the shuffle — the scale-safe
@@ -2036,6 +2056,44 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // script replay: same injected rotation, per-script single-char
+    // class counts, and the same (hits desc, script desc) tie-break
+    // the struct array_max applies.
+    "text_script_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN '123 456 !!!'
+        |      WHEN 2 THEN 'мир и труд май'
+        |      WHEN 3 THEN '你好世界 こんにちは'
+        |      WHEN 4 THEN 'مرحبا بالعالم'
+        |      WHEN 5 THEN 'αβγ δεζ ηθι'
+        |      ELSE '안녕하세요 세계' END AS s
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, 'latin' AS script,
+        |         len(regexp_extract_all(s, '[A-Za-zÀ-ɏ]')) AS hits FROM t
+        |  UNION ALL SELECT doc_id, 'cyrillic',
+        |         len(regexp_extract_all(s, '[Ѐ-ӿ]')) FROM t
+        |  UNION ALL SELECT doc_id, 'greek',
+        |         len(regexp_extract_all(s, '[Ͱ-Ͽ]')) FROM t
+        |  UNION ALL SELECT doc_id, 'cjk',
+        |         len(regexp_extract_all(s, '[぀-ヿ一-鿿]')) FROM t
+        |  UNION ALL SELECT doc_id, 'arabic',
+        |         len(regexp_extract_all(s, '[؀-ۿ]')) FROM t
+        |  UNION ALL SELECT doc_id, 'hangul',
+        |         len(regexp_extract_all(s, '[가-힯]')) FROM t),
+        |best AS (
+        |  SELECT doc_id, script, hits,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, script DESC) AS rn
+        |  FROM cnt)
+        |SELECT doc_id,
+        |  CASE WHEN hits > 0 THEN script ELSE 'other' END AS script
+        |FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // the aggregate's (score desc, id asc) retention = window order
     "q_topk_brand_parts" ->

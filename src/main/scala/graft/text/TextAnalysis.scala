@@ -88,6 +88,32 @@ object TextAnalysis {
       floor((lit(1.0) - size(array_distinct(toks)) / n) * 10000) / 10000)
   }
 
+  /** Unicode writing-system ranges (BMP), as literal-char regex
+    * classes so any regex engine replays the counts. */
+  private val scriptRanges: Map[String, String] = Map(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "cjk" -> "぀-ヿ一-鿿", // kana + unified ideographs
+    "arabic" -> "؀-ۿ",
+    "hangul" -> "가-힯")
+
+  /** Dominant writing system of the text: per-script character counts
+    * (one single-char regex class each), max count wins, ties broken
+    * by the lexicographically-largest script name (same deterministic
+    * struct-max shape as [[langId]]); no script characters → 'other'.
+    * The charset-detection step of multilingual corpus routing —
+    * O(chars) per doc, scan-speed, no shuffle. */
+  def scriptId(text: Column): Column = {
+    val counts = scriptRanges.toSeq.sortBy(_._1).map { case (name, cls) =>
+      struct(coalesce(regexp_count(text, lit(s"[$cls]")), lit(0)).as("hits"),
+        lit(name).as("script"))
+    }
+    val best = array_max(array(counts: _*))
+    when(best.getField("hits") > 0, best.getField("script"))
+      .otherwise(lit("other"))
+  }
+
   /** Mean length of non-empty whitespace tokens (0 for blank/NULL
     * docs); floor-quantized to 1e-4 for cross-engine stability. Total
     * token chars = doc length with all whitespace removed, so no

@@ -139,6 +139,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(4L) === 0.6666)
   }
 
+  test("scriptId: dominant writing system per doc, 'other' when none") {
+    val m = Seq(
+      (1L, "plain english words"),
+      (2L, "мир и труд май"),
+      (3L, "你好世界 こんにちは"),
+      (4L, "مرحبا بالعالم"),
+      (5L, "αβγ δεζ"),
+      (6L, "안녕하세요"),
+      (7L, "123 456 !!!"),
+      (8L, "mixed текст with more latin here"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.scriptId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "latin")
+    assert(m(2L) == "cyrillic")
+    assert(m(3L) == "cjk")
+    assert(m(4L) == "arabic")
+    assert(m(5L) == "greek")
+    assert(m(6L) == "hangul")
+    assert(m(7L) == "other")
+    assert(m(8L) == "latin") // more latin chars than cyrillic
+  }
+
   test("gopherKeep: clean prose passes, short/repetitive docs fail") {
     // 31 distinct words (no duplicate bigrams), mean word length ~4.9
     val prose = "the quick brown fox jumps over a lazy dog while seven " +
