@@ -1073,6 +1073,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dataset mixing: downsample each language so the output matches
+    // target proportions (training-data recipe step). Rates solve
+    // from observed stratum sizes (one tiny aggregate); the keep
+    // decision is a content-hash threshold — a pure filter, no
+    // shuffle of the corpus. Power-of-two weights normalize exactly,
+    // so driver and oracle compute bit-identical rates.
+    "q_mixture_sample" -> ((s, dir) => {
+      graft.ops.Sampling.mix(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+            "fr" -> 0.125, "zh" -> 0.125),
+          replayable = true)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // dominant-writing-system detection (charset routing for
     // multilingual corpora). The corpus is ASCII word soup, so the
     // query rotates injected samples across docs (doc_id % 7) to
@@ -2056,6 +2071,31 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mixing replay: sizes → output scale (min over size/target) →
+    // per-stratum rate (same multiply-then-divide order as the
+    // driver) → md5-fold threshold. All fractional constants CAST to
+    // DOUBLE (DuckDB literals are DECIMAL).
+    "q_mixture_sample" ->
+      """WITH sz AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, n,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS tw
+        |  FROM sz),
+        |scale AS (SELECT min(n / tw) AS nn FROM t),
+        |rates AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE), tw * nn / n) AS rate
+        |  FROM t CROSS JOIN scale),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN rates r USING (lang)
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |          1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE)
+        |        < r.rate * CAST(1099511627776 AS DOUBLE))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // script replay: same injected rotation, per-script single-char
     // class counts, and the same (hits desc, script desc) tie-break

@@ -62,6 +62,13 @@ object Sampling {
       .drop("g", "i")
   }
 
+  /** md5-derived content hash in [0, 2^40): exact as a double
+    * (< 2^53) and replayable by any engine with md5 — the same fold
+    * [[kPerGroup]] uses for its rank. */
+  private[graft] def md5Hash40(idCol: Column, salt: Long): Column =
+    (conv(substring(md5(concat(idCol.cast("string"), lit(":"), lit(salt))),
+      1, 15), 16, 10).cast("long") % lit(1099511627776L)).cast("double")
+
   /** Downsample each stratum so the OUTPUT mix matches `targetWeights`
     * (normalized internally). Keep-rates are solved from the observed
     * stratum sizes (one tiny count aggregate): the largest feasible
@@ -69,9 +76,16 @@ object Sampling {
     * (largest target/size ratio) passes through whole and everything
     * else downsamples around it. Strata absent from `targetWeights`
     * are dropped. Narrow apart from the size aggregate.
+    *
+    * `replayable = true` swaps the xxhash64 threshold for the md5 fold
+    * above so an external engine can replay the exact keep decision
+    * (the oracle path); the default xxhash64 is the cheaper production
+    * hash. Both are content-keyed: deterministic across runs, retries
+    * and repartitioning.
     */
   def mix(df: DataFrame, stratumCol: String, idCol: String,
-          targetWeights: Map[String, Double], salt: Long = 0L): DataFrame = {
+          targetWeights: Map[String, Double], salt: Long = 0L,
+          replayable: Boolean = false): DataFrame = {
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "weights must be positive")
     val total = targetWeights.values.sum
@@ -89,10 +103,14 @@ object Sampling {
     val rateCol = rates.foldLeft(lit(-1.0)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, lit(r)).otherwise(acc)
     }
+    val keepRow =
+      if (replayable)
+        md5Hash40(col(idCol), salt) < col("_rate") * 1099511627776.0
+      else
+        pmod(xxhash64(col(idCol), lit(salt)), lit(Long.MaxValue)).cast("double") <
+          col("_rate") * Long.MaxValue.toDouble
     df.withColumn("_rate", rateCol)
-      .where(col("_rate") >= 0 &&
-        (pmod(xxhash64(col(idCol), lit(salt)), lit(Long.MaxValue)).cast("double")
-          < col("_rate") * Long.MaxValue.toDouble))
+      .where(col("_rate") >= 0 && keepRow)
       .drop("_rate")
   }
 }

@@ -70,6 +70,21 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("mix replayable path: same proportions, md5-keyed, deterministic") {
+    val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val a = Sampling.mix(docs, "lang", "doc_id", w, replayable = true)
+    val b = Sampling.mix(docs, "lang", "doc_id", w, replayable = true)
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds == b.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val counts = a.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("en") / total - 0.5) < 0.1)
+    // md5 and xxhash paths draw different—but similarly sized—samples
+    val x = Sampling.mix(docs, "lang", "doc_id", w)
+    assert(math.abs(x.count() - a.count()).toDouble / a.count() < 0.25)
+  }
+
   test("mix rejects impossible inputs") {
     intercept[IllegalArgumentException] {
       Sampling.mix(docs, "lang", "doc_id", Map("klingon" -> 1.0)).count()
