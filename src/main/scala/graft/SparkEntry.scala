@@ -1073,6 +1073,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // hashing-trick TF-IDF featurization: fixed-dim sparse vectors,
+    // no vocabulary table (collisions add). Integer 1e-4 weight
+    // partials summed per bucket — order-independent, replayable.
+    "text_tfidf_hashed" -> ((s, dir) => {
+      graft.text.TfIdf.hashedTfIdf(t(s, dir, "documents"), "doc_id", "text",
+          dim = 64, replayable = true)
+        .orderBy("doc_id", "bucket")
+    }),
+
     // dataset mixing: downsample each language so the output matches
     // target proportions (training-data recipe step). Rates solve
     // from observed stratum sizes (one tiny aggregate); the keep
@@ -2071,6 +2080,33 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF replay: same tokenization, smooth idf ln((1+N)/(1+df))+1
+    // with identical association, md5-fold bucket, integer partials
+    // summed per (doc, bucket).
+    "text_tfidf_hashed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    CAST(('0x' || substr(md5(tf.token), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(floor(CAST(tf.tf AS DOUBLE)
+        |      * (ln((CAST(1.0 AS DOUBLE) + n_docs) / (CAST(1.0 AS DOUBLE) + df))
+        |         + CAST(1.0 AS DOUBLE))
+        |      * CAST(10000 AS DOUBLE)) AS BIGINT) AS wq
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats)
+        |SELECT doc_id, bucket, CAST(sum(wq) AS BIGINT) AS w_q
+        |FROM w GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     // mixing replay: sizes → output scale (min over size/target) →
     // per-stratum rate (same multiply-then-divide order as the
