@@ -1073,6 +1073,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup-style semantic dedup: LSH-bucket blocking → within-
+    // bucket cosine threshold pairs → CC closure → min-id survivors.
+    // Surviving count per label; md5 planes so DuckDB replays the
+    // whole pipeline including the recursive closure.
+    "emb_semantic_survivors" -> ((s, dir) => {
+      Ann.semanticSurvivors(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, numPlanes = 4, replayable = true)
+        .groupBy("label").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("label")
+    }),
+
     // hashing-trick TF-IDF featurization: fixed-dim sparse vectors,
     // no vocabulary table (collisions add). Integer 1e-4 weight
     // partials summed per bucket — order-independent, replayable.
@@ -2080,6 +2091,52 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // semantic-dedup replay: md5 hyperplanes → sign buckets →
+    // within-bucket cosine pairs → recursive-CTE closure → min-id
+    // survivors per label. Mirrors the ann_lsh_topk bucket CTEs.
+    "emb_semantic_survivors" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |pc AS (
+        |  SELECT CAST(p.p AS INTEGER) AS p, CAST(d.i AS INTEGER) AS i,
+        |         (CAST(('0x' || substr(md5(p.p || ':' || d.i), 1, 15)) AS BIGINT) % 2000000)
+        |           / 1000000.0 - 1.0 AS c
+        |  FROM unnest(range(0, 4)) AS p(p), unnest(range(0, 64)) AS d(i)),
+        |dots AS (
+        |  SELECT e.vec_id, pc.p, round(sum(e.v * pc.c), 6) AS dot
+        |  FROM e JOIN pc ON pc.i = e.i - 1 GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dotp AS (
+        |  SELECT c.id1, c.id2, sum(ea.v * eb.v) AS dot
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.id1
+        |              JOIN e eb ON eb.vec_id = c.id2 AND eb.i = ea.i
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d.id1, d.id2
+        |  FROM dotp d JOIN n na ON na.vec_id = d.id1
+        |              JOIN n nb ON nb.vec_id = d.id2
+        |  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |       UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS a, vec_id AS b FROM embeddings
+        |  UNION
+        |  SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src),
+        |lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT emb.label, CAST(count(*) AS BIGINT) AS n_survivors
+        |FROM lab JOIN embeddings emb ON emb.vec_id = lab.id
+        |WHERE lab.id = lab.component
+        |GROUP BY emb.label ORDER BY emb.label""".stripMargin,
 
     // TF-IDF replay: same tokenization, smooth idf ln((1+N)/(1+df))+1
     // with identical association, md5-fold bucket, integer partials

@@ -311,4 +311,43 @@ object Ann {
         round(cosine(col("qv"), col("cv")), 6).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** SemDeDup-style semantic deduplication: drop all but one
+    * representative of every group of embedding near-duplicates
+    * (cosine ≥ threshold), returning the surviving rows of `emb`.
+    *
+    * Scale shape: candidate pairs come from shared sign-random-
+    * projection buckets — never corpus² (the same blocking idea as
+    * MinHash LSH banding, Similarity.scala); the near-dup graph closes
+    * with the O(log diameter) pointer-jumping CC; and because min-label
+    * CC's component id IS the minimum member id, the survivor set is
+    * just {node == component} — no extra ranking pass. Like any
+    * LSH-blocked dedup, a cross-bucket near-dup pair is missed with
+    * probability growing in numPlanes (recall/cost dial); dense
+    * corpora want more planes to bound bucket sizes.
+    *
+    * `replayable = true` uses the md5-seeded planes so an external
+    * engine replays blocking, scoring, and closure (the oracle path);
+    * the native codegen bucket is the fast default. */
+  def semanticSurvivors(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, replayable: Boolean = false,
+      dim: Int = 64): DataFrame = {
+    def bucket(vec: Column): Column =
+      if (replayable) lshBucketMd5(vec, numPlanes, dim) else lshBucket(vec, numPlanes)
+    val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      bucket(col(vecCol)).as("bkt"))
+    // one bucket per vector ⇒ a pair meets at most once (no dedup
+    // shuffle needed before the edge union)
+    val pairs = b.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
+      .join(b.select(col("bkt"), col("id").as("id2"), col("v").as("v2")), "bkt")
+      .where(col("id1") < col("id2"))
+      .where(round(cosine(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = pairs.union(
+      emb.select(col(idCol).cast("long").as("src"),
+        col(idCol).cast("long").as("dst")))
+    val comp = ConnectedComponents.components(edges)
+    val survivors = comp.where(col("id") === col("component")).select("id")
+    emb.join(survivors, emb(idCol).cast("long") === survivors("id"), "left_semi")
+  }
 }

@@ -191,6 +191,23 @@ class AnnSpec extends SparkSpec {
     assert(res.contains(10L)) // exact duplicate must share every hyperplane sign
   }
 
+  test("semanticSurvivors keeps one representative per near-dup cluster") {
+    // cluster A: 0,1,4 mutually cosine>0.99; cluster B: 2 alone; 3 is
+    // 0's antipode (cosine -1, never a near-dup, and co-bucketing is
+    // impossible: every hyperplane sign flips)
+    val kept = Ann.semanticSurvivors(vecs, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 2, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(2L) && kept.contains(3L))
+    assert(!kept.contains(1L) && !kept.contains(4L),
+      s"near-dups of 0 must be dropped, got $kept")
+    // replayable path agrees on this corpus
+    val keptR = Ann.semanticSurvivors(vecs, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 2, replayable = true, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptR == kept)
+  }
+
   test("k-means-trained IVF centroids beat the hash sample at equal probe budget") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
