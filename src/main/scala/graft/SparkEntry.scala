@@ -1073,6 +1073,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-language token-budget cap: keep docs in deterministic
+    // hash order while the language's running token total fits the
+    // budget — the "N tokens per source" recipe step. Window per
+    // group; inclusive running total ⇒ hard cap.
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_tokens",
+        graft.text.TextAnalysis.wsTokenCount(col("text")))
+      graft.ops.Sampling.tokenBudget(docs, "lang", "doc_id", "n_tokens",
+          budget = 3000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("tokens"))
+        .orderBy("lang")
+    }),
+
     // SemDeDup-style semantic dedup: LSH-bucket blocking → within-
     // bucket cosine threshold pairs → CC closure → min-id survivors.
     // Surviving count per label; md5 planes so DuckDB replays the
@@ -2091,6 +2106,26 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // token-budget replay: same tokenization, md5-fold order, and an
+    // inclusive running-total window (RANGE==ROWS here: the
+    // (hash, doc_id) order key is unique).
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |      1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM c WHERE cum <= 3000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // semantic-dedup replay: md5 hyperplanes → sign buckets →
     // within-bucket cosine pairs → recursive-CTE closure → min-id

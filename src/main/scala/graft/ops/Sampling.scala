@@ -62,6 +62,31 @@ object Sampling {
       .drop("g", "i")
   }
 
+  /** Cap each group at a TOKEN budget instead of a row count: rows are
+    * taken in deterministic content-hash order (a canonical shuffle)
+    * and kept while the group's running token total stays within
+    * `budget` — the "sample N tokens per source/language" recipe step
+    * of a training-data mix, where doc lengths vary too much for row
+    * counts to bound the actual data volume.
+    *
+    * Scale shape: one window per group (partition-parallel, the
+    * canonical Spark form for budgeted selection); the hash order
+    * makes the selection deterministic across runs, retries and
+    * repartitioning, and — via the md5 fold — replayable by an
+    * external engine. A doc straddling the boundary is dropped
+    * (inclusive running total must fit), so the budget is a hard cap.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long, salt: Long = 0L): DataFrame = {
+    require(budget >= 0, s"budget $budget must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5Hash40(col(idCol), salt), col(idCol))
+    df.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+      .where(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** md5-derived content hash in [0, 2^40): exact as a double
     * (< 2^53) and replayable by any engine with md5 — the same fold
     * [[kPerGroup]] uses for its rank. */

@@ -85,6 +85,25 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(x.count() - a.count()).toDouble / a.count() < 0.25)
   }
 
+  test("tokenBudget: hard per-group cap in deterministic hash order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 100), ("a", 2L, 100), ("a", 3L, 100),
+      ("b", 4L, 500)).toDF("grp", "id", "toks")
+    val kept = Sampling.tokenBudget(df, "grp", "id", "toks", budget = 250)
+    // group a: exactly 2 of 3 docs fit (3rd pushes the total to 300)
+    assert(kept.where(col("grp") === "a").count() == 2)
+    // group b: its only doc exceeds the budget outright → dropped
+    assert(kept.where(col("grp") === "b").count() == 0)
+    // deterministic across runs
+    val ids1 = kept.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.tokenBudget(df, "grp", "id", "toks", 250)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // budget large enough keeps everything
+    assert(Sampling.tokenBudget(df, "grp", "id", "toks", 1000).count() == 4)
+  }
+
   test("mix rejects impossible inputs") {
     intercept[IllegalArgumentException] {
       Sampling.mix(docs, "lang", "doc_id", Map("klingon" -> 1.0)).count()
