@@ -53,13 +53,16 @@ object AnnScaleSmoke {
       spark, s"$dir/ivf", centroids, queries, "vec_id", "embedding",
       k = 10, nprobe = 8)))
     val recall = got.intersect(truth).size.toDouble / truth.size
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def fmt(p: String, d: Double) = p.formatLocal(java.util.Locale.ROOT, d)
     val json =
       s"""{"metric":"ann_scale","rows":$rows,"dim":64,"queries":100,"k":10,""" +
-      s""""brute_sec":${"%.2f".format(tBrute)},"index_build_sec":${"%.2f".format(tBuild)},""" +
-      s""""probe_sec":${"%.2f".format(tProbe)},"probe_recall":${"%.3f".format(recall)},""" +
+      s""""brute_sec":${fmt("%.2f", tBrute)},"index_build_sec":${fmt("%.2f", tBuild)},""" +
+      s""""probe_sec":${fmt("%.2f", tProbe)},"probe_recall":${fmt("%.3f", recall)},""" +
       s""""cells":64,"nprobe":8}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE_ANN.json"), json)
     spark.stop()
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 }

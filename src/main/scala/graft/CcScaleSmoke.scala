@@ -31,8 +31,8 @@ object CcScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("cc-ckpt").toString)
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -69,6 +69,10 @@ object CcScaleSmoke {
       val mode = if (reliable) "reliable" else "local"
       println(s"CC $mode: $rounds rounds, ${fmt(total)} s total, " +
         s"per-round [${roundSecs.map(fmt).mkString(", ")}] max/min ${fmt(flat)}")
+      // free the mode's final label frame (pinned localCheckpoint
+      // blocks): the reliable-mode timing must not run with 10 M rows
+      // of dead local-mode label state occupying executor storage
+      graft.ops.ConnectedComponents.releaseResult(labels)
       (mode, total, rounds, roundSecs, flat)
     }
 
@@ -82,5 +86,7 @@ object CcScaleSmoke {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_CC.json"), json)
     spark.stop()
+    // ~13 rounds of 10M-node reliable-checkpoint label state
+    new scala.reflect.io.Directory(new java.io.File(ckptDir)).deleteRecursively()
   }
 }

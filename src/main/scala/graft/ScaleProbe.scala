@@ -31,5 +31,7 @@ object ScaleProbe {
     t("ALL") { Validator.validate(feed, all)
       .select(count(when(!col(Validator.ValidCol), 1))).head() }
     spark.stop()
+    new scala.reflect.io.Directory(
+      new java.io.File(path).getParentFile).deleteRecursively()
   }
 }

@@ -60,14 +60,22 @@ object ScaleSmoke {
     graft.validate.Validator.validate(feed.limit(10000), graft.bank.BankRules.all)
       .select(count(when(!col(graft.validate.Validator.ValidCol), 1))).head()
 
+    // when reusing an existing dataset, the CLI rows arg can silently
+    // disagree with the file contents and corrupt rows_per_sec — trust
+    // the files (a parquet-metadata count, no scan)
+    val actualRows = if (exists) feed.count() else rows
+
     val (bad, tVal) = time {
       graft.validate.Validator.validate(feed, graft.bank.BankRules.all)
         .select(count(when(!col(graft.validate.Validator.ValidCol), 1))).head().getLong(0)
     }
+    // Locale.ROOT: a comma-decimal default locale would render 77,70
+    // and break the JSON artifact (same rule as Bench.jsonLine)
+    def fmt(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val json =
-      s"""{"metric":"validation_scale","rows":$rows,""" +
-      s""""gen_write_sec":${"%.2f".format(tGen)},"scan_validate_sec":${"%.2f".format(tVal)},""" +
-      s""""rows_per_sec":${(rows / tVal).toLong},"invalid_rows":$bad,""" +
+      s"""{"metric":"validation_scale","rows":$actualRows,""" +
+      s""""gen_write_sec":${fmt(tGen)},"scan_validate_sec":${fmt(tVal)},""" +
+      s""""rows_per_sec":${(actualRows / tVal).toLong},"invalid_rows":$bad,""" +
       s""""fresh_jvm":${exists}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)

@@ -1064,12 +1064,18 @@ object SparkEntry {
     // the keep decision replays bit-identically in any engine.
     "text_gopher_flags" -> ((s, dir) => {
       import graft.text.TextAnalysis._
+      // keep derives from the four already-computed quantized columns
+      // (same shape as the oracle) — re-invoking gopherKeep(text) here
+      // would re-evaluate every tokenization lambda a second time
       t(s, dir, "documents").select(col("doc_id"),
           wsTokenCount(col("text")).cast("long").as("n_words"),
           meanWordLen(col("text")).as("mean_word_q"),
           alphaWordFrac(col("text")).as("alpha_frac_q"),
-          dupNgramFrac(col("text"), 2).as("dup_bigram_q"),
-          gopherKeep(col("text")).as("keep"))
+          dupNgramFrac(col("text"), 2).as("dup_bigram_q"))
+        .withColumn("keep",
+          col("n_words").between(30, 100000) &&
+            col("mean_word_q").between(4.0, 10.0) &&
+            col("alpha_frac_q") >= 0.8 && col("dup_bigram_q") <= 0.05)
         .orderBy("doc_id")
     }),
 

@@ -182,5 +182,8 @@ object SqlScaleSmoke {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_SQL.json"), json)
     spark.stop()
+    // both generated datasets are gigabytes at mult=10 — don't leave
+    // them on /tmp (same discipline as ScaleSmoke)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 }

@@ -78,5 +78,7 @@ object StreamScaleSmoke {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_STREAM.json"), json)
     spark.stop()
+    // 3M generated rows + routed copies + checkpoint — clean up /tmp
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 }

@@ -334,8 +334,11 @@ object Ann {
       dim: Int = 64): DataFrame = {
     def bucket(vec: Column): Column =
       if (replayable) lshBucketMd5(vec, numPlanes, dim) else lshBucket(vec, numPlanes)
+    // cache: the self-join references the bucketed frame twice — an
+    // uncached plan would scan the corpus and re-evaluate the
+    // numPlanes×dim bucket dot products on both sides
     val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      bucket(col(vecCol)).as("bkt"))
+      bucket(col(vecCol)).as("bkt")).cache()
     // one bucket per vector ⇒ a pair meets at most once (no dedup
     // shuffle needed before the edge union)
     val pairs = b.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
@@ -346,7 +349,10 @@ object Ann {
     val edges = pairs.union(
       emb.select(col(idCol).cast("long").as("src"),
         col(idCol).cast("long").as("dst")))
+    // components() checkpoints the edge list eagerly, so the bucketed
+    // frame is consumed by the time it returns — release it
     val comp = ConnectedComponents.components(edges)
+    b.unpersist(false)
     val survivors = comp.where(col("id") === col("component")).select("id")
     emb.join(survivors, emb(idCol).cast("long") === survivors("id"), "left_semi")
   }

@@ -143,4 +143,16 @@ object ConnectedComponents {
         "raise maxRounds (rounds needed ≈ log2 of the longest chain)")
     (labels, round, roundSecs.result())
   }
+
+  /** Free the block-store copy backing a frame returned by
+    * [[components]] in localCheckpoint mode (no-op for reliable mode).
+    * The final round's label frame stays pinned on the executors until
+    * released — callers running several closures in one JVM (scale
+    * smokes, repeated dedup passes) otherwise stack dead label frames
+    * in storage. Call AFTER consuming the result: the frame cannot be
+    * recomputed once its blocks are gone. */
+  def releaseResult(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    }
 }

@@ -49,17 +49,19 @@ object Sampling {
     val rank = (conv(substring(md5(concat(col(idCol).cast("string"),
         lit(":"), lit(salt))), 1, 15), 16, 10).cast("long")
       % lit(1099511627776L)).cast("double")
+    // underscore-prefixed internals: a caller column named "g"/"i"
+    // would make the join ambiguous or be silently dropped
     val winners = df
-      .select(col(groupCol).as("g"), col(idCol).cast("long").as("i"), rank.as("r"))
-      .groupBy("g")
+      .select(col(groupCol).as("_g"), col(idCol).cast("long").as("_i"), rank.as("_r"))
+      .groupBy("_g")
       // TopKByScore keeps HIGHEST scores: negate so the smallest
       // hashes (the canonical "first k of the shuffled order") win
-      .agg(graft.expr.TopKByScore.topKBy(-col("r"), col("i"), k).as("top"))
-      .select(col("g"), explode(col("top")).as("e"))
-      .select(col("g"), col("e.id").as("i"))
+      .agg(graft.expr.TopKByScore.topKBy(-col("_r"), col("_i"), k).as("_top"))
+      .select(col("_g"), explode(col("_top")).as("_e"))
+      .select(col("_g"), col("_e.id").as("_i"))
     df.join(winners,
-      col(groupCol) === col("g") && col(idCol).cast("long") === col("i"), "inner")
-      .drop("g", "i")
+      col(groupCol) === col("_g") && col(idCol).cast("long") === col("_i"), "inner")
+      .drop("_g", "_i")
   }
 
   /** Cap each group at a TOKEN budget instead of a row count: rows are

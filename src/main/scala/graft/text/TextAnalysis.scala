@@ -18,7 +18,11 @@ object TextAnalysis {
     * diverge from any length>0-filtered tokenization (the r6 oracle
     * divergence class). */
   def wsTokenCount(text: Column): Column =
-    coalesce(size(filter(split(text, "\\s+"), t => length(t) > 0)), lit(0))
+    // greatest: under spark.sql.legacy.sizeOfNull (ANSI off) size(NULL)
+    // is -1, not NULL — coalesce alone would let it through and a NULL
+    // doc would count -1 tokens
+    greatest(coalesce(size(filter(split(text, "\\s+"), t => length(t) > 0)),
+      lit(0)), lit(0))
 
   /** BPE-ish subword-unit count: runs of letters, single digits, and
     * single non-alphanumeric marks — a cheap proxy for tokenizer cost
@@ -131,10 +135,11 @@ object TextAnalysis {
     * case-folded text, so the class is just [a-z]. */
   def alphaWordFrac(text: Column): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val n = coalesce(size(toks), lit(0)).cast("double")
-    val nAlpha = coalesce(
-      size(filter(toks, t => regexp_count(t, lit("[a-z]")) > 0)), lit(0))
-      .cast("double")
+    // greatest guards legacy size(NULL) = -1 (see wsTokenCount)
+    val n = greatest(coalesce(size(toks), lit(0)), lit(0)).cast("double")
+    val nAlpha = greatest(coalesce(
+      size(filter(toks, t => regexp_count(t, lit("[a-z]")) > 0)), lit(0)),
+      lit(0)).cast("double")
     when(n === 0, 0.0).otherwise(floor(nAlpha / n * 10000) / 10000)
   }
 
@@ -146,7 +151,8 @@ object TextAnalysis {
   def dupNgramFrac(text: Column, n: Int = 2): Column = {
     require(n >= 1, "need n >= 1")
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val total = coalesce(size(toks), lit(0)) - (n - 1)
+    // greatest guards legacy size(NULL) = -1 (see wsTokenCount)
+    val total = greatest(coalesce(size(toks), lit(0)), lit(0)) - (n - 1)
     // sequence(1, 0) runs DESCENDING in Spark ([1, 0]) — clamp the
     // stop to 1 and mask the <n-token case with the outer when
     val grams = transform(sequence(lit(1), greatest(total, lit(1))),
