@@ -53,13 +53,36 @@ object AnnScaleSmoke {
       spark, s"$dir/ivf", centroids, queries, "vec_id", "embedding",
       k = 10, nprobe = 8)))
     val recall = got.intersect(truth).size.toDouble / truth.size
+
+    // semantic dedup at scale: inject 1% near-copies (source vector
+    // + 0.0005 per component ⇒ cosine ≈ 1) and drop them with the
+    // production xxhash bucket path. 16 planes ⇒ 65k buckets bound
+    // within-bucket pair generation; a near-copy can still miss its
+    // source's bucket when a hyperplane dot sits within ε of zero
+    // (sign flip), so survivors land between rows and rows + nDup —
+    // blocking recall is part of what this measures.
+    val nDup = rows / 100
+    val dups = spark.range(nDup).select((col("id") + rows).as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 + 0.0005 AS FLOAT))")
+        .as("embedding"))
+    val withDups = corpus.union(dups)
+    val (nSurv, tSem) = time(graft.ops.Ann.semanticSurvivors(
+      withDups, "vec_id", "embedding",
+      threshold = 0.999, numPlanes = 16).count())
+    require(nSurv >= rows && nSurv < rows + nDup,
+      s"expected survivors in [$rows, ${rows + nDup}), got $nSurv")
+    val dedupRecall = (rows + nDup - nSurv).toDouble / nDup
+
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def fmt(p: String, d: Double) = p.formatLocal(java.util.Locale.ROOT, d)
     val json =
       s"""{"metric":"ann_scale","rows":$rows,"dim":64,"queries":100,"k":10,""" +
       s""""brute_sec":${fmt("%.2f", tBrute)},"index_build_sec":${fmt("%.2f", tBuild)},""" +
       s""""probe_sec":${fmt("%.2f", tProbe)},"probe_recall":${fmt("%.3f", recall)},""" +
-      s""""cells":64,"nprobe":8}"""
+      s""""cells":64,"nprobe":8,"semantic_dedup":{"corpus":${rows + nDup},""" +
+      s""""injected_dups":$nDup,"survivors":$nSurv,""" +
+      s""""dedup_recall":${fmt("%.3f", dedupRecall)},"sec":${fmt("%.2f", tSem)},""" +
+      s""""planes":16,"threshold":0.999}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE_ANN.json"), json)
     spark.stop()

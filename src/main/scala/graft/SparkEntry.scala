@@ -1094,6 +1094,15 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // asymmetric n-gram containment: |A∩B|/|A| — the doc-inside-doc
+    // signature (quotes, concatenated crawls) symmetric Jaccard
+    // misses. Same inverted-index shape as ngram_jaccard_pairs.
+    "ngram_containment_pairs" -> ((s, dir) => {
+      Similarity.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.8)
+        .orderBy("id1", "id2")
+    }),
+
     // SemDeDup-style semantic dedup: LSH-bucket blocking → within-
     // bucket cosine threshold pairs → CC closure → min-id survivors.
     // Surviving count per label; md5 planes so DuckDB replays the
@@ -2132,6 +2141,29 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
         |FROM c WHERE cum <= 3000
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // containment replay: same distinct char-5-gram inverted index as
+    // q_dup_components' oracle, normalized per side instead of by the
+    // union.
+    "ngram_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents
+        |  WHERE length(lower(text)) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id1, p.id2,
+        |  round(p.inter / sa.n, 4) AS c1_in_2,
+        |  round(p.inter / sb.n, 4) AS c2_in_1
+        |FROM pr p JOIN sizes sa ON sa.doc_id = p.id1
+        |          JOIN sizes sb ON sb.doc_id = p.id2
+        |WHERE greatest(round(p.inter / sa.n, 4), round(p.inter / sb.n, 4)) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
 
     // semantic-dedup replay: md5 hyperplanes → sign buckets →
     // within-bucket cosine pairs → recursive-CTE closure → min-id

@@ -121,7 +121,11 @@ object SqlScaleSmoke {
 
   /** The headline TPC-H-shaped / window / join / text queries plus the
     * eight entries the r6 capture spiked — the set whose >sf0.1
-    * behavior was unmeasured. */
+    * behavior was unmeasured — plus (r7) the LLM-recipe queries over
+    * the documents table (quality bundle, script ID, mixing, token
+    * budget, hashed TF-IDF). emb_semantic_survivors is excluded: its
+    * blocking parameters are corpus-size-tuned and its scale path is
+    * measured in AnnScaleSmoke at 2 M vectors instead. */
   val names: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_window_top_parts", "q_small_quantity_revenue", "q_rollup_revenue",
@@ -129,7 +133,9 @@ object SqlScaleSmoke {
     "q_events_hourly", "q_events_sessions", "q_top_purchasers",
     "q_asof_native", "q_latest_per_key", "q_lag_gaps", "q_funnel",
     "q_outlier_events", "q_running_total", "q_window_suite",
-    "q_scd2_customers", "v_error_compare", "dup_key_docs", "text_bm25")
+    "q_scd2_customers", "v_error_compare", "dup_key_docs", "text_bm25",
+    "text_gopher_flags", "text_script_id", "q_mixture_sample",
+    "q_token_budget", "text_tfidf_hashed")
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toLong else 10L

@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.count() == 0) // every shared gram has df >= 2
   }
 
+  test("ngramContainment: doc-inside-doc scores ~1 where Jaccard stays low") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = small + " " + ("padding words repeated many times over " * 20)
+    val df = Seq((1L, small), (2L, big), (3L, "entirely unrelated content xyz"))
+      .toDF("doc_id", "text")
+    val c = Similarity.ngramContainment(df, "doc_id", "text", k = 5,
+        threshold = 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(c.length == 1)
+    val (id1, id2, c12, c21) = c.head
+    assert((id1, id2) == (1L, 2L))
+    assert(c12 >= 0.95, s"small doc should be ~fully contained, got $c12")
+    assert(c21 < 0.5, s"big doc is mostly NOT in the small one, got $c21")
+    // symmetric Jaccard would have missed this pair at the same bar
+    val j = Similarity.ngramJaccard(df, "doc_id", "text", k = 5, threshold = 0.8)
+    assert(j.isEmpty)
+  }
+
   test("minhash identical docs share full signature; est_jaccard = 1") {
     val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
       k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
