@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text quality/script/recipe filters run unchanged on a stream") {
+    // the r7 text-recipe family (gopherKeep, scriptId, repetition,
+    // scrubbing, fingerprints) is stateless scan-speed projection —
+    // the whole point is that one filter definition serves batch
+    // backfills AND the streaming ingest path with no state config
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val prose = "the quick brown fox jumps over a lazy dog while seven " +
+      "wizards quietly brew strong coffee under bright autumn skies and " +
+      "children watch distant ships sail past rocky harbor cliffs today"
+    val filtered = mem.toDF().toDF("doc_id", "text")
+      .withColumn("script", graft.text.TextAnalysis.scriptId(col("text")))
+      .where(graft.text.TextAnalysis.gopherKeep(col("text")))
+    val q = filtered.writeStream.format("memory").queryName("quality_route")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, prose), (2L, "too short"), (3L, prose + " extra"))
+      q.processAllAvailable()
+      val rows = spark.table("quality_route")
+        .select("doc_id", "script").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "latin"), (3L, "latin")))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
