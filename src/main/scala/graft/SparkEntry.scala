@@ -1094,6 +1094,35 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // END-TO-END LLM data recipe, composed from the r7 operators and
+    // verified as ONE query: Gopher quality gate → exact dedup on the
+    // NFC-canonical fingerprint (keep min doc_id) → mix languages to
+    // target proportions → cap each language at a token budget →
+    // per-language doc/token counts. Every stage is individually
+    // oracle-checked elsewhere; this entry proves they COMPOSE with
+    // replayable parity — the form a real pipeline runs.
+    "q_recipe_pipeline" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val docs = t(s, dir, "documents")
+      val kept = docs.where(gopherKeep(col("text")))
+      // exact dedup: min doc_id per canonical fingerprint
+      val fp = kept.select(col("doc_id"), col("lang"), col("text"),
+        canonicalFingerprint(col("text")).as("fp"))
+      val reps = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val deduped = fp.join(reps, Seq("fp", "doc_id")).drop("fp")
+      val mixed = graft.ops.Sampling.mix(deduped, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125),
+        replayable = true)
+      val withTok = mixed.withColumn("n_tokens", wsTokenCount(col("text")))
+      graft.ops.Sampling.tokenBudget(withTok, "lang", "doc_id", "n_tokens",
+          budget = 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("tokens"))
+        .orderBy("lang")
+    }),
+
     // asymmetric n-gram containment: |A∩B|/|A| — the doc-inside-doc
     // signature (quotes, concatenated crawls) symmetric Jaccard
     // misses. Same inverted-index shape as ngram_jaccard_pairs.
@@ -2140,6 +2169,74 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
         |FROM c WHERE cum <= 3000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // recipe replay: gopher gate → NFC-fingerprint dedup → size-
+    // solved mixing rates → md5 threshold → token-budget window —
+    // each stage the same SQL its standalone oracle uses, chained.
+    "q_recipe_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0) AS toks,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(chars / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS mean_word_q,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(CAST(len(list_filter(toks,
+        |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS alpha_frac_q,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |      ELSE floor((CAST(1.0 AS DOUBLE)
+        |             - CAST(len(list_distinct(list_transform(
+        |                 generate_series(1, len(toks) - 1),
+        |                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+        |               / CAST(len(toks) - 1 AS DOUBLE)) * 10000) / 10000
+        |    END AS dup_bigram_q
+        |  FROM t),
+        |kept AS (
+        |  SELECT doc_id, lang, text, n_words FROM m
+        |  WHERE (n_words BETWEEN 30 AND 100000)
+        |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
+        |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05),
+        |fp AS (
+        |  SELECT doc_id, lang, n_words,
+        |    md5(regexp_replace(trim(lower(nfc_normalize(text))),
+        |        '\s+', ' ', 'g')) AS f
+        |  FROM kept),
+        |reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |dd AS (
+        |  SELECT fp.doc_id, fp.lang, fp.n_words
+        |  FROM fp JOIN reps ON fp.f = reps.f AND fp.doc_id = reps.doc_id),
+        |sz AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
+        |tw AS (
+        |  SELECT lang, n,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS w
+        |  FROM sz),
+        |scale AS (SELECT min(n / w) AS nn FROM tw),
+        |rates AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE), w * nn / n) AS rate
+        |  FROM tw CROSS JOIN scale),
+        |mixed AS (
+        |  SELECT dd.doc_id, dd.lang, dd.n_words
+        |  FROM dd JOIN rates r USING (lang)
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |          1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE)
+        |        < r.rate * CAST(1099511627776 AS DOUBLE)),
+        |c AS (
+        |  SELECT lang, n_words,
+        |    sum(n_words) OVER (PARTITION BY lang ORDER BY
+        |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |        1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE), doc_id) AS cum
+        |  FROM mixed)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS tokens
+        |FROM c WHERE cum <= 2000
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // containment replay: same distinct char-5-gram inverted index as
