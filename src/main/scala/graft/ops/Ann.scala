@@ -326,12 +326,23 @@ object Ann {
     * probability growing in numPlanes (recall/cost dial); dense
     * corpora want more planes to bound bucket sizes.
     *
+    * A bucket of m vectors yields m²/2 candidate pairs, so ONE dense
+    * region (thousands of identical/default embeddings — the
+    * boilerplate cluster of the embedding world) would turn the join
+    * quadratic. Buckets above `maxBucket` therefore switch to
+    * VERIFIED star-linking: each member scores against only the
+    * bucket's min-id representative (m cosines, not m²/2) and links
+    * when it passes the same threshold — the mega-cluster treatment
+    * the MinHash survivor pipeline applies (Similarity.scala). A hot-
+    * bucket member similar to some OTHER member but not to the
+    * representative is missed (recall dial, like blocking itself).
+    *
     * `replayable = true` uses the md5-seeded planes so an external
     * engine replays blocking, scoring, and closure (the oracle path);
     * the native codegen bucket is the fast default. */
   def semanticSurvivors(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, replayable: Boolean = false,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     def bucket(vec: Column): Column =
       if (replayable) lshBucketMd5(vec, numPlanes, dim) else lshBucket(vec, numPlanes)
     // cache: the self-join references the bucketed frame twice — an
@@ -339,13 +350,26 @@ object Ann {
     // numPlanes×dim bucket dot products on both sides
     val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       bucket(col(vecCol)).as("bkt")).cache()
+    // per-bucket sizes ride along on the (already co-partitioned)
+    // bucket key — no extra corpus shuffle
+    val sized = b.join(b.groupBy("bkt").agg(count(lit(1)).as("_n")), "bkt")
+    val cold = sized.where(col("_n") <= maxBucket)
     // one bucket per vector ⇒ a pair meets at most once (no dedup
     // shuffle needed before the edge union)
-    val pairs = b.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
-      .join(b.select(col("bkt"), col("id").as("id2"), col("v").as("v2")), "bkt")
+    val coldPairs = cold.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
+      .join(cold.select(col("bkt"), col("id").as("id2"), col("v").as("v2")), "bkt")
       .where(col("id1") < col("id2"))
       .where(round(cosine(col("v1"), col("v2")), 6) >= threshold)
       .select(col("id1").as("src"), col("id2").as("dst"))
+    // hot buckets: verify members against the representative only
+    val hot = sized.where(col("_n") > maxBucket)
+    val reps = hot.groupBy("bkt").agg(min("id").as("rep_id"))
+    val hotPairs = hot.join(reps, "bkt")
+      .where(col("id") =!= col("rep_id"))
+      .join(b.select(col("id").as("rep_id"), col("v").as("rep_v")), "rep_id")
+      .where(round(cosine(col("v"), col("rep_v")), 6) >= threshold)
+      .select(col("rep_id").as("src"), col("id").as("dst"))
+    val pairs = coldPairs.union(hotPairs)
     val edges = pairs.union(
       emb.select(col(idCol).cast("long").as("src"),
         col(idCol).cast("long").as("dst")))

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * hashing; collisions simply add).
   *
   * Scale shape: tokenize + explode is narrow; tf aggregates map-side
-  * per (doc, token); df is derived FROM the tf frame, so the tf↔df
-  * join is already token-partitioned (Catalyst reuses the exchange —
-  * no extra shuffle); the one-row corpus stats frame broadcasts. No
-  * driver collects, no vocabulary broadcast — at 100 TB the vocabulary
-  * can exceed driver memory, which is exactly why the hashing trick
-  * exists.
+  * per (doc, token); df derives FROM the tf frame; the one-row corpus
+  * stats frame broadcasts. In the audited plan the df side re-runs the
+  * scan + partial agg rather than reusing tf's exchange (AQE's
+  * broadcast conversion of the small df frame defeats exchange reuse)
+  * — an extra scan-bound pass, acceptable because scans parallelize
+  * perfectly; callers featurizing a huge corpus repeatedly should
+  * persist the tf frame and join df themselves. No driver collects, no
+  * vocabulary table — at 100 TB the vocabulary can exceed driver
+  * memory, which is exactly why the hashing trick exists.
   *
   * Weights are floor-quantized to integer 1e-4 partials BEFORE the
   * per-bucket collision sum, so the sum is order-independent and an

@@ -227,6 +227,21 @@ class AnnSpec extends SparkSpec {
     assert(keptR == kept)
   }
 
+  test("semanticSurvivors hot-bucket cap: star-linking keeps one of a mega-cluster") {
+    import spark.implicits._
+    // 50 identical vectors (one bucket, one near-dup cluster) + 2
+    // distinct singletons; maxBucket = 10 forces the star path
+    val mega = (0L until 50L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val singles = Seq((100L, Array(0.0f, 1.0f, 0.0f)), (101L, Array(0.0f, 0.0f, 1.0f)))
+    val df = (mega ++ singles).toDF("vec_id", "embedding")
+    val kept = Ann.semanticSurvivors(df, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 2, dim = 3, maxBucket = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L), "mega-cluster representative survives")
+    assert((1L until 50L).forall(!kept.contains(_)), s"mega-cluster deduped: $kept")
+    assert(kept.contains(100L) && kept.contains(101L))
+  }
+
   test("k-means-trained IVF centroids beat the hash sample at equal probe budget") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
