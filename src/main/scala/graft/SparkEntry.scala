@@ -1079,6 +1079,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // weighted k-per-group sample (Efraimidis–Spirakis derandomized):
+    // longer docs (n_chars weight) are proportionally likelier; the
+    // bounded-heap aggregate keeps selection map-side.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedKPerGroup(t(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", k = 3)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // per-language token-budget cap: keep docs in deterministic
     // hash order while the language's running token total fits the
     // budget — the "N tokens per source" recipe step. Window per
@@ -2150,6 +2160,28 @@ object SparkEntry {
         |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
         |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // weighted-sample replay: same md5 fold → u in (0,1] → E-S key
+    // -ln(u)/w, floor-quantized at 1e-6 so a ULP of ln cannot reorder
+    // except exactly at a boundary; ties → smaller doc_id, the heap's
+    // own rule.
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |      1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    floor(-ln((h + CAST(1.0 AS DOUBLE)) / CAST(1099511627776 AS DOUBLE))
+        |      / w * CAST(1000000 AS DOUBLE)) AS ky
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ky ASC, doc_id ASC) AS rn
+        |  FROM k)
+        |SELECT lang, doc_id FROM r WHERE rn <= 3
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // token-budget replay: same tokenization, md5-fold order, and an
     // inclusive running-total window (RANGE==ROWS here: the

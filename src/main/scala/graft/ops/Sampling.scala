@@ -64,6 +64,45 @@ object Sampling {
       .drop("_g", "_i")
   }
 
+  /** Deterministic WEIGHTED k-per-group sample (Efraimidis–Spirakis
+    * weighted reservoir, derandomized): each row draws u from its
+    * content hash (uniform in (0,1)) and ranks by the E-S key
+    * -ln(u)/w — the classic weighted-sampling-without-replacement
+    * transform, so a row with twice the weight is (asymptotically)
+    * twice as likely to make the sample. Quality-weighted corpus
+    * subsampling ("prefer high-quality docs, keep k per source") in
+    * one pass.
+    *
+    * Scale shape: same as [[kPerGroup]] — the bounded-heap aggregate
+    * keeps k candidates per (group × task), so the shuffle carries
+    * k·tasks rows per group, never the table. The key is quantized to
+    * integer 1e-6 (ties → smaller id) so selection is deterministic
+    * and engine-replayable; `weightCol` must be strictly positive.
+    */
+  def weightedKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: Long = 0L): DataFrame = {
+    // u in (0,1]: (h+1) / 2^40 over h in [0, 2^40) — never 0, so ln is
+    // finite; -ln(u)/w >= 0 with larger = better for high weights
+    val u = (md5Hash40(col(idCol), salt) + 1.0) / 1099511627776.0
+    // floor yields a long; cast back to double for the heap score —
+    // exact, since -ln(u) <= ln(2^40) ≈ 27.7 bounds the key well
+    // under 2^53 for any weight >= 1e-9
+    val key = floor(-log(u) / col(weightCol).cast("double") * 1000000.0)
+      .cast("double")
+    val winners = df
+      .select(col(groupCol).as("_g"), col(idCol).cast("long").as("_i"), key.as("_k"))
+      .groupBy("_g")
+      // E-S keeps the SMALLEST keys… with -ln(u)/w as "arrival time";
+      // negate so the heap (which keeps highest) retains them. Heap
+      // ties break toward smaller id (TopKByScore's (score, id asc)).
+      .agg(graft.expr.TopKByScore.topKBy(-col("_k"), col("_i"), k).as("_top"))
+      .select(col("_g"), explode(col("_top")).as("_e"))
+      .select(col("_g"), col("_e.id").as("_i"))
+    df.join(winners,
+      col(groupCol) === col("_g") && col(idCol).cast("long") === col("_i"), "inner")
+      .drop("_g", "_i")
+  }
+
   /** Cap each group at a TOKEN budget instead of a row count: rows are
     * taken in deterministic content-hash order (a canonical shuffle)
     * and kept while the group's running token total stays within

@@ -104,6 +104,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudget(df, "grp", "id", "toks", 1000).count() == 4)
   }
 
+  test("weightedKPerGroup: exact k, deterministic, weight-dominant row always in") {
+    import spark.implicits._
+    val df = spark.range(200).selectExpr("id",
+      "CAST(id % 2 AS STRING) AS grp",
+      // id 42 carries overwhelming weight; everything else is tiny
+      "CASE WHEN id = 42 THEN 1e9 ELSE 0.001 END AS w")
+    val s1 = Sampling.weightedKPerGroup(df, "grp", "id", "w", k = 5)
+    val sizes = s1.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(sizes.length == 2 && sizes.forall(_ == 5L))
+    // E-S key of the 1e9-weight row is ~0 — it must be selected
+    assert(s1.where(col("id") === 42).count() == 1)
+    // deterministic
+    val a = s1.select("id").as[Long].collect().toSet
+    val b = Sampling.weightedKPerGroup(df, "grp", "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // a different salt draws a different light-weight tail
+    val c = Sampling.weightedKPerGroup(df, "grp", "id", "w", k = 5, salt = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(c != a && c.contains(42L))
+  }
+
   test("mix rejects impossible inputs") {
     intercept[IllegalArgumentException] {
       Sampling.mix(docs, "lang", "doc_id", Map("klingon" -> 1.0)).count()
