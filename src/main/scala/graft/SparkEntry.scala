@@ -1115,9 +1115,14 @@ object SparkEntry {
       import graft.text.TextAnalysis._
       val docs = t(s, dir, "documents")
       val kept = docs.where(gopherKeep(col("text")))
-      // exact dedup: min doc_id per canonical fingerprint
+      // exact dedup: min doc_id per canonical fingerprint. CACHE the
+      // fingerprinted frame: it feeds BOTH dedup-join sides (reps
+      // derives from it) and two actions (mix's sizes aggregate + the
+      // final run) — uncached, the gopher lambdas + NFC normalize +
+      // md5 would execute up to 4x (measured 5.6x scale ratio at 10x
+      // data before this barrier; at cluster scale persist to storage)
       val fp = kept.select(col("doc_id"), col("lang"), col("text"),
-        canonicalFingerprint(col("text")).as("fp"))
+        canonicalFingerprint(col("text")).as("fp")).cache()
       val reps = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
       val deduped = fp.join(reps, Seq("fp", "doc_id")).drop("fp")
       val mixed = graft.ops.Sampling.mix(deduped, "lang", "doc_id",

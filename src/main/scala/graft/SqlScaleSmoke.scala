@@ -135,10 +135,15 @@ object SqlScaleSmoke {
     "q_outlier_events", "q_running_total", "q_window_suite",
     "q_scd2_customers", "v_error_compare", "dup_key_docs", "text_bm25",
     "text_gopher_flags", "text_script_id", "q_mixture_sample",
-    "q_token_budget", "text_tfidf_hashed")
+    "q_token_budget", "text_tfidf_hashed", "q_weighted_sample",
+    "q_recipe_pipeline")
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toLong else 10L
+    // optional 2nd arg: comma-separated query names (focused triage
+    // re-runs without the full 29-query sweep); artifact writing is
+    // skipped for partial runs so BENCH_SCALE_SQL.json stays complete
+    val only = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -167,15 +172,36 @@ object SqlScaleSmoke {
       times.min
     }
 
-    val rows = names.map { name =>
+    def measure(name: String): (Double, Double, Double) = {
       val fn = SparkEntry.queries(name)
       val (t1, tN) =
         try (timeOn(dir1, fn), timeOn(dirN, fn))
         catch { case e: Throwable =>
           println(s"FAIL $name: ${e.getMessage}"); (-1.0, -1.0) }
-      val ratio = if (t1 > 0) tN / t1 else -1.0
-      println(f"SCALE $name%-26s x1 ${fmt(t1)}%7s  x$mult ${fmt(tN)}%7s  ratio ${fmt(ratio)}%6s")
-      name -> ((t1, tN, ratio))
+      (t1, tN, if (t1 > 0) tN / t1 else -1.0)
+    }
+    val firstPass = names.filter(n => only.isEmpty || only(n)).map { name =>
+      val r = measure(name)
+      println(f"SCALE $name%-26s x1 ${fmt(r._1)}%7s  x$mult ${fmt(r._2)}%7s  ratio ${fmt(r._3)}%6s")
+      name -> r
+    }
+    // Outlier re-run (same discipline as Bench.scala): a contention
+    // burst spanning one query's three executions fakes its ratio in
+    // either direction — high when it hits the mult× side, low (with an
+    // inflated t1) when it hits the 1× side. A second measurement
+    // window minutes later almost never hits the same burst; keep the
+    // elementwise min of the two windows.
+    val rows = firstPass.map { case (name, first @ (t1, tN, ratio)) =>
+      val suspect = ratio > 2.5 || (ratio > 0 && ratio < 0.5 && t1 > 0.3)
+      name -> (if (!suspect) first
+      else {
+        val (u1, uN, _) = measure(name)
+        val (b1, bN) = (if (u1 > 0) math.min(t1, u1) else t1,
+          if (uN > 0) math.min(tN, uN) else tN)
+        val r = (b1, bN, if (b1 > 0) bN / b1 else -1.0)
+        println(f"RERUN $name%-26s x1 ${fmt(r._1)}%7s  x$mult ${fmt(r._2)}%7s  ratio ${fmt(r._3)}%6s")
+        r
+      })
     }
     val qs = rows.map { case (n, (t1, tN, r)) =>
       s""""$n":{"t1":${fmt(t1)},"t$mult":${fmt(tN)},"ratio":${fmt(r)}}"""
@@ -185,8 +211,9 @@ object SqlScaleSmoke {
       s""""gen_sec":${fmt(tGen)},"t1_total":${fmt(rows.map(_._2._1).filter(_ > 0).sum)},""" +
       s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs}"""
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SCALE_SQL.json"), json)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SCALE_SQL.json"), json)
     spark.stop()
     // both generated datasets are gigabytes at mult=10 — don't leave
     // them on /tmp (same discipline as ScaleSmoke)
