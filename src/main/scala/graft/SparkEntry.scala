@@ -1231,6 +1231,49 @@ object SparkEntry {
         .select(col("vec_id"), col("qz.scale").as("scale"),
           concat_ws(",", col("qz.q").cast("array<string>")).as("qvec"))
         .orderBy("vec_id")
+    }),
+
+    // cross-corpus repeated-span removal (C4/RefinedWeb boilerplate
+    // rule over 20-word windows): spans seen in >= 2 distinct docs are
+    // removed from every doc, survivors reassembled in order. The hot
+    // set is Zipf-small → AQE-broadcast anti join, never corpus².
+    "text_span_dedup" -> ((s, dir) => {
+      graft.text.SpanDedup.removeRepeatedSpans(t(s, dir, "documents"),
+          "doc_id", "text", w = 20, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style head/middle/tail quality bands: rank docs by the
+    // unigram-LM mean log-prob WITHIN each language, cut into 3
+    // equal-frequency buckets (exact ntile form — the KLL-sketch
+    // scale path is benched as quality_buckets_native).
+    "q_quality_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.UnigramLm.scoreSelf(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.ops.Quantiles.groupedBucketsExact(scored, "lang", "doc_id",
+          "lp_avg", n = 3)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test split: membership is a pure
+    // function of the doc id's content hash, so adding rows or
+    // re-running never moves a document between splits. Narrow map;
+    // the md5 2^40 fold replays in any engine.
+    "q_split_assign" -> ((s, dir) => {
+      graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
+    // BPE tokenizer induction, merge-step 0: corpus collapses to its
+    // distinct word-frequency table (Zipf: |vocab| << |tokens|), the
+    // char-pair explosion runs over the vocabulary only, counts
+    // weight by word frequency, top-k = TakeOrdered.
+    "text_bpe_pairs" -> ((s, dir) => {
+      graft.text.Bpe.topPairs(t(s, dir, "documents"), "text", topK = 20)
     })
   )
 
@@ -1280,6 +1323,20 @@ object SparkEntry {
           Similarity.simhash(docs, "doc_id", "text").repartition(col("id")).cache(),
           maxHamming = 3, maxBucket = 500, bits = 64)
         .orderBy("id1", "id2")
+    }),
+
+    // fact-scale quality banding: per-language KLL quantile sketch →
+    // broadcast boundary join → narrow when-chain. No per-group sort,
+    // no window — the 100 TB path of q_quality_buckets (bucket edges
+    // approximate by KLL rank error, so no exact oracle exists;
+    // QuantilesSpec pins agreement with the exact form).
+    "quality_buckets_native" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.UnigramLm.scoreSelf(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.ops.Quantiles.groupedBucketsSketch(scored, "lang", "lp_avg", n = 3)
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -2736,6 +2793,92 @@ object SparkEntry {
         |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
         |       WHEN h_en >= h_de THEN 'en'
         |       ELSE 'de' END AS lang_guess
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // span-dedup replay: same length>0-filtered whitespace tokens,
+    // same ceil(n/20) non-overlapping 20-word windows (1-based slice,
+    // single-space rejoin), distinct-doc counts >= 2 → removed
+    // everywhere, survivors re-joined in span order.
+    "text_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(CAST(ceil(len(tk) / 20.0) AS INT), 1)),
+        |    i -> {'idx': i, 'span': array_to_string(list_slice(tk, i*20 + 1, i*20 + 20), ' ')})) AS sp
+        |  FROM tk),
+        |spans AS (
+        |  SELECT doc_id, sp.idx AS span_idx, sp.span AS span
+        |  FROM sp0 WHERE length(sp.span) > 0),
+        |hot AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS cleaned
+        |FROM spans WHERE span NOT IN (SELECT span FROM hot)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quality-bucket replay: the text_unigram_lp scoring stack
+    // verbatim (integer 1e-4 log-prob partials → order-independent
+    // per-doc mean), then ntile(3) per language ordered (lp_avg,
+    // doc_id) — same deterministic tie-break as the Spark window.
+    "q_quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |         CAST(count(*) AS BIGINT) AS v_size FROM freq),
+        |scored AS (
+        |  SELECT tk.doc_id,
+        |    CAST(floor(ln((coalesce(freq.cnt, 0) + 1) /
+        |      CAST(stats.n_total + stats.v_size AS DOUBLE)) * 10000) AS BIGINT) AS lp_q
+        |  FROM tk LEFT JOIN freq USING (token) CROSS JOIN stats),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY p.lp_avg ASC, d.doc_id ASC) AS INT) AS bucket
+        |FROM documents d JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // split replay: md5 2^40 fold of 'doc_id:0', cumulative integer
+    // thresholds floor(0.8*2^40)=879609302220 and
+    // floor(0.9*2^40)=989560464998 (the exact values the Scala
+    // computes — literals avoid cross-engine float drift).
+    "q_split_assign" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |      1, 15)) AS BIGINT) % 1099511627776 AS hx
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hx < 879609302220 THEN 'train'
+        |       WHEN hx < 989560464998 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // BPE pair replay: distinct word frequencies of the case-folded
+    // corpus, adjacent char pairs over the vocabulary weighted by
+    // word frequency, top 20 by (count desc, pair asc).
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+        |p AS (
+        |  SELECT freq, unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, i, 2))) AS pair
+        |  FROM wf WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY pair
+        |ORDER BY n_pairs DESC, pair ASC LIMIT 20""".stripMargin
   )
 }

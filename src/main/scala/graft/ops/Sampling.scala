@@ -28,6 +28,33 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, rate: Double, salt: Long = 0L): DataFrame =
     df.where(keep(col(idCol), rate, salt))
 
+  /** Deterministic train/val/test split: adds `splitCol` naming the
+    * partition each row falls into, by content hash — membership is a
+    * pure function of (id, salt), so re-running the pipeline, adding
+    * rows, or re-partitioning never moves an existing row between
+    * splits (the property random splits lose and the reason eval
+    * contamination sneaks into retrained models). Weights normalize;
+    * cumulative thresholds over the md5 2^40 fold make every engine
+    * agree on the assignment. Pure narrow map — no shuffle, no state.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      salt: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights: $splits")
+    val total = splits.map(_._2).sum
+    val h = md5Hash40(col(idCol), salt)
+    // cumulative upper bounds in hash space; last split takes the rest
+    // exactly (no float-boundary gap at 2^40)
+    val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cut), acc) =>
+        when(h < lit(math.floor(cut * 1099511627776.0)), lit(name))
+          .otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic EXACT-k-per-group sample — the reservoir-sampling
     * shape (uniform k rows per group) with none of the randomness:
     * rows rank inside each group by a seeded content hash and the k

@@ -41,4 +41,45 @@ class QuantilesSpec extends SparkSpec {
     assert(out.where(col("v").isNull).select("bucket").head().isNullAt(0))
     assert(out.where(col("bucket").isNull).count() === 1)
   }
+
+  test("groupedBucketsExact: equal bands per group, deterministic ties") {
+    val df = spark.range(3000).selectExpr("id",
+      "CAST(id % 3 AS STRING) AS grp",
+      "CAST(xxhash64(id) % 1000 AS DOUBLE) AS score")
+    val out = Quantiles.groupedBucketsExact(df, "grp", "id", "score", n = 4)
+    val sizes = out.groupBy("grp", "bucket").count()
+      .collect().map(_.getLong(2))
+    assert(sizes.length === 12 && sizes.forall(_ === 250L))
+    // within each group, bucket boundaries are ordered by score
+    val ranges = out.groupBy("grp", "bucket")
+      .agg(min("score").as("lo"), max("score").as("hi"))
+      .orderBy("grp", "bucket").collect()
+    ranges.grouped(4).foreach(_.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2))
+    })
+  }
+
+  test("groupedBucketsSketch agrees with the exact form away from edges") {
+    val df = spark.range(6000).selectExpr("id",
+      "CAST(id % 2 AS STRING) AS grp",
+      "CAST(xxhash64(id, 7) % 100000 AS DOUBLE) AS score")
+    val exact = Quantiles.groupedBucketsExact(df, "grp", "id", "score", 3)
+      .select(col("id"), col("bucket").as("b_exact"))
+    val sketch = Quantiles.groupedBucketsSketch(df, "grp", "score", 3)
+      .select(col("id"), col("bucket").as("b_sketch"))
+    val n = df.count().toDouble
+    val agree = exact.join(sketch, "id")
+      .where(col("b_exact") === col("b_sketch")).count() / n
+    // KLL rank error moves only rows near a cut; the bulk agrees
+    assert(agree > 0.97, s"agreement $agree")
+  }
+
+  test("groupedBucketsSketch plan has no window/sort over the fact") {
+    val df = spark.range(1000).selectExpr("id",
+      "CAST(id % 2 AS STRING) AS grp", "CAST(id AS DOUBLE) AS score")
+    val plan = Quantiles.groupedBucketsSketch(df, "grp", "score", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+  }
 }

@@ -134,4 +134,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.sample(docs, "doc_id", 1.5).count()
     }
   }
+
+  test("assignSplit: proportional, exhaustive, and stable under growth") {
+    import spark.implicits._
+    val df = spark.range(20000).toDF("id")
+    val out = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // every row lands
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.015)
+    // membership is content-keyed: restricting the input to a subset
+    // never moves a surviving row between splits
+    val subset = Sampling.assignSplit(df.where(col("id") < 5000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val joined = out.where(col("id") < 5000)
+      .withColumnRenamed("split", "full")
+      .join(subset.withColumnRenamed("split", "sub"), "id")
+    assert(joined.where(col("full") =!= col("sub")).count() === 0)
+    // weights normalize: (8, 1, 1) is the same split as (.8, .1, .1)
+    val scaled = Sampling.assignSplit(df, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .withColumnRenamed("split", "s2")
+    assert(out.join(scaled, "id").where(col("split") =!= col("s2")).count() === 0)
+    out.unpersist()
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("a" -> -1.0))
+    }
+  }
 }
