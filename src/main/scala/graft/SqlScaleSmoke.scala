@@ -136,7 +136,14 @@ object SqlScaleSmoke {
     "q_scd2_customers", "v_error_compare", "dup_key_docs", "text_bm25",
     "text_gopher_flags", "text_script_id", "q_mixture_sample",
     "q_token_budget", "text_tfidf_hashed", "q_weighted_sample",
-    "q_recipe_pipeline")
+    "q_recipe_pipeline",
+    // span dedup: the biggest text shuffle (corpus/20 span rows, two
+    // agg exchanges + broadcast anti join); BPE: vocabulary-collapse
+    // then pair explosion; quality bands: the exact ntile form NEXT TO
+    // its KLL sketch path — the pair measures precisely the per-group-
+    // sort degradation the sketch path exists to avoid
+    "text_span_dedup", "text_bpe_pairs", "q_quality_buckets",
+    "quality_buckets_native")
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toLong else 10L
@@ -173,7 +180,7 @@ object SqlScaleSmoke {
     }
 
     def measure(name: String): (Double, Double, Double) = {
-      val fn = SparkEntry.queries(name)
+      val fn = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)
       val (t1, tN) =
         try (timeOn(dir1, fn), timeOn(dirN, fn))
         catch { case e: Throwable =>
