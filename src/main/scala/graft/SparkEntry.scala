@@ -1274,6 +1274,18 @@ object SparkEntry {
     // weight by word frequency, top-k = TakeOrdered.
     "text_bpe_pairs" -> ((s, dir) => {
       graft.text.Bpe.topPairs(t(s, dir, "documents"), "text", topK = 20)
+    }),
+
+    // JL random projection 64→16 (Achlioptas ±1 signs derived from
+    // md5 — no model to ship; the matrix is a plan literal): narrow
+    // codegen'd map, zero shuffle, 4x cheaper downstream distances.
+    // Quantized left-to-right fold → DuckDB replays exact doubles.
+    "emb_rp_project" -> ((s, dir) => {
+      graft.ops.RandomProjection.project(t(s, dir, "embeddings"),
+          "embedding", d = 64, k = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim_j", "y_q")))
+        .select(col("vec_id"), col("dim_j").cast("int").as("dim_j"), col("y_q"))
+        .orderBy("vec_id", "dim_j")
     })
   )
 
@@ -2879,6 +2891,25 @@ object SparkEntry {
         |  FROM wf WHERE length(word) >= 2)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_pairs
         |FROM p GROUP BY pair
-        |ORDER BY n_pairs DESC, pair ASC LIMIT 20""".stripMargin
+        |ORDER BY n_pairs DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // random-projection replay: the same md5-nibble-parity ±1 matrix
+    // (sign(i,j) = parity of first hex digit of md5('i:j:0')), the
+    // same left-to-right fold (list_reduce's first-element init ==
+    // Spark's 0.0 init bitwise, and both sides' trailing +0
+    // normalizes -0.0), the same floor-1e-4 quantization.
+    "emb_rp_project" ->
+      """WITH s AS (
+        |  SELECT j, list(CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':0'), 1, 1))
+        |      AS INT) % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(-1.0 AS DOUBLE) END ORDER BY i) AS sg
+        |  FROM range(0, 64) t1(i), range(0, 16) t2(j) GROUP BY j)
+        |SELECT e.vec_id, CAST(s.j AS INT) AS dim_j,
+        |  floor(list_reduce(list_transform(range(1, 65),
+        |    ii -> CAST(e.embedding[ii] AS DOUBLE) * s.sg[ii]),
+        |    (a, b) -> a + b) * 10000) / 10000 + 0 AS y_q
+        |FROM embeddings e CROSS JOIN s
+        |ORDER BY vec_id, dim_j""".stripMargin
   )
 }
