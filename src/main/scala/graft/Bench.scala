@@ -129,6 +129,9 @@ object Bench {
     val all = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.isEmpty || only(name) }
     val firstPass = all.map { case (name, fn) =>
+      // progress to stderr (stdout stays the one-line JSON contract):
+      // a wedged run must be attributable to a query without jstack
+      System.err.println(f"BENCH ${java.time.LocalTime.now()} $name")
       val t = timeOne(fn)
       // queries that cache intermediates (minhash/simhash sigs) would
       // otherwise pin executor storage for the remaining ~70 queries —

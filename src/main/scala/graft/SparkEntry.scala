@@ -1140,9 +1140,16 @@ object SparkEntry {
 
     // asymmetric n-gram containment: |A∩B|/|A| — the doc-inside-doc
     // signature (quotes, concatenated crawls) symmetric Jaccard
-    // misses. Same inverted-index shape as ngram_jaccard_pairs.
+    // misses. Subset to 100 docs like ngram_jaccard_pairs: the
+    // synthetic word-soup corpus has a TINY char-5-gram alphabet, so
+    // at 50k docs the gram×doc matrix is dense and ANY exact
+    // inverted-index pair join tends to n² (measured: a wedged 10-min
+    // single task at sf0.1). Corpus-scale containment goes through
+    // maxDf capping + MinHash/LSH prefiltering (dedup_survivors), not
+    // the exact index; this entry verifies the containment math.
     "ngram_containment_pairs" -> ((s, dir) => {
-      Similarity.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      Similarity.ngramContainment(docs, "doc_id", "text",
           k = 5, threshold = 0.8)
         .orderBy("id1", "id2")
     }),
@@ -2351,7 +2358,7 @@ object SparkEntry {
     "ngram_containment_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lower(text) AS s FROM documents
-        |  WHERE length(lower(text)) >= 5),
+        |  WHERE doc_id < 100 AND length(lower(text)) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
         |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),

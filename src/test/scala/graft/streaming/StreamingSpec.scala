@@ -58,6 +58,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("split assignment and random projection run unchanged on a stream") {
+    // both are stateless narrow maps (content-hash membership, plan-
+    // literal sign matrix) — the same definition serves batch and the
+    // ingest path, and a row's split never depends on what else is in
+    // the batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = graft.ops.RandomProjection.project(
+      graft.ops.Sampling.assignSplit(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      "embedding", d = 8, k = 2)
+    val q = out.writeStream.format("memory").queryName("split_proj")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(2.0f)))
+      q.processAllAvailable()
+      mem.addData((3L, Array.fill(8)(3.0f)))
+      q.processAllAvailable()
+      val rows = spark.table("split_proj")
+        .select("vec_id", "split", "proj").collect()
+      assert(rows.length === 3)
+      // batch parity: the streamed assignment equals the batch one
+      import spark.implicits._
+      val batch = graft.ops.Sampling.assignSplit(
+        Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("vec_id", "split").as[(Long, String)].collect().toMap
+      rows.foreach(r => assert(r.getString(1) === batch(r.getLong(0))))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
