@@ -1293,6 +1293,34 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim_j", "y_q")))
         .select(col("vec_id"), col("dim_j").cast("int").as("dim_j"), col("y_q"))
         .orderBy("vec_id", "dim_j")
+    }),
+
+    // weekly cohort retention matrix: users grouped by first-seen
+    // week, distinct-user counts per (cohort, week offset). Both
+    // shuffles key on user_id (co-partitioned groupBy + join — one
+    // exchange reused), final matrix is cohorts × offsets rows.
+    "q_cohort_retention" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts_us")).as("week"))
+        .distinct()
+      val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+      wk.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+            / 604800).cast("int").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // sharded-output manifest (the pipeline's last step): stable
+    // content-hash shard membership + per-shard row count and an
+    // order-independent XOR identity checksum — a narrow map and one
+    // N-row aggregation; an external engine re-derives the whole
+    // manifest from the data, which is the integrity property.
+    "q_shard_manifest" -> ((s, dir) => {
+      graft.ops.Shards.manifest(t(s, dir, "documents"), "doc_id",
+          numShards = 8)
+        .orderBy("shard")
     })
   )
 
@@ -2917,6 +2945,35 @@ object SparkEntry {
         |    ii -> CAST(e.embedding[ii] AS DOUBLE) * s.sg[ii]),
         |    (a, b) -> a + b) * 10000) / 10000 + 0 AS y_q
         |FROM embeddings e CROSS JOIN s
-        |ORDER BY vec_id, dim_j""".stripMargin
+        |ORDER BY vec_id, dim_j""".stripMargin,
+
+    // cohort replay: Monday-truncated weeks both engines, epoch-
+    // second week offsets (UTC, no DST — exact multiples of 604800).
+    "q_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST((floor(epoch(w.week)) - floor(epoch(f.cohort_week))) / 604800 AS INT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // shard-manifest replay: same md5 60-bit fold of 'doc_id:0'
+    // (full width — the XOR checksum uses all the entropy), same
+    // pmod-8 assignment, same order-independent XOR.
+    "q_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(h % 8 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShardsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("writeShards round trip: every row lands, manifest certifies directories") {
+    val df = spark.range(1000).selectExpr("id", "id * 3 AS payload")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      val written = Shards.writeShards(df, "id", path, numShards = 4)
+        .orderBy("shard").collect()
+      assert(written.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+      assert(written.map(_.getLong(1)).sum === 1000L)
+      // written manifest == planned manifest: the files hold exactly
+      // the planned multiset
+      val planned = Shards.manifest(df, "id", 4).orderBy("shard").collect()
+      assert(written.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        === planned.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+      // read-back preserves every row and its payload
+      val back = spark.read.parquet(path)
+      assert(back.count() === 1000L)
+      assert(back.select(sum("payload")).head().getLong(0)
+        === df.select(sum("payload")).head().getLong(0))
+      // assignment is stable: a second write produces identical shards
+      val path2 = java.nio.file.Files.createTempDirectory("shards2").toString
+      try {
+        val again = Shards.writeShards(df, "id", path2, 4)
+          .orderBy("shard").collect()
+        assert(again.map(_.toSeq).toSeq === written.map(_.toSeq).toSeq)
+      } finally new scala.reflect.io.Directory(new java.io.File(path2))
+        .deleteRecursively()
+    } finally new scala.reflect.io.Directory(new java.io.File(path))
+      .deleteRecursively()
+  }
+
+  test("a missing or duplicated row flips exactly its shard's checksum") {
+    val df = spark.range(500).toDF("id")
+    val full = Shards.manifest(df, "id", 4).orderBy("shard").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val victimShard = Shards.assignShard(lit(123L), 4) // row 123's shard
+    val vs = spark.range(1).select(victimShard.as("s")).head().getInt(0)
+    // drop one row
+    val dropped = Shards.manifest(df.where(col("id") =!= 123L), "id", 4)
+      .orderBy("shard").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dropped(vs)._1 === full(vs)._1 - 1)
+    assert(dropped(vs)._2 !== full(vs)._2)
+    assert(full.keySet.filter(_ != vs).forall(s => dropped(s) === full(s)))
+    // duplicate the same row: XOR cancels, n_rows does not — the pair
+    // of fields together still catches it
+    val duped = Shards.manifest(
+        df.union(df.where(col("id") === 123L)), "id", 4)
+      .orderBy("shard").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(duped(vs)._1 === full(vs)._1 + 1) // the count catches the dup
+    // ...because the XOR alone cannot: the pair cancels, leaving the
+    // checksum of the manifest WITHOUT the row
+    assert(duped(vs)._2 === dropped(vs)._2)
+  }
+
+  test("shard sizes are balanced and the manifest plan is one aggregation") {
+    val df = spark.range(40000).toDF("id")
+    val m = Shards.manifest(df, "id", 8).collect()
+    val sizes = m.map(_.getLong(1))
+    assert(sizes.length === 8)
+    sizes.foreach(n => assert(math.abs(n - 5000L) < 500, s"skewed shard: $n"))
+    val plan = Shards.manifest(df, "id", 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"), plan)
+  }
+}
