@@ -1312,6 +1312,19 @@ object SparkEntry {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // EXACT thresholded all-pairs cosine over hashed TF-IDF (Bayardo
+    // prefix filtering): pruning is result-transparent, so the oracle
+    // is a brute-force replay — the pairs must match exactly. Subset
+    // like the other exact-index pair queries (the synthetic corpus
+    // is pathologically dense for exact indexes at 50k docs); the
+    // scale story is the prefix bound itself, pinned in AllPairsSpec.
+    "text_allpairs_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      graft.ops.AllPairs.cosinePairs(docs, "doc_id", "text", dim = 64,
+          threshold = 0.6, replayable = true)
+        .orderBy("id1", "id2")
+    }),
+
     // sharded-output manifest (the pipeline's last step): stable
     // content-hash shard membership + per-shard row count and an
     // order-independent XOR identity checksum — a narrow map and one
@@ -2962,6 +2975,49 @@ object SparkEntry {
         |FROM w JOIN f USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // all-pairs replay: BRUTE FORCE — the prefix filter prunes
+    // candidates, never results, so the oracle recomputes every
+    // shared-bucket pair's exact integer dot product and quantized
+    // cosine from the same md5-bucketed TF-IDF (subset df/stats).
+    "text_allpairs_cosine" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    CAST(('0x' || substr(md5(tf.token), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(floor(CAST(tf.tf AS DOUBLE)
+        |      * (ln((CAST(1.0 AS DOUBLE) + n_docs) / (CAST(1.0 AS DOUBLE) + df))
+        |         + CAST(1.0 AS DOUBLE))
+        |      * CAST(10000 AS DOUBLE)) AS BIGINT) AS wq
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats),
+        |v AS (
+        |  SELECT doc_id, bucket, CAST(sum(wq) AS BIGINT) AS w_q
+        |  FROM w GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(w_q * w_q) AS BIGINT) AS n2 FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(sum(a.w_q * b.w_q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id1, id2,
+        |    CAST(floor(dot / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(nx.n2 AS DOUBLE)))
+        |      * 10000) AS BIGINT) AS cos_q
+        |  FROM d JOIN n n1 ON d.id1 = n1.doc_id JOIN n nx ON d.id2 = nx.doc_id)
+        |SELECT id1, id2, cos_q FROM scored WHERE cos_q >= 6000
+        |ORDER BY id1, id2""".stripMargin,
 
     // shard-manifest replay: same md5 60-bit fold of 'doc_id:0'
     // (full width — the XOR checksum uses all the entropy), same

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT thresholded all-pairs cosine similarity over hashed TF-IDF
+  * vectors — the third leg of the near-dup stool: n-gram indexes give
+  * exact set overlap, MinHash/SimHash give approximate pairs at any
+  * scale, and this gives exact WEIGHTED cosine ≥ t without comparing
+  * corpus² — the prefix-filtering principle of Bayardo, Ma & Srikant,
+  * "Scaling Up All Pairs Similarity Search" (WWW 2007).
+  *
+  * The pruning: order features canonically (ascending corpus max
+  * normalized weight, then bucket id). For each doc, walk its features
+  * in that order accumulating b = Σ nw(f)·maxw(f); features seen while
+  * b < t CANNOT on their own witness a ≥ t pair (the sum bounds any
+  * partner's contribution), so only features from the point b reaches
+  * t onward are indexed. A valid pair must share an INDEXED feature of
+  * each side, so candidates = index(a) ⋈ full(b) — typically orders of
+  * magnitude fewer than all shared-feature pairs. Pruning is
+  * RESULT-TRANSPARENT: candidates are verified with the exact dot
+  * product, so output pairs are exactly {(a,b) : cos(a,b) ≥ t} — which
+  * is why the DuckDB oracle can be a brute-force replay.
+  *
+  * Scale shape: per-doc prefix selection is one window over the doc's
+  * own ≤dim features (partitioned by doc — no global sort); the
+  * candidate join keys on feature buckets where at least one side is
+  * prefix-thinned; verification joins only candidate pairs. Weights
+  * are the integer 1e-4 TF-IDF partials (TfIdf.hashedTfIdf), so dot
+  * products are exact integer sums and the quantized cosine compares
+  * identically in any engine.
+  */
+object AllPairs {
+
+  /** Pairs `(id1, id2, cos_q)` with quantized cosine
+    * `cos_q = floor(10⁴ · dot/(‖a‖·‖b‖)) ≥ floor(10⁴·threshold)`,
+    * id1 < id2. `replayable` picks the md5 bucket hash (oracle) vs
+    * xxhash64 (production) in the underlying TF-IDF. */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, threshold: Double, replayable: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
+    val tf = graft.text.TfIdf.hashedTfIdf(docs, idCol, textCol, dim, replayable)
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("w_q") * col("w_q")).as("n2"))
+    // normalized weights drive the bound only — exactness never
+    // depends on them
+    val nw = tf.join(norms, "doc_id")
+      .select(col("doc_id"), col("bucket"), col("w_q"),
+        (col("w_q") / sqrt(col("n2"))).as("nw"))
+    val maxw = nw.groupBy("bucket").agg(max("nw").as("mw"))
+    val ordered = nw.join(maxw, "bucket")
+    // inclusive running bound in canonical (mw asc, bucket asc) order;
+    // indexed ⇔ bound has reached the threshold
+    val wnd = Window.partitionBy("doc_id").orderBy(col("mw").asc, col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = ordered.withColumn("b", sum(col("nw") * col("mw")).over(wnd))
+    val idx = flagged.where(col("b") >= threshold).select("doc_id", "bucket")
+    val cand = idx.as("a")
+      .join(tf.select("doc_id", "bucket").as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // exact integer dot product over the candidates only
+    val dot = cand
+      .join(tf.select(col("doc_id").as("id1"), col("bucket"),
+        col("w_q").as("w1")), Seq("id1"))
+      .join(tf.select(col("doc_id").as("id2"), col("bucket"),
+        col("w_q").as("w2")), Seq("id2", "bucket"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("id1"), col("n2").as("n21")), "id1")
+      .join(norms.select(col("doc_id").as("id2"), col("n2").as("n22")), "id2")
+      .select(col("id1"), col("id2"),
+        floor(col("dot") / (sqrt(col("n21")) * sqrt(col("n22"))) * 10000)
+          .cast("long").as("cos_q"))
+      .where(col("cos_q") >= math.floor(threshold * 10000).toLong)
+  }
+}
