@@ -1325,6 +1325,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // integer PageRank over the undirected customer↔supplier purchase
+    // graph, 3 fixed rounds: centrality = purchase-volume reach. All
+    // arithmetic is integral ((r*85) div (100*deg), BIGINT sums) so
+    // the oracle replays every round bit-for-bit, stage by stage.
+    "q_pagerank_suppliers" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.ops.PageRank.ranks(edges, iters = 3)
+        .orderBy("node")
+    }),
+
     // sharded-output manifest (the pipeline's last step): stable
     // content-hash shard membership + per-shard row count and an
     // order-independent XOR identity checksum — a narrow map and one
@@ -3018,6 +3035,45 @@ object SparkEntry {
         |  FROM d JOIN n n1 ON d.id1 = n1.doc_id JOIN n nx ON d.id2 = nx.doc_id)
         |SELECT id1, id2, cos_q FROM scored WHERE cos_q >= 6000
         |ORDER BY id1, id2""".stripMargin,
+
+    // PageRank replay: the same integer arithmetic, three explicit
+    // stages (recursive CTEs with aggregation in the recursive term
+    // are not portable — unrolling is). '//' is DuckDB's integral
+    // division; operands are positive so it matches Spark's `div`.
+    "q_pagerank_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |c0 AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0,
+        |              CAST(((1000000000000 // count(*)) * 15) // 100 AS BIGINT) AS base
+        |       FROM nodes),
+        |it0 AS (SELECT node, (SELECT r0 FROM c0) AS r FROM nodes),
+        |s1 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it1 AS (SELECT n.node, (SELECT base FROM c0) + coalesce(s1.m, 0) AS r
+        |        FROM nodes n LEFT JOIN s1 ON n.node = s1.node),
+        |s2 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it2 AS (SELECT n.node, (SELECT base FROM c0) + coalesce(s2.m, 0) AS r
+        |        FROM nodes n LEFT JOIN s2 ON n.node = s2.node),
+        |s3 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it3 AS (SELECT n.node, (SELECT base FROM c0) + coalesce(s3.m, 0) AS r
+        |        FROM nodes n LEFT JOIN s3 ON n.node = s3.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank FROM it3
+        |ORDER BY node""".stripMargin,
 
     // shard-manifest replay: same md5 60-bit fold of 'doc_id:0'
     // (full width — the XOR checksum uses all the entropy), same
