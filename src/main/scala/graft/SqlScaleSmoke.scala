@@ -143,7 +143,11 @@ object SqlScaleSmoke {
     // its KLL sketch path — the pair measures precisely the per-group-
     // sort degradation the sketch path exists to avoid
     "text_span_dedup", "text_bpe_pairs", "q_quality_buckets",
-    "quality_buckets_native")
+    "quality_buckets_native",
+    // cohort: two user_id-keyed shuffles; shards: narrow map + N-row
+    // agg; pagerank: 3 iterative join+agg rounds over the ~1.2M-edge
+    // (at 10x) purchase graph — the heaviest legitimate entry
+    "q_cohort_retention", "q_shard_manifest", "q_pagerank_suppliers")
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toLong else 10L
