@@ -48,6 +48,17 @@ object Shards {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
 
+  /** Merge per-batch manifests into the manifest of the combined
+    * data: counts add, XOR checksums compose (XOR is the point — an
+    * incremental ingest maintains corpus-level integrity by folding
+    * each micro-batch's manifest into the running one, never
+    * re-scanning history; `manifest(b₁ ∪ b₂) = merge(manifest(b₁),
+    * manifest(b₂))` exactly, for disjoint batches). */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("shard")
+      .agg(sum("n_rows").as("n_rows"), expr("bit_xor(checksum)").as("checksum"))
+
   /** Write `df` as `numShards` hash shards under `path`
     * (`shard=<n>/part-*.parquet`) and return the manifest computed
     * from the files as written — grouped by the DIRECTORY partition

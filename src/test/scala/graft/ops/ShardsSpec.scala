@@ -62,6 +62,26 @@ class ShardsSpec extends SparkSpec {
     assert(duped(vs)._2 === dropped(vs)._2)
   }
 
+  test("manifests compose: merge of batch manifests == manifest of the union") {
+    val all = spark.range(2000).toDF("id")
+    val (b1, b2) = (all.where(col("id") < 1200), all.where(col("id") >= 1200))
+    val merged = Shards.mergeManifests(
+        Shards.manifest(b1, "id", 4), Shards.manifest(b2, "id", 4))
+      .orderBy("shard").collect().map(_.toSeq)
+    val direct = Shards.manifest(all, "id", 4)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(merged.toSeq === direct.toSeq)
+    // merging a manifest with itself cancels every checksum (the
+    // XOR-visibility of double ingestion) while counts double
+    val twice = Shards.mergeManifests(
+        Shards.manifest(b1, "id", 4), Shards.manifest(b1, "id", 4))
+      .collect()
+    assert(twice.forall(r => r.getLong(2) === 0L))
+    val once = Shards.manifest(b1, "id", 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    twice.foreach(r => assert(r.getLong(1) === 2 * once(r.getInt(0))))
+  }
+
   test("shard sizes are balanced and the manifest plan is one aggregation") {
     val df = spark.range(40000).toDF("id")
     val m = Shards.manifest(df, "id", 8).collect()
