@@ -45,6 +45,7 @@ object PageRank {
     // re-read a materialized (src, dst, deg) frame, not the lineage
     val ed = e.join(deg, "src").localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "PageRank on an empty edge frame")
     val r0 = 1000000000000L / n
     val base = (r0 * 15L) / 100L
     var ranks = nodes.withColumn("r", lit(r0))
