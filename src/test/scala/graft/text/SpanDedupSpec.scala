@@ -52,6 +52,39 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.filter(_._1 != 2L).forall(!_._3.contains("rights")))
   }
 
+  test("property: output always equals the in-Scala reference") {
+    // randomized corpora with engineered sharing: compare the Spark
+    // operator against a direct Scala implementation of the same
+    // semantics (w-word windows, distinct-doc >= minDocs, remove-all)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl")
+    for (trial <- 1 to 5) {
+      val shared = Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (1L to 12L).map { id =>
+        val own = Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        val words =
+          if (id % 3 == 0) shared.split(" ").toSeq ++ own else own
+        id -> words.mkString(" ")
+      }
+      val expect = {
+        val spans = corpus.map { case (id, text) =>
+          id -> text.split("\\s+").filter(_.nonEmpty).grouped(3)
+            .map(_.mkString(" ")).toVector }
+        val hot = spans.flatMap { case (id, sp) => sp.distinct.map(_ -> id) }
+          .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+        spans.map { case (id, sp) =>
+          id -> sp.zipWithIndex.filterNot(s => hot(s._1)) }
+          .filter(_._2.nonEmpty)
+          .map { case (id, sp) => (id, sp.size.toLong, sp.map(_._1).mkString(" ")) }
+          .sortBy(_._1)
+      }
+      val got = SpanDedup.removeRepeatedSpans(
+          corpus.toDF("id", "text"), "id", "text", w = 3, minDocs = 2)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      assert(got === expect, s"trial $trial corpus $corpus")
+    }
+  }
+
   test("repeats WITHIN one document do not count as corpus repeats") {
     val df = Seq(
       (1L, s"$boiler $boiler $boiler"), // 3 occurrences, 1 document
