@@ -152,7 +152,7 @@ object SqlScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toLong else 10L
     // optional 2nd arg: comma-separated query names (focused triage
-    // re-runs without the full 29-query sweep); artifact writing is
+    // re-runs without the full sweep); artifact writing is
     // skipped for partial runs so BENCH_SCALE_SQL.json stays complete
     val only = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perceptual image hashing runs unchanged on a stream") {
+    // hashImages is a stateless mapPartitions — the multimodal ingest
+    // path hashes media as it arrives with the same code as backfills
+    implicit val sqlCtx = spark.sqlContext
+    def png(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 32)
+        img.setRGB(x, y, if (x < v) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val out = graft.multimodal.ImageHash.hashImages(
+      mem.toDF().toDF("media_id", "payload"), "media_id", "payload")
+    val q = out.writeStream.format("memory").queryName("img_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, png(8)), (2L, png(24)), (3L, Array[Byte](7)))
+      q.processAllAvailable()
+      val rows = spark.table("img_ingest").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(rows.keySet === Set(1L, 2L, 3L))
+      assert(rows(3L).isEmpty) // undecodable → null, stream survives
+      // batch parity
+      import spark.implicits._
+      val batch = graft.multimodal.ImageHash.hashImages(
+        Seq((1L, png(8)), (2L, png(24))).toDF("media_id", "payload"),
+        "media_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(1L).contains(batch(1L)) && rows(2L).contains(batch(2L)))
+    } finally q.stop()
+  }
+
   test("split assignment and random projection run unchanged on a stream") {
     // both are stateless narrow maps (content-hash membership, plan-
     // literal sign matrix) — the same definition serves batch and the
