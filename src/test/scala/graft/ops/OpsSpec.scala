@@ -279,8 +279,13 @@ class AnnSpec extends SparkSpec {
     assert(cents.count() == 4)
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 120, s"25 iterations took $secs s — plan growth is back")
+    // the r6 leak was one cached frame PER ITERATION (+25 here);
+    // suites share the session and run in parallel, so a couple of
+    // transient caches from concurrent suites are legitimate — assert
+    // well under the leak signature, not exact equality (that form
+    // flaked once the suite count grew)
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after == before, s"cached RDDs grew $before -> $after")
+    assert(after - before < 5, s"cached RDDs grew $before -> $after")
     emb.unpersist()
   }
 
