@@ -102,6 +102,24 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     def fmtLoad(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Start gate (r8): the r6 AND r7 official captures both timed a
+    // contended window (r7 start load 3.26 → 1.45x-inflated total vs
+    // three same-code quiet captures). A full-suite run now refuses to
+    // START timing while the 1-min load exceeds a threshold — it waits
+    // in 15 s steps up to a budget, and the artifact records how long
+    // it waited and the load it settled at, so a still-contended
+    // capture is self-documenting. Subset (local-iteration) runs skip
+    // the gate unless explicitly requested.
+    val gateThreshold = sys.env.get("SPARK_GRAFT_BENCH_GATE").map(_.toDouble).getOrElse(1.5)
+    val gateBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_GATE_WAIT").map(_.toInt).getOrElse(600)
+    var gateWaited = 0
+    if (args.isEmpty && gateThreshold > 0) {
+      while (loadAvg > gateThreshold && gateWaited < gateBudgetSec) {
+        System.err.println(f"BENCH gate: load ${fmtLoad(loadAvg)} > ${fmtLoad(gateThreshold)}, waiting (${gateWaited}s/${gateBudgetSec}s)")
+        Thread.sleep(15000)
+        gateWaited += 15
+      }
+    }
     val load0 = loadAvg
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
@@ -158,6 +176,7 @@ object Bench {
     val load1 = loadAvg
     val meta = Map(
       "load" -> s"${fmtLoad(load0)},${fmtLoad(load1)}",
+      "gate_wait_sec" -> gateWaited.toString,
       "runs" -> (if (cold) "cold-1" else "warm-min3"),
       "reruns" -> suspects.mkString(";"))
     val json = jsonLine(results, sfDir, meta)

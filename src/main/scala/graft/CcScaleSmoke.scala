@@ -49,7 +49,11 @@ object CcScaleSmoke {
     val edges = short.union(long)
     val nEdges = edges.count()
 
-    val results = Seq(false, true).map { reliable =>
+    // modes: the two explicit checkpoint modes plus the DEFAULT (auto)
+    // path — at ~9 M edges with a checkpoint dir set, auto must resolve
+    // to reliable (asserted below via the result RDD's checkpoint file)
+    val results = Seq("local" -> Some(false), "reliable" -> Some(true),
+        "auto" -> None).map { case (mode, reliable) =>
       val t0 = System.nanoTime()
       val (labels, rounds, roundSecs) =
         graft.ops.ConnectedComponents.componentsInstrumented(
@@ -65,13 +69,18 @@ object CcScaleSmoke {
       // log2(8191-hop diameter) ≈ 13 — pointer jumping must beat the
       // 8191-round naive propagation by orders of magnitude
       require(rounds <= 16, s"expected ≈log2($longLen)=13 rounds, took $rounds")
+      val resolvedReliable = labels.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.isDefined
+      }.getOrElse(false)
+      if (mode == "auto") require(resolvedReliable,
+        s"auto mode must pick reliable at $nEdges edges with a checkpoint dir set")
       val flat = roundSecs.max / roundSecs.min
-      val mode = if (reliable) "reliable" else "local"
       println(s"CC $mode: $rounds rounds, ${fmt(total)} s total, " +
         s"per-round [${roundSecs.map(fmt).mkString(", ")}] max/min ${fmt(flat)}")
       // free the mode's final label frame (pinned localCheckpoint
-      // blocks): the reliable-mode timing must not run with 10 M rows
-      // of dead local-mode label state occupying executor storage
+      // blocks): the next mode's timing must not run with 10 M rows
+      // of dead label state occupying executor storage
       graft.ops.ConnectedComponents.releaseResult(labels)
       (mode, total, rounds, roundSecs, flat)
     }

@@ -32,18 +32,39 @@ object PageRank {
     * Output: `(node, rank)` — rank in 10¹² micro-units; the initial
     * mass is `10¹² div |V|` per node and `base = (r0·15) div 100` is
     * re-injected each round. `checkpointEvery` bounds lineage (0
-    * disables; CC-style localCheckpoint otherwise). */
+    * disables; periodic checkpoint otherwise).
+    *
+    * `reliable` mirrors [[ConnectedComponents.components]]: explicit
+    * `Some(true)` checkpoints every cut (edge frame, node frame,
+    * periodic rank state) to the SparkContext checkpoint dir —
+    * executor-loss-safe for long production runs; default `None`
+    * auto-switches the downstream cuts to reliable when a checkpoint
+    * dir is set and the materialized edge count is at least
+    * [[ConnectedComponents.AutoReliableEdges]] (the r7 10 M-edge CC
+    * smoke measured reliable both faster and flatter at that size). */
   def ranks(edges: DataFrame, iters: Int = 5,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 4,
+      reliable: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    var useReliable = reliable.getOrElse(false)
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // ONE materialization of the caller's edge pipeline: nodes, degrees
+    // and the per-edge frame below all derive from this checkpoint, so
+    // an expensive upstream (a join+distinct building the graph) runs
+    // exactly once, not once per derived frame
+    val e = ckpt(edges.select(col("src"), col("dst")))
+    useReliable = ConnectedComponents.resolveReliable(e, reliable)
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree rides with every edge once, checkpointed: iterations
-    // re-read a materialized (src, dst, deg) frame, not the lineage
-    val ed = e.join(deg, "src").localCheckpoint()
+    // degree rides with every edge once, partitioned on the iteration
+    // join key so every round's edges⋈ranks reuses this src-hash
+    // layout and the big side never re-shuffles. cache(), not an eager
+    // checkpoint: it materializes inside the first round's job (no
+    // extra job barrier) and rounds 2..n read the cached blocks —
+    // lineage stays rooted at the checkpointed `e`, so it is flat.
+    val ed = e.join(deg, "src").repartition(col("src")).cache()
     val n = nodes.count()
     require(n > 0, "PageRank on an empty edge frame")
     val r0 = 1000000000000L / n
@@ -57,7 +78,7 @@ object PageRank {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("m"), lit(0L))).as("r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ckpt(ranks)
     }
     ranks.withColumnRenamed("r", "rank")
   }

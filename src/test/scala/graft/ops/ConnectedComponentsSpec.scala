@@ -72,7 +72,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
-    val m = ConnectedComponents.components(edges, reliable = true)
+    val m = ConnectedComponents.components(edges, reliable = Some(true))
       .as[(Long, Long)].collect().toMap
     assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
@@ -82,6 +82,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       ConnectedComponents.components(edges, maxRounds = 2).collect()
     }
+  }
+
+  test("auto mode resolves local below the edge threshold, reliable above") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-auto-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+      .localCheckpoint()
+    // explicit choice always wins, regardless of size or dir
+    assert(ConnectedComponents.resolveReliable(edges, Some(true), threshold = 100L))
+    assert(!ConnectedComponents.resolveReliable(edges, Some(false), threshold = 1L))
+    // auto: 3 edges vs threshold
+    assert(ConnectedComponents.resolveReliable(edges, None, threshold = 3L))
+    assert(ConnectedComponents.resolveReliable(edges, None, threshold = 1L))
+    assert(!ConnectedComponents.resolveReliable(edges, None, threshold = 4L))
+    assert(!ConnectedComponents.resolveReliable(edges, None)) // default 2M
+    // end-to-end: auto above threshold produces reliably-checkpointed
+    // label state (and the same components)
+    val (labels, _, _) = ConnectedComponents.componentsInstrumented(
+      edges, reliable = None, autoReliableEdges = 1L)
+    val reliableState = labels.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.isDefined
+    }.getOrElse(false)
+    assert(reliableState, "auto above threshold must checkpoint reliably")
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("near-dup pairs close transitively into clusters") {
