@@ -107,6 +107,10 @@ object ImageHash {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("p"))
       .mapPartitions { rows =>
         rows.map { r =>
+          // null / non-numeric id → fail fast with a row-level message
+          // instead of an opaque NPE from getLong failing the job
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"hashImages: '$idCol' is null or not long-castable for a row")
           val h = Option(r.getAs[Array[Byte]]("p"))
             .flatMap(p => if (useA) aHash64(p) else dHash64(p))
           Row(r.getLong(0), h.map(Long.box).orNull)

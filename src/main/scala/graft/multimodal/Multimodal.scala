@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operator surface.
   *
   * Image decode is REAL — `javax.imageio` ships PNG/JPEG/BMP/GIF
-  * readers in the JDK ([[Multimodal.decodeImagesJdk]]). Audio/video
-  * codecs are NOT available in this environment, so those kernels are
-  * deterministic STUBS (clearly marked below) — but everything
-  * Spark-side is real: schema, partition-preserving mapPartitions
-  * plumbing, batch shape, null/corrupt handling. On a cluster you swap
-  * `StubCodec` for a real JNI/FFmpeg/libvips binding without touching
-  * the operator code.
+  * readers in the JDK ([[Multimodal.decodeImagesJdk]]). Audio decode
+  * is REAL for WAV/AIFF/AU — `javax.sound.sampled` ships those
+  * parsers in the JDK ([[Multimodal.decodeAudioJdk]]: sample rate,
+  * frame count, duration, RMS loudness from the PCM samples). Video
+  * codecs (and compressed audio: mp3/flac/ogg) are NOT available in
+  * this environment, so those kernels are deterministic STUBS
+  * (clearly marked below) — but everything Spark-side is real:
+  * schema, partition-preserving mapPartitions plumbing, batch shape,
+  * null/corrupt handling. On a cluster you swap `StubCodec` for a
+  * real JNI/FFmpeg/libvips binding without touching the operator
+  * code.
   */
 object Multimodal {
 
@@ -126,6 +130,98 @@ object Multimodal {
           Some((h, w, if (n == 0) 0.0 else sum / n))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — WAV,
+    * AIFF and AU parsers (and their PCM payloads) ship in the JDK, no
+    * external codec needed. Returns (sampleRate, frames, rms): rms is
+    * the root-mean-square over every channel's samples normalized to
+    * full scale [-1, 1] — the loudness feature a speech-corpus filter
+    * keys on. Streams frame-buffer-at-a-time, so memory is bounded by
+    * the read buffer, not the clip length. Compressed formats
+    * (mp3/flac/ogg) have no JDK codec → None, surfaced as nulls (the
+    * same contract as unreadable images; swap in a JNI codec on a
+    * cluster for those). */
+  object JdkAudioCodec {
+    def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Double)] = {
+      import javax.sound.sampled._
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          if ((enc != AudioFormat.Encoding.PCM_SIGNED &&
+               enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+              bits < 8 || bits > 32 || frameSize <= 0 || ch <= 0) None
+          else {
+            val bytesPerSample = (bits + 7) / 8
+            val big = fmt.isBigEndian
+            val full = (1L << (bits - 1)).toDouble
+            val buf = new Array[Byte](frameSize * 1024)
+            var nFrames = 0L
+            var sumSq = 0.0
+            var read = in.read(buf)
+            while (read > 0) {
+              var off = 0
+              // AudioInputStream.read returns whole frames only
+              while (off + frameSize <= read) {
+                var c = 0
+                while (c < ch) {
+                  val base = off + c * bytesPerSample
+                  var v = 0L
+                  if (big) {
+                    var i = 0
+                    while (i < bytesPerSample) { v = (v << 8) | (buf(base + i) & 0xffL); i += 1 }
+                  } else {
+                    var i = bytesPerSample - 1
+                    while (i >= 0) { v = (v << 8) | (buf(base + i) & 0xffL); i -= 1 }
+                  }
+                  // zero-center: unsigned shifts down; signed sign-extends
+                  val s =
+                    if (enc == AudioFormat.Encoding.PCM_UNSIGNED) v - (1L << (bits - 1))
+                    else { val shift = 64 - bits; (v << shift) >> shift }
+                  val x = s / full
+                  sumSq += x * x
+                  c += 1
+                }
+                nFrames += 1
+                off += frameSize
+              }
+              read = in.read(buf)
+            }
+            Some((fmt.getSampleRate.toInt, nFrames,
+              if (nFrames == 0) 0.0 else math.sqrt(sumSq / (nFrames.toDouble * ch))))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** [[decodeAudio]] with the REAL JDK codec: same schema/plumbing
+    * contract (appends sample_rate, n_samples, duration_ms, rms),
+    * actual PCM decode for WAV/AIFF/AU; unparseable or compressed
+    * payloads → null metadata. */
+  def decodeAudioJdk(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Option(payload).flatMap(JdkAudioCodec.decodeAudio) match {
+          case Some((rate, n, rms)) => Row.fromSeq(r.toSeq ++
+            Seq[Any](rate, n, if (rate > 0) n * 1000L / rate else null, rms))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
   }
 
   /** [[decodeImages]] with the REAL JDK codec: same schema/plumbing

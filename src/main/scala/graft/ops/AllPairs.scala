@@ -36,7 +36,14 @@ object AllPairs {
   /** Pairs `(id1, id2, cos_q)` with quantized cosine
     * `cos_q = floor(10⁴ · dot/(‖a‖·‖b‖)) ≥ floor(10⁴·threshold)`,
     * id1 < id2. `replayable` picks the md5 bucket hash (oracle) vs
-    * xxhash64 (production) in the underlying TF-IDF. */
+    * xxhash64 (production) in the underlying TF-IDF.
+    *
+    * Boundary caveat: the dot product is an exact integer sum, but
+    * the final norm division runs in doubles — a cosine landing
+    * EXACTLY on a 1e-4 quantization edge can floor to either side by
+    * one ulp across engines. The candidate-pruning bound is epsilon-
+    * padded below so pruning never loses such a pair; only its cos_q
+    * value carries the 1-ulp caveat. */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, threshold: Double, replayable: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
@@ -55,7 +62,12 @@ object AllPairs {
     val wnd = Window.partitionBy("doc_id").orderBy(col("mw").asc, col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = ordered.withColumn("b", sum(col("nw") * col("mw")).over(wnd))
-    val idx = flagged.where(col("b") >= threshold).select("doc_id", "bucket")
+    // the bound is evaluated in floating point: back the pruning
+    // threshold off by an epsilon so a pair sitting exactly on the
+    // boundary can never be lost to a 1-ulp rounding difference —
+    // candidates only GROW (result-transparent); the exact integer
+    // dot product downstream still decides membership
+    val idx = flagged.where(col("b") >= threshold - 1e-9).select("doc_id", "bucket")
     val cand = idx.as("a")
       .join(tf.select("doc_id", "bucket").as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

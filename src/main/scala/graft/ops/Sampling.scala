@@ -69,6 +69,11 @@ object Sampling {
     * (group, id) pair. The hash is the md5 prefix folded into 2^40
     * (< 2^53, so the double-typed heap score is exact — no cross-
     * engine tie drift).
+    *
+    * Precondition: `idCol` must be long-castable AND unique per group
+    * — a non-numeric id casts to NULL and silently drops from the
+    * sample; duplicate (group, id) rows would multiply through the
+    * winner join-back and break exact-k.
     */
   def kPerGroup(df: DataFrame, groupCol: String, idCol: String,
                 k: Int, salt: Long = 0L): DataFrame = {
@@ -104,7 +109,16 @@ object Sampling {
     * keeps k candidates per (group × task), so the shuffle carries
     * k·tasks rows per group, never the table. The key is quantized to
     * integer 1e-6 (ties → smaller id) so selection is deterministic
-    * and engine-replayable; `weightCol` must be strictly positive.
+    * and engine-replayable; `weightCol` must be >= 1e-8 (below
+    * ~3.1e-9 the quantized key would exceed 2^53 and the
+    * double-exactness guarantee — and with it engine replayability —
+    * would drift; 1e-8 keeps a 3x margin).
+    *
+    * Precondition (shared with [[kPerGroup]]): `idCol` must be
+    * long-castable AND unique per group — a non-numeric id casts to
+    * NULL and silently drops from the sample; duplicate (group, id)
+    * rows would multiply through the winner join-back and break
+    * exact-k.
     */
   def weightedKPerGroup(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int, salt: Long = 0L): DataFrame = {
@@ -112,8 +126,9 @@ object Sampling {
     // finite; -ln(u)/w >= 0 with larger = better for high weights
     val u = (md5Hash40(col(idCol), salt) + 1.0) / 1099511627776.0
     // floor yields a long; cast back to double for the heap score —
-    // exact, since -ln(u) <= ln(2^40) ≈ 27.7 bounds the key well
-    // under 2^53 for any weight >= 1e-9
+    // exact, since -ln(u) <= ln(2^40) ≈ 27.73 caps the quantized key
+    // at 27.73e6/w, which stays under 2^53 exactly when w > 3.1e-9;
+    // the documented contract (weights >= 1e-8) keeps a 3x margin
     val key = floor(-log(u) / col(weightCol).cast("double") * 1000000.0)
       .cast("double")
     val winners = df

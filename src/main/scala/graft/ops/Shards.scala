@@ -64,9 +64,17 @@ object Shards {
     * from the files as written — grouped by the DIRECTORY partition
     * column, not a recomputed assignment, so the result certifies
     * what each shard directory actually holds (a row written to the
-    * wrong shard would surface as two checksum mismatches). */
+    * wrong shard would surface as two checksum mismatches).
+    *
+    * `df` must not already carry a `shard` column (it would be
+    * silently replaced by the assignment — rejected instead), and the
+    * write uses mode("overwrite"): any existing data under `path` is
+    * replaced wholesale. */
   def writeShards(df: DataFrame, idCol: String, path: String,
       numShards: Int, salt: Long = 0L): DataFrame = {
+    require(!df.columns.contains("shard"),
+      "writeShards: input already has a 'shard' column — rename it; " +
+        "the shard assignment owns that name (it becomes the partition dir)")
     df.withColumn("shard", assignShard(col(idCol), numShards, salt))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     df.sparkSession.read.parquet(path)

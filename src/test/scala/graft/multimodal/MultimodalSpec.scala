@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   test("syntheticMedia produces binary payloads with stable seed") {
     val a = Multimodal.syntheticMedia(spark, 10).select("payload").collect()
@@ -107,6 +108,84 @@ class MultimodalSpec extends SparkSpec {
       val (rate, n, dur) = (r.getInt(0), r.getLong(1), r.getLong(2))
       assert(rate > 0 && dur == n * 1000L / rate)
     }
+  }
+
+  test("decodeAudioJdk round-trips a generated WAV with exact duration and RMS") {
+    import javax.sound.sampled._
+    // 0.5 s of a 440 Hz sine at 16 kHz mono 16-bit little-endian PCM;
+    // expected RMS computed from the SAME quantized shorts that are
+    // written, so the decode must match to double round-off
+    def wav(rate: Int, nFrames: Int, tpe: AudioFileFormat.Type,
+            bigEndian: Boolean): (Array[Byte], Double) = {
+      val samples = Array.tabulate(nFrames)(i =>
+        (math.sin(2 * math.Pi * 440 * i / rate) * 30000).toShort)
+      val bytes = new Array[Byte](nFrames * 2)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().put(samples)
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, bigEndian)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong), tpe, out)
+      val expRms = math.sqrt(
+        samples.map(s => math.pow(s / 32768.0, 2)).sum / nFrames)
+      (out.toByteArray, expRms)
+    }
+    val (wavBytes, wavRms) = wav(16000, 8000, AudioFileFormat.Type.WAVE, bigEndian = false)
+    val (aiffBytes, aiffRms) = wav(22050, 22050, AudioFileFormat.Type.AIFF, bigEndian = true)
+    val media = Seq(
+      (1L, wavBytes, "audio", "wav"),
+      (2L, aiffBytes, "audio", "aiff"),
+      (3L, Array[Byte](1, 2, 3, 4, 5), "audio", "mp3"), // no JDK codec → nulls
+      (4L, null.asInstanceOf[Array[Byte]], "audio", "wav")
+    ).toDF("media_id", "payload", "media_type", "format")
+    val rows = Multimodal.decodeAudioJdk(media)
+      .select("media_id", "sample_rate", "n_samples", "duration_ms", "rms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === 16000)
+    assert(rows(1L).getLong(2) === 8000L)
+    assert(rows(1L).getLong(3) === 500L)
+    assert(math.abs(rows(1L).getDouble(4) - wavRms) < 1e-12, "WAV RMS must be exact")
+    assert(rows(2L).getInt(1) === 22050)
+    assert(rows(2L).getLong(2) === 22050L)
+    assert(rows(2L).getLong(3) === 1000L)
+    assert(math.abs(rows(2L).getDouble(4) - aiffRms) < 1e-12, "AIFF RMS must be exact")
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(4))
+  }
+
+  test("decodeAudioJdk handles stereo and 8-bit unsigned PCM") {
+    import javax.sound.sampled._
+    // stereo 16-bit: L = half-scale square, R = silence → rms over all
+    // channel samples = sqrt((0.5² + 0)/2) exactly
+    val nFrames = 1000
+    val stereo = new Array[Byte](nFrames * 4)
+    val bb = java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { _ => bb.putShort(16384).putShort(0) }
+    val sFmt = new AudioFormat(8000f, 16, 2, true, false)
+    val sOut = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(stereo), sFmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, sOut)
+    // 8-bit unsigned mono: constant 192 → zero-centered 64/128 = 0.5
+    val u8 = Array.fill[Byte](500)(192.toByte)
+    val uFmt = new AudioFormat(8000f, 8, 1, false, false)
+    val uOut = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(u8), uFmt, 500L),
+      AudioFileFormat.Type.WAVE, uOut)
+    val media = Seq((1L, sOut.toByteArray, "audio", "wav"),
+        (2L, uOut.toByteArray, "audio", "wav"))
+      .toDF("media_id", "payload", "media_type", "format")
+    val rows = Multimodal.decodeAudioJdk(media)
+      .select("media_id", "n_samples", "rms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) === nFrames.toLong)
+    val expStereo = math.sqrt((math.pow(16384.0 / 32768.0, 2) + 0.0) / 2)
+    assert(math.abs(rows(1L).getDouble(2) - expStereo) < 1e-12)
+    assert(rows(2L).getLong(1) === 500L)
+    assert(math.abs(rows(2L).getDouble(2) - 0.5) < 1e-12)
   }
 
   test("stub decode is deterministic per payload") {
