@@ -32,7 +32,14 @@ object AnnScaleSmoke {
       .write.mode("overwrite").parquet(s"$dir/emb")
     val corpus = spark.read.parquet(s"$dir/emb")
     val queries = corpus.where(col("vec_id") < 100)
-    val centroids = corpus.where(col("vec_id") < 64)
+    // 256 cells / nprobe 40: finer quantization localizes neighbors so
+    // a 15.6% scan fraction reaches ~full recall (r8 sweep: 64/8 =
+    // 0.82, 64/16 = 0.90, 256/40 = 1.00 at 500k). Assignment cost
+    // scales with cell count — a one-time, amortized build cost; probe
+    // cost tracks the scanned fraction either way.
+    val numCells = 256
+    val nprobe = 40
+    val centroids = corpus.where(col("vec_id") < numCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -51,7 +58,7 @@ object AnnScaleSmoke {
     // ...then partition-pruned probes per query batch
     val (got, tProbe) = time(pairs(graft.streaming.AnnIngest.probe(
       spark, s"$dir/ivf", centroids, queries, "vec_id", "embedding",
-      k = 10, nprobe = 8)))
+      k = 10, nprobe = nprobe)))
     val recall = got.intersect(truth).size.toDouble / truth.size
 
     // semantic dedup at scale: inject 1% near-copies (source vector
@@ -79,7 +86,7 @@ object AnnScaleSmoke {
       s"""{"metric":"ann_scale","rows":$rows,"dim":64,"queries":100,"k":10,""" +
       s""""brute_sec":${fmt("%.2f", tBrute)},"index_build_sec":${fmt("%.2f", tBuild)},""" +
       s""""probe_sec":${fmt("%.2f", tProbe)},"probe_recall":${fmt("%.3f", recall)},""" +
-      s""""cells":64,"nprobe":8,"semantic_dedup":{"corpus":${rows + nDup},""" +
+      s""""cells":$numCells,"nprobe":$nprobe,"semantic_dedup":{"corpus":${rows + nDup},""" +
       s""""injected_dups":$nDup,"survivors":$nSurv,""" +
       s""""dedup_recall":${fmt("%.3f", dedupRecall)},"sec":${fmt("%.2f", tSem)},""" +
       s""""planes":16,"threshold":0.999}}"""

@@ -69,11 +69,76 @@ object StreamScaleSmoke {
     val flat = batchSecs.max / batchSecs.min
     println(s"STREAM batches=${batchSecs.map(fmt).mkString(", ")} s " +
       s"(max/min ${fmt(flat)}); valid=$validRows error=$errorRows")
+
+    // ---- phase 2: the composed training-data recipe under file
+    // drops (RecipeIngest: gopher gate → fingerprint dedup within
+    // batch + vs the growing index → per-batch language mix). The
+    // claim under test: per-batch cost stays flat while the
+    // fingerprint index grows batch-over-batch.
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, expr, lit, pmod, transform => sqlTransform, xxhash64, when, sequence}
+    val docRows = rowsPerBatch / 2 // docs are ~10× wider than bank rows
+    val docDrop = s"$root/docdrop"
+    // 512 six-letter alpha pseudo-words — every generated doc passes
+    // the Gopher gate (40 words, mean len 6, all alpha, dup-bigram
+    // collisions ~0.3% of docs land in `rejected`, which keeps that
+    // route honest). ~2% of ids copy the previous id's text → real
+    // in-batch dup traffic for the fingerprint path.
+    // base-26 digits keep all 512 words distinct (a pure mod-26
+    // arithmetic generator would repeat word i at i+26, collapsing the
+    // vocabulary to 26 words and tripping the dup-bigram gate)
+    val vocab = org.apache.spark.sql.functions.array(
+      (0 until 512).map(i => lit(
+        "" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar +
+          ('a' + (i * 11 + 5) % 26).toChar + ('a' + (i * 17 + 7) % 26).toChar +
+          ('a' + (i * 19 + 11) % 26).toChar + ('a' + (i * 23 + 13) % 26).toChar)): _*)
+    (0 until nBatches).foreach { i =>
+      spark.range(docRows).select(
+          (col("id") + i * docRows).as("doc_id"),
+          when(pmod(col("id"), lit(50)) === 1, col("id") - 1)
+            .otherwise(col("id")).as("_seed"),
+          element_at(org.apache.spark.sql.functions.array(
+              lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")),
+            (pmod(xxhash64(col("id"), lit(i)), lit(5)) + 1).cast("int")).as("lang"))
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", sqlTransform(sequence(lit(0), lit(39)),
+            j => element_at(vocab,
+              (pmod(xxhash64(col("_seed"), j, lit(i)), lit(512)) + 1).cast("int"))))
+            .as("text"))
+        .coalesce(filesPerBatch)
+        .write.mode("append").parquet(docDrop)
+    }
+    val docSchema = spark.read.parquet(docDrop).schema
+    val recipeStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", filesPerBatch.toString)
+      .parquet(docDrop)
+    val q2 = graft.streaming.RecipeIngest.start(recipeStream,
+      "doc_id", "text", "lang",
+      s"$root/r_accepted", s"$root/r_rejected", s"$root/r_index",
+      s"$root/r_ckpt",
+      Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125))
+    q2.awaitTermination()
+    val rp = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val rSecs = rp.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
+    require(rSecs.size == nBatches,
+      s"expected $nBatches recipe micro-batches, saw ${rSecs.size}")
+    val acceptedRows = spark.read.parquet(s"$root/r_accepted").count()
+    val rejectedRows = spark.read.parquet(s"$root/r_rejected").count()
+    val indexRows = spark.read.parquet(s"$root/r_index").count()
+    require(acceptedRows > 0 && indexRows > 0, "recipe accepted nothing")
+    val rFlat = rSecs.max / rSecs.min
+    println(s"RECIPE batches=${rSecs.map(fmt).mkString(", ")} s " +
+      s"(max/min ${fmt(rFlat)}); accepted=$acceptedRows rejected=$rejectedRows index=$indexRows")
+
     val json =
       s"""{"metric":"stream_scale","rows_per_batch":$rowsPerBatch,""" +
       s""""batches":$nBatches,"batch_secs":[${batchSecs.map(fmt).mkString(",")}],""" +
       s""""rows_per_sec":[${rowsPerSec.map(v => fmt(v)).mkString(",")}],""" +
-      s""""batch_max_over_min":${fmt(flat)},"valid_rows":$validRows,"error_rows":$errorRows}"""
+      s""""batch_max_over_min":${fmt(flat)},"valid_rows":$validRows,"error_rows":$errorRows,""" +
+      s""""recipe":{"docs_per_batch":$docRows,"batch_secs":[${rSecs.map(fmt).mkString(",")}],""" +
+      s""""docs_per_sec":[${rp.map(p => fmt(p.numInputRows /
+            (p.durationMs.get("triggerExecution").toLong / 1000.0))).mkString(",")}],""" +
+      s""""batch_max_over_min":${fmt(rFlat)},"accepted_rows":$acceptedRows,""" +
+      s""""rejected_rows":$rejectedRows,"index_rows":$indexRows}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_STREAM.json"), json)

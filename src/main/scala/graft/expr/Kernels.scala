@@ -32,6 +32,54 @@ object Kernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Spark `round(x, 6)` for doubles, exactly: the string-based
+    * BigDecimal.valueOf (Spark's Round uses scala BigDecimal(double),
+    * which delegates to the same valueOf) with HALF_UP; NaN/±Inf pass
+    * through like Round's guard. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Fused IVF cell assignment: argmax over a centroid array of
+    * `round(cosine(vec, cent_vec), 6)`, ties and all-null scores
+    * resolving to the EARLIEST element — bit-identical to the
+    * composed `array_max(transform(cents, (c,i) -> struct(round(cos),
+    * -i, cent_id)))` form it replaces ([[graft.ops.Ann.bestCellHof]]):
+    * Double.compare ranks NaN above every value (Spark's total order),
+    * strict `>` keeps the earliest on ties (max of -i), and a null
+    * cosine (length mismatch) ranks below any score (null-first struct
+    * order). One tight loop, vec consumed once per centroid with no
+    * per-element lambda dispatch or struct allocation — the build-side
+    * hot path of every IVF assignment (k × dim multiply-adds per
+    * corpus row).
+    *
+    * `cents` must be array<struct<cent_id: long, cent_vec:
+    * array<float>>> (the [[graft.ops.Ann.centroidArray]] shape). */
+  def argmaxCosineCell(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                       cents: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val m = cents.numElements()
+    if (m == 0) return null
+    var bestScore = 0.0
+    var bestHasScore = false
+    var bestId = 0L
+    var i = 0
+    while (i < m) {
+      val c = cents.getStruct(i, 2)
+      val cos = cosineF(vec, c.getArray(1))
+      if (i == 0) {
+        bestId = c.getLong(0)
+        if (cos != null) { bestHasScore = true; bestScore = round6(cos.doubleValue()) }
+      } else if (cos != null) {
+        val s = round6(cos.doubleValue())
+        if (!bestHasScore || java.lang.Double.compare(s, bestScore) > 0) {
+          bestHasScore = true; bestScore = s; bestId = c.getLong(0)
+        }
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates
   // over UTF8String bytes. The Column formulations they replace

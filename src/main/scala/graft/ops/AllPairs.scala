@@ -43,16 +43,39 @@ object AllPairs {
     * EXACTLY on a 1e-4 quantization edge can floor to either side by
     * one ulp across engines. The candidate-pruning bound is epsilon-
     * padded below so pruning never loses such a pair; only its cos_q
-    * value carries the 1-ulp caveat. */
+    * value carries the 1-ulp caveat.
+    *
+    * @param maxDf skew escape hatch: buckets held by more than this
+    *   many docs are excluded from CANDIDATE GENERATION (the bound
+    *   walk and the index), though surfaced pairs are still verified
+    *   with the full exact dot product. With the cap on, a pair whose
+    *   similarity rests mostly on a capped hot feature can be missed —
+    *   the same documented recall trade as the inverted-index caps in
+    *   [[Similarity]]. 0 (default) disables the cap: results are
+    *   exactly {(a,b) : cos(a,b) ≥ t}. The cap exists because one
+    *   near-universal high-weight feature (a spam token that dominates
+    *   even a single doc pushes its corpus-max normalized weight to
+    *   ~1, sorting it LAST — i.e. indexed in every doc) turns the
+    *   candidate join quadratic; threshold pruning alone cannot bound
+    *   that (AllPairsSpec pins the capped behavior). */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      dim: Int, threshold: Double, replayable: Boolean = false): DataFrame = {
+      dim: Int, threshold: Double, replayable: Boolean = false,
+      maxDf: Long = 0L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
     val tf = graft.text.TfIdf.hashedTfIdf(docs, idCol, textCol, dim, replayable)
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("w_q") * col("w_q")).as("n2"))
+    // candidate-generation feature set: full tf, minus hot buckets
+    // when the cap is on (broadcast anti join on the tiny hot list —
+    // the same shape as Similarity's maxDf cap)
+    val tfCand = if (maxDf > 0) {
+      val hot = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("bucket")
+      tf.join(broadcast(hot), Seq("bucket"), "left_anti")
+    } else tf
     // normalized weights drive the bound only — exactness never
-    // depends on them
-    val nw = tf.join(norms, "doc_id")
+    // depends on them (norms stay full-vector even under the cap)
+    val nw = tfCand.join(norms, "doc_id")
       .select(col("doc_id"), col("bucket"), col("w_q"),
         (col("w_q") / sqrt(col("n2"))).as("nw"))
     val maxw = nw.groupBy("bucket").agg(max("nw").as("mw"))
@@ -68,8 +91,16 @@ object AllPairs {
     // candidates only GROW (result-transparent); the exact integer
     // dot product downstream still decides membership
     val idx = flagged.where(col("b") >= threshold - 1e-9).select("doc_id", "bucket")
+    // index ⋈ index, not index ⋈ full postings: for any pair with
+    // cos ≥ t, its GLOBALLY-LAST shared feature f* must be indexed on
+    // BOTH sides — if f* fell before doc x's cut, every shared feature
+    // would sit in x's unindexed head and the head bound Σ nw·mw < t
+    // would cap the whole dot product below t. (The standard
+    // prefix-filtering completeness argument, cf. PPJoin.) Joining the
+    // two prefix-thinned sides is therefore still result-transparent
+    // while generating strictly fewer candidates than idx ⋈ full.
     val cand = idx.as("a")
-      .join(tf.select("doc_id", "bucket").as("b"),
+      .join(idx.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()

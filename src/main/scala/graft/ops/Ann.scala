@@ -145,15 +145,24 @@ object Ann {
     cents.agg(array_sort(
       collect_list(struct(col("cent_id"), col("cent_vec")))).as("cents"))
 
-  /** Narrow per-row best-cell assignment: score every broadcast
-    * centroid inside one projection and take the argmax with
-    * `array_max` over (score, -index, cent_id) structs — highest
-    * score wins, ties go to the smallest cent_id (elements are sorted
-    * by cent_id, so the larger -index is the earlier element).
-    * Replaces the r2 `Window.partitionBy(unique id)` form, which
-    * shuffled the entire corpus (vectors included) on a unique key
-    * just to compute a per-row max — pure overhead at any scale. */
+  /** Narrow per-row best-cell assignment: one fused native loop
+    * (graft.expr.ArgmaxCell) over the broadcast centroid array —
+    * highest rounded cosine wins, ties go to the smallest cent_id
+    * (elements are sorted by cent_id). Replaces the r2
+    * `Window.partitionBy(unique id)` form, which shuffled the entire
+    * corpus (vectors included) on a unique key just to compute a
+    * per-row max — pure overhead at any scale — and (r8) the composed
+    * array_max-over-structs form, whose per-centroid interpreted
+    * lambda dispatch dominated the index build at 256 cells. */
   private[graft] def bestCell(vec: Column, centsArr: Column): Column =
+    graft.expr.ArgmaxCell.argmaxCell(vec, centsArr)
+
+  /** The composed higher-order form of [[bestCell]] — the executable
+    * spec the native expression is property-tested against
+    * (AnnSpec). Sole semantic divergence: a NULL vector here resolves
+    * to the first centroid (null-first struct ordering under
+    * array_max), where the native form returns a null cell. */
+  private[graft] def bestCellHof(vec: Column, centsArr: Column): Column =
     array_max(transform(centsArr, (c, i) => struct(
       round(cosine(vec, c.getField("cent_vec")), 6).as("score"),
       (-i).as("ni"),

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming training-data recipe: the composed quality-gate →
+  * exact-dedup → mixture pipeline (the batch `q_recipe_pipeline`
+  * shape) as continuous ingest over document file drops.
+  *
+  * Per micro-batch:
+  *   1. GATE — Gopher-style quality rules (one codegen'd predicate,
+  *      narrow scan; rejects land in `rejectedPath` with the batch
+  *      they arrived in);
+  *   2. DEDUP — canonical fingerprint (NFC + md5), keep the min-id
+  *      doc per fingerprint within the batch, then anti-join the
+  *      PERSISTED fingerprint index so re-drops and cross-batch
+  *      copies are dropped exactly once across the run;
+  *   3. MIX — down-sample surviving docs to the target language
+  *      proportions (deterministic hash gate, so a retried batch
+  *      makes identical keep decisions), stamp `n_tokens`, and land
+  *      in `acceptedPath`.
+  *
+  * Exactly-once: every sink (accepted, rejected, fingerprint index)
+  * is a (run_id, batch_id)-partitioned dynamic overwrite — the same
+  * retry discipline as [[EventStreams.validateAndRoute]] and
+  * [[DedupIngest]]. The fingerprint index is the only cross-batch
+  * state: an append-only parquet of 32-char fingerprints, no
+  * streaming state store, restart-safe by construction.
+  *
+  * Scale shape: gate and fingerprint are scan-speed projections; the
+  * within-batch dedup shuffles one md5 per doc; the vs-index probe
+  * anti-joins the batch (small side, broadcast under AQE once the
+  * index outgrows it) against the index's fingerprint column only —
+  * ~32 bytes of state per corpus doc ever read per batch. At corpus
+  * sizes where even that scan dominates, put a Bloom filter of the
+  * index in front (graft.expr Bloom runtime-filter machinery) — the
+  * probe is then scan-free for the overwhelmingly-novel common case.
+  *
+  * Mixing note: proportions are enforced PER BATCH (each batch is
+  * down-sampled to the target mix). Corpus-level proportions follow
+  * when drops are mix-stationary; a drifting feed wants a periodic
+  * batch re-mix over the accepted table instead.
+  */
+object RecipeIngest {
+
+  def start(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+            acceptedPath: String, rejectedPath: String, indexPath: String,
+            checkpoint: String, targetWeights: Map[String, Double],
+            mixSalt: Long = 0L): StreamingQuery = {
+    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, idCol, textCol, langCol, acceptedPath,
+          rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
+      }
+      .start()
+  }
+
+  /** One micro-batch; factored out so tests and the scale smoke can
+    * drive it directly. */
+  private[graft] def processBatch(batch: DataFrame, idCol: String,
+      textCol: String, langCol: String,
+      acceptedPath: String, rejectedPath: String, indexPath: String,
+      runId: String, batchId: Long,
+      targetWeights: Map[String, Double], mixSalt: Long): Unit = {
+    val spark = batch.sparkSession
+
+    val gated = batch.withColumn("_keep", TextAnalysis.gopherKeep(col(textCol)))
+    // fingerprinted survivors of the gate — cached: feeds the
+    // within-batch reps aggregate, the anti-join probe, mix's stratum
+    // sizes, and the two writes (the same 4-consumer shape whose
+    // re-execution the batch recipe's cache barrier fixed)
+    val fp = gated.where(col("_keep")).drop("_keep")
+      .withColumn("_fp", TextAnalysis.canonicalFingerprint(col(textCol)))
+      .cache()
+    try {
+      val rejected = gated.where(!col("_keep")).drop("_keep")
+
+      // within-batch exact dedup: min id per fingerprint
+      val reps = fp.groupBy("_fp").agg(min(col(idCol)).as(idCol))
+      val batchUnique = fp.join(reps, Seq("_fp", idCol), "left_semi")
+
+      // cross-batch dedup: drop fingerprints already in the index
+      // (fingerprint column only — ~32 B per corpus doc)
+      val index: DataFrame =
+        try spark.read.parquet(indexPath).select(col("_fp"))
+        catch { case _: Exception =>
+          spark.emptyDataFrame.select(lit("").as("_fp")).limit(0) }
+      val novel = batchUnique.join(index, Seq("_fp"), "left_anti").cache()
+
+      def write(df: DataFrame, path: String): Unit =
+        df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id")
+          .parquet(path)
+
+      // per-batch mixture to target proportions; deterministic hash
+      // gate ⇒ a retried batch reproduces the identical sample.
+      // Sampling.mix rejects a frame with no targeted stratum — for a
+      // batch that gated/deduped to nothing (or carries only
+      // off-target languages, which mix drops anyway) emit the empty
+      // frame instead of killing the stream.
+      val survivors = novel.drop("_fp")
+      val hasTarget = !survivors
+        .where(col(langCol).isin(targetWeights.keys.toSeq: _*)).isEmpty
+      val mixed = (if (hasTarget)
+          graft.ops.Sampling.mix(survivors, langCol, idCol,
+            targetWeights, salt = mixSalt)
+        else survivors.where(lit(false)))
+        .withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)))
+
+      write(mixed, acceptedPath)
+      write(rejected, rejectedPath)
+      write(novel.select("_fp"), indexPath)
+      novel.unpersist()
+      ()
+    } finally { fp.unpersist(); () }
+  }
+}

@@ -45,6 +45,42 @@ class ExprSpec extends SparkSpec {
     perGroup.values.foreach(d => assert(math.abs(d - 2500L) < 600L, s"got $d"))
   }
 
+  test("native argmax_cell matches the composed bestCell formulation exactly") {
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    // corpus: random vectors + zero vectors (NaN cosine path) + exact
+    // copies of centroid vectors (rounded-score tie path)
+    val cents = Seq.tabulate(8)(i => (i.toLong * 10, vec()))
+    // centroids 60 and 70 share a vector: every row scoring them ties
+    // and must resolve to the EARLIEST element (min cent_id)
+    val tiedCents = cents.take(6) ++ Seq((60L, cents(5)._2), (70L, cents(5)._2))
+    val corpus = (Seq.tabulate(200)(i => (i.toLong, vec())) ++
+      Seq((900L, Array.fill(16)(0.0f)), (901L, cents(2)._2), (902L, cents(5)._2)))
+      .toDF("id", "v")
+    val centsDf = tiedCents.toDF("cent_id", "cent_vec")
+    val arr = corpus.crossJoin(
+      broadcast(graft.ops.Ann.centroidArray(centsDf)))
+    val native = arr.select(col("id"),
+        graft.ops.Ann.bestCell(col("v"), col("cents")).as("c"))
+      .orderBy("id").as[(Long, Long)].collect()
+    val hof = arr.select(col("id"),
+        graft.ops.Ann.bestCellHof(col("v"), col("cents")).as("c"))
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(native.sameElements(hof))
+    // the tie actually exercised: the shared-vector row lands on the
+    // smaller of the two tied centroid ids
+    assert(native.find(_._1 == 902L).get._2 == 50L)
+
+    // mistyped centroid ids (int, not long) fail at analysis, not
+    // silently through getLong
+    val intCents = Seq((1, Array.fill(16)(0.5f))).toDF("cent_id", "cent_vec")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      corpus.crossJoin(broadcast(graft.ops.Ann.centroidArray(intCents)))
+        .select(graft.ops.Ann.bestCell(col("v"), col("cents"))).collect()
+    }
+    assert(e.getMessage.contains("argmax_cell"))
+  }
+
   test("native cosine_sim is bit-identical to the higher-order formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(200)(i =>

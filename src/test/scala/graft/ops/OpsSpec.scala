@@ -92,6 +92,34 @@ class SimilaritySpec extends SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("ngramContainmentLsh: parity with exact containment on surfaced pairs") {
+    // 10 unique base docs, each embedded verbatim in a wrapper doc with
+    // a short appendix (Jaccard ≈ 0.8, containment 1.0) — high enough
+    // overlap to band reliably, asymmetric enough to exercise the
+    // per-direction verify. Deterministic: fixed corpus, seeded hashes.
+    val base = (1L to 10L).map(i =>
+      (i, s"the unique story of item $i begins with ${i * 7919} and ends after chapter ${i * 104729}"))
+    val wrappers = base.map { case (i, s) => (i + 100L, s + " plus a tiny appendix") }
+    val df = (base ++ wrappers).toDF("doc_id", "text")
+    def asMap(rows: Array[(Long, Long, Double, Double)]) =
+      rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val exact = asMap(Similarity.ngramContainment(df, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect())
+    val lsh = asMap(Similarity.ngramContainmentLsh(df, "doc_id", "text",
+      k = 5, threshold = 0.8, numHashes = 32, rowsPerBand = 4,
+      estThreshold = 0.2).as[(Long, Long, Double, Double)].collect())
+    // every LSH-surfaced pair carries bit-identical containment values
+    lsh.foreach { case (pair, cs) =>
+      assert(exact.get(pair).contains(cs),
+        s"pair $pair: lsh=$cs exact=${exact.get(pair)}")
+    }
+    // and all 10 planted base-in-wrapper pairs are found
+    (1L to 10L).foreach { i =>
+      assert(lsh.contains((i, i + 100L)), s"planted pair ($i, ${i + 100L}) missed")
+      assert(lsh((i, i + 100L))._1 == 1.0, "base fully contained in wrapper")
+    }
+  }
+
   test("minhash identical docs share full signature; est_jaccard = 1") {
     val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
       k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
