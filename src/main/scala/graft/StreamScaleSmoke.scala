@@ -77,6 +77,11 @@ object StreamScaleSmoke {
     // fingerprint index grows batch-over-batch.
     import org.apache.spark.sql.functions.{col, concat_ws, element_at, expr, lit, pmod, transform => sqlTransform, xxhash64, when, sequence}
     val docRows = rowsPerBatch / 2 // docs are ~10× wider than bank rows
+    // 32 files per drop: the file count IS the narrow-stage parallelism
+    // of each micro-batch (gate + fingerprint are scan-speed per
+    // partition) — 4 files left 28 cores idle and measured ~5.6k
+    // docs/s where 32 measures the real per-core rate
+    val docFilesPerBatch = 32
     val docDrop = s"$root/docdrop"
     // 512 six-letter alpha pseudo-words — every generated doc passes
     // the Gopher gate (40 words, mean len 6, all alpha, dup-bigram
@@ -104,12 +109,12 @@ object StreamScaleSmoke {
             j => element_at(vocab,
               (pmod(xxhash64(col("_seed"), j, lit(i)), lit(512)) + 1).cast("int"))))
             .as("text"))
-        .coalesce(filesPerBatch)
+        .coalesce(docFilesPerBatch)
         .write.mode("append").parquet(docDrop)
     }
     val docSchema = spark.read.parquet(docDrop).schema
     val recipeStream = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", filesPerBatch.toString)
+      .option("maxFilesPerTrigger", docFilesPerBatch.toString)
       .parquet(docDrop)
     val q2 = graft.streaming.RecipeIngest.start(recipeStream,
       "doc_id", "text", "lang",

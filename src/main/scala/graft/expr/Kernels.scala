@@ -59,21 +59,40 @@ object Kernels {
                        cents: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
     val m = cents.numElements()
     if (m == 0) return null
+    val n = vec.numElements()
+    // the query norm is identical for every centroid — accumulate it
+    // ONCE (same independent sequential sum as cosineF's na, so the
+    // value is bit-identical) instead of re-deriving it per cell;
+    // per-cell work drops from three fused accumulators to two
+    var na = 0.0
+    var j = 0
+    while (j < n) { val x = vec.getFloat(j).toDouble; na += x * x; j += 1 }
+    val sqrtNa = math.sqrt(na)
     var bestScore = 0.0
     var bestHasScore = false
     var bestId = 0L
     var i = 0
     while (i < m) {
       val c = cents.getStruct(i, 2)
-      val cos = cosineF(vec, c.getArray(1))
+      val cv = c.getArray(1)
+      val score: java.lang.Double =
+        if (cv.numElements() != n) null
+        else {
+          var dot = 0.0; var nb = 0.0; var k = 0
+          while (k < n) {
+            val x = vec.getFloat(k).toDouble
+            val y = cv.getFloat(k).toDouble
+            dot += x * y; nb += y * y
+            k += 1
+          }
+          java.lang.Double.valueOf(round6(dot / (sqrtNa * math.sqrt(nb))))
+        }
       if (i == 0) {
         bestId = c.getLong(0)
-        if (cos != null) { bestHasScore = true; bestScore = round6(cos.doubleValue()) }
-      } else if (cos != null) {
-        val s = round6(cos.doubleValue())
-        if (!bestHasScore || java.lang.Double.compare(s, bestScore) > 0) {
-          bestHasScore = true; bestScore = s; bestId = c.getLong(0)
-        }
+        if (score != null) { bestHasScore = true; bestScore = score.doubleValue() }
+      } else if (score != null &&
+          (!bestHasScore || java.lang.Double.compare(score.doubleValue(), bestScore) > 0)) {
+        bestHasScore = true; bestScore = score.doubleValue(); bestId = c.getLong(0)
       }
       i += 1
     }
