@@ -69,8 +69,15 @@ object Bench {
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val metaStr = meta.toSeq.sortBy(_._1)
+    // a thrown query is encoded -1.0; keep it visible in "queries" but
+    // OUT of the headline total (r9: 15 sentinels made the total
+    // incomparable across rounds), and list the failures explicitly so
+    // the artifact is self-describing without cross-referencing logs
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    val metaAll = meta ++ Map("failed" -> failed.mkString(";"))
+      .filter(_ => failed.nonEmpty)
+    val metaStr = metaAll.toSeq.sortBy(_._1)
       .map { case (k, v) => s""","$k":"$v"""" }.mkString
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$metaStr}"""
   }
@@ -146,11 +153,17 @@ object Bench {
     // users run, not only the md5 oracle variants
     val all = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // mid-run contention tracking (r9 advice): the start gate can pass
+    // and load can spike DURING the ~10-min pass; record the max 1-min
+    // load seen between queries so the artifact shows when the capture
+    // window degraded, not just its endpoints
+    var loadMax = load0
     val firstPass = all.map { case (name, fn) =>
       // progress to stderr (stdout stays the one-line JSON contract):
       // a wedged run must be attributable to a query without jstack
       System.err.println(f"BENCH ${java.time.LocalTime.now()} $name")
       val t = timeOne(fn)
+      loadMax = math.max(loadMax, loadAvg)
       // queries that cache intermediates (minhash/simhash sigs) would
       // otherwise pin executor storage for the remaining ~70 queries —
       // the r3 artifact showed 3-5x "regressions" on late-running
@@ -159,11 +172,13 @@ object Bench {
       spark.catalog.clearCache()
       name -> t
     }
-    // Outlier re-run: a time >3x the previous artifact's (and >0.3 s —
+    // Outlier re-run: a time >2x the previous artifact's (and >0.3 s —
     // sub-100ms queries jitter legitimately) is presumed contention
-    // until a second, later measurement window agrees.
+    // until a second, later measurement window agrees. The trigger was
+    // 3x through r9 and twice let contention slip under it (r8: 2.9x
+    // spikes kept; r9: dedup_minhash 2.88x kept, quiet re-measure 0.86 s).
     val suspects = firstPass.collect {
-      case (name, t) if t > 0.3 && prior.get(name).exists(p => p > 0 && t > 3 * p) => name
+      case (name, t) if t > 0.3 && prior.get(name).exists(p => p > 0 && t > 2 * p) => name
     }.toSeq.sorted
     val results = firstPass.map { case (name, t) =>
       if (!suspects.contains(name)) name -> t
@@ -176,6 +191,7 @@ object Bench {
     val load1 = loadAvg
     val meta = Map(
       "load" -> s"${fmtLoad(load0)},${fmtLoad(load1)}",
+      "load_max" -> fmtLoad(loadMax),
       "gate_wait_sec" -> gateWaited.toString,
       "runs" -> (if (cold) "cold-1" else "warm-min3"),
       "reruns" -> suspects.mkString(";"))

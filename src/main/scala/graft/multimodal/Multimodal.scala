@@ -111,25 +111,30 @@ object Multimodal {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) None
-        else {
-          val (h, w) = (img.getHeight, img.getWidth)
-          val (sy, sx) = (math.max(1, h / 256), math.max(1, w / 256))
-          var (sum, n) = (0.0, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-              n += 1
-              x += sx
-            }
-            y += sy
-          }
-          Some((h, w, if (n == 0) 0.0 else sum / n))
-        }
+        else Some((img.getHeight, img.getWidth, meanLumaOf(img)))
       } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mean BT.601 luma in [0,1] over a bounded (≤ 256×256) sample grid —
+    * shared by the image path and the MJPEG frame decode in
+    * [[VideoCodec]]; cost does not scale with megapixels. */
+  def meanLumaOf(img: java.awt.image.BufferedImage): Double = {
+    val (h, w) = (img.getHeight, img.getWidth)
+    val (sy, sx) = (math.max(1, h / 256), math.max(1, w / 256))
+    var (sum, n) = (0.0, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    if (n == 0) 0.0 else sum / n
   }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` — WAV,

@@ -1,0 +1,353 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL pure-JDK video container support — no external codec libs.
+  *
+  * Two containers:
+  *  - **RIFF/AVI** (little-endian chunk stream): full demux — `avih`
+  *    main header (frame count, dimensions, frame period), the first
+  *    video stream's `strh`/`strf` (fourcc, rate/scale), and the
+  *    `movi` chunk walk yielding the byte offset + length of every
+  *    video frame. For MJPEG (`MJPG` fourcc) each frame chunk is a
+  *    complete JPEG, so frame DECODE is also real via the JDK's
+  *    ImageIO — end-to-end real video processing with zero native
+  *    dependencies. [[MjpegAvi.write]] is the matching pure-JDK
+  *    encoder, so tests round-trip against known pixels.
+  *  - **ISO BMFF / MP4** (big-endian box tree): real demux of the
+  *    metadata a pipeline filters on — `mvhd` duration/timescale,
+  *    `tkhd` display dimensions, `stsd` sample fourcc, `stco`/`co64`
+  *    chunk offsets, `stss` sync-sample (keyframe) numbers. Coded
+  *    H.26x frame decode needs a native codec and stays out of scope;
+  *    everything byte-offset/metadata level is real.
+  *
+  * Reference behavior: the reference pipeline treats media as opaque
+  * payloads + extracted metadata (etl-validator's file-metadata checks);
+  * this is the Spark-native analogue for the video modality.
+  *
+  * Scale note: all parsing is bounded, forward-only scans of an
+  * in-memory payload inside `mapPartitions` — no shuffle, no driver
+  * involvement, cost linear in payload bytes with small constants.
+  */
+object VideoCodec {
+
+  /** Probed container metadata. `durationMs`/`nFrames` are 0 when the
+    * container omits them rather than failing the probe. */
+  final case class VideoMeta(
+      container: String, // "avi" | "mp4"
+      fourcc: String,    // video sample fourcc, e.g. "MJPG", "avc1"
+      width: Int,
+      height: Int,
+      nFrames: Long,
+      durationMs: Long)
+
+  // ---------- shared helpers ----------
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) ""
+    else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ByteBuffer.wrap(b, off, 4).order(ByteOrder.BIG_ENDIAN).getInt.toLong & 0xffffffffL
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    if (off + 8 > b.length) -1L
+    else ByteBuffer.wrap(b, off, 8).order(ByteOrder.BIG_ENDIAN).getLong
+
+  // ---------- public surface ----------
+
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI "
+
+  def isMp4(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 && fourcc(payload, 4) == "ftyp"
+
+  /** Container sniff + metadata extraction. None if the payload is not
+    * a recognizable AVI/MP4 (caller falls back or surfaces nulls). */
+  def probe(payload: Array[Byte]): Option[VideoMeta] =
+    if (isAvi(payload)) probeAvi(payload)
+    else if (isMp4(payload)) probeMp4(payload)
+    else None
+
+  /** Byte offsets (into the payload) of every video frame chunk's DATA
+    * (AVI: `##dc`/`##db` chunk bodies in `movi`; MP4: `stco`/`co64`
+    * chunk offsets). Empty when not demuxable. */
+  def frameOffsets(payload: Array[Byte]): Array[Long] =
+    if (isAvi(payload)) aviFrameChunks(payload).map(_._1)
+    else if (isMp4(payload)) mp4ChunkOffsets(payload)
+    else Array.emptyLongArray
+
+  /** `n` evenly spaced frame offsets — the demuxer-backed version of
+    * the frame-sampling kernel. None when the container yields no
+    * frame index. */
+  def sampleFrameOffsets(payload: Array[Byte], n: Int): Option[Array[Long]] = {
+    val all = frameOffsets(payload)
+    if (all.isEmpty || n <= 0) None
+    else if (all.length <= n) Some(all)
+    else Some(Array.tabulate(n)(i => all(((i.toLong * all.length) / n).toInt)))
+  }
+
+  /** REAL frame decode for MJPEG-AVI: the frame chunk at (offset, len)
+    * is a complete JPEG; decode to (height, width, meanLuma∈[0,1])
+    * with the same bounded-grid luma sampling as the image path. */
+  def decodeAviFrame(payload: Array[Byte], offset: Long, len: Long): Option[(Int, Int, Double)] =
+    try {
+      if (offset < 0 || len <= 0 || offset + len > payload.length) None
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, offset.toInt, len.toInt))
+        if (img == null) None
+        else Some((img.getHeight, img.getWidth, Multimodal.meanLumaOf(img)))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Decode `n` evenly spaced frames of an MJPEG-AVI to mean-luma
+    * values — the real end-to-end video → per-frame-feature kernel. */
+  def sampleFrameLumas(payload: Array[Byte], n: Int): Option[Array[Double]] = {
+    if (!isAvi(payload)) return None
+    val chunks = aviFrameChunks(payload)
+    if (chunks.isEmpty || n <= 0) return None
+    val pick =
+      if (chunks.length <= n) chunks
+      else Array.tabulate(n)(i => chunks(((i.toLong * chunks.length) / n).toInt))
+    val lumas = pick.flatMap { case (off, len) =>
+      decodeAviFrame(payload, off, len).map(_._3)
+    }
+    if (lumas.isEmpty) None else Some(lumas)
+  }
+
+  // ---------- AVI (RIFF, little-endian) ----------
+
+  /** Walk a RIFF chunk range, invoking `f(fcc, listType, bodyOff,
+    * bodySize)` per chunk; recursion into LIST bodies is the caller's
+    * choice via the return offsets. Chunks are 2-byte aligned. */
+  private def riffChunks(b: Array[Byte], from: Int, until: Int)(
+      f: (String, String, Int, Int) => Unit): Unit = {
+    var off = from
+    while (off + 8 <= until) {
+      val fcc = fourcc(b, off)
+      val size = u32le(b, off + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return
+      val bodyOff = off + 8
+      val sz = math.min(size, (until - bodyOff).toLong).toInt
+      if (sz < 0) return
+      val listType = if (fcc == "LIST" || fcc == "RIFF") fourcc(b, bodyOff) else ""
+      f(fcc, listType, bodyOff, sz)
+      off = bodyOff + sz + (sz & 1) // word alignment
+    }
+  }
+
+  private def probeAvi(b: Array[Byte]): Option[VideoMeta] = {
+    var totalFrames = 0L; var usPerFrame = 0L
+    var w = 0; var h = 0
+    var vfourcc = ""
+    var rate = 0L; var scale = 0L
+    riffChunks(b, 12, b.length) { (fcc, lt, off, sz) =>
+      if (fcc == "LIST" && lt == "hdrl") {
+        riffChunks(b, off + 4, off + sz) { (fcc2, lt2, off2, sz2) =>
+          if (fcc2 == "avih" && sz2 >= 40) {
+            usPerFrame = u32le(b, off2)
+            totalFrames = u32le(b, off2 + 16)
+            w = u32le(b, off2 + 32).toInt
+            h = u32le(b, off2 + 36).toInt
+          } else if (fcc2 == "LIST" && lt2 == "strl") {
+            var isVideo = false
+            riffChunks(b, off2 + 4, off2 + sz2) { (fcc3, _, off3, sz3) =>
+              if (fcc3 == "strh" && sz3 >= 32) {
+                if (fourcc(b, off3) == "vids" && vfourcc.isEmpty) {
+                  isVideo = true
+                  vfourcc = fourcc(b, off3 + 4).trim
+                  scale = u32le(b, off3 + 20)
+                  rate = u32le(b, off3 + 24)
+                }
+              } else if (fcc3 == "strf" && isVideo && sz3 >= 16 && (w == 0 || h == 0)) {
+                // BITMAPINFOHEADER: biWidth @4, biHeight @8
+                w = u32le(b, off3 + 4).toInt
+                h = math.abs(u32le(b, off3 + 8).toInt)
+              }
+            }
+          }
+        }
+      }
+    }
+    if (w <= 0 && h <= 0 && totalFrames == 0) None
+    else {
+      val durMs =
+        if (totalFrames > 0 && usPerFrame > 0) totalFrames * usPerFrame / 1000
+        else if (totalFrames > 0 && rate > 0 && scale > 0) totalFrames * scale * 1000 / rate
+        else 0L
+      Some(VideoMeta("avi", vfourcc, w, h, totalFrames, durMs))
+    }
+  }
+
+  /** (dataOffset, dataLen) of every video frame chunk (`##dc`
+    * compressed / `##db` uncompressed) inside `movi`, in stream order. */
+  private def aviFrameChunks(b: Array[Byte]): Array[(Long, Long)] = {
+    val out = Array.newBuilder[(Long, Long)]
+    riffChunks(b, 12, b.length) { (fcc, lt, off, sz) =>
+      if (fcc == "LIST" && lt == "movi") {
+        riffChunks(b, off + 4, off + sz) { (fcc2, _, off2, sz2) =>
+          val isFrame = fcc2.length == 4 &&
+            fcc2(0).isDigit && fcc2(1).isDigit &&
+            ((fcc2(2) == 'd' && (fcc2(3) == 'c' || fcc2(3) == 'b')))
+          if (isFrame && sz2 > 0) out += ((off2.toLong, sz2.toLong))
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---------- MP4 / ISO BMFF (big-endian) ----------
+
+  /** Walk a box range, invoking `f(type, bodyOff, bodyEnd)`. Handles
+    * 64-bit largesize and size==0 (extends to range end). */
+  private def boxes(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = from
+    while (off + 8 <= until) {
+      var size = u32be(b, off)
+      val typ = fourcc(b, off + 4)
+      var bodyOff = off + 8
+      if (size == 1) { size = u64be(b, off + 8); bodyOff = off + 16 }
+      else if (size == 0) size = (until - off).toLong
+      if (size < 8 || off + size > until || size > Int.MaxValue) return
+      f(typ, bodyOff, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  private def probeMp4(b: Array[Byte]): Option[VideoMeta] = {
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0
+    var vfourcc = ""
+    var nSamples = 0L
+    var found = false
+    boxes(b, 0, b.length) { (typ, off, end) =>
+      if (typ == "moov") {
+        found = true
+        boxes(b, off, end) { (t2, o2, e2) =>
+          if (t2 == "mvhd") {
+            val v = b(o2) & 0xff
+            if (v == 1) { timescale = u32be(b, o2 + 20); duration = u64be(b, o2 + 24) }
+            else { timescale = u32be(b, o2 + 12); duration = u32be(b, o2 + 16) }
+          } else if (t2 == "trak") {
+            // only take the first video trak (one with a width/height)
+            var tw = 0; var th = 0; var tfcc = ""; var tn = 0L
+            boxes(b, o2, e2) { (t3, o3, e3) =>
+              if (t3 == "tkhd") {
+                val v = b(o3) & 0xff
+                val base = if (v == 1) o3 + 88 else o3 + 76
+                tw = (u32be(b, base) >> 16).toInt      // 16.16 fixed
+                th = (u32be(b, base + 4) >> 16).toInt
+              } else if (t3 == "mdia") {
+                boxes(b, o3, e3) { (t4, o4, e4) =>
+                  if (t4 == "minf") boxes(b, o4, e4) { (t5, o5, e5) =>
+                    if (t5 == "stbl") boxes(b, o5, e5) { (t6, o6, _) =>
+                      if (t6 == "stsd") {
+                        // entry_count @4; first entry: size@8, fourcc@12
+                        if (u32be(b, o6 + 4) > 0) tfcc = fourcc(b, o6 + 12)
+                      } else if (t6 == "stsz") {
+                        tn = u32be(b, o6 + 8) // sample_count
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            if (tw > 0 && th > 0 && w == 0) { w = tw; h = th; vfourcc = tfcc; nSamples = tn }
+            else if (vfourcc.isEmpty && tfcc.nonEmpty && w == 0) { vfourcc = tfcc; nSamples = tn }
+          }
+        }
+      }
+    }
+    if (!found) None
+    else {
+      val durMs = if (timescale > 0) duration * 1000 / timescale else 0L
+      Some(VideoMeta("mp4", vfourcc, w, h, nSamples, durMs))
+    }
+  }
+
+  /** `stco`/`co64` media-chunk byte offsets of the first trak that has
+    * them — the real demuxer frame-offset index for MP4. */
+  private def mp4ChunkOffsets(b: Array[Byte]): Array[Long] = {
+    var result: Array[Long] = Array.emptyLongArray
+    boxes(b, 0, b.length) { (typ, off, end) =>
+      if (typ == "moov" && result.isEmpty) boxes(b, off, end) { (t2, o2, e2) =>
+        if (t2 == "trak" && result.isEmpty) boxes(b, o2, e2) { (t3, o3, e3) =>
+          if (t3 == "mdia") boxes(b, o3, e3) { (t4, o4, e4) =>
+            if (t4 == "minf") boxes(b, o4, e4) { (t5, o5, e5) =>
+              if (t5 == "stbl") boxes(b, o5, e5) { (t6, o6, _) =>
+                if (t6 == "stco" && result.isEmpty) {
+                  val n = u32be(b, o6 + 4).toInt
+                  if (n > 0 && n < (1 << 22))
+                    result = Array.tabulate(n)(i => u32be(b, o6 + 8 + 4 * i))
+                } else if (t6 == "co64" && result.isEmpty) {
+                  val n = u32be(b, o6 + 4).toInt
+                  if (n > 0 && n < (1 << 22))
+                    result = Array.tabulate(n)(i => u64be(b, o6 + 8 + 8 * i))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    result
+  }
+}
+
+/** Pure-JDK MJPEG-AVI **encoder**: JPEG-encode each frame with ImageIO
+  * and wrap in a minimal-but-spec-correct RIFF/AVI container (`avih` +
+  * `strl(vids/MJPG)` + `movi` with `00dc` chunks). Exists so the
+  * demux/decode path round-trips against known pixels in tests, and as
+  * a real video SINK for pipelines that emit frame sequences. */
+object MjpegAvi {
+
+  def write(frames: Seq[java.awt.image.BufferedImage], fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val jpegs = frames.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    val usPerFrame = 1000000 / fps
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def le16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      cc(fcc) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10 /*AVIF_HASINDEX off; none*/ & 0) ++
+        le32(jpegs.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+        le32(1) /*scale*/ ++ le32(fps) /*rate*/ ++ le32(0) ++
+        le32(jpegs.length) ++ le32(jpegs.map(_.length).max.toLong) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", // BITMAPINFOHEADER
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ cc("MJPG") ++
+        le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val riffBody = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(le32(riffBody.length)); bos.write(riffBody)
+    bos.toByteArray
+  }
+}
