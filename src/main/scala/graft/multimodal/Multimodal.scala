@@ -13,13 +13,14 @@ import org.apache.spark.sql.types._
   * is REAL for WAV/AIFF/AU — `javax.sound.sampled` ships those
   * parsers in the JDK ([[Multimodal.decodeAudioJdk]]: sample rate,
   * frame count, duration, RMS loudness from the PCM samples). Video
-  * codecs (and compressed audio: mp3/flac/ogg) are NOT available in
-  * this environment, so those kernels are deterministic STUBS
-  * (clearly marked below) — but everything Spark-side is real:
-  * schema, partition-preserving mapPartitions plumbing, batch shape,
-  * null/corrupt handling. On a cluster you swap `StubCodec` for a
-  * real JNI/FFmpeg/libvips binding without touching the operator
-  * code.
+  * is REAL at the container level via [[VideoCodec]] — AVI demux with
+  * per-frame MJPEG decode (ImageIO) end-to-end, MP4 box-tree
+  * metadata + chunk offsets — with a matching pure-JDK MJPEG-AVI
+  * encoder ([[MjpegAvi.write]]) for round-trip tests. Only coded
+  * H.26x frame decode (and compressed audio: mp3/flac/ogg) needs a
+  * native codec absent here; those fall back to the deterministic
+  * stubs below with identical operator contracts, so a cluster swaps
+  * in a JNI/FFmpeg binding without touching the operator code.
   */
 object Multimodal {
 
@@ -342,8 +343,10 @@ object Multimodal {
   }
 
   /** Sample `n` frame offsets per video payload into an
-    * `array<bigint>` column — the frame-extraction plumbing (schema,
-    * batching, null handling) with the demuxer stubbed. */
+    * `array<bigint>` column. REAL for AVI/MP4 payloads — offsets come
+    * from the container's own frame index ([[VideoCodec]] demux:
+    * `movi` chunk walk / `stco`); non-container payloads fall back to
+    * the deterministic stub so synthetic-blob tests stay stable. */
   def sampleFrames(df: DataFrame, n: Int = 4): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("frame_offsets", ArrayType(LongType)))
@@ -351,8 +354,44 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val offs = if (payload == null) null else StubCodec.frameOffsets(payload, n)
+        val offs =
+          if (payload == null) null
+          else VideoCodec.sampleFrameOffsets(payload, n)
+            .getOrElse(StubCodec.frameOffsets(payload, n))
         Row.fromSeq(r.toSeq :+ offs)
+      }
+    }(enc)
+  }
+
+  /** REAL video decode: container demux via [[VideoCodec]] (AVI fully,
+    * MP4 metadata/offsets), plus per-frame mean-luma for MJPEG-AVI
+    * where the JDK can decode the JPEG frames. Unrecognized payloads →
+    * nulls (same contract as corrupt images). Output columns:
+    * container, codec fourcc, width/height, frame count, duration,
+    * and `frame_lumas` (`array<double>`, null when frames are not
+    * JDK-decodable — e.g. H.264). */
+  def decodeVideo(df: DataFrame, sampleFrameCount: Int = 4): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("container", StringType),
+      StructField("codec", StringType),
+      StructField("video_w", IntegerType),
+      StructField("video_h", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("video_duration_ms", LongType),
+      StructField("frame_lumas", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val meta = if (payload == null) None else VideoCodec.probe(payload)
+        meta match {
+          case Some(m) =>
+            val lumas = VideoCodec.sampleFrameLumas(payload, sampleFrameCount).orNull
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              m.container, m.fourcc, m.width, m.height, m.nFrames, m.durationMs, lumas))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
       }
     }(enc)
   }

@@ -83,6 +83,11 @@ object VideoCodec {
     else if (isMp4(payload)) mp4ChunkOffsets(payload)
     else Array.emptyLongArray
 
+  /** (offset, length) pairs of AVI video frame chunk data — the
+    * demuxer index callers need to feed [[decodeAviFrame]]. */
+  def frameChunks(payload: Array[Byte]): Array[(Long, Long)] =
+    if (isAvi(payload)) aviFrameChunks(payload) else Array.empty
+
   /** `n` evenly spaced frame offsets — the demuxer-backed version of
     * the frame-sampling kernel. None when the container yields no
     * frame index. */

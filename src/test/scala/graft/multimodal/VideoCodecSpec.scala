@@ -1,0 +1,161 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class VideoCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** gray(0..255) frames so each frame's expected luma is exact. */
+  private def grayAvi(levels: Seq[Int], w: Int = 32, h: Int = 24, fps: Int = 10): Array[Byte] =
+    MjpegAvi.write(levels.map(g => frame(w, h, (g << 16) | (g << 8) | g)), fps)
+
+  test("MJPEG-AVI round trip: probe recovers header metadata") {
+    val avi = grayAvi(Seq(0, 64, 128, 192, 255), w = 40, h = 30, fps = 5)
+    val m = VideoCodec.probe(avi).get
+    assert(m.container == "avi")
+    assert(m.fourcc == "MJPG")
+    assert(m.width == 40 && m.height == 30)
+    assert(m.nFrames == 5)
+    assert(m.durationMs == 1000) // 5 frames @ 5 fps
+  }
+
+  test("MJPEG-AVI round trip: demuxed frame chunks decode to the written pixels") {
+    val avi = grayAvi(Seq(0, 255, 0, 255))
+    val offs = VideoCodec.frameOffsets(avi)
+    assert(offs.length == 4)
+    assert(offs.forall(o => o > 0 && o < avi.length))
+    // every demuxed chunk is a standalone JPEG the JDK can decode
+    val lumas = VideoCodec.sampleFrameLumas(avi, 4).get
+    assert(lumas.length == 4)
+    // JPEG is lossy but flat-gray frames survive to within a few counts
+    assert(math.abs(lumas(0) - 0.0) < 0.05 && math.abs(lumas(1) - 1.0) < 0.05)
+    assert(math.abs(lumas(2) - 0.0) < 0.05 && math.abs(lumas(3) - 1.0) < 0.05)
+    val (off0, len0) = VideoCodec.frameChunks(avi).head
+    val (fh, fw, _) = VideoCodec.decodeAviFrame(avi, off0, len0).get
+    assert(fh == 24 && fw == 32)
+  }
+
+  test("sampleFrameOffsets picks n evenly spaced real offsets") {
+    val avi = grayAvi((0 until 20).map(i => i * 12))
+    val all = VideoCodec.frameOffsets(avi)
+    assert(all.length == 20)
+    val s = VideoCodec.sampleFrameOffsets(avi, 4).get
+    assert(s.length == 4)
+    assert(s.toSet.subsetOf(all.toSet))
+    assert(s sameElements s.sorted) // stream order preserved
+    // fewer frames than requested → all frames
+    val tiny = grayAvi(Seq(10, 20))
+    assert(VideoCodec.sampleFrameOffsets(tiny, 8).get.length == 2)
+  }
+
+  /** Minimal spec-correct MP4: ftyp + moov(mvhd, trak(tkhd, mdia(minf(
+    * stbl(stsd, stsz, stco))))) + mdat. Built by hand so expected
+    * values are exact. */
+  private def syntheticMp4(): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def be32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.BIG_ENDIAN).putShort(v.toShort).array()
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom") ++ cc("avc1"))
+    // mvhd v0: timescale=1000, duration=7500ms
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(7500) ++
+      Array.fill[Byte](80)(0))
+    // tkhd v0: width=640.0, height=360.0 as 16.16 fixed at payload offset 76/80
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("avc1", Array.fill[Byte](70)(0))) // first entry fourcc at offset 12
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(90)) // 90 samples, variable size
+    val stco = box("stco", be32(0) ++ be32(3) ++ be32(4000) ++ be32(5000) ++ be32(6000))
+    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array.fill[Byte](64)(7))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("MP4 box parse: mvhd/tkhd/stsd/stsz/stco all recovered") {
+    val mp4 = syntheticMp4()
+    val m = VideoCodec.probe(mp4).get
+    assert(m.container == "mp4")
+    assert(m.fourcc == "avc1")
+    assert(m.width == 640 && m.height == 360)
+    assert(m.nFrames == 90)
+    assert(m.durationMs == 7500)
+    assert(VideoCodec.frameOffsets(mp4).toSeq == Seq(4000L, 5000L, 6000L))
+  }
+
+  test("probe rejects non-video payloads without throwing") {
+    assert(VideoCodec.probe(null).isEmpty)
+    assert(VideoCodec.probe(Array.emptyByteArray).isEmpty)
+    assert(VideoCodec.probe(Array.fill[Byte](100)(42)).isEmpty)
+    // truncated AVI header: sniffs as AVI, yields no metadata, no throw
+    val avi = grayAvi(Seq(1, 2, 3))
+    assert(VideoCodec.probe(avi.take(16)).isEmpty)
+    assert(VideoCodec.frameOffsets(avi.take(40)).isEmpty)
+    // truncated MP4: box sizes run past the payload end
+    val mp4 = syntheticMp4()
+    assert(VideoCodec.probe(mp4.take(mp4.length / 2)).map(_.container).forall(_ == "mp4"))
+  }
+
+  test("decodeVideo operator: real columns for real videos, nulls otherwise") {
+    val avi = grayAvi(Seq(0, 128, 255), w = 48, h = 36, fps = 4)
+    val mp4 = syntheticMp4()
+    val df = Seq(
+      (1L, avi, "video", "avi"),
+      (2L, mp4, "video", "mp4"),
+      (3L, Array[Byte](9, 9, 9), "video", "avi"))
+      .toDF("media_id", "payload", "media_type", "format")
+      .repartition(2)
+    val out = Multimodal.decodeVideo(df, sampleFrameCount = 3)
+    assert(out.rdd.getNumPartitions == 2) // mapPartitions: no shuffle
+    assert(out.schema("n_frames").dataType == LongType)
+    assert(out.schema("frame_lumas").dataType == ArrayType(DoubleType))
+    val rows = out.select("media_id", "container", "codec", "video_w", "video_h",
+        "n_frames", "video_duration_ms", "frame_lumas")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = rows(1L)
+    assert(a.getString(1) == "avi" && a.getString(2) == "MJPG")
+    assert(a.getInt(3) == 48 && a.getInt(4) == 36 && a.getLong(5) == 3)
+    assert(a.getLong(6) == 750) // 3 frames @ 4 fps (250 ms each)
+    val lumas = a.getSeq[Double](7)
+    assert(lumas.length == 3)
+    assert(math.abs(lumas(0) - 0.0) < 0.05 && math.abs(lumas(2) - 1.0) < 0.05)
+    val b = rows(2L)
+    assert(b.getString(1) == "mp4" && b.getString(2) == "avc1")
+    assert(b.getInt(3) == 640 && b.getLong(5) == 90)
+    assert(b.isNullAt(7)) // H.264 frames: demuxable, not JDK-decodable
+    val c = rows(3L)
+    assert(c.isNullAt(1) && c.isNullAt(3) && c.isNullAt(7))
+  }
+
+  test("sampleFrames uses the real demuxer index for containers, stub otherwise") {
+    val avi = grayAvi((0 until 10).map(_ * 25))
+    val realOffsets = VideoCodec.frameOffsets(avi).toSeq
+    val df = Seq(
+      (1L, avi, "video", "avi"),
+      (2L, Array.fill[Byte](500)(3), "video", "bin"))
+      .toDF("media_id", "payload", "media_type", "format")
+    val out = Multimodal.sampleFrames(df, n = 5)
+      .select("media_id", "frame_offsets")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).toSet.subsetOf(realOffsets.toSet)) // demuxer-backed
+    assert(out(1L).length == 5)
+    assert(out(2L).length == 5) // stub fallback still deterministic
+    assert(out(2L) == Multimodal.StubCodec.frameOffsets(Array.fill[Byte](500)(3), 5).toSeq)
+  }
+}
