@@ -149,7 +149,83 @@ object SqlScaleSmoke {
     // (at 10x) purchase graph — the heaviest legitimate entry
     "q_cohort_retention", "q_shard_manifest", "q_pagerank_suppliers")
 
+  /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
+    * the left fact lands on ONE key, against a right fact too big to
+    * broadcast (enforced via autoBroadcastJoinThreshold=-1, simulating
+    * the right side outgrowing the driver at cluster scale). Under the
+    * default plan the hot key is one reducer's entire world — the job
+    * runs at the straggler's speed; at smoke scale AQE's skew split
+    * does not trigger (partitions sit under
+    * skewedPartitionThresholdInBytes), exactly like a moderately-hot
+    * key in production. [[graft.ops.Skew.saltedJoin]] spreads the hot
+    * key across `factor` reducers by replicating the right side.
+    * Returns (unsaltedSec, saltedSec) on an identical-answer join-agg;
+    * also cross-checks both sums so the speedup is not bought with a
+    * wrong plan. */
+  def skewSmoke(spark: SparkSession, mult: Long, factor: Int = 16): (Double, Double) = {
+    import org.apache.spark.sql.internal.SQLConf
+    val nLeft = 400000L * mult
+    val nKeys = 100000L
+    // 60% of rows on key 0, rest log-uniform over [1, nKeys) — count
+    // of key k falls off ~1/k, the classic Zipf tail. `pad` is the
+    // fact payload (64 derived chars): real facts are wide, and it is
+    // the payload bytes that make the hot partition's shuffle/sort/
+    // downstream work expensive — a key-only smoke understates skew.
+    val left = spark.range(nLeft).select(
+      when(pm("zh", 10) < 6, lit(0L))
+        .otherwise(pow(lit(nKeys.toDouble), pm("zu", 1000000) / 1000000.0)
+          .cast("long") % nKeys).as("key"),
+      (pm("zv", 1000) / 10.0).as("value"),
+      concat_ws("", array((0 until 4).map(i =>
+        lpad(hex(pm(s"zp$i", Long.MaxValue)), 16, "0")): _*)).as("pad"),
+      col("id"))
+    val right = spark.range(nKeys * 4).select(
+      (col("id") / 4).cast("long").as("key"),
+      (pm("zw", 1000) / 10.0).as("rvalue"))
+
+    def time2(fn: => Long): Double = {
+      fn // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val prev = spark.conf.get(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key)
+    spark.conf.set(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key, "-1")
+    try {
+      // the agg consumes pad TOGETHER WITH the right side (crc32 over
+      // their concat), so the payload cannot be projected away or
+      // pre-aggregated below the join — every joined row does real
+      // per-row work in the join task, like a real enrichment job
+      def agg(df: DataFrame): org.apache.spark.sql.Row =
+        df.agg(sum(crc32(concat(col("pad"), col("rvalue")))).as("s"),
+          count(lit(1)).as("n")).head()
+      val plainRow = agg(left.join(right, Seq("key")))
+      val saltRow = agg(graft.ops.Skew.saltedJoin(left, right, "key", factor,
+        uniqueCol = Some("id")))
+      require(plainRow.getLong(1) == saltRow.getLong(1) &&
+        plainRow.getLong(0) == saltRow.getLong(0),
+        s"salted join changed the answer: $plainRow vs $saltRow")
+      val tPlain = time2(agg(left.join(right, Seq("key"))).getLong(1))
+      val tSalted = time2(agg(graft.ops.Skew.saltedJoin(left, right, "key", factor,
+        uniqueCol = Some("id"))).getLong(1))
+      (tPlain, tSalted)
+    } finally spark.conf.set(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key, prev)
+  }
+
   def main(args: Array[String]): Unit = {
+    // "skew [mult]": run only the adversarial-skew smoke (local iteration)
+    if (args.headOption.contains("skew")) {
+      val m = if (args.length > 1) args(1).toLong else 10L
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val (tp, ts) = skewSmoke(s, m)
+      println(f"SKEW fact-fact x$m unsalted $tp%.3f salted $ts%.3f speedup ${tp / ts}%.2f")
+      s.stop()
+      return
+    }
     val mult = if (args.nonEmpty) args(0).toLong else 10L
     // optional 2nd arg: comma-separated query names (focused triage
     // re-runs without the full sweep); artifact writing is
@@ -217,10 +293,19 @@ object SqlScaleSmoke {
     val qs = rows.map { case (n, (t1, tN, r)) =>
       s""""$n":{"t1":${fmt(t1)},"t$mult":${fmt(tN)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
+    // adversarial-skew entry: salted-vs-unsalted on the Zipf fact-fact
+    // join at the mult× scale (skipped for focused partial runs)
+    val skewJson = if (only.nonEmpty) "" else {
+      val (tPlain, tSalted) = skewSmoke(spark, mult)
+      println(f"SKEW  fact-fact x$mult unsalted ${fmt(tPlain)}%7s  salted ${fmt(tSalted)}%7s  " +
+        f"speedup ${fmt(tPlain / tSalted)}%6s")
+      s""","skew_join":{"unsalted":${fmt(tPlain)},"salted":${fmt(tSalted)},""" +
+        s""""speedup":${fmt(tPlain / tSalted)}}"""
+    }
     val json =
       s"""{"metric":"sql_scale","mult":$mult,"lineitem_rows":${600000L * mult},""" +
       s""""gen_sec":${fmt(tGen)},"t1_total":${fmt(rows.map(_._2._1).filter(_ > 0).sum)},""" +
-      s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs}"""
+      s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs$skewJson}"""
     println(json)
     if (only.isEmpty)
       java.nio.file.Files.writeString(

@@ -40,15 +40,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Mixing note: proportions are enforced PER BATCH (each batch is
   * down-sampled to the target mix). Corpus-level proportions follow
-  * when drops are mix-stationary; a drifting feed wants a periodic
-  * batch re-mix over the accepted table instead.
+  * when drops are mix-stationary; for a DRIFTING feed pass
+  * `remixEvery`/`remixedPath` and every N batches [[remix]] re-solves
+  * the keep-rates over the WHOLE accepted corpus and rewrites the
+  * remixed snapshot — corpus-level proportions then hold regardless
+  * of how the feed's mix wanders.
   */
 object RecipeIngest {
 
   def start(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             acceptedPath: String, rejectedPath: String, indexPath: String,
             checkpoint: String, targetWeights: Map[String, Double],
-            mixSalt: Long = 0L): StreamingQuery = {
+            mixSalt: Long = 0L,
+            remixEvery: Int = 0, remixedPath: String = null): StreamingQuery = {
     val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -56,8 +60,40 @@ object RecipeIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, idCol, textCol, langCol, acceptedPath,
           rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
+        if (remixEvery > 0 && remixedPath != null && (batchId + 1) % remixEvery == 0)
+          remix(batch.sparkSession, acceptedPath, remixedPath, langCol, idCol,
+            targetWeights, mixSalt)
       }
       .start()
+  }
+
+  /** Corpus-level periodic re-mix: re-solve the mixture over the FULL
+    * accepted table and rewrite the remixed snapshot. This is the
+    * drifting-feed corrective the per-batch mix can't provide — after
+    * a drift, per-batch mixing leaves the corpus over-weighted in
+    * whatever the early feed favored; the remix recomputes stratum
+    * sizes over everything landed so far and downsamples to the
+    * target proportions globally.
+    *
+    * Stability: [[graft.ops.Sampling.mix]]'s keep gate is a
+    * content-keyed hash threshold, so re-mix epochs are MONOTONE per
+    * stratum — a doc flips keep→drop only when its stratum's corpus
+    * keep-rate falls (and back only if it rises). Consecutive
+    * snapshots therefore differ by exactly the drift correction, not
+    * by sampling churn, and a re-run of the same epoch is idempotent.
+    *
+    * Cost: one count-per-stratum aggregate + one narrow filtered
+    * rewrite of the accepted table — no shuffle of the payload. The
+    * snapshot is derived data: full overwrite, safe to regenerate. */
+  def remix(spark: SparkSession, acceptedPath: String, remixedPath: String,
+            langCol: String, idCol: String,
+            targetWeights: Map[String, Double], mixSalt: Long = 0L): Unit = {
+    val accepted =
+      try spark.read.parquet(acceptedPath)
+      catch { case _: Exception => return } // nothing landed yet
+    if (accepted.where(col(langCol).isin(targetWeights.keys.toSeq: _*)).isEmpty) return
+    graft.ops.Sampling.mix(accepted, langCol, idCol, targetWeights, salt = mixSalt)
+      .write.mode("overwrite").parquet(remixedPath)
   }
 
   /** One micro-batch; factored out so tests and the scale smoke can

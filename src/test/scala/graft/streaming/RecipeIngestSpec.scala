@@ -70,6 +70,53 @@ class RecipeIngestSpec extends SparkSpec {
     assert(accCount == 0)
   }
 
+  test("corpus-level remix corrects a drifted feed that per-batch mixing cannot") {
+    // mkDoc repeats at seed+26; widen with two extra base-26 letters
+    // per word so every seed in 0..675 yields a distinct document
+    def doc(seed: Int): String =
+      (0 until 36).map(i =>
+        s"w${('a' + (i + seed) % 26).toChar}${('a' + (i / 26 + seed * 7) % 26).toChar}" +
+          s"${('a' + seed % 26).toChar}${('a' + (seed / 26) % 26).toChar}rd")
+        .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-remix").toString
+    val (acc, rej, idx) = (s"$dir/accepted", s"$dir/rejected", s"$dir/index")
+
+    // batch 0: 100% en — the only present stratum is binding, so the
+    // per-batch mix keeps ALL 40 en docs (this IS the drift failure)
+    RecipeIngest.processBatch(
+      (0 until 40).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", acc, rej, idx, "runR", 0L, weights, 0L)
+    // batch 1: balanced
+    RecipeIngest.processBatch(
+      ((100 until 110).map(i => (i.toLong, doc(i), "en")) ++
+       (200 until 210).map(i => (i.toLong, doc(i), "de"))).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", acc, rej, idx, "runR", 1L, weights, 0L)
+
+    // accepted corpus is drifted: 50 en vs 10 de at a 50/50 target
+    val byLang = spark.read.parquet(acc).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 50 && byLang("de") == 10)
+
+    // corpus-level remix re-solves rates over everything landed:
+    // de binds (rate 1.0, all 10 kept), en downsamples to ~10
+    RecipeIngest.remix(spark, acc, s"$dir/remixed", "lang", "doc_id", weights, 0L)
+    val remixed = spark.read.parquet(s"$dir/remixed").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(remixed("de") == 10) // binding stratum passes through whole
+    // en: hash-thresholded at rate 0.2 over 50 docs — proportions
+    // corrected to within sampling noise of 50/50
+    assert(remixed("en") >= 4 && remixed("en") <= 18,
+      s"en after remix = ${remixed("en")}")
+
+    // idempotent: a re-run of the same epoch rewrites byte-identical rows
+    val first = spark.read.parquet(s"$dir/remixed")
+      .select("doc_id").as[Long].collect().toSet
+    RecipeIngest.remix(spark, acc, s"$dir/remixed", "lang", "doc_id", weights, 0L)
+    val second = spark.read.parquet(s"$dir/remixed")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == second)
+  }
+
   test("streaming end-to-end over file drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-recipe-s").toString
     val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
@@ -79,10 +126,13 @@ class RecipeIngestSpec extends SparkSpec {
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING").parquet(drop)
     val q = RecipeIngest.start(stream, "doc_id", "text", "lang",
-      s"$dir/accepted", s"$dir/rejected", s"$dir/index", s"$dir/ckpt", weights)
+      s"$dir/accepted", s"$dir/rejected", s"$dir/index", s"$dir/ckpt", weights,
+      remixEvery = 1, remixedPath = s"$dir/remixed")
     try q.awaitTermination(60000) finally q.stop()
 
     assert(spark.read.parquet(s"$dir/accepted").count() == 2)
     assert(spark.read.parquet(s"$dir/index").count() == 2)
+    // remixEvery=1 → the periodic corpus remix ran after the batch
+    assert(spark.read.parquet(s"$dir/remixed").count() == 2)
   }
 }
