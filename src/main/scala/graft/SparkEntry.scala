@@ -1154,6 +1154,17 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // prefix-filtered containment (guaranteed recall incl. tiny-in-
+    // huge subset pairs): same exact semantics as ngram_containment —
+    // identical oracle — reached through df-ordered prefix candidates
+    // instead of the full inverted index.
+    "ngram_containment_prefix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        .orderBy("id1", "id2")
+    }),
+
     // SemDeDup-style semantic dedup: LSH-bucket blocking → within-
     // bucket cosine threshold pairs → CC closure → min-id survivors.
     // Surviving count per label; md5 planes so DuckDB replays the
@@ -2456,6 +2467,30 @@ object SparkEntry {
     // q_dup_components' oracle, normalized per side instead of by the
     // union.
     "ngram_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents
+        |  WHERE doc_id < 100 AND length(lower(text)) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id1, p.id2,
+        |  round(p.inter / sa.n, 4) AS c1_in_2,
+        |  round(p.inter / sb.n, 4) AS c2_in_1
+        |FROM pr p JOIN sizes sa ON sa.doc_id = p.id1
+        |          JOIN sizes sb ON sb.doc_id = p.id2
+        |WHERE greatest(round(p.inter / sa.n, 4), round(p.inter / sb.n, 4)) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+
+    // prefix-filtered containment is exact (guaranteed recall), so it
+    // replays against the SAME brute inverted-index oracle as
+    // ngram_containment_pairs — equality of the two paths' artifacts
+    // is itself the recall proof
+    "ngram_containment_prefix" ->
       """WITH d AS (
         |  SELECT doc_id, lower(text) AS s FROM documents
         |  WHERE doc_id < 100 AND length(lower(text)) >= 5),

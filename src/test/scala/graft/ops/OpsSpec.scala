@@ -120,6 +120,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngramContainmentPrefix: guaranteed recall on extreme tiny-in-huge pairs the LSH path misses") {
+    // Planted needle-in-haystack: tiny docs embedded verbatim inside
+    // huge hosts (containment 1.0, Jaccard << 0.05) among filler docs.
+    // Distinct 'chapter N' phrases keep filler texts mutually far.
+    def filler(i: Long): String =
+      (0 until 60).map(j => s"chapter${i}x$j narrative").mkString(" ")
+    val tiny = Seq(
+      (1L, "the secret launch code is alpha tango seven"),
+      (2L, "meet at the old lighthouse before dawn on tuesday"))
+    val huge = tiny.map { case (i, s) =>
+      (i + 100L, filler(i + 50) + " " + s + " " + filler(i + 70)) }
+    val docs = (tiny ++ huge ++ (10L to 29L).map(i => (i, filler(i))))
+      .toDF("doc_id", "text")
+
+    val exact = Similarity.ngramContainment(docs, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val prefix = Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    // the planted pairs have Jaccard far below any band-able estimate
+    tiny.foreach { case (i, _) =>
+      val cs = prefix.get((i, i + 100L))
+      assert(cs.nonEmpty, s"prefix path missed planted pair ($i, ${i + 100L})")
+      assert(cs.get._1 == 1.0, s"tiny doc fully contained, got ${cs.get}")
+    }
+    // exactness: identical pair set AND identical values vs the
+    // inverted index — the recall guarantee is equality, not overlap
+    assert(prefix == exact, s"prefix=$prefix exact=$exact")
+
+    // the documented LSH contract: Jaccard banding does NOT surface
+    // these pairs (if this starts passing, the containment docs and
+    // the prefix path's reason-to-exist need revisiting)
+    val lsh = Similarity.ngramContainmentLsh(docs, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect()
+    tiny.foreach { case (i, _) =>
+      assert(!lsh.exists(r => r._1 == i && r._2 == i + 100L),
+        "LSH unexpectedly found an extreme-asymmetry pair; docs claim it cannot")
+    }
+  }
+
+  test("ngramContainmentPrefix: maxDf caps the universe consistently") {
+    // all docs share hot boilerplate; overlap beyond it is unique
+    val boiler = "standard header used by every single document here "
+    val docs = (1L to 8L).map(i => (i, boiler + s"unique tail ${i * 7919} content"))
+      .toDF("doc_id", "text")
+    // uncapped: the shared boilerplate makes every pair high-containment
+    val all = Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
+      k = 5, threshold = 0.8)
+    assert(all.count() == 8L * 7 / 2)
+    // capped below corpus size: boilerplate grams leave the universe,
+    // pairs must qualify on unique content alone → none do
+    val capped = Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
+      k = 5, threshold = 0.8, maxDf = 4)
+    assert(capped.isEmpty)
+  }
+
   test("minhash identical docs share full signature; est_jaccard = 1") {
     val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
       k = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.9)
