@@ -88,6 +88,35 @@ object VideoCodec {
   def frameChunks(payload: Array[Byte]): Array[(Long, Long)] =
     if (isAvi(payload)) aviFrameChunks(payload) else Array.empty
 
+  /** MP4 `stss` sync-sample table: 1-based sample numbers of the
+    * keyframes of the first trak carrying one. Empty when absent —
+    * which by spec means EVERY sample is a sync sample (all-intra
+    * codecs like MJPEG omit the box), so callers treat empty as
+    * "seek anywhere". */
+  def keyframeSamples(payload: Array[Byte]): Array[Long] =
+    if (!isMp4(payload)) Array.emptyLongArray
+    else {
+      var result: Array[Long] = Array.emptyLongArray
+      boxes(payload, 0, payload.length) { (typ, off, end) =>
+        if (typ == "moov" && result.isEmpty) boxes(payload, off, end) { (t2, o2, e2) =>
+          if (t2 == "trak" && result.isEmpty) boxes(payload, o2, e2) { (t3, o3, e3) =>
+            if (t3 == "mdia") boxes(payload, o3, e3) { (t4, o4, e4) =>
+              if (t4 == "minf") boxes(payload, o4, e4) { (t5, o5, e5) =>
+                if (t5 == "stbl") boxes(payload, o5, e5) { (t6, o6, _) =>
+                  if (t6 == "stss" && result.isEmpty) {
+                    val n = u32be(payload, o6 + 4).toInt
+                    if (n > 0 && n < (1 << 22))
+                      result = Array.tabulate(n)(i => u32be(payload, o6 + 8 + 4 * i))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      result
+    }
+
   /** `n` evenly spaced frame offsets — the demuxer-backed version of
     * the frame-sampling kernel. None when the container yields no
     * frame index. */

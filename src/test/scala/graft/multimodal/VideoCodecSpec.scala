@@ -79,7 +79,8 @@ class VideoCodecSpec extends SparkSpec {
       box("avc1", Array.fill[Byte](70)(0))) // first entry fourcc at offset 12
     val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(90)) // 90 samples, variable size
     val stco = box("stco", be32(0) ++ be32(3) ++ be32(4000) ++ be32(5000) ++ be32(6000))
-    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    val stss = box("stss", be32(0) ++ be32(3) ++ be32(1) ++ be32(31) ++ be32(61))
+    val stbl = box("stbl", stsd ++ stsz ++ stco ++ stss)
     val minf = box("minf", stbl)
     val mdia = box("mdia", minf)
     val trak = box("trak", tkhd ++ mdia)
@@ -97,6 +98,9 @@ class VideoCodecSpec extends SparkSpec {
     assert(m.nFrames == 90)
     assert(m.durationMs == 7500)
     assert(VideoCodec.frameOffsets(mp4).toSeq == Seq(4000L, 5000L, 6000L))
+    assert(VideoCodec.keyframeSamples(mp4).toSeq == Seq(1L, 31L, 61L))
+    // AVI (all-intra MJPEG) has no stss: empty = every frame is a keyframe
+    assert(VideoCodec.keyframeSamples(grayAvi(Seq(1, 2))).isEmpty)
   }
 
   test("probe rejects non-video payloads without throwing") {

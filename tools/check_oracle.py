@@ -49,7 +49,8 @@ for name, sql in sorted(oracle.items()):
         continue
     passes.append((name, len(o)))
 
-for name in sorted(set(os.listdir(out_dir)) - set(oracle) - {"oracle_sql.json"}):
+for name in sorted(set(os.listdir(out_dir)) - set(oracle)
+                   - {"oracle_sql.json", "_verify_errors.json"}):
     n = -1
     try:
         n = len(con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
