@@ -989,6 +989,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL normalization + host + registered domain (UrlOps): the
+    // web-crawl front door. URLs synthesized deterministically from
+    // (doc_id, source) with the messy bits pipelines actually see —
+    // uppercase authority, explicit :443, trailing slash, utm params,
+    // fragments — identically in both engines.
+    "url_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("HTTPS://www."), col("source"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit(":443/Page/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=x&n="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      docs.select(col("doc_id"), url.as("u"))
+        .select(col("doc_id"),
+          graft.text.UrlOps.normalizeUrl(col("u")).as("url_norm"),
+          graft.text.UrlOps.host(col("u")).as("host"))
+        .withColumn("domain", graft.text.UrlOps.registeredDomain(col("host")))
+        .orderBy("doc_id")
+    }),
+
+    // exact URL dedup: groups of 10 docs share a landing page behind
+    // authority-case / tracking-param / fragment variants; min-id
+    // survivor per normalized URL
+    "url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = (col("doc_id") - col("doc_id") % 10).cast("string")
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        lit("site"), ((col("doc_id") - col("doc_id") % 10) % 7).cast("string"),
+        lit(".com/page/"), base,
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=s"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#f")).otherwise(lit("")))
+      graft.text.UrlOps.dedupByUrl(
+          docs.select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .select("doc_id", "url").orderBy("doc_id")
+    }),
+
+    // per-registered-domain cap: at most 3 docs per eTLD+1, chosen by
+    // the content-keyed md5 order (replayable)
+    "url_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://www."), col("source"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/page/"), col("doc_id").cast("string"))
+      graft.text.UrlOps.perDomainCap(
+          docs.select(col("doc_id"), url.as("url")), "doc_id", "url", cap = 3)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("domain", "doc_id")
+    }),
+
     // Gopher-style repetition filter: duplicate-token fraction per doc
     "text_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2176,6 +2232,116 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // URL normalization replay: same rule chain as UrlOps.normalizeUrl
+    // (fragment → tracking params → dangling ? → lowercase authority →
+    // default ports → trailing slash); synthesized URLs always carry
+    // an authority so the no-authority branch never fires
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://www.' || source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    ':443/Page/' || doc_id ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&n=' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |nd AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(trim(url), '#.*', ''),
+        |          '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g'),
+        |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
+        |      '\?$', '') AS n, url
+        |  FROM u),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(n, '^([^/]*//[^/?#]*)', 1) AS auth,
+        |    regexp_extract(n, '^[^/]*//[^/?#]*(.*)$', 1) AS rest
+        |  FROM nd)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(lower(auth), ':(80|443)$', '') || rest,
+        |    '/$', '') AS url_norm,
+        |  lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)) AS host,
+        |  CASE
+        |    WHEN len(string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')) <= 2
+        |      THEN lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1))
+        |    WHEN (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
+        |          string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
+        |         IN ('co.uk','ac.uk','gov.uk','org.uk','co.jp','co.in','co.nz','co.za','co.kr',
+        |             'com.au','com.br','com.cn','com.mx','com.tr','com.ar','com.sg')
+        |      THEN (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-3] || '.' ||
+        |            string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
+        |            string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
+        |    ELSE (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
+        |          string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
+        |  END AS domain
+        |FROM parts ORDER BY doc_id""".stripMargin,
+
+    // URL dedup replay: normalize (only the rules the variants
+    // exercise matter, but the FULL chain runs for parity), then
+    // min-id per normalized URL; the kept row's original url rides
+    // along via the min-id self-join
+    "url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END ||
+        |    'site' || ((doc_id - doc_id % 10) % 7) || '.com/page/' || (doc_id - doc_id % 10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#f' ELSE '' END AS url
+        |  FROM documents),
+        |nd AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(trim(url), '#.*', ''),
+        |          '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g'),
+        |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
+        |      '\?$', '') AS n
+        |  FROM u),
+        |norm AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(lower(regexp_extract(n, '^([^/]*//[^/?#]*)', 1)), ':(80|443)$', '')
+        |        || regexp_extract(n, '^[^/]*//[^/?#]*(.*)$', 1),
+        |      '/$', '') AS nurl
+        |  FROM nd),
+        |keep AS (SELECT nurl, min(doc_id) AS doc_id FROM norm GROUP BY nurl)
+        |SELECT n.doc_id, n.url FROM norm n
+        |JOIN keep k ON k.nurl = n.nurl AND k.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // per-domain cap replay: registered domain, md5(doc_id) order,
+    // row_number <= 3
+    "url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    lower('www.' || source ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS host
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+        |           IN ('co.uk','ac.uk','gov.uk','org.uk','co.jp','co.in','co.nz','co.za','co.kr',
+        |               'com.au','com.br','com.cn','com.mx','com.tr','com.ar','com.sg')
+        |        THEN (string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' ||
+        |              string_split(host, '.')[-1])
+        |      ELSE (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+        |    END AS domain
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rk <= 3
+        |ORDER BY domain, doc_id""".stripMargin,
 
     // duplicate-token fraction: 1 - distinct/total over ws tokens
     "text_repetition" ->

@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.normalizeUrl(col("u")).as("n"))
+      .as[String].collect().toSeq
+
+  test("normalizeUrl: fragment, tracking params, case, default port, trailing slash") {
+    assert(norm("https://example.com/page#section") == Seq("https://example.com/page"))
+    // tracking params anywhere in the query; real params survive
+    assert(norm("https://example.com/p?utm_source=a&id=7") ==
+      Seq("https://example.com/p?id=7"))
+    assert(norm("https://example.com/p?id=7&utm_source=a") ==
+      Seq("https://example.com/p?id=7"))
+    assert(norm("https://example.com/p?utm_a=1&utm_b=2&fbclid=x") ==
+      Seq("https://example.com/p"))
+    // scheme+authority lowercase; path/query case preserved
+    assert(norm("HTTPS://WWW.Example.COM/CaseD/Path?Q=V") ==
+      Seq("https://www.example.com/CaseD/Path?Q=V"))
+    // default ports dropped, explicit others kept
+    assert(norm("http://example.com:80/x", "https://example.com:443/x",
+        "http://example.com:8080/x") ==
+      Seq("http://example.com/x", "https://example.com/x",
+        "http://example.com:8080/x"))
+    assert(norm("https://example.com/dir/") == Seq("https://example.com/dir"))
+    // no authority: only the generic rules apply, no mangling
+    assert(norm("mailto:Bob@Example.com#x") == Seq("mailto:Bob@Example.com"))
+    // idempotent on already-normal input
+    assert(norm("https://example.com/p?id=7") == Seq("https://example.com/p?id=7"))
+  }
+
+  test("host + registeredDomain handle multi-part suffixes") {
+    val rows = Seq(
+      "https://www.bbc.co.uk/news", "https://a.b.example.com/x",
+      "https://example.com.au:8443/y", "http://localhost/z",
+      "https://example.org/w")
+      .toDF("u")
+      .select(UrlOps.host(col("u")).as("h"))
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("www.bbc.co.uk", "bbc.co.uk"),
+      ("a.b.example.com", "example.com"),
+      ("example.com.au", "example.com.au"), // com.au suffix, 3 labels
+      ("localhost", "localhost"),
+      ("example.org", "example.org")))
+  }
+
+  test("dedupByUrl collapses tracking/case/port variants to the min id") {
+    val df = Seq(
+      (1L, "https://example.com/a?utm_source=x"),
+      (2L, "HTTPS://EXAMPLE.COM:443/a"),   // same page as 1 after norm
+      (3L, "https://example.com/a/"),      // same again (trailing slash)
+      (4L, "https://example.com/b"))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.dedupByUrl(df, "doc_id", "url")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("perDomainCap keeps exactly cap rows per registered domain, deterministically") {
+    val df = (1L to 30L).map { i =>
+      val dom = if (i <= 20) "big.com" else "small.org"
+      (i, s"https://www.$dom/page/$i")
+    }.toDF("doc_id", "url")
+    val out = UrlOps.perDomainCap(df, "doc_id", "url", cap = 5)
+    val byDom = out.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom == Map("big.com" -> 5L, "small.org" -> 5L))
+    // same input → same survivors (content-keyed order, not rand())
+    val again = UrlOps.perDomainCap(df, "doc_id", "url", cap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // under-cap domains pass through whole
+    assert(UrlOps.perDomainCap(df, "doc_id", "url", cap = 50).count() == 30)
+  }
+}
