@@ -989,6 +989,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-document line dedup (CCNet-style boilerplate removal):
+    // docs re-lined deterministically (10-word content lines) with a
+    // planted cookie banner on even ids and a per-source footer —
+    // corpus-frequent lines (df >= 5) vanish, content survives in
+    // order. Output fingerprints the rewritten text.
+    "text_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val content = expr("array_join(transform(" +
+        "sequence(1, cast(ceil(size(split(text, ' ')) / 10.0) as int)), " +
+        "i -> array_join(slice(split(text, ' '), (i-1)*10+1, 10), ' ')), '\n')")
+      val full = concat(
+        when(col("doc_id") % 2 === 0, lit("PLEASE ACCEPT COOKIES\n"))
+          .otherwise(lit("")),
+        content, lit("\nfooter of "), col("source"))
+      graft.text.LineDedup.dedupLines(
+          docs.select(col("doc_id"), full.as("text")),
+          "doc_id", "text", minDf = 5)
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("n_lines_kept"))
+        .orderBy("doc_id")
+    }),
+
     // URL normalization + host + registered domain (UrlOps): the
     // web-crawl front door. URLs synthesized deterministically from
     // (doc_id, source) with the messy bits pipelines actually see —
@@ -2232,6 +2253,36 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // line-dedup replay: identical re-lining (banner/content/footer),
+    // per-line df across the corpus, df<5 survivors re-joined in order
+    "text_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'PLEASE ACCEPT COOKIES' || chr(10) ELSE '' END ||
+        |    array_to_string(list_transform(
+        |      range(1, CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INTEGER) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[((i-1)*10+1):(i*10)], ' ')),
+        |      chr(10)) ||
+        |    chr(10) || 'footer of ' || source AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |         string_split(t, chr(10))[CAST(u.i AS INTEGER)] AS line
+        |  FROM base, unnest(range(1, len(string_split(t, chr(10))) + 1)) AS u(i)),
+        |stats AS (
+        |  SELECT md5(trim(line)) AS key, count(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY 1),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  JOIN stats s ON s.key = md5(trim(l.line)) WHERE s.df < 5),
+        |reass AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |         count(*) AS n FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, md5(coalesce(r.text, '')) AS fp,
+        |       CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept
+        |FROM base b LEFT JOIN reass r ON r.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // URL normalization replay: same rule chain as UrlOps.normalizeUrl
     // (fragment → tracking params → dangling ? → lowercase authority →
