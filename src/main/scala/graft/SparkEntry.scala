@@ -1457,6 +1457,18 @@ object SparkEntry {
     * parity pin (SimilaritySpec) these paths already carry. Bench runs
     * them so the recorded numbers measure what production executes. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full BPE tokenizer induction + corpus re-tokenization: 8 merge
+    // rounds over the distinct-word vocab (driver-resident loop, like
+    // pagerank), then segment the whole corpus with the learned
+    // merges. No SQL-expressible oracle for the iterative loop —
+    // BpeTrainSpec pins the canonical Sennrich example instead.
+    "bpe_train_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.BpeTrain.train(docs, "text", numMerges = 8)
+      graft.text.BpeTrain.segment(docs, "text", merges)
+        .agg(sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
     // production PageRank shape: identical graph + iteration count as
     // the oracle-gated q_pagerank_suppliers but WITHOUT the oracle's
     // final global orderBy — a serving pipeline consumes ranks keyed,

@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+  * iterative loop [[Bpe]]'s pair statistics are the first round of.
+  *
+  * The corpus collapses to its distinct word-frequency table once
+  * (Zipf: |vocab| ≪ |tokens|), each word becomes a symbol sequence
+  * (chars + a final `</w>` marker), and every merge round is then a
+  * small job over the VOCABULARY, not the corpus:
+  *
+  *   1. count adjacent symbol pairs, occurrences weighted by word
+  *      frequency (map-side combine; greedy left-to-right non-overlap
+  *      counting, matching the reference implementation);
+  *   2. pick the max-count pair — ties broken (count desc, pair asc)
+  *      so training is deterministic across runs and partitionings;
+  *   3. rewrite the vocabulary's symbol sequences with the merge
+  *      applied (partition-local map, no shuffle).
+  *
+  * The driver holds one (pair, count) row per round — the same
+  * driver-resident-loop shape as [[graft.ops.PageRank]] and the CC
+  * closure, and the standard distributed-BPE design: rounds are
+  * cheap vocab-sized jobs, the 100 TB corpus is touched exactly once
+  * to build word frequencies.
+  *
+  * `batchK > 1` merges up to K symbol-disjoint top pairs per round —
+  * the standard large-vocab speedup (fewer rounds at the cost of
+  * counts being one round stale for the 2nd..Kth pair; batchK=1 is
+  * canonical BPE). [[segment]] applies the learned merge list to any
+  * corpus as an order-faithful greedy re-tokenizer. Both kernels are
+  * tight per-partition Scala over the small vocab / per-row token
+  * work — `mapPartitions` territory by design, there is no shuffle
+  * to save.
+  */
+object BpeTrain {
+
+  /** End-of-word marker symbol (kept distinct from any character). */
+  val EndOfWord = "</w>"
+
+  /** Greedy left-to-right merge of one adjacent pair in a symbol
+    * sequence — the reference semantics ("a a a" + (a,a) → ["aa","a"]). */
+  private[text] def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  private def toSyms(word: String): Array[String] =
+    (word.map(_.toString) :+ EndOfWord).toArray
+
+  /** Learn `numMerges` merges from the corpus. Returns the ordered
+    * merge list ((a, b) meaning symbol a followed by b fuses to ab). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            batchK: Int = 1): Seq[(String, String)] = {
+    require(numMerges > 0 && batchK >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Array[String], Long)] = Bpe.wordFreq(docs, textCol)
+      .as[(String, Long)].map { case (w, f) => (toSyms(w), f) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // materialize before the loop
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    while (merges.length < numMerges) {
+      rounds += 1
+      val want = math.min(batchK, numMerges - merges.length)
+      // 1. weighted pair counts — every adjacent position, matching
+      // the reference get_stats (overlapping runs like "a a a" count
+      // (a,a) twice even though one merge pass fuses only once)
+      val top = vocab.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        // deterministic top-K: count desc, pair asc
+        .map { case (p, n) => (p._1, p._2, n) }
+        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+        .limit(math.max(want * 4, want)).collect()
+      if (top.isEmpty) return merges.toSeq // vocab fully fused
+
+      // 2. greedily keep symbol-disjoint pairs (batchK=1 → just the max)
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val used = scala.collection.mutable.Set.empty[String]
+      top.iterator.takeWhile(_ => chosen.length < want).foreach { case (a, b, _) =>
+        if (!used(a) && !used(b) && !used(a + b)) {
+          chosen += ((a, b)); used ++= Seq(a, b, a + b)
+        }
+      }
+      if (chosen.isEmpty) return merges.toSeq
+      merges ++= chosen
+
+      // 3. rewrite the vocab with this round's merges applied in order
+      val picked = chosen.toArray
+      val old = vocab
+      vocab = old.map { case (syms, f) =>
+        (picked.foldLeft(syms) { case (s, (a, b)) => mergePair(s, a, b) }, f)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      vocab.count()
+      old.unpersist()
+      ()
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge list to a corpus: adds `tokens`
+    * (`array<string>`, the BPE symbols of the whitespace-split
+    * case-folded words, `</w>`-terminated) and `n_bpe_tokens`.
+    * Order-faithful greedy application, one pass per merge per word —
+    * reference semantics; partition-local, no shuffle. */
+  def segment(docs: DataFrame, textCol: String,
+              merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("n_bpe_tokens",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { r =>
+        val text = r.getString(idx)
+        if (text == null) org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val toks = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap { w =>
+              ms.foldLeft(toSyms(w)) { case (s, (a, b)) => mergePair(s, a, b) }
+            }.toArray
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq[Any](toks, toks.length.toLong))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The Sennrich et al. (2016) worked example: low×5, lower×2,
+    * newest×6, widest×3. Expected first merges (with our deterministic
+    * count-desc/pair-asc tie-break): (e,s) ties (s,t) at 9 → e<s wins;
+    * then (es,t)=9, (est,</w>)=9, (l,o)=7, (lo,w)=7. */
+  private def corpus = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("train reproduces the canonical Sennrich example merges") {
+    val merges = BpeTrain.train(corpus, "text", numMerges = 5)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("train is deterministic across repartitionings") {
+    val a = BpeTrain.train(corpus.repartition(1), "text", 5)
+    val b = BpeTrain.train(corpus.repartition(7), "text", 5)
+    assert(a == b)
+  }
+
+  test("segment applies merges in order: 'lowest' -> [low, est</w>]") {
+    val merges = BpeTrain.train(corpus, "text", 5)
+    val out = BpeTrain.segment(
+        Seq((1L, "lowest"), (2L, "widest low")).toDF("doc_id", "text"),
+        "text", merges)
+      .select("doc_id", "tokens")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("low", "est</w>"))
+    assert(out(2L) == Seq("w", "i", "d", "est</w>", "low", "</w>"))
+    // "low" as a full word = l o w </w>; merges fuse low but </w>
+    // stays separate because (low,</w>) was never learned in 5 merges
+  }
+
+  test("segment on unseen characters degrades to chars, never throws") {
+    val merges = BpeTrain.train(corpus, "text", 3)
+    val out = BpeTrain.segment(Seq((1L, "zq")).toDF("doc_id", "text"),
+        "text", merges)
+      .select("tokens").as[Seq[String]].head()
+    assert(out == Seq("z", "q", "</w>"))
+  }
+
+  test("batched training stays valid and covers the same greedy prefix") {
+    val single = BpeTrain.train(corpus, "text", 6, batchK = 1)
+    val batched = BpeTrain.train(corpus, "text", 6, batchK = 3)
+    assert(batched.length == 6)
+    // batch round 1 must start with the canonical best pair
+    assert(batched.head == single.head)
+    // all merges reference symbols constructible from prior merges or chars
+    val known = scala.collection.mutable.Set[String]("</w>") ++ ('a' to 'z').map(_.toString)
+    batched.foreach { case (a, b) =>
+      assert(known(a) && known(b), s"merge ($a,$b) uses unknown symbol")
+      known += a + b
+    }
+  }
+
+  test("a fully-fused vocabulary ends training early instead of looping") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(tiny, "text", numMerges = 50)
+    // "ab" needs exactly 2 merges to fuse completely: (a,b), (ab,</w>)
+    assert(merges == Seq(("a", "b"), ("ab", "</w>")))
+  }
+}
