@@ -53,6 +53,16 @@ class PlanShapeSpec extends SparkSpec {
       "row validation must not shuffle")
   }
 
+  test("URL normalization is scan-speed: no shuffle anywhere in the plan") {
+    // normalize/host/domain are per-row regexp kernels — at 100 TB
+    // this must stay a narrow projection (the final orderBy is the
+    // artifact's presentation sort, range-partitioned, not a hash
+    // shuffle of the pipeline itself)
+    val p = plan("url_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "url_normalize must not hash-shuffle")
+  }
+
   test("IVF cell assignment is narrow: the only exchange is the final top-k") {
     // r2 assigned cells with Window.partitionBy(unique id) — a
     // full-corpus shuffle (vectors included). The narrow argmax form
