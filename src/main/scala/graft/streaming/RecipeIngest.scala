@@ -48,23 +48,74 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object RecipeIngest {
 
+  /** `urlCol`/`urlIndexPath` (both or neither) prepend a stage 0 —
+    * URL dedup — before the quality gate: crawl pipelines always
+    * dedup by normalized URL first because it needs no text
+    * processing at all. Within-batch min-id per normalized URL, then
+    * an anti-join against the persisted url-hash index; novel hashes
+    * land in the index with the same (run_id, batch_id) exactly-once
+    * discipline as the fingerprint index. */
   def start(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             acceptedPath: String, rejectedPath: String, indexPath: String,
             checkpoint: String, targetWeights: Map[String, Double],
             mixSalt: Long = 0L,
-            remixEvery: Int = 0, remixedPath: String = null): StreamingQuery = {
+            remixEvery: Int = 0, remixedPath: String = null,
+            urlCol: String = null, urlIndexPath: String = null): StreamingQuery = {
+    require((urlCol == null) == (urlIndexPath == null),
+      "urlCol and urlIndexPath come together")
     val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, idCol, textCol, langCol, acceptedPath,
-          rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
+        // the url index is committed only AFTER processBatch consumed
+        // the survivors: committing first would make any lazy
+        // re-evaluation (cache eviction) anti-join the batch against
+        // its own fresh hashes and drop every row
+        val staged =
+          if (urlCol == null) None
+          else Some(urlDedupBatch(batch, idCol, urlCol, urlIndexPath))
+        try {
+          val afterUrl = staged.map(_.drop("_uh")).getOrElse(batch)
+          processBatch(afterUrl, idCol, textCol, langCol, acceptedPath,
+            rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
+          staged.foreach { novel =>
+            novel.select("_uh")
+              .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("run_id", "batch_id")
+              .parquet(urlIndexPath)
+          }
+        } finally staged.foreach { n => n.unpersist(); () }
         if (remixEvery > 0 && remixedPath != null && (batchId + 1) % remixEvery == 0)
           remix(batch.sparkSession, acceptedPath, remixedPath, langCol, idCol,
             targetWeights, mixSalt)
       }
       .start()
+  }
+
+  /** Stage 0: URL dedup for one micro-batch — min-id survivor per
+    * [[graft.text.UrlOps.normalizeUrl]] class within the batch, then
+    * drop URLs whose md5 already sits in the persisted index (32 B/URL
+    * of state, the same shape as the fingerprint index). Returns the
+    * cached, materialized survivors with `_uh` still attached; the
+    * caller commits the batch's hashes to the index after downstream
+    * consumption and unpersists. */
+  private[graft] def urlDedupBatch(batch: DataFrame, idCol: String,
+      urlCol: String, urlIndexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val keyed = batch.withColumn("_uh",
+      md5(graft.text.UrlOps.normalizeUrl(col(urlCol))))
+    val reps = keyed.groupBy("_uh").agg(min(col(idCol)).as(idCol))
+    val batchUnique = keyed.join(reps, Seq("_uh", idCol), "left_semi")
+    val index: DataFrame =
+      try spark.read.parquet(urlIndexPath).select(col("_uh"))
+      catch { case _: Exception =>
+        spark.emptyDataFrame.select(lit("").as("_uh")).limit(0) }
+    val novel = batchUnique.join(index, Seq("_uh"), "left_anti").cache()
+    novel.count() // materialize against the PRE-commit index state
+    novel
   }
 
   /** Corpus-level periodic re-mix: re-solve the mixture over the FULL

@@ -117,6 +117,55 @@ class RecipeIngestSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("url dedup stage drops variants within batch and re-crawls across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-urlidx").toString
+    val idx = s"$dir/urlidx"
+    // batch 0: two variants of one page + one distinct page
+    val b0 = Seq(
+      (1L, mkDoc(1), "en", "https://example.com/a?utm_source=x"),
+      (2L, mkDoc(2), "en", "HTTPS://EXAMPLE.COM:443/a"),
+      (3L, mkDoc(3), "de", "https://example.com/b"))
+      .toDF("doc_id", "text", "lang", "url")
+    val s0 = RecipeIngest.urlDedupBatch(b0, "doc_id", "url", idx)
+    assert(s0.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // commit the batch's hashes the way the stream does
+    s0.select("_uh").withColumn("run_id", lit("r")).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id").parquet(idx)
+    s0.unpersist()
+
+    // batch 1: a re-crawl of page /a under yet another variant + novel
+    val b1 = Seq(
+      (10L, mkDoc(4), "en", "https://example.com/a/"),
+      (11L, mkDoc(5), "de", "https://example.com/c"))
+      .toDF("doc_id", "text", "lang", "url")
+    val s1 = RecipeIngest.urlDedupBatch(b1, "doc_id", "url", idx)
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(11L))
+    s1.unpersist()
+  }
+
+  test("streaming end-to-end with the url stage enabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-recipe-u").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    Seq(
+      (20L, mkDoc(20), "en", "https://example.com/x?utm_source=a"),
+      (21L, mkDoc(21), "en", "https://example.com/x"), // url-dup of 20
+      (22L, mkDoc(22), "de", "https://example.com/y"))
+      .toDF("doc_id", "text", "lang", "url").write.mode("append").parquet(drop)
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, url STRING").parquet(drop)
+    val q = RecipeIngest.start(stream, "doc_id", "text", "lang",
+      s"$dir/accepted", s"$dir/rejected", s"$dir/index", s"$dir/ckpt", weights,
+      urlCol = "url", urlIndexPath = s"$dir/urlidx")
+    try q.awaitTermination(60000) finally q.stop()
+
+    // doc 21 fell to the url stage; 20 and 22 flow through the recipe
+    assert(spark.read.parquet(s"$dir/accepted").select("doc_id")
+      .as[Long].collect().toSet == Set(20L, 22L))
+    assert(spark.read.parquet(s"$dir/urlidx").count() == 2)
+  }
+
   test("streaming end-to-end over file drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-recipe-s").toString
     val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
