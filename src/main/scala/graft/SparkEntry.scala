@@ -154,6 +154,18 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // hopping (sliding) windows: 1 h windows every 30 min — each event
+    // lands in exactly two. Spark's window() expands to the window
+    // struct; the oracle replays the expansion arithmetically.
+    "q_events_hopping" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_us"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     "q_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("es", expr("ts div 1000000000"))
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1807,6 +1819,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    // hopping-window replay: window starts are the two 30-min-aligned
+    // instants s with s <= ts < s + 1h, i.e. (floor(epoch/1800)-k)*1800
+    // for k in {0,1}
+    "q_events_hopping" ->
+      """SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)
+        |       AS TIMESTAMP) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events, unnest(range(0, 2)) AS k(k)
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q_events_sessions" ->
       """WITH x AS (
