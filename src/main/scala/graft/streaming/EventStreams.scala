@@ -20,12 +20,19 @@ object EventStreams {
 
   /** Tumbling-window per-type counts with a watermark: late events
     * beyond `lateness` are dropped, so state is bounded by
-    * (windows in flight × event types). */
+    * (windows in flight × event types). Pass `slide` shorter than
+    * `windowesize` for hopping windows (each event lands in
+    * size/slide windows; state scales by the same factor — the batch
+    * twin is q_events_hopping). */
   def hourlyCounts(events: DataFrame, lateness: String = "30 minutes",
-                   windowesize: String = "1 hour"): DataFrame =
+                   windowesize: String = "1 hour",
+                   slide: String = null): DataFrame =
     events
       .withWatermark("ts_us", lateness)
-      .groupBy(window(col("ts_us"), windowesize), col("event_type"))
+      .groupBy(
+        window(col("ts_us"), windowesize,
+          if (slide == null) windowesize else slide),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 

@@ -34,6 +34,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyCounts with a slide produces hopping windows (each event in two)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF(), lateness = "10 minutes",
+        windowesize = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(40), 1, "click", 1.0)) // 10:40
+      q.processAllAvailable()
+      mem.addData(Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("hopping")
+        .where(col("event_type") === "click")
+        .select("hour").as[Timestamp].collect().map(_.toString).sorted.toSeq
+      // 10:40 falls in [10:00,11:00) and [10:30,11:30)
+      assert(starts == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"))
+    } finally q.stop()
+  }
+
   test("text quality/script/recipe filters run unchanged on a stream") {
     // the r7 text-recipe family (gopherKeep, scriptId, repetition,
     // scrubbing, fingerprints) is stateless scan-speed projection —
