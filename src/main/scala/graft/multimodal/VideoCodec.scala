@@ -266,7 +266,7 @@ object VideoCodec {
       if (typ == "moov") {
         found = true
         boxes(b, off, end) { (t2, o2, e2) =>
-          if (t2 == "mvhd") {
+          if (t2 == "mvhd" && o2 < b.length) {
             val v = b(o2) & 0xff
             if (v == 1) { timescale = u32be(b, o2 + 20); duration = u64be(b, o2 + 24) }
             else { timescale = u32be(b, o2 + 12); duration = u32be(b, o2 + 16) }
@@ -274,7 +274,7 @@ object VideoCodec {
             // only take the first video trak (one with a width/height)
             var tw = 0; var th = 0; var tfcc = ""; var tn = 0L
             boxes(b, o2, e2) { (t3, o3, e3) =>
-              if (t3 == "tkhd") {
+              if (t3 == "tkhd" && o3 < b.length) {
                 val v = b(o3) & 0xff
                 val base = if (v == 1) o3 + 88 else o3 + 76
                 tw = (u32be(b, base) >> 16).toInt      // 16.16 fixed

@@ -116,6 +116,42 @@ class VideoCodecSpec extends SparkSpec {
     assert(VideoCodec.probe(mp4.take(mp4.length / 2)).map(_.container).forall(_ == "mp4"))
   }
 
+  test("fuzz: random bytes and truncations never throw from any parser entry") {
+    val avi = grayAvi(Seq(0, 128, 255))
+    val mp4 = syntheticMp4()
+    def hammer(payload: Array[Byte]): Unit = {
+      VideoCodec.probe(payload)
+      VideoCodec.frameOffsets(payload)
+      VideoCodec.frameChunks(payload)
+      VideoCodec.keyframeSamples(payload)
+      VideoCodec.sampleFrameOffsets(payload, 4)
+      VideoCodec.sampleFrameLumas(payload, 4)
+      ()
+    }
+    // every truncation point of valid containers
+    (0 until avi.length by 3).foreach(n => hammer(avi.take(n)))
+    (0 until mp4.length by 3).foreach(n => hammer(mp4.take(n)))
+    // random garbage, and garbage wearing valid magic bytes
+    val rnd = new java.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      hammer(b)
+      if (b.length >= 12) {
+        System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+        System.arraycopy("AVI ".getBytes, 0, b, 8, 4)
+        hammer(b)
+        System.arraycopy("ftyp".getBytes, 0, b, 4, 4)
+        hammer(b)
+      }
+    }
+    // bit-flipped valid containers (box/chunk sizes get corrupted)
+    (1 to 200).foreach { _ =>
+      val b = avi.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt().toByte; hammer(b)
+      val m = mp4.clone(); m(rnd.nextInt(m.length)) = rnd.nextInt().toByte; hammer(m)
+    }
+  }
+
   test("decodeVideo operator: real columns for real videos, nulls otherwise") {
     val avi = grayAvi(Seq(0, 128, 255), w = 48, h = 36, fps = 4)
     val mp4 = syntheticMp4()
