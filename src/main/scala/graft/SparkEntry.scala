@@ -1822,10 +1822,13 @@ object SparkEntry {
 
     // hopping-window replay: window starts are the two 30-min-aligned
     // instants s with s <= ts < s + 1h, i.e. (floor(epoch/1800)-k)*1800
-    // for k in {0,1}
+    // for k in {0,1}. Naive-timestamp arithmetic (epoch + interval from
+    // TIMESTAMP '1970-01-01') — DuckDB's to_timestamp yields TIMESTAMPTZ
+    // whose cast to TIMESTAMP shifts by the host session zone.
     "q_events_hopping" ->
-      """SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)
-        |       AS TIMESTAMP) AS w_start,
+      """SELECT TIMESTAMP '1970-01-01'
+        |       + (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800 * INTERVAL 1 SECOND
+        |       AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events, unnest(range(0, 2)) AS k(k)
         |GROUP BY 1, 2
@@ -2339,7 +2342,7 @@ object SparkEntry {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(trim(url), '#.*', ''),
-        |          '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g'),
+        |          '([?&])((utm_[a-z]+|fbclid|gclid)=[^&]*&)+', '\1', 'g'),
         |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
         |      '\?$', '') AS n, url
         |  FROM u),
@@ -2386,7 +2389,7 @@ object SparkEntry {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(trim(url), '#.*', ''),
-        |          '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g'),
+        |          '([?&])((utm_[a-z]+|fbclid|gclid)=[^&]*&)+', '\1', 'g'),
         |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
         |      '\?$', '') AS n
         |  FROM u),
@@ -2402,8 +2405,10 @@ object SparkEntry {
         |JOIN keep k ON k.nurl = n.nurl AND k.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
 
-    // per-domain cap replay: registered domain, md5(doc_id) order,
-    // row_number <= 3
+    // per-domain cap replay: registered domain, kPerGroup's md5-fold
+    // rank (first 15 hex of md5("id:salt") mod 2^40 — exact in the
+    // heap's double score), row_number <= 3. The oracle may use a
+    // window: it is DuckDB at sf0.01, not Spark at 100 TB.
     "url_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -2424,7 +2429,8 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id, domain,
         |    row_number() OVER (PARTITION BY domain
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT)
+        |               % 1099511627776, doc_id) AS rk
         |  FROM d)
         |SELECT doc_id, domain FROM r WHERE rk <= 3
         |ORDER BY domain, doc_id""".stripMargin,

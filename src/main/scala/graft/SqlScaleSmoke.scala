@@ -212,7 +212,78 @@ object SqlScaleSmoke {
     } finally spark.conf.set(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key, prev)
   }
 
+  /** Hot-domain perDomainCap smoke: 60% of all URLs on one domain, the
+    * rest log-uniform over `nDomains` — the crawl-corpus shape the
+    * operator exists for. Times the shipped bounded-heap path against
+    * the row_number-window shape it replaced (both capped at the same
+    * k, survivor sets asserted equal) so the artifact records WHY the
+    * window was evicted: the window funnels the hot domain's every row
+    * through one task's sort; the heap ships k·tasks rows per domain. */
+  def hotDomainSmoke(spark: SparkSession, mult: Long,
+                     cap: Int = 100): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val nRows = 400000L * mult
+    val nDomains = 50000L
+    // pad = the document body riding with each URL (16×16 derived hex
+    // chars): crawl rows are wide, and it is the payload bytes that
+    // make the hot partition's single-task shuffle+sort expensive — a
+    // key-only smoke understates the skew (same rationale as
+    // skewSmoke's pad)
+    val urls = spark.range(nRows).select(
+      col("id").as("doc_id"),
+      concat(lit("https://www.d"),
+        when(pm("hd", 10) < 6, lit(0L))
+          .otherwise(pow(lit(nDomains.toDouble), pm("hu", 1000000) / 1000000.0)
+            .cast("long") % nDomains).cast("string"),
+        lit(".com/page/"), col("id").cast("string")).as("url"),
+      concat_ws("", array((0 until 16).map(i =>
+        lpad(hex(pm(s"hp$i", Long.MaxValue)), 16, "0")): _*)).as("body"))
+      .cache() // time the operator shapes, not the row generator
+
+    // consume the body downstream so neither plan can prune it — the
+    // point is what each shape pays to DELIVER the surviving payloads
+    def consume(df: DataFrame): (Long, Long) = {
+      val r = df.agg(sum(crc32(col("body"))).as("s"), count(lit(1)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def heap(): (Long, Long) =
+      consume(graft.text.UrlOps.perDomainCap(urls, "doc_id", "url", cap))
+    // the pre-r11 shape, kept here ONLY as the measured counter-example
+    def window(): (Long, Long) = {
+      val rank = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), lit(0L))), 1, 15), 16, 10).cast("long")
+        % lit(1099511627776L)).cast("double")
+      consume(urls.withColumn("_dom",
+          graft.text.UrlOps.registeredDomain(graft.text.UrlOps.host(col("url"))))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("_dom").orderBy(rank, col("doc_id"))))
+        .where(col("_rk") <= cap))
+    }
+    require(heap() == window(), "heap and window caps disagree on survivors")
+    def time2(fn: => (Long, Long)): Double = {
+      fn // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    try (time2(window()), time2(heap()))
+    finally { urls.unpersist(blocking = true); () }
+  }
+
   def main(args: Array[String]): Unit = {
+    // "hotdomain [mult]": run only the per-domain-cap smoke
+    if (args.headOption.contains("hotdomain")) {
+      val m = if (args.length > 1) args(1).toLong else 10L
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val (tw, th) = hotDomainSmoke(s, m)
+      println(f"HOTDOM x$m window $tw%.3f heap $th%.3f speedup ${tw / th}%.2f")
+      s.stop()
+      return
+    }
     // "skew [mult]": run only the adversarial-skew smoke (local iteration)
     if (args.headOption.contains("skew")) {
       val m = if (args.length > 1) args(1).toLong else 10L
@@ -302,10 +373,19 @@ object SqlScaleSmoke {
       s""","skew_join":{"unsalted":${fmt(tPlain)},"salted":${fmt(tSalted)},""" +
         s""""speedup":${fmt(tPlain / tSalted)}}"""
     }
+    // hot-domain per-domain-cap entry: shipped heap path vs the evicted
+    // window shape at the mult× scale (skipped for focused partial runs)
+    val hotDomJson = if (only.nonEmpty) "" else {
+      val (tWin, tHeap) = hotDomainSmoke(spark, mult)
+      println(f"HOTDOM domain-cap x$mult window ${fmt(tWin)}%7s  heap ${fmt(tHeap)}%7s  " +
+        f"speedup ${fmt(tWin / tHeap)}%6s")
+      s""","hot_domain_cap":{"window":${fmt(tWin)},"heap":${fmt(tHeap)},""" +
+        s""""speedup":${fmt(tWin / tHeap)}}"""
+    }
     val json =
       s"""{"metric":"sql_scale","mult":$mult,"lineitem_rows":${600000L * mult},""" +
       s""""gen_sec":${fmt(tGen)},"t1_total":${fmt(rows.map(_._2._1).filter(_ > 0).sum)},""" +
-      s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs$skewJson}"""
+      s""""t$mult${"_total"}":${fmt(rows.map(_._2._2).filter(_ > 0).sum)},"queries":$qs$skewJson$hotDomJson}"""
     println(json)
     if (only.isEmpty)
       java.nio.file.Files.writeString(

@@ -102,9 +102,13 @@ object VideoCodec {
           if (t2 == "trak" && result.isEmpty) boxes(payload, o2, e2) { (t3, o3, e3) =>
             if (t3 == "mdia") boxes(payload, o3, e3) { (t4, o4, e4) =>
               if (t4 == "minf") boxes(payload, o4, e4) { (t5, o5, e5) =>
-                if (t5 == "stbl") boxes(payload, o5, e5) { (t6, o6, _) =>
-                  if (t6 == "stss" && result.isEmpty) {
-                    val n = u32be(payload, o6 + 4).toInt
+                if (t5 == "stbl") boxes(payload, o5, e5) { (t6, o6, e6) =>
+                  if (t6 == "stss" && result.isEmpty && o6 + 8 <= e6) {
+                    // clamp the declared count to entries fully inside
+                    // THIS box — a forged count must neither read into
+                    // sibling boxes nor fabricate out-of-payload values
+                    val n = math.min(u32be(payload, o6 + 4),
+                      (e6 - (o6 + 8)) / 4L).toInt
                     if (n > 0 && n < (1 << 22))
                       result = Array.tabulate(n)(i => u32be(payload, o6 + 8 + 4 * i))
                   }
@@ -316,13 +320,16 @@ object VideoCodec {
         if (t2 == "trak" && result.isEmpty) boxes(b, o2, e2) { (t3, o3, e3) =>
           if (t3 == "mdia") boxes(b, o3, e3) { (t4, o4, e4) =>
             if (t4 == "minf") boxes(b, o4, e4) { (t5, o5, e5) =>
-              if (t5 == "stbl") boxes(b, o5, e5) { (t6, o6, _) =>
-                if (t6 == "stco" && result.isEmpty) {
-                  val n = u32be(b, o6 + 4).toInt
+              if (t5 == "stbl") boxes(b, o5, e5) { (t6, o6, e6) =>
+                // entry counts clamped to the containing box end: forged
+                // counts must neither read sibling boxes nor fabricate
+                // out-of-payload sentinel offsets
+                if (t6 == "stco" && result.isEmpty && o6 + 8 <= e6) {
+                  val n = math.min(u32be(b, o6 + 4), (e6 - (o6 + 8)) / 4L).toInt
                   if (n > 0 && n < (1 << 22))
                     result = Array.tabulate(n)(i => u32be(b, o6 + 8 + 4 * i))
-                } else if (t6 == "co64" && result.isEmpty) {
-                  val n = u32be(b, o6 + 4).toInt
+                } else if (t6 == "co64" && result.isEmpty && o6 + 8 <= e6) {
+                  val n = math.min(u32be(b, o6 + 4), (e6 - (o6 + 8)) / 8L).toInt
                   if (n > 0 && n < (1 << 22))
                     result = Array.tabulate(n)(i => u64be(b, o6 + 8 + 8 * i))
                 }

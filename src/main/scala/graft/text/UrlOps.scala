@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: normalize/host/domain are scan-speed projections;
   * [[dedupByUrl]] shuffles one (url-hash, id) pair per row;
-  *  [[perDomainCap]] shuffles rows once on registered domain. Nothing
-  * is driver-side.
+  * [[perDomainCap]] rides the bounded-heap top-k aggregate, so the
+  * shuffle carries at most cap·tasks rows per domain however hot the
+  * domain. Nothing is driver-side.
   */
 object UrlOps {
 
@@ -37,7 +38,13 @@ object UrlOps {
     * replay them with string functions. */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*", "")
-    val noTrack1 = regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&]*&", "")
+    // anchored to the [?&] separator so a longer param name (xutm_source)
+    // never matches; a RUN of consecutive tracking params is one match
+    // (the separator is consumed, so per-param matching would skip every
+    // other param in a run). RE2-compatible — no lookbehind — so the
+    // DuckDB oracle replays it verbatim.
+    val noTrack1 = regexp_replace(noFrag,
+      "([?&])(?:(?:utm_[a-z]+|fbclid|gclid)=[^&]*&)+", "$1")
     val noTrack = regexp_replace(noTrack1, "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$", "")
     val noDangle = regexp_replace(noTrack, "\\?$", "")
     val authority = regexp_extract(noDangle, "^([^/]*//[^/?#]*)", 1)
@@ -87,21 +94,35 @@ object UrlOps {
   }
 
   /** Per-registered-domain document cap: keep at most `cap` rows per
-    * domain, chosen by a deterministic content-keyed hash order (md5
-    * of the id — replayable in any engine, stable under retries and
-    * repartitioning; ties on the full digest are impossible for
-    * distinct ids). The standard crawl-corpus guard against one
-    * domain dominating the mixture. One shuffle (window by domain). */
+    * domain, chosen by a deterministic content-keyed hash order
+    * (md5-derived rank of the id — replayable in any engine, stable
+    * under retries and repartitioning). The standard crawl-corpus
+    * guard against one domain dominating the mixture.
+    *
+    * Scale shape: at crawl scale the whole POINT of this operator is
+    * that a few domains are enormous, which is exactly the case a
+    * per-domain `row_number` window cannot survive (the hottest
+    * domain's every row funnels through one task's sort). This is the
+    * single-pass payload-carrying heap ([[graft.expr.TopKRowsByScore]]):
+    * one scan, map-side heaps reduce a hot domain to cap rows per
+    * task, and the shuffle carries only partial winners — no
+    * winner-join back to the source, no second scan. Rank is
+    * [[graft.ops.Sampling.md5Hash40]] (salt 0), the same fold
+    * kPerGroup uses, so any engine replays the selection. Inherits
+    * its precondition: `idCol` long-castable and unique. */
   def perDomainCap(df: DataFrame, idCol: String, urlCol: String,
                    cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap must be positive")
+    val srcCols = df.columns
     df.withColumn("_dom", registeredDomain(host(col(urlCol))))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("_dom")
-          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
-      .where(col("_rk") <= cap)
-      .drop("_rk")
-      .withColumnRenamed("_dom", "domain")
+      .select(col("_dom"),
+        (-graft.ops.Sampling.md5Hash40(col(idCol), 0L)).as("_r"),
+        col(idCol).cast("long").as("_i"),
+        struct(srcCols.map(col): _*).as("_p"))
+      .groupBy("_dom")
+      .agg(graft.expr.TopKRowsByScore.topKRowsBy(
+        col("_r"), col("_i"), col("_p"), cap).as("_t"))
+      .select(col("_dom").as("domain"), explode(col("_t")).as("_e"))
+      .select(srcCols.map(c => col(s"_e.$c")) :+ col("domain"): _*)
   }
 }

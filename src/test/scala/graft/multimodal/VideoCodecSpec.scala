@@ -152,6 +152,32 @@ class VideoCodecSpec extends SparkSpec {
     }
   }
 
+  test("forged stss/stco entry counts are clamped to the containing box") {
+    // bump the declared entry count of a sample-table box far beyond
+    // what fits in the box: parsers must surface only the entries that
+    // physically fit — never sibling-box bytes or -1 sentinels
+    def forgeCount(payload: Array[Byte], fourcc: String, n: Int): Array[Byte] = {
+      val b = payload.clone()
+      val at = b.indices.indexWhere(i => i + 4 <= b.length &&
+        new String(b, i, 4, "US-ASCII") == fourcc)
+      assert(at > 0, s"$fourcc not in fixture")
+      val cnt = at + 4 + 4 // past fourcc, past version/flags
+      b(cnt) = ((n >> 24) & 0xff).toByte; b(cnt + 1) = ((n >> 16) & 0xff).toByte
+      b(cnt + 2) = ((n >> 8) & 0xff).toByte; b(cnt + 3) = (n & 0xff).toByte
+      b
+    }
+    val mp4 = syntheticMp4()
+    val okOffsets = VideoCodec.frameOffsets(mp4).toSeq
+    val okKeys = VideoCodec.keyframeSamples(mp4).toSeq
+    // in-payload but out-of-box count: clamp to the true entries
+    assert(VideoCodec.frameOffsets(forgeCount(mp4, "stco", 50)).toSeq == okOffsets)
+    assert(VideoCodec.keyframeSamples(forgeCount(mp4, "stss", 50)).toSeq == okKeys)
+    // absurd count (would run far past the payload): same clamp, no -1s
+    val huge = VideoCodec.frameOffsets(forgeCount(mp4, "stco", (1 << 22) - 2))
+    assert(huge.toSeq == okOffsets)
+    assert(!huge.exists(_ < 0))
+  }
+
   test("decodeVideo operator: real columns for real videos, nulls otherwise") {
     val avi = grayAvi(Seq(0, 128, 255), w = 48, h = 36, fps = 4)
     val mp4 = syntheticMp4()

@@ -28,6 +28,14 @@ class UrlOpsSpec extends SparkSpec {
       Seq("http://example.com/x", "https://example.com/x",
         "http://example.com:8080/x"))
     assert(norm("https://example.com/dir/") == Seq("https://example.com/dir"))
+    // a LONGER param name containing a tracking name is NOT a tracking
+    // param — the separator anchor must not fire inside 'xutm_source'
+    assert(norm("https://example.com/p?xutm_source=v&id=1") ==
+      Seq("https://example.com/p?xutm_source=v&id=1"))
+    // consecutive tracking params strip as one run, real params survive
+    // on both sides
+    assert(norm("https://example.com/p?a=1&utm_x=2&utm_y=3&b=4") ==
+      Seq("https://example.com/p?a=1&b=4"))
     // no authority: only the generic rules apply, no mangling
     assert(norm("mailto:Bob@Example.com#x") == Seq("mailto:Bob@Example.com"))
     // idempotent on already-normal input
@@ -78,5 +86,23 @@ class UrlOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
     // under-cap domains pass through whole
     assert(UrlOps.perDomainCap(df, "doc_id", "url", cap = 50).count() == 30)
+  }
+
+  test("perDomainCap plan: bounded-heap aggregate, no per-domain window") {
+    // the hot-domain contract: selection must ride the mergeable
+    // topk_by aggregate (cap·tasks rows per domain cross the shuffle),
+    // NEVER a row_number window that funnels a whole domain into one
+    // task's sort. If a Window op reappears here, the operator has
+    // regressed to the scale-killer shape.
+    val df = (1L to 100L).map(i => (i, s"https://www.hot.com/p/$i"))
+      .toDF("doc_id", "url")
+    val plan = UrlOps.perDomainCap(df, "doc_id", "url", cap = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept back into perDomainCap:\n$plan")
+    assert(plan.contains("partial_topk_rows_by"),
+      s"expected map-side partial topk_rows_by aggregate in plan:\n$plan")
+    // single-pass: winners carry their payload, so there is no
+    // join-back and no second scan of the source
+    assert(!plan.contains("Join"), s"unexpected join-back in plan:\n$plan")
   }
 }

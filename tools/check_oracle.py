@@ -11,6 +11,11 @@ import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# pin the session zone: Spark runs with spark.sql.session.timeZone=UTC,
+# and any oracle that casts TIMESTAMPTZ->TIMESTAMP would otherwise shift
+# by the host zone (the driver's own checker may not pin it — oracles
+# should ALSO stay in naive-timestamp arithmetic)
+con.execute("SET TimeZone='UTC'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-8]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
