@@ -12,7 +12,115 @@ import org.apache.spark.sql.functions._
   * BENCH_SCALE_ANN.json.
   */
 object AnnScaleSmoke {
+
+  /** Serving-frontier sweep (`runMain graft.AnnScaleSmoke frontier
+    * [rows]`): measures flat vs two-level IVF configs on one corpus —
+    * build (assign+write), probe, recall vs brute truth, and the
+    * HONEST scan fraction (rows in probed cells / corpus, averaged
+    * over queries — not nprobe/cells, which assumes uniform cells).
+    * Output: one JSON line → BENCH_SCALE_ANN_FRONTIER.json. */
+  def frontier(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ann-frontier").toString
+    spark.range(rows).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val corpus = spark.read.parquet(s"$dir/emb")
+    val queries = corpus.where(col("vec_id") < 100)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Ann.bruteTopK(corpus.where(col("vec_id") < 10000), queries,
+      "vec_id", "embedding", 10).count() // warm codegen/JIT
+    val (truth, tBrute) = time(pairs(
+      graft.ops.Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 10)))
+
+    // scan fraction: average over queries of (rows in that query's
+    // probed cells) / corpus rows, from the as-written index
+    def scanFraction(spark: SparkSession, idx: String, probes: DataFrame): Double = {
+      val sizes = spark.read.parquet(idx).groupBy("cell").count()
+      val scanned = probes.join(sizes, Seq("cell"))
+        .groupBy("query_id").agg(sum("count").as("s"))
+        .agg(avg("s")).head().getDouble(0)
+      scanned / rows
+    }
+
+    def fmt(p: String, d: Double) = p.formatLocal(java.util.Locale.ROOT, d)
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // flat configs: (cells, nprobe)
+    for ((numCells, nprobe) <- Seq((256, 40), (512, 50))) {
+      val cents = corpus.where(col("vec_id") < numCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      val idx = s"$dir/flat$numCells"
+      val (_, tBuild) = time(graft.streaming.AnnIngest.processBatch(
+        corpus, cents, "vec_id", "embedding", idx, "f", 0L))
+      val (got, tProbe) = time(pairs(graft.streaming.AnnIngest.probe(
+        spark, idx, cents, queries, "vec_id", "embedding", 10, nprobe)))
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(broadcast(graft.ops.Ann.centroidArray(cents)))
+        .select(col("query_id"),
+          explode(graft.ops.Ann.topCells(col("qv"), col("cents"), nprobe)).as("p"))
+        .select(col("query_id"), col("p.cent_id").as("cell"))
+      val sf = scanFraction(spark, idx, probes)
+      val line = s"""{"kind":"flat","cells":$numCells,"nprobe":$nprobe,""" +
+        s""""build_sec":${fmt("%.2f", tBuild)},"probe_sec":${fmt("%.2f", tProbe)},""" +
+        s""""recall":${fmt("%.3f", recall)},"scan_fraction":${fmt("%.4f", sf)}}"""
+      println(s"FRONTIER $line")
+      results += line
+    }
+
+    // two-level configs: (numCoarse, numFine, nCoarseProbe, nprobe).
+    // nCoarseProbe costs only query-side centroid scores — never scan —
+    // so it runs high; the scan budget is nprobe fine cells.
+    for ((nc, nf, pc, np) <- Seq((64, 8, 32, 50), (64, 8, 64, 50), (64, 16, 48, 100))) {
+      val (coarse, fine) = graft.ops.Ann.twoLevelCentroids(
+        corpus, "vec_id", "embedding", nc, nf)
+      val idx = s"$dir/twolevel-$nc-$nf-$pc-$np"
+      val (_, tBuild) = time(graft.streaming.AnnIngest.processBatch2(
+        corpus, coarse, fine, "vec_id", "embedding", idx, "f", 0L))
+      val (got, tProbe) = time(pairs(graft.streaming.AnnIngest.probe2(
+        spark, idx, coarse, fine, queries, "vec_id", "embedding", 10, pc, np)))
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(broadcast(graft.ops.Ann.twoLevelArrays(coarse, fine)))
+        .select(col("query_id"),
+          explode(graft.ops.Ann.topCells2(col("qv"), col("cents"), col("fines"), pc, np)).as("p"))
+        .select(col("query_id"), col("p.cent_id").as("cell"))
+      val sf = scanFraction(spark, idx, probes)
+      val line = s"""{"kind":"two_level","coarse":$nc,"fine_per_cell":$nf,""" +
+        s""""cells":${nc * nf},"coarse_probe":$pc,"nprobe":$np,""" +
+        s""""build_sec":${fmt("%.2f", tBuild)},"probe_sec":${fmt("%.2f", tProbe)},""" +
+        s""""recall":${fmt("%.3f", recall)},"scan_fraction":${fmt("%.4f", sf)}}"""
+      println(s"FRONTIER $line")
+      results += line
+    }
+    val json = s"""{"metric":"ann_frontier","rows":$rows,"dim":64,"queries":100,""" +
+      s""""k":10,"brute_sec":${fmt("%.2f", tBrute)},"configs":[${results.mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_ANN_FRONTIER.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("frontier")) {
+      val rows = if (args.length > 1) args(1).toLong else 2000000L
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      frontier(spark, rows)
+      spark.stop()
+      return
+    }
     val rows = if (args.nonEmpty) args(0).toLong else 2000000L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -32,13 +140,17 @@ object AnnScaleSmoke {
       .write.mode("overwrite").parquet(s"$dir/emb")
     val corpus = spark.read.parquet(s"$dir/emb")
     val queries = corpus.where(col("vec_id") < 100)
-    // 256 cells / nprobe 40: finer quantization localizes neighbors so
-    // a 15.6% scan fraction reaches ~full recall (r8 sweep: 64/8 =
-    // 0.82, 64/16 = 0.90, 256/40 = 1.00 at 500k). Assignment cost
-    // scales with cell count — a one-time, amortized build cost; probe
-    // cost tracks the scanned fraction either way.
-    val numCells = 256
-    val nprobe = 40
+    // 512 cells / nprobe 50: the r11 frontier sweep's winner
+    // (BENCH_SCALE_ANN_FRONTIER.json) — recall 1.000 at a 9.7% scan
+    // fraction, build 43 s at 2M (UNDER the r10 256-cell build once
+    // the index write co-locates cells into one file each), probe
+    // 3.2 s vs 14.1 s brute. The swept two-level quantizer builds
+    // 3-4× cheaper still but caps at ~0.6 recall on these
+    // structure-free uniform vectors (coarse-gated assignment is
+    // unpredictable for a neighbor at cosine ~0.5) — kept as the
+    // documented build-cost dial for clustered corpora.
+    val numCells = 512
+    val nprobe = 50
     val centroids = corpus.where(col("vec_id") < numCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 

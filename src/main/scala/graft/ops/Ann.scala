@@ -304,6 +304,135 @@ object Ann {
     * with `numPlanes` (16 planes ⇒ 65k buckets). The corpus bucket
     * assignment is one narrow pass; at scale you'd persist/bucket-write
     * it once and reuse across query batches. */
+  /** Deterministic two-level (coarse → fine) IVF quantizer model:
+    * `(coarse, fine)` frames. Coarse = the `numCoarse` corpus vectors
+    * with the smallest (md5(id), id); fine = the NEXT
+    * `numCoarse × numFine` vectors in that order, dealt round-robin
+    * to coarse cells (seed with post-coarse rank r: coarse_id =
+    * r % numCoarse, global fine cent_id = coarse_id × numFine +
+    * r / numCoarse). Same replay-anywhere property as [[ivfTopK]]'s
+    * sampled centroids — no RNG, no training pass; swap in k-means
+    * fine centroids offline when the corpus has cluster structure.
+    *
+    * Why two-level: flat assignment cost is |corpus| × numCells
+    * cosines — doubling cells to sharpen the probe frontier doubles
+    * the build. Hierarchical assignment scores numCoarse + numFine
+    * per vector (64+16 for a 1024-cell index vs 1024 flat): finer
+    * cells at a FRACTION of the flat build, the standard IVF serving
+    * trick (coarse quantizer routes, fine cells bound the scan). */
+  def twoLevelCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        numCoarse: Int, numFine: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val n = numCoarse + numCoarse * numFine
+    // model rows to the driver (n × dim floats — driver-trivial, the
+    // same contract as kmeansCentroids), ranked without a full sort
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("sid"), col(vecCol).as("svec"))
+      .orderBy(md5(col("sid").cast("string")).asc, col("sid").asc)
+      .limit(n).collect()
+    require(seeds.length == n,
+      s"two-level quantizer needs $n distinct seed vectors, corpus has ${seeds.length}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("coarse_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    def rowsOf(xs: Seq[(Long, Long, Seq[Float])]) =
+      spark.createDataFrame(java.util.Arrays.asList(xs.map { case (c, i, v) =>
+        org.apache.spark.sql.Row(c, i, v) }: _*), schema)
+    val coarse = rowsOf(seeds.take(numCoarse).zipWithIndex.map { case (r, i) =>
+      (i.toLong, i.toLong, r.getSeq[Float](1)) })
+    val fine = rowsOf(seeds.drop(numCoarse).zipWithIndex.map { case (r, j) =>
+      val cid = (j % numCoarse).toLong
+      (cid, cid * numFine + j / numCoarse, r.getSeq[Float](1)) })
+    (coarse.select(col("cent_id"), col("cent_vec")), fine)
+  }
+
+  /** One-row frame `(cents, fines)`: the coarse centroid array plus a
+    * coarse_id-indexed array of per-cell fine centroid arrays —
+    * broadcast-join this against any batch and assign with
+    * [[bestCell2]]. */
+  private[graft] def twoLevelArrays(coarse: DataFrame, fine: DataFrame): DataFrame = {
+    val fines = fine
+      .groupBy("coarse_id")
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_vec")))).as("cell_fines"))
+      .agg(array_sort(collect_list(struct(col("coarse_id"), col("cell_fines")))).as("ordered"))
+      .select(transform(col("ordered"), o => o.getField("cell_fines")).as("fines"))
+    centroidArray(coarse).crossJoin(fines)
+  }
+
+  /** Two-level cell assignment: native argmax over the coarse array
+    * routes to one fine array, native argmax over it yields the
+    * GLOBAL fine cent_id. numCoarse + numFine fused cosines per row —
+    * never numCoarse × numFine. */
+  private[graft] def bestCell2(vec: Column, centsArr: Column, finesArr: Column): Column =
+    graft.expr.ArgmaxCell.argmaxCell(vec,
+      element_at(finesArr, bestCell(vec, centsArr).cast("int") + 1))
+
+  /** Per-query probe-cell selection for the two-level index: rank
+    * coarse cells by cosine, take `nCoarseProbe`, score THEIR fine
+    * centroids, keep the overall top `nprobe` global fine ids ranked
+    * by the JOINT (coarse + fine) score — assignment is coarse-GATED
+    * (a vector lands in its coarse winner's fine set), so a pure fine
+    * ranking would probe cells the gate never routes neighbors to.
+    * Probe-side only (queries are small): composed HOFs, not the
+    * native kernel. */
+  private[graft] def topCells2(qv: Column, centsArr: Column, finesArr: Column,
+                               nCoarseProbe: Int, nprobe: Int): Column = {
+    val topCoarse = slice(array_sort(transform(centsArr, c => struct(
+      (-round(cosine(qv, c.getField("cent_vec")), 6)).as("ns"),
+      c.getField("cent_id").as("cent_id")))), 1, nCoarseProbe)
+    val cands = flatten(transform(topCoarse, tc =>
+      transform(element_at(finesArr, tc.getField("cent_id").cast("int") + 1), f => struct(
+        (tc.getField("ns") - round(cosine(qv, f.getField("cent_vec")), 6)).as("ns"),
+        f.getField("cent_id").as("cent_id")))))
+    slice(array_sort(cands), 1, nprobe)
+  }
+
+  /** IVF ANN with the two-level quantizer of [[twoLevelCentroids]]:
+    * same contract as [[ivfTopK]] (exact re-scoring of candidates, so
+    * surfaced cosines are exact; recall is the probed-fraction dial)
+    * with numCoarse × numFine fine cells at a build cost of
+    * numCoarse + numFine cosines per corpus vector.
+    *
+    * Measured honestly (BENCH_SCALE_ANN_FRONTIER.json, 2M × 64
+    * uniform-random): build 3-4× cheaper than flat-512 as designed,
+    * but recall caps at ~0.6 at a 10% scan where flat-512 reaches
+    * 1.00 — coarse-GATED assignment is only as predictable as the
+    * query's estimate of a neighbor's coarse argmax, and on
+    * structure-free vectors (best neighbor cosine ~0.5) that estimate
+    * is weak. Use this path when the corpus has real cluster
+    * structure (the case IVF exists for) or the build budget binds;
+    * use flat [[ivfTopK]] when recall at a fixed scan budget binds. */
+  def ivfTopK2(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               numCoarse: Int = 64, numFine: Int = 16,
+               nCoarseProbe: Int = 8, nprobe: Int = 100,
+               model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (coarse, fine) = model.getOrElse(
+      twoLevelCentroids(corpus, idCol, vecCol, numCoarse, numFine))
+    val arrs = broadcast(twoLevelArrays(coarse, fine))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(arrs)
+      .select(col("neighbor_id"), col("cv"),
+        bestCell2(col("cv"), col("cents"), col("fines")).as("cell"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(arrs)
+        .select(col("query_id"), col("qv"),
+          explode(topCells2(col("qv"), col("cents"), col("fines"),
+            nCoarseProbe, nprobe)).as("p"))
+        .select(col("query_id"), col("qv"), col("p.cent_id").as("cell")))
+    val scored = assigned.join(probes, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, replayable: Boolean = false,

@@ -55,10 +55,59 @@ object AnnIngest {
                                       batchId: Long): Unit =
     assignCells(batch, centroids, idCol, vecCol)
       .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      // co-locate each cell before the partitioned write: one file per
+      // cell per batch instead of one per (cell × task) — without this
+      // a 1024-cell index write sprays cells × tasks tiny files and
+      // file overhead dominates both the build and every probe read
+      .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "run_id", "batch_id")
       .parquet(indexPath)
+
+  /** Two-level variants: same index layout and probe discipline, cells
+    * from the hierarchical quantizer ([[Ann.twoLevelCentroids]]) — the
+    * fine-cells-at-coarse-build-cost serving shape. */
+  private[graft] def assignCells2(batch: DataFrame, coarse: DataFrame,
+                                  fine: DataFrame, idCol: String,
+                                  vecCol: String): DataFrame =
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(Ann.twoLevelArrays(coarse, fine)))
+      .select(col("id"), col("vec"),
+        Ann.bestCell2(col("vec"), col("cents"), col("fines")).as("cell"))
+
+  private[graft] def processBatch2(batch: DataFrame, coarse: DataFrame,
+                                   fine: DataFrame, idCol: String, vecCol: String,
+                                   indexPath: String, runId: String,
+                                   batchId: Long): Unit =
+    assignCells2(batch, coarse, fine, idCol, vecCol)
+      .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      .repartition(col("cell")) // one file per cell, see processBatch
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "run_id", "batch_id")
+      .parquet(indexPath)
+
+  /** Probe a two-level index: top `nCoarseProbe` coarse cells per
+    * query, top `nprobe` of their fine cells overall, partition-pruned
+    * read of exactly those cells. */
+  def probe2(spark: SparkSession, indexPath: String, coarse: DataFrame,
+             fine: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nCoarseProbe: Int, nprobe: Int): DataFrame = {
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(Ann.twoLevelArrays(coarse, fine)))
+      .select(col("query_id"), col("qv"),
+        explode(Ann.topCells2(col("qv"), col("cents"), col("fines"),
+          nCoarseProbe, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cent_id").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val index = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
+    Ann.topKPerQuery(
+      index.join(broadcast(probes), Seq("cell"))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(Ann.cosine(col("qv"), col("vec")), 6).as("cosine")), k)
+  }
 
   /** Top-k probe against the persisted index. Each query maps to its
     * `nprobe` nearest cells; the index read carries cell IN (...) so

@@ -162,6 +162,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngramContainmentPrefix: boundary — containment exactly at threshold, (1-t)*n integer") {
+    // A = "abcdefghijklmn": 10 distinct 5-grams; the 8 inside prefix
+    // "abcdefghijkl" recur verbatim in B (df=2), the 2 tail grams
+    // ("ijklm","jklmn") are A-only (df=1) and therefore A's RAREST —
+    // so they fill the prefix first. Containment(A→B) = 8/10 = t
+    // exactly, and (1-t)*n = 2 is an exact integer: a float-floored
+    // bound (floor(0.19999…96 * 10) + 1 = 2) probes with only the two
+    // outside grams and silently drops the pair; the theorem's bound
+    // (3) reaches a shared gram. B's own probe can't rescue it: B's
+    // rarest grams are B-unique.
+    val docs = Seq(
+      (1L, "abcdefghijklmn"),
+      (2L, "opqrstabcdefghijkluvwxyz")).toDF("doc_id", "text")
+    val exact = Similarity.ngramContainment(docs, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect()
+    assert(exact.length == 1 && exact.head._1 == 1L && exact.head._2 == 2L
+      && exact.head._3 == 0.8, s"fixture drifted: $exact")
+    val prefix = Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
+      k = 5, threshold = 0.8).as[(Long, Long, Double, Double)].collect()
+    assert(prefix.toSeq == exact.toSeq,
+      s"prefix path lost the at-threshold pair: prefix=${prefix.toSeq} exact=${exact.toSeq}")
+  }
+
   test("ngramContainmentPrefix: maxDf caps the universe consistently") {
     // all docs share hot boilerplate; overlap beyond it is unique
     val boiler = "standard header used by every single document here "
@@ -286,6 +309,38 @@ class AnnSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, numCells = 3, nprobe = 2)
       .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
     assert(res.contains(10L) && res(10L) == 1.0)
+  }
+
+  test("ivfTopK2: two-level assignment is coarse-gated and consistent; " +
+      "high recall on clustered data") {
+    // 8 well-separated direction clusters × 40 members in 16 dims:
+    // the structured case the hierarchical quantizer exists for
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 40) yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      ((c * 40 + m).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") % 40 === 0)
+    val truth = Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Ann.ivfTopK2(corpus, queries, "vec_id", "embedding", 5,
+        numCoarse = 4, numFine = 4, nCoarseProbe = 3, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"clustered-data recall $recall")
+
+    // assignment consistency: every vector's fine cell belongs to its
+    // coarse winner's fine set (the gate the probe ranking models)
+    val (coarse, fine) = Ann.twoLevelCentroids(corpus, "vec_id", "embedding", 4, 4)
+    val arrs = Ann.twoLevelArrays(coarse, fine)
+    val bad = corpus.crossJoin(broadcast(arrs))
+      .select(Ann.bestCell(col("embedding"), col("cents")).as("c"),
+        Ann.bestCell2(col("embedding"), col("cents"), col("fines")).as("cell"))
+      .where(!(col("cell") >= col("c") * 4 && col("cell") < (col("c") + 1) * 4))
+      .count()
+    assert(bad == 0, s"$bad vectors assigned outside their coarse gate")
   }
 
   test("lshTopK returns only same-bucket candidates; identical vectors always co-bucket") {
