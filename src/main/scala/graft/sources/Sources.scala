@@ -86,6 +86,31 @@ object Sources {
     if (df.columns.contains(CorruptCol)) df.cache().where(col(CorruptCol).isNotNull)
     else df.limit(0)
 
+  /** JDBC table/query source — the reference's live-database side of
+    * the error-count reconciliation (get_error_count_from_db,
+    * DM_bankfile_validate_pipeline.py:786; run_sql_test.py): read the
+    * DB's error table as a DataFrame and feed it straight into
+    * [[graft.validate.ErrorCompare.diff]] against the CSV side.
+    *
+    * `table` may be a table name or a `(SELECT ...) alias` pushdown
+    * subquery — the standard way to let the DATABASE do the filter
+    * before rows cross the wire. Single-partition by default (a JDBC
+    * read with no split column is one task); pass `partitionColumn` +
+    * bounds to fan the read out across `numPartitions` executors — at
+    * scale an unpartitioned JDBC read of a big table is a one-task
+    * bottleneck, so callers reading more than reconciliation-sized
+    * error tables should always split. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties(),
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 1): DataFrame =
+    partitionColumn match {
+      case Some(c) =>
+        spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
+
   /** Partitioned parquet writer with target file sizing — the scale-
     * friendly default sink (dataset partitioned by a low-cardinality
     * key, files sized by `spark.sql.files.maxRecordsPerFile`). */

@@ -63,4 +63,43 @@ class ErrorCompareSpec extends SparkSpec {
     val db = Seq(("P1", "rule A")).toDF("pid", "err")
     assert(ErrorCompare.diff(csv, "payee", "desc", db, "pid", "err").count() == 0)
   }
+
+  test("token-set compare with the DB side read over JDBC (embedded Derby)") {
+    // the reference's actual workflow: error CSV vs a LIVE DATABASE
+    // error table (get_error_count_from_db / run_sql_test.py) — here
+    // the database is embedded Derby (in the Spark distribution) and
+    // the DB side arrives through Sources.readJdbc
+    val url = "jdbc:derby:memory:graft_errdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE errors (payee_id VARCHAR(20), error_desc VARCHAR(400))")
+      val ins = conn.prepareStatement("INSERT INTO errors VALUES (?, ?)")
+      for ((k, d) <- Seq(
+          ("P1", "AccountNumber is required"),
+          ("P1", "RoutingTransitNumber  must be 9 digits"),
+          ("P2", "For OrgCode R, all banking fields must be blank"),
+          ("P4", "rule only in db"))) {
+        ins.setString(1, k); ins.setString(2, d); ins.executeUpdate()
+      }
+      val db = graft.sources.Sources.readJdbc(spark, url, "errors")
+      assert(db.columns.toSeq == Seq("PAYEE_ID", "ERROR_DESC")) // Derby upcases
+      val csv = Seq(
+        ("P1", "RoutingTransitNumber must be 9 digits, AccountNumber is required"),
+        ("P2", "For OrgCode R,  all banking fields must be blank")).toDF("payee", "desc")
+      val rows = ErrorCompare.diff(csv, "payee", "desc", db, "PAYEE_ID", "ERROR_DESC")
+        .as[(String, String, Boolean, Boolean)].collect().toSet
+      assert(rows == Set(("P4", "rule only in db", false, true)))
+
+      // pushdown subquery: the DATABASE filters before rows move
+      val filtered = graft.sources.Sources.readJdbc(spark, url,
+        "(SELECT * FROM errors WHERE payee_id = 'P1') e")
+      assert(filtered.count() == 2)
+    } finally {
+      conn.close()
+      // drop the in-memory db so reruns in one JVM start clean
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_errdb;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" by design
+    }
+  }
 }
