@@ -1041,7 +1041,7 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.text.UrlOps.normalizeUrl(col("u")).as("url_norm"),
           graft.text.UrlOps.host(col("u")).as("host"))
-        .withColumn("domain", graft.text.UrlOps.registeredDomain(col("host")))
+        .withColumn("domain", graft.text.UrlOps.registeredDomainPsl(col("host")))
         .orderBy("doc_id")
     }),
 
@@ -1577,6 +1577,24 @@ object SparkEntry {
   // hash variants, so DuckDB recomputes the FULL pipeline (hashing,
   // banding, pairing, survivor selection) from the raw tables.
   // ---------------------------------------------------------------- //
+
+  /** eTLD+1 CASE expression generated from the SAME bundled
+    * public-suffix snapshot UrlOps.registeredDomainPsl matches
+    * against — the oracle and the engine cannot drift because both
+    * read one resource. Longest suffix first; `hostExpr` must be a
+    * plain column reference (it is repeated per label). */
+  private def pslDomainCaseSql(hostExpr: String): String = {
+    val psl = graft.text.UrlOps.bundledSuffixes
+    def lastK(k: Int): String =
+      (k to 1 by -1).map(i => s"string_split($hostExpr, '.')[-$i]")
+        .mkString(" || '.' || ")
+    val len = s"len(string_split($hostExpr, '.'))"
+    val whens = psl.labelCounts.map { k =>
+      val inList = psl.byLabels(k).sorted.map(s => s"'$s'").mkString("(", ",", ")")
+      s"WHEN $len >= ${k + 1} AND (${lastK(k)}) IN $inList THEN (${lastK(k + 1)})"
+    }.mkString(" ")
+    s"CASE $whens WHEN $len >= 2 THEN (${lastK(2)}) ELSE $hostExpr END"
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2327,7 +2345,7 @@ object SparkEntry {
     // default ports → trailing slash); synthesized URLs always carry
     // an authority so the no-authority branch never fires
     "url_normalize" ->
-      """WITH u AS (
+      ("""WITH u AS (
         |  SELECT doc_id,
         |    'HTTPS://www.' || source ||
         |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
@@ -2344,10 +2362,11 @@ object SparkEntry {
         |          regexp_replace(trim(url), '#.*', ''),
         |          '([?&])((utm_[a-z]+|fbclid|gclid)=[^&]*&)+', '\1', 'g'),
         |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
-        |      '\?$', '') AS n, url
+        |      '\?$', '') AS n,
+        |    lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)) AS host
         |  FROM u),
         |parts AS (
-        |  SELECT doc_id, url,
+        |  SELECT doc_id, host,
         |    regexp_extract(n, '^([^/]*//[^/?#]*)', 1) AS auth,
         |    regexp_extract(n, '^[^/]*//[^/?#]*(.*)$', 1) AS rest
         |  FROM nd)
@@ -2355,21 +2374,9 @@ object SparkEntry {
         |  regexp_replace(
         |    regexp_replace(lower(auth), ':(80|443)$', '') || rest,
         |    '/$', '') AS url_norm,
-        |  lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)) AS host,
-        |  CASE
-        |    WHEN len(string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')) <= 2
-        |      THEN lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1))
-        |    WHEN (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
-        |          string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
-        |         IN ('co.uk','ac.uk','gov.uk','org.uk','co.jp','co.in','co.nz','co.za','co.kr',
-        |             'com.au','com.br','com.cn','com.mx','com.tr','com.ar','com.sg')
-        |      THEN (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-3] || '.' ||
-        |            string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
-        |            string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
-        |    ELSE (string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-2] || '.' ||
-        |          string_split(lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)), '.')[-1])
-        |  END AS domain
-        |FROM parts ORDER BY doc_id""".stripMargin,
+        |  host,
+        |  """.stripMargin + pslDomainCaseSql("host") + """ AS domain
+        |FROM parts ORDER BY doc_id""".stripMargin),
 
     // URL dedup replay: normalize (only the rules the variants
     // exercise matter, but the FULL chain runs for parity), then
@@ -2410,21 +2417,14 @@ object SparkEntry {
     // heap's double score), row_number <= 3. The oracle may use a
     // window: it is DuckDB at sf0.01, not Spark at 100 TB.
     "url_domain_cap" ->
-      """WITH u AS (
+      ("""WITH u AS (
         |  SELECT doc_id,
         |    lower('www.' || source ||
         |      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS host
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
-        |    CASE
-        |      WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
-        |           IN ('co.uk','ac.uk','gov.uk','org.uk','co.jp','co.in','co.nz','co.za','co.kr',
-        |               'com.au','com.br','com.cn','com.mx','com.tr','com.ar','com.sg')
-        |        THEN (string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' ||
-        |              string_split(host, '.')[-1])
-        |      ELSE (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
-        |    END AS domain
+        |    """.stripMargin + pslDomainCaseSql("host") + """ AS domain
         |  FROM u),
         |r AS (
         |  SELECT doc_id, domain,
@@ -2433,7 +2433,7 @@ object SparkEntry {
         |               % 1099511627776, doc_id) AS rk
         |  FROM d)
         |SELECT doc_id, domain FROM r WHERE rk <= 3
-        |ORDER BY domain, doc_id""".stripMargin,
+        |ORDER BY domain, doc_id""".stripMargin),
 
     // duplicate-token fraction: 1 - distinct/total over ws tokens
     "text_repetition" ->

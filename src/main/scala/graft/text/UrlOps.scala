@@ -64,8 +64,9 @@ object UrlOps {
 
   /** Two-label public suffixes a corpus actually meets — the
     * registered domain of `www.bbc.co.uk` is `bbc.co.uk`, not
-    * `co.uk`. A full public-suffix list is data, not code; extend
-    * here or pre-join a suffix table for exotic TLDs. */
+    * `co.uk`. The minimal NO-DATA fallback; the data-driven path is
+    * [[registeredDomainPsl]] over the bundled snapshot (or a full PSL
+    * via [[loadSuffixes]]). */
   val multiPartSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "co.in", "co.nz",
     "co.za", "co.kr", "com.au", "com.br", "com.cn", "com.mx", "com.tr",
@@ -82,6 +83,65 @@ object UrlOps {
     when(n <= 2, hostCol)
       .when(last2.isin(multiPartSuffixes: _*) && n >= 3, last3)
       .otherwise(last2)
+  }
+
+  /** Multi-label public suffixes grouped by label count — the "full
+    * public-suffix list is data, not code" path. Single-label TLDs
+    * need no entry (the default last-2-labels rule covers them). */
+  final case class SuffixList(byLabels: Map[Int, Seq[String]]) {
+    def labelCounts: Seq[Int] = byLabels.keys.toSeq.sorted.reverse
+  }
+
+  /** Parse PSL-format lines: `//` comments and blanks skipped.
+    * Wildcard (`*.`) and exception (`!`) rules are intentionally
+    * unsupported — they cannot be expressed as a static IN set, and
+    * the snapshot contains none; a full publicsuffix.org download
+    * loses only those rules here. */
+  def parseSuffixes(lines: Iterator[String]): SuffixList = {
+    val entries = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .filterNot(l => l.startsWith("*") || l.startsWith("!"))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSeq.distinct
+    SuffixList(entries.groupBy(_.count(_ == '.') + 1).filter(_._1 >= 2))
+  }
+
+  /** Load a suffix list from a local PSL-format file (driver-side —
+    * the list is model data like ANN centroids, kilobytes not rows). */
+  def loadSuffixes(path: String): SuffixList = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseSuffixes(src.getLines()) finally src.close()
+  }
+
+  /** The bundled snapshot (resources/graft/public_suffix_snapshot
+    * .dat): a ~600-entry subset of publicsuffix.org covering country
+    * second-level registrations, US locality spaces, and the hosting
+    * platforms a crawl meets. */
+  lazy val bundledSuffixes: SuffixList = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "public_suffix_snapshot.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseSuffixes(src.getLines()) finally src.close()
+  }
+
+  /** Data-driven eTLD+1: longest-suffix-first match against a
+    * [[SuffixList]] (default: the bundled snapshot). Each label count
+    * becomes one codegen'd set-membership test (Catalyst `InSet` —
+    * a hash probe, not a join), so the scan stays narrow at any list
+    * size; hosts below 2 labels, or with no label above their longest
+    * matching suffix, pass through whole. */
+  def registeredDomainPsl(hostCol: Column,
+                          psl: SuffixList = bundledSuffixes): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    def lastK(k: Int) = concat_ws(".", slice(labels, -k, k))
+    val matched = psl.labelCounts.foldLeft(null: Column) { (acc, k) =>
+      val hit = (n >= k + 1) && lastK(k).isin(psl.byLabels(k): _*)
+      if (acc == null) when(hit, lastK(k + 1)) else acc.when(hit, lastK(k + 1))
+    }
+    (if (matched == null) when(lit(false), hostCol) else matched)
+      .when(n >= 2, lastK(2))
+      .otherwise(hostCol)
   }
 
   /** Exact URL dedup: keep the min-id row per [[normalizeUrl]]
@@ -114,7 +174,7 @@ object UrlOps {
                    cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
     val srcCols = df.columns
-    df.withColumn("_dom", registeredDomain(host(col(urlCol))))
+    df.withColumn("_dom", registeredDomainPsl(host(col(urlCol))))
       .select(col("_dom"),
         (-graft.ops.Sampling.md5Hash40(col(idCol), 0L)).as("_r"),
         col(idCol).cast("long").as("_i"),

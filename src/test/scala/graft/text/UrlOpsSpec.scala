@@ -71,6 +71,40 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("registeredDomainPsl: data-driven suffixes beat the 16-suffix fallback") {
+    def dom(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(UrlOps.registeredDomainPsl(col("h")).as("d"))
+        .as[String].collect().toSeq
+    // private-section hosting platforms: each user site is its own
+    // registered domain (the fallback collapses them all to github.io)
+    assert(dom("someuser.github.io", "project.pages.someuser.github.io") ==
+      Seq("someuser.github.io", "someuser.github.io"))
+    assert(dom("myblog.blogspot.com", "shop.myshopify.com") ==
+      Seq("myblog.blogspot.com", "shop.myshopify.com"))
+    // com.br subtypes beyond the fallback's list
+    assert(dom("www.empresa.com.br", "site.blog.br", "a.b.art.br") ==
+      Seq("empresa.com.br", "site.blog.br", "b.art.br"))
+    // 3- and 4-label suffixes (US locality space): longest match wins
+    assert(dom("school.k12.ca.us", "district.k12.ma.us", "academy.pvt.k12.ma.us") ==
+      Seq("school.k12.ca.us", "district.k12.ma.us", "academy.pvt.k12.ma.us"))
+    // the parent 2-label state space still matches below k12
+    assert(dom("city.ca.us") == Seq("city.ca.us"))
+    // ordinary TLDs take the default last-2 rule; short hosts pass through
+    assert(dom("www.example.com", "example.com", "localhost") ==
+      Seq("example.com", "example.com", "localhost"))
+    // parity with the fallback on its own 16 suffixes
+    assert(dom("www.bbc.co.uk", "news.site.com.au") ==
+      Seq("bbc.co.uk", "site.com.au"))
+  }
+
+  test("parseSuffixes skips comments and unsupported wildcard/exception rules") {
+    val psl = UrlOps.parseSuffixes(Iterator(
+      "// comment", "", "co.uk", "*.ck", "!www.ck", "GITHUB.IO", "k12.ca.us"))
+    assert(psl.byLabels(2).toSet == Set("co.uk", "github.io"))
+    assert(psl.byLabels(3) == Seq("k12.ca.us"))
+    assert(psl.labelCounts == Seq(3, 2))
+  }
+
   test("perDomainCap keeps exactly cap rows per registered domain, deterministically") {
     val df = (1L to 30L).map { i =>
       val dom = if (i <= 20) "big.com" else "small.org"
