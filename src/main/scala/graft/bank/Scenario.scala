@@ -65,4 +65,49 @@ object Scenario {
       errorFile = Validator.errorFile(transformed, rs, keyCol, fileName),
       summary = Validator.summary(transformed, rs))
   }
+
+  /** One named scenario of a composite run: `run` produces its report
+    * (thrown exceptions become status "error"), `expectedErrors`
+    * (when declared) is the pass/fail assertion — the reference
+    * checks each scenario's observed error count against an expected
+    * one before uploading outcomes (run_sql_test.py's
+    * expected-vs-db-count compare; the TestRail upload in
+    * DM_bankfile_validate_pipeline.py's run_full_etl_pipeline). */
+  final case class ScenarioSpec(name: String,
+                                run: () => CompositeReport,
+                                expectedErrors: Option[Long] = None)
+
+  /** Run-level orchestration report — the Spark-native replacement
+    * for the reference's result upload: one frame summarizing every
+    * scenario of a composite run. Columns: scenario, status
+    * ("pass" | "fail" | "error"), error_rows, expected_errors,
+    * rules_applied, rules_skipped, schema_issues, failure (the
+    * exception message for status "error", else null).
+    *
+    * status: "error" when the scenario threw; "fail" when
+    * expectedErrors is declared and the observed error-row count
+    * differs; "pass" otherwise. The frame is scenario-count-sized
+    * (driver-trivial); each scenario's error count is one Spark job
+    * against its error file. */
+  def runReport(spark: org.apache.spark.sql.SparkSession,
+                scenarios: Seq[ScenarioSpec]): DataFrame = {
+    val rows = scenarios.map { s =>
+      scala.util.Try {
+        val rep = s.run()
+        val errs = rep.errorFile.count()
+        val status =
+          if (s.expectedErrors.exists(_ != errs)) "fail" else "pass"
+        (s.name, status, errs, s.expectedErrors,
+          rep.appliedRules.size, rep.skippedRules.size,
+          rep.schema.issues.size, Option.empty[String])
+      }.recover { case e: Throwable =>
+        (s.name, "error", -1L, s.expectedErrors, 0, 0, 0,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }.get
+    }
+    import spark.implicits._
+    rows.toDF("scenario", "status", "error_rows", "expected_errors",
+        "rules_applied", "rules_skipped", "schema_issues", "failure")
+      .orderBy("scenario")
+  }
 }

@@ -5,6 +5,7 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import javax.xml.parsers.DocumentBuilderFactory
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import scala.collection.mutable.ArrayBuffer
@@ -181,18 +182,56 @@ object Xlsx {
     }
   }
 
+  /** The xlsx format's own per-sheet row limit (2^20, header
+    * included) — also the default fail-fast cap of [[write]]. */
+  val SheetRowLimit: Int = 1048576
+
   /** Write a (small) DataFrame as one xlsx file. All values are
-    * rendered as strings; the header row is the column names. The
-    * collect is deliberate — one workbook is one driver-sized file by
-    * format design; large data belongs in parquet. */
-  def write(df: DataFrame, path: String): Unit = {
+    * rendered as strings; the header row is the column names. One
+    * workbook is one driver-sized file by format design, so the
+    * collect is deliberate — but BOUNDED: the frame is limited to
+    * `maxRows + 1` before collection (a 100 GB frame pointed here
+    * costs one small collect, not a driver OOM) and the write fails
+    * fast when the cap is exceeded, directing large data to
+    * [[writeSharded]] or parquet. */
+  def write(df: DataFrame, path: String, maxRows: Int = SheetRowLimit - 1): Unit = {
+    require(maxRows > 0 && maxRows < SheetRowLimit,
+      s"maxRows must be in [1, ${SheetRowLimit - 1}]")
     val header = df.columns.toSeq
-    val rows = df.collect().iterator.map(r =>
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"xlsx write refused: more than $maxRows rows (single-workbook cap; " +
+        "use writeSharded for part-files or parquet for real data)")
+    val rows = collected.iterator.map(r =>
       r.toSeq.map(v => if (v == null) null else v.toString))
     val bytes = toBytes(header, rows)
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, bytes)
+  }
+
+  /** Distributed sharded xlsx sink: `part-NNNNN.xlsx` files under
+    * `dir`, each task writing its own workbook (the write-side twin
+    * of [[readDir]]'s one-task-per-workbook read). Shard count is
+    * sized from one count so each file stays under `rowsPerFile`.
+    * `dir` must be storage every executor can reach — true for this
+    * repo's local mode and any shared filesystem; at real cluster
+    * scale xlsx is a hand-off format and the data path is parquet. */
+  def writeSharded(df: DataFrame, dir: String, rowsPerFile: Long = 200000L): Unit = {
+    require(rowsPerFile > 0 && rowsPerFile < SheetRowLimit,
+      s"rowsPerFile must be in [1, ${SheetRowLimit - 1}]")
+    val header = df.columns.toSeq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val strs = df.select(df.columns.map(c => col(c).cast("string")): _*)
+    strs.repartition(parts).rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rows = it.map(r => (0 until r.length).map(i => r.getString(i)))
+      val bytes = toBytes(header, rows)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$pid%05d.xlsx"), bytes)
+    }
   }
 
   /** Read one xlsx file into an all-string DataFrame (header row =

@@ -54,13 +54,23 @@ object RecipeIngest {
     * processing at all. Within-batch min-id per normalized URL, then
     * an anti-join against the persisted url-hash index; novel hashes
     * land in the index with the same (run_id, batch_id) exactly-once
-    * discipline as the fingerprint index. */
+    * discipline as the fingerprint index.
+    *
+    * `lineIndexPath` (optional) inserts the CCNet boilerplate move as
+    * stage 0.5: lines whose hash has been seen in at least
+    * `lineMinDf` distinct docs ACROSS THE RUN (persisted per-batch
+    * line-hash counts, summed at read) are stripped from every doc
+    * before the quality gate — so recurring banners/navigation
+    * neither prop up nor water down quality scores, and the
+    * fingerprint dedup downstream fingerprints the content, not the
+    * chrome. */
   def start(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             acceptedPath: String, rejectedPath: String, indexPath: String,
             checkpoint: String, targetWeights: Map[String, Double],
             mixSalt: Long = 0L,
             remixEvery: Int = 0, remixedPath: String = null,
-            urlCol: String = null, urlIndexPath: String = null): StreamingQuery = {
+            urlCol: String = null, urlIndexPath: String = null,
+            lineIndexPath: String = null, lineMinDf: Int = 3): StreamingQuery = {
     require((urlCol == null) == (urlIndexPath == null),
       "urlCol and urlIndexPath come together")
     val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
@@ -68,31 +78,86 @@ object RecipeIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the url index is committed only AFTER processBatch consumed
-        // the survivors: committing first would make any lazy
+        // indexes are committed only AFTER processBatch consumed the
+        // survivors: committing first would make any lazy
         // re-evaluation (cache eviction) anti-join the batch against
-        // its own fresh hashes and drop every row
+        // its own fresh state and drop every row
         val staged =
           if (urlCol == null) None
           else Some(urlDedupBatch(batch, idCol, urlCol, urlIndexPath))
+        val lined =
+          if (lineIndexPath == null) None
+          else {
+            val in = staged.map(_.drop("_uh")).getOrElse(batch)
+            Some(stripHotLinesBatch(in, idCol, textCol, lineIndexPath, lineMinDf))
+          }
         try {
-          val afterUrl = staged.map(_.drop("_uh")).getOrElse(batch)
-          processBatch(afterUrl, idCol, textCol, langCol, acceptedPath,
+          val afterStages = lined.map(_._1)
+            .orElse(staged.map(_.drop("_uh"))).getOrElse(batch)
+          processBatch(afterStages, idCol, textCol, langCol, acceptedPath,
             rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
-          staged.foreach { novel =>
-            novel.select("_uh")
-              .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          def commit(df: DataFrame, path: String): Unit =
+            df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("run_id", "batch_id")
-              .parquet(urlIndexPath)
-          }
-        } finally staged.foreach { n => n.unpersist(); () }
+              .parquet(path)
+          staged.foreach(novel => commit(novel.select("_uh"), urlIndexPath))
+          lined.foreach { case (_, stats) => commit(stats, lineIndexPath) }
+        } finally {
+          staged.foreach { n => n.unpersist(); () }
+          lined.foreach { case (s, _) => s.unpersist(); () }
+        }
         if (remixEvery > 0 && remixedPath != null && (batchId + 1) % remixEvery == 0)
           remix(batch.sparkSession, acceptedPath, remixedPath, langCol, idCol,
             targetWeights, mixSalt)
       }
       .start()
+  }
+
+  /** Stage 0.5: strip lines hot across the RUN from every doc of one
+    * micro-batch. A line is hot when its all-time distinct-doc count
+    * (persisted per-batch counts summed at read, PLUS this batch's)
+    * reaches `minDf` — so a banner planted across batches starts
+    * being stripped the moment its cumulative df crosses the bar.
+    * Returns (stripped batch — cached and materialized against the
+    * PRE-commit index, this batch's (line hash, df) stats for the
+    * caller to commit afterward). State is ~40 B per distinct line
+    * ever seen; at corpus scale front the read with a count-min
+    * sketch (graft.expr.CountMin) the same way the fingerprint index
+    * docs suggest a Bloom filter. */
+  private[graft] def stripHotLinesBatch(batch: DataFrame, idCol: String,
+      textCol: String, lineIndexPath: String, minDf: Int,
+      sep: String = "\n"): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val lines = batch
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("_pos", "_line")))
+      .withColumn("_key", md5(trim(col("_line"))))
+    val batchStats = lines.groupBy("_key")
+      .agg(countDistinct(col("_id")).as("_df"))
+    val index: DataFrame =
+      try spark.read.parquet(lineIndexPath)
+        .groupBy("_key").agg(sum(col("_df")).as("_prev"))
+      catch { case _: Exception =>
+        spark.emptyDataFrame
+          .select(lit("").as("_key"), lit(0L).as("_prev")).limit(0) }
+    val hot = batchStats.join(index, Seq("_key"), "left")
+      .where(col("_df") + coalesce(col("_prev"), lit(0L)) >= minDf)
+      .select("_key")
+    val kept = lines.join(hot, Seq("_key"), "left_anti")
+    val reassembled = kept.groupBy("_id").agg(
+      concat_ws(sep, expr(
+        "transform(array_sort(collect_list(struct(_pos, _line))), x -> x._line)"))
+        .as("_newtext"))
+    val stripped = batch
+      .join(reassembled.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_newtext"), lit("")))
+      .drop("_newtext")
+      .cache()
+    stripped.count() // materialize against the pre-commit index state
+    (stripped, batchStats)
   }
 
   /** Stage 0: URL dedup for one micro-batch — min-id survivor per

@@ -106,4 +106,44 @@ class PipelineScenarioSpec extends SparkSpec {
     assert(summary("State.format") == 10L)
     assert(!summary.contains("ContactFax.format"))
   }
+
+  test("run report aggregates a mixed composite run into one frame") {
+    import graft.bank.Scenario
+    import graft.bank.Scenario.ScenarioSpec
+    // seed 99 generates an inherently clean feed (pinned by the full
+    // scenario test above) so error counts are exactly the injections
+    val base = BankDataGen.generate(spark, 100, seed = 99)
+    def scenario(invalidIds: Seq[Long]) = () => Scenario.compositeTransform(
+      base, renames = Nil, dropColumns = Nil,
+      // withInvalid treats an empty id list as "all rows", so a clean
+      // scenario must inject NOTHING rather than inject-into-none
+      invalid = if (invalidIds.isEmpty) Nil
+                else Seq(("RoutingTransitNumber", "12345ABCD", invalidIds)),
+      expected = base.schema, rules = BankRules.all, keyCol = "PayeeID")
+
+    val report = Scenario.runReport(spark, Seq(
+      // pass: observed errors match the declaration
+      ScenarioSpec("clean_feed", scenario(Nil), expectedErrors = Some(0L)),
+      // pass: 5 injected, 5 declared
+      ScenarioSpec("five_bad_rows", scenario(0L until 5L), expectedErrors = Some(5L)),
+      // fail: 5 injected but 2 declared
+      ScenarioSpec("wrong_expectation", scenario(0L until 5L), expectedErrors = Some(2L)),
+      // pass: no declaration → observational only
+      ScenarioSpec("undeclared", scenario(0L until 3L)),
+      // error: the scenario itself blows up
+      ScenarioSpec("throws", () => sys.error("boom"))))
+
+    val rows = report.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getLong(2), r.getInt(4), r.getInt(5))).toMap
+    assert(rows("clean_feed")._1 == "pass" && rows("clean_feed")._2 == 0L)
+    assert(rows("five_bad_rows")._1 == "pass" && rows("five_bad_rows")._2 == 5L)
+    assert(rows("wrong_expectation")._1 == "fail" && rows("wrong_expectation")._2 == 5L)
+    assert(rows("undeclared")._1 == "pass" && rows("undeclared")._2 == 3L)
+    assert(rows("throws")._1 == "error" && rows("throws")._2 == -1L)
+    val failure = report.where(col("scenario") === "throws")
+      .select("failure").as[String].collect().head
+    assert(failure.contains("boom"))
+    // every applied rule count surfaces for the non-error scenarios
+    assert(rows("five_bad_rows")._3 == BankRules.all.rules.size)
+  }
 }

@@ -103,6 +103,36 @@ class SourcesSpec extends SparkSpec {
     assert(all.orderBy("PayeeID").collect().map(_.getString(0)).toSeq == Seq("P1", "P2", "P3"))
   }
 
+  test("xlsx write fails fast above the row cap; bounded collect under it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsxcap").toString
+    val big = spark.range(500).select(col("id").cast("string").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.write(big, s"$dir/too-big.xlsx", maxRows = 100)
+    }
+    assert(e.getMessage.contains("xlsx write refused"))
+    assert(!new java.io.File(s"$dir/too-big.xlsx").exists())
+    // under the cap: normal round trip
+    Xlsx.write(big.where(col("v").cast("long") < 50), s"$dir/ok.xlsx", maxRows = 100)
+    assert(Xlsx.read(spark, s"$dir/ok.xlsx").count() == 50)
+  }
+
+  test("xlsx writeSharded emits sized part-files that readDir reassembles") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxshard").toString
+    val df = spark.range(1000).select(
+      concat(lit("P"), col("id")).as("PayeeID"), col("id").cast("string").as("Seq"))
+    Xlsx.writeSharded(df, s"$dir/out", rowsPerFile = 300)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.xlsx"))
+    assert(parts.length == 4) // ceil(1000 / 300)
+    val schema = StructType(Seq(
+      StructField("PayeeID", StringType), StructField("Seq", StringType)))
+    val back = Xlsx.readDir(spark, s"$dir/out/*.xlsx", schema)
+    assert(back.count() == 1000)
+    assert(back.select("Seq").collect().map(_.getString(0).toLong).toSet
+      == (0L until 1000L).toSet)
+  }
+
   test("unknown extension rejected without I/O (run_invalid_extension_scenario)") {
     Sources.read(spark, "/some/path/data.xyz", schema) match {
       case Sources.BadExtension(_, ext) => assert(ext == "xyz")

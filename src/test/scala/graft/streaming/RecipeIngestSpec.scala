@@ -166,6 +166,62 @@ class RecipeIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/urlidx").count() == 2)
   }
 
+  test("hot-line stage strips a banner planted across batches once its run-df crosses the bar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineidx").toString
+    val idx = s"$dir/lineidx"
+    val banner = "COPYRIGHT ACME CORP all rights reserved"
+    def doc(seed: Int) = banner + "\n" + mkDoc(seed)
+    def commit(stats: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      stats.withColumn("run_id", lit("r")).withColumn("batch_id", lit(b))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "batch_id").parquet(idx)
+
+    // batch 0: banner in 2 docs — below minDf=3, NOT stripped yet
+    val b0 = Seq((1L, doc(1), "en"), (2L, doc(2), "en"))
+      .toDF("doc_id", "text", "lang")
+    val (s0, stats0) = RecipeIngest.stripHotLinesBatch(b0, "doc_id", "text", idx, 3)
+    assert(s0.select("text").as[String].collect().forall(_.contains(banner)))
+    commit(stats0, 0L); s0.unpersist()
+
+    // batch 1: 2 more banner docs — cumulative df 4 >= 3, banner goes;
+    // body lines (df 1 each) survive untouched
+    val b1 = Seq((10L, doc(10), "en"), (11L, doc(11), "de"))
+      .toDF("doc_id", "text", "lang")
+    val (s1, stats1) = RecipeIngest.stripHotLinesBatch(b1, "doc_id", "text", idx, 3)
+    val texts = s1.orderBy("doc_id").select("text").as[String].collect()
+    assert(texts.forall(!_.contains(banner)))
+    assert(texts(0) == mkDoc(10) && texts(1) == mkDoc(11))
+    commit(stats1, 1L); s1.unpersist()
+  }
+
+  test("streaming end-to-end with the line stage enabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-recipe-l").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    val banner = "SUBSCRIBE TO OUR NEWSLETTER today please"
+    // banner in 3 docs of one batch: within-batch df 3 >= 3 strips it
+    // from every doc before the gate/fingerprint stages. Languages
+    // balanced 2:2 so the per-batch mix keeps every doc.
+    Seq(
+      (30L, banner + "\n" + mkDoc(30), "en"),
+      (31L, banner + "\n" + mkDoc(31), "en"),
+      (32L, banner + "\n" + mkDoc(32), "de"),
+      (33L, mkDoc(33), "de"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(drop)
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING").parquet(drop)
+    val q = RecipeIngest.start(stream, "doc_id", "text", "lang",
+      s"$dir/accepted", s"$dir/rejected", s"$dir/index", s"$dir/ckpt", weights,
+      lineIndexPath = s"$dir/lineidx", lineMinDf = 3)
+    try q.awaitTermination(60000) finally q.stop()
+
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    assert(accepted.select("doc_id").as[Long].collect().toSet == Set(30L, 31L, 32L, 33L))
+    assert(accepted.select("text").as[String].collect().forall(!_.contains(banner)))
+    // the line index persisted this batch's stats for the next run
+    assert(spark.read.parquet(s"$dir/lineidx").where(col("_df") === 3L).count() == 1)
+  }
+
   test("streaming end-to-end over file drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-recipe-s").toString
     val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
