@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * frame count, duration, RMS loudness from the PCM samples). Video
   * is REAL at the container level via [[VideoCodec]] — AVI demux with
   * per-frame MJPEG decode (ImageIO) end-to-end, MP4 box-tree
-  * metadata + chunk offsets — with a matching pure-JDK MJPEG-AVI
-  * encoder ([[MjpegAvi.write]]) for round-trip tests. Only coded
+  * metadata + full stco×stsc×stsz sample addressing with
+  * MJPEG-in-MP4 frames decoding end-to-end too — with matching
+  * pure-JDK encoders ([[MjpegAvi.write]], [[MjpegMp4.write]]) for
+  * round-trip tests. Only coded
   * H.26x frame decode (and compressed audio: mp3/flac/ogg) needs a
   * native codec absent here; those fall back to the deterministic
   * stubs below with identical operator contracts, so a cluster swaps

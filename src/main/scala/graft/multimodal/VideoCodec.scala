@@ -17,9 +17,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - **ISO BMFF / MP4** (big-endian box tree): real demux of the
   *    metadata a pipeline filters on — `mvhd` duration/timescale,
   *    `tkhd` display dimensions, `stsd` sample fourcc, `stco`/`co64`
-  *    chunk offsets, `stss` sync-sample (keyframe) numbers. Coded
-  *    H.26x frame decode needs a native codec and stays out of scope;
-  *    everything byte-offset/metadata level is real.
+  *    chunk offsets, `stss` sync-sample (keyframe) numbers — plus
+  *    FULL sample addressing (`stco` × `stsc` × `stsz`), so
+  *    `jpeg`-fourcc (MJPEG-in-MP4) frames DECODE for real through
+  *    ImageIO like the AVI path ([[MjpegMp4.write]] is the matching
+  *    encoder). Coded H.26x frame decode needs a native codec and
+  *    stays out of scope; everything byte-offset/metadata level is
+  *    real for any codec.
   *
   * Reference behavior: the reference pipeline treats media as opaque
   * payloads + extracted metadata (etl-validator's file-metadata checks);
@@ -83,10 +87,16 @@ object VideoCodec {
     else if (isMp4(payload)) mp4ChunkOffsets(payload)
     else Array.emptyLongArray
 
-  /** (offset, length) pairs of AVI video frame chunk data — the
-    * demuxer index callers need to feed [[decodeAviFrame]]. */
+  /** (offset, length) pairs of video frame/sample data — the demuxer
+    * index callers need to feed [[decodeAviFrame]]. AVI: the `movi`
+    * chunk walk. MP4: full sample addressing from the `stbl` tables —
+    * `stco`/`co64` chunk offsets × `stsc` sample-to-chunk runs ×
+    * `stsz` sample sizes (samples are laid out back-to-back inside
+    * each chunk). */
   def frameChunks(payload: Array[Byte]): Array[(Long, Long)] =
-    if (isAvi(payload)) aviFrameChunks(payload) else Array.empty
+    if (isAvi(payload)) aviFrameChunks(payload)
+    else if (isMp4(payload)) mp4FrameChunks(payload)
+    else Array.empty
 
   /** MP4 `stss` sync-sample table: 1-based sample numbers of the
     * keyframes of the first trak carrying one. Empty when absent —
@@ -131,9 +141,12 @@ object VideoCodec {
     else Some(Array.tabulate(n)(i => all(((i.toLong * all.length) / n).toInt)))
   }
 
-  /** REAL frame decode for MJPEG-AVI: the frame chunk at (offset, len)
-    * is a complete JPEG; decode to (height, width, meanLuma∈[0,1])
-    * with the same bounded-grid luma sampling as the image path. */
+  /** REAL frame decode for an MJPEG sample: the frame data at
+    * (offset, len) is a complete JPEG — true for MJPEG-AVI `00dc`
+    * chunks AND for `jpeg`-fourcc MP4 samples — decoded to (height,
+    * width, meanLuma∈[0,1]) with the same bounded-grid luma sampling
+    * as the image path. (Named for the AVI path that came first; the
+    * kernel is container-agnostic.) */
   def decodeAviFrame(payload: Array[Byte], offset: Long, len: Long): Option[(Int, Int, Double)] =
     try {
       if (offset < 0 || len <= 0 || offset + len > payload.length) None
@@ -145,12 +158,21 @@ object VideoCodec {
       }
     } catch { case _: Throwable => None }
 
-  /** Decode `n` evenly spaced frames of an MJPEG-AVI to mean-luma
-    * values — the real end-to-end video → per-frame-feature kernel. */
+  /** fourccs whose samples are complete JPEGs the JDK can decode. */
+  private val jpegFourccs = Set("MJPG", "mjpg", "jpeg", "mjpa", "mjpb")
+
+  /** Decode `n` evenly spaced frames to mean-luma values — the real
+    * end-to-end video → per-frame-feature kernel. MJPEG-AVI and
+    * MJPEG-in-MP4 (`jpeg` sample fourcc) decode for real; coded
+    * H.26x streams return None (native codec out of scope). */
   def sampleFrameLumas(payload: Array[Byte], n: Int): Option[Array[Double]] = {
-    if (!isAvi(payload)) return None
-    val chunks = aviFrameChunks(payload)
-    if (chunks.isEmpty || n <= 0) return None
+    if (n <= 0) return None
+    val chunks: Array[(Long, Long)] =
+      if (isAvi(payload)) aviFrameChunks(payload)
+      else if (isMp4(payload) && probe(payload).exists(m => jpegFourccs(m.fourcc)))
+        mp4FrameChunks(payload)
+      else Array.empty
+    if (chunks.isEmpty) return None
     val pick =
       if (chunks.length <= n) chunks
       else Array.tabulate(n)(i => chunks(((i.toLong * chunks.length) / n).toInt))
@@ -341,6 +363,91 @@ object VideoCodec {
     }
     result
   }
+
+  /** Full MP4 sample addressing: (offset, length) per sample of the
+    * first trak carrying a complete `stco`(/`co64`) + `stsz` pair.
+    * `stsc` runs map samples into chunks (absent/empty stsc with
+    * equal chunk and sample counts degrades to one sample per chunk);
+    * samples sit back-to-back inside each chunk, so offset = chunk
+    * offset + the sizes of the samples before it in that chunk. All
+    * entry counts are clamped to their boxes (see mp4ChunkOffsets);
+    * samples that would run outside the payload are dropped rather
+    * than surfaced as unreadable addresses. */
+  private[multimodal] def mp4FrameChunks(b: Array[Byte]): Array[(Long, Long)] = {
+    var offsets: Array[Long] = Array.emptyLongArray
+    var sizes: Array[Long] = Array.emptyLongArray
+    var stsc: Array[(Long, Long)] = Array.empty // (first_chunk 1-based, samples_per_chunk)
+    var taken = false
+    boxes(b, 0, b.length) { (typ, off, end) =>
+      if (typ == "moov" && !taken) boxes(b, off, end) { (t2, o2, e2) =>
+        if (t2 == "trak" && !taken) {
+          var tOff: Array[Long] = Array.emptyLongArray
+          var tSz: Array[Long] = Array.emptyLongArray
+          var tSc: Array[(Long, Long)] = Array.empty
+          boxes(b, o2, e2) { (t3, o3, e3) =>
+            if (t3 == "mdia") boxes(b, o3, e3) { (t4, o4, e4) =>
+              if (t4 == "minf") boxes(b, o4, e4) { (t5, o5, e5) =>
+                if (t5 == "stbl") boxes(b, o5, e5) { (t6, o6, e6) =>
+                  if (t6 == "stco" && tOff.isEmpty && o6 + 8 <= e6) {
+                    val n = math.min(u32be(b, o6 + 4), (e6 - (o6 + 8)) / 4L).toInt
+                    if (n > 0 && n < (1 << 22))
+                      tOff = Array.tabulate(n)(i => u32be(b, o6 + 8 + 4 * i))
+                  } else if (t6 == "co64" && tOff.isEmpty && o6 + 8 <= e6) {
+                    val n = math.min(u32be(b, o6 + 4), (e6 - (o6 + 8)) / 8L).toInt
+                    if (n > 0 && n < (1 << 22))
+                      tOff = Array.tabulate(n)(i => u64be(b, o6 + 8 + 8 * i))
+                  } else if (t6 == "stsz" && tSz.isEmpty && o6 + 12 <= e6) {
+                    val uniform = u32be(b, o6 + 4)
+                    val n0 = u32be(b, o6 + 8)
+                    if (uniform > 0 && n0 > 0 && n0 < (1 << 22))
+                      tSz = Array.fill(n0.toInt)(uniform)
+                    else {
+                      val n = math.min(n0, (e6 - (o6 + 12)) / 4L).toInt
+                      if (n > 0 && n < (1 << 22))
+                        tSz = Array.tabulate(n)(i => u32be(b, o6 + 12 + 4 * i))
+                    }
+                  } else if (t6 == "stsc" && tSc.isEmpty && o6 + 8 <= e6) {
+                    val n = math.min(u32be(b, o6 + 4), (e6 - (o6 + 8)) / 12L).toInt
+                    if (n > 0 && n < (1 << 20))
+                      tSc = Array.tabulate(n)(i =>
+                        (u32be(b, o6 + 8 + 12 * i), u32be(b, o6 + 12 + 12 * i)))
+                  }
+                }
+              }
+            }
+          }
+          if (tOff.nonEmpty && tSz.nonEmpty) {
+            offsets = tOff; sizes = tSz; stsc = tSc; taken = true
+          }
+        }
+      }
+    }
+    if (offsets.isEmpty || sizes.isEmpty) return Array.empty
+    // samples per chunk from the stsc runs (1:1 when absent)
+    def samplesInChunk(chunk1: Int): Long =
+      if (stsc.isEmpty) 1L
+      else stsc.foldLeft(1L) { case (acc, (first, spc)) =>
+        if (first <= chunk1 && first >= 1) spc else acc
+      }
+    val out = Array.newBuilder[(Long, Long)]
+    var sample = 0
+    var chunk = 1
+    while (sample < sizes.length && chunk <= offsets.length) {
+      var within = 0L
+      var cursor = offsets(chunk - 1)
+      val spc = samplesInChunk(chunk)
+      while (within < spc && sample < sizes.length) {
+        val len = sizes(sample)
+        if (len > 0 && cursor >= 0 && cursor + len <= b.length)
+          out += ((cursor, len))
+        cursor += len
+        within += 1
+        sample += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
 }
 
 /** Pure-JDK MJPEG-AVI **encoder**: JPEG-encode each frame with ImageIO
@@ -390,5 +497,77 @@ object MjpegAvi {
     val riffBody = cc("AVI ") ++ hdrl ++ movi
     bos.write(cc("RIFF")); bos.write(le32(riffBody.length)); bos.write(riffBody)
     bos.toByteArray
+  }
+}
+
+/** Pure-JDK MJPEG-in-MP4 **encoder**: JPEG-encode each frame and wrap
+  * in a minimal-but-spec-shaped ISO BMFF container — `ftyp`, `mdat`
+  * holding the JPEG samples back-to-back, and a `moov` with real
+  * `mvhd`/`tkhd` and a complete sample table (`stsd` with the `jpeg`
+  * sample entry, `stts`, `stsc` one-run, `stsz` per-sample sizes,
+  * `stco` one chunk). Exists so the MP4 demux + frame-decode path
+  * round-trips against known pixels, mirroring [[MjpegAvi]]. */
+object MjpegMp4 {
+
+  def write(frames: Seq[java.awt.image.BufferedImage], fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val jpegs = frames.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    def be32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.BIG_ENDIAN).putShort(v.toShort).array()
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, be32(0) ++ body) // version 0, flags 0
+
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom") ++ cc("iso2"))
+    // mdat follows ftyp: sample offsets are absolute in the file
+    val mdatBody = jpegs.toArray.flatten
+    val mdatOff = ftyp.length + 8L
+    val timescale = 1000L
+    val durMs = jpegs.length * 1000L / fps
+
+    val mvhd = full("mvhd",
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durMs) ++
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        Array.fill(36)(0.toByte) ++ // rate/volume matrix region the probe skips
+        Array.fill(24)(0.toByte) ++ be32(2))
+    val tkhd = full("tkhd",
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durMs) ++
+        Array.fill(8)(0.toByte) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        Array.fill(36)(0.toByte) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16)) // 16.16 fixed
+    val mdhd = full("mdhd",
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durMs) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = full("hdlr",
+      be32(0) ++ cc("vide") ++ Array.fill(12)(0.toByte) ++ cc("vh") ++ Array[Byte](0))
+    // sample entry: 'jpeg' VisualSampleEntry (standard 86-byte layout)
+    val sampleEntry = box("jpeg",
+      Array.fill(6)(0.toByte) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be16(w) ++ be16(h) ++ be32(0x00480000L) ++ be32(0x00480000L) ++
+        be32(0) ++ be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff))
+    val stsd = full("stsd", be32(1) ++ sampleEntry)
+    val stts = full("stts", be32(1) ++ be32(jpegs.length.toLong) ++ be32(timescale / fps))
+    val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(jpegs.length.toLong) ++ be32(1))
+    val stsz = full("stsz",
+      be32(0) ++ be32(jpegs.length.toLong) ++
+        jpegs.toArray.flatMap(j => be32(j.length.toLong)))
+    val stco = full("stco", be32(1) ++ be32(mdatOff))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val dinf = box("dinf", full("dref", be32(1) ++ full("url ", Array.emptyByteArray)))
+    val vmhd = full("vmhd", be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ box("mdat", mdatBody) ++ moov
   }
 }
