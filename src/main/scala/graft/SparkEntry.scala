@@ -940,6 +940,17 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // two-level (coarse→fine) IVF: deterministic md5-ordered seed
+    // split into 4 coarse + 4×4 round-robin fine centroids, gated
+    // assignment, joint-score probe ranking — DuckDB replays the
+    // whole hierarchy
+    "ann_ivf2_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK2(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, numCoarse = 4, numFine = 4, nCoarseProbe = 3, nprobe = 6)
+        .orderBy("query_id", "rnk")
+    }),
+
     // -- text analysis --------------------------------------------- //
 
     "text_token_counts" -> ((s, dir) => {
@@ -1480,6 +1491,22 @@ object SparkEntry {
       graft.text.BpeTrain.segment(docs, "text", merges)
         .agg(sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
           count(lit(1)).as("n_docs"))
+    }),
+    // BPE training at a REALISTIC merge count: the testdata documents
+    // hold only ~31 distinct words (BPE saturates after a few dozen
+    // merges), so this entry synthesizes a ~20k-word hash vocabulary
+    // and trains 1000 merges with the auto-growing batch — measuring
+    // what a real tokenizer induction pays: round count logarithmic in
+    // the merge budget, each round a vocab-sized job.
+    "bpe_train_1k" -> ((s, _) => {
+      import s.implicits._
+      val docs = s.range(20000).select(
+        concat_ws(" ", (0 until 12).map(i =>
+          lower(hex(pmod(xxhash64(col("id"), lit(i)), lit(100000))))): _*)
+          .as("text"))
+      val merges = graft.text.BpeTrain.train(docs, "text",
+        numMerges = 1000, autoBatch = true)
+      Seq(merges.length.toLong).toDF("n_merges")
     }),
     // production PageRank shape: identical graph + iteration count as
     // the oracle-gated q_pagerank_suppliers but WITHOUT the oracle's
@@ -2268,6 +2295,84 @@ object SparkEntry {
         |    SELECT item_id, cent_id,
         |      row_number() OVER (PARTITION BY item_id ORDER BY score DESC, cent_id ASC) AS rn
         |    FROM cscores WHERE item_id < 5) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |         round(sum(qe.v * ce.v) / (nq.nrm * nc.nrm), 6) AS cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ce ON ce.vec_id = a.neighbor_id AND ce.i = qe.i
+        |  JOIN n nq ON nq.vec_id = p.query_id
+        |  JOIN n nc ON nc.vec_id = a.neighbor_id
+        |  GROUP BY p.query_id, a.neighbor_id, nq.nrm, nc.nrm)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |FROM pairs
+        |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // two-level IVF replay: md5-ordered seeds 1..4 → coarse (cent_id =
+    // rank-1), seeds 5..20 → fine dealt round-robin (j = rank-5:
+    // coarse_id = j % 4, global cent_id = coarse_id*4 + j//4);
+    // assignment = argmax over the coarse-winner's fines; probes rank
+    // fine cells of the query's top-3 coarse by coarse+fine score
+    "ann_ivf2_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |seeds AS (
+        |  SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+        |  FROM embeddings),
+        |coarse AS (
+        |  SELECT vec_id, CAST(rk - 1 AS BIGINT) AS cent_id
+        |  FROM seeds WHERE rk <= 4),
+        |fine AS (
+        |  SELECT vec_id,
+        |    CAST((rk - 5) % 4 AS BIGINT) AS coarse_id,
+        |    CAST(((rk - 5) % 4) * 4 + (rk - 5) // 4 AS BIGINT) AS cent_id
+        |  FROM seeds WHERE rk > 4 AND rk <= 20),
+        |cs AS (
+        |  SELECT a.vec_id AS item_id, c.cent_id,
+        |         round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM e a JOIN coarse c ON true
+        |  JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = c.vec_id
+        |  GROUP BY a.vec_id, c.cent_id, na.nrm, nb.nrm),
+        |cbest AS (
+        |  SELECT item_id, cent_id AS coarse_id FROM (
+        |    SELECT item_id, cent_id,
+        |      row_number() OVER (PARTITION BY item_id ORDER BY score DESC, cent_id ASC) AS rn
+        |    FROM cs) WHERE rn = 1),
+        |fs AS (
+        |  SELECT a.vec_id AS item_id, f.cent_id, f.coarse_id,
+        |         round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM e a JOIN fine f ON true
+        |  JOIN e b ON b.vec_id = f.vec_id AND b.i = a.i
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = f.vec_id
+        |  GROUP BY a.vec_id, f.cent_id, f.coarse_id, na.nrm, nb.nrm),
+        |assigned AS (
+        |  SELECT item_id AS neighbor_id, cent_id AS cell FROM (
+        |    SELECT x.item_id, x.cent_id,
+        |      row_number() OVER (PARTITION BY x.item_id ORDER BY x.score DESC, x.cent_id ASC) AS rn
+        |    FROM fs x JOIN cbest cb ON cb.item_id = x.item_id AND cb.coarse_id = x.coarse_id)
+        |  WHERE rn = 1),
+        |topc AS (
+        |  SELECT item_id, cent_id AS coarse_id, score AS cscore FROM (
+        |    SELECT item_id, cent_id, score,
+        |      row_number() OVER (PARTITION BY item_id ORDER BY score DESC, cent_id ASC) AS rn
+        |    FROM cs WHERE item_id < 5) WHERE rn <= 3),
+        |probes AS (
+        |  SELECT item_id AS query_id, cent_id AS cell FROM (
+        |    SELECT x.item_id, x.cent_id,
+        |      row_number() OVER (PARTITION BY x.item_id
+        |        ORDER BY (tc.cscore + x.score) DESC, x.cent_id ASC) AS rn
+        |    FROM fs x JOIN topc tc ON tc.item_id = x.item_id AND tc.coarse_id = x.coarse_id)
+        |  WHERE rn <= 6),
         |pairs AS (
         |  SELECT p.query_id, a.neighbor_id,
         |         round(sum(qe.v * ce.v) / (nq.nrm * nc.nrm), 6) AS cosine

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
   * iterative loop [[Bpe]]'s pair statistics are the first round of.
@@ -57,22 +56,39 @@ object BpeTrain {
     (word.map(_.toString) :+ EndOfWord).toArray
 
   /** Learn `numMerges` merges from the corpus. Returns the ordered
-    * merge list ((a, b) meaning symbol a followed by b fuses to ab). */
+    * merge list ((a, b) meaning symbol a followed by b fuses to ab).
+    *
+    * `autoBatch = true` grows the per-round batch with the merges
+    * already learned (K = 1 + learned/4, capped at 256, floored at
+    * `batchK`): early rounds run sequentially — exactly canonical BPE
+    * while merges still interact heavily — and later rounds batch
+    * aggressively where top pairs are overwhelmingly symbol-disjoint.
+    * Round count then grows ~logarithmically in numMerges instead of
+    * linearly, which is what makes a realistic ≥1k-merge vocabulary
+    * affordable when every round is a driver-coordinated job. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            batchK: Int = 1): Seq[(String, String)] = {
+            batchK: Int = 1, autoBatch: Boolean = false): Seq[(String, String)] = {
     require(numMerges > 0 && batchK >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint (not persist): each round's rewrite chains a map
+    // on the previous round's Dataset, so by round N the lineage is N
+    // plans deep — Catalyst re-analyzes the whole chain every round
+    // (quadratic overall) and a long training run overflows the stack
+    // just printing the tree. Eager localCheckpoint materializes AND
+    // truncates the lineage, keeping every round's plan constant-size
+    // (the same flat-cost discipline as kmeansCentroids' driver loop).
     var vocab: Dataset[(Array[String], Long)] = Bpe.wordFreq(docs, textCol)
       .as[(String, Long)].map { case (w, f) => (toSyms(w), f) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count() // materialize before the loop
+      .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     while (merges.length < numMerges) {
       rounds += 1
-      val want = math.min(batchK, numMerges - merges.length)
+      val k = if (autoBatch)
+        math.max(batchK, math.min(256, 1 + merges.length / 4)) else batchK
+      val want = math.min(k, numMerges - merges.length)
       // 1. weighted pair counts — every adjacent position, matching
       // the reference get_stats (overlapping runs like "a a a" count
       // (a,a) twice even though one merge pass fuses only once)
@@ -85,12 +101,20 @@ object BpeTrain {
         .limit(math.max(want * 4, want)).collect()
       if (top.isEmpty) return merges.toSeq // vocab fully fused
 
-      // 2. greedily keep symbol-disjoint pairs (batchK=1 → just the max)
+      // 2. greedily keep top pairs whose symbols EXISTED at round
+      // start — a pair touching a symbol produced this round has no
+      // counted statistics yet and must wait. Pairs sharing a SOURCE
+      // symbol may co-merge (applied in rank order, so the outcome is
+      // deterministic); their counts are one application stale, the
+      // staleness batching already accepts. The earlier fully-disjoint
+      // rule throttled batches to a handful of pairs per round on
+      // small alphabets (hex-ish corpora), stretching a 1k-merge run
+      // into hundreds of rounds for no quality gain.
       val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val used = scala.collection.mutable.Set.empty[String]
+      val produced = scala.collection.mutable.Set.empty[String]
       top.iterator.takeWhile(_ => chosen.length < want).foreach { case (a, b, _) =>
-        if (!used(a) && !used(b) && !used(a + b)) {
-          chosen += ((a, b)); used ++= Seq(a, b, a + b)
+        if (!produced(a) && !produced(b)) {
+          chosen += ((a, b)); produced += a + b
         }
       }
       if (chosen.isEmpty) return merges.toSeq
@@ -101,8 +125,7 @@ object BpeTrain {
       val old = vocab
       vocab = old.map { case (syms, f) =>
         (picked.foldLeft(syms) { case (s, (a, b)) => mergePair(s, a, b) }, f)
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-      vocab.count()
+      }.localCheckpoint(true)
       old.unpersist()
       ()
     }

@@ -64,6 +64,26 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("autoBatch training matches batchK=1 exactly on the early sequential prefix") {
+    // K = max(batchK, min(256, 1 + learned/4)): rounds stay K=1 until
+    // 4 merges are learned, so the first 5 merges (4 sequential + the
+    // head of the first K=2 round) MUST equal canonical BPE; beyond
+    // that only validity is guaranteed
+    val single = BpeTrain.train(corpus, "text", 12, batchK = 1)
+    val auto = BpeTrain.train(corpus, "text", 12, autoBatch = true)
+    assert(auto.length == single.length)
+    assert(auto.take(5) == single.take(5),
+      s"sequential prefix diverged: auto=${auto.take(5)} single=${single.take(5)}")
+    // every merge still references constructible symbols
+    val known = scala.collection.mutable.Set[String]("</w>") ++ ('a' to 'z').map(_.toString)
+    auto.foreach { case (a, b) =>
+      assert(known(a) && known(b), s"merge ($a,$b) uses unknown symbol")
+      known += a + b
+    }
+    // determinism: a re-run reproduces the identical merge list
+    assert(BpeTrain.train(corpus, "text", 12, autoBatch = true) == auto)
+  }
+
   test("a fully-fused vocabulary ends training early instead of looping") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val merges = BpeTrain.train(tiny, "text", numMerges = 50)
