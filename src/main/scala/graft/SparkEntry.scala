@@ -1090,6 +1090,36 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition filter: duplicate-token fraction per doc
+    // encoding-damage detection: plant latin-1 mojibake pairs and
+    // replacement chars on a deterministic doc subset; clean docs must
+    // score exactly 0
+    "text_mojibake" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val damaged = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" caf\u00C3\u00A9 don\u00C2\u00A0t")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit(" bad\uFFFDchar")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          TextAnalysis.mojibakeScore(damaged).as("moji_score"))
+        .orderBy("doc_id")
+    }),
+
+    // domain-blocklist gate: registered-domain (PSL) membership drop,
+    // subdomains of listed domains included
+    "url_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("sub.spam-domain.com"))
+          .when(col("doc_id") % 7 === 0, lit("www.bad-site.co.uk"))
+          .otherwise(concat(lit("www."), col("source"), lit(".com"))),
+        lit("/p/"), col("doc_id").cast("string"))
+      graft.text.UrlOps.filterBlockedDomains(
+          docs.select(col("doc_id"), url.as("url")),
+          "url", Seq("spam-domain.com", "bad-site.co.uk"))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -2539,6 +2569,46 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, domain FROM r WHERE rk <= 3
         |ORDER BY domain, doc_id""".stripMargin),
+
+    // mojibake replay: same planted damage, same two deleted-length
+    // regex counts (pair class counts 2 chars per artifact so the
+    // length difference IS pairHits*2), same floor quantization.
+    // Scala resolves the \-u escapes at compile time, so the SQL text
+    // carries the literal characters both engines match on.
+    "text_mojibake" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' caf\u00C3\u00A9 don\u00C2\u00A0t' ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' bad\uFFFDchar' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |    floor(((length(t) - length(regexp_replace(t, '[\u00C2\u00C3][\u0080-\u00BF]', '', 'g')))
+        |      + (length(t) - length(regexp_replace(t, '[\uFFFD\u0080-\u009F]', '', 'g'))))
+        |      / length(t) * 10000) / 10000 END AS moji_score
+        |FROM d ORDER BY doc_id""").stripMargin,
+
+    // blocklist replay: same synthesized hosts, same generated PSL
+    // domain CASE, NOT IN the blocked set
+    "url_blocklist" ->
+      ("""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'sub.spam-domain.com'
+        |         WHEN doc_id % 7 = 0 THEN 'www.bad-site.co.uk'
+        |         ELSE 'www.' || source || '.com' END ||
+        |    '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)) AS host
+        |  FROM u)
+        |SELECT doc_id, url FROM (
+        |  SELECT doc_id, url,
+        |    """.stripMargin + pslDomainCaseSql("host") + """ AS dom
+        |  FROM h)
+        |WHERE dom NOT IN ('spam-domain.com', 'bad-site.co.uk')
+        |ORDER BY doc_id""".stripMargin),
 
     // duplicate-token fraction: 1 - distinct/total over ws tokens
     "text_repetition" ->

@@ -108,7 +108,14 @@ object StreamScaleSmoke {
           concat_ws(" ", sqlTransform(sequence(lit(0), lit(39)),
             j => element_at(vocab,
               (pmod(xxhash64(col("_seed"), j, lit(i)), lit(512)) + 1).cast("int"))))
-            .as("text"))
+            .as("_body"))
+        // 10% of docs carry a banner line (run-recurring boilerplate):
+        // the hot-line stage must strip it before gate/fingerprint
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            org.apache.spark.sql.functions.concat(
+              lit("JOIN OUR MAILING LIST today\n"), col("_body")))
+            .otherwise(col("_body")).as("text"))
         .coalesce(docFilesPerBatch)
         .write.mode("append").parquet(docDrop)
     }
@@ -120,7 +127,8 @@ object StreamScaleSmoke {
       "doc_id", "text", "lang",
       s"$root/r_accepted", s"$root/r_rejected", s"$root/r_index",
       s"$root/r_ckpt",
-      Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125))
+      Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125),
+      lineIndexPath = s"$root/r_lineidx", lineMinDf = 3)
     q2.awaitTermination()
     val rp = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
     val rSecs = rp.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
@@ -130,6 +138,12 @@ object StreamScaleSmoke {
     val rejectedRows = spark.read.parquet(s"$root/r_rejected").count()
     val indexRows = spark.read.parquet(s"$root/r_index").count()
     require(acceptedRows > 0 && indexRows > 0, "recipe accepted nothing")
+    // the planted banner (df ~ docRows/10 >= 3 within batch 0) must be
+    // stripped from every accepted doc across the whole run
+    require(spark.read.parquet(s"$root/r_accepted")
+      .where(col("text").contains("JOIN OUR MAILING LIST")).count() == 0,
+      "hot-line stage failed to strip the planted banner")
+    val lineIdxRows = spark.read.parquet(s"$root/r_lineidx").count()
     val rFlat = rSecs.max / rSecs.min
     println(s"RECIPE batches=${rSecs.map(fmt).mkString(", ")} s " +
       s"(max/min ${fmt(rFlat)}); accepted=$acceptedRows rejected=$rejectedRows index=$indexRows")
@@ -143,6 +157,7 @@ object StreamScaleSmoke {
       s""""docs_per_sec":[${rp.map(p => fmt(p.numInputRows /
             (p.durationMs.get("triggerExecution").toLong / 1000.0))).mkString(",")}],""" +
       s""""batch_max_over_min":${fmt(rFlat)},"accepted_rows":$acceptedRows,""" +
+      s""""line_index_rows":$lineIdxRows,""" +
       s""""rejected_rows":$rejectedRows,"index_rows":$indexRows}}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -92,6 +92,27 @@ object TextAnalysis {
       floor((lit(1.0) - size(array_distinct(toks)) / n) * 10000) / 10000)
   }
 
+  /** Encoding-damage ("mojibake") score in [0,1]: the fraction of
+    * characters that are evidence of a decode gone wrong —
+    *  - UTF-8-bytes-read-as-Latin-1 artifacts: U+00C2/U+00C3 ('Â'/'Ã',
+    *    the lead bytes of 2-byte UTF-8 sequences) immediately followed
+    *    by a continuation-range char U+0080-U+00BF (the "Ã©", "â€™"
+    *    family's first pair);
+    *  - U+FFFD replacement characters (a decoder already gave up);
+    *  - bare C1 controls U+0080-U+009F (never legitimate in text).
+    * Counting is by deleted-length difference (no regexp_count
+    * dependency), one codegen'd scan; every pattern is a literal-char
+    * class so any regex engine replays it bit-identically. The
+    * standard crawl-QC gate: score > ~0.01 marks a mis-decoded doc. */
+  def mojibakeScore(text: Column): Column = {
+    val s = coalesce(text, lit(""))
+    val n = length(s).cast("double")
+    val pairHits = (n - length(regexp_replace(s, "[\u00C2\u00C3][\u0080-\u00BF]", ""))) / 2
+    val oneHits = n - length(regexp_replace(s, "[\uFFFD\u0080-\u009F]", ""))
+    when(n === 0, 0.0).otherwise(
+      floor((pairHits * 2 + oneHits) / n * 10000) / 10000)
+  }
+
   /** Unicode writing-system ranges (BMP), as literal-char regex
     * classes so any regex engine replays the counts. */
   private val scriptRanges: Map[String, String] = Map(

@@ -144,6 +144,22 @@ object UrlOps {
       .otherwise(hostCol)
   }
 
+  /** Drop rows whose registered domain (eTLD+1 via
+    * [[registeredDomainPsl]]) is on a blocklist — the standard crawl
+    * hygiene gate (spam/adult/malware domain lists) that runs right
+    * after URL dedup and before any content touch. Blocking by
+    * REGISTERED domain means every subdomain of a listed domain is
+    * blocked too, which is what domain blocklists mean. Scan-speed
+    * narrow filter: the list folds into one codegen'd InSet probe, no
+    * join, no shuffle (blocklists are thousands of entries — set
+    * data, like the PSL). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to filter")
+    val dom = registeredDomainPsl(host(col(urlCol)))
+    df.where(!dom.isin(blocked.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
+  }
+
   /** Exact URL dedup: keep the min-id row per [[normalizeUrl]]
     * equivalence class. Same min-id-survivor convention as
     * [[graft.ops.Dedup]]; one shuffle on the normalized URL. */

@@ -44,6 +44,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("mojibakeScore: 0 for clean text, exact fractions for planted damage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "voilà café naïve"),      // real accents: NOT mojibake
+      (3L, "caf\u00C3\u00A9"),                      // one latin-1 pair in 5 chars
+      (4L, "bad\uFFFDchar"),                        // one replacement in 8 chars
+      (5L, "x\u0085y"),                             // bare C1 control in 3 chars
+      (6L, ""),                                     // empty -> 0
+      (7L, null.asInstanceOf[String])               // null -> 0
+    ).toDF("id", "text")
+    val m = df.select(col("id"), TextAnalysis.mojibakeScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) === 0.0)
+    assert(m(2L) === 0.0)
+    assert(m(3L) === math.floor(2.0 / 5 * 10000) / 10000)
+    assert(m(4L) === math.floor(1.0 / 8 * 10000) / 10000)
+    assert(m(5L) === math.floor(1.0 / 3 * 10000) / 10000)
+    assert(m(6L) === 0.0)
+    assert(m(7L) === 0.0)
+  }
+
   test("repetitionRatio: 0 for all-distinct and blank, high for boilerplate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -122,6 +122,25 @@ class UrlOpsSpec extends SparkSpec {
     assert(UrlOps.perDomainCap(df, "doc_id", "url", cap = 50).count() == 30)
   }
 
+  test("filterBlockedDomains drops listed registered domains and their subdomains") {
+    val df = Seq(
+      (1L, "https://www.example.com/ok"),
+      (2L, "https://spam-domain.com/x"),
+      (3L, "https://deep.sub.spam-domain.com/y"),   // subdomain: blocked
+      (4L, "https://SPAM-DOMAIN.com/z"),            // case-folded host
+      (5L, "https://www.bad-site.co.uk/a"),         // multi-part suffix
+      (6L, "https://notspam-domain.com.example.org/b")) // different eTLD+1
+      .toDF("doc_id", "url")
+    val kept = UrlOps.filterBlockedDomains(df, "url",
+        Seq("Spam-Domain.com", "bad-site.co.uk"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+    // plan shape: a narrow filter — no join, no shuffle
+    val plan = UrlOps.filterBlockedDomains(df, "url", Seq("spam-domain.com"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("perDomainCap plan: bounded-heap aggregate, no per-domain window") {
     // the hot-domain contract: selection must ride the mergeable
     // topk_by aggregate (cap·tasks rows per domain cross the shuffle),
