@@ -54,10 +54,15 @@ object VideoScaleSmoke {
     // generation (JPEG encode + AVI mux) is corpus setup, excluded
     // from the decode timing
     val t0 = System.nanoTime()
+    // half MJPEG-AVI, half MJPEG-in-MP4: both containers' demux +
+    // frame-decode paths measured in one pass (MP4 sample addressing
+    // is stco x stsc x stsz since r11)
     spark.range(n).map { id =>
       val rnd = new java.util.SplittableRandom(id)
       val imgs = (0 until frames).map(_ => renderFrame(rnd.nextLong() | 1L, 64, 48))
-      (id, graft.multimodal.MjpegAvi.write(imgs, fps = 10))
+      val payload = if (id % 2 == 0) graft.multimodal.MjpegAvi.write(imgs, fps = 10)
+        else graft.multimodal.MjpegMp4.write(imgs, fps = 10)
+      (id, payload)
     }.toDF("media_id", "payload")
       .write.mode("overwrite").parquet(s"$root/videos")
     val tGen = (System.nanoTime() - t0) / 1e9
@@ -67,7 +72,8 @@ object VideoScaleSmoke {
     def decodePass(): (Long, Long, Long) = {
       val out = graft.multimodal.Multimodal.decodeVideo(videos, sampleFrames)
         .agg(
-          sum(when(col("container") === "avi" && col("codec") === "MJPG" &&
+          sum(when((col("container") === "avi" && col("codec") === "MJPG" ||
+            col("container") === "mp4" && col("codec") === "jpeg") &&
             col("video_w") === 64 && col("video_h") === 48 &&
             col("n_frames") === frames, 1L).otherwise(0L)).as("ok_meta"),
           sum(when(size(col("frame_lumas")) === sampleFrames, 1L).otherwise(0L))
