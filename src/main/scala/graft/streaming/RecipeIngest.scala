@@ -84,12 +84,13 @@ object RecipeIngest {
         // its own fresh state and drop every row
         val staged =
           if (urlCol == null) None
-          else Some(urlDedupBatch(batch, idCol, urlCol, urlIndexPath))
+          else Some(urlDedupBatch(batch, idCol, urlCol, urlIndexPath, runId, batchId))
         val lined =
           if (lineIndexPath == null) None
           else {
             val in = staged.map(_.drop("_uh")).getOrElse(batch)
-            Some(stripHotLinesBatch(in, idCol, textCol, lineIndexPath, lineMinDf))
+            Some(stripHotLinesBatch(in, idCol, textCol, lineIndexPath, lineMinDf,
+              runId = runId, batchId = batchId))
           }
         try {
           val afterStages = lined.map(_._1)
@@ -128,7 +129,7 @@ object RecipeIngest {
     * docs suggest a Bloom filter. */
   private[graft] def stripHotLinesBatch(batch: DataFrame, idCol: String,
       textCol: String, lineIndexPath: String, minDf: Int,
-      sep: String = "\n"): (DataFrame, DataFrame) = {
+      sep: String = "\n", runId: String = "", batchId: Long = -1L): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     require(minDf >= 2, "minDf < 2 would drop every line")
     val lines = batch
@@ -139,6 +140,8 @@ object RecipeIngest {
       .agg(countDistinct(col("_id")).as("_df"))
     val index: DataFrame =
       try spark.read.parquet(lineIndexPath)
+        // see urlDedupBatch: retries must not double-count themselves
+        .where(!(col("run_id") === runId && col("batch_id") === batchId))
         .groupBy("_key").agg(sum(col("_df")).as("_prev"))
       catch { case _: Exception =>
         spark.emptyDataFrame
@@ -168,14 +171,20 @@ object RecipeIngest {
     * caller commits the batch's hashes to the index after downstream
     * consumption and unpersists. */
   private[graft] def urlDedupBatch(batch: DataFrame, idCol: String,
-      urlCol: String, urlIndexPath: String): DataFrame = {
+      urlCol: String, urlIndexPath: String,
+      runId: String = "", batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     val keyed = batch.withColumn("_uh",
       md5(graft.text.UrlOps.normalizeUrl(col(urlCol))))
     val reps = keyed.groupBy("_uh").agg(min(col(idCol)).as(idCol))
     val batchUnique = keyed.join(reps, Seq("_uh", idCol), "left_semi")
+    // exclude THIS batch's own partition: a foreachBatch retry that
+    // already committed its hashes must not anti-join the batch
+    // against itself (partition pruning makes the filter free)
     val index: DataFrame =
-      try spark.read.parquet(urlIndexPath).select(col("_uh"))
+      try spark.read.parquet(urlIndexPath)
+        .where(!(col("run_id") === runId && col("batch_id") === batchId))
+        .select(col("_uh"))
       catch { case _: Exception =>
         spark.emptyDataFrame.select(lit("").as("_uh")).limit(0) }
     val novel = batchUnique.join(index, Seq("_uh"), "left_anti").cache()
@@ -239,7 +248,11 @@ object RecipeIngest {
       // cross-batch dedup: drop fingerprints already in the index
       // (fingerprint column only — ~32 B per corpus doc)
       val index: DataFrame =
-        try spark.read.parquet(indexPath).select(col("_fp"))
+        try spark.read.parquet(indexPath)
+          // see urlDedupBatch: a retried batch's own committed
+          // fingerprints must not erase its accepted output
+          .where(!(col("run_id") === runId && col("batch_id") === lit(batchId)))
+          .select(col("_fp"))
         catch { case _: Exception =>
           spark.emptyDataFrame.select(lit("").as("_fp")).limit(0) }
       val novel = batchUnique.join(index, Seq("_fp"), "left_anti").cache()
