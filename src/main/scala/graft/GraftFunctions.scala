@@ -35,6 +35,12 @@ object GraftFunctions {
   def topk_by(score: Column, id: Column, k: Int): Column =
     graft.expr.TopKByScore.topKBy(score, id, k)
 
+  def topk_rows_by(score: Column, tie: Column, payload: Column, k: Int): Column =
+    graft.expr.TopKRowsByScore.topKRowsBy(score, tie, payload, k)
+
+  def mojibake_score(text: Column): Column =
+    graft.text.TextAnalysis.mojibakeScore(text)
+
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
@@ -86,6 +92,12 @@ object GraftFunctions {
       case Seq(s, i, k) => graft.expr.TopKByScore(s, i, intLit(k)).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"topk_by expects (score, id, k), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("topk_rows_by", exprs => exprs match {
+      case Seq(s, t, p, k) =>
+        graft.expr.TopKRowsByScore(s, t, p, intLit(k)).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"topk_rows_by expects (score, tie, payload_struct, k), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("vector_sum", exprs => exprs match {
       case Seq(v) => graft.expr.VectorSum(v).toAggregateExpression()

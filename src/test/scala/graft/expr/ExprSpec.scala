@@ -290,4 +290,18 @@ class ExprSpec extends SparkSpec {
     val d = spark.sql("SELECT kmv_distinct(text) AS d FROM sqldocs").as[Long].head()
     assert(d == 1L)
   }
+
+  test("SQL registration: topk_rows_by keeps payload rows per group") {
+    GraftFunctions.register(spark)
+    Seq(("a", 1.0, 1L, "p1"), ("a", 3.0, 2L, "p2"), ("a", 2.0, 3L, "p3"),
+        ("b", 9.0, 4L, "p4"))
+      .toDF("g", "s", "id", "txt").createOrReplaceTempView("sqlrows")
+    val rows = spark.sql(
+      """SELECT g, e.id, e.txt FROM (
+        |  SELECT g, explode(topk_rows_by(s, id, struct(id, txt), 2)) AS e
+        |  FROM sqlrows GROUP BY g)
+        |ORDER BY g, e.id""".stripMargin)
+      .as[(String, Long, String)].collect().toSeq
+    assert(rows == Seq(("a", 2L, "p2"), ("a", 3L, "p3"), ("b", 4L, "p4")))
+  }
 }
