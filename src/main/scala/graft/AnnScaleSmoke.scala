@@ -19,15 +19,23 @@ object AnnScaleSmoke {
     * HONEST scan fraction (rows in probed cells / corpus, averaged
     * over queries — not nprobe/cells, which assumes uniform cells).
     * Output: one JSON line → BENCH_SCALE_ANN_FRONTIER.json. */
-  def frontier(spark: SparkSession, rows: Long): Unit = {
+  def frontier(spark: SparkSession, rows: Long,
+               clustered: Boolean = false): Unit = {
     import org.apache.spark.sql.DataFrame
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val dir = java.nio.file.Files.createTempDirectory("ann-frontier").toString
-    spark.range(rows).select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
-          .as("embedding"))
+    // uniform: structure-free directions — IVF's adversarial case.
+    // clustered: 2000 hash-derived centers + +/-0.1 per-component noise
+    // (center scale +/-1) — the case hierarchical routing exists for.
+    val gen = if (clustered)
+      "transform(sequence(0, 63), j -> CAST(" +
+        "pmod(xxhash64(pmod(xxhash64(id), 2000), j), 2000) / 1000.0 - 1.0 + " +
+        "pmod(xxhash64(id, j, 7), 200) / 1000.0 - 0.1 AS FLOAT))"
+    else
+      "transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT))"
+    spark.range(rows).select(col("id").as("vec_id"), expr(gen).as("embedding"))
       .write.mode("overwrite").parquet(s"$dir/emb")
     val corpus = spark.read.parquet(s"$dir/emb")
     val queries = corpus.where(col("vec_id") < 100)
@@ -100,24 +108,29 @@ object AnnScaleSmoke {
       println(s"FRONTIER $line")
       results += line
     }
+    val data = if (clustered) "clustered" else "uniform"
     val json = s"""{"metric":"ann_frontier","rows":$rows,"dim":64,"queries":100,""" +
-      s""""k":10,"brute_sec":${fmt("%.2f", tBrute)},"configs":[${results.mkString(",")}]}"""
+      s""""k":10,"data":"$data","brute_sec":${fmt("%.2f", tBrute)},""" +
+      s""""configs":[${results.mkString(",")}]}"""
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SCALE_ANN_FRONTIER.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      if (clustered) "BENCH_SCALE_ANN_FRONTIER_CLUSTERED.json"
+      else "BENCH_SCALE_ANN_FRONTIER.json"), json)
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("frontier")) {
-      val rows = if (args.length > 1) args(1).toLong else 2000000L
+      val clustered = args.length > 1 && args(1) == "clustered"
+      val rows = if (args.length > (if (clustered) 2 else 1))
+        args(if (clustered) 2 else 1).toLong else 2000000L
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      frontier(spark, rows)
+      frontier(spark, rows, clustered)
       spark.stop()
       return
     }

@@ -398,15 +398,21 @@ object Ann {
     * with numCoarse × numFine fine cells at a build cost of
     * numCoarse + numFine cosines per corpus vector.
     *
-    * Measured honestly (BENCH_SCALE_ANN_FRONTIER.json, 2M × 64
-    * uniform-random): build 3-4× cheaper than flat-512 as designed,
-    * but recall caps at ~0.6 at a 10% scan where flat-512 reaches
-    * 1.00 — coarse-GATED assignment is only as predictable as the
-    * query's estimate of a neighbor's coarse argmax, and on
-    * structure-free vectors (best neighbor cosine ~0.5) that estimate
-    * is weak. Use this path when the corpus has real cluster
-    * structure (the case IVF exists for) or the build budget binds;
-    * use flat [[ivfTopK]] when recall at a fixed scan budget binds. */
+    * Measured honestly, both sides (2M × 64):
+    *  - uniform-random vectors (BENCH_SCALE_ANN_FRONTIER.json):
+    *    recall caps at ~0.6 at a 10% scan where flat-512 reaches
+    *    1.00 — coarse-GATED assignment is only as predictable as the
+    *    query's estimate of a neighbor's coarse argmax, and on
+    *    structure-free vectors (best neighbor cosine ~0.5) that
+    *    estimate is weak;
+    *  - clustered vectors, 2000 centers + noise
+    *    (BENCH_SCALE_ANN_FRONTIER_CLUSTERED.json): recall 1.000 at a
+    *    10.4% scan with build 2.4× cheaper than flat-512 (16.6 s vs
+    *    40.5 s) at equal recall.
+    * So: real embedding corpora (clustered — the case IVF exists
+    * for) → this path; adversarially unstructured vectors or an
+    * unknown distribution with a hard recall floor → flat
+    * [[ivfTopK]]. */
   def ivfTopK2(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
                numCoarse: Int = 64, numFine: Int = 16,
