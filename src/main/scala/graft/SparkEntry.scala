@@ -1187,6 +1187,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // trainable Naive-Bayes filter (the fastText-quality-classifier
+    // move): fit token class counts against the lang='en' seed label,
+    // score every doc's class log-likelihood ratio. Per-token
+    // log-probs quantized to integer 1e-4 per class BEFORE the
+    // subtraction and per-doc sum, so the logit and the keep decision
+    // replay exactly.
+    "text_nb_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("is_en", col("lang") === "en")
+      graft.text.NbClassifier.scoreSelf(d, "doc_id", "text", "is_en")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style quality-rule bundle: word-count band, mean word
     // length band, alphabetic-word fraction, duplicate-bigram
     // fraction, and the combined keep decision. All metrics are
@@ -2748,6 +2760,48 @@ object SparkEntry {
         |  FROM tk LEFT JOIN freq USING (token) CROSS JOIN stats)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // NB-filter replay: same tokenization, same Laplace smoothing,
+    // same per-class integer-1e-4 floor quantization before the
+    // subtraction and the per-doc sum; prior log-odds added once.
+    "text_nb_filter" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS y FROM documents),
+        |toks AS (
+        |  SELECT doc_id, y,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM d),
+        |tk AS (SELECT doc_id, y, token FROM toks WHERE length(token) > 0),
+        |model AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cnt_neg
+        |  FROM tk GROUP BY token),
+        |priors AS (
+        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_docs,
+        |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_docs
+        |  FROM d),
+        |stats AS (
+        |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(cnt_neg) AS BIGINT) AS n_neg,
+        |         CAST(count(*) AS BIGINT) AS v_size,
+        |         CAST(floor(ln(CAST(p.n_pos_docs AS DOUBLE) / p.n_neg_docs)
+        |           * 10000) AS BIGINT) AS prior_q
+        |  FROM model CROSS JOIN priors p
+        |  GROUP BY p.n_pos_docs, p.n_neg_docs),
+        |scored AS (
+        |  SELECT tk.doc_id, stats.prior_q,
+        |    CAST(floor(ln((coalesce(model.cnt_pos, 0) + 1) /
+        |        CAST(stats.n_pos + stats.v_size AS DOUBLE)) * 10000) AS BIGINT)
+        |    - CAST(floor(ln((coalesce(model.cnt_neg, 0) + 1) /
+        |        CAST(stats.n_neg + stats.v_size AS DOUBLE)) * 10000) AS BIGINT)
+        |      AS llr_q
+        |  FROM tk LEFT JOIN model USING (token) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  (CAST(sum(llr_q) AS BIGINT) + any_value(prior_q)) / 10000.0 AS logit,
+        |  ((CAST(sum(llr_q) AS BIGINT) + any_value(prior_q)) / 10000.0) > 0.0
+        |    AS pred
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
