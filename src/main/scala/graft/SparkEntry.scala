@@ -1127,6 +1127,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML → text: wrap each doc in deterministic markup (title,
+    // style block, comment, entities, trailing script) and strip it
+    // back to prose with the RE2-safe regexp chain
+    "html_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">body { color: red; }" +
+          "</style></head><body><!-- boilerplate comment --><h1>"),
+        col("source"),
+        lit("</h1><p>"), col("text"),
+        lit(" A &amp; B &lt;tag&gt;</p>" +
+          "<script>var x = 1 < 2;</script></body></html>"))
+      docs.select(col("doc_id"), graft.text.Html.stripHtml(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // domain-level link graph from embedded hrefs: absolute http(s)
+    // targets only, src/dst collapsed to eTLD+1, edge weights — the
+    // PageRank input shape for a crawl
+    "html_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<p>x</p><a href=\"https://news.example"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/a/"), col("doc_id").cast("string"), lit("\">n</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href='http://blog.partner"),
+            (col("doc_id") % 5).cast("string"), lit(".com/x'>b</a>")))
+          .otherwise(lit("")),
+        lit("<a href=\"/local/page\">rel</a><a href=\"mailto:a@b.c\">m</a>"))
+      val d = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      graft.text.Html.domainLinkGraph(d, "doc_id", "html", "url")
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     // Unicode-canonical fingerprinting: both a composed (U+00E9) and a
     // decomposed (e + U+0301) "café" are appended to every doc, so the
     // fingerprints only match the oracle if BOTH engines NFC-normalize
@@ -2621,6 +2660,76 @@ object SparkEntry {
         |  FROM h)
         |WHERE dom NOT IN ('spam-domain.com', 'bad-site.co.uk')
         |ORDER BY doc_id""".stripMargin),
+
+    // HTML strip replay: same synthesized markup, same 11-step
+    // regexp chain (script/style/comment/tag removal, fixed entity
+    // set with &amp; decoded last, whitespace collapse) — inline
+    // (?is) flags + 'g' so RE2 matches Java regex exactly
+    "html_text" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">body { color: red; }' ||
+        |    '</style></head><body><!-- boilerplate comment --><h1>' ||
+        |    source || '</h1><p>' || text ||
+        |    ' A &amp; B &lt;tag&gt;</p>' ||
+        |    '<script>var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |         '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |       '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |     '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |   '&#39;', '''', 'g'),
+        |  '&amp;', '&', 'g'),
+        | '\s+', ' ', 'g')) AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // link-graph replay: same markup, same href extraction, absolute
+    // http(s) filter, generated PSL domain CASE on both endpoints,
+    // edge-weight count
+    "html_links" ->
+      ("""WITH d AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.com/p/' || doc_id AS url,
+        |    '<p>x</p><a href="https://news.example' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    '/a/' || doc_id || '">n</a>' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<a href=''http://blog.partner' || (doc_id % 5) || '.com/x''>b</a>'
+        |      ELSE '' END ||
+        |    '<a href="/local/page">rel</a><a href="mailto:a@b.c">m</a>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, url,
+        |    unnest(regexp_extract_all(html,
+        |      '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)) AS link
+        |  FROM d),
+        |f AS (
+        |  SELECT lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)) AS src_host,
+        |         lower(regexp_extract(link, '^[^/]*//([^/:?#]+)', 1)) AS dst_host
+        |  FROM l WHERE regexp_matches(link, '(?i)^https?://')),
+        |g AS (
+        |  SELECT """.stripMargin + pslDomainCaseSql("src_host") +
+        """ AS src_domain,
+        |    """.stripMargin + pslDomainCaseSql("dst_host") + """ AS dst_domain
+        |  FROM f)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY src_domain, dst_domain
+        |ORDER BY src_domain, dst_domain""".stripMargin),
 
     // duplicate-token fraction: 1 - distinct/total over ws tokens
     "text_repetition" ->
