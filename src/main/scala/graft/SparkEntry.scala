@@ -1226,6 +1226,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bigram LM with interpolated unigram backoff (the CCNet-style
+    // perplexity gate one rung up from text_unigram_lp): per-pair
+    // p = λ·ml + (1−λ)·laplace, floor-1e-4 integer quantization
+    // before the per-doc mean
+    "text_bigram_lp" -> ((s, dir) => {
+      graft.text.BigramLm.scoreSelf(t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy("doc_id")
+    }),
+
     // trainable Naive-Bayes filter (the fastText-quality-classifier
     // move): fit token class counts against the lang='en' seed label,
     // score every doc's class log-likelihood ratio. Per-token
@@ -2871,6 +2880,46 @@ object SparkEntry {
         |  CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM replay: same pair generation (1-based adjacent
+    // windows), same interpolation with identical float association
+    // (0.8·ml + (1.0−0.8)·lap — the subtraction is evaluated in BOTH
+    // engines so the imprecise 0.2 matches bit-for-bit), same
+    // floor-1e-4 integer quantization
+    "text_bigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(toks) AS token FROM tk) GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |         CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+        |bi AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt12
+        |  FROM p GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(ln(
+        |      0.8 * (CASE WHEN bi.cnt12 IS NULL THEN 0.0
+        |                  ELSE CAST(bi.cnt12 AS DOUBLE) / u1.cnt END)
+        |      + (1.0 - 0.8) * ((coalesce(u2.cnt, 0) + 1) /
+        |          CAST(stats.n_total + stats.v_size AS DOUBLE))
+        |    ) * 10000) AS BIGINT) AS lp_q
+        |  FROM p
+        |  LEFT JOIN bi USING (w1, w2)
+        |  LEFT JOIN uni u1 ON u1.token = p.w1
+        |  LEFT JOIN uni u2 ON u2.token = p.w2
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(lp_q) AS BIGINT) / count(*) / 10000 AS lp_avg
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // NB-filter replay: same tokenization, same Laplace smoothing,
     // same per-class integer-1e-4 floor quantization before the
