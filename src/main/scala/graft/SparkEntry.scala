@@ -1012,6 +1012,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Luhn-gated card-number scrubbing: plant valid (Visa/MC/Amex
+    // test numbers, separator-formatted) and invalid digit runs on
+    // deterministic doc subsets; only checksum-valid runs become
+    // <CC>, order-id-like runs survive
+    "text_cc_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" pay 4532-0151-1283-0366 now")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" ref 1234 5678 1234 5678 x")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" amex 374245455400126 end")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          size(TextAnalysis.ccCandidates(planted)).cast("long").as("n_cand"),
+          size(TextAnalysis.ccValid(planted)).cast("long").as("n_valid"),
+          TextAnalysis.scrubCc(planted).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // cross-document line dedup (CCNet-style boilerplate removal):
     // docs re-lined deterministically (10-word content lines) with a
     // planted cookie banner on even ids and a per-source footer —
@@ -2504,6 +2524,42 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Luhn replay: same candidate regex, same struct-based
+    // strip/validate/replace chain via list lambdas; checksum
+    // arithmetic is pure integers, so parity is exact
+    "text_cc_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' pay 4532-0151-1283-0366 now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ref 1234 5678 1234 5678 x' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' amex 374245455400126 end' ELSE '' END AS t
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, t, cands,
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(cands, x ->
+        |          struct_pack(orig := x, ds := regexp_replace(x, '[ -]', '', 'g'))),
+        |        s -> length(s.ds) BETWEEN 13 AND 19 AND
+        |          list_sum(list_transform(range(1, length(s.ds) + 1), i ->
+        |            CASE WHEN (length(s.ds) - i) % 2 = 1
+        |              THEN CASE WHEN CAST(s.ds[i] AS INTEGER) * 2 > 9
+        |                   THEN CAST(s.ds[i] AS INTEGER) * 2 - 9
+        |                   ELSE CAST(s.ds[i] AS INTEGER) * 2 END
+        |              ELSE CAST(s.ds[i] AS INTEGER) END)) % 10 = 0),
+        |      s -> s.orig) AS valid
+        |  FROM cc)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_cand,
+        |  CAST(len(valid) AS BIGINT) AS n_valid,
+        |  list_reduce(list_prepend(t, valid),
+        |    (acc, x) -> replace(acc, x, '<CC>')) AS scrubbed
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // line-dedup replay: identical re-lining (banner/content/footer),
     // per-line df across the corpus, df<5 survivors re-joined in order

@@ -208,6 +208,52 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** Candidate payment-card substrings: 13-19 digits with optional
+    * single space/dash separators between digit pairs — the raw
+    * matches, validation is [[luhnValid]]'s job. */
+  def ccCandidates(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")),
+      lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0))
+
+  /** Luhn checksum over a digits-only string: standard card-number
+    * validation (double every second digit from the right, subtract 9
+    * above 9, total ≡ 0 mod 10) plus the 13-19 length band. A
+    * codegen'd `aggregate` over character positions — no UDF; an
+    * engine with list lambdas replays it exactly. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val dd = d * 2
+        acc + when(((n - i) % 2) === 1,
+          when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      })
+    n.between(13, 19) && (sum % 10 === 0)
+  }
+
+  /** The Luhn-VALID candidates of `text`, in match order, as their
+    * original (separator-preserving) substrings — what a scrubber
+    * must replace. Distinguishing real card numbers from arbitrary
+    * digit runs is the difference between PII removal and destroying
+    * every order id in the corpus. */
+  def ccValid(text: Column): Column = {
+    val structs = transform(ccCandidates(text), x =>
+      struct(x.as("orig"), regexp_replace(x, "[ -]", "").as("ds")))
+    transform(filter(structs, s => luhnValid(s.getField("ds"))),
+      s => s.getField("orig"))
+  }
+
+  /** Replace every Luhn-valid card number with `<CC>` (exact-substring
+    * replace of each valid match; invalid digit runs survive). Compose
+    * with [[scrubPii]] for the full PII pass — card numbers first,
+    * or the generic long-digit-run rule masks them as `<NUM>`. */
+  def scrubCc(text: Column): Column =
+    aggregate(ccValid(text), coalesce(text, lit("")),
+      (acc, x) => replace(acc, x, lit("<CC>")))
+
   /** Content fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Canonical exact-dup key that survives formatting jitter. */
   def fingerprint(text: Column): Column =

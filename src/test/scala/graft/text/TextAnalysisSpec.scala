@@ -200,4 +200,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!m(2L))
     assert(!m(3L))
   }
+
+  test("luhnValid accepts checksum-correct card numbers and rejects others") {
+    val cases = Seq(
+      ("4532015112830366", true),   // Visa test number
+      ("5425233430109903", true),   // Mastercard test number
+      ("374245455400126", true),    // Amex test number (15 digits)
+      ("4532015112830367", false),  // last digit off by one
+      ("1234567812345678", false),
+      ("123456789012", false),      // 12 digits: below band
+      ("", false))
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), TextAnalysis.luhnValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, exp) => assert(got(d) == exp, s"luhn($d)") }
+  }
+
+  test("ccValid finds separator-formatted valid numbers, keeps originals") {
+    val text = "pay 4532-0151-1283-0366 now ref 1234 5678 1234 5678 x " +
+      "code 374245455400126 end"
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.ccValid(col("t")).as("v")).as[Seq[String]].head()
+    assert(got == Seq("4532-0151-1283-0366", "374245455400126"))
+  }
+
+  test("scrubCc masks only Luhn-valid runs; order ids survive") {
+    val text = "pay 4532-0151-1283-0366 for order 99887766554433 twice " +
+      "4532-0151-1283-0366 done"
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.scrubCc(col("t")).as("s")).as[String].head()
+    assert(got == "pay <CC> for order 99887766554433 twice <CC> done")
+    // no candidates -> text unchanged; null-safe
+    val plain = Seq("no digits here").toDF("t")
+      .select(TextAnalysis.scrubCc(col("t"))).as[String].head()
+    assert(plain == "no digits here")
+  }
+
+  test("cc scrubbing is a narrow scan (no shuffle)") {
+    val plan = Seq(("x")).toDF("t")
+      .select(TextAnalysis.scrubCc(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+  }
 }
