@@ -41,6 +41,9 @@ object GraftFunctions {
   def mojibake_score(text: Column): Column =
     graft.text.TextAnalysis.mojibakeScore(text)
 
+  def deflate_ratio(text: Column): Column =
+    graft.expr.DeflateRatio.deflateRatio(text)
+
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
@@ -109,6 +112,11 @@ object GraftFunctions {
       case Seq(t) => graft.expr.NormalizeText(t, "NFC")
       case other => throw new IllegalArgumentException(
         s"normalize_text expects (text[, form]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("deflate_ratio", exprs => exprs match {
+      case Seq(t) => graft.expr.DeflateRatio(t)
+      case other => throw new IllegalArgumentException(
+        s"deflate_ratio expects (text), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)

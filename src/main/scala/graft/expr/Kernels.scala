@@ -373,4 +373,27 @@ object Kernels {
       out
     }
   }
+
+  /** Thread-local Deflater: zlib native state reused across rows via
+    * reset() — per-row allocation of native memory would dominate the
+    * scan. DEFAULT_COMPRESSION, raw deflate (nowrap): the 6-byte
+    * zlib header/checksum would bias short documents. */
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
+  /** Compressed/raw byte-length ratio of the string's UTF-8 bytes;
+    * 1.0 for the empty string. */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
 }
