@@ -1410,6 +1410,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // temperature-flattened mixture (output ∝ size^0.5): the
+    // multilingual rebalancing move; rates solved from observed sizes
+    // via sqrt (IEEE-exact both engines) with unnormalized weights,
+    // md5-threshold keep — fully replayable
+    "q_temperature_mix" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureMix(t(s, dir, "documents"), "lang",
+          "doc_id", alpha = 0.5, replayable = true)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // dominant-writing-system detection (charset routing for
     // multilingual corpora). The corpus is ASCII word soup, so the
     // query rotates injected samples across docs (doc_id % 7) to
@@ -3300,6 +3311,27 @@ object SparkEntry {
         |rates AS (
         |  SELECT lang, least(CAST(1.0 AS DOUBLE), tw * nn / n) AS rate
         |  FROM t CROSS JOIN scale),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN rates r USING (lang)
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |          1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE)
+        |        < r.rate * CAST(1099511627776 AS DOUBLE))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // temperature-mix replay: same unnormalized sqrt weights, same
+    // element-wise rate solve (min is exact, no float sum), same md5
+    // keep threshold
+    "q_temperature_mix" ->
+      """WITH sz AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, sqrt(n) AS wt FROM sz),
+        |scale AS (SELECT min(n / wt) AS nn FROM w),
+        |rates AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE), wt * nn / n) AS rate
+        |  FROM w CROSS JOIN scale),
         |kept AS (
         |  SELECT d.lang FROM documents d JOIN rates r USING (lang)
         |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),

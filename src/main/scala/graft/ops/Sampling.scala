@@ -207,7 +207,44 @@ object Sampling {
     // output scale N: rate_k = target_k * N / size_k <= 1 for all k
     val n = present.map { case (k, t) => sizes(k) / t }.min
     val rates = present.map { case (k, t) => k -> math.min(1.0, t * n / sizes(k)) }
+    applyRates(df, stratumCol, idCol, rates, salt, replayable)
+  }
 
+  /** Temperature-flattened mixture: keep-rates solved so the OUTPUT
+    * stratum sizes are proportional to `size^alpha` — the standard
+    * multilingual-corpus rebalancing move (alpha 1 = natural
+    * distribution, alpha → 0 = uniform; 0.5-0.7 is the usual band
+    * that keeps head languages from drowning the tail). The smallest
+    * effective stratum passes through whole and everything larger
+    * downsamples around it.
+    *
+    * Weights stay UNNORMALIZED (the normalizing sum cancels in the
+    * rate formula, and skipping it keeps every arithmetic step
+    * element-wise — no iteration-order-dependent float sum, so an
+    * external engine replays the rates exactly). alpha = 0.5 uses
+    * `sqrt`, which is IEEE-exact in any engine; other alphas go
+    * through `pow` (correctly rounded to ~1 ulp — replay across
+    * engines is near-exact but not guaranteed at quantization
+    * boundaries). Same narrow shape as [[mix]]: one tiny size
+    * aggregate, then a pure filter. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double, salt: Long = 0L, replayable: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(sizes.nonEmpty, "no rows to mix")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val nn = sizes.values.map(n => n.toDouble / w(n)).min
+    val rates = sizes.map { case (k, n) => k -> math.min(1.0, w(n) * nn / n) }
+    applyRates(df, stratumCol, idCol, rates, salt, replayable)
+  }
+
+  /** Shared per-stratum keep filter: rate literals folded into one
+    * when-chain, content-keyed hash threshold (md5 fold when
+    * `replayable`, xxhash64 otherwise); strata without a rate drop. */
+  private def applyRates(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], salt: Long, replayable: Boolean): DataFrame = {
     val rateCol = rates.foldLeft(lit(-1.0)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, lit(r)).otherwise(acc)
     }

@@ -39,6 +39,32 @@ class SamplingSpec extends SparkSpec {
     assert(Seq("en", "de", "fr").exists(l => counts(l) === sizes(l)))
   }
 
+  test("temperatureMix flattens toward size^alpha; smallest stratum intact") {
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === sizes.keySet) // nothing dropped entirely
+    // expected kept_k ≈ sqrt(n_k) * min_j(n_j / sqrt(n_j))
+    val nn = sizes.values.map(n => n.toDouble / math.sqrt(n.toDouble)).min
+    sizes.foreach { case (l, n) =>
+      val expect = math.min(n.toDouble, math.sqrt(n.toDouble) * nn)
+      assert(math.abs(kept(l) - expect) / math.max(expect, 1.0) < 0.3,
+        s"$l kept ${kept(l)} vs ~$expect")
+    }
+    // the binding (smallest-effective) stratum passes through whole
+    assert(sizes.exists { case (l, n) => kept(l) == n })
+    // alpha=1 keeps everything (natural distribution)
+    val natural = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.0)
+    assert(natural.count() == docs.count())
+    // determinism of the replayable path
+    val a = Sampling.temperatureMix(docs, "lang", "doc_id", 0.5, replayable = true)
+    val b = Sampling.temperatureMix(docs, "lang", "doc_id", 0.5, replayable = true)
+    assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("kPerGroup: exactly k rows per group, deterministic, salt-varied") {
     val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS grp",
       "id * 2 AS payload")
