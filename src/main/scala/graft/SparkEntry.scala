@@ -1601,6 +1601,17 @@ object SparkEntry {
     * parity pin (SimilaritySpec) these paths already carry. Bench runs
     * them so the recorded numbers measure what production executes. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deflate compression-ratio quality signal: native zlib kernel,
+    // no SQL-expressible oracle (DeflateRatioSpec pins the kernel
+    // against a direct Deflater reference) — benched because it is a
+    // per-row native-library call, the one scan-cost shape the
+    // regexp-based signals don't cover
+    "text_deflate_ratio" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.expr.DeflateRatio.deflateRatio(col("text")).as("zratio"))
+        .agg(count(lit(1)).as("n"),
+          (floor(avg(col("zratio")) * 10000) / 10000).as("mean_ratio"))
+    }),
     // full BPE tokenizer induction + corpus re-tokenization: 8 merge
     // rounds over the distinct-word vocab (driver-resident loop, like
     // pagerank), then segment the whole corpus with the learned
