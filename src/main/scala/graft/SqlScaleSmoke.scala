@@ -147,7 +147,14 @@ object SqlScaleSmoke {
     // cohort: two user_id-keyed shuffles; shards: narrow map + N-row
     // agg; pagerank: 3 iterative join+agg rounds over the ~1.2M-edge
     // (at 10x) purchase graph — the heaviest legitimate entry
-    "q_cohort_retention", "q_shard_manifest", "q_pagerank_suppliers")
+    "q_cohort_retention", "q_shard_manifest", "q_pagerank_suppliers",
+    // r11 text additions: html_text (the heaviest regexp scan — 11
+    // chained replaces per doc), bigram LM (two corpus-pair equi-joins,
+    // the biggest new text shuffle), NB filter (token join + agg),
+    // Luhn scrub (per-char lambda aggregate), deflate (native zlib
+    // per row) — all scan- or vocabulary-bound, expected ~mult×
+    "html_text", "text_bigram_lp", "text_nb_filter", "text_cc_scrub",
+    "text_deflate_ratio")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to

@@ -64,13 +64,27 @@ object RecipeIngest {
     * neither prop up nor water down quality scores, and the
     * fingerprint dedup downstream fingerprints the content, not the
     * chrome. */
+  /** `clfModelPath` (optional) inserts a stage 1.5 — a trained
+    * Naive-Bayes filter ([[graft.text.NbClassifier]], fit offline on
+    * a labeled seed set via `trainAndSave`) — between the rule-based
+    * quality gate and fingerprint dedup: docs whose class
+    * log-likelihood ratio is at most `clfThreshold` are routed to
+    * `rejectedPath` alongside the gate's rejects. This is the
+    * CCNet/LLaMA "model-based quality filter after the cheap rules"
+    * composition: rules kill the obvious junk at scan speed, the
+    * classifier catches fluent-but-off-distribution text the rules
+    * can't see. The model is a vocabulary-sized table (token class
+    * counts + 1-row priors), read per batch and joined on token —
+    * no driver-side model, no broadcast assumption. */
   def start(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             acceptedPath: String, rejectedPath: String, indexPath: String,
             checkpoint: String, targetWeights: Map[String, Double],
             mixSalt: Long = 0L,
             remixEvery: Int = 0, remixedPath: String = null,
             urlCol: String = null, urlIndexPath: String = null,
-            lineIndexPath: String = null, lineMinDf: Int = 3): StreamingQuery = {
+            lineIndexPath: String = null, lineMinDf: Int = 3,
+            clfModelPath: String = null,
+            clfThreshold: Double = 0.0): StreamingQuery = {
     require((urlCol == null) == (urlIndexPath == null),
       "urlCol and urlIndexPath come together")
     val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
@@ -96,7 +110,8 @@ object RecipeIngest {
           val afterStages = lined.map(_._1)
             .orElse(staged.map(_.drop("_uh"))).getOrElse(batch)
           processBatch(afterStages, idCol, textCol, langCol, acceptedPath,
-            rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt)
+            rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt,
+            clfModelPath, clfThreshold)
           def commit(df: DataFrame, path: String): Unit =
             df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
@@ -227,19 +242,36 @@ object RecipeIngest {
       textCol: String, langCol: String,
       acceptedPath: String, rejectedPath: String, indexPath: String,
       runId: String, batchId: Long,
-      targetWeights: Map[String, Double], mixSalt: Long): Unit = {
+      targetWeights: Map[String, Double], mixSalt: Long,
+      clfModelPath: String = null, clfThreshold: Double = 0.0): Unit = {
     val spark = batch.sparkSession
 
     val gated = batch.withColumn("_keep", TextAnalysis.gopherKeep(col(textCol)))
-    // fingerprinted survivors of the gate — cached: feeds the
+    val gatePass = gated.where(col("_keep")).drop("_keep")
+    // stage 1.5: trained NB filter — semi/anti split on the ids whose
+    // logit clears the threshold (docs the gate passed always have
+    // tokens, so every one gets a defined score)
+    val (clfPass, clfRej) =
+      if (clfModelPath == null) (gatePass, None)
+      else {
+        val (model, priors) = graft.text.NbClassifier.loadModel(spark, clfModelPath)
+        val passIds = graft.text.NbClassifier
+          .score(gatePass, idCol, textCol, model, priors)
+          .where(col("logit") > clfThreshold)
+          .select(col("doc_id").as(idCol))
+        (gatePass.join(passIds, Seq(idCol), "left_semi"),
+          Some(gatePass.join(passIds, Seq(idCol), "left_anti")))
+      }
+    // fingerprinted survivors of the gates — cached: feeds the
     // within-batch reps aggregate, the anti-join probe, mix's stratum
     // sizes, and the two writes (the same 4-consumer shape whose
     // re-execution the batch recipe's cache barrier fixed)
-    val fp = gated.where(col("_keep")).drop("_keep")
+    val fp = clfPass
       .withColumn("_fp", TextAnalysis.canonicalFingerprint(col(textCol)))
       .cache()
     try {
-      val rejected = gated.where(!col("_keep")).drop("_keep")
+      val rejected = clfRej.foldLeft(
+        gated.where(!col("_keep")).drop("_keep"))(_ unionByName _)
 
       // within-batch exact dedup: min id per fingerprint
       val reps = fp.groupBy("_fp").agg(min(col(idCol)).as(idCol))

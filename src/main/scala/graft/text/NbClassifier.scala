@@ -78,6 +78,31 @@ object NbClassifier {
       .withColumn("pred", col("logit") > 0.0)
   }
 
+  /** Persist a trained model: token class counts under `path`/model,
+    * the 1-row doc-count priors under `path`/priors — the same
+    * "model is a small table" convention as the IVF centroids
+    * ([[graft.ops.Ann.saveCentroids]]). */
+  def saveModel(model: DataFrame, priors: DataFrame, path: String): Unit = {
+    model.write.mode("overwrite").parquet(s"$path/model")
+    priors.write.mode("overwrite").parquet(s"$path/priors")
+  }
+
+  /** Load a model persisted by [[saveModel]]: (model, priors). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/model"), spark.read.parquet(s"$path/priors"))
+
+  /** Train on labeled `docs` and persist: convenience for the
+    * offline-fit half of the "fit on seed set, apply on ingest"
+    * split ([[graft.streaming.RecipeIngest]]'s classifier stage). */
+  def trainAndSave(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, path: String): Unit = {
+    val priors = docs.select(col(labelCol).cast("boolean").as("_y"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos_docs"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg_docs"))
+    saveModel(train(docs, textCol, labelCol), priors, path)
+  }
+
   /** Train on the labeled corpus and score the SAME corpus — the
     * seed-set self-fit (resubstitution) form and the
     * oracle-replayable query shape. */

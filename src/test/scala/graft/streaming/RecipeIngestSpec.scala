@@ -240,4 +240,54 @@ class RecipeIngestSpec extends SparkSpec {
     // remixEvery=1 → the periodic corpus remix ran after the batch
     assert(spark.read.parquet(s"$dir/remixed").count() == 2)
   }
+
+  test("classifier stage: fluent off-distribution docs passing the rule gate are cut") {
+    // two 60-word family vocabularies; each doc is a seed-offset
+    // stride-11 window of 36 distinct words — every doc passes the
+    // Gopher rules (6-char alpha words, no dup bigrams) and docs of a
+    // family share vocabulary without sharing fingerprints
+    val goodV = (0 until 60).map(k =>
+      s"go${('a' + k % 26).toChar}${('a' + k / 26 % 26).toChar}od")
+    val spamV = (0 until 60).map(k =>
+      s"sp${('a' + k % 26).toChar}${('a' + k / 26 % 26).toChar}am")
+    def doc(v: IndexedSeq[String], seed: Int): String =
+      (0 until 36).map(i => v((seed * 7 + i * 11) % 60)).mkString(" ")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    val (acc, rej, idx) = (s"$dir/accepted", s"$dir/rejected", s"$dir/index")
+
+    // offline fit on a labeled seed set (good = positive class)
+    val seedSet = ((0 until 8).map(i => (i.toLong, doc(goodV, i), true)) ++
+      (0 until 8).map(i => (100L + i, doc(spamV, i), false)))
+      .toDF("doc_id", "text", "y")
+    graft.text.NbClassifier.trainAndSave(seedSet, "doc_id", "text", "y", s"$dir/clf")
+
+    // ingest batch: NOVEL seeds from both families + a gate failure
+    RecipeIngest.processBatch(
+      Seq((1L, doc(goodV, 20), "en"), (2L, doc(spamV, 20), "en"),
+          (3L, doc(goodV, 21), "de"), (4L, "too short", "en"))
+        .toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", acc, rej, idx, "runC", 0L, weights, 0L,
+      clfModelPath = s"$dir/clf", clfThreshold = 0.0)
+
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // both reject classes land in the same sink: the rule-gate
+    // failure AND the classifier cut
+    assert(spark.read.parquet(rej).select("doc_id").as[Long].collect().toSet
+      == Set(2L, 4L))
+    // only classifier survivors enter the fingerprint index
+    assert(spark.read.parquet(idx).count() == 2)
+
+    // without the model path the same batch keeps the spam doc —
+    // the stage is genuinely the thing doing the cutting
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-clf2").toString
+    RecipeIngest.processBatch(
+      Seq((1L, doc(goodV, 20), "en"), (2L, doc(spamV, 20), "en"))
+        .toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", s"$dir2/a", s"$dir2/r", s"$dir2/i",
+      "runC", 0L, Map("en" -> 1.0), 0L)
+    assert(spark.read.parquet(s"$dir2/a").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
 }
