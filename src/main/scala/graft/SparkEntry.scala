@@ -913,6 +913,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // metadata-filtered vector search: neighbors drawn only from the
+    // even-label half of the corpus (pre-filter = exact recall; the
+    // predicate prunes the scan before any distance is computed)
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteTopKFiltered(emb, emb.where(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, predicate = col("label") % 2 === 0)
+        .orderBy("query_id", "rnk")
+    }),
+
     // embedding-cosine near-duplicate pairs: threshold form of the
     // brute pass — deterministic (no top-k selection instability).
     "emb_near_dup" -> ((s, dir) => {
@@ -1144,6 +1154,23 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence segmentation: planted terminal punctuation, RE2-safe
+    // marker split (no lookbehind), per-doc count/first/mean-length
+    "text_sentences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = concat(lit("First about "), col("source"),
+        lit(". Second has id "), col("doc_id").cast("string"),
+        lit("! Does it work? Tail of "), col("lang"))
+      val sents = TextAnalysis.sentences(planted)
+      val total = aggregate(sents, lit(0L), (a, x) => a + length(x))
+      docs.select(col("doc_id"),
+          size(sents).cast("long").as("n_sents"),
+          element_at(sents, 1).as("first_sent"),
+          (floor(total.cast("double") / size(sents) * 10000) / 10000)
+            .as("mean_sent_chars"))
         .orderBy("doc_id")
     }),
 
@@ -2365,6 +2392,29 @@ object SparkEntry {
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // filtered-search replay: identical cosine stack with the label
+    // predicate on the CANDIDATE side only (queries stay unfiltered)
+    "ann_filtered_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5 AND b.label % 2 = 0
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |FROM sc
+        |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "text_token_counts" ->
       """SELECT doc_id,
         |  CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -2747,6 +2797,28 @@ object SparkEntry {
         |  FROM h)
         |WHERE dom NOT IN ('spam-domain.com', 'bad-site.co.uk')
         |ORDER BY doc_id""".stripMargin),
+
+    // sentence replay: same planted punctuation, same marker
+    // replace-then-split (chr(30) = U+001E, the same literal the
+    // Scala side uses), same trim/filter and mean arithmetic
+    "text_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'First about ' || source || '. Second has id ' || doc_id ||
+        |    '! Does it work? Tail of ' || lang AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(t, '([.!?])\s+', '\1' || chr(30), 'g'),
+        |        chr(30)),
+        |      x -> trim(x)), x -> length(x) > 0) AS sents
+        |  FROM d)
+        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
+        |  sents[1] AS first_sent,
+        |  floor(CAST(list_sum(list_transform(sents, x -> length(x))) AS DOUBLE)
+        |    / len(sents) * 10000) / 10000 AS mean_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // HTML strip replay: same synthesized markup, same 11-step
     // regexp chain (script/style/comment/tag removal, fixed entity

@@ -69,6 +69,21 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-filtered exact top-k: neighbors drawn only from corpus
+    * rows satisfying `predicate` — the filtered-vector-search serving
+    * shape (find similar docs *within a language / source / date
+    * range*). Pre-filtering is the exact strategy: the predicate
+    * prunes the scan BEFORE any distance is computed (pushed to the
+    * parquet reader when it references scan columns), so cost scales
+    * with the filtered corpus, and recall is exact by construction —
+    * unlike post-filtering a k′>k unfiltered search, which can return
+    * fewer than k when the filter is selective. Same
+    * broadcast-queries / map-side-heap shape as [[bruteTopK]]. */
+  def bruteTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        predicate: Column): DataFrame =
+    bruteTopK(corpus.where(predicate), queries, idCol, vecCol, k)
+
   /** All corpus vectors within `threshold` cosine of any query —
     * embedding-based near-duplicate detection (deterministic, no
     * top-k selection instability). */

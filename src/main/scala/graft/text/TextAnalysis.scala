@@ -208,6 +208,47 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** Sentence segmentation: split after `.`/`!`/`?` followed by
+    * whitespace, trimmed, empties dropped — as `array<string>`.
+    * RE2-safe (no lookbehind: the boundary is marked by a `$1`-keeping
+    * replacement with U+001E, then split on it), so an external
+    * engine replays segmentation exactly. The abbreviation-aware
+    * heuristics of NLP segmenters are deliberately out: they are
+    * language-specific model data, and the downstream uses here
+    * (stats, chunk boundaries) tolerate an occasional over-split. */
+  def sentences(text: Column): Column = {
+    val marked = regexp_replace(coalesce(text, lit("")),
+      "([.!?])\\s+", "$1\u001E")
+    filter(transform(split(marked, "\u001E"), s => trim(s)),
+      s => length(s) > 0)
+  }
+
+  /** Sentence-aware chunking: pack whole sentences greedily into
+    * chunks of at most `maxChars` (a lone sentence longer than the
+    * budget becomes its own oversized chunk — never split mid-
+    * sentence). The RAG/context-window chunking shape that [[chunks]]'
+    * fixed character windows can't give you. One codegen'd aggregate
+    * fold over the sentence array — narrow, no shuffle, no UDF. */
+  def chunkBySentences(text: Column, maxChars: Int): Column = {
+    require(maxChars > 0, "maxChars must be positive")
+    val emptyChunks = array().cast("array<string>")
+    val folded = aggregate(
+      sentences(text),
+      struct(emptyChunks.as("done"), lit("").as("cur")),
+      (acc, s) => {
+        val cur = acc.getField("cur")
+        val joined = concat(cur, lit(" "), s)
+        when(cur === "", struct(acc.getField("done").as("done"), s.as("cur")))
+          .when(length(joined) <= maxChars,
+            struct(acc.getField("done").as("done"), joined.as("cur")))
+          .otherwise(struct(
+            concat(acc.getField("done"), array(cur)).as("done"), s.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    folded
+  }
+
   /** Candidate payment-card substrings: 13-19 digits with optional
     * single space/dash separators between digit pairs — the raw
     * matches, validation is [[luhnValid]]'s job. */

@@ -295,6 +295,18 @@ class AnnSpec extends SparkSpec {
     assert(top == Map(4L -> 1, 1L -> 2))
   }
 
+  test("bruteTopKFiltered draws neighbors only from the predicate slice") {
+    val withMeta = vecs.withColumn("lang",
+      when(col("vec_id") % 2 === 0, "en").otherwise("de"))
+    val top = Ann.bruteTopKFiltered(withMeta,
+        withMeta.where(col("vec_id") === 0L), "vec_id", "embedding", k = 3,
+        predicate = col("lang") === "de")
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toMap
+    // unfiltered top-1 is vec 4 (en) — the filter must exclude it and
+    // rank only the odd (de) vectors: 1 (cos .9938) then 3 (cos -1)
+    assert(top == Map(1L -> 1, 3L -> 2))
+  }
+
   test("cosineNeighbors thresholds correctly") {
     val n = Ann.cosineNeighbors(vecs, vecs.where(col("vec_id") === 0L),
       "vec_id", "embedding", threshold = 0.99)

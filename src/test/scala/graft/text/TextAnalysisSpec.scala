@@ -242,4 +242,38 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
   }
+
+  test("sentences: splits on terminal punctuation + space, keeps tails") {
+    def sents(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.sentences(col("t")).as("s"))
+        .as[Seq[String]].head()
+    assert(sents("One fine day. Another one! Is it? tail without end")
+      == Seq("One fine day.", "Another one!", "Is it?", "tail without end"))
+    assert(sents("No terminator at all") == Seq("No terminator at all"))
+    assert(sents("") == Seq.empty)
+    // a period NOT followed by whitespace does not split (v1.2, 3.14)
+    assert(sents("Version v1.2 ships pi as 3.14 today.") ==
+      Seq("Version v1.2 ships pi as 3.14 today."))
+  }
+
+  test("chunkBySentences packs whole sentences up to the budget") {
+    def chunks(s: String, max: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.chunkBySentences(col("t"), max).as("c"))
+        .as[Seq[String]].head()
+    val text = "Alpha beta. Gamma delta epsilon. Zeta! Eta theta iota kappa?"
+    // budget 38 fits exactly two sentences in the first chunk
+    assert(chunks(text, 38) == Seq("Alpha beta. Gamma delta epsilon. Zeta!",
+      "Eta theta iota kappa?"))
+    // no sentence is ever split: joining chunks reconstructs the text
+    for (m <- Seq(12, 25, 40, 200)) {
+      val cs = chunks(text, m)
+      assert(cs.mkString(" ") == text, s"budget $m reconstructs")
+      // every chunk within budget unless it is a single long sentence
+      cs.foreach(c =>
+        assert(c.length <= m || !c.dropRight(1).exists(".!?".contains(_)),
+          s"budget $m chunk '$c'"))
+    }
+    assert(chunks("", 10) == Seq.empty)
+  }
 }
