@@ -923,6 +923,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // hard-negative mining (retrieval-training triplets): rank-1 is
+    // the positive, ranks 4-8 the negatives (skip band 3 guards
+    // against unlabeled duplicates); one ranking pass serves both
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.mineHardNegatives(emb, emb.where(col("vec_id") < 5), "vec_id",
+          "embedding", numNegatives = 5, skipTop = 3)
+        .orderBy("query_id", "neg_rank")
+    }),
+
     // embedding-cosine near-duplicate pairs: threshold form of the
     // brute pass — deterministic (no top-k selection instability).
     "emb_near_dup" -> ((s, dir) => {
@@ -2391,6 +2401,33 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // triplet replay: same ranking stack; positive = rank 1,
+    // negatives = ranks 4..8 re-based to 1..5
+    "emb_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC, cid ASC)
+        |           AS INTEGER) AS rnk
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid),
+        |pos AS (SELECT query_id, neighbor_id AS pos_id FROM sc WHERE rnk = 1)
+        |SELECT sc.query_id, pos.pos_id, sc.neighbor_id AS neg_id,
+        |  CAST(sc.rnk - 3 AS INTEGER) AS neg_rank
+        |FROM sc JOIN pos USING (query_id)
+        |WHERE sc.rnk > 3 AND sc.rnk <= 8
+        |ORDER BY sc.query_id, neg_rank""".stripMargin,
 
     // filtered-search replay: identical cosine stack with the label
     // predicate on the CANDIDATE side only (queries stay unfiltered)

@@ -84,6 +84,31 @@ object Ann {
                         predicate: Column): DataFrame =
     bruteTopK(corpus.where(predicate), queries, idCol, vecCol, k)
 
+  /** Hard-negative mining for embedding-model training (the triplet
+    * construction step of retrieval/reranker training): per query,
+    * the rank-1 neighbor is the POSITIVE and ranks `skipTop+1 ..
+    * skipTop+numNegatives` are the hard negatives — similar enough to
+    * be informative, far enough (past the skip band, which guards
+    * against unlabeled true duplicates) to be presumed non-matches.
+    * Output: (query_id, pos_id, neg_id, neg_rank), one row per
+    * negative. One brute pass ranks once; positives and negatives are
+    * sliced from the same ranking — no second scan. */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        numNegatives: Int, skipTop: Int = 3): DataFrame = {
+    require(numNegatives > 0 && skipTop >= 1,
+      "need numNegatives > 0 and skipTop >= 1 (rank 1 is the positive)")
+    val ranked = bruteTopK(corpus, queries, idCol, vecCol,
+      k = skipTop + numNegatives)
+    val pos = ranked.where(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    ranked.where(col("rnk") > skipTop)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        (col("rnk") - skipTop).as("neg_rank"))
+      .join(pos, "query_id")
+      .select("query_id", "pos_id", "neg_id", "neg_rank")
+  }
+
   /** All corpus vectors within `threshold` cosine of any query —
     * embedding-based near-duplicate detection (deterministic, no
     * top-k selection instability). */

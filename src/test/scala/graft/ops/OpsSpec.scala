@@ -307,6 +307,16 @@ class AnnSpec extends SparkSpec {
     assert(top == Map(1L -> 1, 3L -> 2))
   }
 
+  test("mineHardNegatives: rank-1 positive, skip band, re-based negative ranks") {
+    val triplets = Ann.mineHardNegatives(vecs, vecs.where(col("vec_id") === 0L),
+        "vec_id", "embedding", numNegatives = 2, skipTop = 1)
+      .select("pos_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // ranking for query 0: 4 (.9986), 1 (.9938), 2 (0), 3 (-1)
+    // positive = 4; skip band 1 ⇒ negatives are ranks 2,3 → ids 1, 2
+    assert(triplets.toSeq == Seq((4L, 1L, 1), (4L, 2L, 2)))
+  }
+
   test("cosineNeighbors thresholds correctly") {
     val n = Ann.cosineNeighbors(vecs, vecs.where(col("vec_id") === 0L),
       "vec_id", "embedding", threshold = 0.99)
