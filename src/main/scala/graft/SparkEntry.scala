@@ -1129,6 +1129,43 @@ object SparkEntry {
         .orderBy("domain", "doc_id")
     }),
 
+    // END-TO-END CRAWL PIPELINE (the composed front door, verified as
+    // one query): crawl records (url, html) → URL dedup (normalize,
+    // min-id survivor) → HTML→text strip → token-count gate → exact
+    // content dedup (fingerprint min-id) → per-domain cap. Groups of
+    // 4 docs share a landing page behind case/tracking/fragment
+    // variants; every 10th doc carries a boilerplate body that
+    // collapses in content dedup; the cap rides the payload-carrying
+    // heap. Each stage reuses its individually-proven oracle fragment.
+    "q_crawl_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = (col("doc_id") - col("doc_id") % 4).cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://www."))
+          .otherwise(lit("https://www.")),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), base,
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#f")).otherwise(lit("")))
+      val body = when(col("doc_id") % 10 === 9,
+        lit("standard cookie banner page")).otherwise(col("text"))
+      val html = concat(lit("<html><body><h1>"), col("source"),
+        lit("</h1><p>"), body, lit("</p><script>x()</script></body></html>"))
+      val crawl = docs.select(col("doc_id"), url.as("url"), html.as("html"))
+      val urlDeduped = graft.text.UrlOps.dedupByUrl(crawl, "doc_id", "url")
+      val stripped = urlDeduped.withColumn("clean",
+        graft.text.Html.stripHtml(col("html")))
+      val gated = stripped.where(TextAnalysis.wsTokenCount(col("clean")) >= 25)
+      val fp = gated.withColumn("_fp", TextAnalysis.fingerprint(col("clean")))
+      val reps = fp.groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
+      val unique = fp.join(reps, Seq("_fp", "doc_id"), "left_semi").drop("_fp")
+      graft.text.UrlOps.perDomainCap(unique, "doc_id", "url", cap = 3)
+        .select(col("doc_id"), col("domain"),
+          TextAnalysis.wsTokenCount(col("clean")).cast("long").as("n_tokens"))
+        .orderBy("domain", "doc_id")
+    }),
+
     // Gopher-style repetition filter: duplicate-token fraction per doc
     // encoding-damage detection: plant latin-1 mojibake pairs and
     // replacement chars on a deterministic doc subset; clean docs must
@@ -2633,6 +2670,95 @@ object SparkEntry {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // crawl-pipeline replay: each stage's proven fragment chained —
+    // the url_dedup normalize chain, the html_text strip chain, the
+    // length>0-filtered token count, the text_fingerprint md5, and
+    // the url_domain_cap PSL + md5-rank window
+    "q_crawl_pipeline" ->
+      ("""WITH crawl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'https://www.' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    '/p/' || (doc_id - doc_id % 4) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#f' ELSE '' END AS url,
+        |    '<html><body><h1>' || source || '</h1><p>' ||
+        |    CASE WHEN doc_id % 10 = 9 THEN 'standard cookie banner page'
+        |         ELSE text END ||
+        |    '</p><script>x()</script></body></html>' AS html
+        |  FROM documents),
+        |nd AS (
+        |  SELECT doc_id, url, html,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(trim(url), '#.*', ''),
+        |          '([?&])((utm_[a-z]+|fbclid|gclid)=[^&]*&)+', '\1', 'g'),
+        |        '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', ''),
+        |      '\?$', '') AS n
+        |  FROM crawl),
+        |norm AS (
+        |  SELECT doc_id, url, html,
+        |    regexp_replace(
+        |      regexp_replace(lower(regexp_extract(n, '^([^/]*//[^/?#]*)', 1)), ':(80|443)$', '')
+        |        || regexp_extract(n, '^[^/]*//[^/?#]*(.*)$', 1),
+        |      '/$', '') AS nurl
+        |  FROM nd),
+        |keep1 AS (SELECT nurl, min(doc_id) AS doc_id FROM norm GROUP BY nurl),
+        |s1 AS (SELECT norm.* FROM norm JOIN keep1 USING (nurl, doc_id)),
+        |strip AS (
+        |  SELECT doc_id, url, trim(regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |         '&nbsp;', ' ', 'g'),
+        |        '&lt;', '<', 'g'),
+        |       '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |     '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g'),
+        |   '\s+', ' ', 'g')) AS clean
+        |  FROM s1),
+        |gated AS (
+        |  SELECT * FROM strip
+        |  WHERE len(list_filter(regexp_split_to_array(clean, '\s+'),
+        |          x -> length(x) > 0)) >= 25),
+        |f AS (
+        |  SELECT *, md5(regexp_replace(trim(lower(clean)), '\s+', ' ', 'g')) AS fp
+        |  FROM gated),
+        |keep2 AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+        |s2 AS (SELECT f.* FROM f JOIN keep2 USING (fp, doc_id)),
+        |dom AS (
+        |  SELECT doc_id, clean,
+        |    lower(regexp_extract(trim(url), '^[^/]*//([^/:?#]+)', 1)) AS host
+        |  FROM s2),
+        |domd AS (
+        |  SELECT doc_id, clean,
+        |    """.stripMargin + pslDomainCaseSql("host") + """ AS domain
+        |  FROM dom),
+        |r AS (
+        |  SELECT doc_id, clean, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT)
+        |               % 1099511627776, doc_id) AS rk
+        |  FROM domd)
+        |SELECT doc_id, domain,
+        |  CAST(len(list_filter(regexp_split_to_array(clean, '\s+'),
+        |       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM r WHERE rk <= 3
+        |ORDER BY domain, doc_id""".stripMargin),
 
     // Luhn replay: same candidate regex, same struct-based
     // strip/validate/replace chain via list lambdas; checksum
