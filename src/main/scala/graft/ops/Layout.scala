@@ -63,6 +63,31 @@ object Layout {
     interleaveBits(scaled, bits)
   }
 
+  /** Parquet write with split-block Bloom filters on `bloomCols` —
+    * the point-lookup complement to min/max pruning: range stats skip
+    * row groups for RANGE predicates on sorted/z-ordered columns, but
+    * an `id = X` / `fp = 'h...'` probe on a high-cardinality UNSORTED
+    * column (content hashes, URL hashes, user ids) excludes almost no
+    * row group by range. A Bloom filter per row group answers
+    * "definitely absent" in one bitset probe, so a reader skips every
+    * row group but the (usually one) possible hit — the index-free
+    * needle-in-100 TB lookup. `expectedNdv` sizes the filter
+    * (per-column override via the map form); readers use it
+    * automatically when `parquet.filter.bloom.enabled` (default on).
+    * This only sets WRITE options — layout code stays declarative. */
+  def writeWithBloom(df: DataFrame, path: String,
+                     expectedNdv: Map[String, Long]): Unit = {
+    require(expectedNdv.nonEmpty, "no bloom columns given")
+    val writer = expectedNdv.foldLeft(df.write.mode("overwrite")) {
+      case (w, (c, ndv)) =>
+        require(df.columns.contains(c), s"bloom column $c not in frame")
+        require(ndv > 0, s"expectedNdv for $c must be positive")
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    writer.parquet(path)
+  }
+
   /** Average per-file min/max span of `statCol` under a given ordering
     * — the direct proxy for row-group skipping effectiveness (smaller
     * span ⇒ a point/range filter on `statCol` excludes more files).

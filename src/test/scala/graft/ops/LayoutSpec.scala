@@ -82,4 +82,42 @@ class LayoutSpec extends SparkSpec {
       .agg(countDistinct("z")).head().getLong(0)
     assert(z === 10L) // constant col contributes 0 bits, x still orders
   }
+
+  test("writeWithBloom: footers carry bloom filters that answer point probes") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val df = spark.range(50000)
+      .select(col("id"), md5(col("id").cast("string")).as("fp"))
+    Layout.writeWithBloom(df, s"$dir/with", Map("fp" -> 50000L))
+    df.write.parquet(s"$dir/without")
+
+    def bloomOf(path: String): Seq[Option[org.apache.parquet.column.values.bloomfilter.BloomFilter]] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala.find(_.getPath.toDotString == "fp").get
+            Option(r.getBloomFilterDataReader(b).readBloomFilter(c))
+          } finally r.close()
+        }
+
+    val withB = bloomOf(s"$dir/with")
+    assert(withB.nonEmpty && withB.forall(_.isDefined), "bloom filter missing")
+    assert(bloomOf(s"$dir/without").forall(_.isEmpty), "unexpected bloom")
+
+    // the filters answer membership: a present fp might-contains in
+    // SOME row group (whichever holds it), and at ndv-sized capacity
+    // most absent probes come back definitely-absent everywhere
+    import org.apache.parquet.io.api.Binary
+    val filters = withB.flatten
+    def probe(s: String): Boolean =
+      filters.exists(bf => bf.findHash(bf.hash(Binary.fromString(s))))
+    val present = df.select("fp").as[String].head()
+    assert(probe(present))
+    val absentHits = (0 until 200).count(i => probe(s"absent-$i"))
+    assert(absentHits < 40, s"$absentHits/200 false positives")
+  }
 }
