@@ -923,6 +923,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // per-label centroid cosines (label-noise/outlier curation):
+    // integer-quantized exact centroid, round6'd cosine of every
+    // vector to its class center
+    "emb_centroid_outliers" -> ((s, dir) => {
+      Ann.centroidCosines(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label")
+        .withColumn("is_outlier", col("cos_centroid") < 0.1)
+        .orderBy("grp", "vid")
+    }),
+
     // hard-negative mining (retrieval-training triplets): rank-1 is
     // the positive, ranks 4-8 the negatives (skip band 3 guards
     // against unlabeled duplicates); one ranking pass serves both
@@ -2438,6 +2448,28 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // centroid-outlier replay: same integer-quantized centroid (exact
+    // in any sum order), same element joins, round6 cosine
+    "emb_centroid_outliers" ->
+      """WITH q AS (
+        |  SELECT label AS grp, vec_id AS vid, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (
+        |  SELECT grp, i,
+        |    CAST(sum(CAST(floor(v * 10000) AS BIGINT)) AS DOUBLE)
+        |      / 10000.0 / count(*) AS c
+        |  FROM q GROUP BY grp, i),
+        |j AS (
+        |  SELECT q.grp, q.vid,
+        |    sum(q.v * cent.c) AS dot, sum(q.v * q.v) AS nv, sum(cent.c * cent.c) AS nc
+        |  FROM q JOIN cent ON cent.grp = q.grp AND cent.i = q.i
+        |  GROUP BY q.grp, q.vid)
+        |SELECT grp, vid,
+        |  round(dot / (sqrt(nv) * sqrt(nc)), 6) AS cos_centroid,
+        |  round(dot / (sqrt(nv) * sqrt(nc)), 6) < 0.1 AS is_outlier
+        |FROM j ORDER BY grp, vid""".stripMargin,
 
     // triplet replay: same ranking stack; positive = rank 1,
     // negatives = ranks 4..8 re-based to 1..5

@@ -84,6 +84,38 @@ object Ann {
                         predicate: Column): DataFrame =
     bruteTopK(corpus.where(predicate), queries, idCol, vecCol, k)
 
+  /** Cosine of every vector to its GROUP's centroid — the label-noise
+    * / outlier curation signal for embedding corpora (a vector far
+    * from its class centroid is mislabeled, junk, or an edge case;
+    * curation pipelines drop or re-queue the low-cosine tail).
+    *
+    * Determinism: the centroid is built from per-element
+    * floor(v·10⁴) INTEGER partials (exact, order-independent — a
+    * float-summed mean would differ per partitioning), divided once;
+    * the final cosine is round6'd, absorbing the per-group float sum
+    * order like every ANN oracle here. Scale shape: one posexplode +
+    * two grouped aggregates with map-side partials (element rows
+    * shuffle on (group, i), then (group, id)); the centroid frame is
+    * groups×dim rows — tiny; nothing driver-side. */
+  def centroidCosines(emb: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String): DataFrame = {
+    val q = emb.select(col(groupCol).as("grp"), col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("i", "v")))
+    val cent = q.groupBy("grp", "i")
+      .agg(sum(floor(col("v").cast("double") * 10000).cast("long")).as("cq"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("i"),
+        (col("cq").cast("double") / 10000.0 / col("n")).as("c"))
+    q.join(cent, Seq("grp", "i"))
+      .groupBy("grp", "vid")
+      .agg(sum(col("v").cast("double") * col("c")).as("dot"),
+        sum(col("v").cast("double") * col("v")).as("nv"),
+        sum(col("c") * col("c")).as("nc"))
+      .select(col("grp"), col("vid"),
+        round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6)
+          .as("cos_centroid"))
+  }
+
   /** Hard-negative mining for embedding-model training (the triplet
     * construction step of retrieval/reranker training): per query,
     * the rank-1 neighbor is the POSITIVE and ranks `skipTop+1 ..

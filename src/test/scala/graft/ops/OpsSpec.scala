@@ -307,6 +307,28 @@ class AnnSpec extends SparkSpec {
     assert(top == Map(1L -> 1, 3L -> 2))
   }
 
+  test("centroidCosines: outlier scores low against its group's center") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(-1.0f, 0.0f), "a"),  // opposite of the a-cluster
+      (4L, Array(0.0f, 1.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.centroidCosines(emb, "vec_id", "embedding", "label")
+      .select("vid", "cos_centroid").as[(Long, Double)].collect().toMap
+    // centroid of a = (0.3, 0.0333): vectors 1,2 align, 3 opposes
+    assert(got(1L) > 0.9 && got(2L) > 0.9)
+    assert(got(3L) < -0.9)
+    // a singleton group's vector IS its centroid (cosine 1, quantized)
+    assert(got(4L) > 0.999)
+    // driver-side exact check for vector 1: quantized centroid
+    val c = Seq((1.0 + 0.9 - 1.0) / 3, math.floor(0.1f.toDouble * 10000) / 10000 / 3)
+    val v = Seq(1.0, 0.0)
+    val dot = v.zip(c).map { case (a, b) => a * b }.sum
+    val ref = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+    assert(math.abs(got(1L) - math.rint(ref * 1e6) / 1e6) < 2e-6)
+  }
+
   test("mineHardNegatives: rank-1 positive, skip band, re-based negative ranks") {
     val triplets = Ann.mineHardNegatives(vecs, vecs.where(col("vec_id") === 0L),
         "vec_id", "embedding", numNegatives = 2, skipTop = 1)
