@@ -174,10 +174,18 @@ object TextAnalysis {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     // greatest guards legacy size(NULL) = -1 (see wsTokenCount)
     val total = greatest(coalesce(size(toks), lit(0)), lit(0)) - (n - 1)
-    // sequence(1, 0) runs DESCENDING in Spark ([1, 0]) — clamp the
-    // stop to 1 and mask the <n-token case with the outer when
-    val grams = transform(sequence(lit(1), greatest(total, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // gram generation via zip_with over shifted slices — NOT
+    // transform(sequence, i => slice(toks, i, n)): a lambda that
+    // references `toks` re-evaluates the whole tokenization per
+    // element after CollapseProject inlines it (O(len²) per doc —
+    // the same trap BigramLm.pairs measured at 7x on the bench).
+    // Successive zip_withs append one shifted slice per extra gram
+    // position; tokenization cost stays O(n·len) per row.
+    val len = greatest(total, lit(0))
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(total <= 0, 0.0).otherwise(
       floor((lit(1.0) - size(array_distinct(grams)).cast("double")
         / total.cast("double")) * 10000) / 10000)
@@ -326,11 +334,14 @@ object TextAnalysis {
   def windowFingerprints(text: Column, w: Int = 8): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     val total = size(toks) - (w - 1)
-    // sequence(1, 0) runs DESCENDING ([1, 0]): a doc shorter than w
-    // tokens would get two bogus window hashes — clamp and mask to
-    // an empty array instead
-    val fps = transform(sequence(lit(1), greatest(total, lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+    // shifted-slice zip_with fold (see dupNgramFrac): per-element
+    // slice lambdas re-evaluate the tokenization O(len²)
+    val len = greatest(total, lit(0))
+    val grams = (2 to w).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val fps = transform(grams, g => xxhash64(g))
     when(total <= 0, array().cast("array<bigint>")).otherwise(fps)
   }
 }
