@@ -116,6 +116,30 @@ object Multimodal {
         if (img == null) None
         else Some((img.getHeight, img.getWidth, meanLumaOf(img)))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** REAL resize: bilinear Graphics2D rescale, re-encoded PNG —
+      * the thumbnail/normalize step of an image-training pipeline
+      * (vision models eat fixed-size inputs; storing resized copies
+      * cuts downstream IO by the megapixel ratio). Pure JDK; corrupt
+      * payloads → None. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Mean BT.601 luma in [0,1] over a bounded (≤ 256×256) sample grid —
@@ -249,6 +273,24 @@ object Multimodal {
           case Some((h, w, luma)) => Row.fromSeq(r.toSeq ++ Seq[Any](h, w, luma))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
+      }
+    }(enc)
+  }
+
+  /** REAL image resize over a binary column: adds `resized`
+    * (PNG-encoded w×h binary; null for unreadable payloads). Same
+    * mapPartitions shape as [[decodeImagesJdk]] — executor-side,
+    * no shuffle, schema explicit for pruning. */
+  def resizeImagesJdk(df: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val schema = StructType(df.schema.fields :+
+      StructField("resized", org.apache.spark.sql.types.BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out = Option(payload).flatMap(JdkImageCodec.resizeImage(_, w, h))
+        Row.fromSeq(r.toSeq :+ out.orNull)
       }
     }(enc)
   }

@@ -193,4 +193,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.decodeImage(p) == Multimodal.StubCodec.decodeImage(p))
     assert(Multimodal.StubCodec.features(p, 8).toSeq == Multimodal.StubCodec.features(p, 8).toSeq)
   }
+
+  test("resizeImagesJdk produces real w x h PNGs preserving gross luma") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(120, 80, 0xffffff)),
+      (2L, png(33, 57, 0x000000)),
+      (3L, Array[Byte](9, 9, 9)))  // corrupt -> null resized
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImagesJdk(df, 16, 16)
+      .select("media_id", "resized").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Array[Byte]](1)))).toMap
+    assert(out(3L).isEmpty)
+    // re-decode through the SAME real codec: exact target dims, luma kept
+    val redecoded = Multimodal.decodeImagesJdk(
+      out.collect { case (id, Some(b)) => (id, b) }.toSeq.toDF("media_id", "payload"))
+      .select("media_id", "decoded_w", "decoded_h", "mean_luma")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(redecoded(1L) == ((16, 16, 1.0)))
+    assert(redecoded(2L)._1 == 16 && redecoded(2L)._2 == 16 && redecoded(2L)._3 < 1e-6)
+  }
 }
