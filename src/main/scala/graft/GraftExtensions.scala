@@ -75,6 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"simhash64 expects (text), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[graft.expr.DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(t) => graft.expr.DeflateRatio(t)
+          case other => throw new IllegalArgumentException(
+            s"deflate_ratio expects (text), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket64].getName, "lsh_bucket"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

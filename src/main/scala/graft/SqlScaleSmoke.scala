@@ -154,7 +154,11 @@ object SqlScaleSmoke {
     // Luhn scrub (per-char lambda aggregate), deflate (native zlib
     // per row) — all scan- or vocabulary-bound, expected ~mult×
     "html_text", "text_bigram_lp", "text_nb_filter", "text_cc_scrub",
-    "text_deflate_ratio")
+    "text_deflate_ratio",
+    // the composed crawl front door: url dedup + html strip + gate +
+    // content dedup + domain cap in one query — the multi-stage text
+    // shape most likely to hide a superlinear join
+    "q_crawl_pipeline", "text_sentences")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to

@@ -38,6 +38,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8) AS b")
         .as[Long].head()
       assert(lb >= 0L && lb < 256L)
+      val dr = sess.sql("SELECT deflate_ratio(repeat('ab', 500)) AS r")
+        .as[Double].head()
+      assert(dr > 0 && dr < 0.2)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
