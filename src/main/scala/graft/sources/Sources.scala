@@ -111,6 +111,38 @@ object Sources {
       case None => spark.read.jdbc(url, table, properties)
     }
 
+  /** Write one frame to several formats under `baseDir/<name>.<ext>`
+    * — the reference generator's save_to_formats shape
+    * (newaugsver_clean.py:521 writes the feed as parquet, csv, xlsx
+    * and json side by side so every downstream consumer finds its
+    * format). Supported: parquet, orc, csv (header), json, xlsx
+    * (sharded part-file writer — no driver collect). Each sink is a
+    * normal distributed write; every output re-reads through [[read]].
+    */
+  def writeFormats(df: DataFrame, baseDir: String, name: String,
+                   formats: Seq[String]): Map[String, String] = {
+    require(formats.nonEmpty, "no formats requested")
+    formats.map {
+      case "parquet" =>
+        val p = s"$baseDir/$name.parquet"
+        df.write.mode("overwrite").parquet(p); "parquet" -> p
+      case "orc" =>
+        val p = s"$baseDir/$name.orc"
+        df.write.mode("overwrite").orc(p); "orc" -> p
+      case "csv" =>
+        val p = s"$baseDir/$name.csv"
+        df.write.mode("overwrite").option("header", "true").csv(p); "csv" -> p
+      case "json" =>
+        val p = s"$baseDir/$name.json"
+        df.write.mode("overwrite").json(p); "json" -> p
+      case "xlsx" =>
+        val p = s"$baseDir/$name.xlsx"
+        Xlsx.writeSharded(df, p); "xlsx" -> p
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format '$other'")
+    }.toMap
+  }
+
   /** Partitioned parquet writer with target file sizing — the scale-
     * friendly default sink (dataset partitioned by a low-cardinality
     * key, files sized by `spark.sql.files.maxRecordsPerFile`). */

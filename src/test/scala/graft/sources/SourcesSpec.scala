@@ -175,4 +175,38 @@ class SourcesSpec extends SparkSpec {
     assert(scanned.contains("isnotnull(OrganizationCode") || scanned.contains("OrganizationCode"))
     assert(q.count() > 0)
   }
+
+  test("writeFormats lands every requested format; each re-reads through read()") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+    val paths = Sources.writeFormats(df, dir, "feed",
+      Seq("parquet", "orc", "csv", "json", "xlsx"))
+    assert(paths.keySet == Set("parquet", "orc", "csv", "json", "xlsx"))
+    // typed formats round-trip values exactly
+    for (f <- Seq("parquet", "orc")) {
+      val got = Sources.read(spark, paths(f), schema)
+      assert(got.isInstanceOf[Sources.Ok], s"$f: $got")
+      assert(got.df.orderBy("id").collect().map(_.toSeq).toSeq ==
+        df.orderBy("id").collect().map(_.toSeq).toSeq, f)
+    }
+    // text formats re-read through the PERMISSIVE parser: same rows,
+    // values compared as typed after the schema-applied parse
+    for (f <- Seq("csv", "json")) {
+      val got = Sources.read(spark, paths(f), schema).df
+      assert(Sources.corruptRows(got).isEmpty, f)
+      assert(got.select("id", "name", "score").orderBy("id").collect().map(_.toSeq).toSeq ==
+        df.orderBy("id").collect().map(_.toSeq).toSeq, f)
+    }
+    // xlsx is all-string by contract; sharded output reassembles
+    val x = Xlsx.readDir(spark, paths("xlsx") + "/part-*.xlsx", StructType(
+      schema.fields.map(fd => StructField(fd.name, StringType, fd.nullable))))
+    assert(x.count() == 3 &&
+      x.select("name").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    val err = intercept[IllegalArgumentException] {
+      Sources.writeFormats(df, dir, "feed", Seq("avro"))
+    }
+    assert(err.getMessage.contains("avro"))
+  }
 }
