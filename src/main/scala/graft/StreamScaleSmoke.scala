@@ -96,6 +96,13 @@ object StreamScaleSmoke {
         "" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar +
           ('a' + (i * 11 + 5) % 26).toChar + ('a' + (i * 17 + 7) % 26).toChar +
           ('a' + (i * 19 + 11) % 26).toChar + ('a' + (i * 23 + 13) % 26).toChar)): _*)
+    // a second, disjoint "spam" vocabulary ("zz" prefix — the good
+    // vocab never emits zz words below index 675): ~5% of feed docs
+    // draw from it, and the trained classifier stage must cut them
+    val spamVocab = org.apache.spark.sql.functions.array(
+      (0 until 512).map(i => lit(
+        "zz" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar +
+          ('a' + (i * 13 + 3) % 26).toChar + ('a' + (i * 7 + 1) % 26).toChar)): _*)
     (0 until nBatches).foreach { i =>
       spark.range(docRows).select(
           (col("id") + i * docRows).as("doc_id"),
@@ -106,7 +113,8 @@ object StreamScaleSmoke {
             (pmod(xxhash64(col("id"), lit(i)), lit(5)) + 1).cast("int")).as("lang"))
         .select(col("doc_id"), col("lang"),
           concat_ws(" ", sqlTransform(sequence(lit(0), lit(39)),
-            j => element_at(vocab,
+            j => element_at(
+              when(pmod(col("_seed"), lit(20)) === 7, spamVocab).otherwise(vocab),
               (pmod(xxhash64(col("_seed"), j, lit(i)), lit(512)) + 1).cast("int"))))
             .as("_body"))
         // 10% of docs carry a banner line (run-recurring boilerplate):
@@ -119,6 +127,17 @@ object StreamScaleSmoke {
         .coalesce(docFilesPerBatch)
         .write.mode("append").parquet(docDrop)
     }
+    // offline classifier fit on a 4k-doc labeled seed set (good vs
+    // spam vocab) — the model the per-batch stage 1.5 join consumes
+    val seedSet = spark.range(4000).select(
+        col("id").as("doc_id"), (col("id") % 2 === 0).as("y"),
+        concat_ws(" ", sqlTransform(sequence(lit(0), lit(39)),
+          j => element_at(
+            when(col("id") % 2 === 0, vocab).otherwise(spamVocab),
+            (pmod(xxhash64(col("id"), j, lit(-1)), lit(512)) + 1).cast("int"))))
+          .as("text"))
+    graft.text.NbClassifier.trainAndSave(seedSet, "doc_id", "text", "y",
+      s"$root/r_clf")
     val docSchema = spark.read.parquet(docDrop).schema
     val recipeStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", docFilesPerBatch.toString)
@@ -128,7 +147,8 @@ object StreamScaleSmoke {
       s"$root/r_accepted", s"$root/r_rejected", s"$root/r_index",
       s"$root/r_ckpt",
       Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125),
-      lineIndexPath = s"$root/r_lineidx", lineMinDf = 3)
+      lineIndexPath = s"$root/r_lineidx", lineMinDf = 3,
+      clfModelPath = s"$root/r_clf")
     q2.awaitTermination()
     val rp = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
     val rSecs = rp.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
@@ -143,6 +163,14 @@ object StreamScaleSmoke {
     require(spark.read.parquet(s"$root/r_accepted")
       .where(col("text").contains("JOIN OUR MAILING LIST")).count() == 0,
       "hot-line stage failed to strip the planted banner")
+    // the classifier stage must cut every spam-vocabulary doc (all
+    // their tokens are zz-words the positive class never emits)
+    require(spark.read.parquet(s"$root/r_accepted")
+      .where(col("text").startsWith("zz")).count() == 0,
+      "classifier stage admitted spam-vocabulary docs")
+    require(spark.read.parquet(s"$root/r_rejected")
+      .where(col("text").startsWith("zz")).count() > 0,
+      "no spam docs reached the rejected sink — plant broken")
     val lineIdxRows = spark.read.parquet(s"$root/r_lineidx").count()
     val rFlat = rSecs.max / rSecs.min
     println(s"RECIPE batches=${rSecs.map(fmt).mkString(", ")} s " +
