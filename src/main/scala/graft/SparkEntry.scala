@@ -1494,6 +1494,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // epoch-style upsampling: en ×2.5 (2 full copies + half get a
+    // third), de ×2, others pass at 1×; epoch column distinguishes
+    // copies; fractional draw is the replayable md5 gate
+    "q_upsample_epochs" -> ((s, dir) => {
+      graft.ops.Sampling.upsample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 2.0), replayable = true)
+        .groupBy("lang").agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy("lang")
+    }),
+
     // temperature-flattened mixture (output ∝ size^0.5): the
     // multilingual rebalancing move; rates solved from observed sizes
     // via sqrt (IEEE-exact both engines) with unnormalized weights,
@@ -3597,6 +3609,30 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
         |FROM kept GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // upsample replay: same per-stratum factor, same md5 fractional
+    // draw, generate_series expansion; max_epoch = copies per doc
+    "q_upsample_epochs" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 2.0 ELSE 1.0 END AS fac,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |        1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(fac) AS INTEGER) +
+        |    CASE WHEN h < (fac - floor(fac)) * 1099511627776.0 THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM f),
+        |e AS (
+        |  SELECT doc_id, lang, CAST(t.e AS INTEGER) AS epoch
+        |  FROM c, unnest(range(1, copies + 1)) AS t(e)
+        |  WHERE copies >= 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(max(epoch) AS INTEGER) AS max_epoch
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
 
     // temperature-mix replay: same unnormalized sqrt weights, same
     // element-wise rate solve (min is exact, no float sum), same md5

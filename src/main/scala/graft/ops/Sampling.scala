@@ -240,6 +240,42 @@ object Sampling {
     applyRates(df, stratumCol, idCol, rates, salt, replayable)
   }
 
+  /** Epoch-style per-stratum UPSAMPLING — the direction [[mix]] can't
+    * go (mix only downsamples around the binding stratum): replicate
+    * each stratum's rows by a possibly-fractional factor (the
+    * "high-quality source × N epochs" move of pretraining mixtures —
+    * e.g. books/wiki repeated 2-3×, crawl at 1×). factor f ⇒ floor(f)
+    * full copies plus one more with probability frac(f), decided by
+    * the content-keyed hash (deterministic under retries; `replayable`
+    * uses the md5 fold so an external engine reproduces the decision).
+    * Output adds `epoch` (1-based copy index) so downstream shuffles,
+    * packing, and dedup can tell copies apart. Strata without a
+    * factor pass through at 1×. Pure narrow explode — no shuffle. */
+  def upsample(df: DataFrame, stratumCol: String, idCol: String,
+               factors: Map[String, Double], salt: Long = 0L,
+               replayable: Boolean = false): DataFrame = {
+    require(factors.nonEmpty && factors.values.forall(_ > 0),
+      "factors must be positive")
+    val fCol = factors.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    val frac = col("_f") - floor(col("_f"))
+    val extraHit =
+      if (replayable) md5Hash40(col(idCol), salt) < frac * 1099511627776.0
+      else pmod(xxhash64(col(idCol), lit(salt)), lit(Long.MaxValue))
+        .cast("double") < frac * Long.MaxValue.toDouble
+    val copies = (floor(col("_f")).cast("int") +
+      when(extraHit, 1).otherwise(0)).as("_copies")
+    // sequence(1, 0) runs DESCENDING in Spark — mask the 0-copy case
+    // (f < 1 whose extra-copy draw missed) to an empty array
+    df.withColumn("_f", fCol)
+      .withColumn("_copies", copies)
+      .withColumn("epoch", explode(
+        when(col("_copies") < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), col("_copies")))))
+      .drop("_f", "_copies")
+  }
+
   /** Shared per-stratum keep filter: rate literals folded into one
     * when-chain, content-keyed hash threshold (md5 fold when
     * `replayable`, xxhash64 otherwise); strata without a rate drop. */

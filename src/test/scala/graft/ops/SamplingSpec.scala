@@ -65,6 +65,32 @@ class SamplingSpec extends SparkSpec {
       b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("upsample: fractional epoch replication per stratum, copies distinguishable") {
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val up = Sampling.upsample(docs, "lang", "doc_id",
+      Map("en" -> 2.5, "de" -> 2.0), replayable = true).cache()
+    val rows = up.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de exactly doubles; en lands between x2 and x3 (~x2.5)
+    assert(rows("de") == 2 * sizes("de"))
+    assert(rows("en") >= 2 * sizes("en") && rows("en") <= 3 * sizes("en"))
+    assert(math.abs(rows("en") - 2.5 * sizes("en")) < 0.35 * sizes("en"))
+    // untargeted strata pass at exactly 1x
+    assert(rows("fr") == sizes("fr") && rows("zh") == sizes("zh"))
+    // every en doc has 2 or 3 copies, epochs numbered 1..copies
+    val perDoc = up.where(col("lang") === "en").groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), max("epoch").as("m"), min("epoch").as("lo"))
+      .collect()
+    assert(perDoc.forall(r => (r.getLong(1) == 2 || r.getLong(1) == 3) &&
+      r.getInt(2).toLong == r.getLong(1) && r.getInt(3) == 1))
+    // deterministic: identical output on re-run
+    val again = Sampling.upsample(docs, "lang", "doc_id",
+      Map("en" -> 2.5, "de" -> 2.0), replayable = true)
+    assert(up.select("doc_id", "epoch").except(again.select("doc_id", "epoch")).isEmpty)
+    up.unpersist()
+  }
+
   test("kPerGroup: exactly k rows per group, deterministic, salt-varied") {
     val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS grp",
       "id * 2 AS payload")
