@@ -165,4 +165,29 @@ object BpeTrain {
       }
     }(enc)
   }
+
+  /** Persist a learned merge list as a parquet table `(rank, left,
+    * right)` — the tokenizer artifact of the induction, the same
+    * "model is a small table" convention as Ann.saveCentroids /
+    * NbClassifier.saveModel: train once on the reference corpus,
+    * [[segment]] any corpus anywhere from the loaded list. Rank
+    * preserves application order (merge order IS the tokenizer). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list persisted by [[saveMerges]], in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
 }

@@ -90,4 +90,20 @@ class BpeTrainSpec extends SparkSpec {
     // "ab" needs exactly 2 merges to fuse completely: (a,b), (ab,</w>)
     assert(merges == Seq(("a", "b"), ("ab", "</w>")))
   }
+
+  test("merge list round-trips through parquet in rank order") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "low low newest widest").toDF("text")
+    val merges = BpeTrain.train(docs, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    BpeTrain.saveMerges(spark, merges, s"$dir/merges")
+    val loaded = BpeTrain.loadMerges(spark, s"$dir/merges")
+    assert(loaded == merges) // order preserved exactly
+    // segmentation from the loaded artifact is identical
+    val a = BpeTrain.segment(docs, "text", merges)
+      .select("tokens").as[Seq[String]].collect().toSeq
+    val b = BpeTrain.segment(docs, "text", loaded)
+      .select("tokens").as[Seq[String]].collect().toSeq
+    assert(a == b)
+  }
 }
