@@ -63,6 +63,19 @@ class PlanShapeSpec extends SparkSpec {
       "url_normalize must not hash-shuffle")
   }
 
+  test("crawl pipeline: no Window anywhere — the domain cap rides the heap") {
+    // the whole point of perDomainCap is surviving a hot domain; a
+    // row_number window sneaking back into the composed pipeline
+    // would funnel the hottest domain through one task's sort
+    val p = plan("q_crawl_pipeline")
+    assert(!p.contains("Window"), s"crawl pipeline must not plan a window:\n$p")
+    // stage structure bound: url-dedup agg+semi, fingerprint agg+semi,
+    // cap agg (+ presentation sort) — a superlinear join explosion
+    // would show up as extra exchanges
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 7, s"unexpected exchange count $exchanges:\n$p")
+  }
+
   test("IVF cell assignment is narrow: the only exchange is the final top-k") {
     // r2 assigned cells with Window.partitionBy(unique id) — a
     // full-corpus shuffle (vectors included). The narrow argmax form
