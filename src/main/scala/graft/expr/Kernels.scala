@@ -396,4 +396,51 @@ object Kernels {
     while (!d.finished()) total += d.deflate(buf)
     total.toDouble / bytes.length
   }
+
+  /** One-pass character k-grams of a UTF-8 string: every (or every
+    * DISTINCT, first-occurrence order) k-char window, as an array of
+    * UTF8Strings sharing no copies of the input walk. The
+    * `transform(sequence(1, len-k+1), i -> substring(s, i, k))`
+    * formulation is O(len²): UTF8String.substring must walk from
+    * byte 0 to find char position i for EVERY element (measured 14x
+    * on a 4x longer doc). Here char start offsets are computed once
+    * and each gram is a direct byte-slice — O(len·k) total. */
+  def charGrams(s: UTF8String, k: Int, distinct: Boolean):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // char start byte-offsets (one extra slot for the end)
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < n) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(c) = n
+    val total = c - k + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    if (!distinct) {
+      val out = new Array[Any](total)
+      var j = 0
+      while (j < total) {
+        out(j) = UTF8String.fromBytes(bytes, starts(j), starts(j + k) - starts(j))
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j < total) {
+        seen.add(UTF8String.fromBytes(bytes, starts(j), starts(j + k) - starts(j)))
+        j += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { out(m) = it.next(); m += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }
