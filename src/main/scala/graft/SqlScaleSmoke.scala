@@ -295,6 +295,55 @@ object SqlScaleSmoke {
       s.stop()
       return
     }
+    // "longdoc": the CRAWL-LENGTH document smoke — the bench corpus
+    // averages ~400 chars/doc, which hid the O(len²) substring-walk
+    // cost of char-gram generation until r11; this mode measures the
+    // gram primitive and end-to-end MinHash at two doc lengths and
+    // fails loudly if the ratio turns superlinear again
+    if (args.headOption.contains("longdoc")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      def docsOf(n: Int, len: Int): DataFrame = {
+        // hash-derived chars, built in chunks of 16 (hex of xxhash64)
+        // — generator codegen stays under the 64KB method limit
+        val chunks = (0 until len / 16).map(i =>
+          lower(hex(xxhash64(lit("ld"), col("id"), lit(i)))))
+        s.range(n).select(col("id").as("doc_id"),
+          concat_ws("", chunks: _*).as("text"))
+      }
+      def time(df: => DataFrame): Double = {
+        df.count() // warm
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val results = Seq(4000, 16000).map { len =>
+        val d = docsOf(2000, len).cache(); d.count()
+        val tg = time(d.select(explode(
+          graft.expr.CharGrams.charGrams(col("text"), 5)).as("g")))
+        // aggregate over the signature values — a bare count() lets
+        // column pruning skip the signature computation entirely
+        val tm = time(graft.ops.Similarity.minhashSignaturesMd5(
+          d, "doc_id", "text")
+          .select(sum(element_at(col("sig"), 1)).as("x")))
+        d.unpersist()
+        println(f"LONGDOC len=$len%6d grams $tg%7.2f s  minhash_md5 $tm%7.2f s")
+        (len, tg, tm)
+      }
+      val (r1, r2) = (results(1)._2 / results(0)._2, results(1)._3 / results(0)._3)
+      println(f"LONGDOC 4x-length ratios: grams $r1%.2f minhash $r2%.2f (linear ~4)")
+      require(r1 < 8 && r2 < 8, s"long-doc gram path went superlinear: $r1 / $r2")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE_LONGDOC.json"),
+        f"""{"metric":"longdoc","docs":2000,"lens":[4000,16000],""" +
+        f""""gram_secs":[${results(0)._2}%.3f,${results(1)._2}%.3f],""" +
+        f""""minhash_secs":[${results(0)._3}%.3f,${results(1)._3}%.3f],""" +
+        f""""gram_ratio":$r1%.3f,"minhash_ratio":$r2%.3f}""")
+      s.stop()
+      return
+    }
     // "skew [mult]": run only the adversarial-skew smoke (local iteration)
     if (args.headOption.contains("skew")) {
       val m = if (args.length > 1) args(1).toLong else 10L
