@@ -44,6 +44,9 @@ object GraftFunctions {
   def deflate_ratio(text: Column): Column =
     graft.expr.DeflateRatio.deflateRatio(text)
 
+  def char_grams(text: Column, k: Int, distinct: Boolean = true): Column =
+    graft.expr.CharGrams.charGrams(text, k, distinct)
+
   def quality_score(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def lang_id(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
@@ -118,6 +121,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"deflate_ratio expects (text), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("char_grams", exprs => exprs match {
+      case Seq(t, k) => graft.expr.CharGrams(t, intLit(k), distinct = true)
+      case Seq(t, k, d) => graft.expr.CharGrams(t, intLit(k), boolLit(d))
+      case other => throw new IllegalArgumentException(
+        s"char_grams expects (text, k[, distinct]), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => exprs match {
       case Seq(a, b) => CosineSimF(a, b)
       case other => throw new IllegalArgumentException(
@@ -134,6 +143,15 @@ object GraftFunctions {
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+  }
+
+  private def boolLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected a boolean literal, got non-foldable expression $e")
+    e.eval(null) match {
+      case b: java.lang.Boolean => b
+      case other => throw new IllegalArgumentException(s"expected boolean literal, got $other")
     }
   }
 

@@ -55,6 +55,11 @@ class DeflateRatioSpec extends SparkSpec {
     val r = spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') AS r")
       .as[Double].head()
     assert(r > 0 && r < 1)
+    val g = spark.sql("SELECT char_grams('abcab', 2, false) AS g")
+      .as[Seq[String]].head()
+    assert(g == Seq("ab", "bc", "ca", "ab"))
+    assert(spark.sql("SELECT char_grams('abcab', 2) AS g")
+      .as[Seq[String]].head() == Seq("ab", "bc", "ca"))
     val n = Seq[Option[String]](None).toDF("t")
       .select(DeflateRatio.deflateRatio(col("t"))).collect().head
     assert(n.isNullAt(0))
