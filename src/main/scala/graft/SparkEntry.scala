@@ -933,6 +933,13 @@ object SparkEntry {
         .orderBy("grp", "vid")
     }),
 
+    // k-NN graph: every vector's top-3 neighbors (exact form at this
+    // scale; the cells/nprobe shuffled-join path is the scale shape)
+    "ann_knn_graph" -> ((s, dir) => {
+      Ann.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // hard-negative mining (retrieval-training triplets): rank-1 is
     // the positive, ranks 4-8 the negatives (skip band 3 guards
     // against unlabeled duplicates); one ranking pass serves both
@@ -2459,6 +2466,28 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
         |FROM sc
         |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // knn-graph replay: the brute cosine stack with NO query filter —
+    // every vector ranks every other, top 3 kept
+    "ann_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        |FROM sc
+        |QUALIFY rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
     // centroid-outlier replay: same integer-quantized centroid (exact

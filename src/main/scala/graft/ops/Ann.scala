@@ -84,6 +84,46 @@ object Ann {
                         predicate: Column): DataFrame =
     bruteTopK(corpus.where(predicate), queries, idCol, vecCol, k)
 
+  /** k-NN graph over the corpus itself: every vector's k nearest
+    * neighbors — the substrate of graph-based ANN serving, NN-descent
+    * refinement, graph clustering, and local-density outlier scores.
+    *
+    * Exact form (`cells <= 0`) = [[bruteTopK]] with the corpus on
+    * both sides — quadratic, fine to tens of thousands. At corpus
+    * scale pass `cells`/`nprobe`: both sides assign to IVF cells
+    * against the broadcast centroid array (narrow), then meet in a
+    * SHUFFLED equi-join on cell — NOT [[ivfTopK]]'s broadcast-probes
+    * shape, which would broadcast the whole corpus when queries =
+    * corpus. Cost ∝ corpus × scanned-fraction; candidate volume per
+    * cell is |cell|·nprobe-ish — cap cell skew upstream with a
+    * k-means quantizer ([[kmeansCentroids]]) if the corpus clusters
+    * hard. Approximate like any IVF probe: neighbors outside the
+    * probed cells are missed (recall dials are cells/nprobe). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               cells: Int = 0, nprobe: Int = 0,
+               centroids: Option[DataFrame] = None): DataFrame = {
+    if (cells <= 0) return bruteTopK(corpus, corpus, idCol, vecCol, k)
+    require(nprobe >= 1, "nprobe must be >= 1 when cells are used")
+    val cents = broadcast(centroidArray(centroids.getOrElse(
+      corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+        .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
+        .limit(cells))))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cents)
+      .select(col("neighbor_id"), col("cv"),
+        bestCell(col("cv"), col("cents")).as("cell"))
+    val probes = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("qv"),
+        explode(topCells(col("qv"), col("cents"), nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cent_id").as("cell"))
+    val scored = assigned.join(probes, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Cosine of every vector to its GROUP's centroid — the label-noise
     * / outlier curation signal for embedding corpora (a vector far
     * from its class centroid is mislabeled, junk, or an edge case;

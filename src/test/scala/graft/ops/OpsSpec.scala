@@ -329,6 +329,38 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(got(1L) - math.rint(ref * 1e6) / 1e6) < 2e-6)
   }
 
+  test("knnGraph: brute form matches bruteTopK self-join; IVF form joins on cell") {
+    val brute = Ann.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = Ann.bruteTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute == ref && brute.nonEmpty)
+    // IVF path: an exact duplicate always shares its twin's cell and
+    // must appear as its rank-1 neighbor
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = vecs.union(dup)
+    val g = Ann.knnGraph(corpus, "vec_id", "embedding", k = 2,
+      cells = 3, nprobe = 2)
+    val top = g.where(col("query_id") === 10L && col("rnk") === 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.sameElements(Array(0L)))
+    // the scale path must meet on cell via a SHUFFLED equi-join, not
+    // by broadcasting the probe side (it IS the corpus): with auto-
+    // broadcast off, the only broadcasts left are the two 1-row
+    // centroid arrays, and the cell join plans shuffled
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.knnGraph(corpus, "vec_id", "embedding", k = 2,
+        cells = 3, nprobe = 2).queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cell join must shuffle, not broadcast the corpus:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("mineHardNegatives: rank-1 positive, skip band, re-based negative ranks") {
     val triplets = Ann.mineHardNegatives(vecs, vecs.where(col("vec_id") === 0L),
         "vec_id", "embedding", numNegatives = 2, skipTop = 1)
