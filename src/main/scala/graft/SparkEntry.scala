@@ -933,6 +933,15 @@ object SparkEntry {
         .orderBy("grp", "vid")
     }),
 
+    // mutual-kNN clustering: components over reciprocal top-3 edges
+    // at cosine >= 0.3 — density clustering without a cluster count
+    "emb_knn_clusters" -> ((s, dir) => {
+      Ann.mutualKnnClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, minCosine = 0.3)
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+        .orderBy("component")
+    }),
+
     // k-NN graph: every vector's top-3 neighbors (exact form at this
     // scale; the cells/nprobe shuffled-join path is the scale shape)
     "ann_knn_graph" -> ((s, dir) => {
@@ -2467,6 +2476,39 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // mutual-knn cluster replay: full ranking, rank<=3 + threshold,
+    // reciprocal-edge join, recursive-CTE closure, min-id labels
+    "emb_knn_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC, cid ASC) AS rnk
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid),
+        |knn AS (
+        |  SELECT query_id, neighbor_id FROM sc
+        |  WHERE rnk <= 3 AND cosine >= 0.3),
+        |ed AS (
+        |  SELECT a.query_id AS src, a.neighbor_id AS dst
+        |  FROM knn a JOIN knn b
+        |    ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id),
+        |reach AS (
+        |  SELECT vec_id AS a, vec_id AS b FROM embeddings
+        |  UNION
+        |  SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src),
+        |lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lab GROUP BY component ORDER BY component""".stripMargin,
 
     // knn-graph replay: the brute cosine stack with NO query filter —
     // every vector ranks every other, top 3 kept

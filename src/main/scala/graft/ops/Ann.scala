@@ -124,6 +124,30 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual-kNN clustering: vectors are clustered by connected
+    * components over MUTUAL nearest-neighbor edges (a↔b both rank in
+    * each other's top-k, cosine ≥ `minCosine`) — the density-style
+    * clustering that needs no cluster count up front, where k-means
+    * cells impose one. Mutuality is the standard asymmetric-hub
+    * guard: a hub vector appearing in thousands of top-k lists links
+    * them all only if it reciprocates. Every vector gets a component
+    * (singletons cluster alone). Built entirely from owned machinery:
+    * [[knnGraph]] (pass `cells`/`nprobe` for the shuffled scale
+    * path) → symmetric intersect → pointer-jumping
+    * [[ConnectedComponents]] (log-round closure). */
+  def mutualKnnClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, minCosine: Double,
+                        cells: Int = 0, nprobe: Int = 0): DataFrame = {
+    val g = knnGraph(corpus, idCol, vecCol, k, cells, nprobe)
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+    val selfEdges = corpus.select(col(idCol).cast("long").as("src"))
+      .select(col("src"), col("src").as("dst"))
+    ConnectedComponents.components(
+      mutual.select(col("a").as("src"), col("b").as("dst")).union(selfEdges))
+  }
+
   /** Cosine of every vector to its GROUP's centroid — the label-noise
     * / outlier curation signal for embedding corpora (a vector far
     * from its class centroid is mislabeled, junk, or an edge case;

@@ -361,6 +361,26 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("mutualKnnClusters: planted tight groups cluster, orthogonals stay apart") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)),   // cluster A
+      (2L, Array(0.99f, 0.02f, 0.0f)),
+      (3L, Array(0.98f, 0.0f, 0.01f)),
+      (10L, Array(0.0f, 1.0f, 0.01f)),  // cluster B
+      (11L, Array(0.01f, 0.99f, 0.0f)),
+      (20L, Array(0.0f, 0.0f, -1.0f))   // isolated
+    ).toDF("vec_id", "embedding")
+    val comps = Ann.mutualKnnClusters(emb, "vec_id", "embedding",
+        k = 2, minCosine = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == comps(2L) && comps(2L) == comps(3L))
+    assert(comps(10L) == comps(11L))
+    assert(comps(1L) != comps(10L))
+    // the isolated vector clusters alone (self-edge keeps it present)
+    assert(comps(20L) != comps(1L) && comps(20L) != comps(10L))
+    assert(comps.size == 6)
+  }
+
   test("mineHardNegatives: rank-1 positive, skip band, re-based negative ranks") {
     val triplets = Ann.mineHardNegatives(vecs, vecs.where(col("vec_id") === 0L),
         "vec_id", "embedding", numNegatives = 2, skipTop = 1)
