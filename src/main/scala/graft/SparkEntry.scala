@@ -1495,6 +1495,42 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // ROUGE-2 clipped bigram overlap on adjacent-id doc pairs — the
+    // Lin 2004 metric as integer counts (recall = n_match/n_ref);
+    // clipped min() counts, left join keeps zero-overlap pairs.
+    "q_rouge_adjacent" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"), col("text").as("ref"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), "doc_id")
+      graft.text.Rouge.rougeN(pairs, "doc_id", "ref", "cand", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bag; target = the English slice, raw = whole corpus. Per-bucket
+    // log-ratios floor-quantized to 1e-6 integers BEFORE the per-doc
+    // sum, so the sum is order-independent and replayable.
+    "text_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.importanceWeights(docs,
+          docs.where(col("lang") === "en"),
+          "doc_id", "text", dim = 256, replayable = true)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR resampling: derandomized Gumbel top-k over the importance
+    // weights — k docs sampled without replacement from softmax(lw),
+    // selection integer-ranked so every engine picks the same set.
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.resample(docs,
+          docs.where(col("lang") === "en"),
+          "doc_id", "text", dim = 256, k = 50, replayable = true)
+        .select("doc_id", "lw_q", "score_q")
+        .orderBy("doc_id")
+    }),
+
     // dataset mixing: downsample each language so the output matches
     // target proportions (training-data recipe step). Rates solve
     // from observed stratum sizes (one tiny aggregate); the keep
@@ -3655,6 +3691,125 @@ object SparkEntry {
         |SELECT doc_id, bucket, CAST(sum(wq) AS BIGINT) AS w_q
         |FROM w GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // ROUGE-2 replay: same pair construction, tokenization, 1-based
+    // adjacent bigram windows, clipped least() match, left-join zeros.
+    "q_rouge_adjacent" ->
+      """WITH pairs AS (
+        |  SELECT d1.doc_id, d1.text AS ref, d2.text AS cand
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(ref)), '\s+'),
+        |                x -> length(x) > 0) AS rt,
+        |    list_filter(regexp_split_to_array(trim(lower(cand)), '\s+'),
+        |                x -> length(x) > 0) AS ct
+        |  FROM pairs),
+        |rg AS (
+        |  SELECT doc_id, rt[i] || ' ' || rt[i + 1] AS gram
+        |  FROM tk, unnest(range(1, len(rt))) AS t(i)),
+        |cg AS (
+        |  SELECT doc_id, ct[i] || ' ' || ct[i + 1] AS gram
+        |  FROM tk, unnest(range(1, len(ct))) AS t(i)),
+        |rc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c_ref
+        |       FROM rg GROUP BY 1, 2),
+        |cc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c_cand
+        |       FROM cg GROUP BY 1, 2),
+        |m AS (SELECT rc.doc_id, CAST(sum(least(c_ref, c_cand)) AS BIGINT) AS n_match
+        |      FROM rc JOIN cc USING (doc_id, gram) GROUP BY 1),
+        |sz AS (SELECT doc_id,
+        |         CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS n_ref,
+        |         CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS n_cand
+        |       FROM tk)
+        |SELECT sz.doc_id, n_ref, n_cand,
+        |  CAST(coalesce(n_match, 0) AS BIGINT) AS n_match
+        |FROM sz LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: same tokenization, same unigram+bigram features
+    // (1-based adjacent windows), same md5-fold bucket, Laplace
+    // ln((cnt+1)/(N+dim)) on each side with identical association,
+    // per-bucket floor-1e-6 log-ratio, integer per-doc sum.
+    "text_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(toks) AS feat FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+        |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM feats GROUP BY 1, 2, 3),
+        |tgt AS (
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_t
+        |  FROM fb WHERE lang = 'en' GROUP BY bucket),
+        |rawb AS (
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_r FROM fb GROUP BY bucket),
+        |tot AS (
+        |  SELECT
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM fb WHERE lang = 'en') AS n_t,
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM fb) AS n_r),
+        |ratio AS (
+        |  SELECT rawb.bucket, CAST(floor(
+        |    (ln((coalesce(cnt_t, 0) + 1.0) / (n_t + 256.0))
+        |     - ln((cnt_r + 1.0) / (n_r + 256.0))) * 1000000.0) AS BIGINT) AS lr_q
+        |  FROM rawb LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+        |  CAST(sum(cnt * lr_q) AS BIGINT) AS lw_q
+        |FROM fb JOIN ratio USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR resample replay: the weights chain above + the md5-derived
+    // Gumbel perturbation floor-quantized into the same 1e-6 units;
+    // top-k by integer (score_q, doc_id).
+    "q_dsir_sample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(toks) AS feat FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+        |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM feats GROUP BY 1, 2, 3),
+        |tgt AS (
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_t
+        |  FROM fb WHERE lang = 'en' GROUP BY bucket),
+        |rawb AS (
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_r FROM fb GROUP BY bucket),
+        |tot AS (
+        |  SELECT
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM fb WHERE lang = 'en') AS n_t,
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM fb) AS n_r),
+        |ratio AS (
+        |  SELECT rawb.bucket, CAST(floor(
+        |    (ln((coalesce(cnt_t, 0) + 1.0) / (n_t + 256.0))
+        |     - ln((cnt_r + 1.0) / (n_r + 256.0))) * 1000000.0) AS BIGINT) AS lr_q
+        |  FROM rawb LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(cnt * lr_q) AS BIGINT) AS lw_q
+        |  FROM fb JOIN ratio USING (bucket) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, lw_q, lw_q + CAST(floor(-ln(-ln(
+        |      (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |         1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE) + 0.5)
+        |      / 1099511627776.0)) * 1000000.0) AS BIGINT) AS score_q
+        |  FROM w),
+        |sel AS (
+        |  SELECT doc_id, lw_q, score_q FROM scored
+        |  ORDER BY score_q DESC, doc_id LIMIT 50)
+        |SELECT doc_id, lw_q, score_q FROM sel ORDER BY doc_id""".stripMargin,
 
     // mixing replay: sizes → output scale (min over size/target) →
     // per-stratum rate (same multiply-then-divide order as the
