@@ -1765,6 +1765,23 @@ object SparkEntry {
     // pagerank), then segment the whole corpus with the learned
     // merges. No SQL-expressible oracle for the iterative loop —
     // BpeTrainSpec pins the canonical Sennrich example instead.
+    // logistic-regression quality classifier: full-batch GD with the
+    // dim-sized model driver-resident (PageRank/BPE loop shape), then
+    // score the corpus. No SQL-expressible oracle for the iterative
+    // fit — LogRegSpec pins separable-fit accuracy, bit-determinism,
+    // margin growth, L2 shrinkage. Benched: per-epoch cost is the
+    // production question (one cached-feature scan + dim-bounded
+    // shuffle per epoch).
+    "lr_train_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("y", col("lang") === "en")
+      val model = graft.text.LogReg.train(docs, "doc_id", "text", "y",
+        dim = 1 << 16, epochs = 10, lr = 1.0)
+      graft.text.LogReg.score(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("y")), "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+    }),
     "bpe_train_segment" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.text.BpeTrain.train(docs, "text", numMerges = 8)
