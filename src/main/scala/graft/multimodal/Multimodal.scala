@@ -440,6 +440,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Shot-boundary (scene) detection over the decoded per-frame
+    * lumas: a cut starts wherever adjacent sampled frames' mean luma
+    * (0..1) jumps by more than `threshold` — the classic
+    * pixel-statistics shot detector, which for the training-data use
+    * (sample K frames per SCENE instead of K per video, dedup videos
+    * by scene signature) needs exactly the frame features
+    * [[decodeVideo]] already extracts.
+    *
+    * Adds `scene_cuts` (`array<int>`: 0-based sampled-frame index
+    * starting each new scene, first scene implicit at 0) and
+    * `n_scenes`; both null where frames were not decodable (H.26x)
+    * — same null contract as `frame_lumas`. The cut scan is a
+    * codegen'd filter over the CONCRETE lumas array (an attribute,
+    * not a re-evaluated derivation), narrow, no shuffle. */
+  def detectScenes(df: DataFrame, threshold: Double = 0.12,
+      maxFrames: Int = 64): DataFrame = {
+    val lumas = col("frame_lumas")
+    val cuts = when(lumas.isNull, lit(null))
+      .when(size(lumas) < 2, array().cast(ArrayType(IntegerType)))
+      .otherwise(
+        transform(
+          filter(sequence(lit(1), size(lumas) - 1),
+            i => abs(element_at(lumas, i + 1) - element_at(lumas, i))
+              > threshold),
+          i => i.cast(IntegerType)))
+    decodeVideo(df, maxFrames)
+      .withColumn("scene_cuts", cuts)
+      .withColumn("n_scenes",
+        when(col("scene_cuts").isNotNull, size(col("scene_cuts")) + 1))
+  }
+
   /** Deterministic synthetic media table for tests/bench: payloads are
     * seeded byte blobs with plausible metadata. */
   def syntheticMedia(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) data layout for multi-column scan pruning.
@@ -86,6 +86,44 @@ object Layout {
           .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
     writer.parquet(path)
+  }
+
+  /** One compaction pass's accounting. */
+  final case class CompactReport(filesBefore: Int, bytesBefore: Long,
+      filesAfter: Int, bytesAfter: Long, rows: Long)
+
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `targetBytes` — the maintenance operator every
+    * incrementally-written table needs (streaming sinks and per-batch
+    * jobs emit a file per task per trigger; a year later the table is
+    * millions of KB-files and scan planning, not I/O, dominates).
+    *
+    * Output file count = ceil(input bytes / targetBytes), derived from
+    * the FILE LISTING (no data pass); the rewrite is one
+    * `repartition(n)` — a single round-robin shuffle that also heals
+    * skewed input files. Input compressed bytes proxy output bytes
+    * (same codec ⇒ same ratio; the report records both). Writes to
+    * `outPath` — compact-then-swap, never in place (an in-place
+    * rewrite that fails mid-way loses the table). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): CompactReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(inPath != outPath, "compact writes aside, never in place")
+    def listParquet(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    }
+    val before = listParquet(inPath)
+    require(before.nonEmpty, s"no parquet files under $inPath")
+    val bytesBefore = before.map(_.getLen).sum
+    val n = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    val after = listParquet(outPath)
+    CompactReport(before.size, bytesBefore, after.size,
+      after.map(_.getLen).sum, spark.read.parquet(outPath).count())
   }
 
   /** Average per-file min/max span of `statCol` under a given ordering

@@ -279,4 +279,25 @@ class VideoCodecSpec extends SparkSpec {
     assert(out(2L).length == 5) // stub fallback still deterministic
     assert(out(2L) == Multimodal.StubCodec.frameOffsets(Array.fill[Byte](500)(3), 5).toSeq)
   }
+
+  test("detectScenes: luma-jump cuts, flat videos, and undecodable nulls") {
+    import org.apache.spark.sql.functions._
+    // three scenes: dark x3, bright x3, mid x2 -> cuts at sampled
+    // frames 3 and 6 (0-based), n_scenes = 3
+    val scenic = grayAvi(Seq(10, 12, 11, 230, 228, 231, 120, 122))
+    val flat = grayAvi(Seq(100, 101, 100, 102))
+    val single = grayAvi(Seq(77))
+    val df = Seq(
+      (1L, scenic), (2L, flat), (3L, single),
+      (4L, Array[Byte](9, 9, 9))) // not a container
+      .toDF("media_id", "payload")
+    val out = Multimodal.detectScenes(df, threshold = 0.12, maxFrames = 16)
+      .select("media_id", "scene_cuts", "n_scenes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getSeq[Int](1) == Seq(3, 6))
+    assert(out(1L).getInt(2) == 3)
+    assert(out(2L).getSeq[Int](1) == Seq.empty && out(2L).getInt(2) == 1)
+    assert(out(3L).getSeq[Int](1) == Seq.empty && out(3L).getInt(2) == 1)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
+  }
 }

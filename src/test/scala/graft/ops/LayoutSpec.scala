@@ -120,4 +120,34 @@ class LayoutSpec extends SparkSpec {
     val absentHits = (0 until 200).count(i => probe(s"absent-$i"))
     assert(absentHits < 40, s"$absentHits/200 false positives")
   }
+
+  test("compact: many small files -> ceil(bytes/target) files, rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (0 until 20000).map(i => (i.toLong, s"row-$i-payload-padding"))
+      .toDF("id", "s")
+    df.repartition(64).write.parquet(s"$base/in")
+    val report = Layout.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = 256 * 1024)
+    assert(report.filesBefore == 64)
+    assert(report.rows == 20000L)
+    val expected = ((report.bytesBefore + 256 * 1024 - 1) / (256 * 1024)).toInt
+    assert(report.filesAfter == expected,
+      s"got ${report.filesAfter}, want $expected (bytes ${report.bytesBefore})")
+    assert(report.filesAfter < 64)
+    // content identical
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("compact refuses in-place rewrites and empty inputs") {
+    val base = java.nio.file.Files.createTempDirectory("compact2").toString
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$base/x", s"$base/x", 1024)
+    }
+    new java.io.File(s"$base/empty").mkdirs()
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$base/empty", s"$base/out", 1024)
+    }
+  }
 }
