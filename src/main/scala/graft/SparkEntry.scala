@@ -1738,8 +1738,44 @@ object SparkEntry {
       graft.ops.Shards.manifest(t(s, dir, "documents"), "doc_id",
           numShards = 8)
         .orderBy("shard")
+    }),
+
+    // -- classifier evaluation (graft.ops.Eval) -------------------- //
+    // The measurement half of the quality-filter loop: score every doc
+    // with the (SQL-replayable) heuristic quality signal, label with
+    // the corpus ground truth lang=='en', and grade the score as an
+    // English-quality classifier. All four reduce by DISTINCT score
+    // first, so the per-example frame shuffles once into a frame the
+    // size of the score codomain (here ≤10⁴ after the score's own
+    // quantization) — the ranking windows never see corpus rows.
+
+    "eval_quality_auc" -> ((s, dir) => {
+      graft.ops.Eval.auc(evalScored(t(s, dir, "documents")), "score", "label")
+    }),
+
+    "eval_quality_roc" -> ((s, dir) => {
+      graft.ops.Eval.rocPoints(evalScored(t(s, dir, "documents")), "score", "label")
+        .orderBy("score")
+    }),
+
+    "eval_quality_calibration" -> ((s, dir) => {
+      graft.ops.Eval.calibrationBins(evalScored(t(s, dir, "documents")),
+          "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
+    "eval_quality_confusion" -> ((s, dir) => {
+      graft.ops.Eval.confusionAt(evalScored(t(s, dir, "documents")),
+          "score", "label", threshold = 0.7)
     })
   )
+
+  /** Shared scoring frame for the eval_* queries: heuristic quality as
+    * the score, lang=='en' as the binary label. */
+  private def evalScored(docs: DataFrame): DataFrame =
+    docs.select(
+      graft.text.TextAnalysis.qualityScore(col("text")).as("score"),
+      coalesce((col("lang") === "en").cast("int"), lit(0)).as("label"))
 
   /** Bench-only queries: the production code paths a user actually
     * runs where the oracle-gated [[queries]] entry must use a
@@ -4453,6 +4489,99 @@ object SparkEntry {
         |SELECT CAST(h % 8 AS INT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  bit_xor(h) AS checksum
-        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "eval_quality_auc" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+         |  FROM g),
+         |tot AS (
+         |  SELECT sum(pos * (negbelow * 2 + neg)) AS num2,
+         |    sum(pos) AS np, sum(neg) AS nn
+         |  FROM cum)
+         |SELECT floor(CAST(num2 AS DOUBLE) / (np * nn * 2) * 1000000) / 1000000 AS auc,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM tot""".stripMargin),
+
+    "eval_quality_roc" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT score,
+         |    sum(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(neg) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         |    sum(pos) OVER () AS np, sum(neg) OVER () AS nn
+         |  FROM g)
+         |SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CASE WHEN np <> 0 THEN floor(CAST(tp AS DOUBLE) / np * 1000000) / 1000000 END AS tpr,
+         |  CASE WHEN nn <> 0 THEN floor(CAST(fp AS DOUBLE) / nn * 1000000) / 1000000 END AS fpr,
+         |  CASE WHEN tp + fp <> 0 THEN floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 END AS precision,
+         |  CASE WHEN np <> 0 THEN floor(CAST(tp AS DOUBLE) / np * 1000000) / 1000000 END AS recall
+         |FROM cum ORDER BY score""".stripMargin),
+
+    "eval_quality_calibration" ->
+      (evalScoredSql +
+       """b AS (
+         |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |    count(*) AS n, sum(label) AS n_pos,
+         |    sum(CAST(floor(score * 1000000) AS BIGINT)) AS sq
+         |  FROM scored GROUP BY 1)
+         |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CASE WHEN n <> 0 THEN floor(CAST(n_pos AS DOUBLE) / n * 1000000) / 1000000 END AS pos_rate,
+         |  floor(CAST(sq AS DOUBLE) / n / 1000000 * 1000000) / 1000000 AS mean_score
+         |FROM b ORDER BY bin""".stripMargin),
+
+    "eval_quality_confusion" ->
+      (evalScoredSql +
+       """c AS (
+         |  SELECT
+         |    sum(CASE WHEN score >= 0.7 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN score >= 0.7 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN score < 0.7 AND label = 1 THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN score < 0.7 AND label = 0 THEN 1 ELSE 0 END) AS tn
+         |  FROM scored)
+         |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  CASE WHEN tp + fp + fn + tn <> 0 THEN floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000) / 1000000 END AS accuracy,
+         |  CASE WHEN tp + fp <> 0 THEN floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 END AS precision,
+         |  CASE WHEN tp + fn <> 0 THEN floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn <> 0 THEN floor(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) * 1000000) / 1000000 END AS f1
+         |FROM c""".stripMargin)
   )
+
+  /** Shared WITH prefix for the eval_* oracles: the text_quality score
+    * formula (kept in lockstep with TextAnalysis.qualityScore) plus the
+    * lang=='en' label. Ends mid-WITH — each consumer appends its own
+    * stages. */
+  private val evalScoredSql: String =
+    """WITH scored AS (
+      |  SELECT
+      |    floor(least(1.0,
+      |      (CASE WHEN nchars > 0 THEN nalpha / nchars ELSE 0.0 END) * 0.4
+      |      + (1.0 - least((CASE WHEN nchars > 0 THEN nsym / nchars ELSE 0.0 END) * 5, 1.0)) * 0.2
+      |      + (CASE WHEN nchars >= 50 AND nchars <= 100000 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      |  FROM (
+      |    SELECT lang, nchars, nalpha, nsym,
+      |      CASE WHEN ntokens > 0 THEN nchars / ntokens ELSE 0.0 END AS meanword
+      |    FROM (
+      |      SELECT lang,
+      |        CAST(length(trim(text)) AS DOUBLE) AS nchars,
+      |        CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                      t -> length(t) > 0)), 0) AS DOUBLE) AS ntokens,
+      |        CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
+      |        CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym
+      |      FROM documents))),
+      |""".stripMargin
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over a scored frame — the measurement
+  * half of the quality-filter loop (train a filter [graft.text.LogReg] /
+  * [graft.text.NbClassifier], SCORE the corpus, then decide the
+  * threshold from these curves before gating ingest on it). The
+  * reference's pipeline stops at pass/fail error counts
+  * (DM_bankfile_validate_pipeline.py error-compare region); a
+  * training-data pipeline additionally needs ranking metrics, because a
+  * corpus filter is a THRESHOLD choice, not a fixed rule.
+  *
+  * Scale shape: every metric here reduces the corpus ONCE by
+  * (score [, label]) — the shuffle carries one row per DISTINCT score,
+  * not per example. The only ordered structure is a window over that
+  * distinct-score frame, which is orders of magnitude smaller than the
+  * corpus (scores are quantized signals; callers with genuinely
+  * continuous scores pass `digits` to bound the frame at 10^digits
+  * rows). Nothing per-example ever sorts globally.
+  *
+  * Determinism contract (what lets DuckDB replay these bit-exactly):
+  * every cumulative/aggregate runs in EXACT integer arithmetic
+  * (counts, doubled counts for the tie term, floor-quantized score
+  * sums) and division happens once, at the end, on exact operands,
+  * then floor-quantizes to 6 digits. A float cumsum would differ by
+  * summation order across partitions; an integer one cannot. */
+object Eval {
+
+  private def r6(c: Column): Column = floor(c * 1e6) / 1e6
+
+  /** Exact-int ratio floor-quantized to 6 digits; NULL (not Inf/NaN —
+    * Spark doubles follow Java, DuckDB follows IEEE, and the engines
+    * disagree on rendering them) when the denominator is zero:
+    * single-class corpora, thresholds above every score. */
+  private def ratio6(num: Column, den: Column): Column =
+    when(den =!= 0, r6(num.cast("double") / den))
+
+  /** Per-distinct-score grouped counts: (score, pos, neg). */
+  private def grouped(df: DataFrame, scoreCol: String, labelCol: String,
+                      digits: Int): DataFrame = {
+    val s = if (digits >= 0) floor(col(scoreCol) * math.pow(10, digits)) / math.pow(10, digits)
+            else col(scoreCol)
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(s.as("score"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+           (count(lit(1)) - sum(col(labelCol).cast("long"))).as("neg"))
+  }
+
+  /** ROC + PR points, one row per distinct score, descending-threshold
+    * semantics: a row's tp/fp are the example counts with
+    * score >= that row's score (predict-positive at that cut). tpr,
+    * fpr, precision, recall are exact-int ratios floor-quantized to 6
+    * digits. */
+  def rocPoints(df: DataFrame, scoreCol: String, labelCol: String,
+                digits: Int = -1): DataFrame = {
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("score"),
+        sum("pos").over(w).as("tp"), sum("neg").over(w).as("fp"),
+        sum("pos").over(tot).as("np"), sum("neg").over(tot).as("nn"))
+      .select(col("score"), col("tp"), col("fp"),
+        ratio6(col("tp"), col("np")).as("tpr"),
+        ratio6(col("fp"), col("nn")).as("fpr"),
+        ratio6(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio6(col("tp"), col("np")).as("recall"))
+  }
+
+  /** Tie-corrected AUC (Mann-Whitney), exact until the final division:
+    * ascending over distinct scores, each score's positives earn
+    * (negatives strictly below) + (ties at the score)/2 — doubled to
+    * stay integral, so the BIGINT cumsum is order-independent. Returns
+    * one row: (auc, n_pos, n_neg). */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+          digits: Int = -1): DataFrame = {
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val below = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    g.select(col("pos"), col("neg"),
+        coalesce(sum("neg").over(below), lit(0L)).as("negBelow"))
+      .agg(sum(col("pos") * (col("negBelow") * 2 + col("neg"))).as("num2"),
+           sum("pos").as("np"), sum("neg").as("nn"))
+      .select(ratio6(col("num2"), col("np") * col("nn") * 2).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /** Reliability bins over [0,1] scores: bin b covers
+    * [b/bins, (b+1)/bins) with score 1.0 folded into the top bin.
+    * mean_score runs on floor(score·10^6) BIGINT partials (exact in
+    * any sum order), pos_rate on counts; both floor-quantized to 6.
+    * One groupBy — rows out = bins. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val b = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+           sum(col(labelCol).cast("long")).as("n_pos"),
+           sum(floor(col(scoreCol) * 1e6).cast("long")).as("sq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        ratio6(col("n_pos"), col("n")).as("pos_rate"),
+        r6(col("sq").cast("double") / col("n") / 1e6).as("mean_score"))
+  }
+
+  /** Confusion counts + derived metrics at one threshold
+    * (predict positive when score >= threshold). Single full-reduce
+    * row; ratios exact-int then floor-quantized to 6. */
+  def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
+                  threshold: Double): DataFrame = {
+    val pred = (col(scoreCol) >= threshold).cast("long")
+    val lab = col(labelCol).cast("long")
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(sum(pred * lab).as("tp"),
+           sum(pred * (lit(1L) - lab)).as("fp"),
+           sum((lit(1L) - pred) * lab).as("fn"),
+           sum((lit(1L) - pred) * (lit(1L) - lab)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio6(col("tp") + col("tn"),
+           col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio6(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio6(col("tp"), col("tp") + col("fn")).as("recall"),
+        // f1 from exact counts in one expression (2tp / (2tp+fp+fn)) —
+        // composing the rounded precision/recall would double-round
+        ratio6(col("tp") * 2,
+           col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scores 0.9,0.8(x2 tied: one pos one neg),0.4,0.2 — hand AUC:
+  // pairs = 3 pos * 2 neg = 6; pos 0.9 beats both negs (2), pos 0.8
+  // beats neg 0.2 (1) ties neg 0.8 (0.5), pos 0.4 beats 0.2 (1) loses
+  // to 0.8 (0) → (2 + 1.5 + 1) / 6 = 0.75
+  private def tiny = Seq(
+    (0.9, 1), (0.8, 1), (0.8, 0), (0.4, 1), (0.2, 0)
+  ).toDF("score", "label")
+
+  test("auc matches the hand-computed tie-corrected value") {
+    val r = Eval.auc(tiny, "score", "label").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("auc") == 0.75)
+    assert(r(0).getAs[Long]("n_pos") == 3 && r(0).getAs[Long]("n_neg") == 2)
+  }
+
+  test("auc is 1.0 under perfect separation and 0.0 when inverted") {
+    val sep = Seq((0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)).toDF("score", "label")
+    assert(Eval.auc(sep, "score", "label").collect()(0).getAs[Double]("auc") == 1.0)
+    val inv = Seq((0.9, 0), (0.8, 0), (0.3, 1), (0.1, 1)).toDF("score", "label")
+    assert(Eval.auc(inv, "score", "label").collect()(0).getAs[Double]("auc") == 0.0)
+  }
+
+  test("auc of a single-class frame is NULL, not a crash") {
+    val one = Seq((0.9, 1), (0.1, 1)).toDF("score", "label")
+    val r = Eval.auc(one, "score", "label").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("rocPoints cumulates predict-positive-at-cut counts") {
+    val rows = Eval.rocPoints(tiny, "score", "label")
+      .orderBy($"score".desc)
+      .select("score", "tp", "fp", "precision", "recall").collect()
+    assert(rows.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0.9, 1L, 0L), (0.8, 2L, 1L), (0.4, 3L, 1L), (0.2, 3L, 2L)))
+    // precision at the 0.8 cut = 2/3 floor-quantized
+    assert(rows(1).getDouble(3) == 0.666666)
+    assert(rows(3).getDouble(4) == 1.0)
+  }
+
+  test("null scores and labels are excluded before any counting") {
+    val withNulls = Seq(
+      (Some(0.9), Some(1)), (None, Some(0)), (Some(0.5), None), (Some(0.1), Some(0))
+    ).toDF("score", "label")
+    val r = Eval.auc(withNulls, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 1 && r.getAs[Long]("n_neg") == 1)
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("calibrationBins folds 1.0 into the top bin and keeps exact means") {
+    val df = Seq((0.05, 0), (0.08, 1), (1.0, 1), (0.95, 1)).toDF("score", "label")
+    val bins = Eval.calibrationBins(df, "score", "label", bins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+    val b0 = bins(0)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("n_pos") == 1)
+    assert(b0.getAs[Double]("pos_rate") == 0.5)
+    // mean of 0.05, 0.08 = 0.065 — exact via the integer-partial path
+    assert(b0.getAs[Double]("mean_score") == 0.065)
+    assert(bins(1).getAs[Long]("n") == 2 && bins(1).getAs[Long]("n_pos") == 2)
+  }
+
+  test("confusionAt counts and f1 from exact counts") {
+    val r = Eval.confusionAt(tiny, "score", "label", threshold = 0.5).collect()(0)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+            r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((2L, 1L, 1L, 1L)))
+    assert(r.getAs[Double]("accuracy") == 0.6)
+    assert(r.getAs[Double]("precision") == 0.666666)
+    assert(r.getAs[Double]("recall") == 0.666666)
+    // f1 = 2*2 / (2*2 + 1 + 1) = 4/6 from raw counts, not from the
+    // already-quantized precision/recall
+    assert(r.getAs[Double]("f1") == 0.666666)
+  }
+
+  test("threshold above every score yields NULL precision, zero tp") {
+    val r = Eval.confusionAt(tiny, "score", "label", threshold = 0.99).collect()(0)
+    assert(r.getAs[Long]("tp") == 0 && r.getAs[Long]("fp") == 0)
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    assert(r.getAs[Double]("recall") == 0.0)
+  }
+
+  test("metric shuffles reduce by distinct score, not per example") {
+    // the distinct-score frame: 1000 rows with only 3 distinct scores
+    // must aggregate before the ranking window sees them
+    val big = spark.range(1000)
+      .selectExpr("(id % 3) / 10.0 AS score", "CAST(id % 2 AS INT) AS label")
+    val plan = Eval.auc(big, "score", "label").queryExecution.executedPlan.toString
+    // one aggregate below the window: groupBy(score) runs first
+    assert(plan.contains("Window"))
+    val r = Eval.auc(big, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 1000)
+  }
+}
