@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_distinct expects (col[, k]), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[graft.expr.HllSketch].getName, "hll_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c, p) => graft.expr.HllSketch(c, evalInt(p)).toAggregateExpression()
+          case Seq(c) => graft.expr.HllSketch(c, 12).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"hll_distinct expects (col[, p]), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CountMin].getName, "cms_sketch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -17,6 +17,9 @@ object GraftFunctions {
   def kmv_distinct(c: Column, k: Int = 256): Column =
     KmvSketch.kmvDistinct(c, k)
 
+  def hll_distinct(c: Column, p: Int = 12): Column =
+    graft.expr.HllSketch.hllDistinct(c, p)
+
   def mg_topk(c: Column, k: Int = 64): Column =
     HeavyHitters.mgTopK(c, k)
 
@@ -69,6 +72,12 @@ object GraftFunctions {
       case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("hll_distinct", exprs => exprs match {
+      case Seq(c, p) => graft.expr.HllSketch(c, intLit(p)).toAggregateExpression()
+      case Seq(c) => graft.expr.HllSketch(c, 12).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"hll_distinct expects (col[, p]), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("cms_sketch", exprs => exprs match {
       case Seq(c, d, w) => CountMin(c, intLit(d), intLit(w)).toAggregateExpression()

@@ -1767,6 +1767,17 @@ object SparkEntry {
     "eval_quality_confusion" -> ((s, dir) => {
       graft.ops.Eval.confusionAt(evalScored(t(s, dir, "documents")),
           "score", "label", threshold = 0.7)
+    }),
+
+    // HyperLogLog register construction (the distributed half of the
+    // sketch — hashing, bucketing, per-bucket max — in cross-engine
+    // integer arithmetic; the float estimate is driver math pinned in
+    // HllSketchSpec). One narrow projection + one bounded groupBy:
+    // rows out ≤ 2^p whatever the input size.
+    "q_hll_registers" -> ((s, dir) => {
+      graft.expr.HllSketch.registersMd5(
+          Tables.events(s, dir).select("user_id"), "user_id", p = 10)
+        .orderBy("bucket")
     })
   )
 
@@ -4556,7 +4567,21 @@ object SparkEntry {
          |  CASE WHEN tp + fp <> 0 THEN floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 END AS precision,
          |  CASE WHEN tp + fn <> 0 THEN floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 END AS recall,
          |  CASE WHEN tp * 2 + fp + fn <> 0 THEN floor(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) * 1000000) / 1000000 END AS f1
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin),
+
+    "q_hll_registers" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT (h >> 50) & 1023 AS bucket,
+        |    h & ((CAST(1 AS BIGINT) << 50) - 1) AS w
+        |  FROM h)
+        |SELECT bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 51
+        |    ELSE 51 - length(bin(w)) END) AS INT) AS rho
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
