@@ -1778,6 +1778,28 @@ object SparkEntry {
       graft.expr.HllSketch.registersMd5(
           Tables.events(s, dir).select("user_id"), "user_id", p = 10)
         .orderBy("bucket")
+    }),
+
+    // -- global ordering (graft.ops.GlobalOrder) ------------------- //
+    // Both orderings assign GLOBAL dense positions without a global
+    // single-task sort: range exchange + per-bucket offsets + a
+    // parallel bucket-partitioned rank. The oracle replays positions
+    // with a plain row_number over the same key — engine-independent
+    // because the order key is unique per row.
+
+    "q_global_shuffle" -> ((s, dir) => {
+      graft.ops.GlobalOrder.shuffled(
+          t(s, dir, "documents").select("doc_id"), "doc_id", salt = 7L)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    }),
+
+    "q_curriculum_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.ops.GlobalOrder.byCurriculum(docs, "score", "doc_id")
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
     })
   )
 
@@ -4581,7 +4603,38 @@ object SparkEntry {
         |SELECT bucket,
         |  CAST(max(CASE WHEN w = 0 THEN 51
         |    ELSE 51 - length(bin(w)) END) AS INT) AS rho
-        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_order" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    floor(least(1.0,
+        |      (CASE WHEN nchars > 0 THEN nalpha / nchars ELSE 0.0 END) * 0.4
+        |      + (1.0 - least((CASE WHEN nchars > 0 THEN nsym / nchars ELSE 0.0 END) * 5, 1.0)) * 0.2
+        |      + (CASE WHEN nchars >= 50 AND nchars <= 100000 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS score
+        |  FROM (
+        |    SELECT doc_id, nchars, nalpha, nsym,
+        |      CASE WHEN ntokens > 0 THEN nchars / ntokens ELSE 0.0 END AS meanword
+        |    FROM (
+        |      SELECT doc_id,
+        |        CAST(length(trim(text)) AS DOUBLE) AS nchars,
+        |        CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                      t -> length(t) > 0)), 0) AS DOUBLE) AS ntokens,
+        |        CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
+        |        CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym
+        |      FROM documents)))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST(floor(score * 1000000) AS BIGINT),
+        |             md5(CAST(doc_id AS VARCHAR) || ':0')) - 1 AS BIGINT) AS pos
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
