@@ -1800,6 +1800,41 @@ object SparkEntry {
       graft.ops.GlobalOrder.byCurriculum(docs, "score", "doc_id")
         .select("doc_id", "pos")
         .orderBy("doc_id")
+    }),
+
+    // robots.txt admission end-to-end: parse a fixed two-group robots
+    // body (wildcard group + agent-specific group) per domain, admit
+    // synthesized URLs for both the '*' agent and the named agent.
+    // The oracle is a double-entry expectation derived independently
+    // from the rule semantics (the bank_gen_validate convention):
+    // longest-match, allow-tie-win, and exact-group shadowing each
+    // decide a residue class. Grammar edges live in RobotsSpec.
+    "q_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robotsTxt =
+        "# corpus policy\nUser-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/open\nDisallow: /archive\n\n" +
+        "User-agent: graftbot\nDisallow: /graft-only/\n"
+      val robots = docs
+        .select(concat(lit("www."), col("source"), lit(".com")).as("domain"))
+        .distinct()
+        .withColumn("txt", lit(robotsTxt))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".com"),
+          when(col("doc_id") % 5 === 0, concat(lit("/private/secret/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 1, concat(lit("/private/open/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 2, concat(lit("/archive/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 3, concat(lit("/graft-only/"), col("doc_id")))
+            .otherwise(concat(lit("/page/"), col("doc_id")))).as("url"))
+      val star = graft.text.Robots.annotateAllowed(urls, "url",
+          graft.text.Robots.parseRules(robots, "domain", "txt", "*"))
+        .withColumn("agent", lit("*"))
+      val bot = graft.text.Robots.annotateAllowed(urls, "url",
+          graft.text.Robots.parseRules(robots, "domain", "txt", "graftbot"))
+        .withColumn("agent", lit("graftbot"))
+      star.unionByName(bot)
+        .select("agent", "doc_id", "allowed")
+        .orderBy("agent", "doc_id")
     })
   )
 
@@ -4634,7 +4669,15 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY CAST(floor(score * 1000000) AS BIGINT),
         |             md5(CAST(doc_id AS VARCHAR) || ':0')) - 1 AS BIGINT) AS pos
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_robots_filter" ->
+      """SELECT agent, doc_id, allowed FROM (
+        |  SELECT '*' AS agent, doc_id,
+        |    (doc_id % 5 NOT IN (0, 2)) AS allowed FROM documents
+        |  UNION ALL
+        |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
+        |ORDER BY agent, doc_id""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
