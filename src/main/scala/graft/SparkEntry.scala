@@ -1835,6 +1835,14 @@ object SparkEntry {
       star.unionByName(bot)
         .select("agent", "doc_id", "allowed")
         .orderBy("agent", "doc_id")
+    }),
+
+    // interpolated Kneser-Ney trigram scoring (train-on-self form);
+    // the oracle rebuilds all four model frames and replays the
+    // probability tree term-for-term in the same association order
+    "text_kn_lp" -> ((s, dir) => {
+      graft.text.KneserNey.scoreSelf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -4677,7 +4685,54 @@ object SparkEntry {
         |    (doc_id % 5 NOT IN (0, 2)) AS allowed FROM documents
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
-        |ORDER BY agent, doc_id""".stripMargin
+        |ORDER BY agent, doc_id""".stripMargin,
+
+    "text_kn_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM tk, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |tric AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        |  FROM tr GROUP BY 1, 2, 3),
+        |n12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n1p_12dot
+        |  FROM tric GROUP BY 1, 2),
+        |n23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p_dot23
+        |  FROM tric GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(toks))) AS t(i)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM p GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_dot2dot
+        |  FROM tric GROUP BY w2),
+        |mid2 AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS n1p_2dot
+        |  FROM bi GROUP BY w1),
+        |cont AS (SELECT w2 AS w3, CAST(count(*) AS BIGINT) AS n1p_dot3
+        |  FROM bi GROUP BY w2),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM bi),
+        |occ AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+        |  FROM tr GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT occ.doc_id, occ.m,
+        |    occ.m * CAST(floor(ln(
+        |      greatest(c123 - 0.75, 0.0) / c12 +
+        |      (0.75 * n1p_12dot / c12) * (
+        |        greatest(n1p_dot23 - 0.75, 0.0) / n1p_dot2dot +
+        |        (0.75 * n1p_2dot / n1p_dot2dot) * (
+        |          (n1p_dot3 + 1) / CAST(n1pp + 1 AS DOUBLE)))
+        |    ) * 10000) AS BIGINT) AS lp_m
+        |  FROM occ
+        |  JOIN tric USING (w1, w2, w3) JOIN n12 USING (w1, w2)
+        |  JOIN n23 USING (w2, w3) JOIN bi USING (w1, w2)
+        |  JOIN mid USING (w2) JOIN mid2 USING (w2)
+        |  JOIN cont USING (w3) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tris,
+        |  CAST(sum(lp_m) AS BIGINT) / sum(m) / 10000 AS lp_avg
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
