@@ -1837,6 +1837,26 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // anchor-text mining: (href, stripped anchor text) pairs from
+    // synthesized markup — nested tags and entities inside anchors,
+    // and a whitespace-only anchor that must be filtered
+    "html_anchors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/t/"), col("doc_id").cast("string"),
+        lit("\"><b>Doc "), col("doc_id").cast("string"),
+        lit("</b> &amp; more</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href='/rel/"), col("doc_id").cast("string"),
+            lit("' class=\"x\">  </a>")))
+          .otherwise(lit("<a href=\"https://t.example.org\">plain</a>")))
+      graft.text.Html.anchorTexts(
+          docs.select(col("doc_id"), html.as("h")), "doc_id", "h")
+        .orderBy("doc_id", "pos")
+    }),
+
     // interpolated Kneser-Ney trigram scoring (train-on-self form);
     // the oracle rebuilds all four model frames and replays the
     // probability tree term-for-term in the same association order
@@ -4686,6 +4706,50 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "html_anchors" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<p>intro</p><a href="https://site' || (doc_id % 7) ||
+        |    '.com/t/' || doc_id || '"><b>Doc ' || doc_id ||
+        |    '</b> &amp; more</a>' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<a href=''/rel/' || doc_id || ''' class="x">  </a>'
+        |      ELSE '<a href="https://t.example.org">plain</a>' END AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>(.*?)</a>', 1) AS hrefs,
+        |    regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>(.*?)</a>', 2) AS inners
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, hrefs[i] AS href, inners[i] AS am
+        |  FROM m, unnest(range(1, len(hrefs) + 1)) AS t(i)),
+        |s AS (
+        |  SELECT doc_id, pos, href, trim(regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           regexp_replace(
+        |            regexp_replace(
+        |             regexp_replace(am, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |         '&nbsp;', ' ', 'g'),
+        |        '&lt;', '<', 'g'),
+        |       '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |     '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g'),
+        |   '\s+', ' ', 'g')) AS anchor
+        |  FROM e)
+        |SELECT doc_id, pos, href, anchor FROM s
+        |WHERE anchor <> '' ORDER BY doc_id, pos""".stripMargin,
 
     "text_kn_lp" ->
       """WITH tk AS (

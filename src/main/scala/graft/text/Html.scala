@@ -51,6 +51,32 @@ object Html {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
 
+  /** (href, anchor text) pairs in document order — the link-text
+    * signal retrieval training mines (anchor text is a human-written
+    * description of the TARGET page: query-document pair mining, link-
+    * based titles). Two `regexp_extract_all` passes with the same
+    * pattern (group 1 = href, group 2 = inner markup) zip positionally
+    * — same regex on the same subject yields the same match list, so
+    * alignment is structural; the inner markup then runs the
+    * [[stripHtml]] chain per element (nested tags/entities inside the
+    * anchor decode like any other fragment). Narrow, no shuffle. */
+  def anchorPairs(html: Column): Column = {
+    val pat = "(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+    zip_with(
+      regexp_extract_all(html, lit(pat), lit(1)),
+      regexp_extract_all(html, lit(pat), lit(2)),
+      (h, t) => struct(h.as("href"), t.as("anchor_markup")))
+  }
+
+  /** One row per anchor with non-empty stripped text:
+    * `(doc_id, href, anchor)`. Narrow explode — no shuffle. */
+  def anchorTexts(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(anchorPairs(col(htmlCol))).as(Seq("pos", "a")))
+      .select(col("doc_id"), col("pos"), col("a.href").as("href"),
+        stripHtml(col("a.anchor_markup")).as("anchor"))
+      .where(col("anchor") =!= "")
+
   /** One row per ABSOLUTE http(s) outbound link: `(doc_id, link,
     * dst_domain)` with the destination's registered domain (eTLD+1
     * via the PSL). Narrow explode — no shuffle. */

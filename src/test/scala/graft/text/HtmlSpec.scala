@@ -80,4 +80,22 @@ class HtmlSpec extends SparkSpec {
     assert(graphPlan.contains("HashAggregate"), s"expected agg in:\n$graphPlan")
     assert(!graphPlan.contains("Window"), s"no window in:\n$graphPlan")
   }
+
+  test("anchorTexts pairs hrefs with stripped inner text, dropping empty anchors") {
+    import spark.implicits._
+    val html =
+      "<a href=\"https://a.com/1\"><b>Bold</b> &amp; <i>nested</i></a>" +
+      "<a href='/rel' class=\"x\">   </a>" +
+      "<a name=noHref>not a link</a>" +
+      "<a href=\"https://b.org\">plain  text</a>"
+    val rows = Html.anchorTexts(Seq((1L, html)).toDF("id", "h"), "id", "h")
+      .orderBy("pos")
+      .select("pos", "href", "anchor").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // pos counts ALL anchors (the whitespace-only one is filtered
+    // after numbering); the href-less <a> never matches
+    assert(rows.toSeq == Seq(
+      (0, "https://a.com/1", "Bold & nested"),
+      (2, "https://b.org", "plain text")))
+  }
 }
