@@ -281,7 +281,56 @@ object SqlScaleSmoke {
     finally { urls.unpersist(blocking = true); () }
   }
 
+  /** Global-position smoke: GlobalOrder.shuffled (range exchange +
+    * per-bucket offsets) against the naive unpartitioned row_number
+    * window — the shape Spark itself warns moves everything to one
+    * task. Wide payload rows for the same reason as hotDomainSmoke;
+    * position assignments asserted identical by checksum. */
+  def globalOrderSmoke(spark: SparkSession, mult: Long): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val nRows = 400000L * mult
+    val rows = spark.range(nRows).select(
+      col("id").as("doc_id"),
+      concat_ws("", array((0 until 16).map(i =>
+        lpad(hex(pm(s"gp$i", Long.MaxValue)), 16, "0")): _*)).as("body"))
+      .cache()
+    def consume(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        sum(crc32(concat_ws(":", col("doc_id"), col("pos"), col("body")))).as("s"),
+        count(lit(1)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def ranged(): (Long, Long) =
+      consume(graft.ops.GlobalOrder.shuffled(rows, "doc_id", salt = 5L))
+    def naive(): (Long, Long) =
+      consume(rows.withColumn("pos",
+        row_number().over(Window.orderBy(
+          md5(concat_ws(":", col("doc_id"), lit(5L))))).cast("long") - 1))
+    require(ranged() == naive(), "ranged and naive positions disagree")
+    def time2(fn: => (Long, Long)): Double = {
+      fn
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    try (time2(naive()), time2(ranged()))
+    finally { rows.unpersist(blocking = true); () }
+  }
+
   def main(args: Array[String]): Unit = {
+    // "globalorder [mult]": range-exchange positions vs naive window
+    if (args.headOption.contains("globalorder")) {
+      val m = if (args.length > 1) args(1).toLong else 10L
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val (tw, tr) = globalOrderSmoke(s, m)
+      println(f"GLOBALORDER x$m window $tw%.3f ranged $tr%.3f speedup ${tw / tr}%.2f")
+      s.stop()
+      return
+    }
     // "hotdomain [mult]": run only the per-domain-cap smoke
     if (args.headOption.contains("hotdomain")) {
       val m = if (args.length > 1) args(1).toLong else 10L
