@@ -1769,6 +1769,22 @@ object SparkEntry {
           "score", "label", threshold = 0.7)
     }),
 
+    // per-slice ranking audit: the same score/label graded WITHIN each
+    // source — a filter that only works on average hides failing
+    // slices; windows partition by the group, so slices rank parallel
+    "eval_quality_auc_by_source" -> ((s, dir) => {
+      graft.ops.Eval.aucByGroup(evalScored(t(s, dir, "documents")),
+          "source", "score", "label")
+        .orderBy("source")
+    }),
+
+    // the operating point: f1-maximizing threshold over the distinct
+    // scores, lowest score on ties
+    "eval_best_threshold" -> ((s, dir) => {
+      graft.ops.Eval.bestThresholdByF1(evalScored(t(s, dir, "documents")),
+          "score", "label")
+    }),
+
     // HyperLogLog register construction (the distributed half of the
     // sketch — hashing, bucketing, per-bucket max — in cross-engine
     // integer arithmetic; the float estimate is driver math pinned in
@@ -1867,9 +1883,11 @@ object SparkEntry {
   )
 
   /** Shared scoring frame for the eval_* queries: heuristic quality as
-    * the score, lang=='en' as the binary label. */
+    * the score, lang=='en' as the binary label, `source` carried for
+    * the grouped metrics. */
   private def evalScored(docs: DataFrame): DataFrame =
     docs.select(
+      col("source"),
       graft.text.TextAnalysis.qualityScore(col("text")).as("score"),
       coalesce((col("lang") === "en").cast("int"), lit(0)).as("label"))
 
@@ -4654,6 +4672,49 @@ object SparkEntry {
          |  CASE WHEN tp * 2 + fp + fn <> 0 THEN floor(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) * 1000000) / 1000000 END AS f1
          |FROM c""".stripMargin),
 
+    "eval_quality_auc_by_source" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT source, score, sum(label) AS pos,
+         |    count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, pos, neg,
+         |    coalesce(sum(neg) OVER (PARTITION BY source ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+         |  FROM g),
+         |t AS (
+         |  SELECT source, sum(pos * (negbelow * 2 + neg)) AS num2,
+         |    sum(pos) AS np, sum(neg) AS nn
+         |  FROM cum GROUP BY source)
+         |SELECT source,
+         |  CASE WHEN np * nn * 2 <> 0
+         |    THEN floor(CAST(num2 AS DOUBLE) / (np * nn * 2) * 1000000) / 1000000 END AS auc,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM t ORDER BY source""".stripMargin),
+
+    "eval_best_threshold" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT score,
+         |    sum(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(neg) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         |    sum(pos) OVER () AS np
+         |  FROM g),
+         |f AS (
+         |  SELECT score AS threshold, CAST(tp AS BIGINT) AS tp,
+         |    CAST(fp AS BIGINT) AS fp, CAST(np - tp AS BIGINT) AS fn,
+         |    CASE WHEN tp * 2 + fp + (np - tp) <> 0
+         |      THEN floor(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + (np - tp)) * 1000000) / 1000000 END AS f1
+         |  FROM cum)
+         |SELECT threshold, tp, fp, fn, f1
+         |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin),
+
     "q_hll_registers" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'),
@@ -4805,7 +4866,7 @@ object SparkEntry {
     * stages. */
   private val evalScoredSql: String =
     """WITH scored AS (
-      |  SELECT
+      |  SELECT source,
       |    floor(least(1.0,
       |      (CASE WHEN nchars > 0 THEN nalpha / nchars ELSE 0.0 END) * 0.4
       |      + (1.0 - least((CASE WHEN nchars > 0 THEN nsym / nchars ELSE 0.0 END) * 5, 1.0)) * 0.2
@@ -4813,10 +4874,10 @@ object SparkEntry {
       |      + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS score,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
       |  FROM (
-      |    SELECT lang, nchars, nalpha, nsym,
+      |    SELECT source, lang, nchars, nalpha, nsym,
       |      CASE WHEN ntokens > 0 THEN nchars / ntokens ELSE 0.0 END AS meanword
       |    FROM (
-      |      SELECT lang,
+      |      SELECT source, lang,
       |        CAST(length(trim(text)) AS DOUBLE) AS nchars,
       |        CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
       |                                      t -> length(t) > 0)), 0) AS DOUBLE) AS ntokens,

@@ -107,6 +107,56 @@ object Eval {
         r6(col("sq").cast("double") / col("n") / 1e6).as("mean_score"))
   }
 
+  /** Per-group tie-corrected AUC — the corpus-audit form ("does the
+    * quality score rank English docs well in EVERY language/source
+    * slice, or only on average?"). Same exact-integer construction as
+    * [[auc]] with every window PARTITIONED by the group column, so
+    * groups rank in parallel; one row per group:
+    * (group, auc, n_pos, n_neg). */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: String, digits: Int = -1): DataFrame = {
+    val s = if (digits >= 0) floor(col(scoreCol) * math.pow(10, digits)) / math.pow(10, digits)
+            else col(scoreCol)
+    val g = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), s.as("score"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+           (count(lit(1)) - sum(col(labelCol).cast("long"))).as("neg"))
+    val below = Window.partitionBy(groupCol).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    g.select(col(groupCol), col("pos"), col("neg"),
+        coalesce(sum("neg").over(below), lit(0L)).as("negBelow"))
+      .groupBy(groupCol)
+      .agg(sum(col("pos") * (col("negBelow") * 2 + col("neg"))).as("num2"),
+           sum("pos").as("np"), sum("neg").as("nn"))
+      .select(col(groupCol),
+        ratio6(col("num2"), col("np") * col("nn") * 2).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /** The operating point: the threshold (a score actually present in
+    * the data) maximizing F1, lowest such score on ties —
+    * deterministic, replayable. One row:
+    * (threshold, tp, fp, fn, f1). Reduces by distinct score like
+    * every metric here; the pick is a TakeOrdered over the
+    * distinct-score frame (f1 desc, score asc — a total order, score
+    * is unique). */
+  def bestThresholdByF1(df: DataFrame, scoreCol: String, labelCol: String,
+                        digits: Int = -1): DataFrame = {
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("score"),
+        sum("pos").over(w).as("tp"), sum("neg").over(w).as("fp"),
+        sum("pos").over(tot).as("np"))
+      .select(col("score").as("threshold"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        ratio6(col("tp") * 2,
+          col("tp") * 2 + col("fp") + (col("np") - col("tp"))).as("f1"))
+      .orderBy(col("f1").desc, col("threshold"))
+      .limit(1)
+  }
+
   /** Confusion counts + derived metrics at one threshold
     * (predict positive when score >= threshold). Single full-reduce
     * row; ratios exact-int then floor-quantized to 6. */

@@ -86,6 +86,37 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 0.0)
   }
 
+  test("aucByGroup ranks each slice independently, degenerate slices NULL") {
+    val df = Seq(
+      // slice a = the tiny corpus (auc 0.75)
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.8, 0), ("a", 0.4, 1), ("a", 0.2, 0),
+      // slice b = perfect separation
+      ("b", 0.9, 1), ("b", 0.2, 0),
+      // slice c = single class
+      ("c", 0.5, 1), ("c", 0.4, 1)
+    ).toDF("src", "score", "label")
+    val rows = Eval.aucByGroup(df, "src", "score", "label")
+      .orderBy("src").collect()
+    assert(rows(0).getAs[Double]("auc") == 0.75)
+    assert(rows(1).getAs[Double]("auc") == 1.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("auc")))
+  }
+
+  test("bestThresholdByF1 picks the max-F1 cut, lowest score on ties") {
+    val r = Eval.bestThresholdByF1(tiny, "score", "label").collect()(0)
+    // cuts: 0.9→f1 0.5, 0.8→0.666…, 0.4→6/7, 0.2→0.75
+    assert(r.getAs[Double]("threshold") == 0.4)
+    assert(r.getAs[Double]("f1") == 0.857142)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")) ==
+      ((3L, 1L, 0L)))
+    val tied = Seq((0.9, 1), (0.7, 0), (0.5, 0), (0.3, 1)).toDF("score", "label")
+    // cuts: 0.9 → 2/3, 0.7 → 1/2, 0.5 → 2/5, 0.3 → 2/3: a tie at the
+    // max — the lower threshold wins
+    val t = Eval.bestThresholdByF1(tied, "score", "label").collect()(0)
+    assert(t.getAs[Double]("threshold") == 0.3)
+    assert(t.getAs[Double]("f1") == 0.666666)
+  }
+
   test("metric shuffles reduce by distinct score, not per example") {
     // the distinct-score frame: 1000 rows with only 3 distinct scores
     // must aggregate before the ranking window sees them
