@@ -101,6 +101,36 @@ class HllSketchSpec extends SparkSpec {
     assert(got == ref.toMap)
   }
 
+  test("hll_distinct merges per watermarked window in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(HllSketch.hllDistinct(col("uid"), 12).as("d"))
+      .select(col("window.start").as("ws"), col("d"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    try {
+      // hour-0 users arrive across two micro-batches with overlap: the
+      // closed window's count must come from register MERGE under the
+      // watermark, and the overlap must not double-count
+      in.addData((0L until 600L).map(i => (ts((i % 60).toInt), i)): _*)
+      q.processAllAvailable()
+      in.addData((300L until 900L).map(i => (ts((i % 60).toInt), i)): _*)
+      q.processAllAvailable()
+      in.addData((ts(130), 99999L)); q.processAllAvailable()
+      val rows = spark.table("hll_stream").collect()
+      assert(rows.length == 1, s"exactly the closed hour-0 window: ${rows.mkString}")
+      val d = rows.head.getLong(1)
+      // 900 distinct at p=12 → linear-counting regime, near-exact
+      assert(math.abs(d - 900L) <= 20, s"distinct estimate $d")
+    } finally q.stop()
+  }
+
   test("precision bounds are enforced") {
     intercept[IllegalArgumentException] {
       spark.range(3).agg(HllSketch.hllDistinct($"id", 3)).collect()
