@@ -1853,6 +1853,16 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // best-copy dedup: synthetic 100-way duplicate groups, survivor =
+    // max quality then min doc_id — the keep-the-cleanest-copy knob
+    "dedup_best_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 100).cast("string").as("grp"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.ops.Dedup.dropExactPreferring(docs, "grp", "doc_id", "score")
+        .orderBy("doc_id")
+    }),
+
     // anchor-text mining: (href, stripped anchor text) pairs from
     // synthesized markup — nested tags and entities inside anchors,
     // and a whitespace-only anchor that must be filtered
@@ -4767,6 +4777,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "dedup_best_docs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, CAST(doc_id % 100 AS VARCHAR) AS grp,
+        |    floor(least(1.0,
+        |      (CASE WHEN nchars > 0 THEN nalpha / nchars ELSE 0.0 END) * 0.4
+        |      + (1.0 - least((CASE WHEN nchars > 0 THEN nsym / nchars ELSE 0.0 END) * 5, 1.0)) * 0.2
+        |      + (CASE WHEN nchars >= 50 AND nchars <= 100000 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN meanword >= 3 AND meanword <= 12 THEN 1.0 ELSE 0.5 END) * 0.2) * 10000) / 10000 AS score
+        |  FROM (
+        |    SELECT doc_id, nchars, nalpha, nsym,
+        |      CASE WHEN ntokens > 0 THEN nchars / ntokens ELSE 0.0 END AS meanword
+        |    FROM (
+        |      SELECT doc_id,
+        |        CAST(length(trim(text)) AS DOUBLE) AS nchars,
+        |        CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                      t -> length(t) > 0)), 0) AS DOUBLE) AS ntokens,
+        |        CAST(coalesce(len(regexp_extract_all(trim(text), '[A-Za-z]')), 0) AS DOUBLE) AS nalpha,
+        |        CAST(coalesce(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')), 0) AS DOUBLE) AS nsym
+        |      FROM documents))),
+        |r AS (
+        |  SELECT doc_id, grp, score,
+        |    row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, grp, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "html_anchors" ->
       """WITH d AS (

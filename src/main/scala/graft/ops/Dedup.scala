@@ -34,6 +34,32 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup keeping the BEST copy per content group instead of
+    * the min-id copy — the curation knob real pipelines want once a
+    * quality signal exists (duplicates differ in extraction quality:
+    * keep the cleanest, not the first-crawled). Survivor = max
+    * `scoreCol`, ties broken by MIN `idCol` so the choice is
+    * deterministic and engine-replayable.
+    *
+    * Shape: one groupBy on the content hash with a min(struct) — the
+    * payload rides the aggregate, so map-side partials collapse
+    * duplicate-heavy partitions before the shuffle (strictly better
+    * than the row_number window under heavy duplication, same
+    * otherwise). Null scores lose to every non-null score. */
+  def dropExactPreferring(df: DataFrame, contentCol: String, idCol: String,
+                          scoreCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    // min over (−score, id): smallest −score = largest score, then
+    // smallest id; null score → +Infinity, losing to any real score
+    val ranked = struct(
+      (-coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity))).as("ns"),
+      col(idCol).as("i"), payload.as("p"))
+    df.groupBy(md5(col(contentCol).cast("string")).as("__h"))
+      .agg(min(ranked).as("b"))
+      .select(col("b.p.*"))
+  }
+
   /** Keys appearing more than once — the duplicate-PayeeID check. */
   def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)

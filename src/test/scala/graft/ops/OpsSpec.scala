@@ -26,6 +26,26 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("dropExactPreferring keeps the highest-scored copy, min id on ties") {
+    val scored = Seq(
+      (1L, "same content", 0.4), (2L, "same content", 0.9),
+      (3L, "same content", 0.9), (4L, "other", 0.1)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dropExactPreferring(scored, "text", "doc_id", "q")
+      .select("doc_id").as[Long].collect().sorted
+    // 2 beats 1 on score; 2 beats 3 on the id tie; 4 survives alone
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("dropExactPreferring: null scores lose to any real score") {
+    val scored = Seq(
+      (1L, "x", Some(0.1)), (2L, "x", None), (3L, "y", None)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dropExactPreferring(scored, "text", "doc_id", "q")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("duplicateKeys flags repeated business keys") {
     val df = Seq(("A", 1), ("A", 2), ("B", 1)).toDF("k", "v")
     val d = Dedup.duplicateKeys(df, Seq("k")).as[(String, Long)].collect()
