@@ -37,6 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_distinct expects (col[, k]), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("image_dims_packed"),
+      new ExpressionInfo(classOf[graft.expr.ImageDimsPacked].getName, "image_dims_packed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.ImageDimsPacked(c)
+          case other => throw new IllegalArgumentException(
+            s"image_dims_packed expects (payload), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[graft.expr.HllSketch].getName, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -20,6 +20,9 @@ object GraftFunctions {
   def hll_distinct(c: Column, p: Int = 12): Column =
     graft.expr.HllSketch.hllDistinct(c, p)
 
+  def image_dims(payload: Column): Column =
+    graft.expr.ImageDims.imageDims(payload)
+
   def mg_topk(c: Column, k: Int = 64): Column =
     HeavyHitters.mgTopK(c, k)
 
@@ -72,6 +75,11 @@ object GraftFunctions {
       case Seq(c) => KmvSketch(c, 256).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (col[, k]), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("image_dims_packed", exprs => exprs match {
+      case Seq(c) => graft.expr.ImageDimsPacked(c)
+      case other => throw new IllegalArgumentException(
+        s"image_dims_packed expects (payload), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("hll_distinct", exprs => exprs match {
       case Seq(c, p) => graft.expr.HllSketch(c, intLit(p)).toAggregateExpression()

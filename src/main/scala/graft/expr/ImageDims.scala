@@ -1,0 +1,76 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Header-only image dimensions as a native codegen'd expression —
+  * the resolution/format gate a multimodal curation pass runs at scan
+  * speed BEFORE paying for pixel decode (ImageIO allocates a
+  * BufferedImage per row; this reads a few header bytes). The kernel
+  * ([[Kernels.imageDimsPacked]]) recognizes PNG/GIF/BMP fixed headers
+  * and walks JPEG markers to the first SOF; anything unrecognized or
+  * truncated is NULL, never an exception — crawl payloads are hostile.
+  *
+  * Returns the packed long (format<<48 | width<<24 | height); use
+  * [[ImageDims.imageDims]] for the unpacked (format, width, height)
+  * struct — the unpack is plain bit arithmetic, so the whole probe
+  * stays inside one whole-stage-codegen span. */
+final case class ImageDimsPacked(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims_packed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val p = Kernels.imageDimsPacked(input.asInstanceOf[Array[Byte]])
+    if (p == 0L) null else java.lang.Long.valueOf(p)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val p = ctx.freshName("dims")
+      s"""
+         |long $p = graft.expr.Kernels.imageDimsPacked($input);
+         |if ($p == 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $p;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDimsPacked =
+    copy(child = newChild)
+}
+
+object ImageDims {
+
+  def imageDimsPacked(payload: Column): Column =
+    GraftColumnBridge.column(
+      ImageDimsPacked(GraftColumnBridge.expression(payload)))
+
+  /** (format, width, height) struct; NULL when the payload is not a
+    * recognizable image. */
+  def imageDims(payload: Column): Column = {
+    val p = imageDimsPacked(payload)
+    val fmt = when(shiftright(p, 48) === 1, "png")
+      .when(shiftright(p, 48) === 2, "jpeg")
+      .when(shiftright(p, 48) === 3, "gif")
+      .when(shiftright(p, 48) === 4, "bmp")
+    when(p.isNotNull, struct(
+      fmt.as("format"),
+      shiftright(p, 24).bitwiseAND(lit(0xffffffL)).cast("int").as("width"),
+      p.bitwiseAND(lit(0xffffffL)).cast("int").as("height")))
+  }
+}

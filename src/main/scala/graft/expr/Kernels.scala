@@ -443,4 +443,71 @@ object Kernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+
+  /** Image dimensions from container HEADERS — no pixel decode, no
+    * BufferedImage allocation: the probe a 100 TB multimodal curation
+    * pass runs to filter by resolution/format BEFORE paying for
+    * decode. Recognizes PNG (IHDR), GIF87a/89a (logical screen
+    * descriptor), BMP (BITMAPINFOHEADER), and JPEG (marker walk to the
+    * first SOF segment, skipping tables/APPn). Packed return:
+    * format(16 bits)<<48 | width(24)<<24 | height(24); 0 = not
+    * recognized / truncated / dims out of the 24-bit range. Format
+    * ids: 1 png, 2 jpeg, 3 gif, 4 bmp. */
+  def imageDimsPacked(bytes: Array[Byte]): Long = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def pack(fmt: Long, w: Long, h: Long): Long =
+      if (w <= 0 || h <= 0 || w > 0xffffff || h > 0xffffff) 0L
+      else (fmt << 48) | (w << 24) | h
+    val n = bytes.length
+    // PNG: 8-byte signature, IHDR payload at 16 (width, height BE32)
+    if (n >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+      return pack(1L, be32(16), be32(20))
+    // GIF: 'GIF87a'/'GIF89a', screen w/h LE16 at 6/8
+    if (n >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8' &&
+        (u(4) == '7' || u(4) == '9') && u(5) == 'a')
+      return pack(3L, le16(6), le16(8))
+    // BMP: 'BM', header size at 14 decides the dim layout
+    if (n >= 26 && u(0) == 'B' && u(1) == 'M') {
+      val hdr = le32(14)
+      if (hdr >= 40 && n >= 30)
+        // BITMAPINFOHEADER: signed LE32 w/h (negative h = top-down)
+        return pack(4L, le32(18).toInt.toLong, math.abs(le32(22).toInt).toLong)
+      if (hdr == 12)
+        // BITMAPCOREHEADER: LE16 w/h
+        return pack(4L, le16(18), le16(20))
+      return 0L
+    }
+    // JPEG: walk marker segments to the first frame header (SOF)
+    if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < n) {
+        if (u(i) != 0xff) return 0L // lost sync: corrupt stream
+        var m = u(i + 1)
+        // fill bytes: consecutive FFs before a marker
+        while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+        else if (m == 0xd9 || m == 0xda) return 0L // EOI / scan start: no SOF seen
+        else {
+          if (i + 3 >= n) return 0L
+          val segLen = be16(i + 2)
+          if (segLen < 2) return 0L
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 8 >= n) return 0L
+            // SOF payload: precision(1), height BE16, width BE16
+            return pack(2L, be16(i + 7), be16(i + 5))
+          }
+          i += 2 + segLen
+        }
+      }
+      return 0L
+    }
+    0L
+  }
 }
