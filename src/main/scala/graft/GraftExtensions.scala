@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"image_dims_packed expects (payload), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("audio_meta_packed"),
+      new ExpressionInfo(classOf[graft.expr.AudioMetaPacked].getName, "audio_meta_packed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.AudioMetaPacked(c)
+          case other => throw new IllegalArgumentException(
+            s"audio_meta_packed expects (payload), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[graft.expr.HllSketch].getName, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -23,6 +23,9 @@ object GraftFunctions {
   def image_dims(payload: Column): Column =
     graft.expr.ImageDims.imageDims(payload)
 
+  def audio_meta(payload: Column): Column =
+    graft.expr.AudioMeta.audioMeta(payload)
+
   def mg_topk(c: Column, k: Int = 64): Column =
     HeavyHitters.mgTopK(c, k)
 
@@ -80,6 +83,11 @@ object GraftFunctions {
       case Seq(c) => graft.expr.ImageDimsPacked(c)
       case other => throw new IllegalArgumentException(
         s"image_dims_packed expects (payload), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("audio_meta_packed", exprs => exprs match {
+      case Seq(c) => graft.expr.AudioMetaPacked(c)
+      case other => throw new IllegalArgumentException(
+        s"audio_meta_packed expects (payload), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("hll_distinct", exprs => exprs match {
       case Seq(c, p) => graft.expr.HllSketch(c, intLit(p)).toAggregateExpression()

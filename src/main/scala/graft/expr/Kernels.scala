@@ -485,28 +485,140 @@ object Kernels {
     }
     // JPEG: walk marker segments to the first frame header (SOF)
     if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
-      var i = 2
-      while (i + 3 < n) {
-        if (u(i) != 0xff) return 0L // lost sync: corrupt stream
-        var m = u(i + 1)
-        // fill bytes: consecutive FFs before a marker
-        while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
-        else if (m == 0xd9 || m == 0xda) return 0L // EOI / scan start: no SOF seen
-        else {
-          if (i + 3 >= n) return 0L
-          val segLen = be16(i + 2)
-          if (segLen < 2) return 0L
-          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
-          if (isSof) {
-            if (i + 8 >= n) return 0L
-            // SOF payload: precision(1), height BE16, width BE16
-            return pack(2L, be16(i + 7), be16(i + 5))
-          }
-          i += 2 + segLen
+      return jpegDims(bytes)
+    }
+    0L
+  }
+
+  private def jpegDims(bytes: Array[Byte]): Long = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def pack(fmt: Long, w: Long, h: Long): Long =
+      if (w <= 0 || h <= 0 || w > 0xffffff || h > 0xffffff) 0L
+      else (fmt << 48) | (w << 24) | h
+    val n = bytes.length
+    var i = 2
+    while (i + 3 < n) {
+      if (u(i) != 0xff) return 0L // lost sync: corrupt stream
+      var m = u(i + 1)
+      // fill bytes: consecutive FFs before a marker
+      while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+      else if (m == 0xd9 || m == 0xda) return 0L // EOI / scan start: no SOF seen
+      else {
+        if (i + 3 >= n) return 0L
+        val segLen = be16(i + 2)
+        if (segLen < 2) return 0L
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 8 >= n) return 0L
+          // SOF payload: precision(1), height BE16, width BE16
+          return pack(2L, be16(i + 7), be16(i + 5))
         }
+        i += 2 + segLen
+      }
+    }
+    0L
+  }
+
+  /** Audio stream parameters from container HEADERS — the audio
+    * sibling of [[imageDimsPacked]]: sample rate / channel count /
+    * frame count (duration = frames/rate) without constructing a
+    * javax.sound stream, for scan-speed duration/rate gates over a
+    * multimodal corpus. Recognizes WAV (RIFF chunk walk to fmt+data),
+    * AIFF (FORM/COMM, 80-bit extended-float rate), and AU (fixed
+    * header). Packed return: fmt(3 bits)<<61 | channels(5)<<56 |
+    * rate(20)<<36 | frames(36); 0 = unrecognized / truncated /
+    * out-of-range. Format ids: 1 wav, 2 aiff, 3 au. */
+  def audioMetaPacked(bytes: Array[Byte]): Long = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def pack(fmt: Long, ch: Long, rate: Long, frames: Long): Long =
+      if (ch <= 0 || ch > 31 || rate <= 0 || rate > 0xfffff ||
+          frames < 0 || frames > 0xfffffffffL) 0L
+      else (fmt << 61) | (ch << 56) | (rate << 36) | frames
+    val n = bytes.length
+    if (n < 12) return 0L
+    // WAV: 'RIFF' size 'WAVE', then chunk walk (fmt then data)
+    if (u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E') {
+      var i = 12
+      var ch = 0L; var rate = 0L; var blockAlign = 0L
+      while (i + 8 <= n) {
+        val size = le32(i + 4)
+        if (size < 0) return 0L
+        val isFmt = u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' '
+        val isData = u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' && u(i + 3) == 'a'
+        if (isFmt) {
+          if (i + 8 + 16 > n) return 0L
+          ch = le16(i + 10); rate = le32(i + 12); blockAlign = le16(i + 20)
+        } else if (isData) {
+          if (ch == 0 || blockAlign == 0) return 0L
+          return pack(1L, ch, rate, size / blockAlign)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       return 0L
+    }
+    // AIFF: 'FORM' size 'AIFF', COMM chunk holds everything
+    if (u(0) == 'F' && u(1) == 'O' && u(2) == 'R' && u(3) == 'M' &&
+        u(8) == 'A' && u(9) == 'I' && u(10) == 'F' && u(11) == 'F') {
+      var i = 12
+      while (i + 8 <= n) {
+        val size = be32(i + 4)
+        if (size < 0) return 0L
+        if (u(i) == 'C' && u(i + 1) == 'O' && u(i + 2) == 'M' && u(i + 3) == 'M') {
+          if (i + 8 + 18 > n) return 0L
+          val ch = be16(i + 8)
+          val frames = be32(i + 10)
+          // sample rate: 80-bit IEEE 754 extended (SANE): 1+15 bit
+          // sign/exponent, 64-bit mantissa with explicit integer bit
+          val exp = be16(i + 16) & 0x7fff
+          var mant = 0L
+          var j = 0
+          while (j < 8) { mant = (mant << 8) | u(i + 18 + j); j += 1 }
+          if (exp == 0 && mant == 0L) return 0L
+          val e = exp - 16383 - 63
+          val rate =
+            if (e >= 0) mant << e
+            else if (e > -64) {
+              // round-to-nearest on the shifted-out bit: 44100 etc.
+              // are exact, but a rate like 8000.5 must not floor
+              val shifted = mant >>> (-e)
+              val roundBit = if (-e <= 64) (mant >>> (-e - 1)) & 1L else 0L
+              shifted + roundBit
+            } else 0L
+          return pack(2L, ch, rate, frames)
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return 0L
+    }
+    // AU: '.snd' magic, fixed big-endian header
+    if (u(0) == '.' && u(1) == 's' && u(2) == 'n' && u(3) == 'd') {
+      if (n < 24) return 0L
+      val dataSize = be32(8)
+      val encoding = be32(12)
+      val rate = be32(16)
+      val ch = be32(20)
+      val bytesPerSample = encoding match {
+        case 1 | 2 => 1L // mu-law, 8-bit linear
+        case 3 => 2L     // 16-bit linear
+        case 4 => 3L
+        case 5 | 6 => 4L // 32-bit linear, float
+        case 7 => 8L     // double
+        case _ => return 0L
+      }
+      if (ch <= 0) return 0L
+      val frames =
+        if (dataSize == 0xffffffffL) (n - be32(4)) / (bytesPerSample * ch)
+        else dataSize / (bytesPerSample * ch)
+      return pack(3L, ch, rate, frames)
     }
     0L
   }
