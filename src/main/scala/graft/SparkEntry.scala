@@ -1853,6 +1853,31 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // C4 line-level cleanup over synthesized crawl-shaped docs: a
+    // short button label, a JavaScript banner, content lines with
+    // terminal punctuation, and per-residue lorem-ipsum / code-brace
+    // page poisons — each rule decides specific lines/pages
+    "text_c4_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val s1 = concat(array_join(slice(words, 1, 8), " "), lit("."))
+      val s2 = concat(array_join(slice(words, 9, 8), " "), lit("?"))
+      val lines = concat_ws("\n",
+        lit("Click here"),
+        s1,
+        lit("Please enable JavaScript to continue."),
+        s2,
+        when(col("doc_id") % 7 === 0,
+          lit("this page is lorem ipsum filler text."))
+          .otherwise(lit("real closing sentence with enough words here.")),
+        when(col("doc_id") % 11 === 0,
+          lit("inline code sample { braces }.")).otherwise(lit("")))
+      graft.text.C4Filter.clean(
+          docs.select(col("doc_id"), lines.as("text")), "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("fp"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // best-copy dedup: synthetic 100-way duplicate groups, survivor =
     // max quality then min doc_id — the keep-the-cleanest-copy knob
     "dedup_best_docs" -> ((s, dir) => {
@@ -4777,6 +4802,33 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "text_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'Click here' || chr(10) ||
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') || '.' || chr(10) ||
+        |    'Please enable JavaScript to continue.' || chr(10) ||
+        |    array_to_string(string_split(text, ' ')[9:16], ' ') || '?' || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'this page is lorem ipsum filler text.'
+        |         ELSE 'real closing sentence with enough words here.' END || chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'inline code sample { braces }.'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"'']$')
+        |        AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |                            w -> length(w) > 0)) >= 5
+        |        AND NOT contains(lower(trim(l)), 'javascript')),
+        |      chr(10)) AS clean_text
+        |  FROM base)
+        |SELECT doc_id, md5(clean_text) AS fp,
+        |  (NOT contains(lower(clean_text), 'lorem ipsum')
+        |   AND NOT contains(clean_text, '{')
+        |   AND coalesce(len(regexp_extract_all(clean_text, '[.!?]')), 0) >= 3) AS kept
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     "dedup_best_docs" ->
       """WITH scored AS (
