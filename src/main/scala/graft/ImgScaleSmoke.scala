@@ -84,11 +84,38 @@ object ImgScaleSmoke {
     val tPairs = (System.nanoTime() - t2) / 1e9
     val planted = pairs.count { case (a, b) => b == a + 1 && a % 2 == 0 }
     val extra = pairs.length - planted
+    // header-only dims probe vs full ImageIO decode on the same
+    // corpus: the reason the probe exists is this ratio (a
+    // resolution/format gate should not pay decode prices). Dims
+    // cross-checked against the generator's two known sizes.
+    def time2(fn: => Long): (Double, Long) = {
+      fn
+      var best = Double.MaxValue; var v = 0L
+      (1 to 2).foreach { _ =>
+        val s = System.nanoTime(); v = fn
+        best = math.min(best, (System.nanoTime() - s) / 1e9)
+      }
+      (best, v)
+    }
+    val (tProbe, okProbe) = time2(
+      media.select(graft.expr.ImageDims.imageDims(col("payload")).as("d"))
+        .where(col("d.width") === 128 && col("d.height") === 64 ||
+               col("d.width") === 64 && col("d.height") === 32)
+        .count())
+    val (tDecode, okDecode) = time2(
+      graft.multimodal.Multimodal.decodeImagesJdk(media)
+        .where(col("decoded_w") === 128 && col("decoded_h") === 64 ||
+               col("decoded_w") === 64 && col("decoded_h") === 32)
+        .count())
+    require(okProbe == n && okDecode == n,
+      s"dims disagree: probe $okProbe decode $okDecode of $n")
     val json =
       s"""{"metric":"img_scale","images":$n,"gen_sec":${fmt(tGen)},""" +
       s""""hash_sec":${fmt(tHash)},"hash_rows_per_sec":${(nHashed / tHash).toLong},""" +
       s""""pairs_sec":${fmt(tPairs)},"planted_found":$planted,""" +
-      s""""planted_expected":${n / 2},"false_pairs":$extra}"""
+      s""""planted_expected":${n / 2},"false_pairs":$extra,""" +
+      s""""dims_probe_sec":${fmt(tProbe)},"full_decode_sec":${fmt(tDecode)},""" +
+      s""""probe_speedup":${fmt(tDecode / tProbe)}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_IMG.json"), json)
