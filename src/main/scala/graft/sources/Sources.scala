@@ -153,4 +153,56 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+
+  /** One field of a fixed-width (copybook-style) record layout. */
+  final case class FwField(name: String, width: Int) {
+    require(width > 0, s"field $name: width must be positive")
+  }
+
+  /** Fixed-width text reader — the classic bank-feed layout the
+    * reference's domain lives in (column positions, not delimiters).
+    * `spark.read.text` + one narrow codegen'd substring projection:
+    * scan-speed, splittable like any text source. Positions are CHAR
+    * offsets (== byte offsets on the ASCII feeds these layouts
+    * describe). Rows whose length differs from the layout total get
+    * `_corrupt` = true with every field still extracted best-effort
+    * (the PERMISSIVE convention: validation routes them, the read
+    * never throws). `trimValues` strips the space padding;
+    * `blankAsNull` turns all-padding fields into NULL. */
+  def readFixedWidth(spark: SparkSession, path: String, fields: Seq[FwField],
+                     trimValues: Boolean = true,
+                     blankAsNull: Boolean = true): DataFrame = {
+    require(fields.nonEmpty, "empty layout")
+    require(fields.map(_.name).distinct.size == fields.size,
+      "duplicate field names in layout")
+    val total = fields.map(_.width).sum
+    val starts = fields.scanLeft(1)((acc, f) => acc + f.width)
+    val cols = fields.zip(starts).map { case (f, start) =>
+      val raw = substring(col("value"), start, f.width)
+      val t = if (trimValues) trim(raw) else raw
+      val v = if (blankAsNull) when(trim(raw) === "", lit(null)).otherwise(t) else t
+      v.as(f.name)
+    }
+    spark.read.text(path)
+      .select(cols :+ (length(col("value")) =!= total).as("_corrupt"): _*)
+  }
+
+  /** Fixed-width writer: every column rendered at its layout width,
+    * space-padded right (the bank convention), NULL as all-padding.
+    * A value LONGER than its field is data loss — the write fails
+    * fast per row (raise_error) unless `truncate` opts in. */
+  def writeFixedWidth(df: DataFrame, path: String, fields: Seq[FwField],
+                      truncate: Boolean = false): Unit = {
+    val rendered = fields.map { f =>
+      val s = coalesce(df(f.name).cast("string"), lit(""))
+      val guarded =
+        if (truncate) substring(s, 1, f.width)
+        else when(length(s) > f.width,
+          raise_error(concat(lit(s"field ${f.name} exceeds width ${f.width}: "), s)))
+          .otherwise(s)
+      rpad(guarded, f.width, " ")
+    }
+    df.select(concat(rendered: _*).as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

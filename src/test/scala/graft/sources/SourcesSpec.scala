@@ -209,4 +209,60 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("avro"))
   }
+
+  test("fixed-width round trip: layout positions, padding, nulls") {
+    import spark.implicits._
+    import Sources.FwField
+    val dir = java.nio.file.Files.createTempDirectory("fw").toString
+    val layout = Seq(FwField("acct", 6), FwField("name", 10), FwField("amt", 8))
+    val df = Seq(
+      ("A00001", Some("ALICE"), Some("12.50")),
+      ("B00002", None, Some("999.99")),
+      ("C00003", Some("CAROL"), None)
+    ).toDF("acct", "name", "amt")
+    Sources.writeFixedWidth(df, s"$dir/feed.txt", layout)
+    // the raw lines really are fixed-width records
+    val raw = spark.read.text(s"$dir/feed.txt").as[String].collect()
+    assert(raw.forall(_.length == 24))
+    assert(raw.exists(_ == "A00001ALICE     12.50   "))
+    val back = Sources.readFixedWidth(spark, s"$dir/feed.txt", layout)
+    assert(back.where(col("_corrupt")).count() == 0)
+    val rows = back.orderBy("acct")
+      .select("acct", "name", "amt").collect()
+    assert(rows(0).getString(1) == "ALICE" && rows(0).getString(2) == "12.50")
+    assert(rows(1).isNullAt(1)) // all-padding field reads back as NULL
+    assert(rows(2).isNullAt(2))
+  }
+
+  test("fixed-width: wrong-length records flag _corrupt, fields best-effort") {
+    import spark.implicits._
+    import Sources.FwField
+    val dir = java.nio.file.Files.createTempDirectory("fw2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.txt"),
+      "A00001ALICE     12.50   \nB00002BOB\n")
+    val layout = Seq(FwField("acct", 6), FwField("name", 10), FwField("amt", 8))
+    val back = Sources.readFixedWidth(spark, s"$dir/bad.txt", layout)
+      .orderBy("acct").collect()
+    assert(!back(0).getAs[Boolean]("_corrupt"))
+    assert(back(1).getAs[Boolean]("_corrupt"))
+    assert(back(1).getAs[String]("name") == "BOB") // still extracted
+    assert(back(1).isNullAt(2))
+  }
+
+  test("fixed-width write fails fast on overlong values unless truncate opts in") {
+    import spark.implicits._
+    import Sources.FwField
+    val dir = java.nio.file.Files.createTempDirectory("fw3").toString
+    val layout = Seq(FwField("name", 4))
+    val df = Seq(Tuple1("TOOLONG")).toDF("name")
+    val e = intercept[Exception] {
+      Sources.writeFixedWidth(df, s"$dir/x.txt", layout)
+    }
+    assert(e.getMessage.contains("exceeds width") ||
+      String.valueOf(e.getCause).contains("exceeds width"))
+    Sources.writeFixedWidth(df, s"$dir/y.txt", layout, truncate = true)
+    val back = Sources.readFixedWidth(spark, s"$dir/y.txt", layout)
+    assert(back.select("name").as[String].head() == "TOOL")
+  }
 }
