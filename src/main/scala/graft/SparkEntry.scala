@@ -1853,6 +1853,24 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // k-anonymity audit over (lang, source, n_chars mod 97) — the
+    // modulus fabricates a high-cardinality quasi-identifier so most
+    // combinations are under-populated, exercising the exposure math
+    "v_kanon_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("bucket", (col("n_chars") % 97).cast("int"))
+      graft.validate.Anonymity.audit(docs, Seq("lang", "source", "bucket"), k = 3)
+    }),
+
+    // suppression on the realistic quasi pair (lang, source): the
+    // released rows are exactly the >= k combinations
+    "v_kanon_suppress" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.validate.Anonymity.suppress(docs, Seq("lang", "source"), k = 15)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // C4 line-level cleanup over synthesized crawl-shaped docs: a
     // short button label, a JavaScript banner, content lines with
     // terminal punctuation, and per-residue lorem-ipsum / code-brace
@@ -4802,6 +4820,29 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "v_kanon_audit" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(n_chars % 97 AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |  CAST(coalesce(sum(CASE WHEN n < 3 THEN n END), 0) AS BIGINT) AS exposed_rows,
+        |  CASE WHEN sum(n) > 0 THEN
+        |    floor(CAST(coalesce(sum(CASE WHEN n < 3 THEN n END), 0) AS DOUBLE)
+        |      / sum(n) * 1000000) / 1000000 END AS exposed_frac,
+        |  CAST(min(n) AS BIGINT) AS achieved_k,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS risky_groups
+        |FROM g""".stripMargin,
+
+    "v_kanon_suppress" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source
+        |WHERE g.n >= 15 ORDER BY d.doc_id""".stripMargin,
 
     "text_c4_clean" ->
       """WITH base AS (
