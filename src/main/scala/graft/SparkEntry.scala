@@ -1853,6 +1853,38 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // TPC-H Q21 shape (suppliers who kept everyone waiting), adapted
+    // to this schema's dates: late = shipped > 60 days after the
+    // order date. The double correlated EXISTS / NOT EXISTS is
+    // re-expressed as ONE per-order aggregate (supplier count + late-
+    // supplier count) joined back — at scale that is one extra
+    // aggregation instead of two more lineitem joins, and "the only
+    // late supplier is this one" falls out as n_late_supp == 1 given
+    // the candidate's own line is late. The oracle keeps the classic
+    // EXISTS formulation, so the rewrite is verified against the
+    // textbook semantics, not against itself.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val lines = li.join(ord.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val orderStats = lines.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val sup = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_3")
+      lines.where(col("late"))
+        .join(orderStats.where(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          "l_orderkey")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // k-anonymity audit over (lang, source, n_chars mod 97) — the
     // modulus fabricates a high-cardinality quasi-identifier so most
     // combinations are under-populated, exercising the exposure math
@@ -4820,6 +4852,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
 
     "v_kanon_audit" ->
       """WITH g AS (
