@@ -1853,6 +1853,15 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // per-user EWMA of event values (α=0.25 — binary-exact, so the
+    // fold replays bit-for-bit) seeded with the first value in
+    // (ts, event_id) order
+    "q_ewma_users" -> ((s, dir) => {
+      graft.ops.Smoothing.ewmaLevel(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value", alpha = 0.25)
+        .orderBy("user_id")
+    }),
+
     // TPC-H Q21 shape (suppliers who kept everyone waiting), adapted
     // to this schema's dates: late = shipped > 60 days after the
     // order date. The double correlated EXISTS / NOT EXISTS is
@@ -4852,6 +4861,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "q_ewma_users" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+        |  floor(list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25) * 1000000)
+        |    / 1000000 AS level
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "q21_waiting_suppliers" ->
       """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
