@@ -1853,6 +1853,16 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // ordered-shard manifest: global md5 positions → arithmetic
+    // shard ranges + XOR checksums, the auditor's recomputation of
+    // what writeOrderedShards lays on disk
+    "q_ordered_shards" -> ((s, dir) => {
+      graft.ops.Shards.orderedManifest(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          rowsPerShard = 64, salt = 5L)
+        .orderBy("shard")
+    }),
+
     // per-user EWMA of event values (α=0.25 — binary-exact, so the
     // fold replays bit-for-bit) seeded with the first value in
     // (ts, event_id) order
@@ -4861,6 +4871,20 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "q_ordered_shards" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5')) - 1 AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(pos // 64 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(pos) AS min_pos, max(pos) AS max_pos,
+        |  bit_xor(h) AS checksum
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_ewma_users" ->
       """WITH s AS (

@@ -83,4 +83,52 @@ object Shards {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
   }
+
+  /** The ordered-shard manifest derived from the DATA alone (no
+    * write): what an external auditor recomputes to certify a shard
+    * directory — and exactly what [[writeOrderedShards]] reads back
+    * from its files. (shard, n_rows, min_pos, max_pos, checksum). */
+  def orderedManifest(df: DataFrame, idCol: String, rowsPerShard: Long,
+      salt: Long = 0L): DataFrame = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive: $rowsPerShard")
+    GlobalOrder.shuffled(df, idCol, salt)
+      .select((col("pos") / rowsPerShard).cast("int").as("shard"), col("pos"),
+        fold60(col(idCol), salt).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** ORDERED shards: the training-run delivery format — rows carry a
+    * reproducible global position ([[GlobalOrder.shuffled]]'s salted
+    * order), shard s holds positions [s·rowsPerShard, (s+1)·…), and
+    * files within a shard are written position-sorted, so "example i"
+    * resolves to shard i/rowsPerShard by arithmetic and a resumed run
+    * skips whole shards. [[writeShards]] trades order for pure hash
+    * placement; this trades one range exchange for ORDER — both end
+    * manifest-certified.
+    *
+    * Returns the manifest recomputed from the files as written:
+    * (shard, n_rows, min_pos, max_pos, checksum). Contiguity is the
+    * integrity property here, so min/max are part of it: a misplaced
+    * or missing row breaks [min_pos, max_pos] = the shard's arithmetic
+    * range (with n_rows = its width) before anyone checks a hash. */
+  def writeOrderedShards(df: DataFrame, idCol: String, path: String,
+      rowsPerShard: Long, salt: Long = 0L): DataFrame = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive: $rowsPerShard")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "writeOrderedShards: input already has a 'shard'/'pos' column — rename it")
+    GlobalOrder.shuffled(df, idCol, salt)
+      .withColumn("shard", (col("pos") / rowsPerShard).cast("int"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"), col("pos"),
+        fold60(col(idCol), salt).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"),
+        expr("bit_xor(h)").as("checksum"))
+  }
 }

@@ -91,4 +91,33 @@ class ShardsSpec extends SparkSpec {
     val plan = Shards.manifest(df, "id", 8).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Sort"), plan)
   }
+
+  test("writeOrderedShards: contiguous position ranges, sorted files, certified manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ordshards").toString
+    val df = spark.range(1000).select(col("id"), (col("id") * 3).as("payload"))
+    val man = Shards.writeOrderedShards(df, "id", s"$dir/out",
+      rowsPerShard = 256, salt = 9L).orderBy("shard").collect()
+    // 1000 rows / 256 → shards 0..3 with arithmetic ranges
+    assert(man.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    man.foreach { r =>
+      val (s, n, lo, hi) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo == s * 256L && n == hi - lo + 1, r.toString)
+      assert(if (s < 3) n == 256L else n == 1000L - 768L)
+    }
+    // the manifest from files equals the data-side derivation
+    val derived = Shards.orderedManifest(df, "id", 256, salt = 9L)
+      .orderBy("shard").collect()
+    assert(man.map(_.toSeq).toSeq == derived.map(_.toSeq).toSeq)
+    // read-back reconstructs the exact global permutation, and rows
+    // inside each file are position-sorted (resume = skip + scan)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1000)
+    assert(back.select("pos").as[Long].collect().sorted.toSeq == (0L until 1000L))
+    val firstFile = new java.io.File(s"$dir/out/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).head
+    val inFile = spark.read.parquet(firstFile.toString).select("pos").as[Long].collect()
+    assert(inFile.toSeq == inFile.sorted.toSeq)
+  }
 }
