@@ -84,7 +84,8 @@ object RecipeIngest {
             urlCol: String = null, urlIndexPath: String = null,
             lineIndexPath: String = null, lineMinDf: Int = 3,
             clfModelPath: String = null,
-            clfThreshold: Double = 0.0): StreamingQuery = {
+            clfThreshold: Double = 0.0,
+            c4Clean: Boolean = false): StreamingQuery = {
     require((urlCol == null) == (urlIndexPath == null),
       "urlCol and urlIndexPath come together")
     val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
@@ -107,8 +108,21 @@ object RecipeIngest {
               runId = runId, batchId = batchId))
           }
         try {
-          val afterStages = lined.map(_._1)
+          val afterStages0 = lined.map(_._1)
             .orElse(staged.map(_.drop("_uh"))).getOrElse(batch)
+          // stage 0.75 (optional, stateless): C4 line-level cleanup —
+          // junk lines vanish from the text the gate/fingerprint see;
+          // pages failing the C4 page gate are emptied, so the rule
+          // gate downstream rejects them through the normal routed
+          // sink (one writer per sink per batch — no partition clash)
+          val afterStages =
+            if (!c4Clean) afterStages0
+            else {
+              val cleaned = graft.text.C4Filter.cleanLines(col(textCol))
+              afterStages0.withColumn(textCol,
+                when(graft.text.C4Filter.pageKeep(cleaned), cleaned)
+                  .otherwise(lit("")))
+            }
           processBatch(afterStages, idCol, textCol, langCol, acceptedPath,
             rejectedPath, indexPath, runId, batchId, targetWeights, mixSalt,
             clfModelPath, clfThreshold)

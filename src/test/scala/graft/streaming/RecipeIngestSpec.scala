@@ -222,6 +222,40 @@ class RecipeIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lineidx").where(col("_df") === 3L).count() == 1)
   }
 
+  test("c4 stage: junk lines vanish pre-gate, poisoned pages route to rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-recipe-c4").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    // three sentences: the C4 page gate wants >= 3 terminal marks
+    def prose(seed: Int) = mkDoc(seed) + ". It is true. Yes indeed it is."
+    // 40: prose + junk lines (button label, js banner) — junk must be
+    // stripped, doc accepted; 41: lorem-ipsum page — C4 page gate
+    // empties it, the rule gate rejects it through the normal sink
+    Seq(
+      (40L, "Click here\n" + prose(40) + "\nPlease enable JavaScript now.", "en"),
+      (41L, prose(41) + "\nthis page is lorem ipsum filler text.\n" +
+        prose(141) + "\n" + prose(241), "de"),
+      // survivors balanced 2 en : 2 de so the per-batch mix keeps all
+      (42L, prose(42), "de"), (43L, prose(43), "en"),
+      (44L, prose(44), "de"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(drop)
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING").parquet(drop)
+    val q = RecipeIngest.start(stream, "doc_id", "text", "lang",
+      s"$dir/accepted", s"$dir/rejected", s"$dir/index", s"$dir/ckpt", weights,
+      c4Clean = true)
+    try q.awaitTermination(60000) finally q.stop()
+
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    val acceptedIds = accepted.select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds == Set(40L, 42L, 43L, 44L), acceptedIds.toString)
+    val t40 = accepted.where(col("doc_id") === 40L)
+      .select("text").as[String].head()
+    assert(t40 == prose(40)) // junk lines gone, prose intact
+    assert(spark.read.parquet(s"$dir/rejected")
+      .select("doc_id").as[Long].collect().toSet == Set(41L))
+  }
+
   test("streaming end-to-end over file drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-recipe-s").toString
     val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
