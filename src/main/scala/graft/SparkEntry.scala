@@ -1853,6 +1853,17 @@ object SparkEntry {
         .orderBy("agent", "doc_id")
     }),
 
+    // word2vec skip-gram pairs after stream subsampling (t=0.05
+    // thins only the most frequent words at this corpus size);
+    // aggregated to pair counts >= 3 to bound the output
+    "text_skipgram" -> ((s, dir) => {
+      graft.text.SkipGram.trainingPairs(t(s, dir, "documents"),
+          "doc_id", "text", window = 2, t = 0.05)
+        .groupBy("center", "context").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .orderBy("center", "context")
+    }),
+
     // ordered-shard manifest: global md5 positions → arithmetic
     // shard ranges + XOR checksums, the auditor's recomputation of
     // what writeOrderedShards lays on disk
@@ -4871,6 +4882,36 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'graftbot', doc_id, (doc_id % 5 <> 3) FROM documents)
         |ORDER BY agent, doc_id""".stripMargin,
+
+    "text_skipgram" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+        |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)),
+        |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
+        |kept AS (
+        |  SELECT doc_id, pos, w
+        |  FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |  WHERE CAST(('0x' || substr(md5(doc_id || ':' || pos || ':0'), 1, 15)) AS BIGINT)
+        |          / CAST(1152921504606846976 AS DOUBLE)
+        |        < sqrt(0.05 * n_total / cnt)),
+        |reb AS (SELECT doc_id, list(w ORDER BY pos) AS toks FROM kept GROUP BY doc_id),
+        |pr AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + d] AS w2
+        |  FROM reb, unnest(range(1, len(toks) + 1)) AS t(i), unnest([1, 2]) AS o(d)
+        |  WHERE i + d <= len(toks)),
+        |dirs AS (
+        |  SELECT w1 AS center, w2 AS context FROM pr
+        |  UNION ALL
+        |  SELECT w2, w1 FROM pr)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY center, context""".stripMargin,
 
     "q_ordered_shards" ->
       """WITH p AS (

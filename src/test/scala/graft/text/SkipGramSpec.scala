@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkipGramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairs: every within-window co-occurrence, both directions") {
+    val got = SkipGram.pairs(Seq((1L, "a b c d")).toDF("id", "t"), "id", "t",
+        window = 2)
+      .select("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c"),
+      ("a", "c"), ("c", "a"), ("b", "d"), ("d", "b"))
+    assert(got.sorted.toSeq == expected.sorted)
+    assert(got.length == expected.length) // multiplicity, not a set
+  }
+
+  test("a huge threshold disables subsampling: trainingPairs == pairs") {
+    val df = Seq((1L, "x y z x y"), (2L, "p q r")).toDF("id", "t")
+    val a = SkipGram.pairs(df, "id", "t", window = 2)
+      .groupBy("center", "context").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = SkipGram.trainingPairs(df, "id", "t", window = 2, t = 1e9)
+      .groupBy("center", "context").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("subsampling thins the hyper-frequent word and is deterministic") {
+    // "the" is half the stream; content words are rare
+    val docs = (1 to 200).map(i => (i.toLong, s"the w$i the v$i the u$i"))
+      .toDF("id", "t")
+    def pairCount(filter: String => Boolean): Long =
+      SkipGram.trainingPairs(docs, "id", "t", window = 1, t = 1e-3)
+        .where(col("center").isNotNull)
+        .collect().count(r => filter(r.getString(1)))
+    val withThe = pairCount(_ == "the")
+    val full = SkipGram.pairs(docs, "id", "t", window = 1)
+      .collect().count(_.getString(1) == "the")
+    assert(withThe < full / 2, s"subsampled $withThe vs full $full")
+    // determinism: same salt, same pairs
+    val x = SkipGram.trainingPairs(docs, "id", "t", 1, 1e-3, salt = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val y = SkipGram.trainingPairs(docs.repartition(13), "id", "t", 1, 1e-3, salt = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(x == y)
+  }
+
+  test("discarding from the stream widens effective windows (paper semantics)") {
+    // every middle token is the hyper-frequent one; with window=1 the
+    // (aN, bN) pair can ONLY appear when the middle was discarded
+    val docs = (1 to 300).map(i => (i.toLong, s"a$i the b$i")) ++
+      (1 to 300).flatMap(i => Seq((1000L + i, "the the the the")))
+    val pairs = SkipGram.trainingPairs(docs.toDF("id", "t"), "id", "t",
+        window = 1, t = 1e-4)
+      .where(col("center").startsWith("a") && col("context").startsWith("b"))
+      .count()
+    assert(pairs > 0, "no widened-window pairs — stream semantics broken?")
+  }
+}
