@@ -1864,6 +1864,16 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // PMI collocations over unsubsampled window-2 pairs: n >= 5
+    // bounds the output to real co-occurrences
+    "text_pmi" -> ((s, dir) => {
+      graft.text.SkipGram.pmi(
+          graft.text.SkipGram.pairs(t(s, dir, "documents"), "doc_id", "text",
+            window = 2))
+        .where(col("n") >= 5)
+        .orderBy("center", "context")
+    }),
+
     // ordered-shard manifest: global md5 positions → arithmetic
     // shard ranges + XOR checksums, the auditor's recomputation of
     // what writeOrderedShards lays on disk
@@ -4912,6 +4922,32 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY center, context""".stripMargin,
+
+    "text_pmi" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pr AS (
+        |  SELECT toks[i] AS w1, toks[i + d] AS w2
+        |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i), unnest([1, 2]) AS o(d)
+        |  WHERE i + d <= len(toks)),
+        |dirs AS (
+        |  SELECT w1 AS center, w2 AS context FROM pr
+        |  UNION ALL
+        |  SELECT w2, w1 FROM pr),
+        |counts AS (
+        |  SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |  FROM dirs GROUP BY 1, 2),
+        |ct AS (SELECT center, CAST(sum(n) AS BIGINT) AS n_c FROM counts GROUP BY 1),
+        |xt AS (SELECT context, CAST(sum(n) AS BIGINT) AS n_x FROM counts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts)
+        |SELECT center, context, n,
+        |  CAST(floor(ln(CAST(n AS DOUBLE) * n_total /
+        |    (CAST(n_c AS DOUBLE) * n_x)) * 10000) AS BIGINT) AS pmi_q
+        |FROM counts JOIN ct USING (center) JOIN xt USING (context) CROSS JOIN tot
+        |WHERE n >= 5 ORDER BY center, context""".stripMargin,
 
     "q_ordered_shards" ->
       """WITH p AS (

@@ -51,6 +51,30 @@ object SkipGram {
       .select(col("doc_id"), col("e.center"), col("e.context"))
   }
 
+  /** Pointwise mutual information over a pair frame — collocation
+    * mining (Church & Hanks 1990): PMI = ln(n(c,x)·N / (n(c)·n(x)))
+    * says how much more often the pair co-occurs than independence
+    * predicts; high-PMI pairs are multiword expressions ("san
+    * francisco"), low/negative ones are grammatical noise. Counts
+    * stay integral; the single log is computed on doubles in a fixed
+    * association and floor-quantized to 1e-4 (the LM discipline), so
+    * any engine replays it. Marginals are computed as DOUBLE products
+    * before dividing — n(c)·n(x) overflows a long at web scale.
+    * Output: (center, context, n, pmi_q). */
+  def pmi(pairFrame: DataFrame): DataFrame = {
+    val counts = pairFrame.groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+    val cTot = counts.groupBy("center").agg(sum("n").as("n_c"))
+    val xTot = counts.groupBy("context").agg(sum("n").as("n_x"))
+    val tot = counts.agg(sum("n").as("n_total"))
+    counts.join(cTot, "center").join(xTot, "context")
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("n"),
+        floor(log(col("n").cast("double") * col("n_total") /
+          (col("n_c").cast("double") * col("n_x"))) * 10000)
+          .cast("long").as("pmi_q"))
+  }
+
   /** The word2vec pipeline: subsample the token STREAM (keep an
     * occurrence of word w with probability min(1, √(t/f_w)), f_w =
     * corpus frequency ratio; the md5 of doc:pos:salt is the uniform),

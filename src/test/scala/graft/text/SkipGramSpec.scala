@@ -49,6 +49,19 @@ class SkipGramSpec extends SparkSpec {
     assert(x == y)
   }
 
+  test("pmi ranks a planted collocation above independent co-occurrence") {
+    // "san francisco" always adjacent; "the" co-occurs with everything
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"the san francisco c$i trip the report d$i the end"))
+      .toDF("id", "t")
+    val pmi = SkipGram.pmi(SkipGram.pairs(docs, "id", "t", window = 1))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(pmi(("san", "francisco")) > pmi(("the", "san")))
+    // hand check: pmi is symmetric for symmetric pair generation
+    assert(pmi(("san", "francisco")) == pmi(("francisco", "san")))
+  }
+
   test("discarding from the stream widens effective windows (paper semantics)") {
     // every middle token is the hyper-frequent one; with window=1 the
     // (aN, bN) pair can ONLY appear when the middle was discarded
