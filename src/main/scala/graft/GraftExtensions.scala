@@ -47,6 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"image_dims_packed expects (payload), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[graft.expr.FixMojibakeExpr].getName, "fix_mojibake"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.FixMojibakeExpr(c)
+          case other => throw new IllegalArgumentException(
+            s"fix_mojibake expects (text), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("audio_meta_packed"),
       new ExpressionInfo(classOf[graft.expr.AudioMetaPacked].getName, "audio_meta_packed"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

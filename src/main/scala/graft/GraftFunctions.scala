@@ -26,6 +26,9 @@ object GraftFunctions {
   def audio_meta(payload: Column): Column =
     graft.expr.AudioMeta.audioMeta(payload)
 
+  def fix_mojibake(text: Column): Column =
+    graft.expr.FixMojibake.fixMojibake(text)
+
   def mg_topk(c: Column, k: Int = 64): Column =
     HeavyHitters.mgTopK(c, k)
 
@@ -88,6 +91,11 @@ object GraftFunctions {
       case Seq(c) => graft.expr.AudioMetaPacked(c)
       case other => throw new IllegalArgumentException(
         s"audio_meta_packed expects (payload), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("fix_mojibake", exprs => exprs match {
+      case Seq(c) => graft.expr.FixMojibakeExpr(c)
+      case other => throw new IllegalArgumentException(
+        s"fix_mojibake expects (text), got ${other.size} args")
     }, "built-in")
     registry.createOrReplaceTempFunction("hll_distinct", exprs => exprs match {
       case Seq(c, p) => graft.expr.HllSketch(c, intLit(p)).toAggregateExpression()
