@@ -1864,6 +1864,15 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // GloVe distance-weighted co-occurrence (window 3, weights 6/3/2
+    // over scale 6 — exact integers, BIGINT sums)
+    "text_glove_cooc" -> ((s, dir) => {
+      graft.text.SkipGram.weightedCooc(t(s, dir, "documents"),
+          "doc_id", "text", window = 3)
+        .where(col("n") >= 5)
+        .orderBy("center", "context")
+    }),
+
     // PMI collocations over unsubsampled window-2 pairs: n >= 5
     // bounds the output to real co-occurrences
     "text_pmi" -> ((s, dir) => {
@@ -4921,6 +4930,25 @@ object SparkEntry {
         |  SELECT w2, w1 FROM pr)
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY center, context""".stripMargin,
+
+    "text_glove_cooc" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pr AS (
+        |  SELECT toks[i] AS w1, toks[i + d] AS w2, CAST(6 / d AS BIGINT) AS wq
+        |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i), unnest([1, 2, 3]) AS o(d)
+        |  WHERE i + d <= len(toks)),
+        |dirs AS (
+        |  SELECT w1 AS center, w2 AS context, wq FROM pr
+        |  UNION ALL
+        |  SELECT w2, w1, wq FROM pr)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(wq) AS BIGINT) AS w_q, CAST(6 AS BIGINT) AS scale
+        |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY center, context""".stripMargin,
 
     "text_pmi" ->

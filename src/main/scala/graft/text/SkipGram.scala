@@ -51,6 +51,37 @@ object SkipGram {
       .select(col("doc_id"), col("e.center"), col("e.context"))
   }
 
+  /** GloVe-style distance-weighted co-occurrence counts (Pennington
+    * et al. 2014 weight 1/d for offset d): the input matrix of GloVe
+    * training and a sharper collocation signal than flat counts.
+    * Weights are EXACT scaled integers — lcm(1..window)/d per offset
+    * (window 3 → 6,3,2) — so the aggregate sums in BIGINT, immune to
+    * float summation order; callers divide by `scale` at the end.
+    * Output: (center, context, n, w_q) + the constant scale column. */
+  def weightedCooc(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1,16]: $window")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1 to window).foldLeft(1L)((acc, d) => acc / gcd(acc, d) * d)
+    val toks = toksCol(col(textCol))
+    val perOffset = (1 to window).map { d =>
+      val len = greatest(size(toks) - d, lit(0))
+      zip_with(slice(toks, lit(1), len), slice(toks, lit(1 + d), len),
+        (a, b) => struct(a.as("w1"), b.as("w2"), lit(scale / d).as("wq")))
+    }
+    docs.select(col(idCol).as("doc_id"),
+        explode(concat(perOffset: _*)).as("p"))
+      .select(explode(array(
+        struct(col("p.w1").as("center"), col("p.w2").as("context"),
+          col("p.wq").as("wq")),
+        struct(col("p.w2").as("center"), col("p.w1").as("context"),
+          col("p.wq").as("wq")))).as("e"))
+      .select(col("e.center"), col("e.context"), col("e.wq"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"), sum("wq").as("w_q"))
+      .withColumn("scale", lit(scale))
+  }
+
   /** Pointwise mutual information over a pair frame — collocation
     * mining (Church & Hanks 1990): PMI = ln(n(c,x)·N / (n(c)·n(x)))
     * says how much more often the pair co-occurs than independence

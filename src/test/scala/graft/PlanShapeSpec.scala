@@ -47,6 +47,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("KN trigram scoring: model joins stay equi, no window") {
+    val p = plan("text_kn_lp")
+    assert(!p.contains("Window"), "kn scoring must not window")
+    // exactly one nested-loop join: the broadcast of the 1-row stats
+    // frame (the scalar N1+(··) attach) — the five model joins must
+    // all be hash equi-joins
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnlj <= 2, s"unexpected nested-loop joins: $bnlj") // plan text repeats the node once in the detail section
+  }
+
+  test("hll registers: one counting aggregation, no window, no join") {
+    val p = plan("q_hll_registers")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(800))
+  }
+
   test("validation is a single narrow projection: no shuffle before the filter") {
     val p = plan("v_customer_errors")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -62,6 +62,21 @@ class SkipGramSpec extends SparkSpec {
     assert(pmi(("san", "francisco")) == pmi(("francisco", "san")))
   }
 
+  test("weightedCooc: exact integer distance weights, adjacency outweighs distance") {
+    val got = SkipGram.weightedCooc(Seq((1L, "a b c a")).toDF("id", "t"),
+        "id", "t", window = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pairs from "a b c a": offsets — (a,b)1 (b,c)1 (c,a)1 (a,c)2
+    // (b,a)2 (a,a)3; scale = lcm(1..3) = 6
+    assert(got(("a", "b")) == ((2L, 6L + 3L, 6L))) // adjacent + offset-2
+    assert(got(("a", "a")) == ((2L, 2L + 2L, 6L))) // both directions of offset 3
+    assert(got(("c", "a")) == ((2L, 6L + 3L, 6L)))
+    // weighted signal: (a,b) at 9/6 outweighs (a,a) at 4/6 despite equal n
+    assert(got(("a", "b"))._2 > got(("a", "a"))._2)
+  }
+
   test("discarding from the stream widens effective windows (paper semantics)") {
     // every middle token is the hyper-frequent one; with window=1 the
     // (aN, bN) pair can ONLY appear when the middle was discarded
