@@ -1864,6 +1864,31 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // code/prose separation + code-quality signals over synthesized
+    // markdown: every doc gets a python fence (comment line on %3),
+    // %4 docs a second raw fence; prose fingerprint proves the strip,
+    // flags run on the FIRST block
+    "text_code_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val code = concat(lit("def f_"), col("doc_id").cast("string"),
+        lit("(x):\n    return x * "), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("\n# comment line"))
+          .otherwise(lit("")))
+      val md = concat(col("text"), lit("\n```python\n"), code,
+        lit("\n```\nmore prose"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n```\nraw block with a very long line "),
+            repeat(lit("x"), 130), lit("\n```")))
+          .otherwise(lit("")))
+      docs.select(col("doc_id"),
+          size(graft.text.CodeText.codeFences(md)).as("n_blocks"),
+          md5(graft.text.CodeText.stripCodeFences(md)).as("prose_fp"),
+          graft.text.CodeText.codeFlags(
+            element_at(graft.text.CodeText.codeFences(md), 1)).as("f"))
+        .select(col("doc_id"), col("n_blocks"), col("prose_fp"), col("f.*"))
+        .orderBy("doc_id")
+    }),
+
     // GloVe distance-weighted co-occurrence (window 3, weights 6/3/2
     // over scale 6 — exact integers, BIGINT sums)
     "text_glove_cooc" -> ((s, dir) => {
@@ -4931,6 +4956,50 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY center, context""".stripMargin,
+
+    "text_code_split" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'def f_' || doc_id || '(x):' || chr(10) ||
+        |    '    return x * ' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '# comment line'
+        |         ELSE '' END AS code,
+        |    text FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || '```python' || chr(10) || code ||
+        |    chr(10) || '```' || chr(10) || 'more prose' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || '```' || chr(10) ||
+        |           'raw block with a very long line ' || repeat('x', 130) ||
+        |           chr(10) || '```'
+        |      ELSE '' END AS md
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(md, '(?s)```[A-Za-z0-9_+#-]*\r?\n(.*?)```', 1) AS blocks,
+        |    md5(regexp_replace(md, '(?s)```[A-Za-z0-9_+#-]*\r?\n(.*?)```', ' ', 'g')) AS prose_fp
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, CAST(len(blocks) AS INT) AS n_blocks, prose_fp,
+        |    blocks[1] AS code,
+        |    string_split_regex(blocks[1], '\r?\n') AS ls
+        |  FROM f)
+        |SELECT doc_id, n_blocks, prose_fp,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(list_max(list_transform(ls, l -> length(l))), 0) AS BIGINT) AS max_line_len,
+        |  CASE WHEN len(ls) > 0 THEN
+        |    floor(CAST(len(list_filter(ls, l -> length(l) > 120)) AS DOUBLE)
+        |      / len(ls) * 1000000) / 1000000 END AS long_line_frac,
+        |  CAST((length(code) - length(regexp_replace(code, '\{', '', 'g')))
+        |     - (length(code) - length(regexp_replace(code, '\}', '', 'g'))) AS BIGINT) AS brace_delta,
+        |  CASE WHEN len(ls) > 0 THEN
+        |    floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^(//|#|--|/\*)'))) AS DOUBLE)
+        |      / len(ls) * 1000000) / 1000000 END AS comment_frac,
+        |  CASE WHEN len(ls) > 0 THEN
+        |    floor(CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \t]'))) AS DOUBLE)
+        |      / len(ls) * 1000000) / 1000000 END AS indent_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_glove_cooc" ->
       """WITH tk AS (
