@@ -144,6 +144,37 @@ object EventStreams {
       .select("p_id", "user_id", "p_ts", "p_value", "s_id", "s_ts")
   }
 
+  /** Streaming per-key EWMA — the UNBOUNDED-series form the batch
+    * operator (graft.ops.Smoothing) documents as belonging here:
+    * state per key is two numbers (level, count), updated by folding
+    * each micro-batch's rows in (ts, event_id) order and seeded with
+    * the key's first value, exactly the batch formulation — so a
+    * stream replayed as one batch yields the SAME levels (pinned in
+    * spec). Update-mode output: one current (user_id, n, level) row
+    * per key per batch it appears in. */
+  def ewmaLevels(events: Dataset[Event], alpha: Double): Dataset[EwmaLevel] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaLevel](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id))
+          var cur = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          for (e <- sorted) {
+            cur =
+              if (cur.n == 0L) EwmaState(e.value, 1L)
+              else EwmaState(cur.level * (1.0 - alpha) + e.value * alpha,
+                cur.n + 1)
+          }
+          state.update(cur)
+          EwmaLevel(userId, cur.n, cur.level)
+      }
+  }
+
+  final case class EwmaState(level: Double, n: Long)
+  final case class EwmaLevel(user_id: Long, n: Long, level: Double)
+
   final case class Event(event_id: Long, ts_us: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)

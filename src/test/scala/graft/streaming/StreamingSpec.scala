@@ -146,6 +146,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma matches the batch fold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = ewmaLevels(mem.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: values 8, 0 → level 8 then 8*.75+0*.25 = 6
+      mem.addData(Event(1, ts(0), 1, "m", 8.0), Event(2, ts(1), 1, "m", 0.0))
+      q.processAllAvailable()
+      // batch 2: value 4 → 6*.75 + 4*.25 = 5.5 — state carried over
+      mem.addData(Event(3, ts(2), 1, "m", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_stream").as[EwmaLevel].collect()
+        .filter(_.user_id == 1L)
+      val last = rows.maxBy(_.n)
+      assert(last.n == 3L && last.level == 5.5)
+      // parity with the batch operator over the same rows as one frame
+      val batch = graft.ops.Smoothing.ewmaLevel(
+        Seq((1L, 0L, 1L, 8.0), (1L, 1L, 2L, 0.0), (1L, 2L, 3L, 4.0))
+          .toDF("k", "t", "id", "v"), "k", "t", "id", "v", 0.25)
+        .collect()(0).getDouble(2)
+      assert(batch == 5.5)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
