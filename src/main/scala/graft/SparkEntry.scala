@@ -1864,6 +1864,17 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // margin-based bitext mining over two disjoint embedding slices:
+    // mutual-argmax pairs under the ratio margin (k=4 neighbor sums)
+    "ann_bitext_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Ann.mineBitext(
+          emb.where(col("vec_id") < 40),
+          emb.where(col("vec_id") >= 40 && col("vec_id") < 80),
+          "vec_id", "embedding", k = 4)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // code/prose separation + code-quality signals over synthesized
     // markdown: every doc gets a python fence (comment line on %3),
     // %4 docs a second raw fence; prose fingerprint proves the strip,
@@ -4956,6 +4967,55 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM dirs GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY center, context""".stripMargin,
+
+    "ann_bitext_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |  WHERE vec_id < 80),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |cosm AS (
+        |  SELECT a.vec_id AS sid, b.vec_id AS tid,
+        |         round(sum(a.v * b.v) /
+        |           (max(na.nrm) * max(nb.nrm)), 6) AS c
+        |  FROM e a JOIN e b ON a.i = b.i
+        |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE a.vec_id < 40 AND b.vec_id >= 40
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT sid, tid, CAST(round(c * 1000000) AS BIGINT) AS c6
+        |  FROM (SELECT sid, tid, c,
+        |          row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS r
+        |        FROM cosm) WHERE r <= 4),
+        |bk AS (
+        |  SELECT sid, tid, CAST(round(c * 1000000) AS BIGINT) AS c6
+        |  FROM (SELECT sid, tid, c,
+        |          row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS r
+        |        FROM cosm) WHERE r <= 4),
+        |fs AS (SELECT sid, CAST(sum(c6) AS BIGINT) AS fsum6,
+        |         CAST(count(*) AS BIGINT) AS kf FROM f GROUP BY sid),
+        |bs AS (SELECT tid, CAST(sum(c6) AS BIGINT) AS bsum6,
+        |         CAST(count(*) AS BIGINT) AS kb FROM bk GROUP BY tid),
+        |cand AS (
+        |  SELECT f.sid, f.tid,
+        |    floor(CAST(c6 AS DOUBLE) /
+        |      (CAST(fsum6 AS DOUBLE) / (kf * 2) + CAST(bsum6 AS DOUBLE) / (kb * 2))
+        |      * 1000000) / 1000000 AS margin
+        |  FROM f JOIN fs USING (sid) JOIN bs USING (tid)),
+        |bsrc AS (
+        |  SELECT sid, tid FROM (SELECT sid, tid,
+        |      row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS r
+        |    FROM cand) WHERE r = 1),
+        |btgt AS (
+        |  SELECT sid, tid FROM (SELECT sid, tid,
+        |      row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS r
+        |    FROM cand) WHERE r = 1)
+        |SELECT cand.sid AS src_id, cand.tid AS tgt_id, margin
+        |FROM cand
+        |JOIN bsrc ON cand.sid = bsrc.sid AND cand.tid = bsrc.tid
+        |JOIN btgt ON cand.sid = btgt.sid AND cand.tid = btgt.tid
+        |ORDER BY src_id, tgt_id""".stripMargin,
 
     "text_code_split" ->
       """WITH d AS (

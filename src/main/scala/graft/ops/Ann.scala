@@ -189,6 +189,60 @@ object Ann {
     * Output: (query_id, pos_id, neg_id, neg_rank), one row per
     * negative. One brute pass ranks once; positives and negatives are
     * sliced from the same ranking — no second scan. */
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus miner): a candidate pair scores
+    * by its cosine RELATIVE to what each side scores against its
+    * other neighbors — margin(x,y) = cos(x,y) /
+    * (sumNNk(x)/(2·kx) + sumNNk(y)/(2·ky)) — which kills hubs that
+    * are merely close to everything; a pair survives only as the
+    * MUTUAL argmax of both sides (the intersection "max" strategy).
+    *
+    * Determinism: per-pair cosines are round6'd then scaled to exact
+    * 1e6 integers, so the neighbor sums are order-independent BIGINTs
+    * and the one margin division floor-quantizes to 6 — the DuckDB
+    * oracle replays the whole chain. Scale: two broadcast-query top-k
+    * passes (corpus never shuffles) + two candidate-sized aggregates;
+    * candidates = |src|·k rows.
+    *
+    * Output: (src_id, tgt_id, margin) mutual-best pairs. */
+  def mineBitext(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def crossTopK(corpus: DataFrame, queries: DataFrame): DataFrame = {
+      val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      topKPerQuery(
+        c.crossJoin(q).select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cosine")), k)
+    }
+    val c6 = round(col("cosine") * 1e6).cast("long")
+    val fwd = crossTopK(tgt, src).select(
+      col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+      c6.as("c6"))
+    val bwd = crossTopK(src, tgt).select(
+      col("query_id").as("tgt_id"), col("neighbor_id").as("src_id"),
+      c6.as("c6"))
+    val fSum = fwd.groupBy("src_id")
+      .agg(sum("c6").as("fsum6"), count(lit(1)).as("kf"))
+    val bSum = bwd.groupBy("tgt_id")
+      .agg(sum("c6").as("bsum6"), count(lit(1)).as("kb"))
+    val cand = fwd
+      .join(fSum, "src_id").join(bSum, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        (floor(col("c6").cast("double") /
+          (col("fsum6").cast("double") / (col("kf") * 2) +
+           col("bsum6").cast("double") / (col("kb") * 2)) * 1e6) / 1e6)
+          .as("margin"))
+    val bestSrc = cand.groupBy("src_id")
+      .agg(min(struct((-col("margin")).as("nm"), col("tgt_id").as("t"))).as("b"))
+      .select(col("src_id"), col("b.t").as("tgt_id"))
+    val bestTgt = cand.groupBy("tgt_id")
+      .agg(min(struct((-col("margin")).as("nm"), col("src_id").as("s"))).as("b"))
+      .select(col("tgt_id"), col("b.s").as("src_id"))
+    cand.join(bestSrc, Seq("src_id", "tgt_id"), "left_semi")
+      .join(bestTgt, Seq("src_id", "tgt_id"), "left_semi")
+  }
+
   def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String,
                         numNegatives: Int, skipTop: Int = 3): DataFrame = {

@@ -401,6 +401,35 @@ class AnnSpec extends SparkSpec {
     assert(comps.size == 6)
   }
 
+  test("mineBitext recovers a planted alignment as mutual-argmax pairs") {
+    def vec(i: Int, shift: Double): Array[Float] =
+      Array.tabulate(12)(j =>
+        (if (j == i) 1.0 else 0.02 * ((i * 7 + j) % 5) + shift).toFloat)
+    val src = (0 until 12).map(i => (i.toLong, vec(i, 0.0))).toDF("vec_id", "embedding")
+    val tgt = (0 until 12).map(i => (100L + i, vec(i, 0.003))).toDF("vec_id", "embedding")
+    val pairs = Ann.mineBitext(src, tgt, "vec_id", "embedding", k = 4)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    // every src aligns with its noised copy; nothing else is mutual
+    assert(pairs == (0 until 12).map(i => (i.toLong, 100L + i)).toSet, pairs)
+  }
+
+  test("mineBitext margins punish hubs (a vector close to everything)") {
+    // the hub is the all-ones direction: decent cosine to every
+    // one-hot-ish src, so raw cosine would often pick it — the margin
+    // normalizes it away and the true pairs survive
+    val src = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.05f)))
+      .toDF("vec_id", "embedding")
+    val tgt = ((0 until 8).map(i =>
+      (100L + i, Array.tabulate(8)(j => if (j == i) 0.97f else 0.06f))) :+
+      (999L, Array.fill(8)(0.6f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.mineBitext(src, tgt, "vec_id", "embedding", k = 3)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(_._2 == 999L), s"hub survived: $pairs")
+    assert(pairs == (0 until 8).map(i => (i.toLong, 100L + i)).toSet, pairs)
+  }
+
   test("mineHardNegatives: rank-1 positive, skip band, re-based negative ranks") {
     val triplets = Ann.mineHardNegatives(vecs, vecs.where(col("vec_id") === 0L),
         "vec_id", "embedding", numNegatives = 2, skipTop = 1)
