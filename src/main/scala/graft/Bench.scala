@@ -89,6 +89,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match GraftSession: keep topk_by/sketch aggregations on the
+      // object-hash path instead of the 128-key sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // small local parquet files arrive as ONE split; a cluster scan
+      // splits by maxPartitionBytes. Floor the split count so
+      // single-file inputs still use every core (scan-side parallelism,
+      // not a shuffle)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

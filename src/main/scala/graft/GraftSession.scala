@@ -39,6 +39,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregates (topk_by, the sketch aggs) fall back
+      // to SORT-based aggregation past this many distinct keys per
+      // task — the 128 default turns a 4M-row top-k-per-query pass
+      // into a per-partition sort + per-row buffer serialization
+      // (measured 1.5x on the brute kNN graph). 64k heap/sketch
+      // buffers of bounded size fit executor memory comfortably.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 
   /** Local session for tests/benchmarks: `cores` threads, shuffle
     * partitions sized to match. */
@@ -46,6 +53,7 @@ object GraftSession {
     builder(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.files.minPartitionNum", cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -60,6 +60,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The containment-query corpus: the first 100 docs plus a planted
+    * 120-char prefix snippet (doc_id + 1000) of each long ASCII doc.
+    * A prefix's distinct 5-grams are a subset of its parent's, so each
+    * snippet is guaranteed a containment-1.0 pair — without them the
+    * testdata corpus has zero pairs at threshold 0.8 and the oracle
+    * would gate nothing. ASCII-only keeps substring() code-point
+    * semantics identical across Spark and DuckDB. */
+  private def containmentCorpus(documents: DataFrame): DataFrame = {
+    val base = documents.where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    base.unionAll(base
+      .where(col("text").rlike("^[ -~]*$") && length(col("text")) >= 240)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        substring(col("text"), 1, 120).as("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1457,8 +1473,13 @@ object SparkEntry {
     // single task at sf0.1). Corpus-scale containment goes through
     // maxDf capping + MinHash/LSH prefiltering (dedup_survivors), not
     // the exact index; this entry verifies the containment math.
+    // planted snippets (prefix of each long ASCII doc, id+1000) make
+    // the oracle non-vacuous: a prefix's distinct 5-grams are a subset
+    // of its parent's, so every snippet yields a containment-1.0 pair —
+    // the corpus alone has no pairs at 0.8 and a 0-row artifact gates
+    // nothing. ASCII-only keeps substring semantics engine-identical.
     "ngram_containment_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      val docs = containmentCorpus(t(s, dir, "documents"))
       Similarity.ngramContainment(docs, "doc_id", "text",
           k = 5, threshold = 0.8)
         .orderBy("id1", "id2")
@@ -1469,7 +1490,7 @@ object SparkEntry {
     // identical oracle — reached through df-ordered prefix candidates
     // instead of the full inverted index.
     "ngram_containment_prefix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      val docs = containmentCorpus(t(s, dir, "documents"))
       Similarity.ngramContainmentPrefix(docs, "doc_id", "text",
           k = 5, threshold = 0.8)
         .orderBy("id1", "id2")
@@ -2079,6 +2100,20 @@ object SparkEntry {
           graft.expr.DeflateRatio.deflateRatio(col("text")).as("zratio"))
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("zratio")) * 10000) / 10000).as("mean_ratio"))
+    }),
+    // unigram-LM (SentencePiece) tokenizer induction + corpus
+    // re-tokenization: seed→EM→prune to a 256-piece model, then
+    // Viterbi-segment the corpus. No SQL oracle for the EM loop
+    // (UnigramTokenizerSpec pins determinism, pruning, Viterbi
+    // semantics); benched because rounds are vocab-sized jobs and the
+    // production question is the per-round + segmentation scan cost.
+    "unigram_train_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.UnigramTokenizer.train(docs, "text",
+        vocabSize = 256, maxPieceLen = 6)
+      graft.text.UnigramTokenizer.segment(docs, "text", model)
+        .agg(sum(col("n_unigram_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
     }),
     // full BPE tokenizer induction + corpus re-tokenization: 8 merge
     // rounds over the distinct-word vocab (driver-resident loop, like
@@ -3913,9 +3948,15 @@ object SparkEntry {
     // q_dup_components' oracle, normalized per side instead of by the
     // union.
     "ngram_containment_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, lower(text) AS s FROM documents
-        |  WHERE doc_id < 100 AND length(lower(text)) >= 5),
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |snip AS (
+        |  SELECT doc_id + 1000 AS doc_id, substring(text, 1, 120) AS text
+        |  FROM d0 WHERE regexp_matches(text, '^[ -~]*$') AND length(text) >= 240),
+        |du AS (SELECT * FROM d0 UNION ALL SELECT * FROM snip),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS s FROM du
+        |  WHERE length(lower(text)) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
         |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
@@ -3937,9 +3978,15 @@ object SparkEntry {
     // ngram_containment_pairs — equality of the two paths' artifacts
     // is itself the recall proof
     "ngram_containment_prefix" ->
-      """WITH d AS (
-        |  SELECT doc_id, lower(text) AS s FROM documents
-        |  WHERE doc_id < 100 AND length(lower(text)) >= 5),
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |snip AS (
+        |  SELECT doc_id + 1000 AS doc_id, substring(text, 1, 120) AS text
+        |  FROM d0 WHERE regexp_matches(text, '^[ -~]*$') AND length(text) >= 240),
+        |du AS (SELECT * FROM d0 UNION ALL SELECT * FROM snip),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS s FROM du
+        |  WHERE length(lower(text)) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id, substring(s, CAST(i AS INTEGER), 5) AS g
         |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),

@@ -133,19 +133,28 @@ object Ann {
     * them all only if it reciprocates. Every vector gets a component
     * (singletons cluster alone). Built entirely from owned machinery:
     * [[knnGraph]] (pass `cells`/`nprobe` for the shuffled scale
-    * path) → symmetric intersect → pointer-jumping
+    * path) → one-shuffle mutuality count → pointer-jumping
     * [[ConnectedComponents]] (log-round closure). */
   def mutualKnnClusters(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, minCosine: Double,
                         cells: Int = 0, nprobe: Int = 0): DataFrame = {
+    // mutuality in ONE pass: canonicalize each directed edge and keep
+    // pairs present from both directions. Top-k output is unique per
+    // (query, neighbor), so count==2 ⇔ a∈top-k(b) ∧ b∈top-k(a) — the
+    // intersect formulation evaluated the whole top-k subplan twice
+    // (no exchange reuse across the projection-flipped subtrees) and
+    // paid two distinct shuffles for the same answer
     val g = knnGraph(corpus, idCol, vecCol, k, cells, nprobe)
-      .where(col("cosine") >= minCosine)
-      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
-    val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+      .where(col("cosine") >= minCosine && col("query_id") =!= col("neighbor_id"))
+    val mutual = g.groupBy(
+        least(col("query_id"), col("neighbor_id")).as("src"),
+        greatest(col("query_id"), col("neighbor_id")).as("dst"))
+      .agg(count(lit(1)).as("n_dir"))
+      .where(col("n_dir") === 2)
+      .select(col("src"), col("dst"))
     val selfEdges = corpus.select(col(idCol).cast("long").as("src"))
       .select(col("src"), col("src").as("dst"))
-    ConnectedComponents.components(
-      mutual.select(col("a").as("src"), col("b").as("dst")).union(selfEdges))
+    ConnectedComponents.components(mutual.union(selfEdges))
   }
 
   /** Cosine of every vector to its GROUP's centroid — the label-noise

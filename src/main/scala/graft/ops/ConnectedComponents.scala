@@ -35,6 +35,20 @@ object ConnectedComponents {
     * is available. */
   val AutoReliableEdges = 2000000L
 
+  /** Auto mode folds the closure on the DRIVER (union-find over the
+    * already-materialized edge list) when the edge count is at or
+    * below this. Rationale: each distributed pointer-jumping round
+    * costs several scheduler round trips and shuffles — pure fixed
+    * overhead when the whole graph fits in a bounded driver structure
+    * (the same bounded-collect budget as IVF centroids or BPE pair
+    * stats: ≤ threshold × 16 bytes in a primitive-keyed map). Above
+    * the threshold — the 100 TB shape, where a blocked near-dup pair
+    * graph is billions of edges — the log-round distributed closure
+    * runs unchanged. An EXPLICIT `reliable` choice always takes the
+    * distributed path: asking for a checkpoint mode is asking for the
+    * distributed machinery. */
+  val DriverFoldEdges = 500000L
+
   /** Resolve the checkpoint mode for an iterative operator: an
     * explicit choice wins; otherwise reliable iff a checkpoint dir is
     * set AND `materialized` (a frame whose plan root is the LogicalRDD
@@ -71,8 +85,10 @@ object ConnectedComponents {
     * faster mode — measured, see threshold doc); the local fast path
     * otherwise. */
   def components(edges: DataFrame, maxRounds: Int = 20,
-                 reliable: Option[Boolean] = None): DataFrame =
-    componentsInstrumented(edges, maxRounds, reliable)._1
+                 reliable: Option[Boolean] = None,
+                 driverFoldEdges: Long = DriverFoldEdges): DataFrame =
+    componentsInstrumented(edges, maxRounds, reliable,
+      driverFoldEdges = driverFoldEdges)._1
 
   /** [[components]] plus (rounds taken, per-round wall seconds) — the
     * scale-smoke evidence that rounds ≈ log₂(longest chain) and that
@@ -83,7 +99,8 @@ object ConnectedComponents {
     * with a tiny graph). */
   def componentsInstrumented(edges: DataFrame, maxRounds: Int = 20,
                  reliable: Option[Boolean] = None,
-                 autoReliableEdges: Long = AutoReliableEdges): (DataFrame, Int, Seq[Double]) = {
+                 autoReliableEdges: Long = AutoReliableEdges,
+                 driverFoldEdges: Long = DriverFoldEdges): (DataFrame, Int, Seq[Double]) = {
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
@@ -112,6 +129,49 @@ object ConnectedComponents {
     // n-gram Jaccard pair join) executes once per reference, since
     // exchange reuse never spans separate actions
     val und = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    // auto-mode small-graph fold: the materialized edge count is now
+    // exact; at or below the threshold the closure runs as a driver
+    // union-find streamed over the persisted partitions (never holding
+    // the full edge list, only the ≤ 2·threshold-entry primitive map)
+    // — identical min-id components, zero distributed rounds. An
+    // explicit `reliable` choice opts into the distributed machinery.
+    if (reliable.isEmpty && driverFoldEdges > 0) {
+      val nEdges = und.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+        case _ => Long.MaxValue
+      }
+      if (nEdges <= driverFoldEdges) {
+        // union-find, min-id representative: union hangs the larger
+        // root under the smaller, so every tree root is its
+        // component's minimum — order-independent, deterministic
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val it = und.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val s = row.getLong(0); val d = row.getLong(1)
+            if (!parent.contains(s)) parent(s) = s
+            if (!parent.contains(d)) parent(d) = d
+            val (rs, rd) = (find(s), find(d))
+            if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+          }
+        }
+        release(und)
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val out = parent.keys.toArray
+        val labels = spark.createDataset(
+          out.toIndexedSeq.map(n => (n, find(n)))).toDF("id", "component")
+        return (labels, 0, Seq.empty)
+      }
+    }
     // auto mode: the edge frame is now materialized (locally — the
     // decision predates the mode), so its exact size decides the mode
     // for every downstream cut

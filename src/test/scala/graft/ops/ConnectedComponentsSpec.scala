@@ -6,9 +6,17 @@ import org.apache.spark.sql.functions._
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.components(edges.toDF("src", "dst"))
+  /** Runs BOTH the driver union-find fold and the distributed
+    * pointer-jumping path and asserts they agree before returning. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val folded = ConnectedComponents.components(df)
       .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.components(df, driverFoldEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(folded === dist, "driver fold and distributed rounds disagree")
+    folded
+  }
 
   test("chains, clumps and singletons resolve to min-id components") {
     val m = cc(Seq(
@@ -59,7 +67,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     // symmetric edge list may remain
     val before = spark.sparkContext.getPersistentRDDs.size
     val labels = ConnectedComponents.components(
-      (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst"))
+      (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst"),
+      driverFoldEdges = 0L)
     assert(labels.select(countDistinct("component")).head().getLong(0) == 1L)
     // only the FINAL round's label state may remain (und, sym, and
     // every earlier round are released via their LogicalRDD handles)
@@ -80,7 +89,8 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("non-convergence at maxRounds throws instead of returning bad labels") {
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {
-      ConnectedComponents.components(edges, maxRounds = 2).collect()
+      ConnectedComponents.components(edges, maxRounds = 2,
+        driverFoldEdges = 0L).collect()
     }
   }
 
@@ -100,7 +110,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     // end-to-end: auto above threshold produces reliably-checkpointed
     // label state (and the same components)
     val (labels, _, _) = ConnectedComponents.componentsInstrumented(
-      edges, reliable = None, autoReliableEdges = 1L)
+      edges, reliable = None, autoReliableEdges = 1L, driverFoldEdges = 0L)
     val reliableState = labels.queryExecution.logical.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile.isDefined
@@ -109,6 +119,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.as[(Long, Long)].collect().toMap ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("auto mode folds small graphs on the driver; explicit mode stays distributed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 9L)).toDF("src", "dst")
+    // driver fold: zero distributed rounds, same labels
+    val (lab, rounds, secs) = ConnectedComponents.componentsInstrumented(edges)
+    assert(rounds === 0 && secs.isEmpty)
+    assert(lab.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // an explicit reliable choice (even false) opts into the
+    // distributed rounds regardless of size
+    val (_, rounds2, _) = ConnectedComponents.componentsInstrumented(
+      edges, reliable = Some(false))
+    assert(rounds2 > 0)
+    // threshold boundary: 3 edges with threshold 2 goes distributed
+    val (_, rounds3, _) = ConnectedComponents.componentsInstrumented(
+      edges, driverFoldEdges = 2L)
+    assert(rounds3 > 0)
   }
 
   test("near-dup pairs close transitively into clusters") {
