@@ -81,6 +81,12 @@ object BpeTrain {
     var vocab: Dataset[(Array[String], Long)] = Bpe.wordFreq(docs, textCol)
       .as[(String, Long)].map { case (w, f) => (toSyms(w), f) }
       .localCheckpoint(true)
+    // previous round's vocab blocks: releasable only after the CURRENT
+    // round's (lazily-checkpointed) vocab has materialized — which the
+    // pair-count action below does, so each round costs exactly ONE
+    // job-bearing action (the CC/convergence-fold discipline applied
+    // here; the eager per-round checkpoint was a second job per round)
+    var prevVocab: Dataset[(Array[String], Long)] = null
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
@@ -99,6 +105,9 @@ object BpeTrain {
         .map { case (p, n) => (p._1, p._2, n) }
         .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
         .limit(math.max(want * 4, want)).collect()
+      // the count action above materialized this round's vocab — the
+      // previous round's blocks are now safe to drop
+      if (prevVocab ne null) { prevVocab.unpersist(); prevVocab = null }
       if (top.isEmpty) return merges.toSeq // vocab fully fused
 
       // 2. greedily keep top pairs whose symbols EXISTED at round
@@ -125,10 +134,11 @@ object BpeTrain {
       val old = vocab
       vocab = old.map { case (syms, f) =>
         (picked.foldLeft(syms) { case (s, (a, b)) => mergePair(s, a, b) }, f)
-      }.localCheckpoint(true)
-      old.unpersist()
+      }.localCheckpoint(false)
+      prevVocab = old
       ()
     }
+    if (prevVocab ne null) prevVocab.unpersist()
     vocab.unpersist()
     merges.toSeq
   }

@@ -62,57 +62,84 @@ object LogReg {
       l2: Double = 0.0, replayable: Boolean = false): LrModel = {
     require(dim > 0 && epochs > 0 && lr > 0, "dim, epochs, lr must be positive")
     val spark = docs.sparkSession
+    import spark.implicits._
+    // one-time setup: features joined with (n_feats, y), CLUSTERED by
+    // doc so each doc's rows are consecutive within one partition -
+    // every epoch then reads this cached frame in a single zero-shuffle
+    // pass. (The earlier per-epoch broadcast-join + bucket groupBy
+    // shuffled up to dim*tasks partial rows per epoch; the dense kernel
+    // below performs the same integer adds into one Long array per task
+    // with a tasks-many-array driver fold - the MLlib treeAggregate
+    // shape, and the reason a 1000-executor epoch moves dim*tasks
+    // LONGS, never rows.)
     val feats = featurize(docs.select(col(idCol), col(textCol)),
         idCol, textCol, dim, replayable)
-      .repartition(col("doc_id")).cache()
     val docMeta = feats.groupBy("doc_id").agg(sum("cnt").as("n_feats"))
       .join(docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("boolean").as("y")), "doc_id")
+    val rows = feats.join(docMeta, "doc_id")
+      .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .select(col("doc_id").cast("long"), col("bucket").cast("long"),
+        col("cnt").cast("long"), col("n_feats").cast("long"), col("y"))
+      .as[(Long, Long, Long, Long, Boolean)]
       .cache()
-    val nDocs = docMeta.count()
+    val nDocs = rows.map(_._1).distinct().count()
     require(nDocs > 0, "no documents with features to train on")
     val wQ = new Array[Long](dim)
     var biasQ = 0L
     for (_ <- 0 until epochs) {
-      val wDf = weightsDf(spark, wQ)
-      // margin + residual per doc: m = bias + Σ cnt·w / n (integer
-      // feature dot product, scalar division after)
-      val scored = feats.join(broadcast(wDf), Seq("bucket"), "left")
-        .groupBy("doc_id")
-        .agg(sum(col("cnt") * coalesce(col("w_q"), lit(0L))).as("swc"))
-        .join(docMeta, "doc_id")
-        .select(col("doc_id"), col("n_feats"),
-          (lit(1.0) / (lit(1.0) + exp(-((lit(biasQ).cast("double")
-            + col("swc").cast("double") / col("n_feats")) / lit(1e9))))
-            - when(col("y"), lit(1.0)).otherwise(lit(0.0))).as("r"))
-      // exact gradient, quantized per (doc, bucket) BEFORE the sum;
-      // bucket -1 carries the intercept gradient — one job per epoch
-      val gradRows = feats
-        .join(scored, "doc_id")
-        .select(col("bucket"),
-          floor(col("r") * col("cnt") / col("n_feats") * lit(1e9))
-            .cast("long").as("g_q"))
-        .unionAll(scored.select(lit(-1L).as("bucket"),
-          floor(col("r") * lit(1e9)).cast("long").as("g_q")))
-        .groupBy("bucket").agg(sum("g_q").as("g"))
-        .collect()
-      var biasG = 0L
-      val gArr = new Array[Long](dim)
-      gradRows.foreach { row =>
-        val b = row.getAs[Long]("bucket")
-        if (b < 0) biasG = row.getAs[Long]("g")
-        else gArr(b.toInt) = row.getAs[Long]("g")
+      val bcW = spark.sparkContext.broadcast(wQ)
+      val bcBias = biasQ
+      // one pass: per doc (consecutive rows) compute the margin from
+      // the broadcast weights, then add the floor-quantized per-(doc,
+      // bucket) gradient contributions into a dim+1 Long array (slot
+      // dim = intercept). Arithmetic identical to the former SQL form:
+      // r = sigma((biasQ + sum cnt*w / n)/1e9) - y; g_q = floor(r*cnt/n*1e9).
+      val partials = rows.mapPartitions { it =>
+        val w = bcW.value
+        val g = new Array[Long](w.length + 1)
+        val bufB = new scala.collection.mutable.ArrayBuffer[Int](64)
+        val bufC = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var any = false
+        def flush(nF: Long, y: Boolean): Unit = {
+          var swc = 0L
+          var i = 0
+          while (i < bufB.length) { swc += bufC(i) * w(bufB(i)); i += 1 }
+          val m = (bcBias.toDouble + swc.toDouble / nF) / 1e9
+          val r = 1.0 / (1.0 + math.exp(-m)) - (if (y) 1.0 else 0.0)
+          i = 0
+          while (i < bufB.length) {
+            g(bufB(i)) += math.floor(r * bufC(i) / nF * 1e9).toLong
+            i += 1
+          }
+          g(w.length) += math.floor(r * 1e9).toLong
+          bufB.clear(); bufC.clear()
+        }
+        var curDoc = 0L; var curN = 0L; var curY = false
+        while (it.hasNext) {
+          val (d, b, c, nF, y) = it.next()
+          if (any && d != curDoc) flush(curN, curY)
+          if (!any || d != curDoc) { curDoc = d; any = true }
+          curN = nF; curY = y
+          bufB += b.toInt; bufC += c
+        }
+        if (any) flush(curN, curY)
+        Iterator.single(g)
+      }.rdd.fold(new Array[Long](dim + 1)) { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
       }
+      bcW.destroy()
       var b = 0
       while (b < dim) {
-        val grad = gArr(b).toDouble / 1e9 / nDocs + l2 * (wQ(b).toDouble / 1e9)
+        val grad = partials(b).toDouble / 1e9 / nDocs + l2 * (wQ(b).toDouble / 1e9)
         wQ(b) -= math.round(lr * grad * 1e9)
         b += 1
       }
-      biasQ -= math.round(lr * (biasG.toDouble / 1e9 / nDocs) * 1e9)
+      biasQ -= math.round(lr * (partials(dim).toDouble / 1e9 / nDocs) * 1e9)
     }
-    feats.unpersist()
-    docMeta.unpersist()
+    rows.unpersist()
     LrModel(dim, biasQ, wQ)
   }
 
