@@ -368,6 +368,28 @@ object SparkEntry {
         .orderBy("name1", "name2")
     }),
 
+    // entity resolution: nation names + two planted dirty variants per
+    // nation (3rd-char deletion, trailing-char append) — block on the
+    // first two letters, score by normalized Levenshtein, close
+    // transitively. IRAN/IRAQ legitimately merge at 0.7 (lev 1 on
+    // 4-char names shares a block) — the transitive-merge hazard the
+    // operator documents, replayed identically by the oracle.
+    "er_nation_entities" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"))
+      val recs = nat
+        .unionAll(nat.select((col("id") + 100).as("id"),
+          concat(substring(col("name"), 1, 2),
+            substring(col("name"), 4, 1000)).as("name")))
+        .unionAll(nat.select((col("id") + 200).as("id"),
+          concat(col("name"), lit("X")).as("name")))
+      graft.ops.RecordLinkage.linkClusters(recs, "id",
+          lower(substring(col("name"), 1, 2)), Seq(("name", 1.0)),
+          threshold = 0.7)
+        .orderBy("id")
+    }),
+
     // set operators (INTERSECT / EXCEPT) — distinct-key semantics, each
     // planned as an aggregate-style shuffle on the key.
     "q_setops_customers" -> ((s, dir) => {
@@ -2655,6 +2677,33 @@ object SparkEntry {
         |FROM nation a JOIN nation b ON a.n_name < b.n_name
         |WHERE levenshtein(a.n_name, b.n_name) <= 4
         |ORDER BY name1, name2""".stripMargin,
+
+    // record-linkage replay: same variant derivation, blocking key,
+    // floor-quantized Levenshtein score and recursive closure
+    "er_nation_entities" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, substring(n_name, 1, 2) || substring(n_name, 4)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, n_name || 'X' FROM nation),
+        |b AS (SELECT id, name, lower(substring(name, 1, 2)) AS blk FROM recs),
+        |jp AS (
+        |  SELECT a.id AS id1, b2.id AS id2
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+        |  WHERE floor((1.0 - CAST(levenshtein(a.name, b2.name) AS DOUBLE)
+        |          / greatest(length(a.name), length(b2.name), 1)) / 1.0
+        |          * 10000) / 10000 >= 0.7),
+        |e AS (SELECT id1 AS src, id2 AS dst FROM jp
+        |      UNION SELECT id2, id1 FROM jp),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM recs
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS entity
+        |        FROM reach GROUP BY a)
+        |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
 
     "q_setops_customers" ->
       """SELECT 'urgent_and_finished' AS set_op, count(*) AS n FROM (
