@@ -368,6 +368,29 @@ object SparkEntry {
         .orderBy("name1", "name2")
     }),
 
+    // winnowing fingerprints (MOSS): window-min k-gram selection,
+    // rightmost-min ties, ~1/w density with the shared-substring
+    // guarantee. Full (doc, pos, fp) rows so the oracle pins the
+    // SELECTION, not just counts.
+    "text_winnowing" -> ((s, dir) => {
+      graft.text.Winnowing.fingerprints(
+          t(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", k = 5, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos")
+    }),
+
+    // winnowing index join over the planted-snippet corpus: every
+    // snippet shares a >=120-char substring with its parent, so the
+    // k+w-1 guarantee forces shared fingerprints — pair recall is
+    // structural, not corpus luck.
+    "text_winnow_pairs" -> ((s, dir) => {
+      graft.text.Winnowing.sharedPairs(
+          containmentCorpus(t(s, dir, "documents")),
+          "doc_id", "text", k = 5, w = 4, minShared = 3, maxDf = 10)
+        .orderBy("id1", "id2")
+    }),
+
     // entity resolution: nation names + two planted dirty variants per
     // nation (3rd-char deletion, trailing-char append) — block on the
     // first two letters, score by normalized Levenshtein, close
@@ -2677,6 +2700,68 @@ object SparkEntry {
         |FROM nation a JOIN nation b ON a.n_name < b.n_name
         |WHERE levenshtein(a.n_name, b.n_name) <= 4
         |ORDER BY name1, name2""".stripMargin,
+
+    // winnowing replay: gram hashes from md5, per-window min with the
+    // rightmost-min tie (max position among window rows at the min),
+    // distinct selected positions
+    "text_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents
+        |  WHERE doc_id < 100 AND length(lower(text)) >= 8),
+        |g AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(substring(s, CAST(t.i AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |np AS (SELECT doc_id, max(p) AS n FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT doc_id, CAST(j.j AS BIGINT) AS j
+        |  FROM np, unnest(range(1, n - 2)) AS j(j)),
+        |wm AS (
+        |  SELECT w.doc_id, w.j, min(g.h) AS m
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT wm.doc_id, max(g.p) AS pos, wm.m AS fp
+        |  FROM wm JOIN g ON g.doc_id = wm.doc_id
+        |    AND g.p BETWEEN wm.j AND wm.j + 3 AND g.h = wm.m
+        |  GROUP BY wm.doc_id, wm.j, wm.m)
+        |SELECT DISTINCT doc_id, pos, fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // shared-fingerprint pairs over the snippet-planted corpus: same
+    // winnowing chain, distinct (doc, fp), fp-keyed self-join
+    "text_winnow_pairs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |snip AS (
+        |  SELECT doc_id + 1000 AS doc_id, substring(text, 1, 120) AS text
+        |  FROM d0 WHERE regexp_matches(text, '^[ -~]*$') AND length(text) >= 240),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS s
+        |  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM snip)
+        |  WHERE length(lower(text)) >= 8),
+        |g AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(substring(s, CAST(t.i AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |np AS (SELECT doc_id, max(p) AS n FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT doc_id, CAST(j.j AS BIGINT) AS j
+        |  FROM np, unnest(range(1, n - 2)) AS j(j)),
+        |wm AS (
+        |  SELECT w.doc_id, w.j, min(g.h) AS m
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        |fps0 AS (SELECT DISTINCT doc_id, m AS fp FROM wm),
+        |hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > 10),
+        |fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     // record-linkage replay: same variant derivation, blocking key,
     // floor-quantized Levenshtein score and recursive closure

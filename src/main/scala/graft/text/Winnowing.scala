@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+  * — the MOSS local fingerprinting algorithm): hash every character
+  * k-gram, then from each window of `w` consecutive gram hashes keep
+  * the minimum (rightmost on ties), deduplicated by position. The
+  * guarantee that makes it the standard for plagiarism/clone
+  * detection: any shared substring of length ≥ k + w − 1 produces at
+  * least one IDENTICAL selected fingerprint in both documents, while
+  * ~1/w of grams are kept — position-robust overlap detection at a
+  * w-fold reduction, where the all-grams inverted index ([[graft.ops
+  * .Similarity.ngramContainment]]) pays full density.
+  *
+  * Scale shape: one NARROW projection chain per document — k-gram
+  * walk (native [[graft.expr.CharGrams]] kernel), per-gram hash,
+  * window-min selection with higher-order functions over SHIFTED
+  * SLICES (arguments evaluate once; the `transform(sequence, j ->
+  * …slice…)` form re-derives upstream per element) — no explode
+  * before the final fingerprint rows, no shuffle at all until a
+  * consumer groups by fingerprint.
+  *
+  * `replayable = true` hashes grams with md5 (the DuckDB oracle
+  * replays selection end-to-end from raw text); `false` uses the
+  * xxhash64 production path — same selection, cheaper hash. */
+object Winnowing {
+
+  /** The per-document selection over the hash array column `h`:
+    * per-window (struct(pos, fp)) via shifted slices, then DEDUPED BY
+    * CONSECUTIVE POSITION — the selected position is monotone
+    * non-decreasing as the window slides (the previous selection
+    * either stays in the window or the new minimum lies further
+    * right), so comparing each window's selection with its
+    * predecessor's position removes every duplicate in O(n).
+    * `array_distinct` over array<struct> is the trap here: complex
+    * element types take the interpreted pairwise path — O(n²) struct
+    * comparisons, measured ~45 s on 100 ordinary documents. All
+    * subexpressions appear only as direct arguments of
+    * zip_with/slice/concat, so each evaluates once per ROW, never per
+    * element. */
+  private def winnowSelect(w: Int): Column = {
+    val sel0 =
+      s"""zip_with(
+         |  transform(sequence(1, size(h) - ${w - 1}), j -> slice(h, j, $w)),
+         |  sequence(1, size(h) - ${w - 1}),
+         |  (win, j) -> named_struct(
+         |    'pos', CAST(j + $w - array_position(reverse(win), array_min(win)) AS BIGINT),
+         |    'fp', array_min(win)))""".stripMargin
+    val lagPos =
+      s"""concat(array(CAST(-1 AS BIGINT)),
+         |  slice(transform($sel0, x -> x.pos), 1, size(h) - $w))""".stripMargin
+    expr(
+      s"""filter(
+         |  zip_with($sel0, $lagPos,
+         |    (cur, prev) -> CASE WHEN cur.pos = prev THEN NULL ELSE cur END),
+         |  x -> isnotnull(x))""".stripMargin)
+  }
+
+  /** (id, pos, fp) — selected fingerprints, pos = 1-based gram
+    * position. Documents shorter than k + w − 1 chars yield no rows
+    * (no complete window exists). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4,
+                   replayable: Boolean = true): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
+    val hashOne =
+      if (replayable) "x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
+      else "x -> xxhash64(x)"
+    df.select(col(idCol).as("id"), lower(col(textCol)).as("s"))
+      .where(length(col("s")) >= k + w - 1)
+      .select(col("id"),
+        graft.expr.CharGrams.charGrams(col("s"), k, distinct = false).as("g"))
+      .select(col("id"), expr(s"transform(g, $hashOne)").as("h"))
+      // CollapseProject barrier: without it the hash map above inlines
+      // into every slice() below and runs once per (gram x window)
+      .repartition(col("id"))
+      .select(col("id"), winnowSelect(w).as("sel"))
+      // explode_OUTER on purpose: a plain explode lets
+      // InferFiltersFromGenerate add `size(sel) > 0`, which pushdown
+      // then carries below the repartition barrier with the WHOLE sel
+      // derivation inlined — the md5 map re-evaluates per window
+      // element inside that filter (O(grams²) per row; measured ~1 s
+      // per 300-char document). The outer variant infers nothing; the
+      // no-op null guard below filters on the ATTRIBUTE instead.
+      .select(col("id"), explode_outer(col("sel")).as("x"))
+      .where(col("x").isNotNull)
+      .select(col("id"), col("x.pos").as("pos"), col("x.fp").as("fp"))
+  }
+
+  /** Shared-fingerprint pairs: documents sharing ≥ `minShared`
+    * distinct selected fingerprints, with the shared count — the
+    * winnowing-index analogue of the containment candidate join. One
+    * fingerprint-keyed self-join; `maxDf` drops boilerplate
+    * fingerprints appearing in more than that many docs (the hot-
+    * posting cap every inverted-index path here takes). */
+  def sharedPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Int = 2,
+                  maxDf: Long = 0L,
+                  replayable: Boolean = true): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w, replayable)
+      .select("id", "fp").distinct()
+    val pruned = if (maxDf > 0) {
+      val hot = fps.groupBy("fp").count().where(col("count") > maxDf)
+        .select("fp")
+      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    } else fps
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("hand case: window minima with rightmost tie-break, deduped by position") {
+    // k=1, w=2 over "aba": grams a(1) b(2) a(3); windows {1,2},{2,3}.
+    // Whichever of h(a),h(b) is smaller decides the selection — the
+    // test computes the same md5-derived hashes and predicts exactly.
+    val out = Winnowing.fingerprints(
+        Seq((1L, "aba")).toDF("doc_id", "text"), "doc_id", "text",
+        k = 1, w = 2)
+      .select("pos", "fp").as[(Long, Long)].collect().toSet
+    val (ha, hb) = (md5h60("a"), md5h60("b"))
+    val expected =
+      if (ha < hb) Set((1L, ha), (3L, ha)) // a wins both windows; rightmost a in win2 is pos 3
+      else Set((2L, hb))                   // b wins both windows; same position dedupes
+    assert(out == expected, s"ha=$ha hb=$hb got $out")
+  }
+
+  test("documents shorter than k + w - 1 yield no fingerprints") {
+    val out = Winnowing.fingerprints(
+      Seq((1L, "abcdefg")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, w = 4)
+    assert(out.count() == 0) // needs >= 8 chars
+    assert(Winnowing.fingerprints(
+      Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, w = 4).count() >= 1)
+  }
+
+  test("the winnowing guarantee: a shared >= k+w-1 substring forces a shared fingerprint") {
+    val core = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, "PREFIX AAA " + core + " SUFFIX one"),
+      (2L, "totally different opening here " + core),
+      (3L, "unrelated text with nothing in common whatsoever qqq zzz"))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.sharedPairs(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), pairs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs)
+  }
+
+  test("density: roughly 1/w of grams selected, never more than window count") {
+    val text = (1 to 80).map(i => f"tok$i%03d").mkString(" ")
+    val nGrams = text.length - 5 + 1
+    val n = Winnowing.fingerprints(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, w = 8).count()
+    assert(n >= nGrams / (2 * 8), s"$n too sparse for $nGrams grams")
+    assert(n <= nGrams / 2, s"$n too dense for $nGrams grams")
+  }
+
+  test("production xxhash path selects valid positions with same density shape") {
+    val text = (1 to 60).map(i => f"w$i%03d").mkString(" ")
+    val md5n = Winnowing.fingerprints(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, w = 4, replayable = true).count()
+    val xxn = Winnowing.fingerprints(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, w = 4, replayable = false).count()
+    // different hash functions select different minima but the same
+    // ~2/(w+1) expected density
+    assert(math.abs(md5n - xxn) <= math.max(md5n, xxn) / 2, (md5n, xxn))
+  }
+
+  test("sharedPairs maxDf drops boilerplate fingerprints") {
+    val banner = "standard footer text appearing everywhere in the corpus now"
+    val docs = (1L to 6L).map(i => (i, s"document body $i distinct words $i " + banner))
+      .toDF("doc_id", "text")
+    val all = Winnowing.sharedPairs(docs, "doc_id", "text", k = 5, w = 4,
+      minShared = 1).count()
+    val capped = Winnowing.sharedPairs(docs, "doc_id", "text", k = 5, w = 4,
+      minShared = 1, maxDf = 3).count()
+    assert(all == 15, s"banner links all 6 docs: $all") // 6 choose 2
+    assert(capped < all, s"capped=$capped all=$all")
+  }
+}
