@@ -1398,6 +1398,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination: same answer as
+    // decontam_overlap by construction (false positives die in the
+    // exact verify join), same oracle — the artifact equality IS the
+    // correctness proof of the Bloom path.
+    "decontam_overlap_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.overlapsBloom(
+          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 4, minHits = 1L,
+          expectedItems = 100000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM mean log-prob per doc (perplexity-filter family):
     // Laplace-smoothed self-scoring; per-token log-probs quantized to
     // integer 1e-4 partials so the per-doc sum is order-independent
@@ -3813,6 +3826,24 @@ object SparkEntry {
     // decontamination replay: distinct word 4-grams per doc, probe set
     // = doc_id < 20, string-equality gram join, distinct-hit counts
     "decontam_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 3), ' ')))) AS gram
+        |  FROM tk WHERE len(tk) >= 4),
+        |pg AS (SELECT DISTINCT doc_id AS probe_id, gram FROM grams WHERE doc_id < 20)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT pg.probe_id) AS BIGINT) AS n_probes
+        |FROM grams g JOIN pg USING (gram) WHERE g.doc_id >= 20
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical oracle: the Bloom path must reproduce the exact answer
+    "decontam_overlap_bloom" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),

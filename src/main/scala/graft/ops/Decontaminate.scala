@@ -49,4 +49,42 @@ object Decontaminate {
         countDistinct("probe_id").as("n_probes"))
       .where(col("n_hits") >= minHits)
   }
+
+  /** [[overlaps]] for benchmark sets too large to broadcast EXACTLY:
+    * a Bloom filter of the probe grams (built distributedly — Spark's
+    * BloomFilter merges by bit-OR, murmur3 with a fixed seed, so the
+    * filter is deterministic under any partitioning) prefilters the
+    * corpus gram stream at scan speed, then the few survivors verify
+    * against the probe grams in an ordinary join — false positives
+    * die there, so the OUTPUT IS BIT-IDENTICAL to [[overlaps]]; the
+    * Bloom trades the exact path's gram-set broadcast (~50 bytes per
+    * gram) for ~1.2 bytes per gram at fpp 0.01.
+    *
+    * Size `expectedItems` at or above the probe's distinct gram count;
+    * undersizing only raises the false-positive rate (more survivors
+    * reach the verify join), never changes the answer. */
+  def overlapsBloom(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 8, minHits: Long = 1L,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pg = wordNgrams(probes, idCol, textCol, n)
+      .select(col("id").as("probe_id"), col("gram")).distinct()
+    val bf = pg.stat.bloomFilter("gram", expectedItems, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val candidates = wordNgrams(corpus, idCol, textCol, n)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val f = bcBf.value
+        it.filter { case (_, g) => f.mightContainString(g) }
+      }.toDF("id", "gram")
+    candidates.join(pg, "gram")
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct("gram").as("n_hits"),
+        countDistinct("probe_id").as("n_probes"))
+      .where(col("n_hits") >= minHits)
+  }
 }

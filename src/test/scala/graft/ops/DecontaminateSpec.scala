@@ -35,6 +35,27 @@ class DecontaminateSpec extends SparkSpec {
     assert(strict.count() == 0)
   }
 
+  test("bloom path reproduces the exact path bit-identically") {
+    val exact = Decontaminate.overlaps(corpus, probes, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontaminate.overlapsBloom(corpus, probes, "doc_id", "text",
+        n = 4, expectedItems = 1000L, fpp = 0.01)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom === exact)
+  }
+
+  test("undersized bloom (high fp rate) still yields the exact answer via the verify join") {
+    // expectedItems = 1 forces a tiny, saturated filter — nearly every
+    // gram survives the prefilter; the verify join must still kill all
+    // false positives
+    val exact = Decontaminate.overlaps(corpus, probes, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontaminate.overlapsBloom(corpus, probes, "doc_id", "text",
+        n = 4, expectedItems = 1L, fpp = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom === exact)
+  }
+
   test("probe grams broadcast — the corpus stream is never shuffled before the join") {
     val plan = Decontaminate.overlaps(corpus, probes, "doc_id", "text", n = 4)
       .queryExecution.executedPlan.toString
