@@ -628,6 +628,17 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    // hourly grid resample with LINEAR interpolation between the
+    // bracketing observations (the pandas interpolate shape; ffill's
+    // sibling). One shuffle, both neighbor carries in one WindowExec.
+    "q_resample_interp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us", "props")
+        .where(col("user_id") < 10)
+      graft.ops.Interpolate.resampleLinear(ev, "user_id", "ts", "value",
+          step = 3600L * 1000000000L)
+        .orderBy("user_id", "ts")
+    }),
+
     // document chunking (TextAnalysis.chunks): context-window splits
     // with overlap; emitted as (doc, chunk_idx, len, fingerprint) so
     // the oracle stays compact. posexplode keeps the index.
@@ -4640,6 +4651,45 @@ object SparkEntry {
         |FROM grid g
         |ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.ts >= e.tns
         |ORDER BY g.user_id, g.ts""".stripMargin,
+
+    // linear-interpolation replay: grid ∪ observations, both neighbor
+    // carries as IGNORE NULLS window functions over the same total
+    // (t, side, v) order, identical float formula and quantization
+    "q_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS v, epoch_ns(ts) AS t
+        |  FROM events WHERE user_id < 10 AND value IS NOT NULL),
+        |b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(
+        |      (t0 // 3600000000000 + 1) * 3600000000000, t1,
+        |      3600000000000)) AS t
+        |  FROM b),
+        |u AS (
+        |  SELECT user_id, t, 0 AS side, v FROM ev
+        |  UNION ALL
+        |  SELECT user_id, t, 1 AS side, NULL AS v FROM grid),
+        |w AS (
+        |  SELECT user_id, t, side,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, v
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, v
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM u)
+        |SELECT user_id, t AS ts,
+        |  floor((CASE WHEN nt IS NULL OR nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 10000) / 10000 AS value
+        |FROM w WHERE side = 1
+        |ORDER BY user_id, ts""".stripMargin,
 
     "doc_chunks" ->
       """WITH idx AS (
