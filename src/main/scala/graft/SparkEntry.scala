@@ -2060,6 +2060,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // seeded ε-DP count release (Laplace mechanism): noise from the
+    // md5 inverse CDF so the release is re-runnable bit-identically;
+    // the oracle replays uniform → noise → clamp per group
+    "v_dp_segment_counts" -> ((s, dir) => {
+      graft.validate.DpRelease.dpCounts(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), epsilon = 1.0,
+          seed = "release-2026")
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // ε-DP sums with contribution clamping (the clamp IS the
+    // sensitivity bound); clamped sum from integer per-row partials
+    "v_dp_balance_sums" -> ((s, dir) => {
+      graft.validate.DpRelease.dpSums(t(s, dir, "customer"),
+          Seq("c_mktsegment"), "c_acctbal", lo = 0.0, hi = 5000.0,
+          epsilon = 0.5, seed = "release-2026")
+        .orderBy("c_mktsegment")
+    }),
+
     // k-anonymity audit over (lang, source, n_chars mod 97) — the
     // modulus fabricates a high-cardinality quasi-identifier so most
     // combinations are under-populated, exercising the exposure math
@@ -5411,6 +5430,38 @@ object SparkEntry {
         |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
+
+    // DP release replay: u = md5-derived uniform in (0,1), Laplace
+    // noise by inverse CDF floor-quantized 1e-4, non-negative clamp
+    "v_dp_segment_counts" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, (CAST(('0x' || substr(md5('release-2026'
+        |      || '|' || CAST(c_mktsegment AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0 AS uu
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey, n,
+        |  greatest(0.0, n + floor(-1.0 * sign(uu - 0.5)
+        |    * ln(1.0 - 2.0 * abs(uu - 0.5)) * 10000) / 10000) AS released
+        |FROM u ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "v_dp_balance_sums" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CAST(floor(greatest(0.0, least(5000.0,
+        |      CAST(c_acctbal AS DOUBLE))) * 10000) AS BIGINT)) AS BIGINT) AS sum_q
+        |  FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT *, (CAST(('0x' || substr(md5('release-2026'
+        |      || '|' || CAST(c_mktsegment AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |      / 1152921504606846976.0 AS uu
+        |  FROM g)
+        |SELECT c_mktsegment, CAST(sum_q AS DOUBLE) / 10000 AS clamped_sum,
+        |  CAST(sum_q AS DOUBLE) / 10000 + floor(-10000.0 * sign(uu - 0.5)
+        |    * ln(1.0 - 2.0 * abs(uu - 0.5)) * 10000) / 10000 AS released
+        |FROM u ORDER BY c_mktsegment""".stripMargin,
 
     "v_kanon_audit" ->
       """WITH g AS (
