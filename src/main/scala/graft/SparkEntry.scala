@@ -413,6 +413,56 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // cross-TABLE linkage: clean nations vs a dirty feed of variants,
+    // best match per left record via the bounded-heap top-1 (never a
+    // window) — the two-source master-data match
+    "er_table_link" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"))
+      val dirty = nat.select((col("id") + 100).as("id"),
+          concat(substring(col("name"), 1, 2),
+            substring(col("name"), 4, 1000)).as("name"))
+        .unionAll(nat.select((col("id") + 200).as("id"),
+          concat(col("name"), lit("X")).as("name")))
+      graft.ops.RecordLinkage.linkTables(nat, dirty, "id",
+          lower(substring(col("name"), 1, 2)), Seq(("name", 1.0)),
+          threshold = 0.6, bestPerLeft = true)
+        .orderBy("left_id")
+    }),
+
+    // robust outliers by median absolute deviation (the z-score's
+    // robust sibling — one extreme value cannot drag the fence):
+    // |x − med| > 3·MAD per event type, exact interpolated medians
+    "q_outlier_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+        .where(col("value").isNotNull)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(med, "event_type").join(mad, "event_type")
+        .where(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (floor(col("med") * 1e4) / 1e4).as("med"),
+          (floor(col("mad") * 1e4) / 1e4).as("mad"))
+        .orderBy("event_id")
+    }),
+
+    // per-group rank normalization (quantile-uniform feature scaling):
+    // percent_rank of value within event type, floor-quantized
+    "q_rank_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+        .where(col("value").isNotNull && col("event_id") < 2000)
+      ev.withColumn("rnorm", floor(percent_rank().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("value"), col("event_id"))) * 1e4) / 1e4)
+        .orderBy("event_id")
+    }),
+
     // set operators (INTERSECT / EXCEPT) — distinct-key semantics, each
     // planned as an aggregate-style shuffle on the key.
     "q_setops_customers" -> ((s, dir) => {
@@ -2189,6 +2239,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("zratio")) * 10000) / 10000).as("mean_ratio"))
     }),
+    // label-propagation communities over the mutual-kNN embedding
+    // graph — the community refinement a CC closure can't give
+    // (T-gated: LPA's iterative argmax has no SQL oracle)
+    "lpa_knn_communities" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = graft.ops.Ann.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .where(col("cosine") >= 0.2)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.ops.LabelPropagation.communities(g, maxRounds = 8)
+        .groupBy("community").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_communities"), sum("n").as("n_nodes"))
+    }),
+
     // unigram-LM (SentencePiece) tokenizer induction + corpus
     // re-tokenization: seed→EM→prune to a 256-piece model, then
     // Viterbi-segment the corpus. No SQL oracle for the EM loop
@@ -2832,6 +2895,58 @@ object SparkEntry {
         |lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS entity
         |        FROM reach GROUP BY a)
         |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
+
+    // cross-table linkage replay: same derivation/blocking/score,
+    // best-per-left via row_number (score desc, right id asc)
+    "er_table_link" ->
+      """WITH nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation),
+        |dirty AS (
+        |  SELECT id + 100 AS id, substring(name, 1, 2) || substring(name, 4) AS name FROM nat
+        |  UNION ALL
+        |  SELECT id + 200, name || 'X' FROM nat),
+        |lb AS (SELECT id, name, lower(substring(name, 1, 2)) AS blk FROM nat),
+        |rb AS (SELECT id, name, lower(substring(name, 1, 2)) AS blk FROM dirty),
+        |sc AS (
+        |  SELECT l.id AS left_id, r.id AS right_id,
+        |    floor((1.0 - CAST(levenshtein(l.name, r.name) AS DOUBLE)
+        |      / greatest(length(l.name), length(r.name), 1)) / 1.0
+        |      * 10000) / 10000 AS score
+        |  FROM lb l JOIN rb r ON l.blk = r.blk),
+        |th AS (SELECT * FROM sc WHERE score >= 0.6),
+        |best AS (
+        |  SELECT left_id, right_id, score,
+        |    row_number() OVER (PARTITION BY left_id
+        |      ORDER BY score DESC, right_id ASC) AS rk
+        |  FROM th)
+        |SELECT left_id, right_id, score FROM best WHERE rk = 1
+        |ORDER BY left_id""".stripMargin,
+
+    // MAD replay: exact interpolated medians both engines
+    "q_outlier_mad" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM ev e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  floor(m.med * 10000) / 10000 AS med,
+        |  floor(d.mad * 10000) / 10000 AS mad
+        |FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |WHERE abs(e.value - m.med) > 3.0 * d.mad
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  floor(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) * 10000) / 10000 AS rnorm
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id < 2000
+        |ORDER BY event_id""".stripMargin,
 
     "q_setops_customers" ->
       """SELECT 'urgent_and_finished' AS set_op, count(*) AS n FROM (

@@ -69,6 +69,52 @@ object RecordLinkage {
       .where(col("score") >= threshold)
   }
 
+  /** Cross-TABLE linkage (the two-source master-data match, e.g. two
+    * customer systems): candidates block across tables only — no
+    * within-table pairs — scored like [[scoredPairs]]; `bestPerLeft`
+    * keeps each left record's single best match (score desc, right id
+    * asc) via the bounded-heap top-k aggregate, never a window.
+    * Output: (left_id, right_id, score). */
+  def linkTables(left: DataFrame, right: DataFrame, idCol: String,
+                 blockCol: Column, compareCols: Seq[(String, Double)],
+                 threshold: Double, maxBlockSize: Long = 0L,
+                 bestPerLeft: Boolean = false): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, s"threshold: $threshold")
+    def prep(df: DataFrame, side: String) =
+      df.select(col(idCol).cast("long").as(side + "_id") +:
+          blockCol.as("_blk") +:
+          compareCols.map { case (c, _) => col(c) }: _*)
+        .where(col("_blk").isNotNull)
+    val l0 = prep(left, "left")
+    val r0 = prep(right, "right")
+    val (l, r) = if (maxBlockSize > 0) {
+      val hot = l0.groupBy("_blk").count().where(col("count") > maxBlockSize)
+        .select("_blk")
+        .unionByName(r0.groupBy("_blk").count()
+          .where(col("count") > maxBlockSize).select("_blk"))
+        .distinct()
+      (l0.join(broadcast(hot), Seq("_blk"), "left_anti"),
+        r0.join(broadcast(hot), Seq("_blk"), "left_anti"))
+    } else (l0, r0)
+    val lf = l.select(col("_blk"), col("left_id"),
+      struct(compareCols.map(c => col(c._1)): _*).as("_f1"))
+    val rf = r.select(col("_blk"), col("right_id"),
+      struct(compareCols.map(c => col(c._1)): _*).as("_f2"))
+    val scored = lf.join(rf, Seq("_blk"))
+      .select(col("left_id"), col("right_id"),
+        pairScore(compareCols.map { case (c, w) =>
+          (col("_f1").getField(c), col("_f2").getField(c), w)
+        }).as("score"))
+      .where(col("score") >= threshold)
+    if (!bestPerLeft) scored
+    else scored
+      .groupBy(col("left_id").as("query_id"))
+      .agg(graft.expr.TopKByScore.topKBy(col("score"), col("right_id"), 1).as("top"))
+      .select(col("query_id").as("left_id"),
+        col("top").getItem(0).getField("id").as("right_id"),
+        col("top").getItem(0).getField("score").as("score"))
+  }
+
   /** Full linkage: scored pairs closed transitively into entity
     * clusters. Every record gets a cluster (min linked id); singletons
     * cluster alone. Output: (id, entity). */

@@ -56,6 +56,24 @@ class RecordLinkageSpec extends SparkSpec {
     assert(uncapped.count() == 190) // 20 choose 2
   }
 
+  test("linkTables: cross-table candidates only, best-per-left with id tie-break") {
+    val left = Seq((1L, "acme corp"), (2L, "acme corpse")).toDF("id", "name")
+    val right = Seq((10L, "acme corp"), (11L, "acme corp"), (12L, "zzz"))
+      .toDF("id", "name")
+    val all = RecordLinkage.linkTables(left, right, "id",
+        lower(substring(col("name"), 1, 2)), Seq(("name", 1.0)), 0.5)
+      .as[(Long, Long, Double)].collect()
+    // left-left and right-right pairs never appear
+    assert(all.forall(p => p._1 < 10 && p._2 >= 10), all.toSeq)
+    val best = RecordLinkage.linkTables(left, right, "id",
+        lower(substring(col("name"), 1, 2)), Seq(("name", 1.0)), 0.5,
+        bestPerLeft = true)
+      .as[(Long, Long, Double)].collect().map(p => p._1 -> p._2).toMap
+    // 10 and 11 tie at score 1.0 for left 1 — smaller right id wins
+    assert(best(1L) == 10L, best)
+    assert(best(2L) == 10L, best)
+  }
+
   test("null fields contribute zero for their weight, not null score") {
     // name matches exactly (w=2), addr null on one side (w=1):
     // score = 2/3 floor-quantized
