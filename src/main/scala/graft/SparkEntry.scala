@@ -413,6 +413,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // word2vec negative sampling: quantized unigram^(3/4) table (the
+    // original implementation's design), integer bucket draws from
+    // md5 — the embedding-training companion to text_skipgram
+    "text_negative_samples" -> ((s, dir) => {
+      val wf = graft.text.Bpe.wordFreq(
+        t(s, dir, "documents").where(col("doc_id") < 200), "text")
+      val table = graft.text.NegativeSampling.sampleTable(wf,
+        tableSize = 4096, topV = 65536)
+      val top = wf.orderBy(col("freq").desc, col("word").asc).limit(20)
+        .select(col("word").as("center"))
+      graft.text.NegativeSampling.drawNegatives(top, Seq("center"),
+          k = 5, table, seed = "w2v")
+        .orderBy("center", "neg_rank")
+    }),
+
     // cross-TABLE linkage: clean nations vs a dirty feed of variants,
     // best match per left record via the bounded-heap top-1 (never a
     // window) — the two-source master-data match
@@ -2895,6 +2910,45 @@ object SparkEntry {
         |lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS entity
         |        FROM reach GROUP BY a)
         |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
+
+    // negative-sampling replay: sqrt(f·sqrt(f)) quantized weights,
+    // integer ceil-div bucket ranges, md5-mod bucket draws
+    "text_negative_samples" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE doc_id < 200),
+        |wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
+        |  WHERE length(word) > 0 GROUP BY word),
+        |w AS (
+        |  SELECT word,
+        |    CAST(floor(sqrt(CAST(freq AS DOUBLE) * sqrt(CAST(freq AS DOUBLE))) * 1000000) AS BIGINT) AS w
+        |  FROM wf),
+        |c AS (
+        |  SELECT word, w,
+        |    CAST(sum(w) OVER (ORDER BY word ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER () AS BIGINT) AS total
+        |  FROM w),
+        |buckets AS (
+        |  SELECT unnest(generate_series(
+        |      ((cum - w) * 4096 + total - 1) // total,
+        |      ((cum * 4096 + total - 1) // total) - 1)) AS bucket,
+        |    word AS neg_word
+        |  FROM c
+        |  WHERE ((cum - w) * 4096 + total - 1) // total
+        |     <= ((cum * 4096 + total - 1) // total) - 1),
+        |top20 AS (
+        |  SELECT word AS center FROM wf
+        |  ORDER BY freq DESC, word ASC LIMIT 20),
+        |draws AS (
+        |  SELECT center, CAST(r.r AS INTEGER) AS neg_rank,
+        |    CAST(('0x' || substr(md5('w2v' || '|' || center || '|'
+        |      || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS bucket
+        |  FROM top20, unnest(range(1, 6)) AS r(r))
+        |SELECT d.center, d.neg_rank, b.neg_word
+        |FROM draws d JOIN buckets b ON b.bucket = d.bucket
+        |ORDER BY center, neg_rank""".stripMargin,
 
     // cross-table linkage replay: same derivation/blocking/score,
     // best-per-left via row_number (score desc, right id asc)
