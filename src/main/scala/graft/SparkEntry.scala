@@ -413,6 +413,34 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // corpus datasheet ("datasheets for datasets" shape): one long-
+    // format frame of corpus-level curation stats — volume, token
+    // mass, language mix, exact-dup rate, length percentiles — each
+    // leg an independent map-side-partial aggregate, unioned small
+    "corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_words"),
+        col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      def leg(metric: String, dim: org.apache.spark.sql.Column,
+              value: org.apache.spark.sql.Column)(df: DataFrame) =
+        df.select(lit(metric).as("metric"), dim.cast("string").as("dim"),
+          (floor(value * 1e4) / 1e4).as("value"))
+      val nDocs = leg("n_docs", lit(""), count(lit(1)).cast("double"))(toks)
+      val nTokens = leg("total_tokens", lit(""), sum("n_words").cast("double"))(toks)
+      val byLang = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(lit("docs_by_lang").as("metric"), col("lang").as("dim"),
+          (floor(col("n").cast("double") * 1e4) / 1e4).as("value"))
+      val dupRate = leg("exact_dup_rate", lit(""),
+        lit(1.0) - countDistinct("h").cast("double") / count(lit(1)))(toks)
+      val p50 = leg("p50_chars", lit(""), expr("percentile(n_chars, 0.5)"))(toks)
+      val p90 = leg("p90_chars", lit(""), expr("percentile(n_chars, 0.9)"))(toks)
+      nDocs.unionAll(nTokens).unionAll(byLang).unionAll(dupRate)
+        .unionAll(p50).unionAll(p90)
+        .orderBy("metric", "dim")
+    }),
+
     // word2vec negative sampling: quantized unigram^(3/4) table (the
     // original implementation's design), integer bucket draws from
     // md5 — the embedding-training companion to text_skipgram
@@ -2254,6 +2282,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("zratio")) * 10000) / 10000).as("mean_ratio"))
     }),
+    // tokenizer evaluation: fertility (tokens per word) and
+    // compression (chars per token) for the two trained tokenizer
+    // families on the same corpus — the metric a tokenizer choice is
+    // actually made on. One row; driver-resident models like training.
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.BpeTrain.train(docs, "text",
+        numMerges = 64, autoBatch = true)
+      val uni = graft.text.UnigramTokenizer.train(docs, "text",
+        vocabSize = 256, maxPieceLen = 6)
+      val base = docs.select(
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+        .agg(sum("n_words").as("words"), sum("n_chars").as("chars"))
+      val bpe = graft.text.BpeTrain.segment(docs, "text", merges)
+        .agg(sum("n_bpe_tokens").as("bpe_tokens"))
+      val ut = graft.text.UnigramTokenizer.segment(docs, "text", uni)
+        .agg(sum("n_unigram_tokens").as("uni_tokens"))
+      base.crossJoin(bpe).crossJoin(ut)
+        .select(col("words"), col("bpe_tokens"), col("uni_tokens"),
+          (floor(col("bpe_tokens") / col("words") * 1e4) / 1e4).as("bpe_fertility"),
+          (floor(col("uni_tokens") / col("words") * 1e4) / 1e4).as("uni_fertility"),
+          (floor(col("chars") / col("uni_tokens") * 1e4) / 1e4).as("uni_chars_per_token"))
+    }),
+
+    // full-corpus winnowing on the xxhash production path (the
+    // replayable md5 oracle query caps at 100 docs; this is the
+    // scan-shape number): fingerprint density + distinct count
+    "winnow_corpus" -> ((s, dir) => {
+      graft.text.Winnowing.fingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 8, replayable = false)
+        .agg(count(lit(1)).as("n_fps"), countDistinct("fp").as("n_distinct"))
+    }),
+
     // label-propagation communities over the mutual-kNN embedding
     // graph — the community refinement a CC closure can't give
     // (T-gated: LPA's iterative argmax has no SQL oracle)
@@ -2910,6 +2973,32 @@ object SparkEntry {
         |lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS entity
         |        FROM reach GROUP BY a)
         |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
+
+    // datasheet replay: each leg an independent aggregate, exact
+    // interpolated percentiles, md5 dup keys
+    "corpus_datasheet" ->
+      """WITH toks AS (
+        |  SELECT len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |           t -> length(t) > 0)) AS n_words,
+        |    lang, n_chars, md5(text) AS h
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'n_docs' AS metric, '' AS dim,
+        |    floor(count(*) * 10000) / 10000 AS value FROM toks
+        |  UNION ALL
+        |  SELECT 'total_tokens', '', floor(CAST(sum(n_words) AS DOUBLE) * 10000) / 10000 FROM toks
+        |  UNION ALL
+        |  SELECT 'docs_by_lang', lang, floor(CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |  FROM toks GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'exact_dup_rate', '',
+        |    floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) * 10000) / 10000
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 'p50_chars', '', floor(quantile_cont(n_chars, 0.5) * 10000) / 10000 FROM toks
+        |  UNION ALL
+        |  SELECT 'p90_chars', '', floor(quantile_cont(n_chars, 0.9) * 10000) / 10000 FROM toks)
+        |ORDER BY metric, dim""".stripMargin,
 
     // negative-sampling replay: sqrt(f·sqrt(f)) quantized weights,
     // integer ceil-div bucket ranges, md5-mod bucket draws

@@ -158,7 +158,14 @@ object SqlScaleSmoke {
     // the composed crawl front door: url dedup + html strip + gate +
     // content dedup + domain cap in one query — the multi-stage text
     // shape most likely to hide a superlinear join
-    "q_crawl_pipeline", "text_sentences")
+    "q_crawl_pipeline", "text_sentences",
+    // r11 second-session additions that scale with the corpus: linear
+    // interpolation (grid-union window over full events), MAD outliers
+    // (two exact-median aggregates over full events), Bloom-prefilter
+    // decontamination (corpus-side gram stream vs the fixed probe
+    // set), and full-corpus winnowing (bench-only xxhash path)
+    "q_resample_interp", "q_outlier_mad", "decontam_overlap_bloom",
+    "winnow_corpus")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
@@ -415,6 +422,14 @@ object SqlScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench/GraftSession.local: generated tables are written
+      // as ~1 MB part files that file-packing would fuse into ONE read
+      // split — narrow per-row operators (winnowing) then run
+      // single-task and masquerade as superlinear (measured 6.1x at
+      // 10x data; 1.3x once scans split across cores)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", (8 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

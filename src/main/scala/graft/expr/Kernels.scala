@@ -622,4 +622,43 @@ object Kernels {
     }
     0L
   }
+
+  /** Winnowing selection over an array of gram hashes — monotone-deque
+    * sliding-window minimum, O(n) total: each index enters and leaves
+    * the deque once. Popping on >= evicts equal values in favor of the
+    * newer index, so the deque front is always the RIGHTMOST minimum
+    * of the current window; consecutive windows selecting the same
+    * index dedupe inline (selections are monotone non-decreasing).
+    * Output rows: (pos = 1-based index, fp = hash). Fewer than w
+    * elements -> empty (no complete window). */
+  def winnowSelect(h: org.apache.spark.sql.catalyst.util.ArrayData,
+                   w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = h.numElements()
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / w + 2)
+    var lastSel = -1
+    var e = 0
+    while (e < n) {
+      val v = h.getLong(e)
+      while (tail > head && h.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = e
+      tail += 1
+      if (e >= w - 1) {
+        val j = e - w + 1
+        while (deque(head) < j) head += 1
+        val sel = deque(head)
+        if (sel != lastSel) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any]((sel + 1).toLong, h.getLong(sel)))
+          lastSel = sel
+        }
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

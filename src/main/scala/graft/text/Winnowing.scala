@@ -16,31 +16,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one NARROW projection chain per document — k-gram
   * walk (native [[graft.expr.CharGrams]] kernel), per-gram hash,
-  * window-min selection with higher-order functions over SHIFTED
-  * SLICES (arguments evaluate once; the `transform(sequence, j ->
-  * …slice…)` form re-derives upstream per element) — no explode
-  * before the final fingerprint rows, no shuffle at all until a
-  * consumer groups by fingerprint.
+  * window-min selection as the native O(n) monotone-deque kernel
+  * ([[graft.expr.WinnowSelect]]; the HOF shifted-slice form below is
+  * its executable spec) — no explode before the final fingerprint
+  * rows, no shuffle at all until a consumer groups by fingerprint.
   *
   * `replayable = true` hashes grams with md5 (the DuckDB oracle
   * replays selection end-to-end from raw text); `false` uses the
   * xxhash64 production path — same selection, cheaper hash. */
 object Winnowing {
 
-  /** The per-document selection over the hash array column `h`:
-    * per-window (struct(pos, fp)) via shifted slices, then DEDUPED BY
-    * CONSECUTIVE POSITION — the selected position is monotone
-    * non-decreasing as the window slides (the previous selection
-    * either stays in the window or the new minimum lies further
-    * right), so comparing each window's selection with its
-    * predecessor's position removes every duplicate in O(n).
-    * `array_distinct` over array<struct> is the trap here: complex
-    * element types take the interpreted pairwise path — O(n²) struct
-    * comparisons, measured ~45 s on 100 ordinary documents. All
-    * subexpressions appear only as direct arguments of
-    * zip_with/slice/concat, so each evaluates once per ROW, never per
-    * element. */
-  private def winnowSelect(w: Int): Column = {
+  /** The HOF formulation of the selection — per-window struct(pos,
+    * fp) via shifted slices, deduped by CONSECUTIVE position
+    * (selections are monotone non-decreasing; `array_distinct` over
+    * array<struct> is the O(n²)-interpreted trap) — kept as the
+    * [[graft.expr.WinnowSelect]] kernel is parity-tested against
+    * (the [[graft.ops.Ann.cosineHof]] convention). */
+  private[text] def winnowSelectHof(w: Int): Column = {
     val sel0 =
       s"""zip_with(
          |  transform(sequence(1, size(h) - ${w - 1}), j -> slice(h, j, $w)),
@@ -76,7 +68,8 @@ object Winnowing {
       // CollapseProject barrier: without it the hash map above inlines
       // into every slice() below and runs once per (gram x window)
       .repartition(col("id"))
-      .select(col("id"), winnowSelect(w).as("sel"))
+      .select(col("id"),
+        graft.expr.WinnowSelect.winnowSelect(col("h"), w).as("sel"))
       // explode_OUTER on purpose: a plain explode lets
       // InferFiltersFromGenerate add `size(sel) > 0`, which pushdown
       // then carries below the repartition barrier with the WHOLE sel

@@ -73,6 +73,30 @@ class WinnowingSpec extends SparkSpec {
     assert(math.abs(md5n - xxn) <= math.max(md5n, xxn) / 2, (md5n, xxn))
   }
 
+  test("native deque selection matches the HOF executable spec exactly") {
+    // varied texts incl. heavy repetition (tie-break stress) and the
+    // shortest legal length
+    val docs = ((1 to 30).map(i =>
+      (i.toLong, s"document $i " + ("ab" * (i % 7 + 1)) + s" tail ${i * 37}")) :+
+      (99L, "aaaaaaaaaa") :+ (100L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val native = Winnowing.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val hof = docs
+      .select(col("doc_id").as("id"), lower(col("text")).as("s"))
+      .where(length(col("s")) >= 8)
+      .select(col("id"), graft.expr.CharGrams.charGrams(col("s"), 5, distinct = false).as("g"))
+      .select(col("id"), expr("transform(g, x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))").as("h"))
+      .repartition(col("id"))
+      .select(col("id"), Winnowing.winnowSelectHof(4).as("sel"))
+      .select(col("id"), explode_outer(col("sel")).as("x"))
+      .where(col("x").isNotNull)
+      .select(col("id"), col("x.pos"), col("x.fp"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
   test("sharedPairs maxDf drops boilerplate fingerprints") {
     val banner = "standard footer text appearing everywhere in the corpus now"
     val docs = (1L to 6L).map(i => (i, s"document body $i distinct words $i " + banner))
