@@ -127,6 +127,86 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    // revenue by ship year — a 6-table join where only the fact side
+    // is big; every dimension broadcasts
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's revenue for a part-type family, by order year
+    "q8_market_share" -> ((s, dir) => {
+      val nCust = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("c_rk"))
+      val nSupp = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").where(col("r_name") === "AMERICA")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type").startsWith("ECONOMY"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((floor(sum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * 1e4) / 1e4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q10 shape (returned items): top 20 customers by revenue
+    // lost to returns in one quarter
+    "q10_returned_items" -> ((s, dir) => {
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): promo-type share of one
+    // month's revenue — one scalar row
+    "q14_promo_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((floor(sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * lit(100.0) * 1e4) / 1e4).as("promo_pct"))
+    }),
+
     "q_window_top_parts" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
@@ -391,16 +471,17 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // entity resolution: nation names + two planted dirty variants per
-    // nation (3rd-char deletion, trailing-char append) — block on the
-    // first two letters, score by normalized Levenshtein, close
-    // transitively. IRAN/IRAQ legitimately merge at 0.7 (lev 1 on
-    // 4-char names shares a block) — the transitive-merge hazard the
-    // operator documents, replayed identically by the oracle.
+    // entity resolution: 25 high-entropy record names (md5 of the
+    // nation name — the raw NATION_nn labels differ by one digit and
+    // would all merge at any variant-tolerant threshold) + two planted
+    // dirty variants each (3rd-char deletion, trailing-char append) —
+    // block on the first two hex chars, score by normalized
+    // Levenshtein, close transitively into (base, variant, variant)
+    // entities.
     "er_nation_entities" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("id"),
-          col("n_name").as("name"))
+          substring(md5(col("n_name")), 1, 8).as("name"))
       val recs = nat
         .unionAll(nat.select((col("id") + 100).as("id"),
           concat(substring(col("name"), 1, 2),
@@ -462,7 +543,7 @@ object SparkEntry {
     "er_table_link" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("id"),
-          col("n_name").as("name"))
+          substring(md5(col("n_name")), 1, 8).as("name"))
       val dirty = nat.select((col("id") + 100).as("id"),
           concat(substring(col("name"), 1, 2),
             substring(col("name"), 4, 1000)).as("name"))
@@ -2709,6 +2790,61 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
 
+    "q7_volume_shipping" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+        |    OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  floor(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000 AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type LIKE 'ECONOMY%'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT floor(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)) * 100.0 * 10000) / 10000
+        |  AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
     "q_window_top_parts" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
@@ -2947,16 +3083,20 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY id1, id2""".stripMargin,
 
-    // record-linkage replay: same variant derivation, blocking key,
+    // record-linkage replay: same md5-name derivation, blocking key,
     // floor-quantized Levenshtein score and recursive closure
     "er_nation_entities" ->
       """WITH RECURSIVE recs AS (
-        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    substring(md5(n_name), 1, 8) AS name FROM nation
         |  UNION ALL
-        |  SELECT n_nationkey + 100, substring(n_name, 1, 2) || substring(n_name, 4)
+        |  SELECT n_nationkey + 100,
+        |    substring(substring(md5(n_name), 1, 8), 1, 2)
+        |      || substring(substring(md5(n_name), 1, 8), 4)
         |  FROM nation
         |  UNION ALL
-        |  SELECT n_nationkey + 200, n_name || 'X' FROM nation),
+        |  SELECT n_nationkey + 200, substring(md5(n_name), 1, 8) || 'X'
+        |  FROM nation),
         |b AS (SELECT id, name, lower(substring(name, 1, 2)) AS blk FROM recs),
         |jp AS (
         |  SELECT a.id AS id1, b2.id AS id2
@@ -3043,7 +3183,8 @@ object SparkEntry {
     // best-per-left via row_number (score desc, right id asc)
     "er_table_link" ->
       """WITH nat AS (
-        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation),
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    substring(md5(n_name), 1, 8) AS name FROM nation),
         |dirty AS (
         |  SELECT id + 100 AS id, substring(name, 1, 2) || substring(name, 4) AS name FROM nat
         |  UNION ALL
