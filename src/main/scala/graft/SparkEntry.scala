@@ -2363,6 +2363,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("zratio")) * 10000) / 10000).as("mean_ratio"))
     }),
+    // greedy k-center coreset selection (diversity pruning): 16
+    // maximally-spread vectors + full-corpus assignment — the
+    // data-distillation selector; O(k·n) cosines via the running
+    // min-distance column, one bounded argmax per round
+    "emb_kcenter_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centers = graft.ops.Coreset.kCenters(emb, "vec_id", "embedding", 16)
+      graft.ops.Coreset.assign(emb, "vec_id", "embedding", centers)
+        .groupBy("center_id").agg(count(lit(1)).as("n_assigned"))
+        .agg(count(lit(1)).as("n_centers"), sum("n_assigned").as("n_vectors"))
+    }),
+
     // tokenizer evaluation: fertility (tokens per word) and
     // compression (chars per token) for the two trained tokenizer
     // families on the same corpus — the metric a tokenizer choice is

@@ -39,6 +39,22 @@ class PlanShapeSpec extends SparkSpec {
   test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
     assert(plan("q_top_purchasers").contains("TakeOrderedAndProject"))
     assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("q7: five dimension joins broadcast; fact-fact join is the only shuffle join") {
+    val p = plan("q7_volume_shipping")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 5, s"expected >= 5 broadcast joins, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate range must reach the lineitem scan")
+  }
+
+  test("q8: seven-table join keeps every dimension broadcast") {
+    val p = plan("q8_market_share")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 6, s"expected >= 6 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("no query plans a cartesian product (broadcast NLJ only on ANN scans)") {
