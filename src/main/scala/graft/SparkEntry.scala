@@ -555,6 +555,57 @@ object SparkEntry {
         .orderBy("left_id")
     }),
 
+    // schema-type inference over an untyped feed (the suggestion pass
+    // before SchemaCheck validates a declared schema): per-column
+    // parseability counts and the narrowest fitting type
+    "v_schema_infer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val feed = cust.select(
+        col("c_custkey").cast("string").as("id_str"),
+        col("c_acctbal").cast("string").as("bal_str"),
+        col("c_mktsegment").as("seg_str"),
+        when(col("c_custkey") % 2 === 0, "true").otherwise("false").as("flag_str"),
+        date_format(date_add(to_date(lit("1995-01-01")),
+          (col("c_custkey") % 1000).cast("int")), "yyyy-MM-dd").as("date_str"))
+      graft.validate.SchemaInfer.inferColumnTypes(feed).orderBy("column")
+    }),
+
+    // triangle counting over the supplier co-occurrence graph (the
+    // ordered-edge 3-way join — the standard distributed algorithm);
+    // graph family alongside CC / PageRank / LPA
+    "q_triangle_count" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 5000)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("x"), col("b.sk").as("y")).distinct()
+      e.as("e1")
+        .join(e.as("e2"), col("e1.y") === col("e2.x"))
+        .join(e.as("e3"),
+          col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // seasonal-naive monitoring: hourly event counts vs the same hour
+    // one day earlier (row-lag 24 per type over the dense hour grid);
+    // per-type mean absolute residual from exact integer sums
+    "q_seasonal_residuals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourNs = 3600L * 1000000000L
+      val hourly = Tables.events(s, dir)
+        .groupBy((col("ts") - pmod(col("ts"), lit(hourNs))).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hourly.withColumn("prev", lag("n", 24).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          (floor(sum(abs(col("n") - col("prev"))).cast("double")
+            / count(lit(1)) * 1e4) / 1e4).as("mean_abs_resid"))
+        .orderBy("event_type")
+    }),
+
     // robust outliers by median absolute deviation (the z-score's
     // robust sibling — one extreme value cannot drag the fence):
     // |x − med| > 3·MAD per event type, exact interpolated medians
@@ -3217,6 +3268,70 @@ object SparkEntry {
         |  FROM th)
         |SELECT left_id, right_id, score FROM best WHERE rk = 1
         |ORDER BY left_id""".stripMargin,
+
+    // schema-infer replay: same feed derivation; bigint parseability
+    // simulated with the integral regexp (Spark's try_cast rejects
+    // fractional strings where DuckDB's would round — the regexp pins
+    // Spark's semantics), double/date via try_cast (aligned engines)
+    "v_schema_infer" ->
+      """WITH feed AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS id_str,
+        |    CAST(c_acctbal AS VARCHAR) AS bal_str,
+        |    c_mktsegment AS seg_str,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_str,
+        |    strftime(DATE '1995-01-01' + INTERVAL (c_custkey % 1000) DAY,
+        |      '%Y-%m-%d') AS date_str
+        |  FROM customer),
+        |u AS (
+        |  SELECT 'id_str' AS "column", id_str AS v FROM feed
+        |  UNION ALL SELECT 'bal_str', bal_str FROM feed
+        |  UNION ALL SELECT 'seg_str', seg_str FROM feed
+        |  UNION ALL SELECT 'flag_str', flag_str FROM feed
+        |  UNION ALL SELECT 'date_str', date_str FROM feed),
+        |c AS (
+        |  SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL OR trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(sum(CASE WHEN regexp_matches(trim(v), '^[+-]?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_bigint,
+        |    CAST(sum(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+        |    CAST(sum(CASE WHEN try_cast(v AS DATE) IS NOT NULL
+        |      AND regexp_matches(trim(v), '^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+        |    CAST(sum(CASE WHEN lower(trim(v)) IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_boolean
+        |  FROM u GROUP BY 1)
+        |SELECT *,
+        |  CASE WHEN n_rows - n_null = 0 THEN 'string'
+        |       WHEN n_boolean = n_rows - n_null THEN 'boolean'
+        |       WHEN n_bigint = n_rows - n_null THEN 'bigint'
+        |       WHEN n_double = n_rows - n_null THEN 'double'
+        |       WHEN n_date = n_rows - n_null THEN 'date'
+        |       ELSE 'string' END AS suggested
+        |FROM c ORDER BY "column" """.stripMargin,
+
+    "q_triangle_count" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |  WHERE l_orderkey < 5000),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS x, b.sk AS y
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin,
+
+    "q_seasonal_residuals" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS h,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS prev
+        |  FROM hourly)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  floor(CAST(sum(abs(n - prev)) AS DOUBLE) / count(*) * 10000) / 10000
+        |    AS mean_abs_resid
+        |FROM lagged WHERE prev IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // MAD replay: exact interpolated medians both engines
     "q_outlier_mad" ->
