@@ -494,6 +494,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // cross-corpus match: each left doc's best counterpart on the
+    // right by banded-minhash candidates + signature agreement —
+    // planted right-side variants (text + ' x', id + 2000) guarantee
+    // every left doc a high-jaccard counterpart
+    "text_cross_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val left = docs.where(col("doc_id") < 50).select("doc_id", "text")
+      val right = docs.where(col("doc_id") >= 50 && col("doc_id") < 150)
+        .select("doc_id", "text")
+        .unionAll(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 2000).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+      Similarity.crossMatchTopK(left, right, "doc_id", "text", k = 1,
+          kShingle = 5, numHashes = 32, rowsPerBand = 8,
+          minJaccard = 0.2, replayable = true)
+        .orderBy("left_id")
+    }),
+
     // corpus datasheet ("datasheets for datasets" shape): one long-
     // format frame of corpus-level curation stats — volume, token
     // mass, language mix, exact-dup rate, length percentiles — each
@@ -3176,6 +3194,58 @@ object SparkEntry {
         |lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS entity
         |        FROM reach GROUP BY a)
         |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
+
+    // cross-match replay: pooled md5 sigs/bands (disjoint id spaces),
+    // PER-SIDE hot-bucket caps, left×right candidates, agreement
+    // scoring, row_number best-per-left
+    "text_cross_match" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |pool AS (
+        |  SELECT doc_id AS id, lower(text) AS s FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000, lower(text || ' x') FROM base WHERE doc_id < 50),
+        |d AS (SELECT * FROM pool WHERE length(s) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT id, substr(s, CAST(t.i AS INTEGER), 5) AS g
+        |  FROM d, unnest(range(1, length(s) - 3)) AS t(i)),
+        |gh AS (
+        |  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(g), 17, 14)) AS BIGINT) AS h2
+        |  FROM grams),
+        |sig AS (
+        |  SELECT id, CAST(t.i AS INTEGER) AS i,
+        |         min((h1 + t.i * h2) % 1152921504606846976) AS v
+        |  FROM gh, unnest(range(0, 32)) AS t(i)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT id, i // 8 AS band,
+        |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bucket
+        |  FROM sig GROUP BY id, i // 8),
+        |lbands AS (SELECT * FROM bands WHERE id < 50),
+        |rbands AS (SELECT * FROM bands WHERE id >= 50),
+        |lhot AS (SELECT band, bucket FROM lbands GROUP BY 1, 2 HAVING count(*) > 500),
+        |rhot AS (SELECT band, bucket FROM rbands GROUP BY 1, 2 HAVING count(*) > 500),
+        |lcap AS (SELECT b.* FROM lbands b WHERE NOT EXISTS (
+        |  SELECT 1 FROM lhot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+        |rcap AS (SELECT b.* FROM rbands b WHERE NOT EXISTS (
+        |  SELECT 1 FROM rhot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS lid, b.id AS rid
+        |  FROM lcap a JOIN rcap b ON a.band = b.band AND a.bucket = b.bucket),
+        |agree AS (
+        |  SELECT c.lid, c.rid,
+        |         round(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / 32.0, 4) AS est
+        |  FROM cand c JOIN sig s1 ON s1.id = c.lid
+        |              JOIN sig s2 ON s2.id = c.rid AND s2.i = s1.i
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT lid, rid, est,
+        |    row_number() OVER (PARTITION BY lid ORDER BY est DESC, rid ASC) AS rk
+        |  FROM agree WHERE est >= 0.2)
+        |SELECT lid AS left_id, rid AS right_id, est AS est_jaccard,
+        |  CAST(rk AS INT) AS rnk
+        |FROM best WHERE rk = 1 ORDER BY left_id""".stripMargin,
 
     // datasheet replay: each leg an independent aggregate, exact
     // interpolated percentiles, md5 dup keys

@@ -295,6 +295,23 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 4L)))
   }
+
+  test("crossMatchTopK: each left doc finds its planted right counterpart, top-1 only") {
+    val left = (1L to 5L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta document number $i unique words here"))
+      .toDF("doc_id", "text")
+    val right = left.select((col("doc_id") + 100).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      .unionAll(Seq((999L, "totally unrelated content qqq zzz www distinct other material"))
+        .toDF("doc_id", "text"))
+    val m = Similarity.crossMatchTopK(left, right, "doc_id", "text",
+        k = 1, rowsPerBand = 8, minJaccard = 0.2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(m.length == 5, m.toSeq)
+    m.foreach { case (lid, rid, est, rnk) =>
+      assert(rid == lid + 100 && rnk == 1 && est > 0.5, (lid, rid, est))
+    }
+  }
 }
 
 class AnnSpec extends SparkSpec {
