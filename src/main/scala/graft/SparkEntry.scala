@@ -573,6 +573,48 @@ object SparkEntry {
         .orderBy("left_id")
     }),
 
+    // functional-dependency discovery (profiling): for each candidate
+    // determinant→dependent column pair, the violation count =
+    // Σ_groups (group size − majority size); violations = 0 ⇔ the FD
+    // holds. One groupBy per pair over the pair's two columns only.
+    "v_fd_discovery" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = Seq(
+        ("c_custkey", "c_mktsegment"),  // key determines everything
+        ("c_nationkey", "c_mktsegment"), // should not hold
+        ("c_mktsegment", "c_nationkey")) // should not hold
+      pairs.map { case (a, b) =>
+        cust.groupBy(col(a), col(b)).agg(count(lit(1)).as("n"))
+          .groupBy(col(a)).agg(sum("n").as("tot"), max("n").as("maj"))
+          .agg(sum(col("tot") - col("maj")).as("violations"),
+            count(lit(1)).as("n_groups"))
+          .select(lit(a).as("determinant"), lit(b).as("dependent"),
+            col("violations"), col("n_groups"),
+            (col("violations") === 0).as("holds"))
+      }.reduce(_ unionAll _).orderBy("determinant", "dependent")
+    }),
+
+    // RFM customer segmentation: recency (days since last order),
+    // frequency, monetary — quartile-coded per dimension via ntile
+    // with a deterministic total order; counts per RFM code
+    "q_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = t(s, dir, "orders")
+      val rfm = ord.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          (floor(sum("o_totalprice") * 100) / 100).as("monetary"))
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("last_order").desc, col("o_custkey"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      rfm.groupBy(concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("rfm_code")
+    }),
+
     // schema-type inference over an untyped feed (the suggestion pass
     // before SchemaCheck validates a declared schema): per-column
     // parseability counts and the narrowest fitting type
@@ -3338,6 +3380,46 @@ object SparkEntry {
         |  FROM th)
         |SELECT left_id, right_id, score FROM best WHERE rk = 1
         |ORDER BY left_id""".stripMargin,
+
+    "v_fd_discovery" ->
+      """WITH fd AS (
+        |  SELECT 'c_custkey' AS determinant, 'c_mktsegment' AS dependent,
+        |    CAST(sum(tot - maj) AS BIGINT) AS violations,
+        |    CAST(count(*) AS BIGINT) AS n_groups
+        |  FROM (SELECT c_custkey, sum(n) AS tot, max(n) AS maj
+        |        FROM (SELECT c_custkey, c_mktsegment, count(*) AS n
+        |              FROM customer GROUP BY 1, 2) GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'c_nationkey', 'c_mktsegment',
+        |    CAST(sum(tot - maj) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM (SELECT c_nationkey, sum(n) AS tot, max(n) AS maj
+        |        FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |              FROM customer GROUP BY 1, 2) GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', 'c_nationkey',
+        |    CAST(sum(tot - maj) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM (SELECT c_mktsegment, sum(n) AS tot, max(n) AS maj
+        |        FROM (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |              FROM customer GROUP BY 1, 2) GROUP BY 1))
+        |SELECT *, violations = 0 AS holds FROM fd
+        |ORDER BY determinant, dependent""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    floor(sum(o_totalprice) * 100) / 100 AS monetary
+        |  FROM orders GROUP BY 1),
+        |coded AS (
+        |  SELECT
+        |    ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        |  FROM rfm)
+        |SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+        |    || CAST(m_q AS VARCHAR) AS rfm_code,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM coded GROUP BY 1 ORDER BY rfm_code""".stripMargin,
 
     // schema-infer replay: same feed derivation; bigint parseability
     // simulated with the integral regexp (Spark's try_cast rejects
