@@ -666,6 +666,90 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // winsorization: clip values to the exact per-group [p05, p95]
+    // band — the robust-stats preprocessing step next to MAD fences
+    "q_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+        .where(col("value").isNotNull && col("event_id") < 1000)
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (floor(greatest(col("lo"), least(col("hi"), col("value"))) * 1e4) / 1e4)
+            .as("clipped"))
+        .orderBy("event_id")
+    }),
+
+    // market-basket lift between part brands co-occurring in orders:
+    // support / confidence / lift from one co-occurrence join
+    "q_brand_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 20000)
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = li.select("ok").distinct().count()
+      val solo = li.groupBy("brand").agg(count(lit(1)).as("n"))
+      val co = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand1"), col("b.brand").as("brand2"))
+        .agg(count(lit(1)).as("n_both"))
+      co.join(solo.select(col("brand").as("brand1"), col("n").as("n1")), "brand1")
+        .join(solo.select(col("brand").as("brand2"), col("n").as("n2")), "brand2")
+        .where(col("n_both") >= 20)
+        .select(col("brand1"), col("brand2"), col("n_both"),
+          (floor(col("n_both") * lit(nOrders.toDouble) / (col("n1") * col("n2"))
+            * 1e4) / 1e4).as("lift"))
+        .orderBy("brand1", "brand2")
+    }),
+
+    // per-user event-type transition counts (the Markov-chain input):
+    // consecutive event pairs via lag over (ts, event_id) total order
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // revenue concentration: exact Gini coefficient over per-customer
+    // order totals — G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n on the
+    // ascending-sorted series, integer-cent totals so the sums are
+    // order-independent
+    "q_revenue_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = per.withColumn("i",
+        row_number().over(Window.orderBy(col("cents"), col("o_custkey"))))
+      ranked.agg(
+          (floor((lit(2.0) * sum(col("i") * col("cents"))
+              / (count(lit(1)) * sum(col("cents")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1))) * 1e6) / 1e6)
+            .as("gini"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // vocabulary concentration: types, tokens, hapax ratio per lang —
+    // the Heaps/Zipf health check of a text corpus
+    "text_hapax" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+      toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"),
+          sum("n").as("n_tokens"),
+          (floor(sum(when(col("n") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)) * 1e4) / 1e4).as("hapax_ratio"))
+        .orderBy("lang")
+    }),
+
     // robust outliers by median absolute deviation (the z-score's
     // robust sibling — one extreme value cannot drag the fence):
     // |x − med| > 3·MAD per event type, exact interpolated medians
@@ -3484,6 +3568,76 @@ object SparkEntry {
         |    AS mean_abs_resid
         |FROM lagged WHERE prev IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_id < 1000),
+        |b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  floor(greatest(lo, least(hi, value)) * 10000) / 10000 AS clipped
+        |FROM ev e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_brand_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_orderkey < 20000),
+        |t AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM li),
+        |solo AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        |co AS (
+        |  SELECT a.brand AS brand1, b.brand AS brand2,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand1, brand2, n_both,
+        |  floor(n_both * n_orders / (s1.n * s2.n) * 10000) / 10000 AS lift
+        |FROM co JOIN solo s1 ON s1.brand = co.brand1
+        |        JOIN solo s2 ON s2.brand = co.brand2
+        |        CROSS JOIN t
+        |WHERE n_both >= 20
+        |ORDER BY brand1, brand2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q_revenue_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM per)
+        |SELECT floor((2.0 * sum(i * cents) / (count(*) * sum(cents))
+        |    - (count(*) + 1.0) / count(*)) * 1000000) / 1000000 AS gini,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM ranked""".stripMargin,
+
+    "text_hapax" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM toks
+        |  WHERE length(tok) > 0 GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000) / 10000 AS hapax_ratio
+        |FROM tf GROUP BY lang ORDER BY lang""".stripMargin,
 
     // MAD replay: exact interpolated medians both engines
     "q_outlier_mad" ->
