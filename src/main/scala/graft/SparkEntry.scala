@@ -2527,6 +2527,158 @@ object SparkEntry {
     "text_kn_lp" -> ((s, dir) => {
       graft.text.KneserNey.scoreSelf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // TPC-H Q4 shape (order priority checking): orders in a quarter
+    // with at least one line shipped > 30 days after the order date
+    // (the schema has no commit/receipt dates). EXISTS becomes a
+    // left-semi join on the late-line keys — at scale the date window
+    // prunes orders first, and the semi join never widens rows.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val lateKeys = t(s, dir, "lineitem")
+        .join(ord.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("l_orderkey").as("late_ok"))
+      ord.join(lateKeys, col("o_orderkey") === col("late_ok"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape (forecasting revenue change): pure scan +
+    // filter + global agg — the predicate must reach the parquet
+    // scan as PushedFilters; revenue in exact per-row floor-cents so
+    // the global sum is order-independent
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q9 shape (product type profit): parts of one type traced
+    // through lineitem -> orders / supplier -> nation, profit per
+    // nation per order year (no partsupp table, so profit = revenue).
+    // part/supplier/nation broadcast; the only shuffle is the final
+    // two-column agg.
+    "q9_product_profit" -> ((s, dir) => {
+      val prt = t(s, dir, "part").where(col("p_type") === "STANDARD")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (shipping modes / line priority): late lines
+    // (> 45 days) shipped in 1998, split urgent-vs-other order
+    // priority per returnflag (the schema's stand-in for shipmode) —
+    // conditional aggregation over one join
+    "q12_late_priority" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the supplier(s) hitting the global max — the scalar
+    // max-subquery over an aggregate view. Exact cents make the
+    // equality deterministic; the max is a broadcast-joined 1-row
+    // frame, not a driver round trip.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("total_cents"))
+      val top = rev.agg(max("total_cents").as("max_cents"))
+      rev.join(broadcast(top), col("total_cents") === col("max_cents"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18 shape (large volume customers): orders whose total
+    // quantity exceeds the threshold, traced back to the customer —
+    // group-having on the fact table BEFORE the dimension joins so
+    // only qualifying orders reach them
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .where(col("total_qty") > 180)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three OR'ed brand/size/quantity bands across the lineitem-part
+    // join — Catalyst must keep the join on partkey and evaluate the
+    // disjunction as a post-join filter, never a cartesian
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val bands =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(20, 30))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .where(bands)
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers with an
+    // account balance above the average positive balance and no
+    // RECENT orders (every customer has some order at this scale, so
+    // the window keeps the anti join non-vacuous) — scalar subquery
+    // broadcast + anti join, counts and exact-cent balance sums per
+    // nation
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("totacctbal_cents"))
+        .orderBy("nation")
     })
   )
 
@@ -6459,7 +6611,104 @@ object SparkEntry {
         |  JOIN cont USING (w3) CROSS JOIN stats)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tris,
         |  CAST(sum(lp_m) AS BIGINT) / sum(m) / 10000 AS lp_avg
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // textbook EXISTS formulation — verifies the semi-join rewrite
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY nation""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
