@@ -551,7 +551,6 @@ object Kernels {
       var ch = 0L; var rate = 0L; var blockAlign = 0L
       while (i + 8 <= n) {
         val size = le32(i + 4)
-        if (size < 0) return 0L
         val isFmt = u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' '
         val isData = u(i) == 'd' && u(i + 1) == 'a' && u(i + 2) == 't' && u(i + 3) == 'a'
         if (isFmt) {
@@ -561,7 +560,11 @@ object Kernels {
           if (ch == 0 || blockAlign == 0) return 0L
           return pack(1L, ch, rate, size / blockAlign)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long: an unsigned 32-bit size >= 2^31 would wrap
+        // negative as an Int and wedge the walk on a hostile payload
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > n) return 0L
+        i = next.toInt // chunks are word-aligned
       }
       return 0L
     }
@@ -571,7 +574,6 @@ object Kernels {
       var i = 12
       while (i + 8 <= n) {
         val size = be32(i + 4)
-        if (size < 0) return 0L
         if (u(i) == 'C' && u(i + 1) == 'O' && u(i + 2) == 'M' && u(i + 3) == 'M') {
           if (i + 8 + 18 > n) return 0L
           val ch = be16(i + 8)
@@ -595,7 +597,10 @@ object Kernels {
             } else 0L
           return pack(2L, ch, rate, frames)
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        // same Long-advance guard as the WAV walk above
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > n) return 0L
+        i = next.toInt
       }
       return 0L
     }

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * (score [, label]) — the shuffle carries one row per DISTINCT score,
   * not per example. The only ordered structure is a window over that
   * distinct-score frame, which is orders of magnitude smaller than the
-  * corpus (scores are quantized signals; callers with genuinely
-  * continuous scores pass `digits` to bound the frame at 10^digits
-  * rows). Nothing per-example ever sorts globally.
+  * corpus. `digits` bounds that frame at ~10^digits rows and DEFAULTS
+  * to 6 (matching the suite's own 6-digit output quantization): a
+  * genuinely continuous score column must not turn the single
+  * `Window.orderBy` into a corpus-sized one-task funnel by default.
+  * Pass `digits = -1` to opt out when scores are known-discrete and
+  * the raw values must appear verbatim. Nothing per-example ever
+  * sorts globally.
   *
   * Determinism contract (what lets DuckDB replay these bit-exactly):
   * every cumulative/aggregate runs in EXACT integer arithmetic
@@ -55,7 +59,7 @@ object Eval {
     * fpr, precision, recall are exact-int ratios floor-quantized to 6
     * digits. */
   def rocPoints(df: DataFrame, scoreCol: String, labelCol: String,
-                digits: Int = -1): DataFrame = {
+                digits: Int = 6): DataFrame = {
     val g = grouped(df, scoreCol, labelCol, digits)
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -76,7 +80,7 @@ object Eval {
     * stay integral, so the BIGINT cumsum is order-independent. Returns
     * one row: (auc, n_pos, n_neg). */
   def auc(df: DataFrame, scoreCol: String, labelCol: String,
-          digits: Int = -1): DataFrame = {
+          digits: Int = 6): DataFrame = {
     val g = grouped(df, scoreCol, labelCol, digits)
     val below = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
@@ -114,7 +118,7 @@ object Eval {
     * groups rank in parallel; one row per group:
     * (group, auc, n_pos, n_neg). */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
-                 labelCol: String, digits: Int = -1): DataFrame = {
+                 labelCol: String, digits: Int = 6): DataFrame = {
     val s = if (digits >= 0) floor(col(scoreCol) * math.pow(10, digits)) / math.pow(10, digits)
             else col(scoreCol)
     val g = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
@@ -141,7 +145,7 @@ object Eval {
     * distinct-score frame (f1 desc, score asc — a total order, score
     * is unique). */
   def bestThresholdByF1(df: DataFrame, scoreCol: String, labelCol: String,
-                        digits: Int = -1): DataFrame = {
+                        digits: Int = 6): DataFrame = {
     val g = grouped(df, scoreCol, labelCol, digits)
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

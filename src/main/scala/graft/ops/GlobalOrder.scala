@@ -59,17 +59,21 @@ object GlobalOrder {
   /** Shared tail: range-exchange on _gkey, local sort, per-bucket
     * offsets from a bounded collect, parallel rank within bucket.
     *
-    * The frame is cached before the counts collect: range split points
-    * come from sampling, and the offsets job and the output job must
-    * see the SAME bucket boundaries — a recomputed exchange is not
-    * contractually identical. Cache holds exactly one materialization
-    * of the input (the caller's write/consume follows immediately). */
+    * The frame is localCheckpoint-ed (eager) before the counts
+    * collect: range split points come from sampling, and the offsets
+    * job and the output job must see the SAME bucket boundaries — a
+    * recomputed exchange is not contractually identical. Checkpoint
+    * (not cache) for two reasons: lineage truncation makes silent
+    * boundary recompute IMPOSSIBLE (a lost block fails loudly instead
+    * of resampling), and the blocks are ContextCleaner-managed — they
+    * free when the frame is unreferenced, where a CacheManager cache()
+    * entry leaks until an explicit unpersist the caller can't issue. */
   private def withPositions(keyed: DataFrame, numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else keyed.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = keyed.repartitionByRange(n, col("_gkey"))
       .withColumn("_bucket", spark_partition_id())
-      .cache()
+      .localCheckpoint()
     // bounded: one row per range partition
     val counts = ranged.groupBy("_bucket").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * papered over.
   *
   * Scale shape: the listing is one driver RPC per run (file metadata,
-  * not data); the ledger is a tiny append-only parquet the anti-join
-  * broadcasts; the data read is exactly the pending files — partition
+  * not data); the ledger is an append-only parquet that the pending
+  * check anti-joins DISTRIBUTED (broadcast listing vs streamed
+  * ledger — the ledger grows with run history and never lands on the
+  * driver); the data read is exactly the pending files — partition
   * pruning by construction. File identity is (path, size): a file
   * overwritten IN PLACE with different size is treated as new
   * (reprocessed); same-size in-place rewrites are invisible, the
@@ -30,7 +32,16 @@ import org.apache.spark.sql.functions._
 object IncrementalIngest {
 
   /** Absolute paths under `inputDir` matching `glob`, minus files
-    * already in the ledger, deterministically ordered. */
+    * already in the ledger, deterministically ordered.
+    *
+    * The subtraction is a DISTRIBUTED left-anti join of the listing
+    * frame against the ledger frame — never a collect of the ledger:
+    * the ledger grows with run HISTORY, unbounded, while the listing
+    * is one directory's current state. Only the anti-join's survivors
+    * (this run's new files) ever reach the driver, and that set is
+    * inherently driver-sized — `spark.read.parquet(paths)` needs the
+    * concrete path list anyway. The listing side is tiny, so Spark
+    * broadcasts IT and streams the ledger past it. */
   def pendingFiles(spark: SparkSession, inputDir: String,
                    ledgerPath: String, glob: String = "*.parquet"): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -40,14 +51,36 @@ object IncrementalIngest {
       .filter(_.isFile)
       .map(st => (st.getPath.toUri.getPath, st.getLen))
       .toSeq.sorted
-    val done: Set[(String, Long)] =
-      if (!new org.apache.hadoop.fs.Path(ledgerPath)
-            .getFileSystem(conf).exists(new org.apache.hadoop.fs.Path(ledgerPath)))
-        Set.empty
-      else spark.read.parquet(ledgerPath)
-        .select("file_path", "file_size").distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    listed.filterNot(done)
+    if (listed.isEmpty) return Seq.empty
+    val hasLedger = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(conf).exists(new org.apache.hadoop.fs.Path(ledgerPath))
+    if (!hasLedger) return listed
+    import spark.implicits._
+    val listing = broadcast(listed.toDF("file_path", "file_size"))
+    val done = spark.read.parquet(ledgerPath).select("file_path", "file_size")
+    listing.join(done, Seq("file_path", "file_size"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted
+  }
+
+  /** Compact the ledger: run history accretes one small parquet file
+    * per batch (the `coalesce(1)` append), so a long-lived pipeline's
+    * ledger becomes a small-file field that slows every pending scan.
+    * Rewrites the ledger aside via [[graft.ops.Layout.compact]] and
+    * swaps it in; call periodically (e.g. every N batches). */
+  def compactLedger(spark: SparkSession, ledgerPath: String,
+                    targetBytes: Long = 64L * 1024 * 1024): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val aside = new org.apache.hadoop.fs.Path(ledgerPath + ".compact")
+    graft.ops.Layout.compact(spark, ledgerPath, aside.toString, targetBytes)
+    val old = new org.apache.hadoop.fs.Path(ledgerPath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(aside, p)
+    fs.delete(old, true)
   }
 
   /** Run one incremental batch: read the pending files (if any), hand

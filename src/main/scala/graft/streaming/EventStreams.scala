@@ -159,7 +159,12 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, EwmaLevel](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id))
+          // full-precision microsecond key: getTime alone truncates to
+          // millis, which can fold same-millisecond events in a
+          // different order than the batch operator's (ts, event_id)
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts_us.getTime * 1000L + (e.ts_us.getNanos / 1000L) % 1000L,
+              e.event_id))
           var cur = state.getOption.getOrElse(EwmaState(0.0, 0L))
           for (e <- sorted) {
             cur =

@@ -69,12 +69,14 @@ object NegativeSampling {
     val tableSize = table.count()
     val keyed = items.select(idCols.map(col): _*)
       .withColumn("neg_rank", explode(sequence(lit(1), lit(k))))
-    val joinedKey = (s"'$seed'" +: idCols.map(c => s"CAST(`$c` AS STRING)") :+
-      "CAST(`neg_rank` AS STRING)").mkString(", ")
+    // Column API, not an expr() splice: a quote in the seed or a
+    // backtick in an id column name must not break the hash expression
+    val keyParts = lit(seed) +: idCols.map(c => col(c).cast("string")) :+
+      col("neg_rank").cast("string")
     keyed
       .withColumn("bucket",
-        expr(s"CAST(conv(substr(md5(concat_ws('|', $joinedKey)), 1, 15), 16, 10) AS BIGINT)")
-          % lit(tableSize))
+        conv(substring(md5(concat_ws("|", keyParts: _*)), 1, 15), 16, 10)
+          .cast("long") % lit(tableSize))
       .join(broadcast(table), "bucket")
       .select(idCols.map(col) :+ col("neg_rank") :+ col("neg_word"): _*)
   }

@@ -66,11 +66,12 @@ object DpRelease {
           laplaceNoise(uniformCol(seed, groupCols), (hi - lo) / epsilon))
   }
 
-  /** [[uniform]] over column NAMES (stable SQL rendering). */
+  /** [[uniform]] over column NAMES. Built with the Column API (not an
+    * expr() SQL splice) so a quote in the seed or a backtick in a
+    * column name can't break parsing or shift the expression. */
   private[graft] def uniformCol(seed: String, groupCols: Seq[String]): Column = {
-    val joined = (s"'$seed'" +: groupCols.map(c => s"CAST(`$c` AS STRING)"))
-      .mkString(", ")
-    (expr(s"CAST(conv(substr(md5(concat_ws('|', $joined)), 1, 15), 16, 10) AS BIGINT)")
-      .cast("double") + 0.5) / lit((1L << 60).toDouble)
+    val parts = lit(seed) +: groupCols.map(c => col(c).cast("string"))
+    (conv(substring(md5(concat_ws("|", parts: _*)), 1, 15), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit((1L << 60).toDouble)
   }
 }

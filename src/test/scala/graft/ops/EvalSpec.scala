@@ -117,6 +117,29 @@ class EvalSpec extends SparkSpec {
     assert(t.getAs[Double]("f1") == 0.666666)
   }
 
+  test("continuous scores are bounded by the digits=6 default") {
+    // a genuinely continuous score column (every value distinct) must
+    // NOT reach the ranking window at per-example cardinality: the
+    // default 6-digit quantization caps the distinct-score frame, so
+    // the single-task Window.orderBy stays sketch-sized at any corpus
+    // size. 10k distinct raw values land on far fewer grid points
+    // here because the range is [0,1e-2) — the point is the cap is
+    // structural, not data-dependent.
+    val continuous = spark.range(10000)
+      .selectExpr("id / 1048576.0 AS score", "CAST(id % 2 AS INT) AS label")
+    val r = Eval.auc(continuous, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 10000)
+    // the quantized frame: distinct floor(score*1e6)/1e6 values
+    val frame = continuous
+      .selectExpr("floor(score * 1e6) / 1e6 AS q").distinct().count()
+    assert(frame < 10000, s"quantization must collapse the frame: $frame")
+    // digits=6 quantization is value-identity for the ≤4-digit scores
+    // every repo query feeds (so oracle outputs are unchanged)
+    val dflt = Eval.auc(tiny, "score", "label").collect()(0)
+    val raw = Eval.auc(tiny, "score", "label", digits = -1).collect()(0)
+    assert(dflt == raw)
+  }
+
   test("metric shuffles reduce by distinct score, not per example") {
     // the distinct-score frame: 1000 rows with only 3 distinct scores
     // must aggregate before the ranking window sees them

@@ -50,14 +50,29 @@ class GlobalOrderSpec extends SparkSpec {
     assert(scores == Seq(-0.3, 0.1, 0.5, 0.5, 2.0))
   }
 
-  test("the plan range-partitions and ranks per bucket — no global window sort") {
+  test("the plan ranks per bucket over the pinned exchange — no global window sort") {
     val df = spark.range(100).toDF("id")
     val plan = GlobalOrder.shuffled(df, "id")
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"))
+    // the range exchange ran EAGERLY inside the localCheckpoint (which
+    // pins bucket boundaries against recompute and frees with the
+    // frame) — downstream the plan reads the checkpointed RDD, so the
+    // visible shape is scan-of-existing-rdd, never a fresh global sort
+    assert(plan.toLowerCase.contains("existingrdd"))
+    assert(!plan.toLowerCase.contains("rangepartitioning"))
     // the rank window is partitioned (by _bucket) — an unpartitioned
     // Window would trigger Spark's move-everything-to-one-task path
     assert(plan.contains("windowspecdefinition(_bucket"))
+  }
+
+  test("repeated orderings do not accrete storage blocks (checkpoint frees with the frame)") {
+    // cache() via CacheManager would leak one corpus-sized entry per
+    // call until an unpersist the API never issues; localCheckpoint
+    // blocks are ContextCleaner-managed. Pin: no CacheManager entry.
+    val df = spark.range(1000).toDF("id")
+    GlobalOrder.shuffled(df, "id").count()
+    GlobalOrder.shuffled(df, "id", salt = 7L).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("payload columns survive the ordering") {

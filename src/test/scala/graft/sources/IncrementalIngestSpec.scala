@@ -74,4 +74,43 @@ class IncrementalIngestSpec extends SparkSpec {
     val p = IncrementalIngest.ingest(spark, in, ledger, batchId = 2) { _ => () }
     assert(p.map(_.split('/').last) == Seq("a.parquet"))
   }
+
+  test("pending check anti-joins the ledger distributed — the ledger never lands on the driver") {
+    val in = tmp(); val ledger = tmp() + "/ledger"
+    writeFile(in, "a.parquet", Seq(1L))
+    IncrementalIngest.ingest(spark, in, ledger, batchId = 1) { _ => () }
+    writeFile(in, "b.parquet", Seq(2L))
+    // plan pin: the subtraction shape is broadcast(listing) LEFT ANTI
+    // streamed-ledger — the exact plan pendingFiles builds internally
+    val listing = broadcast(Seq((s"$in/a.parquet", 0L), (s"$in/b.parquet", 0L))
+      .toDF("file_path", "file_size"))
+    val done = spark.read.parquet(ledger).select("file_path", "file_size")
+    val plan = listing.join(done, Seq("file_path", "file_size"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    // behavior: only the new file is pending
+    val pend = IncrementalIngest.pendingFiles(spark, in, ledger)
+    assert(pend.map(_._1.split('/').last) == Seq("b.parquet"))
+  }
+
+  test("compactLedger collapses per-batch small files, same rows") {
+    val in = tmp(); val ledger = tmp() + "/ledger"
+    for (b <- 1 to 5) {
+      writeFile(in, s"f$b.parquet", Seq(b.toLong))
+      IncrementalIngest.ingest(spark, in, ledger, batchId = b) { _ => () }
+    }
+    def nFiles = new java.io.File(ledger).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 5) // one coalesce(1) append per batch
+    val before = IncrementalIngest.ledger(spark, ledger)
+      .as[(String, Long, Long)].collect().toSet
+    IncrementalIngest.compactLedger(spark, ledger)
+    assert(nFiles == 1)
+    val after = IncrementalIngest.ledger(spark, ledger)
+      .as[(String, Long, Long)].collect().toSet
+    assert(after == before)
+    // the compacted ledger still gates: nothing pending
+    assert(IncrementalIngest.pendingFiles(spark, in, ledger).isEmpty)
+  }
 }
