@@ -25,15 +25,47 @@ object SparkEntry {
   // ---------------------------------------------------------------- //
   import Checks._
 
-  private val customerRules = RuleSet(Seq(
-    Rule("acctbal_nonneg", col("c_acctbal") < 0, "c_acctbal must be non-negative"),
-    Rule("mktsegment_enum",
-      inSet(col("c_mktsegment"), Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
-      "c_mktsegment must be a known segment"),
-    Rule("name_format", matches(col("c_name"), "^Customer#[0-9]{9}$"),
-      "c_name must match Customer#NNNNNNNNN"),
-    Rule("nationkey_range", col("c_nationkey") < 0 || col("c_nationkey") > 24,
-      "c_nationkey must be between 0 and 24")))
+  /** The customer rules as CONFIG TEXT, parsed at load: the v_customer_*
+    * oracle gate runs against rules that are LOADED, not compiled —
+    * proving the JSON rule path (graft.rules.RuleSetConfig) end-to-end
+    * against DuckDB, the reference's rules-live-in-data shape
+    * (DM_bankfile_validate_pipeline.py:3113). Pred→Column compiles onto
+    * the same Checks combinators, so the plan is identical to the
+    * hand-written set this replaced (RuleConfigSpec pins parity). */
+  private val customerRulesJson = """
+    {"rules": [
+      {"name": "acctbal_nonneg", "message": "c_acctbal must be non-negative",
+       "violation": {"kind": "cmp", "op": "lt", "col": "c_acctbal",
+                     "value": "0", "valueType": "double"}},
+      {"name": "mktsegment_enum", "message": "c_mktsegment must be a known segment",
+       "violation": {"kind": "inSet", "col": "c_mktsegment",
+                     "values": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]}},
+      {"name": "name_format", "message": "c_name must match Customer#NNNNNNNNN",
+       "violation": {"kind": "matches", "col": "c_name", "s": "^Customer#[0-9]{9}$"}},
+      {"name": "nationkey_range", "message": "c_nationkey must be between 0 and 24",
+       "violation": {"kind": "or", "of": [
+         {"kind": "cmp", "op": "lt", "col": "c_nationkey", "value": "0", "valueType": "long"},
+         {"kind": "cmp", "op": "gt", "col": "c_nationkey", "value": "24", "valueType": "long"}]}}
+    ]}"""
+
+  private val customerRules =
+    graft.rules.RuleSetConfig.fromJson(customerRulesJson).toRuleSet
+
+  /** A JSON scenario SUITE over the customer rules — the reference's
+    * config-driven composite scenarios (rename/drop/expected-count,
+    * DM_bankfile_validate_pipeline.py:2510) as one document: rules and
+    * scenarios both load from data, nothing compiled. Drives
+    * v_scenario_report. 999999999 is a deliberately impossible
+    * expectation pinning the "fail" status path. */
+  private val scenarioSuiteJson = customerRulesJson.trim.dropRight(1) + """,
+      "keyCol": "c_custkey",
+      "scenarios": [
+        {"name": "s1_baseline"},
+        {"name": "s2_rename_name",
+         "renames": [{"from": "c_name", "to": "customer_name"}]},
+        {"name": "s3_drop_segment", "dropColumns": ["c_mktsegment"]},
+        {"name": "s4_expect_none", "expectedErrors": 999999999}
+      ]}"""
 
   private val orderRules = RuleSet(Seq(
     Rule("status_enum", inSet(col("o_orderstatus"), Seq("O", "F", "P")),
@@ -1150,6 +1182,25 @@ object SparkEntry {
 
     "v_customer_summary" -> ((s, dir) =>
       Validator.summary(t(s, dir, "customer"), customerRules)),
+
+    // Config-driven composite-scenario suite (graft.bank.ScenarioConfig
+    // over graft.rules.RuleSetConfig): rules, renames, drops, and the
+    // expected-count assertion ALL come from one JSON document — the
+    // run report is the oracle surface. Renamed/dropped columns skip
+    // their rules (rules_skipped) and surface as schema issues, the
+    // reference's rename/missing-column scenario signature. Scenario
+    // count is config-sized; each error count is one narrow scan.
+    "v_scenario_report" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      graft.bank.ScenarioConfig.runFromJson(s, scenarioSuiteJson, cust, cust.schema)
+        .select(col("scenario"), col("status"),
+          col("error_rows").cast("long").as("error_rows"),
+          coalesce(col("expected_errors"), lit(-1L)).as("expected_errors"),
+          col("rules_applied").cast("long").as("rules_applied"),
+          col("rules_skipped").cast("long").as("rules_skipped"),
+          col("schema_issues").cast("long").as("schema_issues"))
+        .orderBy("scenario")
+    }),
 
     "v_orders_errors" -> ((s, dir) => {
       Validator.validate(t(s, dir, "orders"), orderRules)
@@ -3861,6 +3912,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'nationkey_range', count(*) FILTER (WHERE c_nationkey < 0 OR c_nationkey > 24) FROM customer)
         |ORDER BY rule""".stripMargin,
+
+    "v_scenario_report" ->
+      """WITH e AS (SELECT
+        |  (c_acctbal < 0) AS v1,
+        |  (c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> '' AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) AS v2,
+        |  (c_name IS NOT NULL AND trim(c_name) <> '' AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')) AS v3,
+        |  (c_nationkey < 0 OR c_nationkey > 24) AS v4
+        |  FROM customer),
+        |c AS (SELECT
+        |  CAST(count(*) FILTER (WHERE v1 OR v2 OR v3 OR v4) AS BIGINT) AS all4,
+        |  CAST(count(*) FILTER (WHERE v1 OR v2 OR v4) AS BIGINT) AS no_name,
+        |  CAST(count(*) FILTER (WHERE v1 OR v3 OR v4) AS BIGINT) AS no_seg
+        |  FROM e)
+        |SELECT 's1_baseline' AS scenario, 'pass' AS status, all4 AS error_rows,
+        |  CAST(-1 AS BIGINT) AS expected_errors, CAST(4 AS BIGINT) AS rules_applied,
+        |  CAST(0 AS BIGINT) AS rules_skipped, CAST(0 AS BIGINT) AS schema_issues FROM c
+        |UNION ALL SELECT 's2_rename_name', 'pass', no_name, -1, 3, 1, 1 FROM c
+        |UNION ALL SELECT 's3_drop_segment', 'pass', no_seg, -1, 3, 1, 1 FROM c
+        |UNION ALL SELECT 's4_expect_none',
+        |  CASE WHEN all4 = 999999999 THEN 'pass' ELSE 'fail' END, all4,
+        |  999999999, 4, 0, 0 FROM c
+        |ORDER BY scenario""".stripMargin,
 
     "v_orders_errors" ->
       """SELECT o_orderkey, concat_ws(', ',
