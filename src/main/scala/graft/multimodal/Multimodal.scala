@@ -440,6 +440,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Addressed frame EXPORT: one output row per (key)frame —
+    * `frame_idx` (the container's own 0-based sample number),
+    * `is_key`, `frame_offset`, `frame_len`, `frame_bytes`. For coded
+    * codecs (H.264/H.265) decode stays out of scope; what this emits
+    * is the exact coded sample bytes the `stss`×`stsc`×`stsz`×`stco`
+    * tables address (AVI: the `movi` walk, all-key), so the rows join
+    * straight to an external decoder without that decoder having to
+    * parse containers. `keyOnly=false` exports every sample.
+    *
+    * Scale shape: a flatMap over payload rows — narrow, no shuffle;
+    * `maxFramesPerVideo` bounds the per-row fan-out and the copied
+    * bytes (a long video would otherwise explode into thousands of
+    * rows carrying its whole mdat), the same cap discipline as every
+    * export here. Unrecognized/corrupt payloads yield zero rows. */
+  def exportFrames(df: DataFrame, keyOnly: Boolean = true,
+      maxFramesPerVideo: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("is_key", BooleanType),
+      StructField("frame_offset", LongType),
+      StructField("frame_len", LongType),
+      StructField("frame_bytes", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        if (payload == null) Iterator.empty
+        else VideoCodec.frameTable(payload).iterator
+          .filter { case (_, isKey, _, _) => isKey || !keyOnly }
+          .take(math.max(0, maxFramesPerVideo))
+          .map { case (idx, isKey, off, len) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](idx, isKey, off, len,
+              java.util.Arrays.copyOfRange(payload, off.toInt, (off + len).toInt)))
+          }
+      }
+    }(enc)
+  }
+
   /** Shot-boundary (scene) detection over the decoded per-frame
     * lumas: a cut starts wherever adjacent sampled frames' mean luma
     * (0..1) jumps by more than `threshold` — the classic

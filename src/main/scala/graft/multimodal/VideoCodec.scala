@@ -373,7 +373,14 @@ object VideoCodec {
     * entry counts are clamped to their boxes (see mp4ChunkOffsets);
     * samples that would run outside the payload are dropped rather
     * than surfaced as unreadable addresses. */
-  private[multimodal] def mp4FrameChunks(b: Array[Byte]): Array[(Long, Long)] = {
+  private[multimodal] def mp4FrameChunks(b: Array[Byte]): Array[(Long, Long)] =
+    mp4SampleTable(b).map { case (_, off, len) => (off, len) }
+
+  /** Like [[mp4FrameChunks]] but carrying each sample's 0-based stbl
+    * sample number, so callers that join against 1-based `stss` sync
+    * numbers stay aligned even when out-of-payload samples are
+    * dropped from the table. */
+  private[multimodal] def mp4SampleTable(b: Array[Byte]): Array[(Int, Long, Long)] = {
     var offsets: Array[Long] = Array.emptyLongArray
     var sizes: Array[Long] = Array.emptyLongArray
     var stsc: Array[(Long, Long)] = Array.empty // (first_chunk 1-based, samples_per_chunk)
@@ -429,7 +436,7 @@ object VideoCodec {
       else stsc.foldLeft(1L) { case (acc, (first, spc)) =>
         if (first <= chunk1 && first >= 1) spc else acc
       }
-    val out = Array.newBuilder[(Long, Long)]
+    val out = Array.newBuilder[(Int, Long, Long)]
     var sample = 0
     var chunk = 1
     while (sample < sizes.length && chunk <= offsets.length) {
@@ -439,7 +446,7 @@ object VideoCodec {
       while (within < spc && sample < sizes.length) {
         val len = sizes(sample)
         if (len > 0 && cursor >= 0 && cursor + len <= b.length)
-          out += ((cursor, len))
+          out += ((sample, cursor, len))
         cursor += len
         within += 1
         sample += 1
@@ -448,6 +455,41 @@ object VideoCodec {
     }
     out.result()
   }
+
+  /** Full frame/sample address table: (frame_idx — the container's own
+    * 0-based sample number — , is_key, offset, length). MP4: the
+    * `stbl` addressing ([[mp4SampleTable]]) crossed with `stss` sync
+    * marks; an absent `stss` means EVERY sample is a sync sample, per
+    * spec (all-intra codecs omit the box). AVI: the `movi` chunk walk;
+    * all frames marked key (the MJPEG payloads this demuxer decodes
+    * are all-intra, and AVI key flags live in the optional `idx1`
+    * index legacy muxers omit — conservative all-true). */
+  def frameTable(payload: Array[Byte]): Array[(Int, Boolean, Long, Long)] =
+    if (isAvi(payload))
+      aviFrameChunks(payload).zipWithIndex.map { case ((off, len), i) => (i, true, off, len) }
+    else if (isMp4(payload)) {
+      val keys = keyframeSamples(payload) // 1-based sample numbers
+      val keySet = keys.toSet
+      mp4SampleTable(payload).map { case (i, off, len) =>
+        (i, keys.isEmpty || keySet.contains(i + 1L), off, len)
+      }
+    } else Array.empty
+
+  /** Addressed keyframe EXPORT for coded codecs: (frame_idx, offset,
+    * length, coded bytes) per sync sample, in stream order. Decode
+    * stays out of scope for H.26x — what this emits is the exact
+    * coded sample bytes the `stss`×`stsc`×`stsz`×`stco` tables
+    * address, sliceable without parsing the stream, joinable to an
+    * external decoder. `maxFrames` bounds the copy for pathological
+    * sync tables. */
+  def keyframeBytes(payload: Array[Byte],
+                    maxFrames: Int = Int.MaxValue): Array[(Int, Long, Long, Array[Byte])] =
+    frameTable(payload).iterator
+      .filter(_._2).take(math.max(0, maxFrames))
+      .map { case (i, _, off, len) =>
+        (i, off, len,
+          java.util.Arrays.copyOfRange(payload, off.toInt, (off + len).toInt))
+      }.toArray
 }
 
 /** Pure-JDK MJPEG-AVI **encoder**: JPEG-encode each frame with ImageIO
@@ -507,6 +549,91 @@ object MjpegAvi {
   * sample entry, `stts`, `stsc` one-run, `stsz` per-sample sizes,
   * `stco` one chunk). Exists so the MP4 demux + frame-decode path
   * round-trips against known pixels, mirroring [[MjpegAvi]]. */
+/** Pure-JDK **coded-codec** MP4 writer: wraps caller-supplied coded
+  * sample payloads (e.g. H.264 access units — content is opaque to the
+  * container) in a spec-correct `avc1` track with a real `stss`
+  * sync-sample table and samples split across TWO chunks (a 2-entry
+  * `stsc`), so the keyframe-export path is exercised against genuinely
+  * multi-chunk addressing, not the single-chunk layout MJPEG tests
+  * use. Exists as the test fixture for [[VideoCodec.frameTable]] /
+  * [[VideoCodec.keyframeBytes]] and as a real sink for pipelines that
+  * re-mux addressed coded samples. */
+object CodedMp4 {
+
+  /** @param samples    coded sample payloads, stream order
+    * @param keyframes1 1-based sample numbers for the `stss` box */
+  def write(samples: Seq[Array[Byte]], keyframes1: Seq[Int],
+            w: Int = 64, h: Int = 48, fps: Int = 25): Array[Byte] = {
+    require(samples.nonEmpty && fps > 0)
+    def be32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.BIG_ENDIAN).putShort(v.toShort).array()
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, be32(0) ++ body)
+
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom") ++ cc("avc1"))
+    val mdatBody = samples.toArray.flatten
+    val mdatOff = ftyp.length + 8L
+    // two chunks: first ceil(n/2) samples back-to-back, rest in chunk 2
+    val n = samples.length
+    val spc1 = (n + 1) / 2
+    val chunk1Off = mdatOff
+    val chunk2Off = mdatOff + samples.take(spc1).map(_.length.toLong).sum
+    val timescale = 1000L
+    val durMs = n * 1000L / fps
+
+    val mvhd = full("mvhd",
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durMs) ++
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        Array.fill(36)(0.toByte) ++
+        Array.fill(24)(0.toByte) ++ be32(2))
+    val tkhd = full("tkhd",
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durMs) ++
+        Array.fill(8)(0.toByte) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        Array.fill(36)(0.toByte) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = full("mdhd",
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durMs) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = full("hdlr",
+      be32(0) ++ cc("vide") ++ Array.fill(12)(0.toByte) ++ cc("vh") ++ Array[Byte](0))
+    // minimal avcC (AVCDecoderConfigurationRecord): baseline 3.0, no
+    // parameter sets — structurally present so real demuxers accept
+    // the sample entry; decode is out of scope
+    // version 1, profile 66 (baseline), compat 0, level 30,
+    // lengthSizeMinusOne 0xFF, numSPS 0xE0|0, numPPS 0
+    val avcC = box("avcC", Array[Byte](1, 66, 0, 30, -1, -32, 0))
+    val sampleEntry = box("avc1",
+      Array.fill(6)(0.toByte) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be16(w) ++ be16(h) ++ be32(0x00480000L) ++ be32(0x00480000L) ++
+        be32(0) ++ be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff) ++ avcC)
+    val stsd = full("stsd", be32(1) ++ sampleEntry)
+    val stts = full("stts", be32(1) ++ be32(n.toLong) ++ be32(timescale / fps))
+    val stsc = full("stsc",
+      be32(2) ++
+        be32(1) ++ be32(spc1.toLong) ++ be32(1) ++
+        be32(2) ++ be32((n - spc1).toLong max 1L) ++ be32(1))
+    val stsz = full("stsz",
+      be32(0) ++ be32(n.toLong) ++
+        samples.toArray.flatMap(s => be32(s.length.toLong)))
+    val stco = full("stco", be32(2) ++ be32(chunk1Off) ++ be32(chunk2Off))
+    val stss = full("stss",
+      be32(keyframes1.length.toLong) ++ keyframes1.toArray.flatMap(k => be32(k.toLong)))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stss ++ stco)
+    val dinf = box("dinf", full("dref", be32(1) ++ full("url ", Array.emptyByteArray)))
+    val vmhd = full("vmhd", be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ box("mdat", mdatBody) ++ moov
+  }
+}
+
 object MjpegMp4 {
 
   def write(frames: Seq[java.awt.image.BufferedImage], fps: Int = 25): Array[Byte] = {

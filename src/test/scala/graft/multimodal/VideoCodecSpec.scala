@@ -300,4 +300,88 @@ class VideoCodecSpec extends SparkSpec {
     assert(out(3L).getSeq[Int](1) == Seq.empty && out(3L).getInt(2) == 1)
     assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
   }
+
+  /** Deterministic fake coded samples (content is opaque to the
+    * container — only sizes/offsets matter for addressing). */
+  private def codedSamples(sizes: Seq[Int]): Seq[Array[Byte]] =
+    sizes.zipWithIndex.map { case (n, i) =>
+      Array.tabulate[Byte](n)(j => ((i * 31 + j) & 0xff).toByte)
+    }
+
+  test("CodedMp4/frameTable: keyframe marks, offsets, and lengths match the box tables") {
+    val sizes = Seq(900, 120, 80, 850, 60, 95, 870, 40) // IBB IBB IB GOP-ish
+    val keys = Seq(1, 4, 7)                             // 1-based stss
+    val samples = codedSamples(sizes)
+    val mp4 = CodedMp4.write(samples, keys, w = 64, h = 48, fps = 25)
+
+    val m = VideoCodec.probe(mp4).get
+    assert(m.container == "mp4" && m.fourcc == "avc1")
+    assert(m.width == 64 && m.height == 48 && m.nFrames == 8)
+
+    // stss surfaces verbatim
+    assert(VideoCodec.keyframeSamples(mp4).toSeq == keys.map(_.toLong))
+
+    val table = VideoCodec.frameTable(mp4)
+    assert(table.length == 8)
+    assert(table.map(_._1).toSeq == (0 until 8)) // container sample numbers
+    assert(table.filter(_._2).map(_._1).toSeq == keys.map(_ - 1))
+    assert(table.map(_._4).toSeq == sizes.map(_.toLong)) // stsz lengths
+    // offsets: samples back-to-back from mdat start, across BOTH
+    // chunks (the 2-entry stsc puts samples 0-3 in chunk 1, 4-7 in
+    // chunk 2 at chunk2Off = mdatOff + sizes(0..3)) — cumulative
+    // either way because the writer packs chunks contiguously
+    val mdatOff = table.head._3
+    val expected = sizes.scanLeft(mdatOff)(_ + _).init
+    assert(table.map(_._3).toSeq == expected)
+    // every address slices the written sample bytes exactly
+    table.zipWithIndex.foreach { case ((_, _, off, len), i) =>
+      val got = java.util.Arrays.copyOfRange(mp4, off.toInt, (off + len).toInt)
+      assert(got sameElements samples(i))
+    }
+  }
+
+  test("keyframeBytes exports exactly the sync samples' coded bytes") {
+    val sizes = Seq(500, 100, 480, 90, 70)
+    val keys = Seq(1, 3)
+    val samples = codedSamples(sizes)
+    val mp4 = CodedMp4.write(samples, keys)
+    val kf = VideoCodec.keyframeBytes(mp4)
+    assert(kf.map(_._1).toSeq == Seq(0, 2))
+    assert(kf.map(_._3).toSeq == Seq(500L, 480L))
+    assert(kf(0)._4 sameElements samples(0))
+    assert(kf(1)._4 sameElements samples(2))
+    assert(VideoCodec.keyframeBytes(mp4, maxFrames = 1).length == 1)
+    // absent stss (MJPEG MP4) => every sample is a sync sample
+    val mjpeg = MjpegMp4.write(Seq(frame(16, 16, 0x808080), frame(16, 16, 0x404040)), fps = 4)
+    val allKey = VideoCodec.frameTable(mjpeg)
+    assert(allKey.length == 2 && allKey.forall(_._2))
+    // garbage payload => empty, never a throw
+    assert(VideoCodec.frameTable(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.keyframeBytes(Array.fill[Byte](64)(7)).isEmpty)
+  }
+
+  test("Multimodal.exportFrames: one row per keyframe, bytes joinable to a decoder") {
+    val sizes = Seq(700, 80, 60, 640, 50, 620)
+    val keys = Seq(1, 4, 6)
+    val samples = codedSamples(sizes)
+    val mp4 = CodedMp4.write(samples, keys)
+    val df = Seq((1L, mp4), (2L, Array[Byte](0, 0, 0))).toDF("media_id", "payload")
+
+    val kf = Multimodal.exportFrames(df, keyOnly = true)
+      .select("media_id", "frame_idx", "is_key", "frame_len", "frame_bytes")
+      .collect()
+    assert(kf.forall(_.getLong(0) == 1L)) // corrupt payload: zero rows
+    assert(kf.map(_.getInt(1)).toSeq == Seq(0, 3, 5))
+    assert(kf.forall(_.getBoolean(2)))
+    assert(kf.map(_.getLong(3)).toSeq == Seq(700L, 640L, 620L))
+    assert(kf(1).getAs[Array[Byte]](4) sameElements samples(3))
+
+    val all = Multimodal.exportFrames(df, keyOnly = false)
+      .select("frame_idx", "is_key").collect()
+    assert(all.length == 6)
+    assert(all.filter(_.getBoolean(1)).map(_.getInt(0)).toSeq == Seq(0, 3, 5))
+    // per-video cap bounds the fan-out
+    assert(Multimodal.exportFrames(df, keyOnly = false, maxFramesPerVideo = 2)
+      .count() == 2)
+  }
 }
