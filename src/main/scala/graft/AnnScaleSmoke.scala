@@ -119,7 +119,79 @@ object AnnScaleSmoke {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  /** Auto-quantizer smoke (`runMain graft.AnnScaleSmoke auto [rows]`):
+    * runs the clusteredness probe + auto choice on BOTH frontier
+    * corpora and checks each against the measured frontier winner
+    * (uniform → flat, clustered → two_level), then closes the serving
+    * loop — buildAuto persists model+decision into the index dir,
+    * probeAuto routes through it, recall vs brute truth reported.
+    * One JSON line → BENCH_SCALE_ANN_AUTO.json. */
+  def auto(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(p: String, d: Double) = p.formatLocal(java.util.Locale.ROOT, d)
+    val dir = java.nio.file.Files.createTempDirectory("ann-auto").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (clustered <- Seq(false, true)) {
+      val gen = if (clustered)
+        "transform(sequence(0, 63), j -> CAST(" +
+          "pmod(xxhash64(pmod(xxhash64(id), 2000), j), 2000) / 1000.0 - 1.0 + " +
+          "pmod(xxhash64(id, j, 7), 200) / 1000.0 - 0.1 AS FLOAT))"
+      else
+        "transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT))"
+      val data = if (clustered) "clustered" else "uniform"
+      spark.range(rows).select(col("id").as("vec_id"), expr(gen).as("embedding"))
+        .write.mode("overwrite").parquet(s"$dir/emb-$data")
+      val corpus = spark.read.parquet(s"$dir/emb-$data")
+      val queries = corpus.where(col("vec_id") < 100)
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs(graft.ops.Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 10))
+      val idx = s"$dir/idx-$data"
+      val (choice, tBuild) = time(graft.streaming.AnnIngest.buildAuto(
+        corpus, "vec_id", "embedding", idx, "auto", 0L,
+        numCells = 512, numCoarse = 64, numFine = 8))
+      val expected = if (clustered) "two_level" else "flat"
+      val (got, tProbe) = time(pairs(graft.streaming.AnnIngest.probeAuto(
+        spark, idx, queries, "vec_id", "embedding", 10, nCoarseProbe = 32, nprobe = 50)))
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      // the recorded metadata round-trips and matches the live choice
+      val persisted = graft.streaming.AnnIngest.readQuantizerChoice(idx)
+      require(persisted.kind == choice.kind && persisted == choice,
+        s"persisted $persisted != chosen $choice")
+      val line = s"""{"data":"$data","chosen":"${choice.kind}",""" +
+        s""""measured_winner":"$expected","match":${choice.kind == expected},""" +
+        s""""mean_top_cosine":${fmt("%.3f", choice.meanTopCosine)},""" +
+        s""""threshold":${choice.threshold},""" +
+        s""""build_sec":${fmt("%.2f", tBuild)},"probe_sec":${fmt("%.2f", tProbe)},""" +
+        s""""recall":${fmt("%.3f", recall)}}"""
+      println(s"AUTO $line")
+      results += line
+    }
+    val json = s"""{"metric":"ann_auto_quantizer","rows":$rows,"dim":64,""" +
+      s""""queries":100,"k":10,"corpora":[${results.mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_ANN_AUTO.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("auto")) {
+      val rows = if (args.length > 1) args(1).toLong else 2000000L
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      auto(spark, rows)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("frontier")) {
       val clustered = args.length > 1 && args(1) == "clustered"
       val rows = if (args.length > (if (clustered) 2 else 1))

@@ -655,6 +655,97 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** The auto-quantizer decision record, persisted as index metadata
+    * so the serving side routes probes through the same quantizer the
+    * build chose (AnnIngest.buildAuto / probeAuto). */
+  final case class IvfAutoChoice(
+      kind: String, // "flat" | "two_level"
+      meanTopCosine: Double,
+      threshold: Double,
+      numCells: Int, numCoarse: Int, numFine: Int, sampleRows: Int)
+
+  /** One-pass clusteredness probe for the flat-vs-two-level quantizer
+    * choice: the mean top-1 neighbor cosine of `nQueries` sampled
+    * vectors against a `sampleRows` corpus sample.
+    *
+    * Why THIS statistic: the two frontiers
+    * (BENCH_SCALE_ANN_FRONTIER{,_CLUSTERED}.json) differ in where a
+    * query's true neighbors SIT. Clustered corpora put them at cosine
+    * ≈ 0.99 — near-identical vectors route identically through any
+    * deterministic quantizer, so the coarse-gated two-level index
+    * keeps recall (measured 1.000) at a fraction of the flat build
+    * cost. Structure-free corpora put the best neighbor at ~0.5 —
+    * routing a cosine-0.5 pair consistently is exactly what the
+    * coarse gate cannot do (measured recall cap ~0.6), so only flat
+    * holds recall. A centroid-side statistic can't see this (a
+    * routing-agreement probe measured 0.017 on BOTH corpora — gated
+    * and flat argmax disagree constantly even when recall is 1.0,
+    * because query and neighbor MISROUTE TOGETHER); the neighbor
+    * cosine is the thing itself.
+    *
+    * Cost: nQueries × sampleRows fused cosines (256 × 64k ≈ 17M — a
+    * sub-second narrow pass), both sides deterministic md5-ordered
+    * LIMIT samples from opposite ends of the order so a query is
+    * never its own candidate. */
+  def clusterednessProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                         nQueries: Int = 256, sampleRows: Int = 65536): Double = {
+    val sample = corpus.select(col(idCol).as("sid"), col(vecCol).as("v"))
+      .orderBy(md5(col("sid").cast("string")).asc, col("sid").asc)
+      .limit(sampleRows)
+    val qs = corpus.select(col(idCol).as("sid"), col(vecCol).as("v"))
+      .orderBy(md5(col("sid").cast("string")).desc, col("sid").desc)
+      .limit(nQueries)
+    bruteTopK(sample, qs, "sid", "v", 1)
+      .agg(avg(col("cosine"))).head().getDouble(0)
+  }
+
+  /** Auto-pick the IVF quantizer: measure [[clusterednessProbe]] and
+    * take the two-level model when the corpus's neighbors are close
+    * enough (mean top-1 cosine ≥ `threshold`) for gated routing to
+    * hold recall — otherwise the flat `numCells` quantizer with its
+    * hard recall floor. Returns the decision record plus whichever
+    * model won: flat centroids on the left, (coarse, fine) on the
+    * right.
+    *
+    * Threshold default 0.8: measured mean top-1 cosine is ~0.99 on
+    * the clustered frontier corpus and ~0.55 on the uniform one
+    * (BENCH_SCALE_ANN_AUTO.json) — the dial sits in a wide empty
+    * band, so the choice is stable under sample noise. */
+  def chooseQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int = 512, numCoarse: Int = 64, numFine: Int = 8,
+                      sampleRows: Int = 65536, threshold: Double = 0.8)
+      : (IvfAutoChoice, Either[DataFrame, (DataFrame, DataFrame)]) = {
+    val meanTop = clusterednessProbe(corpus, idCol, vecCol, sampleRows = sampleRows)
+    if (meanTop >= threshold) {
+      val (coarse, fine) = twoLevelCentroids(corpus, idCol, vecCol, numCoarse, numFine)
+      (IvfAutoChoice("two_level", meanTop, threshold,
+        numCoarse * numFine, numCoarse, numFine, sampleRows), Right((coarse, fine)))
+    } else {
+      val flat = corpus
+        .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec"))
+        .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
+        .limit(numCells)
+      (IvfAutoChoice("flat", meanTop, threshold,
+        numCells, numCoarse, numFine, sampleRows), Left(flat))
+    }
+  }
+
+  /** Persist a two-level quantizer model (coarse + fine frames). */
+  def saveTwoLevel(coarse: DataFrame, fine: DataFrame, path: String): Unit = {
+    saveCentroids(coarse.select("cent_id", "cent_vec"), s"$path/coarse")
+    fine.select(col("coarse_id"), col("cent_id"), col("cent_vec"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/fine")
+  }
+
+  /** Load a two-level model written by [[saveTwoLevel]]. */
+  def loadTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, DataFrame) = {
+    val fine = spark.read.parquet(s"$path/fine")
+    require(fine.columns.toSet == Set("coarse_id", "cent_id", "cent_vec"),
+      s"not a two-level fine model: ${fine.columns.mkString(",")}")
+    (loadCentroids(spark, s"$path/coarse"), fine)
+  }
+
   /** SemDeDup-style semantic deduplication: drop all but one
     * representative of every group of embedding near-duplicates
     * (cosine ≥ threshold), returning the surviving rows of `emb`.

@@ -109,6 +109,79 @@ object AnnIngest {
           round(Ann.cosine(col("qv"), col("vec")), 6).as("cosine")), k)
   }
 
+  /** Auto-quantizer index build: probe the corpus's clusteredness
+    * ([[Ann.clusterednessProbe]]), pick flat vs two-level
+    * ([[Ann.chooseQuantizer]]), build the cell-partitioned index with
+    * the winner, and persist BOTH the chosen model (under
+    * `_model/`) and the decision record (`_quantizer.properties`) in
+    * the index directory — underscore-prefixed, so index scans never
+    * read them as data. [[probeAuto]] reads the metadata back and
+    * routes probes through the same quantizer; the caller never has
+    * to know which side won. Returns the decision. */
+  def buildAuto(batch: DataFrame, idCol: String, vecCol: String,
+                indexPath: String, runId: String, batchId: Long,
+                numCells: Int = 512, numCoarse: Int = 64, numFine: Int = 8,
+                sampleRows: Int = 65536,
+                threshold: Double = 0.8): Ann.IvfAutoChoice = {
+    val (choice, model) = Ann.chooseQuantizer(batch, idCol, vecCol,
+      numCells, numCoarse, numFine, sampleRows, threshold)
+    model match {
+      case Left(flat) =>
+        Ann.saveCentroids(flat, s"$indexPath/_model/flat")
+        processBatch(batch, flat, idCol, vecCol, indexPath, runId, batchId)
+      case Right((coarse, fine)) =>
+        Ann.saveTwoLevel(coarse, fine, s"$indexPath/_model")
+        processBatch2(batch, coarse, fine, idCol, vecCol, indexPath, runId, batchId)
+    }
+    val props = new java.util.Properties()
+    props.setProperty("kind", choice.kind)
+    props.setProperty("mean_top_cosine", choice.meanTopCosine.toString)
+    props.setProperty("threshold", choice.threshold.toString)
+    props.setProperty("num_cells", choice.numCells.toString)
+    props.setProperty("num_coarse", choice.numCoarse.toString)
+    props.setProperty("num_fine", choice.numFine.toString)
+    props.setProperty("sample_rows", choice.sampleRows.toString)
+    val dir = new java.io.File(indexPath)
+    dir.mkdirs()
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "_quantizer.properties"))
+    try props.store(out, "graft ANN auto-quantizer decision")
+    finally out.close()
+    choice
+  }
+
+  /** Read back the decision [[buildAuto]] persisted. */
+  def readQuantizerChoice(indexPath: String): Ann.IvfAutoChoice = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(
+      new java.io.File(indexPath, "_quantizer.properties"))
+    try props.load(in) finally in.close()
+    Ann.IvfAutoChoice(
+      props.getProperty("kind"),
+      props.getProperty("mean_top_cosine").toDouble,
+      props.getProperty("threshold").toDouble,
+      props.getProperty("num_cells").toInt,
+      props.getProperty("num_coarse").toInt,
+      props.getProperty("num_fine").toInt,
+      props.getProperty("sample_rows").toInt)
+  }
+
+  /** Probe an auto-built index: route through whichever quantizer the
+    * build recorded, loading the persisted model — the serving side
+    * needs only the index path. `nCoarseProbe`/`nprobe` default to the
+    * frontier-swept dials for each kind. */
+  def probeAuto(spark: SparkSession, indexPath: String, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCoarseProbe: Int = 32, nprobe: Int = 50): DataFrame = {
+    val choice = readQuantizerChoice(indexPath)
+    if (choice.kind == "two_level") {
+      val (coarse, fine) = Ann.loadTwoLevel(spark, s"$indexPath/_model")
+      probe2(spark, indexPath, coarse, fine, queries, idCol, vecCol, k, nCoarseProbe, nprobe)
+    } else {
+      val flat = Ann.loadCentroids(spark, s"$indexPath/_model/flat")
+      probe(spark, indexPath, flat, queries, idCol, vecCol, k, nprobe)
+    }
+  }
+
   /** Top-k probe against the persisted index. Each query maps to its
     * `nprobe` nearest cells; the index read carries cell IN (...) so
     * only those partitions are listed/scanned — probe cost tracks the

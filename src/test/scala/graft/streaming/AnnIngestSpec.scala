@@ -63,4 +63,67 @@ class AnnIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() === 100)
     cents.unpersist()
   }
+
+  // synthetic corpora with known structure: clustered = 8 well-separated
+  // one-hot-ish centers + small noise (neighbors at cosine ~1);
+  // uniform = hash-random directions (best neighbor cosine well below 1)
+  private def clusteredCorpus(n: Int) = spark.range(n).selectExpr(
+    "id AS vec_id",
+    "transform(sequence(0, 15), j -> CAST(" +
+      "(CASE WHEN j = pmod(id, 8) THEN 10.0 ELSE 0.0 END) + " +
+      "pmod(xxhash64(id, j), 100) / 1000.0 AS FLOAT)) AS embedding")
+  private def uniformCorpus(n: Int) = spark.range(n).selectExpr(
+    "id AS vec_id",
+    "transform(sequence(0, 15), j -> " +
+      "CAST(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding")
+
+  test("clusterednessProbe separates clustered from uniform corpora") {
+    val hi = Ann.clusterednessProbe(clusteredCorpus(2000), "vec_id", "embedding",
+      nQueries = 64, sampleRows = 1000)
+    val lo = Ann.clusterednessProbe(uniformCorpus(2000), "vec_id", "embedding",
+      nQueries = 64, sampleRows = 1000)
+    assert(hi > 0.9, s"clustered probe $hi")
+    assert(lo < 0.8, s"uniform probe $lo")
+  }
+
+  test("buildAuto picks per corpus, persists the decision, probeAuto routes through it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-auto").toString
+
+    val clustered = clusteredCorpus(2000)
+    val c1 = AnnIngest.buildAuto(clustered, "vec_id", "embedding",
+      s"$dir/idx-c", "r", 0L, numCells = 32, numCoarse = 4, numFine = 4,
+      sampleRows = 1000)
+    assert(c1.kind == "two_level")
+    assert(AnnIngest.readQuantizerChoice(s"$dir/idx-c") == c1) // metadata round trip
+
+    val uniform = uniformCorpus(2000)
+    val c2 = AnnIngest.buildAuto(uniform, "vec_id", "embedding",
+      s"$dir/idx-u", "r", 0L, numCells = 32, numCoarse = 4, numFine = 4,
+      sampleRows = 1000)
+    assert(c2.kind == "flat")
+    assert(AnnIngest.readQuantizerChoice(s"$dir/idx-u").kind == "flat")
+
+    // probeAuto ≡ the explicit probe through the persisted model
+    val queries = clustered.where(col("vec_id") < 3)
+    val auto = AnnIngest.probeAuto(spark, s"$dir/idx-c", queries,
+        "vec_id", "embedding", k = 5, nCoarseProbe = 2, nprobe = 4)
+      .orderBy("query_id", "rnk").collect()
+    val (coarse, fine) = Ann.loadTwoLevel(spark, s"$dir/idx-c/_model")
+    val explicit = AnnIngest.probe2(spark, s"$dir/idx-c", coarse, fine, queries,
+        "vec_id", "embedding", k = 5, nCoarseProbe = 2, nprobe = 4)
+      .orderBy("query_id", "rnk").collect()
+    assert(auto.map(_.toString) === explicit.map(_.toString))
+    assert(auto.nonEmpty)
+
+    val qU = uniform.where(col("vec_id") < 3)
+    val autoU = AnnIngest.probeAuto(spark, s"$dir/idx-u", qU,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .orderBy("query_id", "rnk").collect()
+    val flat = Ann.loadCentroids(spark, s"$dir/idx-u/_model/flat")
+    val explicitU = AnnIngest.probe(spark, s"$dir/idx-u", flat, qU,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .orderBy("query_id", "rnk").collect()
+    assert(autoU.map(_.toString) === explicitU.map(_.toString))
+    assert(autoU.nonEmpty)
+  }
 }
