@@ -86,6 +86,41 @@ object EventStreams {
       .start()
   }
 
+  /** [[validateAndRoute]] with ATOMIC VISIBILITY: both sinks are
+    * graft.sources.CommitLog tables — each batch's partition is
+    * dynamic-overwrite-written, then made visible by one atomic
+    * commit marker, so a concurrent reader
+    * (`CommitLog.readCommitted`) never sees a torn batch and a
+    * crash-before-commit leaves invisible files that `vacuum`
+    * reclaims. The valid slice commits BEFORE the error slice: a
+    * crash between the two replays the batch (at-least-once
+    * foreachBatch) and the dynamic overwrite + idempotent markers
+    * converge both tables. */
+  def validateAndRouteCommitted(stream: DataFrame, rules: RuleSet, keyCol: String,
+                                validPath: String, errorPath: String,
+                                checkpoint: String): StreamingQuery = {
+    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff).toHexString
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = Validator.validate(batch, rules).cache()
+        try {
+          graft.sources.CommitLog.writeBatch(
+            v.where(col(Validator.ValidCol))
+              .drop(Validator.ErrorsCol, Validator.ValidCol),
+            validPath, runId, batchId)
+          graft.sources.CommitLog.writeBatch(
+            v.where(!col(Validator.ValidCol))
+              .select(lit(s"batch_$batchId").as("FILENAME"),
+                col(keyCol).cast("string").as("PayeeId"),
+                concat_ws(", ", col(Validator.ErrorsCol)).as("ERROR_DESC")),
+            errorPath, runId, batchId)
+        } finally { v.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Gap-based sessions via Spark's built-in `session_window` — the
     * declarative complement to [[sessionize]]'s explicit
     * flatMapGroupsWithState machine. Same shape over batch and

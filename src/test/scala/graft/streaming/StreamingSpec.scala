@@ -272,6 +272,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/valid").select("run_id").distinct().count() == 2)
   }
 
+  test("validateAndRouteCommitted: sinks are commit-log tables with atomic visibility") {
+    import graft.rules.{Checks, Rule, RuleSet}
+    import graft.sources.CommitLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-route-tx").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    val rules = RuleSet(Seq(
+      Rule("code.digits", Checks.digits(col("code"), 3), "code must be 3 digits")))
+    import spark.implicits._
+    Seq(("P1", "123"), ("P2", "12X"), ("P3", "999"))
+      .toDF("pid", "code").write.mode("append").parquet(drop)
+
+    val stream = spark.readStream.schema("pid STRING, code STRING").parquet(drop)
+    val q = EventStreams.validateAndRouteCommitted(stream, rules, "pid",
+      s"$dir/valid", s"$dir/errors", s"$dir/ckpt")
+    try q.awaitTermination(60000) finally q.stop()
+
+    // both sinks read through the log with exactly the routed rows
+    val valid = CommitLog.readCommitted(spark, s"$dir/valid").get
+    assert(valid.select("pid").as[String].collect().toSet == Set("P1", "P3"))
+    val errs = CommitLog.readCommitted(spark, s"$dir/errors").get
+    assert(errs.select("PayeeId").as[String].collect().toSet == Set("P2"))
+
+    // a torn partition (crashed writer, no marker) stays invisible to
+    // the committed read even though the files are in the table
+    Seq(("PX", "000")).toDF("pid", "code")
+      .withColumn("run_id", lit("deadbeef")).withColumn("batch_id", lit(7L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id").parquet(s"$dir/valid")
+    assert(CommitLog.readCommitted(spark, s"$dir/valid").get.count() == 2)
+    assert(spark.read.parquet(s"$dir/valid").count() == 3) // legacy read sees it
+  }
+
   test("sessionWindowStats merges gap-based sessions in batch and streaming") {
     import spark.implicits._
     // batch: 2 events 5 min apart + 1 event 2h later → 2 sessions
