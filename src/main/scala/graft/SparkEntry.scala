@@ -2636,6 +2636,94 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): the supply relation is
+    // DERIVED from lineitem — per (part, supplier) the minimum
+    // observed unit price stands in for ps_supplycost (this schema
+    // ships no partsupp table). For mid-size ECONOMY parts, keep the
+    // supplier(s) achieving the REGIONAL per-part minimum — the
+    // correlated min-subquery decorrelated into a broadcast per-part
+    // min join at the full Q2 join fan (supplier→nation→region).
+    // Unit price floor-quantized to cents BEFORE the min so the
+    // min/equality replay exactly cross-engine.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val supply = t(s, dir, "lineitem")
+        .where(col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100)
+          .cast("long")).as("cost_cents"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val prt = t(s, dir, "part")
+        .where(col("p_type") === "ECONOMY" && col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+      val regional = supply
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      val minCost = regional.groupBy(col("p_partkey").as("mp"))
+        .agg(min("cost_cents").as("min_cents"))
+      regional.join(broadcast(minCost),
+          col("p_partkey") === col("mp") && col("cost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q16 shape (part/supplier relationship counting): distinct
+    // suppliers per (brand, type, size) over candidate parts, with the
+    // NOT-IN supplier exclusion (negative balance stands in for the
+    // complaint-comment scan) as a broadcast anti join BEFORE the
+    // distinct count — the exclusion never reaches the shuffle.
+    "q16_part_supplier_counts" -> ((s, dir) => {
+      val flagged = t(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      val prt = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers of
+    // small-named parts holding >50% of a part's 1996 shipped volume
+    // (the availqty-vs-half-of-sales test recast as market share —
+    // no partsupp), then the semi-join chain up to suppliers in the
+    // target nations. The per-(part,supplier) aggregate joins the
+    // per-part scalar broadcast (part-count-sized), never a shuffle
+    // of the fact table beyond the two partial aggs off one scan.
+    "q20_potential_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").startsWith("small")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      val perSupp = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("supp_qty"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("part_qty"))
+      val qualified = perSupp
+        .join(broadcast(perPart), col("l_partkey") === col("pp"))
+        .where(col("supp_qty") * 2 > col("part_qty"))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3",
+          "NATION_4", "NATION_5"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q12 shape (shipping modes / line priority): late lines
     // (> 45 days) shipped in 1998, split urgent-vs-other order
     // priority per returnflag (the schema's stand-in for shipmode) —
@@ -6719,6 +6807,62 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |regional AS (
+        |  SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, s.n_name, sp.cost_cents
+        |  FROM supply sp
+        |  JOIN sup s ON sp.l_suppkey = s.s_suppkey
+        |  JOIN part p ON sp.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 20),
+        |mins AS (SELECT p_partkey AS mp, min(cost_cents) AS min_cents
+        |         FROM regional GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents
+        |FROM regional JOIN mins ON p_partkey = mp AND cost_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_potential_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+        |per_supp AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(floor(l_quantity)) AS BIGINT) AS supp_qty
+        |  FROM li GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, CAST(sum(floor(l_quantity)) AS BIGINT) AS part_qty
+        |  FROM li GROUP BY 1),
+        |qualified AS (
+        |  SELECT DISTINCT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
+        |  WHERE supp_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN qualified ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+        |ORDER BY s_name""".stripMargin,
 
     "q12_late_priority" ->
       """SELECT l_returnflag,

@@ -57,6 +57,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q2: supplier/part/per-part-min all broadcast; top-100 is TakeOrdered") {
+    val p = plan("q2_min_cost_supplier")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >= 3 broadcast joins, got $broadcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16: part filter and flagged-supplier anti join both broadcast") {
+    val p = plan("q16_part_supplier_counts")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    // lineitem scan reads only the two join keys
+    val read = p.linesIterator.filter(_.trim.startsWith("ReadSchema:"))
+      .find(_.contains("l_partkey")).get
+    assert(!read.contains("l_extendedprice") && !read.contains("l_quantity"),
+      s"q16 must not read fact columns it never uses: $read")
+  }
+
+  test("q20: shipdate pushed down; per-part scalar joins broadcast") {
+    val p = plan("q20_potential_suppliers")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate range must reach the lineitem scan")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product (broadcast NLJ only on ANN scans)") {
     for (name <- SparkEntry.queries.keys) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian product")
