@@ -2185,6 +2185,28 @@ object SparkEntry {
         .orderBy("vec_id", "dim_j")
     }),
 
+    // embedding second moments (the covariance/PCA data path,
+    // ops/Pca.scala): per-(i,j) sums of pairwise component products
+    // over the corpus, upper triangle. REPLAYABLE formulation — each
+    // term integer-quantized BEFORE the sum so engine summation order
+    // cannot split a float boundary (native fast path is the
+    // VectorOuterSum aggregate, pinned ≈ this form in PcaSpec). The
+    // flatten/transform pair builds each row's outer product from the
+    // plain embedding ATTRIBUTE (never a derived array — no
+    // re-evaluation blowup), one narrow pass then one groupBy.
+    "emb_second_moments" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(flatten(transform(col("embedding"), x =>
+          transform(col("embedding"), y =>
+            floor(x.cast("double") * y.cast("double") * 1e6).cast("long")))))
+          .as(Seq("idx", "q")))
+        .groupBy((col("idx") / 64).cast("int").as("i"),
+          pmod(col("idx"), lit(64)).cast("int").as("j"))
+        .agg(sum("q").as("sum_q"), count(lit(1)).as("n_vecs"))
+        .where(col("i") <= col("j"))
+        .orderBy("i", "j")
+    }),
+
     // weekly cohort retention matrix: users grouped by first-seen
     // week, distinct-user counts per (cohort, week offset). Both
     // shuffles key on user_id (co-partitioned groupBy + join — one
@@ -6075,6 +6097,20 @@ object SparkEntry {
     // (sign(i,j) = parity of first hex digit of md5('i:j:0')), the
     // same left-to-right fold (list_reduce's first-element init ==
     // Spark's 0.0 init bitwise, and both sides' trailing +0
+    "emb_second_moments" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS idx
+        |  FROM embeddings)
+        |SELECT CAST(a.idx - 1 AS INT) AS i, CAST(b.idx - 1 AS INT) AS j,
+        |  CAST(sum(CAST(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM ex a JOIN ex b USING (vec_id)
+        |WHERE a.idx <= b.idx
+        |GROUP BY 1, 2
+        |ORDER BY i, j""".stripMargin,
+
     // normalizes -0.0), the same floor-1e-4 quantization.
     "emb_rp_project" ->
       """WITH s AS (

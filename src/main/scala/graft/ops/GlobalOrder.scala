@@ -59,7 +59,7 @@ object GlobalOrder {
   /** Shared tail: range-exchange on _gkey, local sort, per-bucket
     * offsets from a bounded collect, parallel rank within bucket.
     *
-    * The frame is localCheckpoint-ed (eager) before the counts
+    * The frame is localCheckpoint-ed (LAZY) before the counts
     * collect: range split points come from sampling, and the offsets
     * job and the output job must see the SAME bucket boundaries — a
     * recomputed exchange is not contractually identical. Checkpoint
@@ -67,13 +67,18 @@ object GlobalOrder {
     * boundary recompute IMPOSSIBLE (a lost block fails loudly instead
     * of resampling), and the blocks are ContextCleaner-managed — they
     * free when the frame is unreferenced, where a CacheManager cache()
-    * entry leaks until an explicit unpersist the caller can't issue. */
+    * entry leaks until an explicit unpersist the caller can't issue.
+    * Lazy (not eager): materialization piggybacks on the counts job —
+    * the eager form ran a STANDALONE job first and re-read the blocks,
+    * one whole extra pass (bench: 4× on curriculum ordering); lineage
+    * truncates at first materialization either way, so the pinning
+    * guarantee is identical. */
   private def withPositions(keyed: DataFrame, numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else keyed.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = keyed.repartitionByRange(n, col("_gkey"))
       .withColumn("_bucket", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
     // bounded: one row per range partition
     val counts = ranged.groupBy("_bucket").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
