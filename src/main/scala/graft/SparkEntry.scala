@@ -2840,6 +2840,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(floor(col("c_acctbal") * 100).cast("long")).as("totacctbal_cents"))
         .orderBy("nation")
+    }),
+
+    // bounded-hop weighted shortest paths over the part co-purchase
+    // graph: edge weight 100−min(99, co-count) makes frequently
+    // co-purchased parts "close"; sources are the parts shipped by the
+    // lowest-keyed supplier; 4 Bellman-Ford relaxation rounds give the
+    // supplier's assortment reach. All-integer min-plus arithmetic —
+    // the oracle unrolls the same 4 relax-and-merge stages.
+    "q_sssp_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
+        .filter(col("p") =!= col("p2"))
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          (lit(100L) - least(col("cnt"), lit(99L))).as("w"))
+      val minSupp = li.agg(min("l_suppkey")).first().getLong(0)
+      val sources = li.where(col("l_suppkey") === minSupp)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.ops.ShortestPaths.bounded(edges, sources, maxHops = 4)
+        .select(col("node").as("part"), col("dist"))
+        .orderBy("part")
     })
   )
 
@@ -6961,7 +6985,51 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY 1 ORDER BY nation""".stripMargin
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    // shortest-paths replay: same co-purchase edges, 4 unrolled
+    // relax-and-merge stages (recursive CTEs with aggregation in the
+    // recursive term are not portable — unrolling is, exactly as the
+    // PageRank oracle does). Relaxation here runs from the FULL d_k
+    // frame where the engine runs from the improved frontier — same
+    // fixpoint: a non-improved node only regenerates candidates that
+    // already lost an earlier min.
+    "q_sssp_parts" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |            FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS src, b.p AS dst,
+        |    CAST(100 - least(count(*), 99) AS BIGINT) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p <> b.p
+        |  GROUP BY a.p, b.p),
+        |d0 AS (SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM lineitem
+        |       WHERE l_suppkey = (SELECT min(l_suppkey) FROM lineitem)),
+        |c1 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+        |       FROM d0 d JOIN edges e ON d.node = e.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(d.node, c.node) AS node,
+        |         least(coalesce(d.dist, 9223372036854775807),
+        |               coalesce(c.nd, 9223372036854775807)) AS dist
+        |       FROM d0 d FULL JOIN c1 c ON d.node = c.node),
+        |c2 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+        |       FROM d1 d JOIN edges e ON d.node = e.src GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(d.node, c.node) AS node,
+        |         least(coalesce(d.dist, 9223372036854775807),
+        |               coalesce(c.nd, 9223372036854775807)) AS dist
+        |       FROM d1 d FULL JOIN c2 c ON d.node = c.node),
+        |c3 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+        |       FROM d2 d JOIN edges e ON d.node = e.src GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(d.node, c.node) AS node,
+        |         least(coalesce(d.dist, 9223372036854775807),
+        |               coalesce(c.nd, 9223372036854775807)) AS dist
+        |       FROM d2 d FULL JOIN c3 c ON d.node = c.node),
+        |c4 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+        |       FROM d3 d JOIN edges e ON d.node = e.src GROUP BY e.dst),
+        |d4 AS (SELECT coalesce(d.node, c.node) AS node,
+        |         least(coalesce(d.dist, 9223372036854775807),
+        |               coalesce(c.nd, 9223372036854775807)) AS dist
+        |       FROM d3 d FULL JOIN c4 c ON d.node = c.node)
+        |SELECT node AS part, dist FROM d4 ORDER BY part""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

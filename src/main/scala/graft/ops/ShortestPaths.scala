@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop weighted shortest paths — multi-source Bellman-Ford by
+  * frontier relaxation, the third iterative-graph operator beside
+  * [[ConnectedComponents]] and [[PageRank]] and run with the same
+  * discipline: per-round state is one (node, dist) frame no larger than
+  * |V|, lineage is cut per round, and each round is ONE distributed
+  * join+aggregate. Answers reachability-with-cost questions over
+  * derived graphs (co-purchase distance, link-graph hop radius from a
+  * seed crawl, near-dup cluster diameter probes).
+  *
+  * Weights are caller-supplied BIGINTs and every distance is an
+  * order-independent integer `min` of integer sums, so the result is
+  * bit-identical on any engine, partitioning, or retry, and a SQL
+  * oracle can replay the fixed hop count stage by stage (one unrolled
+  * relax-and-merge per hop; the frontier restriction is a pure
+  * optimization — relaxing from non-improved nodes only regenerates
+  * candidates that already lost an earlier min, so frontier and full
+  * relaxation reach the same d_k).
+  *
+  * Scale shape per round: frontier ⋈ edges on src (edges checkpointed
+  * once, repartitioned by src and cached so the big side never
+  * re-shuffles), map-side-combined min to dst, full-outer merge with
+  * the state frame. The frontier SHRINKS as distances settle — the
+  * early exit fires as soon as a round improves nothing, so sparse
+  * graphs pay only their true diameter, not `maxHops`.
+  */
+object ShortestPaths {
+
+  /** Min distance from any source within `maxHops` hops over directed
+    * `(src, dst, w)` edges. Output: `(node, dist)` for every node
+    * reached (sources at 0). Negative weights are rejected — bounded-
+    * hop Bellman-Ford would still be well-defined, but the early exit
+    * and the oracle's monotone-merge replay both assume relaxation
+    * never re-opens a settled node below its hop frontier.
+    *
+    * `reliable` mirrors [[PageRank.ranks]]: `Some(true)` checkpoints
+    * every cut to the SparkContext checkpoint dir; default `None`
+    * auto-switches when the materialized edge count is at least
+    * [[ConnectedComponents.AutoReliableEdges]]. */
+  def bounded(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      reliable: Option[Boolean] = None): DataFrame = {
+    require(maxHops >= 1, s"maxHops $maxHops must be >= 1")
+    val spark = edges.sparkSession
+    var useReliable = reliable.getOrElse(false)
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val INF = Long.MaxValue
+    // one materialization of the caller's edge pipeline (often a
+    // join+aggregate building a co-occurrence graph), then pin the
+    // src-hash layout every round's join reuses
+    val e0 = ckpt(edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")))
+    useReliable = ConnectedComponents.resolveReliable(e0, reliable)
+    val negs = e0.filter(col("w") < 0).limit(1).count()
+    require(negs == 0L, "ShortestPaths.bounded: negative edge weight")
+    val e = e0.repartition(col("src")).cache()
+    var state = ckpt(sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = state
+    var hop = 0
+    var improving = true
+    while (improving && hop < maxHops) {
+      hop += 1
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val merged = ckpt(state.join(cand, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(INF)),
+            coalesce(col("nd"), lit(INF))).as("dist"),
+          (coalesce(col("nd"), lit(INF)) <
+            coalesce(col("dist"), lit(INF))).as("improved")))
+      frontier = merged.filter(col("improved")).select("node", "dist")
+      improving = !frontier.isEmpty
+      state = merged.select("node", "dist")
+    }
+    e.unpersist()
+    state
+  }
+}
