@@ -2864,6 +2864,24 @@ object SparkEntry {
       graft.ops.ShortestPaths.bounded(edges, sources, maxHops = 4)
         .select(col("node").as("part"), col("dist"))
         .orderBy("part")
+    }),
+
+    // multi-touch attribution: purchases are conversions, click/view
+    // touches credit their channel (props.k mod 8) under first-touch /
+    // last-touch / exact-integer linear models at once; paths span
+    // strictly between consecutive conversions of a user.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("user"), col("ts"),
+          col("event_id").as("id"),
+          concat(lit("ch"), (get_json_object(col("props"), "$.k")
+            .cast("long") % 8).cast("string")).as("channel"))
+      val conversions = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("user"), col("ts"),
+          col("event_id").as("id"))
+      graft.ops.Attribution.byChannel(touches, conversions)
+        .orderBy("channel")
     })
   )
 
@@ -7029,7 +7047,40 @@ object SparkEntry {
         |         least(coalesce(d.dist, 9223372036854775807),
         |               coalesce(c.nd, 9223372036854775807)) AS dist
         |       FROM d3 d FULL JOIN c4 c ON d.node = c.node)
-        |SELECT node AS part, dist FROM d4 ORDER BY part""".stripMargin
+        |SELECT node AS part, dist FROM d4 ORDER BY part""".stripMargin,
+
+    // attribution replay: identical path windows over nanosecond
+    // instants; '//' is DuckDB integral division (operands positive).
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_ns(ts) AS tns, user_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |conv AS (
+        |  SELECT user_id, tns AS cts, event_id AS cid,
+        |    lag(tns) OVER (PARTITION BY user_id
+        |                   ORDER BY tns, event_id) AS pts
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, tns, event_id,
+        |    'ch' || CAST(k % 8 AS VARCHAR) AS channel
+        |  FROM ev WHERE event_type IN ('click', 'view')),
+        |path AS (
+        |  SELECT c.cid, t.channel,
+        |    row_number() OVER (PARTITION BY c.cid
+        |                       ORDER BY t.tns, t.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cid) AS n
+        |  FROM touch t JOIN conv c ON t.user_id = c.user_id
+        |    AND t.tns < c.cts AND (c.pts IS NULL OR t.tns > c.pts))
+        |SELECT channel,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch,
+        |  CAST(sum(1000000 // n +
+        |    CASE WHEN rn = n THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS linear_micro
+        |FROM path GROUP BY channel ORDER BY channel""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
