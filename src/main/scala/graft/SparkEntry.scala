@@ -2882,6 +2882,15 @@ object SparkEntry {
           col("event_id").as("id"))
       graft.ops.Attribution.byChannel(touches, conversions)
         .orderBy("channel")
+    }),
+
+    // ECOD-style anomaly depth per embedding: integer per-dimension
+    // empirical-CDF tail depth summed over dims (small = outlier).
+    // Quantized to 1/1000 cells so the CDF frame stays bounded.
+    "emb_ecod_depth" -> ((s, dir) => {
+      graft.ops.Ecod.depths(t(s, dir, "embeddings"), "vec_id",
+          "embedding", quant = 1000)
+        .orderBy("vec_id")
     })
   )
 
@@ -7080,7 +7089,28 @@ object SparkEntry {
         |  CAST(sum(1000000 // n +
         |    CASE WHEN rn = n THEN 1000000 % n ELSE 0 END) AS BIGINT)
         |    AS linear_micro
-        |FROM path GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM path GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // ECOD replay: same 1/1000 quantization (FLOAT→DOUBLE cast before
+    // the multiply on both engines), same histogram-cumulative depth.
+    "emb_ecod_depth" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)
+        |      * 1000) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |counts AS (SELECT dim, qv, count(*) AS cnt FROM ex GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |cdf AS (
+        |  SELECT dim, qv,
+        |    least(sum(cnt) OVER (PARTITION BY dim ORDER BY qv),
+        |      (SELECT n FROM nn) -
+        |        (sum(cnt) OVER (PARTITION BY dim ORDER BY qv) - cnt))
+        |      AS cell_depth
+        |  FROM counts)
+        |SELECT e.vec_id, CAST(sum(c.cell_depth) AS BIGINT) AS depth
+        |FROM ex e JOIN cdf c ON e.dim = c.dim AND e.qv = c.qv
+        |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
