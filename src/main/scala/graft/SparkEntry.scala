@@ -2891,6 +2891,29 @@ object SparkEntry {
       graft.ops.Ecod.depths(t(s, dir, "embeddings"), "vec_id",
           "embedding", quant = 1000)
         .orderBy("vec_id")
+    }),
+
+    // grid-bucketed spatial nearest join: deterministic md5-derived
+    // micro-degree coordinates (±10^6) for customers and suppliers,
+    // nearest supplier within radius 150000 by exact integer squared
+    // L2. The grid prunes; the oracle replays with a brute-force
+    // radius scan — same answer by construction.
+    "q_spatial_nearest" -> ((s, dir) => {
+      def coord(salt: String, key: org.apache.spark.sql.Column) =
+        (conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))),
+          1, 15), 16, 10).cast("long") % 2000001L) - 1000000L
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        coord("sx", col("c_custkey")).as("x"),
+        coord("sy", col("c_custkey")).as("y"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"),
+        coord("px", col("s_suppkey")).as("x"),
+        coord("py", col("s_suppkey")).as("y"))
+      graft.ops.Spatial.nearestWithin(cust, supp, radius = 150000L)
+        .select(col("id").as("cust"), col("nearest_id").as("supp"),
+          col("d2"))
+        .orderBy("cust")
     })
   )
 
@@ -7110,7 +7133,37 @@ object SparkEntry {
         |  FROM counts)
         |SELECT e.vec_id, CAST(sum(c.cell_depth) AS BIGINT) AS depth
         |FROM ex e JOIN cdf c ON e.dim = c.dim AND e.qv = c.qv
-        |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
+        |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin,
+
+    // spatial replay: brute-force radius scan (the grid is pruning
+    // only), same md5 coordinate derivation, argmin by (d2, supplier)
+    "q_spatial_nearest" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5('sx:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000001 - 1000000 AS x,
+        |    CAST(('0x' || substr(md5('sy:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000001 - 1000000 AS y
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey AS id,
+        |    CAST(('0x' || substr(md5('px:' || CAST(s_suppkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000001 - 1000000 AS x,
+        |    CAST(('0x' || substr(md5('py:' || CAST(s_suppkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000001 - 1000000 AS y
+        |  FROM supplier),
+        |cand AS (
+        |  SELECT c.id AS cust, s.id AS supp,
+        |    (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+        |  FROM cust c, supp s
+        |  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |    <= 22500000000),
+        |best AS (
+        |  SELECT cust, supp, d2,
+        |    row_number() OVER (PARTITION BY cust ORDER BY d2, supp) AS rn
+        |  FROM cand)
+        |SELECT cust, supp, d2 FROM best WHERE rn = 1
+        |ORDER BY cust""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
