@@ -2914,7 +2914,13 @@ object SparkEntry {
         .select(col("id").as("cust"), col("nearest_id").as("supp"),
           col("d2"))
         .orderBy("cust")
-    })
+    }),
+
+    // Zipf power-law fit over the top-1000 tokens: OLS slope of
+    // log-freq on log-rank with integer-quantized logs (millinats) so
+    // the sums are exact and only the closing division is floating.
+    "text_zipf_alpha" -> ((s, dir) =>
+      graft.text.Zipf.fit(t(s, dir, "documents"), "text", k = 1000))
   )
 
   /** Shared scoring frame for the eval_* queries: heuristic quality as
@@ -7163,7 +7169,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY cust ORDER BY d2, supp) AS rn
         |  FROM cand)
         |SELECT cust, supp, d2 FROM best WHERE rn = 1
-        |ORDER BY cust""".stripMargin
+        |ORDER BY cust""".stripMargin,
+
+    // Zipf replay: same tokenization as q_vocab_top, same millinat
+    // quantization, same OLS expression tree (division order pinned)
+    "text_zipf_alpha" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |top AS (
+        |  SELECT token, count(*) AS freq FROM toks
+        |  WHERE length(token) > 0
+        |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 1000),
+        |ranked AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC)
+        |    AS rank
+        |  FROM top),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM ranked),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pts)
+        |SELECT n AS top_k,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000
+        |    AS slope,
+        |  floor((CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000.0 * 1000000) / 1000000
+        |    AS intercept
+        |FROM sums""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
