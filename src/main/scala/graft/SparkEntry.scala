@@ -2920,7 +2920,29 @@ object SparkEntry {
     // log-freq on log-rank with integer-quantized logs (millinats) so
     // the sums are exact and only the closing division is floating.
     "text_zipf_alpha" -> ((s, dir) =>
-      graft.text.Zipf.fit(t(s, dir, "documents"), "text", k = 1000))
+      graft.text.Zipf.fit(t(s, dir, "documents"), "text", k = 1000)),
+
+    // personalized PageRank: teleport mass returns only to the
+    // BUILDING-segment customers — proximity-to-seed-set over the same
+    // purchase bipartite as q_pagerank_suppliers, 3 integer rounds.
+    "q_ppr_building" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select(concat(lit("c"), col("ck")).as("c"),
+          concat(lit("s"), col("sk")).as("s"))
+      val edges = pairs.select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst")),
+          struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.ops.PageRank.personalized(edges, seeds, iters = 3)
+        .orderBy("node")
+    })
   )
 
   /** Shared scoring frame for the eval_* queries: heuristic quality as
@@ -7203,7 +7225,67 @@ object SparkEntry {
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000.0 * 1000000) / 1000000
         |    AS intercept
-        |FROM sums""".stripMargin
+        |FROM sums""".stripMargin,
+
+    // personalized-PageRank replay: the q_pagerank_suppliers oracle
+    // with the teleport term gated to the seed intersection |S ∩ V|
+    "q_ppr_building" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |          FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |srcn AS (SELECT n.node FROM nodes n JOIN seeds s ON n.node = s.node),
+        |c0 AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0,
+        |              CAST((1000000000000 * 15 // 100) // count(*) AS BIGINT)
+        |                AS base
+        |       FROM srcn),
+        |it0 AS (SELECT n.node,
+        |          CASE WHEN s.node IS NOT NULL
+        |               THEN (SELECT r0 FROM c0) ELSE 0 END AS r
+        |        FROM nodes n LEFT JOIN srcn s ON n.node = s.node),
+        |s1 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it0 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it1 AS (SELECT n.node,
+        |          (CASE WHEN s.node IS NOT NULL
+        |                THEN (SELECT base FROM c0) ELSE 0 END)
+        |            + coalesce(s1.m, 0) AS r
+        |        FROM nodes n LEFT JOIN srcn s ON n.node = s.node
+        |          LEFT JOIN s1 ON n.node = s1.node),
+        |s2 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it1 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it2 AS (SELECT n.node,
+        |          (CASE WHEN s.node IS NOT NULL
+        |                THEN (SELECT base FROM c0) ELSE 0 END)
+        |            + coalesce(s2.m, 0) AS r
+        |        FROM nodes n LEFT JOIN srcn s ON n.node = s.node
+        |          LEFT JOIN s2 ON n.node = s2.node),
+        |s3 AS (SELECT e.dst AS node,
+        |         CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS m
+        |       FROM edges e JOIN it2 r ON e.src = r.node
+        |         JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |it3 AS (SELECT n.node,
+        |          (CASE WHEN s.node IS NOT NULL
+        |                THEN (SELECT base FROM c0) ELSE 0 END)
+        |            + coalesce(s3.m, 0) AS r
+        |        FROM nodes n LEFT JOIN srcn s ON n.node = s.node
+        |          LEFT JOIN s3 ON n.node = s3.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank FROM it3
+        |ORDER BY node""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

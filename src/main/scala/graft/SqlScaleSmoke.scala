@@ -165,7 +165,14 @@ object SqlScaleSmoke {
     // decontamination (corpus-side gram stream vs the fixed probe
     // set), and full-corpus winnowing (bench-only xxhash path)
     "q_resample_interp", "q_outlier_mad", "decontam_overlap_bloom",
-    "winnow_corpus")
+    "winnow_corpus",
+    // r12 additions: SSSP (iterative relax over the co-purchase pair
+    // explosion — the new heaviest graph entry beside pagerank),
+    // attribution (user-keyed join + path windows), spatial ring join
+    // (9x probe explode + cell equi-join), Zipf (token agg + vocab
+    // top-K) — all expected ~mult× or better
+    "q_sssp_parts", "q_attribution", "q_spatial_nearest",
+    "text_zipf_alpha")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to

@@ -82,4 +82,55 @@ object PageRank {
     }
     ranks.withColumnRenamed("r", "rank")
   }
+
+  /** Personalized PageRank: teleport mass returns ONLY to `sources`
+    * (uniformly) — proximity-to-the-seed-set centrality, the standard
+    * seed-expansion primitive (crawl frontier prioritization from
+    * known-good domains, quality propagation through a link graph,
+    * related-entity retrieval). Same integral arithmetic and per-round
+    * shape as [[ranks]]: initial mass `10¹² div |S|` on each source,
+    * each round re-injects `(10¹²·15 div 100) div |S|` at the sources
+    * and spreads `(r·85) div (100·deg)` along edges. Sources outside
+    * the edge set are dropped (they could neither receive nor spread),
+    * so the mass denominators use |S ∩ V| — the oracle replays that.
+    * Nodes never reached carry rank 0 (they stay in the frame). */
+  def personalized(edges: DataFrame, sources: DataFrame, iters: Int = 3,
+      checkpointEvery: Int = 4,
+      reliable: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    var useReliable = reliable.getOrElse(false)
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst")))
+    useReliable = ConnectedComponents.resolveReliable(e, reliable)
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // nodes carry the is-source flag for the whole run (one frame, one
+    // checkpoint — the per-round base injection is a narrow when())
+    val nodes = ckpt(nodes0.join(
+        sources.select(col("node")).distinct().withColumn("_s", lit(1)),
+        Seq("node"), "left")
+      .select(col("node"), col("_s").isNotNull.as("is_src")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").repartition(col("src")).cache()
+    val nSrc = nodes.where(col("is_src")).count()
+    require(nSrc > 0, "PageRank.personalized: no source intersects the graph")
+    val r0 = 1000000000000L / nSrc
+    val base = (1000000000000L * 15L / 100L) / nSrc
+    var ranks = nodes.select(col("node"),
+      when(col("is_src"), lit(r0)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(r * 85) div (100 * deg)").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_src"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("m"), lit(0L))).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ckpt(ranks)
+    }
+    ranks.withColumnRenamed("r", "rank")
+  }
 }

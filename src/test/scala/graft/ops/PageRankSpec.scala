@@ -51,4 +51,47 @@ class PageRankSpec extends SparkSpec {
     assert(planSize(checked) < planSize(unchecked),
       s"${planSize(checked)} !< ${planSize(unchecked)}")
   }
+
+  test("personalized: mass concentrates near the seed set") {
+    // two 4-cliques joined by one bridge; seed in clique A
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val g = undirected((clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ (("a4", "b1"))): _*)
+    import spark.implicits._
+    val r = PageRank.personalized(g, Seq("a1").toDF("node"), iters = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a2") > r("b2") * 3, s"${r("a2")} vs ${r("b2")}")
+    assert(r("a1") > r("a2"), "the seed keeps the teleport mass")
+  }
+
+  test("personalized: seeds outside the graph are dropped from the denominator") {
+    import spark.implicits._
+    val g = undirected(("a", "b"))
+    val withGhost = PageRank.personalized(g, Seq("a", "ghost").toDF("node"), 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val without = PageRank.personalized(g, Seq("a").toDF("node"), 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(withGhost == without)
+    assert(!withGhost.contains("ghost"))
+  }
+
+  test("personalized: unreachable nodes stay at rank 0") {
+    import spark.implicits._
+    val g = Seq(("a", "b"), ("x", "y")).toDF("src", "dst")
+    val r = PageRank.personalized(g, Seq("a").toDF("node"), 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("b") > 0L && r("x") == 0L && r("y") == 0L)
+  }
+
+  test("personalized: deterministic across partitionings") {
+    import spark.implicits._
+    val g = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val r1 = PageRank.personalized(g, Seq("a", "d").toDF("node"), 4)
+      .orderBy("node").collect().toSeq
+    val r2 = PageRank.personalized(g.repartition(7),
+      Seq("a", "d").toDF("node").repartition(3), 4)
+      .orderBy("node").collect().toSeq
+    assert(r1 === r2)
+  }
 }
