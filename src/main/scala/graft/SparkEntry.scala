@@ -2942,6 +2942,22 @@ object SparkEntry {
         .select(concat(lit("c"), col("c_custkey")).as("node"))
       graft.ops.PageRank.personalized(edges, seeds, iters = 3)
         .orderBy("node")
+    }),
+
+    // KMV join-cardinality estimate (planner guardrail): bottom-256
+    // md5 sketch of events.user_id vs customer.c_custkey key sets,
+    // overlap estimated from the union sketch; the actual distinct
+    // intersection rides in the same row so the artifact shows the
+    // estimator's accuracy, and the oracle replays BOTH.
+    "q_join_card_est" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      val est = graft.ops.JoinEstimate.overlap(ev, "user_id",
+        cust, "c_custkey", k = 256)
+      val actual = ev.distinct()
+        .join(cust.distinct(), col("user_id") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual_intersection"))
+      est.crossJoin(broadcast(actual))
     })
   )
 
@@ -7285,7 +7301,47 @@ object SparkEntry {
         |        FROM nodes n LEFT JOIN srcn s ON n.node = s.node
         |          LEFT JOIN s3 ON n.node = s3.node)
         |SELECT node, CAST(r AS BIGINT) AS rank FROM it3
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // KMV overlap replay: same md5 60-bit fold, same bottom-256 union
+    // sketch, same pinned double chain for the estimate
+    "q_join_card_est" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |hb AS (
+        |  SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM customer),
+        |un AS (
+        |  SELECT DISTINCT h
+        |  FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+        |  ORDER BY h LIMIT 256),
+        |marked AS (
+        |  SELECT u.h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+        |  FROM un u LEFT JOIN ha a ON u.h = a.h
+        |    LEFT JOIN hb b ON u.h = b.h),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |    CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_both,
+        |    max(h) AS h_k
+        |  FROM marked),
+        |act AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual_intersection
+        |  FROM (SELECT DISTINCT user_id FROM events) e
+        |  JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON e.user_id = c.c_custkey)
+        |SELECT k_used, x_both, h_k,
+        |  CASE WHEN k_used < 256 THEN x_both
+        |       ELSE CAST(floor(CAST(x_both AS DOUBLE)
+        |         * CAST(k_used - 1 AS DOUBLE)
+        |         * (1152921504606846976.0 / CAST(h_k AS DOUBLE))
+        |         / CAST(k_used AS DOUBLE)) AS BIGINT) END
+        |    AS est_intersection,
+        |  actual_intersection
+        |FROM agg, act""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
