@@ -2958,6 +2958,16 @@ object SparkEntry {
         .join(cust.distinct(), col("user_id") === col("c_custkey"))
         .agg(count(lit(1)).as("actual_intersection"))
       est.crossJoin(broadcast(actual))
+    }),
+
+    // pairwise Pearson correlation matrix over the lineitem numerics
+    // in ONE wide aggregate (6 pairs x 6 exact decimal sums on one
+    // shuffle row); cents quantization, pinned closing double chain.
+    "v_profile_corr" -> ((s, dir) => {
+      graft.validate.Profiler.correlations(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          quant = 100L)
+        .orderBy("col_x", "col_y")
     })
   )
 
@@ -3223,7 +3233,40 @@ object SparkEntry {
     s"CASE $whens WHEN $len >= 2 THEN (${lastK(2)}) ELSE $hostExpr END"
   }
 
+  /** One correlation-pair replay block for the v_profile_corr oracle:
+    * same cents quantization, exact HUGEINT sums (DuckDB's BIGINT-sum
+    * type, matching the engine's DECIMAL(38,0) accumulators), same
+    * pinned Pearson double chain. */
+  private def corrPairSql(a: String, b: String): String =
+    s"""SELECT '$a' AS col_x, '$b' AS col_y, n_pairs,
+       |  CASE WHEN dx > 0 AND dy > 0 THEN
+       |    floor(num / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+       |      * 1000000) / 1000000
+       |  ELSE NULL END AS corr
+       |FROM (
+       |  SELECT n_pairs, CAST(n_pairs * sxy - sx * sy AS DOUBLE) AS num,
+       |    n_pairs * sxx - sx * sx AS dx, n_pairs * syy - sy * sy AS dy
+       |  FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |      CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |      CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |      CAST(sum(y * y) AS HUGEINT) AS syy,
+       |      CAST(sum(x * y) AS HUGEINT) AS sxy
+       |    FROM (SELECT CAST(floor(CAST($a AS DOUBLE) * 100) AS BIGINT) AS x,
+       |                 CAST(floor(CAST($b AS DOUBLE) * 100) AS BIGINT) AS y
+       |          FROM lineitem
+       |          WHERE $a IS NOT NULL AND $b IS NOT NULL)))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "v_profile_corr" -> (Seq(
+      corrPairSql("l_quantity", "l_extendedprice"),
+      corrPairSql("l_quantity", "l_discount"),
+      corrPairSql("l_quantity", "l_tax"),
+      corrPairSql("l_extendedprice", "l_discount"),
+      corrPairSql("l_extendedprice", "l_tax"),
+      corrPairSql("l_discount", "l_tax"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")),
 
     // independently-authored SQL predicates for all ~68 bank rules
     // (BankRulesSql) over the dumped generator output — double-entry

@@ -48,4 +48,58 @@ object Profiler {
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * pass — the redundancy/drift companion to [[profile]]: a feature
+    * pair whose correlation jumps between snapshots signals a broken
+    * join or a duplicated signal, and at 100 TB "compute corr(a,b)
+    * for all pairs" must be one wide aggregate, never a per-pair scan
+    * loop (p·(p−1)/2 · 6 partial-aggregated sums ride one shuffle
+    * row).
+    *
+    * Engine-reproducible: each value is quantized to `floor(v·quant)`
+    * BIGINT first, per-row products stay in Long range (caller keeps
+    * |v·quant| under ~3e9), and the accumulators are DECIMAL(38,0) —
+    * exact and order-independent like DuckDB's HUGEINT sums — so both
+    * engines reach identical integers; the closing Pearson expression
+    * is one pinned double chain (num / (sqrt(dx)·sqrt(dy)), floored
+    * to 10⁻⁶). Pairs with a constant side yield NULL.
+    *
+    * Null semantics: each pair uses exactly the rows where BOTH
+    * columns are non-null (pairwise deletion). */
+  def correlations(df: DataFrame, cols: Seq[String],
+      quant: Long = 100L): DataFrame = {
+    require(cols.size >= 2, "correlations needs >= 2 columns")
+    require(quant >= 1, s"quant $quant must be >= 1")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def q(c: String) = floor(col(c).cast("double") * quant).cast("long")
+    val dec = "decimal(38,0)"
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val cond = col(a).isNotNull && col(b).isNotNull
+      val (x, y) = (q(a), q(b))
+      Seq(
+        sum(when(cond, lit(1L))).as(s"n_$k"),
+        sum(when(cond, x).cast(dec)).as(s"sx_$k"),
+        sum(when(cond, y).cast(dec)).as(s"sy_$k"),
+        sum(when(cond, x * x).cast(dec)).as(s"sxx_$k"),
+        sum(when(cond, y * y).cast(dec)).as(s"syy_$k"),
+        sum(when(cond, x * y).cast(dec)).as(s"sxy_$k"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = col(s"n_$k")
+      val num = (n * col(s"sxy_$k") - col(s"sx_$k") * col(s"sy_$k"))
+        .cast("double")
+      val dx = n * col(s"sxx_$k") - col(s"sx_$k") * col(s"sx_$k")
+      val dy = n * col(s"syy_$k") - col(s"sy_$k") * col(s"sy_$k")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        coalesce(n, lit(0L)).as("n_pairs"),
+        when(dx > lit(0) && dy > lit(0),
+          floor(num / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+            * 1000000) / 1000000).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }
