@@ -144,4 +144,34 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"IVF must not shuffle the corpus, got $exchanges exchanges:\n$p")
   }
+
+  test("spatial: cell equi-join broadcasts the small side, no cartesian") {
+    val p = plan("q_spatial_nearest")
+    assert(p.contains("BroadcastHashJoin"), s"grid join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("attribution: one user equi-join, no corpus-wide window partition") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct"))
+    // both windows are keyed (user / conversion id) — a Window with an
+    // empty partition spec would show 'Window [' without partitionBy
+    // expressions; cheap proxy: no SinglePartition exchange feeding a
+    // Window node
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"attribution must not funnel through one partition:\n$p")
+  }
+
+  test("ecod: the cell-depth lookup join is broadcast") {
+    val p = plan("emb_ecod_depth")
+    assert(p.contains("BroadcastHashJoin"), s"cdf join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("join estimate: per-side sketches use TakeOrdered, not a global sort") {
+    val p = plan("q_join_card_est")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must be TakeOrdered:\n$p")
+  }
 }
