@@ -2960,6 +2960,75 @@ object SparkEntry {
       est.crossJoin(broadcast(actual))
     }),
 
+    // reciprocal-rank fusion of two document rankings (length prior x
+    // lexical diversity): integer 1e9 div (60+rank) contributions so
+    // fused scores are exact BIGINTs; each list cut to top-1000 by
+    // TakeOrdered before its bounded rank window. Top-100 fused.
+    "q_rrf_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val byLength = docs.select(col("doc_id"), col("n_chars").as("score"))
+      val byDiversity = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id")
+        .agg(countDistinct("token").as("score"))
+      graft.ops.RankFusion.rrf(Seq(byLength, byDiversity),
+          "doc_id", "score", topN = 1000, k = 60)
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
+    // per-group OLS trend: slope/intercept/R² of the daily revenue
+    // series per order priority — exact decimal sums, pinned closing
+    // chains. The grouped sibling of the Zipf fit.
+    "q_trend_priority" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      graft.ops.Trend.fitGrouped(daily, "prio", "day", "cents")
+        .select(col("key").as("prio"), col("n_points"), col("slope"),
+          col("intercept"), col("r2"))
+        .orderBy("prio")
+    }),
+
+    // mean-shift changepoint per order priority: daily revenue-cents
+    // series, normalized CUSUM argmax — exact integer prefix sums,
+    // IEEE-identical closing division, bit-stable argmax tie-break.
+    "q_changepoint_revenue" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      graft.ops.Changepoint.meanShift(daily, "prio", "day", "cents")
+        .select(col("key").as("prio"), col("cp_at").as("cp_day"),
+          col("cp_index"), col("n_points"), col("score_floor"),
+          col("mean_left"), col("mean_right"))
+        .orderBy("prio")
+    }),
+
+    // PassJoin edit-distance self-join over ASCII 24-char document
+    // prefixes: segment-filter candidates + levenshtein verify; equals
+    // the brute-force answer by the completeness of the filter (the
+    // oracle IS the brute force). doc_id < 600 bounds the oracle scan.
+    "q_edit_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 600)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("s"))
+        .where(col("s").rlike("^[ -~]*$") && length(col("s")) >= 3)
+      graft.ops.EditJoin.selfJoin(docs, "doc_id", "s", k = 2)
+        .orderBy("id1", "id2")
+    }),
+
+    // per-column Shannon entropy over customer: key-like (c_custkey →
+    // ln n), categorical (c_mktsegment, c_nationkey), name text — all
+    // columns on ONE unpivoted shuffle, integer-quantized log terms.
+    "v_profile_entropy" -> ((s, dir) => {
+      graft.validate.Profiler.entropy(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")
+    }),
+
     // pairwise Pearson correlation matrix over the lineitem numerics
     // in ONE wide aggregate (6 pairs x 6 exact decimal sums on one
     // shuffle row); cents quantization, pinned closing double chain.
@@ -7384,7 +7453,152 @@ object SparkEntry {
         |         / CAST(k_used AS DOUBLE)) AS BIGINT) END
         |    AS est_intersection,
         |  actual_intersection
-        |FROM agg, act""".stripMargin
+        |FROM agg, act""".stripMargin,
+
+    // RRF replay: same top-1000 cuts, same integer contributions
+    "q_rrf_docs" ->
+      """WITH la AS (SELECT doc_id, n_chars AS score FROM documents),
+        |lb AS (
+        |  SELECT d.doc_id, CAST(count(DISTINCT t.token) AS BIGINT) AS score
+        |  FROM documents d,
+        |    unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(token)
+        |  WHERE length(t.token) > 0
+        |  GROUP BY d.doc_id),
+        |ra AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM (SELECT * FROM la ORDER BY score DESC, doc_id ASC LIMIT 1000)),
+        |rb AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM (SELECT * FROM lb ORDER BY score DESC, doc_id ASC LIMIT 1000)),
+        |c AS (
+        |  SELECT doc_id, 1000000000 // (60 + rank) AS c FROM ra
+        |  UNION ALL
+        |  SELECT doc_id, 1000000000 // (60 + rank) AS c FROM rb)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM c GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // entropy replay: same unpivot-to-strings, same 10^6-quantized
+    // cnt·ln(cnt) terms (HUGEINT sum = the engine's decimal), same
+    // pinned closing chain
+    "v_profile_entropy" ->
+      """WITH stacked AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_name', c_name FROM customer WHERE c_name IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', c_mktsegment FROM customer
+        |  WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  WHERE c_nationkey IS NOT NULL),
+        |hist AS (
+        |  SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM stacked GROUP BY col_name, val),
+        |agg AS (
+        |  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_nonnull,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS HUGEINT) AS s_terms
+        |  FROM hist GROUP BY col_name)
+        |SELECT col_name, n_nonnull, n_distinct,
+        |  floor((ln(CAST(n_nonnull AS DOUBLE))
+        |    - CAST(s_terms AS DOUBLE) / CAST(n_nonnull AS DOUBLE)
+        |      / 1000000.0) * 1000000) / 1000000 AS entropy_nats
+        |FROM agg ORDER BY col_name""".stripMargin,
+
+    // edit-join replay: brute-force levenshtein over the same ASCII
+    // prefix frame (the segment filter is complete, so brute force IS
+    // the answer). ASCII-only keeps DuckDB's byte-based levenshtein
+    // aligned with Spark's char-based one.
+    "q_edit_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(substr(text, 1, 24)) AS s FROM documents
+        |  WHERE doc_id < 600),
+        |f AS (SELECT * FROM d
+        |      WHERE regexp_matches(s, '^[ -~]*$') AND length(s) >= 3)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id1, id2""".stripMargin,
+
+    // changepoint replay: same exact-integer cumulatives (HUGEINT =
+    // the engine's DECIMAL(38,0)), same IEEE closing division, same
+    // (score desc, i asc) argmax
+    "q_changepoint_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT prio, day, cents,
+        |    sum(cents) OVER (PARTITION BY prio ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+        |    row_number() OVER (PARTITION BY prio ORDER BY day) AS i,
+        |    sum(cents) OVER (PARTITION BY prio) AS s,
+        |    count(*) OVER (PARTITION BY prio) AS n
+        |  FROM daily),
+        |scored AS (
+        |  SELECT prio, day, i, n, a, s,
+        |    CAST(CAST(a * (n - i) - (s - a) * i AS HUGEINT)
+        |        * CAST(a * (n - i) - (s - a) * i AS HUGEINT) AS DOUBLE)
+        |      / CAST(i * (n - i) AS DOUBLE) AS score
+        |  FROM cum WHERE i < n),
+        |best AS (
+        |  SELECT prio, day, i, n, a, s, score,
+        |    row_number() OVER (PARTITION BY prio
+        |                       ORDER BY score DESC, i ASC) AS rn
+        |  FROM scored)
+        |SELECT prio, day AS cp_day, CAST(i AS BIGINT) AS cp_index,
+        |  CAST(n AS BIGINT) AS n_points,
+        |  CAST(floor(score / CAST(n * n AS DOUBLE)) AS BIGINT)
+        |    AS score_floor,
+        |  CAST(floor(CAST(a AS DOUBLE) / CAST(i AS DOUBLE)) AS BIGINT)
+        |    AS mean_left,
+        |  CAST(floor(CAST(s - a AS DOUBLE) / CAST(n - i AS DOUBLE))
+        |    AS BIGINT) AS mean_right
+        |FROM best WHERE rn = 1 ORDER BY prio""".stripMargin,
+
+    // trend replay: same ranked x, exact HUGEINT sums, pinned chains
+    "q_trend_priority" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT prio, cents AS y,
+        |    row_number() OVER (PARTITION BY prio ORDER BY day) AS x
+        |  FROM daily),
+        |sums AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM ranked GROUP BY prio),
+        |d AS (
+        |  SELECT prio, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS dxd,
+        |    n * syy - sy * sy AS dyi,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dyd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM sums WHERE n >= 2)
+        |SELECT prio, n AS n_points,
+        |  floor(num / dxd * 1000000) / 1000000 AS slope,
+        |  floor((syd - num / dxd * sxd) / nd * 1000000) / 1000000
+        |    AS intercept,
+        |  CASE WHEN dyi > 0 THEN
+        |    floor(num * num / (dxd * dyd) * 1000000) / 1000000 END AS r2
+        |FROM d ORDER BY prio""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

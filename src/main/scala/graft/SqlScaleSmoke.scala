@@ -172,7 +172,14 @@ object SqlScaleSmoke {
     // (9x probe explode + cell equi-join), Zipf (token agg + vocab
     // top-K) — all expected ~mult× or better
     "q_sssp_parts", "q_attribution", "q_spatial_nearest",
-    "text_zipf_alpha")
+    "text_zipf_alpha",
+    // r12 second batch: PPR (iterative), RRF (two corpus rankings cut
+    // by TakeOrdered), correlation matrix + entropy (one-pass wide
+    // aggregates), edit join (segment-filter equi-join + verify),
+    // changepoint (per-key window + argmax), KMV overlap sketches
+    "q_ppr_building", "q_rrf_docs", "v_profile_corr",
+    "v_profile_entropy", "q_edit_pairs", "q_changepoint_revenue",
+    "q_join_card_est")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to

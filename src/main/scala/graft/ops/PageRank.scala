@@ -60,18 +60,23 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // degree rides with every edge once, partitioned on the iteration
     // join key so every round's edges⋈ranks reuses this src-hash
-    // layout and the big side never re-shuffles. cache(), not an eager
-    // checkpoint: it materializes inside the first round's job (no
-    // extra job barrier) and rounds 2..n read the cached blocks —
-    // lineage stays rooted at the checkpointed `e`, so it is flat.
-    val ed = e.join(deg, "src").repartition(col("src")).cache()
+    // layout and the big side never re-shuffles. LAZY checkpoint, not
+    // cache(): it still materializes inside the first round's job (no
+    // extra job barrier) and rounds 2..n read the pinned blocks — but
+    // the blocks are ContextCleaner-managed and free when the frame is
+    // GC'd, where a cache() entry would sit in the CacheManager until
+    // an unpersist this API can never issue (the caller owns the last
+    // action). Same discipline as GlobalOrder's ordering pin.
+    val ed = e.join(deg, "src").repartition(col("src"))
+    val edp = if (useReliable) ed.checkpoint(eager = false)
+      else ed.localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "PageRank on an empty edge frame")
     val r0 = 1000000000000L / n
     val base = (r0 * 15L) / 100L
     var ranks = nodes.withColumn("r", lit(r0))
     for (i <- 1 to iters) {
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = edp.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(r * 85) div (100 * deg)").as("c"))
         .groupBy("node").agg(sum("c").as("m"))
@@ -112,7 +117,11 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"), col("_s").isNotNull.as("is_src")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").repartition(col("src")).cache()
+    // lazy-checkpointed like ranks(): pinned across rounds, freed by
+    // the ContextCleaner, no CacheManager residue
+    val ed0 = e.join(deg, "src").repartition(col("src"))
+    val ed = if (useReliable) ed0.checkpoint(eager = false)
+      else ed0.localCheckpoint(eager = false)
     val nSrc = nodes.where(col("is_src")).count()
     require(nSrc > 0, "PageRank.personalized: no source intersects the graph")
     val r0 = 1000000000000L / nSrc

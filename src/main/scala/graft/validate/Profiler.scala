@@ -102,4 +102,45 @@ object Profiler {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Per-column Shannon entropy (nats) over the value distribution —
+    * the key-detection / drift companion to [[profile]]: entropy near
+    * ln(n) flags a key column, entropy near 0 a constant, and an
+    * entropy shift between snapshots is distribution drift that
+    * min/max/distinct miss. ALL columns ride ONE shuffle: the frame is
+    * unpivoted to (col_name, value) rows first, so the value histogram
+    * for every column is a single groupBy — never a per-column scan
+    * loop.
+    *
+    * Engine-reproducible: H = ln(n) − Σ cnt·ln(cnt) / n is computed
+    * with the per-value terms integer-quantized to
+    * `cnt · round(ln(cnt)·10⁶)` BIGINTs, accumulated in DECIMAL(38,0)
+    * (order-independent, = DuckDB HUGEINT), and one pinned closing
+    * double chain floored to 10⁻⁶. Values hash on their STRING form —
+    * callers pass string/integer columns (float formatting is not
+    * cross-engine stable).
+    *
+    * Null semantics: nulls are excluded from the distribution (a
+    * column's n is its non-null count; an all-null column is absent).
+    */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropy needs >= 1 column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*))
+        .as("s"))
+      .select(col("s.col_name"), col("s.val"))
+      .where(col("val").isNotNull)
+    val hist = stacked.groupBy("col_name", "val")
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy("col_name")
+      .agg(sum("cnt").as("n_nonnull"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("cnt") * round(log(col("cnt").cast("double")) * 1000000)
+          .cast("long")).cast("decimal(38,0)")).as("s_terms"))
+      .select(col("col_name"), col("n_nonnull"), col("n_distinct"),
+        (floor((log(col("n_nonnull").cast("double")) -
+          col("s_terms").cast("double") /
+            col("n_nonnull").cast("double") / 1000000.0) * 1000000)
+          / 1000000).as("entropy_nats"))
+  }
 }

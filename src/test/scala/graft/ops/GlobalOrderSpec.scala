@@ -69,6 +69,10 @@ class GlobalOrderSpec extends SparkSpec {
     // cache() via CacheManager would leak one corpus-sized entry per
     // call until an unpersist the API never issues; localCheckpoint
     // blocks are ContextCleaner-managed. Pin: no CacheManager entry.
+    // the session (and its CacheManager) is shared across suites —
+    // start from a clean slate so residue from an unrelated suite
+    // cannot fail (or mask) THIS operator's no-cache pin
+    spark.sharedState.cacheManager.clearCache()
     val df = spark.range(1000).toDF("id")
     GlobalOrder.shuffled(df, "id").count()
     GlobalOrder.shuffled(df, "id", salt = 7L).count()
