@@ -2979,6 +2979,24 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ABA routing-number checksum audit: the Federal Reserve mod-10
+    // weighted check over md5-derived synthetic 9-digit routing
+    // numbers, per nation — the check the reference's 9-digit-numeric
+    // rule stops short of (~90% of random 9-digit strings fail it).
+    "v_aba_checksum" -> ((s, dir) => {
+      val rtn = lpad((conv(substring(md5(concat(lit("rtn:"),
+        col("c_custkey").cast("string"))), 1, 15), 16, 10).cast("long")
+        % 1000000000L).cast("string"), 9, "0")
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          rtn.as("rtn"))
+        .withColumn("bad", graft.rules.Checks.abaChecksum(col("rtn")))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+        .orderBy("nation")
+    }),
+
     // per-group OLS trend: slope/intercept/R² of the daily revenue
     // series per order priority — exact decimal sums, pinned closing
     // chains. The grouped sibling of the Zipf fit.
@@ -3057,6 +3075,37 @@ object SparkEntry {
     * parity pin (SimilaritySpec) these paths already carry. Bench runs
     * them so the recorded numbers measure what production executes. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-core of the part co-purchase graph: iterative peel to the
+    // 8-core (dense co-assortment families). Rounds are data-dependent
+    // (KCoreSpec pins semantics), so bench-only — no SQL replay.
+    "kcore_copurchase" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
+        .filter(col("p") =!= col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      graft.ops.KCore.core(edges, k = 8)
+        .agg(count(lit(1)).as("core_nodes"), sum("degree").as("degree_sum"))
+    }),
+
+    // product quantization round trip: train 8x64 codebooks, encode
+    // the corpus to 8-byte codes, ADC-probe 10 queries, and report the
+    // top-1 agreement with brute cosine — the memory-bounded serving
+    // path measured end to end (PqSpec pins exactness; no SQL oracle
+    // for the k-means training loop).
+    "pq_roundtrip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 64, iters = 3)
+      val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", model)
+      val queries = emb.where(col("vec_id") % 50 === 0).limit(10)
+      val top = graft.ops.Pq.adcTopK(codes, queries, "vec_id",
+        "embedding", model, k = 10)
+      top.agg(count(lit(1)).as("n_results"),
+        countDistinct(col("query_id")).as("n_queries"))
+    }),
+
     // deflate compression-ratio quality signal: native zlib kernel,
     // no SQL-expressible oracle (DeflateRatioSpec pins the kernel
     // against a direct Deflater reference) — benched because it is a
@@ -7598,7 +7647,35 @@ object SparkEntry {
         |    AS intercept,
         |  CASE WHEN dyi > 0 THEN
         |    floor(num * num / (dxd * dyd) * 1000000) / 1000000 END AS r2
-        |FROM d ORDER BY prio""".stripMargin
+        |FROM d ORDER BY prio""".stripMargin,
+
+    // ABA replay: same md5-derived routing numbers, same weighted
+    // mod-10 (all synthetic rtn are 9-digit numeric by construction,
+    // so the format branch never fires on either engine)
+    "v_aba_checksum" ->
+      """WITH r AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    lpad(CAST(CAST(('0x' ||
+        |      substr(md5('rtn:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000000 AS VARCHAR), 9, '0') AS rtn
+        |  FROM customer),
+        |d AS (
+        |  SELECT nation,
+        |    CAST(substr(rtn, 1, 1) AS INT) AS d1,
+        |    CAST(substr(rtn, 2, 1) AS INT) AS d2,
+        |    CAST(substr(rtn, 3, 1) AS INT) AS d3,
+        |    CAST(substr(rtn, 4, 1) AS INT) AS d4,
+        |    CAST(substr(rtn, 5, 1) AS INT) AS d5,
+        |    CAST(substr(rtn, 6, 1) AS INT) AS d6,
+        |    CAST(substr(rtn, 7, 1) AS INT) AS d7,
+        |    CAST(substr(rtn, 8, 1) AS INT) AS d8,
+        |    CAST(substr(rtn, 9, 1) AS INT) AS d9
+        |  FROM r)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN (3 * (d1 + d4 + d7) + 7 * (d2 + d5 + d8)
+        |    + (d3 + d6 + d9)) % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad
+        |FROM d GROUP BY nation ORDER BY nation""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

@@ -99,6 +99,68 @@ object Kernels {
     java.lang.Long.valueOf(bestId)
   }
 
+  /** L2 argmin cell assignment — [[argmaxCosineCell]]'s squared-
+    * euclidean sibling, the product-quantization encode kernel: PQ
+    * subquantizers minimize L2 on raw subvectors (cosine would
+    * re-normalize each subvector and distort the codebook). Distances
+    * are rounded to 6 decimals before comparison (replay parity with
+    * every other scored kernel here); ties go to the smaller cent_id;
+    * dimension-mismatched centroids are skipped; empty codebook or
+    * no valid centroid → null. */
+  def argminL2Cell(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                   cents: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val m = cents.numElements()
+    if (m == 0) return null
+    val n = vec.numElements()
+    var bestScore = 0.0
+    var bestHas = false
+    var bestId = 0L
+    var i = 0
+    while (i < m) {
+      val c = cents.getStruct(i, 2)
+      val cv = c.getArray(1)
+      if (cv.numElements() == n) {
+        var d2 = 0.0
+        var k = 0
+        while (k < n) {
+          val d = vec.getFloat(k).toDouble - cv.getFloat(k).toDouble
+          d2 += d * d
+          k += 1
+        }
+        val s = round6(d2)
+        val id = c.getLong(0)
+        if (!bestHas || java.lang.Double.compare(s, bestScore) < 0 ||
+            (java.lang.Double.compare(s, bestScore) == 0 && id < bestId)) {
+          bestHas = true; bestScore = s; bestId = id
+        }
+      }
+      i += 1
+    }
+    if (!bestHas) null else java.lang.Long.valueOf(bestId)
+  }
+
+  /** Asymmetric-distance (ADC) score: `sum_s table[s][codes[s]]` — the
+    * product-quantization probe kernel. `codes` is array<int> of
+    * length m; `table` is array<array<double>> (m rows of ksub
+    * per-codeword distances, precomputed once per query). Returns null
+    * on ragged input (code out of a row's range or m mismatch) —
+    * hostile inputs degrade to null, never an exception. */
+  def adcScore(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+               table: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (m != table.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val row = table.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= row.numElements()) return null
+      s += row.getDouble(c)
+      i += 1
+    }
+    java.lang.Double.valueOf(round6(s))
+  }
+
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates
   // over UTF8String bytes. The Column formulations they replace

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid 2011) — the memory side of
+  * the ANN serving story: IVF ([[Ann.ivfTopK]]) bounds how much of the
+  * corpus a probe SCANS; PQ bounds how many bytes per vector the scan
+  * TOUCHES. Each vector splits into `m` contiguous subvectors; each
+  * subspace gets its own `ksub`-codeword L2 k-means codebook; a vector
+  * is stored as m small codes (m bytes at ksub=256 — a 64-dim float
+  * vector compresses 256 B → 8 B, the difference between an index that
+  * fits executor memory at 10⁹ vectors and one that does not). Queries
+  * score against codes with an asymmetric-distance table: m·ksub exact
+  * subdistances computed ONCE per query, then every corpus row costs m
+  * table lookups (the [[graft.expr.AdcScore]] native kernel).
+  *
+  * Training shape: ALL subspaces train jointly — one explode to
+  * (sub, subvec) rows, then per iteration ONE broadcast-join +
+  * argmin + vector-sum aggregate job for every codebook at once (m
+  * separate k-means loops would scan the corpus m times per
+  * iteration). The model is driver-resident between iterations like
+  * [[Ann.kmeansCentroids]]; encode and probe are narrow scans against
+  * literal codebooks — no shuffle anywhere but the final top-k's
+  * map-side partials.
+  *
+  * Deterministic end to end: md5-sampled seeds, fixed iterations,
+  * 6-decimal-rounded distances with id tie-breaks. */
+object Pq {
+
+  /** Train per-subspace codebooks. Returns `(sub, cent_id, cent_vec)`
+    * with cent_id in [0, ksub). `dim` must divide evenly by `m`. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 256, iters: Int = 5): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 1)
+    val spark = corpus.sparkSession
+    val first = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(first % m == 0, s"dim $first not divisible by m=$m")
+    val dsub = first / m
+
+    // md5-deterministic seed rows; each contributes one seed PER sub
+    val seedRows = corpus
+      .select(col(idCol).cast("string").as("sid"), col(vecCol).as("v"))
+      .orderBy(md5(col("sid")).asc, col("sid").asc)
+      .limit(ksub).collect()
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seedRows.map(_.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub)
+        .toArray).toArray
+    }
+
+    val subs = (0 until m).map(s => struct(lit(s).as("sub"),
+      slice(col(vecCol), s * dsub + 1, dsub).as("sv")))
+    val ex = corpus.select(explode(array(subs: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .localCheckpoint(eager = false)
+
+    def bookDf(): DataFrame = {
+      import spark.implicits._
+      (0 until m).flatMap(s => books(s).zipWithIndex.map { case (cw, c) =>
+        (s, c.toLong, cw.toSeq)
+      }).toDF("sub", "cent_id", "cent_vec")
+    }
+    for (_ <- 1 to iters) {
+      val cb = bookDf().groupBy("sub")
+        .agg(array_sort(collect_list(
+          struct(col("cent_id"), col("cent_vec")))).as("cents"))
+      val assigned = ex.join(broadcast(cb), "sub")
+        .select(col("sub"),
+          graft.expr.ArgminCellL2.argminL2Cell(col("sv"), col("cents"))
+            .as("cell"),
+          col("sv"))
+      val means = assigned.groupBy("sub", "cell")
+        .agg(graft.expr.VectorSum.vectorSum(col("sv")).as("s"))
+        .select(col("sub"), col("cell"),
+          expr("transform(s.sums, x -> CAST(x / s.n AS FLOAT))").as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2))
+        .toMap
+      books = Array.tabulate(m) { s =>
+        books(s).zipWithIndex.map { case (old, c) =>
+          means.get((s, c.toLong)).map(_.toArray).getOrElse(old)
+        }
+      }
+    }
+    bookDf()
+  }
+
+  private def driverBooks(model: DataFrame): (Int, Array[Array[Array[Float]]]) = {
+    val rows = model.select(col("sub"), col("cent_id"), col("cent_vec"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+    }
+    (m, books)
+  }
+
+  private def centsLit(cw: Array[Array[Float]]): Column =
+    typedlit(cw.zipWithIndex.map { case (v, c) => (c.toLong, v.toSeq) }.toSeq)
+
+  /** Encode the corpus: `(id, codes array<int>)` — m codes per row via
+    * the native L2 argmin against literal codebooks (narrow scan, no
+    * shuffle, whole-stage codegen). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    val (m, books) = driverBooks(model)
+    val dsub = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      graft.expr.ArgminCellL2.argminL2Cell(
+        slice(col(vecCol), s * dsub + 1, dsub), centsLit(books(s)))
+        .cast("int")
+    }
+    corpus.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Top-k nearest (smallest ADC distance) corpus codes per query:
+    * `(query_id, neighbor_id, adc_dist, rnk)`. The per-query distance
+    * table is computed once on the (broadcast) query side; each
+    * corpus row then costs m native lookups. Ties break to the
+    * smaller neighbor id. */
+  def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: DataFrame, k: Int): DataFrame = {
+    val (m, books) = driverBooks(model)
+    val dsub = books(0)(0).length
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
+      aggregate(zip_with(slice(col(vecCol), s * dsub + 1, lit(dsub)), cw,
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol))
+      .withColumn("tbl", table)
+      .select(col("query_id"), col("tbl")))
+    val scored = codes.crossJoin(q)
+      .select(col("query_id"),
+        (-graft.expr.AdcScore.adcScore(col("codes"), col("tbl")))
+          .as("cosine"),
+        col("id").as("neighbor_id"))
+      .where(col("cosine").isNotNull)
+    Ann.topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).as("adc_dist"), col("rnk"))
+  }
+}

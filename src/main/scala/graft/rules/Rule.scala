@@ -151,4 +151,18 @@ object Checks {
   /** Violated when present and out of [lo, hi]. */
   def between(c: Column, lo: Double, hi: Double): Column =
     c.isNotNull && (c < lo || c > hi)
+
+  /** ABA routing-transit checksum: 9 digits with
+    * `3(d1+d4+d7) + 7(d2+d5+d8) + (d3+d6+d9) ≡ 0 (mod 10)` — the
+    * Federal Reserve check the reference's 9-digit-numeric rule stops
+    * short of; catches single-digit typos the format rule passes.
+    * Violated when present and either non-9-digit or checksum-bad. */
+  def abaChecksum(c: Column): Column = {
+    def d(i: Int): Column = substring(c, i, 1).cast("int")
+    // when() keeps the digit casts inside the 9-digit branch — ANSI
+    // mode would throw casting a non-digit character otherwise
+    present(c) && when(digits(c, 9), lit(true)).otherwise(
+      pmod(lit(3) * (d(1) + d(4) + d(7)) + lit(7) * (d(2) + d(5) + d(8)) +
+        (d(3) + d(6) + d(9)), lit(10)) =!= 0)
+  }
 }

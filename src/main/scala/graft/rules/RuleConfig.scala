@@ -51,6 +51,7 @@ sealed trait Pred {
         case "dateYmd"     => Checks.dateYmd(c)
         case "mustBeBlank" => Checks.mustBeBlank(c)
         case "between"     => Checks.between(c, lo.get, hi.get)
+        case "abaChecksum" => Checks.abaChecksum(c)
         case other => throw new IllegalArgumentException(s"unknown check kind: $other")
       }
     case Pred.Cmp(op, c0, value, valueType) =>
