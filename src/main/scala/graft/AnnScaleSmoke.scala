@@ -179,6 +179,87 @@ object AnnScaleSmoke {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  /** PQ + ECOD smoke (`runMain graft.AnnScaleSmoke pq [rows]`): a
+    * manifold-shaped corpus (rows/10 hash centers, 10 members each,
+    * noise comparable to center scale, L2-NORMALIZED — cosine serving
+    * normalizes first, which also makes ADC's L2 order the cosine
+    * order up to quantization), 8x256 codebooks = 8-byte codes (32x
+    * compression). Reports BOTH honest numbers for 100 queries vs
+    * exact brute cosine truth: raw ADC top-10 recall (what 8 bytes
+    * alone buy) and the production shape — ADC shortlist-200 + exact
+    * re-rank ([[graft.ops.Pq.adcRerankTopK]]), where quantization
+    * only affects which 200 rows are fetched. An ECOD depths pass
+    * over the same corpus rides along. One JSON line →
+    * BENCH_SCALE_ANN_PQ.json. */
+  def pqSmoke(spark: SparkSession, rows: Long): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val dir = java.nio.file.Files.createTempDirectory("ann-pq").toString
+    val nCenters = math.max(rows / 10, 1)
+    val raw = "transform(sequence(0, 63), j -> " +
+      s"pmod(xxhash64(pmod(xxhash64(id), $nCenters), j), 2000) / 1000.0 - 1.0 + " +
+      "pmod(xxhash64(id, j, 7), 800) / 1000.0 - 0.4)"
+    // parquet barrier between raw generation and normalization:
+    // composed in one select, CollapseProject would inline the raw
+    // derivation into the normalize lambda and re-evaluate it per
+    // element (the winnowing O(n²) trap)
+    spark.range(rows).select(col("id").as("vec_id"), expr(raw).as("vr"))
+      .withColumn("nrm", expr("sqrt(aggregate(vr, 0D, (a, v) -> a + v * v))"))
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    spark.read.parquet(s"$dir/raw")
+      .select(col("vec_id"),
+        expr("transform(vr, x -> CAST(x / nrm AS FLOAT))").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val corpus = spark.read.parquet(s"$dir/emb")
+    val queries = corpus.where(col("vec_id") < 100)
+
+    val (truth, tBrute) = time(
+      graft.ops.Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (model, tTrain) = time {
+      val m = graft.ops.Pq.train(corpus, "vec_id", "embedding",
+        m = 8, ksub = 256, iters = 3)
+      m.count(); m
+    }
+    val (codes, tEncode) = time {
+      val c = graft.ops.Pq.encode(corpus, "vec_id", "embedding", model)
+      c.write.mode("overwrite").parquet(s"$dir/codes")
+      spark.read.parquet(s"$dir/codes")
+    }
+    val (gotRaw, tProbe) = time(
+      graft.ops.Pq.adcTopK(codes, queries, "vec_id", "embedding", model, 11)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val recallRaw = truth.count(gotRaw.contains).toDouble / truth.size
+    val (gotRr, tRerank) = time(
+      graft.ops.Pq.adcRerankTopK(codes, corpus, queries, "vec_id",
+          "embedding", model, k = 10, shortlist = 200)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val recallRr = truth.count(gotRr.contains).toDouble / truth.size
+
+    val (_, tEcod) = time(
+      graft.ops.Ecod.depths(corpus, "vec_id", "embedding", quant = 1000)
+        .agg(min("depth"), max("depth")).collect())
+
+    val json = s"""{"metric":"ann_pq_smoke","rows":$rows,"dim":64,""" +
+      s""""m":8,"ksub":256,"bytes_per_vec":8,"compression_x":32,""" +
+      s""""brute_sec":${fmt(tBrute)},"train_sec":${fmt(tTrain)},""" +
+      s""""encode_sec":${fmt(tEncode)},"adc_probe_sec":${fmt(tProbe)},""" +
+      s""""adc_recall_at_10":${fmt(recallRaw)},""" +
+      s""""rerank_probe_sec":${fmt(tRerank)},""" +
+      s""""rerank200_recall_at_10":${fmt(recallRr)},""" +
+      s""""ecod_sec":${fmt(tEcod)}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_ANN_PQ.json"), json)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("auto")) {
       val rows = if (args.length > 1) args(1).toLong else 2000000L
@@ -189,6 +270,18 @@ object AnnScaleSmoke {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       auto(spark, rows)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pq")) {
+      val rows = if (args.length > 1) args(1).toLong else 2000000L
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      pqSmoke(spark, rows)
       spark.stop()
       return
     }

@@ -141,4 +141,29 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         (-col("cosine")).as("adc_dist"), col("rnk"))
   }
+
+  /** The production PQ serving shape: ADC shortlists `shortlist`
+    * candidates from the 8-byte codes (the cheap, memory-bounded
+    * scan), then ONLY those candidates are re-ranked with exact
+    * cosine against their full vectors — quantization error affects
+    * WHICH `shortlist` rows are fetched, never the final order.
+    * `corpus` provides the full vectors (in a real deployment, the
+    * row-group-pruned fetch of shortlisted ids). Output matches
+    * [[Ann.bruteTopK]]: `(query_id, neighbor_id, cosine, rnk)`,
+    * self-matches excluded. */
+  def adcRerankTopK(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, k: Int, shortlist: Int = 200): DataFrame = {
+    val sl = adcTopK(codes, queries, idCol, vecCol, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val scored = broadcast(sl).join(cv, "neighbor_id").join(qv, "query_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Ann.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    Ann.topKPerQuery(scored, k)
+  }
 }

@@ -55,6 +55,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("rerank serving shape matches bruteTopK when the shortlist covers") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 13 + j * 5) % 17 + 1).toFloat))
+    }.toDF("id", "vec")
+    val model = Pq.train(corpus, "id", "vec", m = 3, ksub = 8, iters = 3)
+    val codes = Pq.encode(corpus, "id", "vec", model)
+    val queries = corpus.where(col("id") < 3)
+    // shortlist = whole corpus: quantization cannot drop a candidate,
+    // so the exact re-rank MUST equal brute cosine
+    val got = Pq.adcRerankTopK(codes, corpus, queries, "id", "vec",
+        model, k = 5, shortlist = 40)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = Ann.bruteTopK(corpus, queries, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
   test("compression: codes are m small ints") {
     val corpus = (0 until 30).map(i =>
       (i.toLong, Seq.tabulate(8)(j => (i * j % 5).toFloat))).toDF("id", "vec")

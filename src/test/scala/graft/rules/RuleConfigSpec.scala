@@ -73,10 +73,12 @@ class RuleConfigSpec extends SparkSpec {
          "violation": {"kind": "not", "of": {"kind": "or", "of": [
            {"kind": "blank", "col": "a"}, {"kind": "numeric", "col": "a"}]}}},
         {"name": "r10", "message": "m10",
-         "violation": {"kind": "dateYmd", "col": "d1"}}
+         "violation": {"kind": "dateYmd", "col": "d1"}},
+        {"name": "r11", "message": "m11",
+         "violation": {"kind": "abaChecksum", "col": "a"}}
       ]}"""
     val rs = RuleSetConfig.fromJson(json).toRuleSet
-    assert(rs.rules.map(_.name) == (1 to 10).map(i => s"r$i"))
+    assert(rs.rules.map(_.name) == (1 to 11).map(i => s"r$i"))
 
     val df = Seq(
       ("x", "x", 5.0, "2024-01-01", "2024-06-01"),
@@ -97,7 +99,8 @@ class RuleConfigSpec extends SparkSpec {
       Rule("r8", Checks.present(col("d1")) && Checks.present(col("d2")) &&
         try_to_date(col("d2"), "yyyy-MM-dd").lt(try_to_date(col("d1"), "yyyy-MM-dd")), "m8"),
       Rule("r9", !(Checks.blank(col("a")) || Checks.numeric(col("a"))), "m9"),
-      Rule("r10", Checks.dateYmd(col("d1")), "m10")))
+      Rule("r10", Checks.dateYmd(col("d1")), "m10"),
+      Rule("r11", Checks.abaChecksum(col("a")), "m11")))
 
     val got = df.select(rs.errorsCol.as("e")).as[Seq[String]].collect().toSeq
     val want = df.select(twin.errorsCol.as("e")).as[Seq[String]].collect().toSeq
