@@ -243,6 +243,26 @@ object AnnScaleSmoke {
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val recallRr = truth.count(gotRr.contains).toDouble / truth.size
 
+    // IVF×PQ: md5-sampled 512 cells (the frontier winner's geometry),
+    // nprobe 50 — scan bound × byte bound × exact rerank composed
+    val cents512 = corpus
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
+      .limit(512)
+    val (codesCells, tCellEncode) = time {
+      val c = graft.ops.Pq.encodeWithCells(corpus, "vec_id", "embedding",
+        model, cents512)
+      c.write.mode("overwrite").parquet(s"$dir/codes_cells")
+      spark.read.parquet(s"$dir/codes_cells")
+    }
+    val (gotIvf, tIvfProbe) = time(
+      graft.ops.Pq.ivfAdcTopK(codesCells, corpus, queries, "vec_id",
+          "embedding", model, cents512, k = 10, nprobe = 50,
+          shortlist = 200)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val recallIvf = truth.count(gotIvf.contains).toDouble / truth.size
+
     val (_, tEcod) = time(
       graft.ops.Ecod.depths(corpus, "vec_id", "embedding", quant = 1000)
         .agg(min("depth"), max("depth")).collect())
@@ -254,6 +274,10 @@ object AnnScaleSmoke {
       s""""adc_recall_at_10":${fmt(recallRaw)},""" +
       s""""rerank_probe_sec":${fmt(tRerank)},""" +
       s""""rerank200_recall_at_10":${fmt(recallRr)},""" +
+      s""""ivfadc_cells":512,"ivfadc_nprobe":50,""" +
+      s""""ivfadc_encode_sec":${fmt(tCellEncode)},""" +
+      s""""ivfadc_probe_sec":${fmt(tIvfProbe)},""" +
+      s""""ivfadc_recall_at_10":${fmt(recallIvf)},""" +
       s""""ecod_sec":${fmt(tEcod)}}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -2979,6 +2979,18 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Adamic-Adar supplier affinity: suppliers sharing customers,
+    // rare shared customers weighted up — integer 1e6/ln(deg) terms
+    // so pair scores are exact BIGINTs.
+    "q_adamic_adar" -> ((s, dir) => {
+      val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.ops.LinkPrediction.adamicAdar(cs)
+        .orderBy("id1", "id2")
+    }),
+
     // ABA routing-number checksum audit: the Federal Reserve mod-10
     // weighted check over md5-derived synthetic 9-digit routing
     // numbers, per nation — the check the reference's 9-digit-numeric
@@ -7675,7 +7687,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN (3 * (d1 + d4 + d7) + 7 * (d2 + d5 + d8)
         |    + (d3 + d6 + d9)) % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_bad
-        |FROM d GROUP BY nation ORDER BY nation""".stripMargin
+        |FROM d GROUP BY nation ORDER BY nation""".stripMargin,
+
+    // Adamic-Adar replay: same wedge join, same integer terms
+    "q_adamic_adar" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |deg AS (
+        |  SELECT ck, CAST(count(*) AS BIGINT) AS deg FROM cs
+        |  GROUP BY ck HAVING count(*) >= 2),
+        |c AS (
+        |  SELECT cs.ck, cs.sk,
+        |    CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT)
+        |      AS term
+        |  FROM cs JOIN deg d ON cs.ck = d.ck)
+        |SELECT a.sk AS id1, b.sk AS id2,
+        |  CAST(sum(a.term) AS BIGINT) AS aa_score,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
+        |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

@@ -166,4 +166,70 @@ object Pq {
         round(Ann.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
     Ann.topKPerQuery(scored, k)
   }
+
+  /** IVF×PQ — the full FAISS-shaped serving index, composed from the
+    * two bounds this file and [[Ann]] provide separately: the IVF
+    * cells bound how much of the corpus a probe SCANS (only `nprobe`
+    * cells' rows are touched), the PQ codes bound the BYTES each
+    * scanned row costs (m per row), and the exact re-rank bounds the
+    * quality loss to "was the true neighbor shortlisted". Encode once
+    * with [[encodeWithCells]]; codes carry their cell so the probe is
+    * one cell equi-join — the corpus vectors are only fetched for the
+    * `shortlist` re-ranked rows.
+    *
+    * No-residual variant (codes quantize raw vectors, not v−centroid):
+    * one codebook serves every cell, which keeps train/encode one
+    * pass; residual encoding buys sharper codes at the cost of
+    * per-cell tables — swap in when recall at fixed m needs it. */
+  def encodeWithCells(corpus: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(Ann.centroidArray(centroids))
+    encode(corpus, idCol, vecCol, model)
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("_v")), "id")
+      .crossJoin(cents)
+      .select(col("id"), col("codes"),
+        Ann.bestCell(col("_v"), col("cents")).as("cell"))
+  }
+
+  /** Top-k per query over an [[encodeWithCells]] index:
+    * `(query_id, neighbor_id, cosine, rnk)` like [[Ann.bruteTopK]].
+    * Scan = rows in the query's `nprobe` nearest cells; each scanned
+    * row costs m ADC lookups; `shortlist` candidates re-rank exact. */
+  def ivfAdcTopK(codesWithCells: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 8, shortlist: Int = 200): DataFrame = {
+    val (m, books) = driverBooks(model)
+    val dsub = books(0)(0).length
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
+      aggregate(zip_with(slice(col(vecCol), s * dsub + 1, lit(dsub)), cw,
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)))
+    val cents = broadcast(Ann.centroidArray(centroids))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol))
+      .withColumn("tbl", table)
+      .crossJoin(cents)
+      .select(col("query_id"), col("tbl"),
+        explode(Ann.topCells(col(vecCol), col("cents"), nprobe)).as("p"))
+      .select(col("query_id"), col("tbl"), col("p.cent_id").as("cell")))
+    val scored = codesWithCells.join(probes, "cell")
+      .select(col("query_id"),
+        (-graft.expr.AdcScore.adcScore(col("codes"), col("tbl")))
+          .as("cosine"),
+        col("id").as("neighbor_id"))
+      .where(col("cosine").isNotNull)
+    val sl = Ann.topKPerQuery(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val reranked = broadcast(sl).join(cv, "neighbor_id").join(qv, "query_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Ann.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    Ann.topKPerQuery(reranked, k)
+  }
 }

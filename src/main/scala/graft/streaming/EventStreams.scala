@@ -215,6 +215,44 @@ object EventStreams {
   final case class EwmaState(level: Double, n: Long)
   final case class EwmaLevel(user_id: Long, n: Long, level: Double)
 
+  /** Streaming two-sided CUSUM — the unbounded-series form of
+    * [[graft.ops.Smoothing.cusumAlerts]]: per-key state is four
+    * numbers, each micro-batch's rows fold in full-precision
+    * (ts, event_id) order with the identical recurrence, so a stream
+    * replayed as one batch yields the SAME accumulators and alert
+    * indices (pinned in spec). Update-mode output: the key's current
+    * (n, n_alerts, first_alert, sp, sn) per batch it appears in. */
+  def cusumLevels(events: Dataset[Event], target: Double, slack: Double,
+      threshold: Double): Dataset[CusumLevel] = {
+    import events.sparkSession.implicits._
+    require(slack >= 0 && threshold > 0, s"bad slack=$slack threshold=$threshold")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, CusumLevel](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts_us.getTime * 1000L + (e.ts_us.getNanos / 1000L) % 1000L,
+              e.event_id))
+          var cur = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L, 0L, -1L))
+          for (e <- sorted) {
+            val sp = math.max(0.0, cur.sp + (e.value - target - slack))
+            val sn = math.max(0.0, cur.sn + (target - e.value - slack))
+            val i = cur.n + 1
+            val alert = sp > threshold || sn > threshold
+            cur = CusumState(sp, sn, i,
+              cur.na + (if (alert) 1L else 0L),
+              if (cur.first == -1L && alert) i else cur.first)
+          }
+          state.update(cur)
+          CusumLevel(userId, cur.n, cur.na, cur.first, cur.sp, cur.sn)
+      }
+  }
+
+  final case class CusumState(sp: Double, sn: Double, n: Long, na: Long,
+                              first: Long)
+  final case class CusumLevel(user_id: Long, n: Long, n_alerts: Long,
+                              first_alert: Long, sp: Double, sn: Double)
+
   final case class Event(event_id: Long, ts_us: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)

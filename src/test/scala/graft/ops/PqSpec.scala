@@ -73,6 +73,40 @@ class PqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivf-adc with full probe and shortlist equals bruteTopK") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 13 + j * 5) % 17 + 1).toFloat))
+    }.toDF("id", "vec")
+    val model = Pq.train(corpus, "id", "vec", m = 3, ksub = 8, iters = 3)
+    val cents = Ann.kmeansCentroids(corpus, "id", "vec", k = 4, iters = 3)
+    val codes = Pq.encodeWithCells(corpus, "id", "vec", model, cents)
+    assert(codes.select(countDistinct(col("cell"))).first().getLong(0) >= 2L)
+    val queries = corpus.where(col("id") < 3)
+    // probe EVERY cell and shortlist the whole corpus: the IVF and PQ
+    // stages cannot drop a candidate, so exact re-rank == brute
+    val got = Pq.ivfAdcTopK(codes, corpus, queries, "id", "vec",
+        model, cents, k = 5, nprobe = 4, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Ann.bruteTopK(corpus, queries, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("ivf-adc narrow probe only scans the probed cells") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i % 3) * 10 + j).toFloat))
+    }.toDF("id", "vec")
+    val model = Pq.train(corpus, "id", "vec", m = 2, ksub = 8, iters = 2)
+    val cents = Ann.kmeansCentroids(corpus, "id", "vec", k = 3, iters = 3)
+    val codes = Pq.encodeWithCells(corpus, "id", "vec", model, cents)
+    val queries = corpus.where(col("id") === 0)
+    val got = Pq.ivfAdcTopK(codes, corpus, queries, "id", "vec",
+      model, cents, k = 5, nprobe = 1, shortlist = 60)
+      .collect().map(_.getLong(1)).toSet
+    // nprobe=1: all results come from the query's own cluster (i%3==0)
+    assert(got.nonEmpty && got.forall(_ % 3 == 0), got.toString)
+  }
+
   test("compression: codes are m small ints") {
     val corpus = (0 until 30).map(i =>
       (i.toLong, Seq.tabulate(8)(j => (i * j % 5).toFloat))).toDF("id", "vec")

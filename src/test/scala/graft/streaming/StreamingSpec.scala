@@ -172,6 +172,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum matches the batch fold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = cusumLevels(mem.toDS(), target = 10.0, slack = 1.0,
+        threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "m", 10.0), Event(2, ts(1), 1, "m", 13.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 1, "m", 13.0), Event(4, ts(3), 1, "m", 13.0),
+        Event(5, ts(4), 1, "m", 13.0))
+      q.processAllAvailable()
+      val last = spark.table("cusum_stream").as[CusumLevel].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      // steps add 0,2,2,2,2 -> S+ = 8, crossing 5 at step 4
+      assert(last.n == 5L && last.first_alert == 4L && last.n_alerts == 2L)
+      val batch = graft.ops.Smoothing.cusumAlerts(
+        Seq((1L, 0L, 1L, 10.0), (1L, 1L, 2L, 13.0), (1L, 2L, 3L, 13.0),
+          (1L, 3L, 4L, 13.0), (1L, 4L, 5L, 13.0))
+          .toDF("k", "t", "id", "v"), "k", "t", "id", "v", 10.0, 1.0, 5.0)
+        .collect()(0)
+      assert(batch.getLong(2) == last.n_alerts &&
+        batch.getLong(3) == last.first_alert)
+      assert(batch.getDouble(4) == math.floor(last.sp * 1e6) / 1e6)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
