@@ -2979,6 +2979,17 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Poisson-bootstrap 95% CI for mean order value (cents): 200
+    // deterministic md5-weighted replicates in one pass, exact integer
+    // weighted sums, order-statistic bounds.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.Bootstrap.meanCi(orders, "o_orderkey", "cents",
+        replicates = 200, seed = "bs")
+    }),
+
     // Adamic-Adar supplier affinity: suppliers sharing customers,
     // rare shared customers weighted up — integer 1e6/ln(deg) terms
     // so pair scores are exact BIGINTs.
@@ -7706,7 +7717,56 @@ object SparkEntry {
         |  CAST(sum(a.term) AS BIGINT) AS aa_score,
         |  CAST(count(*) AS BIGINT) AS n_common
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
-        |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin
+        |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
+
+    // bootstrap replay: same md5 uniforms, same 17-digit Poisson CDF
+    // literals (both engines parse them to identical doubles), same
+    // exact integer weighted sums and order-statistic bounds
+    "q_bootstrap_ci" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |rep AS (
+        |  SELECT id, v, CAST(t.r AS INT) AS r
+        |  FROM rows_, unnest(range(0, 200)) AS t(r)),
+        |uw AS (
+        |  SELECT r, v,
+        |    CAST(CAST(('0x' || substr(md5('bs' || ':' ||
+        |      CAST(r AS VARCHAR) || ':' || id), 1, 15)) AS BIGINT)
+        |      % 1099511627776 AS DOUBLE) / 1099511627776.0 AS u
+        |  FROM rep),
+        |w AS (
+        |  SELECT r, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999832982992097 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM uw),
+        |means AS (
+        |  SELECT r,
+        |    floor(CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |      * 1000000) / 1000000 AS m
+        |  FROM w GROUP BY r HAVING sum(w) > 0),
+        |ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM means),
+        |bounds AS (
+        |  SELECT max(CASE WHEN rn = 5 THEN m END) AS mean_lo,
+        |         max(CASE WHEN rn = 195 THEN m END) AS mean_hi,
+        |         CAST(count(*) AS BIGINT) AS n_replicates
+        |  FROM ranked),
+        |pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * 1000000) / 1000000 AS mean_point
+        |  FROM rows_)
+        |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
+        |FROM pt, bounds""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score
