@@ -2979,6 +2979,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Welch unequal-variance z: BUILDING customers' balances vs the
+    // rest — exact decimal sufficient statistics, one pinned chain.
+    "q_welch_acctbal" -> ((s, dir) => {
+      graft.ops.Hypothesis.welchZ(
+        t(s, dir, "customer")
+          .select((col("c_mktsegment") === "BUILDING").as("grp"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents")),
+        "grp", "cents")
+    }),
+
+    // Mann-Whitney U: en vs non-en document lengths — doubled ranks
+    // from a value histogram (no corpus sort), tie-corrected z.
+    "q_mannwhitney_chars" -> ((s, dir) => {
+      graft.ops.Hypothesis.mannWhitney(
+        t(s, dir, "documents")
+          .select((col("lang") === "en").as("grp"), col("n_chars")),
+        "grp", "n_chars")
+    }),
+
     // Poisson-bootstrap 95% CI for mean order value (cents): 200
     // deterministic md5-weighted replicates in one pass, exact integer
     // weighted sums, order-statistic bounds.
@@ -7766,7 +7785,80 @@ object SparkEntry {
         |      * 1000000) / 1000000 AS mean_point
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
-        |FROM pt, bounds""".stripMargin
+        |FROM pt, bounds""".stripMargin,
+
+    // Welch replay: exact HUGEINT sufficient statistics, identical
+    // pinned chain (mean, variance, se², z — same division order)
+    "q_welch_acctbal" ->
+      """WITH g AS (
+        |  SELECT (c_mktsegment = 'BUILDING') AS a,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |s AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS sx,
+        |    CAST(sum(v * v) AS HUGEINT) AS sxx
+        |  FROM g GROUP BY a),
+        |wide AS (
+        |  SELECT max(CASE WHEN a THEN n END) AS na,
+        |    max(CASE WHEN a THEN sx END) AS sxa,
+        |    max(CASE WHEN a THEN sxx END) AS sxxa,
+        |    max(CASE WHEN NOT a THEN n END) AS nb,
+        |    max(CASE WHEN NOT a THEN sx END) AS sxb,
+        |    max(CASE WHEN NOT a THEN sxx END) AS sxxb
+        |  FROM s),
+        |d AS (
+        |  SELECT na, nb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    CAST(na * sxxa - sxa * sxa AS DOUBLE)
+        |      / CAST(na * (na - 1) AS DOUBLE) / CAST(na AS DOUBLE)
+        |    + CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+        |      / CAST(nb * (nb - 1) AS DOUBLE) / CAST(nb AS DOUBLE) AS se2
+        |  FROM wide)
+        |SELECT na AS n_a, nb AS n_b,
+        |  floor(ma * 1000000) / 1000000 AS mean_a,
+        |  floor(mb * 1000000) / 1000000 AS mean_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+        |    floor((ma - mb) / sqrt(se2) * 1000000) / 1000000 END AS z
+        |FROM d""".stripMargin,
+
+    // Mann-Whitney replay: same doubled-rank histogram cumulative,
+    // same tie-corrected variance chain
+    "q_mannwhitney_chars" ->
+      """WITH rws AS (
+        |  SELECT (lang = 'en') AS a, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |hist AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        |  FROM rws GROUP BY v),
+        |cum AS (
+        |  SELECT v, t, ta,
+        |    2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS dr,
+        |    CAST(t * t * t - t AS HUGEINT) AS tc
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(sum(ta) AS BIGINT) AS na,
+        |    CAST(sum(t - ta) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(ta * dr AS HUGEINT)) AS HUGEINT) AS dra,
+        |    CAST(sum(tc) AS HUGEINT) AS ties
+        |  FROM cum),
+        |d AS (
+        |  SELECT na, nb, CAST(dra - na * (na + 1) AS BIGINT) AS u2,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |      ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+        |       - CAST(ties AS DOUBLE) /
+        |         ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))) AS varu
+        |  FROM agg)
+        |SELECT na AS n_a, nb AS n_b, u2,
+        |  CASE WHEN na >= 1 AND nb >= 1 AND varu > 0 THEN
+        |    floor((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE)
+        |      * CAST(nb AS DOUBLE)) / (2.0 * sqrt(varu)) * 1000000)
+        |      / 1000000 END AS z
+        |FROM d""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests — the decision layer on top of the
+  * profiling/drift/bootstrap statistics: "is segment A's metric
+  * actually different from B's, or is it noise". Both tests are
+  * engine-reproducible: every sufficient statistic is an exact
+  * integer aggregate (caller-quantized values, histogram ranks), and
+  * the closing test statistic is one pinned double chain over exact
+  * integers.
+  *
+  * Scale shape: Welch is one grouped aggregate; Mann-Whitney builds
+  * the rank sums from a VALUE HISTOGRAM cumulative (the ECOD trick) —
+  * ties get exact average ranks via doubled-rank integers, never a
+  * corpus-wide sort. */
+object Hypothesis {
+
+  /** Welch's unequal-variance z-test for the difference of means of
+    * `valueCol` (integral) between rows where `groupCol` is true and
+    * the rest. Output one row: `(n_a, n_b, mean_a, mean_b, z)` —
+    * means and z floored to 10⁻⁶; z NULL when either side is
+    * degenerate (n < 2 or both variances zero). */
+  def welchZ(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.select(col(groupCol).cast("boolean").as("a"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("a")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sx"),
+        sum((col("v") * col("v")).cast(dec)).as("sxx"))
+    val wide = g.agg(
+      max(when(col("a"), col("n"))).as("na"),
+      max(when(col("a"), col("sx"))).as("sxa"),
+      max(when(col("a"), col("sxx"))).as("sxxa"),
+      max(when(!col("a"), col("n"))).as("nb"),
+      max(when(!col("a"), col("sx"))).as("sxb"),
+      max(when(!col("a"), col("sxx"))).as("sxxb"))
+    def mean(sx: String, n: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    def varOf(n: String, sx: String, sxx: String) =
+      (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
+        (col(n) * (col(n) - 1)).cast("double")
+    val va = varOf("na", "sxa", "sxxa"); val vb = varOf("nb", "sxb", "sxxb")
+    val se2 = va / col("na").cast("double") + vb / col("nb").cast("double")
+    wide.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (floor(mean("sxa", "na") * 1000000) / 1000000).as("mean_a"),
+      (floor(mean("sxb", "nb") * 1000000) / 1000000).as("mean_b"),
+      when(col("na") >= 2 && col("nb") >= 2 && se2 > 0,
+        floor((mean("sxa", "na") - mean("sxb", "nb")) / sqrt(se2)
+          * 1000000) / 1000000).as("z"))
+  }
+
+  /** Mann-Whitney U (normal approximation, tie-corrected) comparing
+    * `valueCol` between `groupCol`=true (side A) and the rest.
+    * Doubled ranks keep tie-averaged ranks integral:
+    * `dr(v) = 2·#{x < v} + #{x = v} + 1`, so `2·R_A = Σ dr` over A is
+    * exact, `u2 = 2·U_A = 2R_A − n_a(n_a+1)` is the exact doubled
+    * statistic, and the tie-corrected z closes in one pinned chain.
+    * Output: `(n_a, n_b, u2, z)` — z NULL when a side is empty or
+    * every value ties. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(col(groupCol).cast("boolean").as("a"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+    val hist = rows.groupBy("v")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("ta"))
+    val w = Window.orderBy("v")
+    val cum = hist.withColumn("cle", sum("t").over(w))
+      .select(col("v"), col("t"), col("ta"),
+        (lit(2) * (col("cle") - col("t")) + col("t") + 1).as("dr"),
+        ((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tc"))
+    val agg = cum.agg(
+      sum(col("ta")).as("na"), sum(col("t") - col("ta")).as("nb"),
+      sum((col("ta") * col("dr")).cast(dec)).as("dra"),
+      sum(col("tc")).as("ties"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val n = col("na") + col("nb")
+    val nD = naD + nbD
+    val u2 = (col("dra") - col("na").cast(dec) * (col("na") + 1)).cast("long")
+    // var(U) = na·nb/12 · ((n+1) − Σ(t³−t)/(n(n−1))); z uses the
+    // doubled U: z = (2U − na·nb) / (2·sqrt(var))
+    val varU = naD * nbD / 12.0 *
+      ((nD + 1) - col("ties").cast("double") / (nD * (nD - 1)))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      u2.as("u2"),
+      when(col("na") >= 1 && col("nb") >= 1 && varU > 0,
+        floor((u2.cast("double") - naD * nbD) / (lit(2.0) * sqrt(varU))
+          * 1000000) / 1000000).as("z"))
+  }
+}

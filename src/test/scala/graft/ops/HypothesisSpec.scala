@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def welch(rows: Seq[(Boolean, Long)]): Row =
+    Hypothesis.welchZ(rows.toDF("grp", "v"), "grp", "v").collect()(0)
+
+  private def mw(rows: Seq[(Boolean, Long)]): Row =
+    Hypothesis.mannWhitney(rows.toDF("grp", "v"), "grp", "v").collect()(0)
+
+  test("welch: replicated formula on a hand sample") {
+    val a = Seq(10L, 12L, 14L, 16L); val b = Seq(20L, 22L, 24L, 26L, 28L)
+    val r = welch(a.map((true, _)) ++ b.map((false, _)))
+    def stats(xs: Seq[Long]) = {
+      val n = xs.size.toDouble; val m = xs.sum.toDouble / n
+      val v = (n * xs.map(x => x * x).sum - math.pow(xs.sum.toDouble, 2)) /
+        (n * (n - 1))
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    val z = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 13.0 && r.getDouble(3) == 24.0)
+    assert(math.abs(r.getDouble(4) - z) < 1e-5, s"${r.getDouble(4)} vs $z")
+  }
+
+  test("welch: identical groups give z near 0; constant sides give NULL") {
+    val same = (1 to 50).flatMap(i => Seq((true, (i % 7).toLong),
+      (false, (i % 7).toLong)))
+    assert(math.abs(welch(same).getDouble(4)) < 1e-9)
+    val const = Seq((true, 5L), (true, 5L), (false, 5L), (false, 5L))
+    assert(welch(const).isNullAt(4))
+  }
+
+  test("mann-whitney: textbook no-tie example") {
+    // A = {1,2,3}, B = {4,5,6}: ranks of A = 1,2,3, R_A = 6,
+    // U_A = 6 - 6 = 0 → u2 = 0; complete separation
+    val r = mw(Seq((true, 1L), (true, 2L), (true, 3L),
+      (false, 4L), (false, 5L), (false, 6L)))
+    assert(r.getLong(2) == 0L, s"u2 ${r.getLong(2)}")
+    assert(r.getDouble(3) < -1.9) // z = -4.5/sqrt(5.25) ~ -1.96
+  }
+
+  test("mann-whitney: ties get average ranks (doubled stays exact)") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 → R_A = 3.5 → U_A = 0.5
+    // u2 = 2*U_A = 1
+    val r = mw(Seq((true, 1L), (true, 2L), (false, 2L), (false, 3L)))
+    assert(r.getLong(2) == 1L, s"u2 ${r.getLong(2)}")
+  }
+
+  test("mann-whitney: identical distributions give z near 0; all-tied NULL") {
+    val same = (1 to 60).map(i => (i % 2 == 0, (i % 5).toLong))
+    assert(math.abs(mw(same).getDouble(3)) < 0.3)
+    val tied = Seq((true, 7L), (true, 7L), (false, 7L))
+    assert(mw(tied).isNullAt(3))
+  }
+
+  test("deterministic across partitionings") {
+    val rows = (1 to 300).map(i => (i % 3 == 0, (i * 13 % 41).toLong))
+    val a1 = Hypothesis.mannWhitney(rows.toDF("grp", "v").repartition(1),
+      "grp", "v").collect()(0)
+    val a2 = Hypothesis.mannWhitney(rows.toDF("grp", "v").repartition(7),
+      "grp", "v").collect()(0)
+    assert(a1 == a2)
+    val b1 = Hypothesis.welchZ(rows.toDF("grp", "v").repartition(1),
+      "grp", "v").collect()(0)
+    val b2 = Hypothesis.welchZ(rows.toDF("grp", "v").repartition(7),
+      "grp", "v").collect()(0)
+    assert(b1 == b2)
+  }
+}
