@@ -2979,6 +2979,28 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // the SAME composed recipe as q_recipe_pipeline, but every stage
+    // loaded from a JSON document (graft.recipe.RecipeConfig) — the
+    // rules-live-in-config principle applied to curation recipes; the
+    // shared oracle pins bit-identity with the hand-written chain.
+    "q_recipe_config" -> ((s, dir) => {
+      val json = """{"idCol": "doc_id", "textCol": "text",
+        |"langCol": "lang", "stages": [
+        |  {"kind": "gopherGate"},
+        |  {"kind": "exactDedup"},
+        |  {"kind": "mix", "replayable": true, "weights":
+        |    {"en": 0.5, "de": 0.125, "es": 0.125,
+        |     "fr": 0.125, "zh": 0.125}},
+        |  {"kind": "tokenBudget", "budget": 2000}
+        |]}""".stripMargin
+      graft.recipe.RecipeConfig.fromJson(json)
+        .run(t(s, dir, "documents").select("doc_id", "lang", "text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("tokens"))
+        .orderBy("lang")
+    }),
+
     // Welch unequal-variance z: BUILDING customers' balances vs the
     // rest — exact decimal sufficient statistics, one pinned chain.
     "q_welch_acctbal" -> ((s, dir) => {
@@ -3416,6 +3438,74 @@ object SparkEntry {
        |                 CAST(floor(CAST($b AS DOUBLE) * 100) AS BIGINT) AS y
        |          FROM lineitem
        |          WHERE $a IS NOT NULL AND $b IS NOT NULL)))""".stripMargin
+
+  /** Shared replay for the composed recipe: the hand-written pipeline
+    * (q_recipe_pipeline) and the JSON-loaded recipe (q_recipe_config)
+    * must produce the BIT-IDENTICAL frame, so they share one oracle. */
+  private val recipePipelineSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0) AS toks,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(chars / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS mean_word_q,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE floor(CAST(len(list_filter(toks,
+        |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    END AS alpha_frac_q,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |      ELSE floor((CAST(1.0 AS DOUBLE)
+        |             - CAST(len(list_distinct(list_transform(
+        |                 generate_series(1, len(toks) - 1),
+        |                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+        |               / CAST(len(toks) - 1 AS DOUBLE)) * 10000) / 10000
+        |    END AS dup_bigram_q
+        |  FROM t),
+        |kept AS (
+        |  SELECT doc_id, lang, text, n_words FROM m
+        |  WHERE (n_words BETWEEN 30 AND 100000)
+        |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
+        |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05),
+        |fp AS (
+        |  SELECT doc_id, lang, n_words,
+        |    md5(regexp_replace(trim(lower(nfc_normalize(text))),
+        |        '\s+', ' ', 'g')) AS f
+        |  FROM kept),
+        |reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |dd AS (
+        |  SELECT fp.doc_id, fp.lang, fp.n_words
+        |  FROM fp JOIN reps ON fp.f = reps.f AND fp.doc_id = reps.doc_id),
+        |sz AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
+        |tw AS (
+        |  SELECT lang, n,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS w
+        |  FROM sz),
+        |scale AS (SELECT min(n / w) AS nn FROM tw),
+        |rates AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE), w * nn / n) AS rate
+        |  FROM tw CROSS JOIN scale),
+        |mixed AS (
+        |  SELECT dd.doc_id, dd.lang, dd.n_words
+        |  FROM dd JOIN rates r USING (lang)
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |          1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE)
+        |        < r.rate * CAST(1099511627776 AS DOUBLE)),
+        |c AS (
+        |  SELECT lang, n_words,
+        |    sum(n_words) OVER (PARTITION BY lang ORDER BY
+        |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+        |        1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE), doc_id) AS cum
+        |  FROM mixed)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS tokens
+        |FROM c WHERE cum <= 2000
+        |GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5562,70 +5652,8 @@ object SparkEntry {
     // recipe replay: gopher gate → NFC-fingerprint dedup → size-
     // solved mixing rates → md5 threshold → token-budget window —
     // each stage the same SQL its standalone oracle uses, chained.
-    "q_recipe_pipeline" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |                x -> length(x) > 0) AS toks,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_words,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |      ELSE floor(chars / CAST(len(toks) AS DOUBLE) * 10000) / 10000
-        |    END AS mean_word_q,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |      ELSE floor(CAST(len(list_filter(toks,
-        |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |           / CAST(len(toks) AS DOUBLE) * 10000) / 10000
-        |    END AS alpha_frac_q,
-        |    CASE WHEN len(toks) < 2 THEN 0.0
-        |      ELSE floor((CAST(1.0 AS DOUBLE)
-        |             - CAST(len(list_distinct(list_transform(
-        |                 generate_series(1, len(toks) - 1),
-        |                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
-        |               / CAST(len(toks) - 1 AS DOUBLE)) * 10000) / 10000
-        |    END AS dup_bigram_q
-        |  FROM t),
-        |kept AS (
-        |  SELECT doc_id, lang, text, n_words FROM m
-        |  WHERE (n_words BETWEEN 30 AND 100000)
-        |    AND (mean_word_q BETWEEN 4.0 AND 10.0)
-        |    AND alpha_frac_q >= 0.8 AND dup_bigram_q <= 0.05),
-        |fp AS (
-        |  SELECT doc_id, lang, n_words,
-        |    md5(regexp_replace(trim(lower(nfc_normalize(text))),
-        |        '\s+', ' ', 'g')) AS f
-        |  FROM kept),
-        |reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
-        |dd AS (
-        |  SELECT fp.doc_id, fp.lang, fp.n_words
-        |  FROM fp JOIN reps ON fp.f = reps.f AND fp.doc_id = reps.doc_id),
-        |sz AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM dd GROUP BY lang),
-        |tw AS (
-        |  SELECT lang, n,
-        |    CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS w
-        |  FROM sz),
-        |scale AS (SELECT min(n / w) AS nn FROM tw),
-        |rates AS (
-        |  SELECT lang, least(CAST(1.0 AS DOUBLE), w * nn / n) AS rate
-        |  FROM tw CROSS JOIN scale),
-        |mixed AS (
-        |  SELECT dd.doc_id, dd.lang, dd.n_words
-        |  FROM dd JOIN rates r USING (lang)
-        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
-        |          1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE)
-        |        < r.rate * CAST(1099511627776 AS DOUBLE)),
-        |c AS (
-        |  SELECT lang, n_words,
-        |    sum(n_words) OVER (PARTITION BY lang ORDER BY
-        |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
-        |        1, 15)) AS BIGINT) % 1099511627776 AS DOUBLE), doc_id) AS cum
-        |  FROM mixed)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_words) AS BIGINT) AS tokens
-        |FROM c WHERE cum <= 2000
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_recipe_pipeline" -> recipePipelineSql,
+    "q_recipe_config" -> recipePipelineSql,
 
     // containment replay: same distinct char-5-gram inverted index as
     // q_dup_components' oracle, normalized per side instead of by the

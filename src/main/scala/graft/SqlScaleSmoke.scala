@@ -179,7 +179,11 @@ object SqlScaleSmoke {
     // changepoint (per-key window + argmax), KMV overlap sketches
     "q_ppr_building", "q_rrf_docs", "v_profile_corr",
     "v_profile_entropy", "q_edit_pairs", "q_changepoint_revenue",
-    "q_join_card_est")
+    "q_join_card_est",
+    // r12 third batch: wedge join (AA), 200x-replicate explode
+    // (bootstrap), histogram-rank tests, routing checksum, trend fit
+    "q_adamic_adar", "q_bootstrap_ci", "q_welch_acctbal",
+    "q_mannwhitney_chars", "v_aba_checksum", "q_trend_priority")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
