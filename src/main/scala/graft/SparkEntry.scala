@@ -3001,6 +3001,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // STL-lite weekly decomposition of daily revenue per priority:
+    // centered-MA trend, per-weekday-phase seasonal index, residual
+    // mean square — all exact integer arithmetic.
+    "q_seasonal_decomp" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      graft.ops.Seasonal.phaseSummary(daily, "prio", "day", "cents",
+          period = 7)
+        .select(col("key").as("prio"), col("phase"), col("n"),
+          col("seasonal"), col("res_ms"))
+        .orderBy("prio", "phase")
+    }),
+
     // Welch unequal-variance z: BUILDING customers' balances vs the
     // rest — exact decimal sufficient statistics, one pinned chain.
     "q_welch_acctbal" -> ((s, dir) => {
@@ -7814,6 +7829,38 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
         |FROM pt, bounds""".stripMargin,
+
+    // seasonal replay: same centered-MA frame, same phase ranks, same
+    // floor-of-exact-division means
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |ma AS (
+        |  SELECT prio, day, cents,
+        |    CAST(floor(CAST(sum(cents) OVER w AS DOUBLE)
+        |      / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend,
+        |    CAST((row_number() OVER (PARTITION BY prio ORDER BY day) - 1)
+        |      % 7 AS INT) AS phase
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY prio ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT prio, phase, cents - trend AS det FROM ma),
+        |seas AS (
+        |  SELECT prio, phase, det,
+        |    CAST(floor(CAST(sum(det) OVER p AS DOUBLE)
+        |      / CAST(count(*) OVER p AS DOUBLE)) AS BIGINT) AS seasonal
+        |  FROM det
+        |  WINDOW p AS (PARTITION BY prio, phase))
+        |SELECT prio, phase, CAST(count(*) AS BIGINT) AS n,
+        |  max(seasonal) AS seasonal,
+        |  CAST(floor(CAST(sum((det - seasonal) * (det - seasonal))
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS res_ms
+        |FROM seas GROUP BY prio, phase
+        |ORDER BY prio, phase""".stripMargin,
 
     // Welch replay: exact HUGEINT sufficient statistics, identical
     // pinned chain (mean, variance, se², z — same division order)

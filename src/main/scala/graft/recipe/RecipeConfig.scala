@@ -66,9 +66,14 @@ object RecipeStage {
   final case class ExactDedup() extends RecipeStage {
     def apply(df: DataFrame, rc: RecipeConfig): DataFrame = {
       // same shape as the hand-written pipeline: fingerprint once,
-      // cache (feeds both join sides), keep the min-id representative
+      // pin it (feeds both join sides and any later stage's action),
+      // keep the min-id representative. Lazy localCheckpoint, not
+      // cache(): recipes are library calls that can never issue the
+      // matching unpersist — ContextCleaner frees the blocks with the
+      // frame (the PageRank r12 discipline).
       val fp = df.withColumn("_fp",
-        TextAnalysis.canonicalFingerprint(col(rc.textCol))).cache()
+        TextAnalysis.canonicalFingerprint(col(rc.textCol)))
+        .localCheckpoint(eager = false)
       val reps = fp.groupBy("_fp").agg(min(col(rc.idCol)).as(rc.idCol))
       fp.join(reps, Seq("_fp", rc.idCol)).drop("_fp")
     }
