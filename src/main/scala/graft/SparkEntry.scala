@@ -3168,6 +3168,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("core_nodes"), sum("degree").as("degree_sum"))
     }),
 
+    // DeepWalk front half end to end: deterministic random walks over
+    // the co-purchase graph rendered as a text corpus, then the
+    // word2vec skip-gram pair generator — graph embeddings' training
+    // data in two existing operators. Bench-only (hash-sampled walks
+    // have no SQL replay; RandomWalksSpec pins the sampler).
+    "graph_walk_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
+        .filter(col("p") =!= col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      val walks = graft.ops.RandomWalks.walks(edges, walksPerNode = 2,
+        walkLen = 8)
+      val corpus = walks.select(col("walk_id"),
+        concat_ws(" ", col("path")).as("text"))
+      graft.text.SkipGram.trainingPairs(corpus, "walk_id", "text",
+          window = 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("center")).as("n_center_nodes"))
+    }),
+
     // product quantization round trip: train 8x64 codebooks, encode
     // the corpus to 8-byte codes, ADC-probe 10 queries, and report the
     // top-1 agreement with brute cosine — the memory-bounded serving
