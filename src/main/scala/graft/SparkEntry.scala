@@ -3001,6 +3001,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Kaplan-Meier signup→purchase conversion: durations in days to a
+    // user's first purchase at-or-after first signup, censored at the
+    // observation end — life table + exact Nelson-Aalen hazard + KM.
+    "q_survival_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_ts"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      val fp = su.join(pu, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts"), "left")
+        .groupBy(col("user_id"), col("s_ts"))
+        .agg(min(col("p_ts")).as("first_p"))
+      val obsEnd = ev.agg(max(col("ts_us")).as("obs_end"))
+      val dur = fp.crossJoin(broadcast(obsEnd))
+        .select(datediff(to_date(coalesce(col("first_p"), col("obs_end"))),
+          to_date(col("s_ts"))).as("dur"),
+          col("first_p").isNotNull.as("converted"))
+      graft.ops.Survival.kaplanMeier(dur, "dur", "converted")
+        .orderBy("t")
+    }),
+
     // STL-lite weekly decomposition of daily revenue per priority:
     // centered-MA trend, per-weekday-phase seasonal index, residual
     // mean square — all exact integer arithmetic.
@@ -7851,6 +7873,53 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
         |FROM pt, bounds""".stripMargin,
+
+    // survival replay: same life table over the duration histogram,
+    // exact integer hazard, same quantized-log KM product
+    "q_survival_conversion" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT s.user_id, s.s_ts, min(p.ts) AS p_ts
+        |  FROM su s LEFT JOIN events p ON p.user_id = s.user_id
+        |    AND p.event_type = 'purchase' AND p.ts >= s.s_ts
+        |  GROUP BY s.user_id, s.s_ts),
+        |oe AS (SELECT max(ts) AS obs_end FROM events),
+        |dur AS (
+        |  SELECT datediff('day', CAST(s_ts AS DATE),
+        |      CAST(coalesce(p_ts, (SELECT obs_end FROM oe)) AS DATE)) AS t,
+        |    p_ts IS NOT NULL AS e
+        |  FROM fp),
+        |hist AS (
+        |  SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM dur GROUP BY t),
+        |r AS (
+        |  SELECT t, d, c,
+        |    sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS gone,
+        |    sum(d + c) OVER () AS tot
+        |  FROM hist),
+        |l AS (SELECT t, d, c, tot - gone + d + c AS n_risk FROM r),
+        |k AS (
+        |  SELECT t, n_risk, d, c,
+        |    sum(CASE WHEN d > 0 THEN CAST(round(CAST(d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE) * 1000000000) AS BIGINT)
+        |      ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS na_h9,
+        |    sum(CASE WHEN d > 0 AND n_risk = d THEN -100000000000
+        |             WHEN d > 0 THEN CAST(round(ln(
+        |               CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |               * 1000000000) AS BIGINT)
+        |             ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS ln9
+        |  FROM l)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  CAST(na_h9 AS BIGINT) AS na_h9,
+        |  floor(exp(CAST(ln9 AS DOUBLE) / 1000000000.0) * 1000000)
+        |    / 1000000 AS km6
+        |FROM k ORDER BY t""".stripMargin,
 
     // seasonal replay: same centered-MA frame, same phase ranks, same
     // floor-of-exact-division means
