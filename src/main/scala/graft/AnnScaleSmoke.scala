@@ -263,6 +263,24 @@ object AnnScaleSmoke {
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val recallIvf = truth.count(gotIvf.contains).toDouble / truth.size
 
+    // residual IVFADC: same cells, codes quantize v − centroid —
+    // sharper codes at the same m, per-(query,cell) tables at probe
+    val (codesRes, tResEncode) = time {
+      val mres = graft.ops.Pq.trainResidual(corpus, "vec_id", "embedding",
+        cents512, m = 8, ksub = 256, iters = 3)
+      val c = graft.ops.Pq.encodeResidualWithCells(corpus, "vec_id",
+        "embedding", mres, cents512)
+      c.write.mode("overwrite").parquet(s"$dir/codes_res")
+      (spark.read.parquet(s"$dir/codes_res"), mres)
+    }
+    val (gotRes, tResProbe) = time(
+      graft.ops.Pq.ivfAdcResidualTopK(codesRes._1, corpus, queries,
+          "vec_id", "embedding", codesRes._2, cents512, k = 10,
+          nprobe = 50, shortlist = 200)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val recallRes = truth.count(gotRes.contains).toDouble / truth.size
+
     val (_, tEcod) = time(
       graft.ops.Ecod.depths(corpus, "vec_id", "embedding", quant = 1000)
         .agg(min("depth"), max("depth")).collect())
@@ -278,6 +296,9 @@ object AnnScaleSmoke {
       s""""ivfadc_encode_sec":${fmt(tCellEncode)},""" +
       s""""ivfadc_probe_sec":${fmt(tIvfProbe)},""" +
       s""""ivfadc_recall_at_10":${fmt(recallIvf)},""" +
+      s""""ivfadc_res_encode_sec":${fmt(tResEncode)},""" +
+      s""""ivfadc_res_probe_sec":${fmt(tResProbe)},""" +
+      s""""ivfadc_res_recall_at_10":${fmt(recallRes)},""" +
       s""""ecod_sec":${fmt(tEcod)}}"""
     println(json)
     java.nio.file.Files.writeString(

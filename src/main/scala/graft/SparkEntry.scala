@@ -3001,6 +3001,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Theil-Sen robust slope per priority: median pairwise slope of
+    // the daily revenue series — outlier days cannot move it.
+    "q_theilsen_priority" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      graft.ops.Trend.theilSen(daily, "prio", "day", "cents")
+        .select(col("key").as("prio"), col("n_pairs"), col("slope"))
+        .orderBy("prio")
+    }),
+
     // Kaplan-Meier signup→purchase conversion: durations in days to a
     // user's first purchase at-or-after first signup, censored at the
     // observation end — life table + exact Nelson-Aalen hazard + KM.
@@ -7873,6 +7885,33 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
         |FROM pt, bounds""".stripMargin,
+
+    // Theil-Sen replay: same pairwise-slope enumeration, same
+    // lower-median order statistic with (slope, xi, xj) ties
+    "q_theilsen_priority" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT prio, cents AS y,
+        |    CAST(row_number() OVER (PARTITION BY prio ORDER BY day)
+        |      AS BIGINT) AS x
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.prio, a.x AS xi, b.x AS xj,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM ranked a JOIN ranked b ON a.prio = b.prio AND a.x < b.x),
+        |r AS (
+        |  SELECT prio, slope,
+        |    row_number() OVER (PARTITION BY prio
+        |                       ORDER BY slope, xi, xj) AS rn,
+        |    count(*) OVER (PARTITION BY prio) AS n_pairs
+        |  FROM pairs)
+        |SELECT prio, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  floor(slope * 1000000) / 1000000 AS slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY prio""".stripMargin,
 
     // survival replay: same life table over the duration histogram,
     // exact integer hazard, same quantized-log KM product

@@ -232,4 +232,91 @@ object Pq {
         round(Ann.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
     Ann.topKPerQuery(reranked, k)
   }
+
+  // ---- residual variant (the classic IVFADC): codes quantize the ---
+  // ---- CELL RESIDUAL v − centroid, so one codebook's resolution ----
+  // ---- concentrates on within-cell structure — sharper codes at ----
+  // ---- the same m, at the cost of per-(query, cell) tables. --------
+
+  /** `(id, cell, rvec)` — each vector's cell plus its residual against
+    * that cell's centroid (the frame both residual train and encode
+    * consume; derive once). */
+  def residualFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(Ann.centroidArray(centroids))
+    val cvecs = broadcast(centroids.select(col("cent_id").as("cell"),
+      col("cent_vec").as("_cvec")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .crossJoin(cents)
+      .select(col("id"), col("_v"),
+        Ann.bestCell(col("_v"), col("cents")).as("cell"))
+      .join(cvecs, "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("_v"), col("_cvec"),
+          (x, y) => (x - y).cast("float")).as("rvec"))
+  }
+
+  /** Train codebooks on residuals ([[train]] on [[residualFrame]]). */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, ksub: Int = 256,
+      iters: Int = 5): DataFrame =
+    train(residualFrame(corpus, idCol, vecCol, centroids)
+      .localCheckpoint(eager = false), "id", "rvec", m, ksub, iters)
+
+  /** Residual encode: `(id, cell, codes)`. */
+  def encodeResidualWithCells(corpus: DataFrame, idCol: String,
+      vecCol: String, model: DataFrame, centroids: DataFrame): DataFrame = {
+    val rf = residualFrame(corpus, idCol, vecCol, centroids)
+    encode(rf, "id", "rvec", model)
+      .join(rf.select(col("id"), col("cell")), "id")
+      .select(col("id"), col("cell"), col("codes"))
+  }
+
+  /** Residual IVFADC probe: each (query, probed cell) builds its OWN
+    * ADC table from the query's residual against THAT cell's
+    * centroid; otherwise identical to [[ivfAdcTopK]] (shortlist +
+    * exact cosine re-rank). */
+  def ivfAdcResidualTopK(codesWithCells: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 8, shortlist: Int = 200): DataFrame = {
+    val (m, books) = driverBooks(model)
+    val dsub = books(0)(0).length
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val cents = broadcast(Ann.centroidArray(centroids))
+    val cvecs = broadcast(centroids.select(col("cent_id").as("cell"),
+      col("cent_vec").as("_cvec")))
+    val qres = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("_qv"),
+        explode(Ann.topCells(col("_qv"), col("cents"), nprobe)).as("p"))
+      .select(col("query_id"), col("_qv"), col("p.cent_id").as("cell"))
+      .join(cvecs, "cell")
+      .withColumn("_qr", zip_with(col("_qv"), col("_cvec"),
+        (x, y) => (x - y).cast("float")))
+    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
+      aggregate(zip_with(slice(col("_qr"), s * dsub + 1, lit(dsub)), cw,
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)))
+    val probes = broadcast(qres.withColumn("tbl", table)
+      .select(col("query_id"), col("cell"), col("tbl")))
+    val scored = codesWithCells.join(probes, "cell")
+      .select(col("query_id"),
+        (-graft.expr.AdcScore.adcScore(col("codes"), col("tbl")))
+          .as("cosine"),
+        col("id").as("neighbor_id"))
+      .where(col("cosine").isNotNull)
+    val sl = Ann.topKPerQuery(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val reranked = broadcast(sl).join(cv, "neighbor_id").join(qv, "query_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Ann.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    Ann.topKPerQuery(reranked, k)
+  }
 }

@@ -55,4 +55,40 @@ object Trend {
             (dx.cast("double") * dy.cast("double")) * 1000000) / 1000000)
           .as("r2"))
   }
+
+  /** Theil-Sen robust slope per key — the median of all pairwise
+    * slopes: one wild outlier day moves [[fitGrouped]]'s OLS line,
+    * but cannot move a median (29% breakdown point). EXACT by
+    * construction: positions and values are integers, each pairwise
+    * slope is one IEEE division of exact ints (identical on any
+    * engine), and the median is the deterministic lower-middle order
+    * statistic with (slope, i, j) tie-breaks.
+    *
+    * Cost contract: O(n²) pairs PER KEY — exact Theil-Sen's inherent
+    * price. Right for series-bounded keys (daily metrics: ~10⁶ pairs
+    * for 3 years); cap or sample longer series upstream. */
+  def theilSen(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val ranked = df.select(col(keyCol).as("key"), col(orderCol).as("t"),
+        col(valueCol).cast("long").as("y"))
+      .withColumn("x", row_number().over(
+        Window.partitionBy("key").orderBy("t")).cast("long"))
+      .select("key", "x", "y")
+    val a = ranked.select(col("key"), col("x").as("xi"), col("y").as("yi"))
+    val b = ranked.select(col("key").as("kb"), col("x").as("xj"),
+      col("y").as("yj"))
+    val pairs = a.join(b, col("key") === col("kb") && col("xi") < col("xj"))
+      .select(col("key"), col("xi"), col("xj"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"))
+    val w = Window.partitionBy("key").orderBy(col("slope"), col("xi"),
+      col("xj"))
+    val np = Window.partitionBy("key")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(np))
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("key"), col("n_pairs"),
+        (floor(col("slope") * 1000000) / 1000000).as("slope"))
+  }
 }

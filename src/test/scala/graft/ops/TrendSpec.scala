@@ -47,6 +47,35 @@ class TrendSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.9 && r.getDouble(4) < 1.0)
   }
 
+  test("theil-sen: outlier day cannot move the median slope") {
+    // clean line y = 5x with one wild spike at x=10
+    val rows = (1L to 21L).map(x => ("a", x, if (x == 10) 100000L else 5 * x))
+    val r = Trend.theilSen(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect()(0)
+    assert(r.getDouble(2) == 5.0, s"robust slope ${r.getDouble(2)}")
+    // OLS on the same data is dragged far from 5
+    val ols = Trend.fitGrouped(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect()(0).getDouble(2)
+    assert(math.abs(ols - 5.0) > 50, s"ols $ols should be dragged")
+  }
+
+  test("theil-sen: exact median on a tiny hand case") {
+    // points (1,1),(2,3),(3,4): slopes 2, 1.5, 1 -> median 1.5
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 4L))
+    val r = Trend.theilSen(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 1.5)
+  }
+
+  test("theil-sen: deterministic across partitionings") {
+    val rows = (1L to 60L).map(x => ("a", x, (x * 7 + x % 5) % 97))
+    val r1 = Trend.theilSen(rows.toDF("k", "t", "v").repartition(1),
+      "k", "t", "v").collect()(0)
+    val r2 = Trend.theilSen(rows.toDF("k", "t", "v").repartition(7),
+      "k", "t", "v").collect()(0)
+    assert(r1 == r2)
+  }
+
   test("deterministic across partitionings") {
     val rows = (1L to 300L).map(x => ((x % 3).toString, x, (x * 17) % 97))
     val r1 = Trend.fitGrouped(rows.toDF("k", "t", "v").repartition(1),
