@@ -3001,6 +3001,42 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // per-document keyword extraction: top-3 tokens by tf·idf with
+    // integer-quantized idf (round(ln((N+1)/(df+1))·1e9)) so scores
+    // are exact BIGINTs; per-doc window bounded by doc vocabulary.
+    "text_keywords" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      val all = t(s, dir, "documents")
+      val nDocs = all.count()
+      val toks = all
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("idf9",
+          round(log(lit(nDocs + 1.0) / (col("df") + 1).cast("double"))
+            * 1000000000L).cast("long"))
+      val tf = toks.join(docs.select("doc_id"), "doc_id")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfreq, "token")
+        .select(col("doc_id"), col("token"),
+          (col("tf") * col("idf9")).as("score9"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score9").desc, col("token").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score9"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // chi-squared independence of order priority x status, with
+    // Cramér's V — per-cell integer-quantized contributions.
+    "q_chi2_orders" -> ((s, dir) => {
+      graft.ops.Hypothesis.chiSquared(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+    }),
+
     // Theil-Sen robust slope per priority: median pairwise slope of
     // the daily revenue series — outlier days cannot move it.
     "q_theilsen_priority" -> ((s, dir) => {
@@ -7885,6 +7921,74 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
         |FROM pt, bounds""".stripMargin,
+
+    // keyword replay: same tokenization, same quantized idf, same
+    // (score desc, token asc) rank
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfc AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+        |dfreq AS (
+        |  SELECT token,
+        |    CAST(round(ln(((SELECT n FROM nd) + 1.0)
+        |      / CAST(df + 1 AS DOUBLE)) * 1000000000) AS BIGINT) AS idf9
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk WHERE doc_id < 100 GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf * d.idf9 AS score9
+        |  FROM tf t JOIN dfreq d ON t.token = d.token),
+        |r AS (
+        |  SELECT doc_id, token, score9,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score9 DESC, token ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+        |  CAST(score9 AS BIGINT) AS score9
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // chi-squared replay: same margins, same 1e-9-quantized per-cell
+    // contributions (exact BIGINT sum), same pinned V chain
+    "q_chi2_orders" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a, b, o,
+        |    sum(o) OVER (PARTITION BY a) AS r,
+        |    sum(o) OVER (PARTITION BY b) AS c,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |q AS (
+        |  SELECT a, b, n,
+        |    CAST(round(CAST(CAST(o * n - r * c AS HUGEINT)
+        |        * CAST(o * n - r * c AS HUGEINT) AS DOUBLE)
+        |      / CAST(n * r * c AS DOUBLE) * 1000000000) AS BIGINT) AS c9
+        |  FROM m),
+        |agg AS (
+        |  SELECT max(n) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat,
+        |    CAST(sum(c9) AS BIGINT) AS chi2_9
+        |  FROM q)
+        |SELECT CAST(n AS BIGINT) AS n, n_rows_cat, n_cols_cat,
+        |  (n_rows_cat - 1) * (n_cols_cat - 1) AS dof, chi2_9,
+        |  CASE WHEN n_rows_cat >= 2 AND n_cols_cat >= 2 THEN
+        |    floor(sqrt(CAST(chi2_9 AS DOUBLE) / 1000000000.0
+        |      / CAST(n * least(n_rows_cat - 1, n_cols_cat - 1) AS DOUBLE))
+        |      * 1000000) / 1000000 END AS cramers_v
+        |FROM agg""".stripMargin,
 
     // Theil-Sen replay: same pairwise-slope enumeration, same
     // lower-median order statistic with (slope, xi, xj) ties

@@ -92,4 +92,44 @@ object Hypothesis {
         floor((u2.cast("double") - naD * nbD) / (lit(2.0) * sqrt(varU))
           * 1000000) / 1000000).as("z"))
   }
+
+  /** Chi-squared test of independence between two categorical
+    * columns, plus Cramér's V effect size. Per-cell contributions use
+    * the integer-exact form `(o·n − r·c)² / (n·r·c)` quantized to
+    * 10⁻⁹ BIGINTs BEFORE summing (a raw double sum would be
+    * order-sensitive across cells), so chi2 is bit-stable; V closes
+    * in one pinned chain. Output one row:
+    * `(n, n_rows_cat, n_cols_cat, dof, chi2_9, cramers_v)`. */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("r", sum("o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")))
+      .withColumn("c", sum("o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val num = (col("o") * col("n") - col("r") * col("c")).cast(dec)
+    val contrib9 = round((num * num).cast("double") /
+      (col("n") * col("r") * col("c")).cast("double") * 1000000000L)
+      .cast("long")
+    withMargins
+      .withColumn("c9", contrib9)
+      .agg(max("n").as("n"),
+        countDistinct("a").as("n_rows_cat"),
+        countDistinct("b").as("n_cols_cat"),
+        sum("c9").as("chi2_9"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        col("chi2_9"),
+        when(col("n_rows_cat") >= 2 && col("n_cols_cat") >= 2,
+          floor(sqrt(col("chi2_9").cast("double") / 1000000000.0 /
+            (col("n") * least(col("n_rows_cat") - 1,
+              col("n_cols_cat") - 1)).cast("double")) * 1000000)
+            / 1000000).as("cramers_v"))
+  }
 }

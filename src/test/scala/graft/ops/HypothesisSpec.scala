@@ -59,6 +59,26 @@ class HypothesisSpec extends SparkSpec {
     assert(mw(tied).isNullAt(3))
   }
 
+  test("chi-squared: hand-computed 2x2 table") {
+    // table: a1 {x:30, y:10}, a2 {x:10, y:30} -> chi2 = 20, V = 0.5
+    val rows = Seq.fill(30)(("a1", "x")) ++ Seq.fill(10)(("a1", "y")) ++
+      Seq.fill(10)(("a2", "x")) ++ Seq.fill(30)(("a2", "y"))
+    val r = Hypothesis.chiSquared(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 80L && r.getLong(3) == 1L)
+    assert(math.abs(r.getLong(4) / 1e9 - 20.0) < 1e-6, s"chi2 ${r.getLong(4)}")
+    assert(r.getDouble(5) == 0.5, s"V ${r.getDouble(5)}")
+  }
+
+  test("chi-squared: perfectly independent table scores ~0") {
+    val rows = for {a <- Seq("a1", "a2", "a3"); b <- Seq("x", "y")
+      ; _ <- 1 to 10} yield (a, b)
+    val r = Hypothesis.chiSquared(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getLong(4) == 0L && r.getDouble(5) == 0.0)
+    assert(r.getLong(3) == 2L)
+  }
+
   test("deterministic across partitionings") {
     val rows = (1 to 300).map(i => (i % 3 == 0, (i * 13 % 41).toLong))
     val a1 = Hypothesis.mannWhitney(rows.toDF("grp", "v").repartition(1),
@@ -71,5 +91,11 @@ class HypothesisSpec extends SparkSpec {
     val b2 = Hypothesis.welchZ(rows.toDF("grp", "v").repartition(7),
       "grp", "v").collect()(0)
     assert(b1 == b2)
+    val cr = (1 to 300).map(i => ((i % 4).toString, (i % 7).toString))
+    val c1 = Hypothesis.chiSquared(cr.toDF("a", "b").repartition(1),
+      "a", "b").collect()(0)
+    val c2 = Hypothesis.chiSquared(cr.toDF("a", "b").repartition(9),
+      "a", "b").collect()(0)
+    assert(c1 == c2)
   }
 }
