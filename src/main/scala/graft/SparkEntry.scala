@@ -3001,6 +3001,48 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // embedding-distribution drift between two corpus halves: per-dim
+    // integer-quantized sums → mean-vector cosine + worst per-dim
+    // second-moment ratio — the drift family's embedding member
+    // (PSI/TVD cover scalars; this covers the vector column).
+    "q_emb_drift" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select((col("vec_id") % 2 === 0).as("h"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("h"), col("dim"),
+          floor(col("v").cast("double") * 1000000).cast("long").as("q"))
+      val sums = ex.groupBy("h", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+      val a = sums.where(col("h"))
+        .select(col("dim"), col("n").as("na"), col("sq").as("sqa"),
+          col("sqq").as("sqqa"))
+      val b = sums.where(!col("h"))
+        .select(col("dim"), col("n").as("nb"), col("sq").as("sqb"),
+          col("sqq").as("sqqb"))
+      // per-dim n is constant within a half, so the mean-vector cosine
+      // reduces to integer sums of sq products (the n's cancel) — no
+      // order-sensitive double accumulation anywhere; the m2 ratio is
+      // a per-dim pinned double, max is order-free
+      val dec38 = "decimal(38,0)"
+      val j = a.join(b, "dim")
+        .select(col("dim"), col("sqa"), col("sqb"),
+          (col("sqqa") * col("nb")).cast("double").as("m2an"),
+          (col("sqqb") * col("na")).cast("double").as("m2bn"))
+      j.agg(
+          sum((col("sqa") * col("sqb")).cast(dec38)).as("sab"),
+          sum((col("sqa") * col("sqa")).cast(dec38)).as("saa"),
+          sum((col("sqb") * col("sqb")).cast(dec38)).as("sbb"),
+          max(greatest(col("m2an") / col("m2bn"),
+            col("m2bn") / col("m2an"))).as("mr"))
+        .select(
+          (floor(col("sab").cast("double") /
+            (sqrt(col("saa").cast("double")) *
+              sqrt(col("sbb").cast("double"))) * 1000000) / 1000000)
+            .as("mean_cosine"),
+          (floor(col("mr") * 1000000) / 1000000).as("worst_m2_ratio"))
+    }),
+
     // per-document keyword extraction: top-3 tokens by tf·idf with
     // integer-quantized idf (round(ln((N+1)/(df+1))·1e9)) so scores
     // are exact BIGINTs; per-doc window bounded by doc vocabulary.
@@ -7921,6 +7963,36 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT n_rows, n_replicates, mean_point, mean_lo, mean_hi
         |FROM pt, bounds""".stripMargin,
+
+    // embedding-drift replay: same quantized per-dim sums, the n's
+    // cancel in the mean cosine, same pinned chains
+    "q_emb_drift" ->
+      """WITH ex AS (
+        |  SELECT (vec_id % 2 = 0) AS h, CAST(t.i AS INTEGER) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |sums AS (
+        |  SELECT h, dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(q * q) AS HUGEINT) AS sqq
+        |  FROM ex GROUP BY h, dim),
+        |j AS (
+        |  SELECT a.dim, a.sq AS sqa, b.sq AS sqb,
+        |    CAST(a.sqq * b.n AS DOUBLE) AS m2an,
+        |    CAST(b.sqq * a.n AS DOUBLE) AS m2bn
+        |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.h AND NOT b.h),
+        |agg AS (
+        |  SELECT CAST(sum(CAST(sqa * sqb AS HUGEINT)) AS HUGEINT) AS sab,
+        |    CAST(sum(CAST(sqa * sqa AS HUGEINT)) AS HUGEINT) AS saa,
+        |    CAST(sum(CAST(sqb * sqb AS HUGEINT)) AS HUGEINT) AS sbb,
+        |    max(greatest(m2an / m2bn, m2bn / m2an)) AS mr
+        |  FROM j)
+        |SELECT floor(CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE))
+        |    * sqrt(CAST(sbb AS DOUBLE))) * 1000000) / 1000000
+        |    AS mean_cosine,
+        |  floor(mr * 1000000) / 1000000 AS worst_m2_ratio
+        |FROM agg""".stripMargin,
 
     // keyword replay: same tokenization, same quantized idf, same
     // (score desc, token asc) rank

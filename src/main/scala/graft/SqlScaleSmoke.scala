@@ -183,7 +183,12 @@ object SqlScaleSmoke {
     // r12 third batch: wedge join (AA), 200x-replicate explode
     // (bootstrap), histogram-rank tests, routing checksum, trend fit
     "q_adamic_adar", "q_bootstrap_ci", "q_welch_acctbal",
-    "q_mannwhitney_chars", "v_aba_checksum", "q_trend_priority")
+    "q_mannwhitney_chars", "v_aba_checksum", "q_trend_priority",
+    // r12 fourth batch: survival histogram, seasonal windows, the
+    // per-key O(n²) Theil-Sen (pairs constant in sf — date range
+    // fixed), chi-squared margins, keyword idf join
+    "q_survival_conversion", "q_seasonal_decomp", "q_theilsen_priority",
+    "q_chi2_orders", "text_keywords")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
