@@ -111,6 +111,47 @@ object Eval {
         r6(col("sq").cast("double") / col("n") / 1e6).as("mean_score"))
   }
 
+  /** Isotonic calibration by pool-adjacent-violators — the score →
+    * probability map every threshold decision actually wants: the
+    * empirical positive rate, made monotone in the score. The corpus
+    * reduces ONCE to the distinct-score frame (the [[Eval]] scale
+    * contract: <= 10^digits rows), PAV then pools adjacent violators
+    * on the DRIVER — the classic sequential algorithm over a bounded
+    * frame, exact rational pooling via (pos, n) integer pairs so the
+    * fitted rates are engine-independent. Returns the step function
+    * as (score_lo, score_hi, n, n_pos, rate) segments; calibrate a
+    * score by range lookup (broadcast-join the segments).
+    *
+    * No SQL oracle (PAV is inherently sequential); EvalSpec pins the
+    * pooling against hand-computed fits. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, digits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = grouped(df, scoreCol, labelCol, digits)
+      .select(col("score"), (col("pos") + col("neg")).as("n"),
+        col("pos").as("np"))
+      .orderBy("score")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // PAV: pool while a block's rate exceeds its successor's
+    final case class Block(lo: Double, hi: Double, n: Long, np: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for ((sc, n, np) <- g) {
+      var b = Block(sc, sc, n, np)
+      // violation test on exact integers: np1/n1 > np2/n2  <=>
+      // np1*n2 > np2*n1
+      while (stack.nonEmpty &&
+          stack.last.np * b.n > b.np * stack.last.n) {
+        val p = stack.remove(stack.size - 1)
+        b = Block(p.lo, b.hi, p.n + b.n, p.np + b.np)
+      }
+      stack += b
+    }
+    stack.toSeq.map(b => (b.lo, b.hi, b.n, b.np,
+        math.floor(b.np.toDouble / b.n.toDouble * 1e6) / 1e6))
+      .toDF("score_lo", "score_hi", "n", "n_pos", "rate")
+  }
+
   /** Per-group tie-corrected AUC — the corpus-audit form ("does the
     * quality score rank English docs well in EVERY language/source
     * slice, or only on average?"). Same exact-integer construction as

@@ -151,4 +151,43 @@ class EvalSpec extends SparkSpec {
     val r = Eval.auc(big, "score", "label").collect()(0)
     assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 1000)
   }
+
+  test("isotonic calibration: textbook PAV pooling") {
+    import spark.implicits._
+    // scores .1/.2/.3/.4 with rates 0.0, 1.0, 0.5, 1.0:
+    // (.2: 1.0) > (.3: 0.5) violates -> pool to 3/4 = 0.75 over [.2,.3]
+    val rows =
+      Seq((0.1, 0), (0.1, 0),
+        (0.2, 1), (0.2, 1),
+        (0.3, 1), (0.3, 0),
+        (0.4, 1), (0.4, 1)).toDF("score", "label")
+    val segs = Eval.isotonicCalibration(rows, "score", "label")
+      .orderBy("score_lo")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(segs.length == 3, segs.mkString(";"))
+    assert(segs(0) == ((0.1, 0.1, 2L, 0L, 0.0)))
+    assert(segs(1) == ((0.2, 0.3, 4L, 3L, 0.75)))
+    assert(segs(2) == ((0.4, 0.4, 2L, 2L, 1.0)))
+  }
+
+  test("isotonic calibration: already-monotone input is untouched; rates never decrease") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i =>
+      (i / 100.0, if (i % 100 < i) 1 else 0)).toDF("score", "label")
+    val segs = Eval.isotonicCalibration(rows, "score", "label")
+      .orderBy("score_lo").collect().map(_.getDouble(4))
+    assert(segs.zip(segs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("isotonic calibration: cascading pools collapse to the global rate") {
+    import spark.implicits._
+    // strictly DECREASING rates: everything pools into one block
+    val rows = Seq((0.1, 1), (0.1, 1), (0.2, 1), (0.2, 0),
+      (0.3, 0), (0.3, 0)).toDF("score", "label")
+    val segs = Eval.isotonicCalibration(rows, "score", "label").collect()
+    assert(segs.length == 1)
+    assert(segs(0).getLong(2) == 6L && segs(0).getLong(3) == 3L)
+    assert(segs(0).getDouble(4) == 0.5)
+  }
 }
