@@ -7915,7 +7915,8 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
         |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
 
-    // bootstrap replay: same md5 uniforms, same 17-digit Poisson CDF
+    // bootstrap replay: same md5 uniforms (one digest per block of 3
+    // replicates, 40-bit hex lanes), same 17-digit Poisson CDF
     // literals (both engines parse them to identical doubles), same
     // exact integer weighted sums and order-statistic bounds
     "q_bootstrap_ci" ->
@@ -7923,15 +7924,16 @@ object SparkEntry {
         |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
         |  FROM orders),
-        |rep AS (
-        |  SELECT id, v, CAST(t.r AS INT) AS r
-        |  FROM rows_, unnest(range(0, 200)) AS t(r)),
+        |blk AS (
+        |  SELECT id, v, CAST(t.b AS INT) AS b,
+        |    md5('bs' || ':' || CAST(t.b AS VARCHAR) || ':' || id) AS hx
+        |  FROM rows_, unnest(range(0, 67)) AS t(b)),
         |uw AS (
-        |  SELECT r, v,
-        |    CAST(CAST(('0x' || substr(md5('bs' || ':' ||
-        |      CAST(r AS VARCHAR) || ':' || id), 1, 15)) AS BIGINT)
-        |      % 1099511627776 AS DOUBLE) / 1099511627776.0 AS u
-        |  FROM rep),
+        |  SELECT b * 3 + CAST(t.l AS INT) AS r, v,
+        |    CAST(CAST(('0x' || substr(hx, CAST(t.l AS INT) * 10 + 1, 10))
+        |      AS BIGINT) AS DOUBLE) / 1099511627776.0 AS u
+        |  FROM blk, unnest(range(0, 3)) AS t(l)
+        |  WHERE b * 3 + t.l < 200),
         |w AS (
         |  SELECT r, v,
         |    CASE WHEN u < 0.36787944117144233 THEN 0

@@ -19,12 +19,21 @@ import org.apache.spark.sql.functions._
   * (values are caller-quantized BIGINTs), each replicate mean is one
   * IEEE division of exact integers, and the CI bounds are
   * order-statistics of the R replicate means — no RNG state, no float
-  * accumulation, bit-identical anywhere.
+  * accumulation, bit-identical anywhere. One md5 digest yields THREE
+  * 40-bit lanes (hex chars 1-10, 11-20, 21-30), so replicate r draws
+  * its uniform from lane r%3 of md5(seed:r/3:id) — R/3 digests per
+  * row, not R, with the identical hex-substring construction the SQL
+  * replay spells out.
   *
-  * Scale shape: the R× row explosion is the cost; it map-side
-  * combines to R partial rows per task, so the shuffle carries
-  * R × tasks rows regardless of corpus size. R=200 gives 95% CIs with
-  * ~±1% CI-endpoint wobble — the standard dial. */
+  * Scale shape: ONE streaming pass — each task folds its rows into
+  * local sw[R]/swx[R] arrays (mapPartitions, the [[graft.text.LogReg]]
+  * partial-aggregate pattern), the reduce combines #partitions pairs
+  * of R-length arrays, and the R means + order-statistic bounds close
+  * on the driver over R values. Nothing row-scale ever shuffles; the
+  * former shape exploded the corpus ×R through per-row md5+conv
+  * expressions (R×n string digests: 46 s at R=200 on 150k rows vs
+  * ~1 s for this pass). R=200 gives 95% CIs with ~±1% CI-endpoint
+  * wobble — the standard dial. */
 object Bootstrap {
 
   /** Poisson(1) CDF thresholds: u < T(k) ⇒ weight k (k = 0..7; the
@@ -49,33 +58,95 @@ object Bootstrap {
   def meanCi(df: DataFrame, idCol: String, valueCol: String,
       replicates: Int = 200, seed: String = "bs"): DataFrame = {
     require(replicates >= 40, s"replicates $replicates too few for a 95% CI")
-    val rows = df.select(col(idCol).cast("string").as("_id"),
-      col(valueCol).cast("long").as("_v"))
-    val rep = rows.select(col("_id"), col("_v"),
-      explode(sequence(lit(0), lit(replicates - 1))).as("r"))
-    val u = (conv(substring(md5(concat_ws(":", lit(seed), col("r"),
-      col("_id"))), 1, 15), 16, 10).cast("long") % lit(1099511627776L))
-      .cast("double") / lit(1099511627776.0)
-    val means = rep.withColumn("w", weight(u))
-      .groupBy("r")
-      .agg(sum(col("w") * col("_v")).as("swx"), sum(col("w")).as("sw"))
-      .where(col("sw") > 0)
-      .select(col("r"),
-        (floor(col("swx").cast("double") / col("sw").cast("double")
-          * 1000000) / 1000000).as("m"))
-    val loIdx = math.max(1, math.ceil(0.025 * replicates).toInt)
-    val hiIdx = math.min(replicates, math.ceil(0.975 * replicates).toInt)
-    val ranked = means.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("m"), col("r"))))
-    val bounds = ranked.agg(
-      max(when(col("rn") === loIdx, col("m"))).as("mean_lo"),
-      max(when(col("rn") === hiIdx, col("m"))).as("mean_hi"),
-      count(lit(1)).as("n_replicates"))
-    val point = rows.agg(count(lit(1)).as("n_rows"),
-      (floor(sum("_v").cast("double") / count(lit(1)).cast("double")
-        * 1000000) / 1000000).as("mean_point"))
-    point.crossJoin(broadcast(bounds))
-      .select(col("n_rows"), col("n_replicates"), col("mean_point"),
-        col("mean_lo"), col("mean_hi"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = replicates
+    val thresholds = PoissonThresholds.toArray
+    val blocks = (r + 2) / 3
+    val partials = df
+      .select(col(idCol).cast("string").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      // the pass is digest-bound, not IO-bound: a small parquet input
+      // arrives as ONE split, so spread rows across the executors
+      // first (the shuffle is row-count cheap; the sums are
+      // partitioning-independent)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("_id"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        // "seed:b:" digest prefixes, materialized once per task
+        val prefixes = Array.tabulate(blocks)(b =>
+          s"$seed:$b:".getBytes(utf8))
+        val sw = new Array[Long](r)
+        val swx = new Array[Long](r)
+        var n = 0L
+        var sv = 0L
+        for ((id, v) <- it) {
+          n += 1; sv += v
+          val idBytes = id.getBytes(utf8)
+          var b = 0
+          while (b < blocks) {
+            // md5 of "seed:b:id" — identical bytes to
+            // md5(concat_ws(':', ...)) on either engine. Lane l's
+            // 10-hex-char slice [10l, 10l+10) is digest bytes
+            // [5l, 5l+5) read big-endian: no hex string needed.
+            md.update(prefixes(b))
+            md.update(idBytes)
+            val d = md.digest()
+            var lane = 0
+            while (lane < 3 && b * 3 + lane < r) {
+              var bits = 0L
+              var i = lane * 5
+              val end = i + 5
+              while (i < end) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+              val u = bits.toDouble / 1099511627776.0
+              var w = 8L
+              var k = 0
+              while (k < thresholds.length && w == 8L) {
+                if (u < thresholds(k)) w = k.toLong
+                k += 1
+              }
+              val rep = b * 3 + lane
+              sw(rep) += w
+              swx(rep) += w * v
+              lane += 1
+            }
+            b += 1
+          }
+        }
+        Iterator.single((n, sv, sw, swx))
+      }
+      .reduce { (a, b) =>
+        (a._1 + b._1, a._2 + b._2,
+          a._3.zip(b._3).map { case (x, y) => x + y },
+          a._4.zip(b._4).map { case (x, y) => x + y })
+      }
+    val (nRows, sumV, sw, swx) = partials
+    // replicate means, deterministic (m, r) order, 2.5%/97.5% order
+    // statistics — the same closing arithmetic the SQL replay uses
+    val means = (0 until r).filter(sw(_) > 0L)
+      .map(i => (math.floor(swx(i).toDouble / sw(i).toDouble
+        * 1000000) / 1000000, i))
+      .sorted
+    val loIdx = math.max(1, math.ceil(0.025 * r).toInt)
+    val hiIdx = math.min(r, math.ceil(0.975 * r).toInt)
+    val meanPoint =
+      math.floor(sumV.toDouble / nRows.toDouble * 1000000) / 1000000
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(nRows, means.size.toLong, meanPoint,
+        means(loIdx - 1)._1, means(hiIdx - 1)._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_replicates",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_point",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_lo",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_hi",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 }

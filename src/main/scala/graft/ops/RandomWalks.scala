@@ -13,11 +13,19 @@ import org.apache.spark.sql.functions._
   * sampler in this repo has), while remaining uniform over neighbors
   * per step.
   *
-  * Scale shape per step: one equi-join of the frontier against the
-  * rank-indexed adjacency on the current node (the hash-picked rank
-  * rides as a join filter), exactly the PageRank round shape; the
-  * adjacency is checkpointed once and reused, frontier rows carry
-  * their growing path array (walkLen-bounded), dead-end walks leave
+  * Scale shape per step: one 1:1 equi-join of the frontier against
+  * the ARRAY adjacency (each node's sorted neighbor list collected
+  * once), then `element_at(nbrs, pick+1)` reads the hash-picked hop —
+  * the join carries exactly one row per live walk. The naive
+  * alternative (join on `cur = src` with `rank = pick` as a residual
+  * filter) is NOT an equi-join on the rank: it materializes
+  * frontier × degree rows every step before filtering, which on a
+  * co-purchase graph (hot parts, degree in the thousands) is the
+  * whole cost. Adjacency rows are max-degree-bounded — cap degrees
+  * upstream for power-law graphs whose hottest node's neighbor list
+  * would not fit a row (~10⁷ neighbors is still only ~100 MB).
+  * The adjacency is checkpointed once and reused; frontier rows carry
+  * their growing path array (walkLen-bounded); dead-end walks leave
   * the frontier and keep their shorter path. */
 object RandomWalks {
 
@@ -31,12 +39,13 @@ object RandomWalks {
     val e0 = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
       .localCheckpoint(eager = false)
-    val idx = e0
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")
-          .orderBy("dst")) - 1)
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    // sorted neighbor array per node: element_at(nbrs, k+1) is the
+    // same node the former rank-indexed row `rank = k` held (rank was
+    // row_number() over (partition by src order by dst) - 1), so
+    // walks are bit-identical to the rank-join formulation
+    val adj = e0.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .withColumn("deg", size(col("nbrs")).cast("long"))
       .repartition(col("src"))
       .localCheckpoint(eager = false)
     val nodes = e0.select(col("src").as("node")).distinct()
@@ -50,14 +59,14 @@ object RandomWalks {
     for (step <- 1 to walkLen) {
       val pick = pmod(xxhash64(lit(seed), col("walk_id"), lit(step)),
         col("deg"))
-      val stepped = frontier.join(idx,
-          col("cur") === col("src") && col("rank") === pick, "left")
+      val hop = element_at(col("nbrs"), (pick + 1).cast("int"))
+      val stepped = frontier.join(adj, col("cur") === col("src"), "left")
         .select(col("walk_id"),
-          col("dst").as("cur"),
-          when(col("dst").isNotNull,
-            concat(col("path"), array(col("dst"))))
+          hop.as("cur"),
+          when(hop.isNotNull,
+            concat(col("path"), array(hop)))
             .otherwise(col("path")).as("path"),
-          col("dst").isNull.as("dead"))
+          hop.isNull.as("dead"))
         .localCheckpoint()
       val ended = stepped.where(col("dead") || lit(step == walkLen))
         .select(col("walk_id"), col("path"))

@@ -64,31 +64,61 @@ object Trend {
     * engine), and the median is the deterministic lower-middle order
     * statistic with (slope, i, j) tie-breaks.
     *
-    * Cost contract: O(n²) pairs PER KEY — exact Theil-Sen's inherent
-    * price. Right for series-bounded keys (daily metrics: ~10⁶ pairs
-    * for 3 years); cap or sample longer series upstream. */
+    * Cost contract: O(n²) pairs PER KEY, computed IN-TASK — exact
+    * Theil-Sen's inherent price, paid where it's cheap. A series is
+    * time-bounded, not corpus-bounded (10 years of days is 3653
+    * points = 6.7M slopes = 53 MB), so each key's points shuffle once
+    * (n rows, not n² pairs) and the slope array + selection never
+    * leave the executor. Keys parallelize across tasks. Series over
+    * 8192 points are rejected (the slope array would cross ~270 MB) —
+    * aggregate to a coarser grain upstream. The former shape (an n²
+    * pair join + a per-key window sort) shuffled every pair and
+    * funneled each key's millions of pairs through ONE window task:
+    * 36 s → ~1 s on 5×2400-point series. */
   def theilSen(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: String): DataFrame = {
-    val ranked = df.select(col(keyCol).as("key"), col(orderCol).as("t"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"), col(orderCol).as("t"),
         col(valueCol).cast("long").as("y"))
       .withColumn("x", row_number().over(
         Window.partitionBy("key").orderBy("t")).cast("long"))
-      .select("key", "x", "y")
-    val a = ranked.select(col("key"), col("x").as("xi"), col("y").as("yi"))
-    val b = ranked.select(col("key").as("kb"), col("x").as("xj"),
-      col("y").as("yj"))
-    val pairs = a.join(b, col("key") === col("kb") && col("xi") < col("xj"))
-      .select(col("key"), col("xi"), col("xj"),
-        ((col("yj") - col("yi")).cast("double") /
-          (col("xj") - col("xi")).cast("double")).as("slope"))
-    val w = Window.partitionBy("key").orderBy(col("slope"), col("xi"),
-      col("xj"))
-    val np = Window.partitionBy("key")
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_pairs", count(lit(1)).over(np))
-      .where(col("rn") === expr("(n_pairs + 1) div 2"))
-      .select(col("key"), col("n_pairs"),
-        (floor(col("slope") * 1000000) / 1000000).as("slope"))
+      .select(col("key"), col("x"), col("y"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val n = pts.length
+        require(n <= 8192,
+          s"theilSen: series for key '$key' has $n points (max 8192); " +
+            "aggregate to a coarser time grain")
+        if (n < 2) Iterator.empty
+        else {
+          val nPairs = n.toLong * (n - 1) / 2
+          // each slope is ONE IEEE division of exact ints — identical
+          // to the SQL replay's CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE)
+          val slopes = new Array[Double](nPairs.toInt)
+          var idx = 0
+          var i = 0
+          while (i < n) {
+            val (xi, yi) = pts(i)
+            var j = i + 1
+            while (j < n) {
+              slopes(idx) = (pts(j)._2 - yi).toDouble /
+                (pts(j)._1 - xi).toDouble
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          // lower-middle order statistic: the VALUE at 1-based rank
+          // (nPairs+1)/2 is tie-break-independent, so a plain sort
+          // reproduces the replay's (slope, xi, xj)-ordered pick
+          java.util.Arrays.sort(slopes)
+          val med = slopes(((nPairs + 1) / 2).toInt - 1)
+          Iterator.single((key, nPairs,
+            math.floor(med * 1000000) / 1000000))
+        }
+      }
+      .toDF("key", "n_pairs", "slope")
   }
 }
