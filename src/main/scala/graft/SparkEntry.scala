@@ -2317,6 +2317,29 @@ object SparkEntry {
           "score", "label")
     }),
 
+    // average precision (PR-AUC): ΔRecall·Precision summed over the
+    // distinct-score cuts, per-term integer-quantized at 1e-9 so the
+    // BIGINT sum is partition-order-independent
+    "eval_quality_pr" -> ((s, dir) => {
+      graft.ops.Eval.averagePrecision(evalScored(t(s, dir, "documents")),
+          "score", "label")
+    }),
+
+    // Kolmogorov-Smirnov separation: max |TPR - FPR| with the
+    // attaining threshold, max'd on exact DECIMAL cross products
+    "eval_quality_ks" -> ((s, dir) => {
+      graft.ops.Eval.ksStatistic(evalScored(t(s, dir, "documents")),
+          "score", "label")
+    }),
+
+    // decile lift/gains: equal-population score bands (ties never
+    // split), per-band positive rate, lift over base, cumulative gain
+    "eval_quality_lift" -> ((s, dir) => {
+      graft.ops.Eval.liftTable(evalScored(t(s, dir, "documents")),
+          "score", "label", buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // HyperLogLog register construction (the distributed half of the
     // sketch — hashing, bucketing, per-bucket max — in cross-engine
     // integer arithmetic; the float estimate is driver math pinned in
@@ -6844,6 +6867,101 @@ object SparkEntry {
          |  FROM cum)
          |SELECT threshold, tp, fp, fn, f1
          |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin),
+
+    // average-precision replay: same per-cut integer-quantized terms
+    // (one pinned double chain each), same exact BIGINT sum, same
+    // closing division order
+    "eval_quality_pr" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT pos,
+         |    sum(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(pos + neg) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(pos) OVER () AS np, sum(neg) OVER () AS nn
+         |  FROM g),
+         |terms AS (
+         |  SELECT CAST(floor(CAST(pos AS DOUBLE) * tp / cum
+         |      * 1000000000) AS BIGINT) AS term9, np, nn
+         |  FROM cum WHERE pos > 0),
+         |s AS (
+         |  SELECT CAST(sum(term9) AS BIGINT) AS s9,
+         |    max(np) AS np, max(nn) AS nn
+         |  FROM terms)
+         |SELECT CASE WHEN np > 0 THEN
+         |    floor(CAST(s9 AS DOUBLE) / np / 1000000000.0 * 1000000)
+         |      / 1000000 END AS ap,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM s""".stripMargin),
+
+    // KS replay: exact HUGEINT cross products under the max, lowest
+    // attaining score, one closing division
+    "eval_quality_ks" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT score,
+         |    sum(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(neg) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         |    sum(pos) OVER () AS np, sum(neg) OVER () AS nn
+         |  FROM g),
+         |d AS (
+         |  SELECT score, np, nn,
+         |    abs(CAST(tp AS HUGEINT) * nn - CAST(fp AS HUGEINT) * np) AS d
+         |  FROM cum)
+         |SELECT score AS threshold,
+         |  CASE WHEN np > 0 AND nn > 0 THEN
+         |    floor(CAST(d AS DOUBLE) /
+         |      (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000000)
+         |      / 1000000 END AS ks,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM d ORDER BY d DESC, score LIMIT 1""".stripMargin),
+
+    // lift-table replay: tie groups land in the bucket of their last
+    // example (same double-division bucket formula), same pinned
+    // lift/cum_gain chains
+    "eval_quality_lift" ->
+      (evalScoredSql +
+       """g AS (
+         |  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT pos, neg,
+         |    sum(pos + neg) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(pos) OVER () AS np,
+         |    sum(pos + neg) OVER () AS n_all
+         |  FROM g),
+         |b AS (
+         |  SELECT CAST(least(floor((cum - 1) * 10 / n_all), 9) AS BIGINT)
+         |      AS bucket,
+         |    pos, neg, np, n_all
+         |  FROM cum),
+         |grp AS (
+         |  SELECT bucket, CAST(sum(pos) + sum(neg) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    max(np) AS np, max(n_all) AS n_all
+         |  FROM b GROUP BY bucket)
+         |SELECT bucket, n, n_pos,
+         |  CASE WHEN n <> 0 THEN
+         |    floor(CAST(n_pos AS DOUBLE) / n * 1000000) / 1000000 END
+         |    AS pos_rate,
+         |  CASE WHEN np > 0 THEN
+         |    floor(CAST(n_pos AS DOUBLE) * n_all /
+         |      (CAST(n AS DOUBLE) * np) * 1000000) / 1000000 END AS lift,
+         |  CASE WHEN np > 0 THEN
+         |    floor(CAST(sum(n_pos) OVER (ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) / np * 1000000) / 1000000 END AS cum_gain
+         |FROM grp ORDER BY bucket""".stripMargin),
 
     "q_hll_registers" ->
       """WITH h AS (

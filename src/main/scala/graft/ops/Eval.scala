@@ -42,10 +42,16 @@ object Eval {
   private def ratio6(num: Column, den: Column): Column =
     when(den =!= 0, r6(num.cast("double") / den))
 
-  /** Per-distinct-score grouped counts: (score, pos, neg). */
+  /** Per-distinct-score grouped counts: (score, pos, neg). The
+    * digits-bound uses round(), NOT floor(score·10^d)/10^d: round is
+    * an exact IDENTITY on scores already quantized to <= digits
+    * decimals (the suite contract — upstream scores are 4-6 digit),
+    * while the floor form drops a half-ulp below ~1% of exact decimal
+    * inputs (0.0007·10⁶ = 699.999…), silently desyncing the reported
+    * score from an oracle that groups raw values. */
   private def grouped(df: DataFrame, scoreCol: String, labelCol: String,
                       digits: Int): DataFrame = {
-    val s = if (digits >= 0) floor(col(scoreCol) * math.pow(10, digits)) / math.pow(10, digits)
+    val s = if (digits >= 0) round(col(scoreCol), digits)
             else col(scoreCol)
     df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(s.as("score"))
@@ -160,7 +166,7 @@ object Eval {
     * (group, auc, n_pos, n_neg). */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                  labelCol: String, digits: Int = 6): DataFrame = {
-    val s = if (digits >= 0) floor(col(scoreCol) * math.pow(10, digits)) / math.pow(10, digits)
+    val s = if (digits >= 0) round(col(scoreCol), digits)
             else col(scoreCol)
     val g = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(groupCol), s.as("score"))
@@ -223,5 +229,101 @@ object Eval {
         // composing the rounded precision/recall would double-round
         ratio6(col("tp") * 2,
            col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Average precision (PR-AUC in its standard step form):
+    * AP = Σ_cuts ΔRecall·Precision = (1/n_pos)·Σ_s pos_s·tp_s/cum_s
+    * over descending-threshold cuts at each distinct score. A float
+    * sum of the per-cut terms would be partition-order-dependent, so
+    * each term is floor-quantized to an integer at 10⁻⁹ (one pinned
+    * double chain per row — identical on any engine) and the BIGINT
+    * sum is exact; the single closing division then quantizes to 6
+    * digits. One row: (ap, n_pos, n_neg). */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                       digits: Int = 6): DataFrame = {
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("pos"),
+        sum("pos").over(w).as("tp"),
+        (sum("pos").over(w) + sum("neg").over(w)).as("cum"),
+        sum("pos").over(tot).as("np"), sum("neg").over(tot).as("nn"))
+      .where(col("pos") > 0)
+      .select(floor(col("pos").cast("double") * col("tp") / col("cum")
+        * 1e9).cast("long").as("term9"),
+        col("np"), col("nn"))
+      .agg(sum("term9").as("s9"), max("np").as("np"), max("nn").as("nn"))
+      .select(
+        when(col("np") > 0,
+          r6(col("s9").cast("double") / col("np") / 1e9)).as("ap"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /** Kolmogorov-Smirnov separation: max over thresholds of
+    * |TPR − FPR|, with the threshold (lowest score on ties, like
+    * [[bestThresholdByF1]]) that attains it. The max runs on the
+    * EXACT integer |tp·nn − fp·np| (DECIMAL(38,0) cross products —
+    * corpus-scale counts overflow BIGINT); the one division closes
+    * it. One row: (threshold, ks, n_pos, n_neg). */
+  def ksStatistic(df: DataFrame, scoreCol: String, labelCol: String,
+                  digits: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("score"),
+        sum("pos").over(w).as("tp"), sum("neg").over(w).as("fp"),
+        sum("pos").over(tot).as("np"), sum("neg").over(tot).as("nn"))
+      .select(col("score"), col("np"), col("nn"),
+        abs(col("tp").cast(dec) * col("nn") -
+          col("fp").cast(dec) * col("np")).as("d"))
+      .orderBy(col("d").desc, col("score"))
+      .limit(1)
+      .select(col("score").as("threshold"),
+        when(col("np") > 0 && col("nn") > 0,
+          r6(col("d").cast("double") /
+            (col("np").cast("double") * col("nn").cast("double"))))
+          .as("ks"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /** Decile lift/gains table: examples ranked by score descending are
+    * cut into `buckets` equal-population bands; each band reports its
+    * positive rate, lift over the base rate, and cumulative gain
+    * (share of all positives captured through that band). Tied scores
+    * NEVER split: a distinct-score group lands in the bucket of its
+    * last example (deterministic; bucket populations flex by the tie
+    * mass). Reduces by distinct score like every metric here; the
+    * bucket regroup is `buckets` rows. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                buckets: Int = 10, digits: Int = 6): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val g = grouped(df, scoreCol, labelCol, digits)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val banded = g.select(col("pos"), col("neg"),
+        (sum("pos").over(w) + sum("neg").over(w)).as("cum"),
+        sum("pos").over(tot).as("np"),
+        (sum("pos").over(tot) + sum("neg").over(tot)).as("n_all"))
+      .select(col("pos"), col("neg"), col("np"), col("n_all"),
+        least(floor((col("cum") - 1) * buckets / col("n_all")),
+          lit(buckets - 1).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg((sum("pos") + sum("neg")).as("n"), sum("pos").as("n_pos"),
+        max("np").as("np"), max("n_all").as("n_all"))
+    val cumw = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .select(col("bucket"), col("n"), col("n_pos"),
+        ratio6(col("n_pos"), col("n")).as("pos_rate"),
+        when(col("np") > 0,
+          r6(col("n_pos").cast("double") * col("n_all") /
+            (col("n").cast("double") * col("np")))).as("lift"),
+        when(col("np") > 0,
+          r6(sum("n_pos").over(cumw).cast("double") / col("np")))
+          .as("cum_gain"))
   }
 }

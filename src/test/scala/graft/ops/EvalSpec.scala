@@ -129,15 +129,28 @@ class EvalSpec extends SparkSpec {
       .selectExpr("id / 1048576.0 AS score", "CAST(id % 2 AS INT) AS label")
     val r = Eval.auc(continuous, "score", "label").collect()(0)
     assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 10000)
-    // the quantized frame: distinct floor(score*1e6)/1e6 values
+    // the quantized frame: distinct round(score, 6) values
     val frame = continuous
-      .selectExpr("floor(score * 1e6) / 1e6 AS q").distinct().count()
+      .selectExpr("round(score, 6) AS q").distinct().count()
     assert(frame < 10000, s"quantization must collapse the frame: $frame")
     // digits=6 quantization is value-identity for the ≤4-digit scores
     // every repo query feeds (so oracle outputs are unchanged)
     val dflt = Eval.auc(tiny, "score", "label").collect()(0)
     val raw = Eval.auc(tiny, "score", "label", digits = -1).collect()(0)
     assert(dflt == raw)
+  }
+
+  test("digits bound is an exact identity on already-quantized scores") {
+    import spark.implicits._
+    // 0.0157 is one of the 115 four-digit values where
+    // floor(score*1e6)/1e6 drops a half-ulp (0.0157e6 = 1569.999…);
+    // the round()-based bound must pass it through verbatim so the
+    // reported threshold matches an oracle grouping raw values
+    val rows = Seq((0.0157, 1), (0.0157, 1), (0.0007, 0), (0.9, 0))
+      .toDF("score", "label")
+    val roc = Eval.rocPoints(rows, "score", "label")
+      .orderBy("score").collect().map(_.getDouble(0))
+    assert(roc.toSeq == Seq(0.0007, 0.0157, 0.9), roc.mkString(","))
   }
 
   test("metric shuffles reduce by distinct score, not per example") {
@@ -150,6 +163,62 @@ class EvalSpec extends SparkSpec {
     assert(plan.contains("Window"))
     val r = Eval.auc(big, "score", "label").collect()(0)
     assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 1000)
+  }
+
+  test("average precision matches the hand-computed step sum") {
+    // desc cuts: 0.9 (tp=1, cum=1, P=1) and 0.7 (tp=2, cum=3, P=2/3);
+    // AP = (1·1 + 1·2/3) / 2 = 0.833333 after the 1e-9 term floor
+    val rows = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0))
+      .toDF("score", "label")
+    val r = Eval.averagePrecision(rows, "score", "label").collect()(0)
+    assert(r.getAs[Double]("ap") == 0.833333, r.toString)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+  }
+
+  test("average precision is 1.0 under perfect separation") {
+    val sep = Seq((0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)).toDF("score", "label")
+    assert(Eval.averagePrecision(sep, "score", "label")
+      .collect()(0).getAs[Double]("ap") == 1.0)
+  }
+
+  test("ks statistic picks the max separation and the lowest tied threshold") {
+    // d=|tp·nn − fp·np| over desc cuts: 0.9→2, 0.8→0, 0.7→2, 0.6→0;
+    // max 2 attained at 0.9 and 0.7 → lowest threshold 0.7, ks=2/4
+    val rows = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0))
+      .toDF("score", "label")
+    val r = Eval.ksStatistic(rows, "score", "label").collect()(0)
+    assert(r.getAs[Double]("threshold") == 0.7)
+    assert(r.getAs[Double]("ks") == 0.5)
+  }
+
+  test("ks is 1.0 under perfect separation") {
+    val sep = Seq((0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)).toDF("score", "label")
+    val r = Eval.ksStatistic(sep, "score", "label").collect()(0)
+    assert(r.getAs[Double]("ks") == 1.0 && r.getAs[Double]("threshold") == 0.8)
+  }
+
+  test("lift table: per-band rates, lift over base, cumulative gain") {
+    // top half all positive, bottom half all negative, 2 buckets:
+    // band 0 lift = (2·4)/(2·2) = 2, band 1 lift = 0, gains 1.0, 1.0
+    val rows = Seq((0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0))
+      .toDF("score", "label")
+    val r = Eval.liftTable(rows, "score", "label", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n") == 2 && r(0).getAs[Double]("lift") == 2.0)
+    assert(r(0).getAs[Double]("cum_gain") == 1.0)
+    assert(r(1).getAs[Double]("lift") == 0.0)
+    assert(r(1).getAs[Double]("cum_gain") == 1.0)
+  }
+
+  test("lift table: tied scores never split across buckets") {
+    val rows = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.5, 0))
+      .toDF("score", "label")
+    val r = Eval.liftTable(rows, "score", "label", buckets = 2)
+      .orderBy("bucket").collect()
+    // the 0.5 tie group (3 rows) lands wholly in the bucket of its
+    // last example
+    assert(r(0).getAs[Long]("n") == 1 && r(1).getAs[Long]("n") == 3)
   }
 
   test("isotonic calibration: textbook PAV pooling") {
