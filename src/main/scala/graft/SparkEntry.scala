@@ -3193,6 +3193,33 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // degree assortativity of the customer→supplier purchase graph:
+    // do high-volume customers buy from high-volume suppliers? The
+    // whole-graph read that decides hub-cap/salting strategy before
+    // the walk/community operators run.
+    "q_assortativity" -> ((s, dir) => {
+      val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.ops.GraphStats.degreeAssortativity(cs)
+    }),
+
+    // Flesch/Flesch-Kincaid readability over documents: vowel-group
+    // syllable proxy, terminator-group sentences, pinned formula
+    // chains — the audience-difficulty rung of the quality ladder
+    "text_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").cast("long").as("n_words"),
+          col("r.n_sentences").cast("long").as("n_sentences"),
+          col("r.n_syllables").cast("long").as("n_syllables"),
+          col("r.flesch"), col("r.fk_grade"))
+        .orderBy("doc_id")
+    }),
+
     // ABA routing-number checksum audit: the Federal Reserve mod-10
     // weighted check over md5-derived synthetic 9-digit routing
     // numbers, per nation — the check the reference's 9-digit-numeric
@@ -8032,6 +8059,68 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_common
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
         |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
+
+    // assortativity replay: same exact HUGEINT moment sums over edge
+    // endpoint degrees, same pinned closing chain
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |od AS (SELECT src, count(*) AS dx FROM e GROUP BY src),
+        |ind AS (SELECT dst, count(*) AS dy FROM e GROUP BY dst),
+        |j AS (
+        |  SELECT CAST(od.dx AS HUGEINT) AS dx, CAST(ind.dy AS HUGEINT) AS dy
+        |  FROM e JOIN od ON e.src = od.src JOIN ind ON e.dst = ind.dst),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+        |    sum(dx * dy) AS sxy
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS n_edges,
+        |  CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+        |    THEN floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+        |           CAST(m * syy - sy * sy AS DOUBLE)) * 1000000) / 1000000
+        |    END AS assortativity
+        |FROM s""".stripMargin,
+
+    // readability replay: same vowel-group syllable proxy, same
+    // terminator-group sentence count, same pinned formula chains
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> length(t) > 0)), 0) AS BIGINT) AS n_words,
+        |  CAST(greatest(coalesce(len(regexp_extract_all(text, '[.!?]+')), 0),
+        |    1) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+        |    0) AS BIGINT) AS n_syllables,
+        |  CASE WHEN coalesce(len(list_filter(regexp_split_to_array(text,
+        |      '\s+'), t -> length(t) > 0)), 0) > 0 THEN
+        |    floor((206.835
+        |      - 1.015 * (CAST(coalesce(len(list_filter(
+        |          regexp_split_to_array(text, '\s+'),
+        |          t -> length(t) > 0)), 0) AS DOUBLE)
+        |        / CAST(greatest(coalesce(len(regexp_extract_all(text,
+        |            '[.!?]+')), 0), 1) AS DOUBLE))
+        |      - 84.6 * (CAST(coalesce(len(regexp_extract_all(lower(text),
+        |          '[aeiouy]+')), 0) AS DOUBLE)
+        |        / CAST(coalesce(len(list_filter(regexp_split_to_array(text,
+        |            '\s+'), t -> length(t) > 0)), 0) AS DOUBLE)))
+        |      * 10000) / 10000 END AS flesch,
+        |  CASE WHEN coalesce(len(list_filter(regexp_split_to_array(text,
+        |      '\s+'), t -> length(t) > 0)), 0) > 0 THEN
+        |    floor((0.39 * (CAST(coalesce(len(list_filter(
+        |          regexp_split_to_array(text, '\s+'),
+        |          t -> length(t) > 0)), 0) AS DOUBLE)
+        |        / CAST(greatest(coalesce(len(regexp_extract_all(text,
+        |            '[.!?]+')), 0), 1) AS DOUBLE))
+        |      + 11.8 * (CAST(coalesce(len(regexp_extract_all(lower(text),
+        |          '[aeiouy]+')), 0) AS DOUBLE)
+        |        / CAST(coalesce(len(list_filter(regexp_split_to_array(text,
+        |            '\s+'), t -> length(t) > 0)), 0) AS DOUBLE))
+        |      - 15.59) * 10000) / 10000 END AS fk_grade
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // bootstrap replay: same md5 uniforms (one digest per block of 3
     // replicates, 40-bit hex lanes), same 17-digit Poisson CDF

@@ -150,6 +150,36 @@ object TextAnalysis {
     when(n === 0, 0.0).otherwise(floor(chars / n * 10000) / 10000)
   }
 
+  /** Flesch reading-ease and Flesch-Kincaid grade — the classic
+    * audience-difficulty signals (Kincaid et al. 1975), the
+    * readability rung the quality ladder ([[qualityScore]], gopher
+    * flags) stops short of. Syllables are approximated as vowel-group
+    * runs (`[aeiouy]+` on the folded text) — the standard
+    * dictionary-free proxy, biased low on silent-e words but
+    * monotone with true syllable load and exactly replayable by any
+    * regex engine. Sentences are terminator-group counts (floored at
+    * 1 so headline-ish fragments don't divide by zero). Returns a
+    * struct `(n_words, n_sentences, n_syllables, flesch, fk_grade)`;
+    * scores NULL on wordless docs, floor-quantized to 10⁻⁴. Narrow
+    * codegen'd scan — no shuffle, no UDF. */
+  def readability(text: Column): Column = {
+    val words = wsTokenCount(text)
+    val sents = greatest(coalesce(regexp_count(text, lit("[.!?]+")),
+      lit(0)), lit(1))
+    val syl = coalesce(regexp_count(lower(text), lit("[aeiouy]+")), lit(0))
+    val w = words.cast("double")
+    val wps = w / sents.cast("double")
+    val spw = syl.cast("double") / w
+    struct(
+      words.as("n_words"),
+      sents.as("n_sentences"),
+      syl.as("n_syllables"),
+      when(words > 0, floor((lit(206.835) - lit(1.015) * wps -
+        lit(84.6) * spw) * 10000) / 10000).as("flesch"),
+      when(words > 0, floor((lit(0.39) * wps + lit(11.8) * spw -
+        lit(15.59)) * 10000) / 10000).as("fk_grade"))
+  }
+
   /** Fraction of tokens containing at least one ASCII letter — the
     * Gopher "≥80% of words must have an alphabetic character" filter
     * (numeric/symbol-soup docs score low). Tokens come from the

@@ -276,4 +276,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(chunks("", 10) == Seq.empty)
   }
+
+  test("readability: hand-computed Flesch and FK grade") {
+    import spark.implicits._
+    def read(s: String) = Seq(s).toDF("t")
+      .select(TextAnalysis.readability(col("t")).as("r"))
+      .select("r.*").collect()(0)
+    // "The cat sat. The dog ran." — 6 words, 2 sentences, 6 vowel
+    // groups (e, a, a, e, o, a): wps=3, spw=1
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    // fk = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val r = read("The cat sat. The dog ran.")
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(r.getAs[Int]("n_sentences") == 2)
+    assert(r.getAs[Int]("n_syllables") == 6)
+    assert(r.getAs[Double]("flesch") == 119.19)
+    assert(r.getAs[Double]("fk_grade") == -2.62)
+    // polysyllabic prose reads harder: lower flesch, higher grade
+    val hard = read(
+      "Extraordinary bureaucratic organizations necessitate " +
+        "comprehensive administrative documentation.")
+    assert(hard.getAs[Double]("flesch") < r.getAs[Double]("flesch"))
+    assert(hard.getAs[Double]("fk_grade") > r.getAs[Double]("fk_grade"))
+    // wordless doc: counts zero, scores NULL, sentences floored at 1
+    val blank = read("   ")
+    assert(blank.getAs[Int]("n_words") == 0)
+    assert(blank.getAs[Int]("n_sentences") == 1)
+    assert(blank.isNullAt(blank.fieldIndex("flesch")))
+    assert(blank.isNullAt(blank.fieldIndex("fk_grade")))
+  }
 }
