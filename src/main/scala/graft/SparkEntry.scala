@@ -3193,6 +3193,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // A-Priori frequent itemsets over per-order supplier baskets:
+    // pairs and downward-closure-pruned triples with absolute support
+    // >= 5, unioned as (k, i1, i2, i3, support)
+    "q_freq_itemsets" -> ((s, dir) => {
+      val bi = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"),
+          col("l_suppkey").cast("long").as("it"))
+      val pairs = graft.ops.Itemsets.frequentPairs(bi, "bk", "it",
+        minSupport = 5)
+      val triples = graft.ops.Itemsets.frequentTriples(bi, "bk", "it",
+        minSupport = 5)
+      pairs.select(lit(2).as("k"), col("i1"), col("i2"),
+          lit(null).cast("long").as("i3"), col("support"))
+        .unionAll(triples.select(lit(3).as("k"), col("i1"), col("i2"),
+          col("i3"), col("support")))
+        .orderBy("k", "i1", "i2", "i3")
+    }),
+
     // degree assortativity of the customer→supplier purchase graph:
     // do high-volume customers buy from high-volume suppliers? The
     // whole-graph read that decides hub-cap/salting strategy before
@@ -8059,6 +8077,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_common
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
         |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
+
+    // itemset replay: prune-free self-joins — downward closure is
+    // lossless, so the unpruned enumeration returns identical rows
+    "q_freq_itemsets" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, CAST(l_suppkey AS BIGINT) AS it
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT a.it AS i1, c.it AS i2, CAST(count(*) AS BIGINT) AS support
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |t AS (
+        |  SELECT a.it AS i1, c.it AS i2, e.it AS i3,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        |         JOIN b e ON c.bk = e.bk AND c.it < e.it
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT 2 AS k, i1, i2, CAST(NULL AS BIGINT) AS i3, support FROM p
+        |UNION ALL
+        |SELECT 3 AS k, i1, i2, i3, support FROM t
+        |ORDER BY k, i1, i2, i3""".stripMargin,
 
     // assortativity replay: same exact HUGEINT moment sums over edge
     // endpoint degrees, same pinned closing chain
