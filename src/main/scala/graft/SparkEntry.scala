@@ -3348,6 +3348,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("core_nodes"), sum("degree").as("degree_sum"))
     }),
 
+    // ALS matrix factorization end to end: rank-8 factors over the
+    // customer×part quantity matrix (4 alternating rounds), scored by
+    // training RMSE — the collaborative-filtering embedding trainer.
+    // Bench-only (iterative linear algebra has no SQL replay; AlsSpec
+    // pins recovery, determinism, and the Cholesky solver).
+    "als_factors" -> ((s, dir) => {
+      val ratings = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(log1p(sum(col("l_quantity"))).as("rating"))
+      val m = graft.ops.Als.train(ratings, "user", "item", "rating",
+        rank = 8, reg = 0.05, iters = 4)
+      graft.ops.Als.rmse(m, ratings, "user", "item", "rating")
+    }),
+
     // DeepWalk front half end to end: deterministic random walks over
     // the co-purchase graph rendered as a text corpus, then the
     // word2vec skip-gram pair generator — graph embeddings' training
