@@ -2340,6 +2340,51 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Brier score + Murphy decomposition: is a bad probability score
+    // miscalibrated (reliability) or undiscriminating (resolution)?
+    "eval_quality_brier" -> ((s, dir) => {
+      graft.ops.Eval.brierDecomposition(evalScored(t(s, dir, "documents")),
+          "score", "label", bins = 10)
+    }),
+
+    // Benford first-digit audit of order amounts (cents): the
+    // forensic fabricated-/capped-column smell test — per-digit
+    // observed vs log10(1+1/d) expected shares
+    "v_benford_prices" -> ((s, dir) => {
+      graft.validate.Benford.audit(
+          t(s, dir, "orders").select(
+            floor(col("o_totalprice") * 100).cast("long").as("cents")),
+          "cents")
+        .orderBy("digit")
+    }),
+
+    // per-column distribution shape: skewness + excess kurtosis from
+    // exact DECIMAL power sums, one wide aggregate for all columns
+    "v_profile_moments" -> ((s, dir) => {
+      graft.validate.Profiler.moments(t(s, dir, "customer"),
+          Seq("c_acctbal", "c_nationkey"), quant = 100L)
+        .orderBy("col_name")
+    }),
+
+    // sequential patterns over (user, day) event sessions: ordered
+    // pairs a→b and triples a→b→c via per-(sequence, item) time
+    // bounds — PrefixSpan's answer without projection state
+    "q_seq_patterns" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        concat_ws("#", col("user_id"),
+          to_date(col("ts_us")).cast("string")).as("sq"),
+        col("event_type").as("it"), col("ts_us").as("t"))
+      val p = graft.ops.SequenceMining.frequentPairs(ev, "sq", "it", "t",
+        minSupport = 300)
+      val t3 = graft.ops.SequenceMining.frequentTriples(ev, "sq", "it",
+        "t", minSupport = 300)
+      p.select(lit(2).as("k"), col("a"), col("b"),
+          lit(null).cast("string").as("c"), col("support"))
+        .unionAll(t3.select(lit(3).as("k"), col("a"), col("b"), col("c"),
+          col("support")))
+        .orderBy("k", "a", "b", "c")
+    }),
+
     // HyperLogLog register construction (the distributed half of the
     // sketch — hashing, bucketing, per-bucket max — in cross-engine
     // integer arithmetic; the float estimate is driver math pinned in
@@ -8093,6 +8138,155 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_common
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
         |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
+
+    // Brier replay: same 1e-6 score quantization before squaring,
+    // same per-bin 1e-9 term quantization, same pinned closings
+    "eval_quality_brier" ->
+      (evalScoredSql +
+       """b AS (
+         |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |    count(*) AS nk, sum(label) AS npk,
+         |    sum(CAST(floor(score * 1000000) AS BIGINT)) AS sqk,
+         |    sum(CAST((CAST(floor(score * 1000000) AS BIGINT) - label * 1000000)
+         |      * (CAST(floor(score * 1000000) AS BIGINT) - label * 1000000)
+         |      AS HUGEINT)) AS se2
+         |  FROM scored GROUP BY 1),
+         |w AS (
+         |  SELECT nk, npk, sqk, se2,
+         |    sum(nk) OVER () AS n, sum(npk) OVER () AS np
+         |  FROM b),
+         |terms AS (
+         |  SELECT n, np, se2,
+         |    CAST(floor(CAST((CAST(sqk AS HUGEINT) - CAST(npk AS HUGEINT) * 1000000)
+         |        * (CAST(sqk AS HUGEINT) - CAST(npk AS HUGEINT) * 1000000) AS DOUBLE)
+         |      / nk / 1000000000000.0 * 1000000000) AS BIGINT) AS rel9,
+         |    CAST(floor(CAST((CAST(npk AS HUGEINT) * n - CAST(np AS HUGEINT) * nk)
+         |        * (CAST(npk AS HUGEINT) * n - CAST(np AS HUGEINT) * nk) AS DOUBLE)
+         |      / nk / n / n * 1000000000) AS BIGINT) AS res9
+         |  FROM w),
+         |s AS (
+         |  SELECT n, np, sum(se2) AS se2, sum(rel9) AS srel9,
+         |    sum(res9) AS sres9
+         |  FROM terms GROUP BY n, np)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  floor(CAST(se2 AS DOUBLE) / n / 1000000000000.0 * 1000000) / 1000000 AS brier,
+         |  floor(CAST(np AS DOUBLE) * (n - np) / (CAST(n AS DOUBLE) * n) * 1000000) / 1000000 AS uncertainty,
+         |  floor(CAST(sres9 AS DOUBLE) / n / 1000000000.0 * 1000000) / 1000000 AS resolution,
+         |  floor(CAST(srel9 AS DOUBLE) / n / 1000000000.0 * 1000000) / 1000000 AS reliability
+         |FROM s""".stripMargin),
+
+    // Benford replay: first digit from the BIGINT's decimal string
+    // (identical printing), pinned quantized expected shares
+    "v_benford_prices" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >= 1),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM v),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |s AS (
+        |  SELECT digit, n,
+        |    floor(CAST(n AS DOUBLE) / sum(n) OVER () * 1000000) / 1000000
+        |      AS share
+        |  FROM g),
+        |e AS (
+        |  SELECT digit, n, share,
+        |    CASE digit
+        |      WHEN 1 THEN CAST(0.301029 AS DOUBLE)
+        |      WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+        |      WHEN 3 THEN CAST(0.124938 AS DOUBLE)
+        |      WHEN 4 THEN CAST(0.09691 AS DOUBLE)
+        |      WHEN 5 THEN CAST(0.079181 AS DOUBLE)
+        |      WHEN 6 THEN CAST(0.066946 AS DOUBLE)
+        |      WHEN 7 THEN CAST(0.057991 AS DOUBLE)
+        |      WHEN 8 THEN CAST(0.051152 AS DOUBLE)
+        |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS expected_share
+        |  FROM s)
+        |SELECT digit, n, share, expected_share,
+        |  abs(share - expected_share) AS abs_dev
+        |FROM e ORDER BY digit""".stripMargin,
+
+    // moments replay: same quantized DECIMAL power sums, same pinned
+    // central-moment chains (sqrt, never pow)
+    "v_profile_moments" ->
+      """WITH stats AS (
+        |  SELECT 'c_acctbal' AS col_name,
+        |    CAST(count(c_acctbal) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)) AS HUGEINT) AS s2,
+        |    sum(CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)) AS s3,
+        |    sum(CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS HUGEINT)) AS s4
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey',
+        |    CAST(count(c_nationkey) AS BIGINT),
+        |    CAST(sum(CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)) AS HUGEINT),
+        |    CAST(sum(CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)) AS HUGEINT),
+        |    sum(CAST(CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)),
+        |    sum(CAST(CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(floor(CAST(c_nationkey AS DOUBLE) * 100) AS BIGINT) AS HUGEINT))
+        |  FROM customer),
+        |m AS (
+        |  SELECT col_name, n,
+        |    CAST(s1 AS DOUBLE) / n AS m1,
+        |    CAST(s2 AS DOUBLE) / n AS e2,
+        |    CAST(s3 AS DOUBLE) / n AS e3,
+        |    CAST(s4 AS DOUBLE) / n AS e4
+        |  FROM stats),
+        |cm AS (
+        |  SELECT col_name, n, m1,
+        |    e2 - m1 * m1 AS m2,
+        |    e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1 AS m3,
+        |    e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
+        |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m)
+        |SELECT col_name, n,
+        |  floor(m1 / 100 * 1000000) / 1000000 AS mean,
+        |  CASE WHEN m2 > 0 THEN
+        |    floor(m3 / (m2 * sqrt(m2)) * 1000000) / 1000000 END AS skewness,
+        |  CASE WHEN m2 > 0 THEN
+        |    floor((m4 / (m2 * m2) - 3.0) * 1000000) / 1000000 END AS kurtosis
+        |FROM cm ORDER BY col_name""".stripMargin,
+
+    // sequence-pattern replay: same per-(sequence, item) time bounds,
+    // same first-b-after-a minimum, strict inequalities throughout
+    "q_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '#' ||
+        |      CAST(CAST(ts AS DATE) AS VARCHAR) AS sq,
+        |    event_type AS it, ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |st AS (SELECT sq, it, min(ts) AS tmin, max(ts) AS tmax
+        |       FROM e GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b, CAST(count(*) AS BIGINT) AS support
+        |  FROM st a JOIN st b ON a.sq = b.sq AND a.tmin < b.tmax
+        |  GROUP BY 1, 2 HAVING count(*) >= 300),
+        |fa AS (
+        |  SELECT m.sq, a.it AS a, m.it AS b, min(m.ts) AS tstar
+        |  FROM e m JOIN st a ON m.sq = a.sq AND a.tmin < m.ts
+        |  GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT f.a, f.b, c.it AS c, CAST(count(*) AS BIGINT) AS support
+        |  FROM fa f JOIN st c ON f.sq = c.sq AND f.tstar < c.tmax
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 300)
+        |SELECT 2 AS k, a, b, CAST(NULL AS VARCHAR) AS c, support FROM p
+        |UNION ALL
+        |SELECT 3 AS k, a, b, c, support FROM t
+        |ORDER BY k, a, b, c""".stripMargin,
 
     // itemset replay: prune-free self-joins — downward closure is
     // lossless, so the unpruned enumeration returns identical rows

@@ -117,6 +117,56 @@ object Eval {
         r6(col("sq").cast("double") / col("n") / 1e6).as("mean_score"))
   }
 
+  /** Brier score with Murphy's (1973) three-way decomposition over
+    * the calibration bins: brier = reliability − resolution +
+    * uncertainty (up to binning/quantization granularity) — the
+    * single frame that says whether a bad probability score is
+    * MISCALIBRATED (high reliability term: fix with [[isotonicCalibration]])
+    * or UNDISCRIMINATING (low resolution: fix the model). Scores are
+    * floor-quantized to 1e-6 BEFORE squaring/summing, per-bin terms
+    * to 1e-9 — every sum is integer-exact in any order; cross
+    * products ride DECIMAL(38,0). One row:
+    * (n, brier, uncertainty, resolution, reliability). */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val dec = "decimal(38,0)"
+    val b = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+    val lab = col(labelCol).cast("long")
+    val q = floor(col(scoreCol) * 1e6).cast("long")
+    val binned = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("nk"), sum(lab).as("npk"),
+        sum(q).as("sqk"),
+        sum(((q - lab * 1000000L) * (q - lab * 1000000L)).cast(dec))
+          .as("se2"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dRel = col("sqk").cast(dec) - col("npk").cast(dec) * 1000000L
+    val dRes = col("npk").cast(dec) * col("n") -
+      col("np").cast(dec) * col("nk")
+    binned
+      .select(col("nk"), col("npk"), col("sqk"), col("se2"),
+        sum("nk").over(tot).as("n"), sum("npk").over(tot).as("np"))
+      .select(col("n"), col("np"),
+        col("se2"),
+        // reliability term: (sq_k − np_k·1e6)² / (n_k · 1e12)
+        floor((dRel * dRel).cast("double")
+          / col("nk") / 1e12 * 1e9).cast("long").as("rel9"),
+        // resolution term: (np_k·n − np·n_k)² / (n_k · n²)
+        floor((dRes * dRes).cast("double")
+          / col("nk") / col("n") / col("n") * 1e9).cast("long").as("res9"))
+      .groupBy("n", "np")
+      .agg(sum("se2").as("se2"), sum("rel9").as("srel9"),
+        sum("res9").as("sres9"))
+      .select(col("n"),
+        r6(col("se2").cast("double") / col("n") / 1e12).as("brier"),
+        r6(col("np").cast("double") * (col("n") - col("np")) /
+          (col("n").cast("double") * col("n"))).as("uncertainty"),
+        r6(col("sres9").cast("double") / col("n") / 1e9).as("resolution"),
+        r6(col("srel9").cast("double") / col("n") / 1e9).as("reliability"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators — the score →
     * probability map every threshold decision actually wants: the
     * empirical positive rate, made monotone in the score. The corpus

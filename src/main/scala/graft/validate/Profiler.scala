@@ -103,6 +103,61 @@ object Profiler {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Per-column skewness and excess kurtosis — the shape row the
+    * min/max/mean/std profile misses: a long right tail (positive
+    * skew) says "quantile-cap before averaging", heavy tails (high
+    * kurtosis) say "expect stragglers on this join key". Population
+    * moments over values floor-quantized by `quant` (like
+    * [[correlations]]): the four power sums Σq..Σq⁴ are exact
+    * DECIMAL(38,0) integers on ONE wide aggregate for all columns;
+    * the central-moment closing runs as one pinned double chain per
+    * column (deterministic: a fixed expression tree over exact
+    * operands, with sqrt — correctly rounded IEEE — rather than pow).
+    * Skew/kurtosis NULL on (near-)constant columns (m2 quantizes to
+    * 0). Keep quant·|v| ≲ 10⁷ so the q⁴ sum (10²⁸ per row) stays
+    * inside 38 digits at 10⁹⁺ row counts. Output one row per column:
+    * (col_name, n, mean, skewness, kurtosis). */
+  def moments(df: DataFrame, cols: Seq[String],
+      quant: Long = 100L): DataFrame = {
+    require(cols.nonEmpty, "moments needs >= 1 column")
+    require(quant >= 1, s"quant $quant must be >= 1")
+    val dec = "decimal(38,0)"
+    def q(c: String) = floor(col(c).cast("double") * quant).cast("long")
+    val aggs = cols.zipWithIndex.flatMap { case (c, k) =>
+      val x = q(c)
+      Seq(
+        sum(when(col(c).isNotNull, lit(1L))).as(s"n_$k"),
+        sum(x.cast(dec)).as(s"s1_$k"),
+        // x² fits a long at q <= 1e8; x³/x⁴ must grow in DECIMAL
+        sum((x * x).cast(dec)).as(s"s2_$k"),
+        sum((x * x).cast(dec) * x).as(s"s3_$k"),
+        sum((x * x).cast(dec) * (x * x).cast(dec)).as(s"s4_$k"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, k) =>
+      val n = col(s"n_$k").cast("double")
+      val s1 = col(s"s1_$k").cast("double")
+      val s2 = col(s"s2_$k").cast("double")
+      val s3 = col(s"s3_$k").cast("double")
+      val s4 = col(s"s4_$k").cast("double")
+      val m1 = s1 / n
+      val m2 = s2 / n - m1 * m1
+      val m3 = s3 / n - lit(3.0) * m1 * (s2 / n) + lit(2.0) * m1 * m1 * m1
+      val m4 = s4 / n - lit(4.0) * m1 * (s3 / n) +
+        lit(6.0) * m1 * m1 * (s2 / n) - lit(3.0) * m1 * m1 * m1 * m1
+      struct(
+        lit(c).as("col_name"),
+        col(s"n_$k").as("n"),
+        (floor(m1 / quant * 1000000) / 1000000).as("mean"),
+        when(m2 > 0,
+          floor(m3 / (m2 * sqrt(m2)) * 1000000) / 1000000).as("skewness"),
+        when(m2 > 0,
+          floor((m4 / (m2 * m2) - lit(3.0)) * 1000000) / 1000000)
+          .as("kurtosis"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Per-column Shannon entropy (nats) over the value distribution —
     * the key-detection / drift companion to [[profile]]: entropy near
     * ln(n) flags a key column, entropy near 0 a constant, and an

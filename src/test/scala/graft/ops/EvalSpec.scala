@@ -259,4 +259,28 @@ class EvalSpec extends SparkSpec {
     assert(segs(0).getLong(2) == 6L && segs(0).getLong(3) == 3L)
     assert(segs(0).getDouble(4) == 0.5)
   }
+
+  test("brier decomposition: hand case where the identity is exact") {
+    import spark.implicits._
+    // bins 2 and 8: brier 0.1675, uncertainty 0.1875 (p̄=0.75),
+    // reliability 0.0425, resolution 0.0625 — rel − res + unc = brier
+    val rows = Seq((0.25, 0), (0.25, 1), (0.85, 1), (0.85, 1))
+      .toDF("score", "label")
+    val r = Eval.brierDecomposition(rows, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("brier") == 0.1675)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+    assert(r.getAs[Double]("reliability") == 0.0425)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+  }
+
+  test("brier: perfectly calibrated bins have ~zero reliability") {
+    import spark.implicits._
+    // within each bin the mean score equals the positive rate
+    val rows = (Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq((0.75, 0))).toDF("score", "label")
+    val r = Eval.brierDecomposition(rows, "score", "label").collect()(0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") > 0.0)
+  }
 }
