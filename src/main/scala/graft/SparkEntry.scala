@@ -3215,6 +3215,16 @@ object SparkEntry {
         "grp", "n_chars")
     }),
 
+    // Kruskal-Wallis H: account balance across ALL market segments at
+    // once — the k-group rank test, same histogram ranks as MW
+    "q_kruskal_segments" -> ((s, dir) => {
+      graft.ops.Hypothesis.kruskalWallis(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents")),
+        "c_mktsegment", "cents")
+    }),
+
     // Poisson-bootstrap 95% CI for mean order value (cents): 200
     // deterministic md5-weighted replicates in one pass, exact integer
     // weighted sums, order-statistic bounds.
@@ -3383,12 +3393,8 @@ object SparkEntry {
     // 8-core (dense co-assortment families). Rounds are data-dependent
     // (KCoreSpec pins semantics), so bench-only — no SQL replay.
     "kcore_copurchase" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val op = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("p")).distinct()
-      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
-        .filter(col("p") =!= col("p2"))
-        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      val edges = graft.ops.Graphs.coOccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.ops.KCore.core(edges, k = 8)
         .agg(count(lit(1)).as("core_nodes"), sum("degree").as("degree_sum"))
     }),
@@ -3415,12 +3421,8 @@ object SparkEntry {
     // data in two existing operators. Bench-only (hash-sampled walks
     // have no SQL replay; RandomWalksSpec pins the sampler).
     "graph_walk_pairs" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val op = li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("p")).distinct()
-      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
-        .filter(col("p") =!= col("p2"))
-        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      val edges = graft.ops.Graphs.coOccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       val walks = graft.ops.RandomWalks.walks(edges, walksPerNode = 2,
         walkLen = 8)
       val corpus = walks.select(col("walk_id"),
@@ -8697,7 +8699,51 @@ object SparkEntry {
         |    floor((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE)
         |      * CAST(nb AS DOUBLE)) / (2.0 * sqrt(varu)) * 1000000)
         |      / 1000000 END AS z
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // Kruskal-Wallis replay: same histogram doubled ranks, same
+    // N³-relative 1e-12 term grid, same pinned closing chain
+    "q_kruskal_segments" ->
+      """WITH rws AS (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |byval AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |          FROM rws GROUP BY v),
+        |ranked AS (
+        |  SELECT v, 2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS dr,
+        |    CAST(t * t * t - t AS HUGEINT) AS tc
+        |  FROM byval),
+        |pg AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(c * dr AS HUGEINT)) AS HUGEINT) AS r2
+        |  FROM (SELECT g, v, count(*) AS c FROM rws GROUP BY 1, 2) x
+        |    JOIN ranked USING (v)
+        |  GROUP BY g),
+        |nt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS k FROM pg),
+        |terms AS (
+        |  SELECT n, k,
+        |    CAST(sum(CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |      / ng / n / n / n * 1000000000000) AS BIGINT)) AS BIGINT)
+        |      AS s12
+        |  FROM pg, nt GROUP BY n, k),
+        |tsum AS (SELECT CAST(sum(tc) AS HUGEINT) AS ties FROM ranked)
+        |SELECT n, k,
+        |  CASE WHEN k >= 2 AND
+        |      1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE)) > 0 THEN
+        |    floor((3.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) * (CAST(s12 AS DOUBLE)
+        |          / 1000000000000.0)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))) * 1000000) / 1000000 END AS h
+        |FROM terms, tsum""".stripMargin
   )
 
   /** Shared WITH prefix for the eval_* oracles: the text_quality score

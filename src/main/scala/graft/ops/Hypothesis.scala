@@ -132,4 +132,55 @@ object Hypothesis {
               col("n_cols_cat") - 1)).cast("double")) * 1000000)
             / 1000000).as("cramers_v"))
   }
+
+  /** Kruskal-Wallis H — the k-group generalization of
+    * [[mannWhitney]]: does `valueCol` have the same distribution
+    * across ALL levels of `groupCol`, rank-based so outliers and
+    * non-normality don't poison it. Ranks come from the VALUE
+    * HISTOGRAM like the two-group form (doubled mid-ranks
+    * 2·below + t + 1 stay integral; no corpus sort), per-group
+    * doubled-rank sums are exact DECIMAL(38,0), the tie correction
+    * Σ(t³−t)/(N³−N) is exact, and the per-group R²/n terms are
+    * quantized on a fixed 10⁻¹² grid RELATIVE TO N³ (their natural
+    * scale) before the k-row sum — deterministic in any order, and
+    * the engine-replay computes the identical grid. Group cardinality
+    * k is assumed vocabulary-bounded (segments, languages, sources).
+    * Output one row: `(n, k, h)` — h tie-corrected, floored to 10⁻⁶,
+    * NULL when every value ties (correction hits 0) or k < 2. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("v")
+    val ranked = byVal.withColumn("cle", sum("t").over(w))
+      .select(col("v"),
+        (lit(2) * (col("cle") - col("t")) + col("t") + 1).as("dr"),
+        ((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tc"))
+    val perGroup = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .join(ranked.select("v", "dr"), "v")
+      .groupBy("g")
+      .agg(sum("c").as("ng"), sum((col("c") * col("dr")).cast(dec)).as("r2"))
+    val ties = ranked.agg(sum("tc").as("ties"))
+    val nTot = perGroup.agg(sum("ng").as("n"), count(lit(1)).as("k"))
+    val terms = perGroup.crossJoin(broadcast(nTot))
+      .select(col("n"), col("k"),
+        floor(col("r2").cast("double") * col("r2").cast("double")
+          / col("ng") / col("n") / col("n") / col("n")
+          * 1000000000000L).cast("long").as("t12"))
+      .groupBy("n", "k").agg(sum("t12").as("s12"))
+    val nD = col("n").cast("double")
+    val hRaw = lit(3.0) * nD * nD * nD *
+      (col("s12").cast("double") / 1e12) / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("ties").cast("double") /
+      (nD * nD * nD - nD)
+    terms.crossJoin(broadcast(ties))
+      .select(col("n"), col("k").cast("long").as("k"),
+        when(col("k") >= 2 && corr > 0,
+          floor(hRaw / corr * 1000000) / 1000000).as("h"))
+  }
+
 }

@@ -98,4 +98,50 @@ class HypothesisSpec extends SparkSpec {
       "a", "b").collect()(0)
     assert(c1 == c2)
   }
+
+  test("kruskal-wallis: textbook no-tie hand case H = 2.4") {
+    import spark.implicits._
+    // g1={1,2} g2={3,4}: ranks 1..4, R=(3,7) →
+    // H = 12/20·(9/2+49/2) − 15 = 2.4, no tie correction
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L), ("g2", 4L))
+      .toDF("g", "v")
+    val r = Hypothesis.kruskalWallis(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("k") == 2)
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-5, r.toString)
+  }
+
+  test("kruskal-wallis: identical distributions give near-zero H; separation grows it") {
+    import spark.implicits._
+    val same = (1 to 90).map(i => (s"g${i % 3}", (i / 3).toLong))
+      .toDF("g", "v")
+    val hSame = Hypothesis.kruskalWallis(same, "g", "v")
+      .collect()(0).getAs[Double]("h")
+    assert(hSame < 1.0, s"identical: $hSame")
+    val apart = (1 to 90).map(i => (s"g${i % 3}", (i % 3) * 1000L + i))
+      .toDF("g", "v")
+    val hApart = Hypothesis.kruskalWallis(apart, "g", "v")
+      .collect()(0).getAs[Double]("h")
+    assert(hApart > 50.0, s"separated: $hApart")
+  }
+
+  test("kruskal-wallis: degenerate cases are NULL") {
+    import spark.implicits._
+    // all values tie → correction 0
+    val allTie = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val r1 = Hypothesis.kruskalWallis(allTie, "g", "v").collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("h")))
+    // single group → k < 2
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r2 = Hypothesis.kruskalWallis(one, "g", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("h")))
+  }
+
+  test("kruskal-wallis deterministic across partitionings") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 4}", (i * 13 % 83).toLong))
+      .toDF("g", "v")
+    val a = Hypothesis.kruskalWallis(df.repartition(1), "g", "v").collect()(0)
+    val b = Hypothesis.kruskalWallis(df.repartition(7), "g", "v").collect()(0)
+    assert(a == b)
+  }
 }
