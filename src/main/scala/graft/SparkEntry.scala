@@ -3266,6 +3266,19 @@ object SparkEntry {
         .orderBy("k", "i1", "i2", "i3")
     }),
 
+    // HITS hubs & authorities over the customer→supplier purchase
+    // bipartite (prefixed ids — the key spaces overlap numerically):
+    // breadth-buyers vs widely-bought-from sellers, 2 integral rounds
+    "q_hits_purchases" -> ((s, dir) => {
+      val e = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.ops.Hits.scores(e, iters = 2)
+        .orderBy("node")
+    }),
+
     // degree assortativity of the customer→supplier purchase graph:
     // do high-volume customers buy from high-volume suppliers? The
     // whole-graph read that decides hub-cap/salting strategy before
@@ -3397,6 +3410,35 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.ops.KCore.core(edges, k = 8)
         .agg(count(lit(1)).as("core_nodes"), sum("degree").as("degree_sum"))
+    }),
+
+    // DBSCAN over planted blobs: 200k points in 1000 md5-scattered
+    // dense blobs plus 10% uniform noise — grid radius join + core
+    // closure + border attach end to end, reported as cluster/role
+    // counts. Bench-only (CC closure is iterative; DbscanSpec pins
+    // textbook roles exactly).
+    "dbscan_blobs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{conv => fconv}
+      val n = 100000L
+      val ids = s.range(n).select(col("id"))
+      def h(tag: String) =
+        (fconv(substring(md5(concat(lit(tag), col("id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      val blob = pmod(h("b"), lit(1000L))
+      val noise = pmod(h("n"), lit(10L)) === 0
+      // ~90 points per 200x200 blob box: eps 40 gives LOCAL
+      // connectivity (avg ~11 in-range neighbors), not a blob-clique —
+      // the pair count stays ~n·density, never n² per blob
+      val pts = ids.select(col("id"),
+        when(noise, pmod(h("x"), lit(4000000L)))
+          .otherwise(blob * 4000L + pmod(h("x"), lit(200L))).as("x"),
+        when(noise, pmod(h("y"), lit(4000000L)))
+          .otherwise(blob * 4000L + pmod(h("y"), lit(200L))).as("y"))
+      graft.ops.Dbscan.cluster(pts, eps = 40L, minPts = 6)
+        .groupBy("role")
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .orderBy("role")
     }),
 
     // ALS matrix factorization end to end: rank-8 factors over the
@@ -8310,6 +8352,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3 AS k, i1, i2, i3, support FROM t
         |ORDER BY k, i1, i2, i3""".stripMargin,
+
+    // HITS replay: 2 rounds unrolled — integral sums, exact (s·1e12)
+    // div max normalization each half-step, absent-side scores 0
+    "q_hits_purchases" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1s AS (
+        |  SELECT dst AS node,
+        |    CAST(count(*) AS HUGEINT) * 1000000000000 AS s
+        |  FROM e GROUP BY dst),
+        |a1 AS (SELECT node, (s * 1000000000000) //
+        |         (SELECT max(s) FROM a1s) AS a FROM a1s),
+        |a1f AS (SELECT n.node, coalesce(a1.a, 0) AS a
+        |        FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
+        |h1s AS (
+        |  SELECT e.src AS node, CAST(sum(CAST(f.a AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM e JOIN a1f f ON e.dst = f.node GROUP BY e.src),
+        |h1 AS (SELECT node, (s * 1000000000000) //
+        |         (SELECT max(s) FROM h1s) AS h FROM h1s),
+        |h1f AS (SELECT n.node, coalesce(h1.h, 0) AS h
+        |        FROM nodes n LEFT JOIN h1 ON n.node = h1.node),
+        |a2s AS (
+        |  SELECT e.dst AS node, CAST(sum(CAST(f.h AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM e JOIN h1f f ON e.src = f.node GROUP BY e.dst),
+        |a2 AS (SELECT node, (s * 1000000000000) //
+        |         (SELECT max(s) FROM a2s) AS a FROM a2s),
+        |a2f AS (SELECT n.node, coalesce(a2.a, 0) AS a
+        |        FROM nodes n LEFT JOIN a2 ON n.node = a2.node),
+        |h2s AS (
+        |  SELECT e.src AS node, CAST(sum(CAST(f.a AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM e JOIN a2f f ON e.dst = f.node GROUP BY e.src),
+        |h2 AS (SELECT node, (s * 1000000000000) //
+        |         (SELECT max(s) FROM h2s) AS h FROM h2s),
+        |h2f AS (SELECT n.node, coalesce(h2.h, 0) AS h
+        |        FROM nodes n LEFT JOIN h2 ON n.node = h2.node)
+        |SELECT h2f.node, CAST(h2f.h AS BIGINT) AS hub,
+        |  CAST(a2f.a AS BIGINT) AS authority
+        |FROM h2f JOIN a2f ON h2f.node = a2f.node
+        |ORDER BY h2f.node""".stripMargin,
 
     // assortativity replay: same exact HUGEINT moment sums over edge
     // endpoint degrees, same pinned closing chain

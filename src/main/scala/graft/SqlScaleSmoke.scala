@@ -188,7 +188,14 @@ object SqlScaleSmoke {
     // per-key O(n²) Theil-Sen (pairs constant in sf — date range
     // fixed), chi-squared margins, keyword idf join
     "q_survival_conversion", "q_seasonal_decomp", "q_theilsen_priority",
-    "q_chi2_orders", "text_keywords")
+    "q_chi2_orders", "text_keywords",
+    // r12 fifth batch: basket self-joins (itemsets), time-bound joins
+    // (sequence mining), distinct-score-frame metrics (PR/KS/lift/
+    // Brier), k-group histogram ranks, moment/endpoint-degree sums
+    "q_freq_itemsets", "q_seq_patterns", "eval_quality_pr",
+    "eval_quality_ks", "eval_quality_lift", "eval_quality_brier",
+    "q_kruskal_segments", "q_assortativity", "v_profile_moments",
+    "v_benford_prices", "text_readability")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
