@@ -3266,6 +3266,20 @@ object SparkEntry {
         .orderBy("k", "i1", "i2", "i3")
     }),
 
+    // leave-one-out target encoding: priority encoded by smoothed
+    // out-of-row mean order value — the high-cardinality-categorical
+    // featurizer, leak-free by construction
+    "q_target_encode" -> ((s, dir) => {
+      graft.ops.TargetEncode.looEncode(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority").as("prio"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents")),
+          "prio", "cents", m = 20.0)
+        .where(col("o_orderkey") % 37 === 0)
+        .select("o_orderkey", "prio", "cents", "te")
+        .orderBy("o_orderkey")
+    }),
+
     // HITS hubs & authorities over the customer→supplier purchase
     // bipartite (prefixed ids — the key spaces overlap numerically):
     // breadth-buyers vs widely-bought-from sellers, 2 integral rounds
@@ -8352,6 +8366,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3 AS k, i1, i2, i3, support FROM t
         |ORDER BY k, i1, i2, i3""".stripMargin,
+
+    // target-encoding replay: same exact sums, same pinned
+    // leave-one-out chain — (sum−y+prior·m)/(n−1+m) floored to 1e-6
+    "q_target_encode" ->
+      """WITH rws AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |stats AS (
+        |  SELECT prio AS cat, count(*) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s
+        |  FROM rws WHERE prio IS NOT NULL AND cents IS NOT NULL
+        |  GROUP BY 1),
+        |gstats AS (
+        |  SELECT count(*) AS gn, CAST(sum(cents) AS HUGEINT) AS gs
+        |  FROM rws WHERE prio IS NOT NULL AND cents IS NOT NULL)
+        |SELECT o_orderkey, prio, cents,
+        |  floor((CAST(s AS DOUBLE) - cents
+        |      + CAST(gs AS DOUBLE) / gn * 20.0)
+        |    / (CAST(n AS DOUBLE) - 1 + 20.0) * 1000000) / 1000000 AS te
+        |FROM rws JOIN stats ON prio = cat CROSS JOIN gstats
+        |WHERE o_orderkey % 37 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // HITS replay: 2 rounds unrolled — integral sums, exact (s·1e12)
     // div max normalization each half-step, absent-side scores 0

@@ -174,4 +174,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"bottom-k must be TakeOrdered:\n$p")
   }
+
+  test("itemsets: closure prunes ride broadcast joins, basket joins stay equi") {
+    val q = plan("q_freq_itemsets")
+    assert(!q.contains("CartesianProduct"))
+    // three downward-closure semi-prunes against the frequent-pair set
+    // plus the L1 prunes — all broadcast (support-bounded sides)
+    val b = q.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(b >= 3, s"closure prunes must broadcast: $b")
+  }
+
+  test("eval metrics: the ranking window sits above an aggregate, never the corpus") {
+    for (name <- Seq("eval_quality_pr", "eval_quality_ks", "eval_quality_lift")) {
+      val q = plan(name)
+      val lines = q.linesIterator.toSeq
+      val winIdx = lines.indexWhere(_.trim.matches("""\(\d+\) Window.*"""))
+      assert(winIdx >= 0, s"$name should window the distinct-score frame")
+      // an aggregate (the by-score reduce) must appear below the window
+      // in the formatted tree; exactly one scan node (the detail
+      // section repeats the node header, so count scan LOCATIONS)
+      assert(lines.count(_.contains("Location: InMemoryFileIndex")) == 1,
+        s"$name must reduce one scan, not re-read the corpus")
+      assert(q.contains("HashAggregate"), s"$name must pre-aggregate by score")
+    }
+  }
+
+  test("target encoding: category stats broadcast back, no window") {
+    val q = plan("q_target_encode")
+    assert(!q.contains("Window"), "LOO encoding must not window")
+    assert(q.contains("BroadcastHashJoin") || q.contains("ShuffledHashJoin"),
+      "stats join must be a hash join")
+  }
+
+  test("sequence mining: bounds joins are equi, no cartesian") {
+    val q = plan("q_seq_patterns")
+    assert(!q.contains("CartesianProduct"))
+  }
 }
