@@ -54,11 +54,53 @@ final case class ImageDimsPacked(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** EXIF orientation (1-8) from a JPEG APP1 header walk — the rotation
+  * flag a thumbnail pass must honor. NULL when absent/non-JPEG/
+  * malformed; kernel semantics in [[Kernels.exifOrientation]]. */
+final case class ExifOrientationExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exif_orientation"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = Kernels.exifOrientation(input.asInstanceOf[Array[Byte]])
+    if (v == 0) null else java.lang.Integer.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val v = ctx.freshName("ori")
+      s"""
+         |int $v = graft.expr.Kernels.exifOrientation($input);
+         |if ($v == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ExifOrientationExpr =
+    copy(child = newChild)
+}
+
 object ImageDims {
 
   def imageDimsPacked(payload: Column): Column =
     GraftColumnBridge.column(
       ImageDimsPacked(GraftColumnBridge.expression(payload)))
+
+  /** EXIF orientation 1-8; NULL when absent or malformed. */
+  def exifOrientation(payload: Column): Column =
+    GraftColumnBridge.column(
+      ExifOrientationExpr(GraftColumnBridge.expression(payload)))
 
   /** (format, width, height) struct; NULL when the payload is not a
     * recognizable image. */

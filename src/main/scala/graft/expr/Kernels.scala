@@ -583,6 +583,74 @@ object Kernels {
     0L
   }
 
+  /** EXIF orientation (1-8) from a JPEG's APP1 segment — the
+    * rotation flag a resize/thumbnail pass MUST honor (a 6/8 image is
+    * stored sideways; ignoring it ships rotated thumbnails for most
+    * phone photos). Pure header walk, no decode: JPEG marker scan to
+    * APP1 "Exif\0\0", TIFF header (II/MM byte order), IFD0 entry scan
+    * for tag 0x0112. Returns 0 (→ NULL upstream) when absent,
+    * non-JPEG, out of the 1-8 range, or malformed in any way —
+    * hostile payloads never throw. All cursor arithmetic bounds-checks
+    * before reading (the audioMetaPacked chunk-walk lesson). */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    val n = bytes.length
+    if (n < 4 || u(0) != 0xff || u(1) != 0xd8) return 0
+    var i = 2
+    while (i + 3 < n) {
+      if (u(i) != 0xff) return 0
+      var m = u(i + 1)
+      while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+      else if (m == 0xd9 || m == 0xda) return 0 // scan data: no EXIF
+      else {
+        if (i + 3 >= n) return 0
+        val segLen = be16(i + 2)
+        if (segLen < 2) return 0
+        if (m == 0xe1 && segLen >= 16 && i + 2 + segLen <= n &&
+            u(i + 4) == 'E' && u(i + 5) == 'x' && u(i + 6) == 'i' &&
+            u(i + 7) == 'f' && u(i + 8) == 0 && u(i + 9) == 0) {
+          val t = i + 10 // TIFF header start
+          val le =
+            if (u(t) == 'I' && u(t + 1) == 'I') true
+            else if (u(t) == 'M' && u(t + 1) == 'M') false
+            else return 0
+          def r16(p: Int): Int = if (le) le16(p) else be16(p)
+          def r32(p: Int): Long =
+            if (le) u(p).toLong | (u(p + 1).toLong << 8) |
+              (u(p + 2).toLong << 16) | (u(p + 3).toLong << 24)
+            else (u(p).toLong << 24) | (u(p + 1).toLong << 16) |
+              (u(p + 2).toLong << 8) | u(p + 3).toLong
+          val segEnd = i + 2 + segLen
+          if (t + 8 > segEnd || r16(t + 2) != 42) return 0
+          val ifd0 = r32(t + 4)
+          // cursor math in Long: a hostile 32-bit offset must not wrap
+          val d = t.toLong + ifd0
+          if (d < 0 || d + 2 > segEnd) return 0
+          val count = r16(d.toInt)
+          var e = 0
+          while (e < count) {
+            val p = d + 2 + e.toLong * 12
+            if (p + 12 > segEnd) return 0
+            if (r16(p.toInt) == 0x0112) {
+              // type must be SHORT (3), count 1; value in the first
+              // 2 bytes of the value field, per byte order
+              if (r16(p.toInt + 2) != 3) return 0
+              val v = r16(p.toInt + 8)
+              return if (v >= 1 && v <= 8) v else 0
+            }
+            e += 1
+          }
+          return 0
+        }
+        i += 2 + segLen
+      }
+    }
+    0
+  }
+
   /** Audio stream parameters from container HEADERS — the audio
     * sibling of [[imageDimsPacked]]: sample rate / channel count /
     * frame count (duration = frames/rate) without constructing a
