@@ -212,6 +212,63 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-window approximate-distinct — the cardinality
+    * monitor ("how many distinct users this hour") beside the
+    * counting/drift monitors: state per tumbling event-time window is
+    * ONE 2^p-byte HLL register array folded incrementally, never a
+    * distinct-values set, so a window's state is 1 KB at p=10 whether
+    * it saw a thousand users or a billion. The register layout is
+    * BIT-IDENTICAL to the batch sketch ([[graft.expr.HllSketch
+    * .registersMd5]]'s md5 bucket/rho arithmetic), so a stream
+    * replayed as one batch estimates the SAME number — pinned in
+    * spec. Update-mode output: one current
+    * (window_start, n_events, distinct_est) row per touched window
+    * per batch. State grows by windows-seen (bounded by stream span /
+    * window size); expire externally when windows close. */
+  def windowedDistinct(events: Dataset[Event], windowMs: Long = 3600000L,
+      p: Int = 10): Dataset[WindowDistinct] = {
+    import events.sparkSession.implicits._
+    require(windowMs >= 1, s"windowMs must be positive: $windowMs")
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16]: $p")
+    val wBits = 60 - p
+    events
+      .groupByKey { e =>
+        val ms = e.ts_us.getTime
+        math.floorDiv(ms, windowMs) * windowMs
+      }
+      .mapGroupsWithState[HllWindowState, WindowDistinct](
+        GroupStateTimeout.NoTimeout) {
+        (windowStart: Long, rows: Iterator[Event],
+         state: GroupState[HllWindowState]) =>
+          val cur = state.getOption.getOrElse(
+            HllWindowState(new Array[Byte](1 << p), 0L))
+          val regs = cur.regs.clone()
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var n = cur.n
+          for (e <- rows) {
+            n += 1
+            // identical bytes to md5(concat_ws(":", user_id, 0))
+            val hex = md.digest(s"${e.user_id}:0".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            val bucket = ((h >>> wBits) & ((1L << p) - 1)).toInt
+            val w = h & ((1L << wBits) - 1)
+            val rho = (if (w == 0L) wBits + 1
+              else wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+              .toByte
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(HllWindowState(regs, n))
+          WindowDistinct(new Timestamp(windowStart), n,
+            graft.expr.HllSketch.estimate(regs, p))
+      }
+  }
+
+  final case class HllWindowState(regs: Array[Byte], n: Long)
+  final case class WindowDistinct(window_start: Timestamp, n_events: Long,
+      distinct_est: Long)
+
   final case class EwmaState(level: Double, n: Long)
   final case class EwmaLevel(user_id: Long, n: Long, level: Double)
 

@@ -421,4 +421,46 @@ class StreamingSpec extends SparkSpec {
       assert(closed.length == 1 && closed.head.n_events == 2)
     } finally q.stop()
   }
+
+  test("streaming windowed distinct matches the batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedDistinct(mem.toDS(), windowMs = 3600000L, p = 10)
+      .writeStream.format("memory").queryName("wdist_stream")
+      .outputMode("update").start()
+    try {
+      // window 0: users 1..40 across two micro-batches (some repeats);
+      // window 1: users 100..109
+      mem.addData((1 to 25).map(i => Event(i, ts(i % 7), i.toLong, "m", 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData((20 to 40).map(i => Event(100 + i, ts(i % 7), i.toLong, "m", 1.0)): _*)
+      // second window: one hour later than the ts() base
+      val later = new java.sql.Timestamp(ts(0).getTime + 3600000L)
+      mem.addData((0 until 10).map(i =>
+        Event(900 + i, later, 100L + i, "m", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("wdist_stream")
+        .as[WindowDistinct].collect()
+      def winOf(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 3600000L) * 3600000L
+      val w0 = rows.filter(_.window_start.getTime == winOf(ts(0)))
+        .maxBy(_.n_events)
+      val w1 = rows.filter(_.window_start.getTime == winOf(later))
+        .maxBy(_.n_events)
+      assert(w0.n_events == 46L && w1.n_events == 10L)
+      // parity: the batch sketch over the same distinct users
+      def batchEst(users: Seq[Long]): Long = {
+        val regs = new Array[Byte](1 << 10)
+        graft.expr.HllSketch.registersMd5(
+            users.toDF("u"), "u", p = 10)
+          .collect().foreach(r =>
+            regs(r.getLong(0).toInt) = r.getInt(1).toByte)
+        graft.expr.HllSketch.estimate(regs, 10)
+      }
+      assert(w0.distinct_est == batchEst((1L to 40L)))
+      assert(w1.distinct_est == batchEst((100L to 109L)))
+      // small-n linear counting is near-exact
+      assert(math.abs(w1.distinct_est - 10L) <= 1)
+    } finally q.stop()
+  }
 }
