@@ -3244,8 +3244,14 @@ object SparkEntry {
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      // top-k, not all-pairs: the pair space DESATURATES as the item
+      // vocabulary grows (measured 0.5M → 46M result pairs at 10×
+      // while wedge volume grew 10.4×) — a consumer materializes the
+      // strongest affinities, and TakeOrdered bounds the output at
+      // any scale. Total order: (score desc, id1, id2).
       graft.ops.LinkPrediction.adamicAdar(cs)
-        .orderBy("id1", "id2")
+        .orderBy(col("aa_score").desc, col("id1"), col("id2"))
+        .limit(2000)
     }),
 
     // A-Priori frequent itemsets over per-order supplier baskets:
@@ -3264,6 +3270,16 @@ object SparkEntry {
         .unionAll(triples.select(lit(3).as("k"), col("i1"), col("i2"),
           col("i3"), col("support")))
         .orderBy("k", "i1", "i2", "i3")
+    }),
+
+    // weight of evidence + information value: which market segments
+    // vote for a positive balance, and is the column worth a model
+    "q_woe_segments" -> ((s, dir) => {
+      graft.ops.TargetEncode.woe(
+          t(s, dir, "customer").select(col("c_mktsegment"),
+            (col("c_acctbal") > 5000).cast("int").as("lbl")),
+          "c_mktsegment", "lbl", alpha = 0.5)
+        .orderBy("category")
     }),
 
     // leave-one-out target encoding: priority encoded by smoothed
@@ -8195,7 +8211,8 @@ object SparkEntry {
         |  CAST(sum(a.term) AS BIGINT) AS aa_score,
         |  CAST(count(*) AS BIGINT) AS n_common
         |FROM c a JOIN c b ON a.ck = b.ck AND a.sk < b.sk
-        |GROUP BY a.sk, b.sk ORDER BY id1, id2""".stripMargin,
+        |GROUP BY a.sk, b.sk
+        |ORDER BY aa_score DESC, id1, id2 LIMIT 2000""".stripMargin,
 
     // Brier replay: same 1e-6 score quantization before squaring,
     // same per-bin 1e-9 term quantization, same pinned closings
@@ -8366,6 +8383,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3 AS k, i1, i2, i3, support FROM t
         |ORDER BY k, i1, i2, i3""".stripMargin,
+
+    // WoE replay: same smoothed shares, same single-ln chain, same
+    // 1e-9 IV term quantization
+    "q_woe_segments" ->
+      """WITH rws AS (
+        |  SELECT c_mktsegment AS category,
+        |    CAST(CAST(c_acctbal > 5000 AS INT) AS BIGINT) AS lbl
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+        |g AS (
+        |  SELECT category, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lbl) AS BIGINT) AS n_pos
+        |  FROM rws GROUP BY 1),
+        |w AS (
+        |  SELECT category, n, n_pos,
+        |    sum(n) OVER () AS nt, sum(n_pos) OVER () AS pt,
+        |    count(*) OVER () AS k
+        |  FROM g),
+        |c AS (
+        |  SELECT category, n, n_pos,
+        |    (n_pos + 0.5) / (CAST(pt AS DOUBLE) + k * 0.5) AS ps,
+        |    (n - n_pos + 0.5) /
+        |      (CAST(nt AS DOUBLE) - pt + k * 0.5) AS ns
+        |  FROM w)
+        |SELECT category, n, n_pos,
+        |  floor(ln(ps / ns) * 1000000) / 1000000 AS woe,
+        |  CAST(floor((ps - ns) * ln(ps / ns) * 1000000000) AS BIGINT)
+        |    AS iv_term9
+        |FROM c ORDER BY category""".stripMargin,
 
     // target-encoding replay: same exact sums, same pinned
     // leave-one-out chain — (sum−y+prior·m)/(n−1+m) floored to 1e-6

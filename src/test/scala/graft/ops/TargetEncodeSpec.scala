@@ -55,4 +55,36 @@ class TargetEncodeSpec extends SparkSpec {
       .orderBy("c", "y").collect().toSeq
     assert(run(1) == run(7))
   }
+
+  test("woe: hand-computed smoothed log-odds, signs and IV") {
+    // a: 3 rows 2 pos, b: 2 rows 0 pos; alpha 0.5, k=2, pt=2, negs=3
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0))
+      .toDF("c", "l")
+    val rows = TargetEncode.woe(df, "c", "l", alpha = 0.5)
+      .orderBy("category").collect()
+    val psA = 2.5 / 3.0; val nsA = 1.5 / 4.0
+    val psB = 0.5 / 3.0; val nsB = 2.5 / 4.0
+    assert(math.abs(rows(0).getAs[Double]("woe") -
+      math.log(psA / nsA)) < 2e-6)
+    assert(math.abs(rows(1).getAs[Double]("woe") -
+      math.log(psB / nsB)) < 2e-6)
+    assert(rows(0).getAs[Double]("woe") > 0 &&
+      rows(1).getAs[Double]("woe") < 0)
+    // IV = Σ (ps − ns)·woe, both terms positive (shares and woe
+    // deviate the same way)
+    val iv = rows.map(_.getAs[Long]("iv_term9")).sum / 1e9
+    val expected = (psA - nsA) * math.log(psA / nsA) +
+      (psB - nsB) * math.log(psB / nsB)
+    assert(math.abs(iv - expected) < 1e-6, s"iv $iv vs $expected")
+  }
+
+  test("woe: uninformative column gives near-zero IV") {
+    // label alternates INDEPENDENTLY of the category (i%4 vs i%2
+    // would be perfectly correlated)
+    val df = (1 to 200).map(i => (s"c${i % 4}", (i / 4) % 2)).toDF("c", "l")
+    val iv = TargetEncode.woe(df, "c", "l")
+      .agg(org.apache.spark.sql.functions.sum("iv_term9"))
+      .collect()(0).getLong(0) / 1e9
+    assert(math.abs(iv) < 0.01, s"iv $iv")
+  }
 }
