@@ -195,7 +195,9 @@ object SqlScaleSmoke {
     "q_freq_itemsets", "q_seq_patterns", "eval_quality_pr",
     "eval_quality_ks", "eval_quality_lift", "eval_quality_brier",
     "q_kruskal_segments", "q_assortativity", "v_profile_moments",
-    "v_benford_prices", "text_readability")
+    "v_benford_prices", "text_readability",
+    // r12 sixth batch: integral HITS rounds, category-stat joins
+    "q_hits_purchases", "q_target_encode", "q_woe_segments")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
