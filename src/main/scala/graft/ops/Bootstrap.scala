@@ -124,14 +124,21 @@ object Bootstrap {
           a._4.zip(b._4).map { case (x, y) => x + y })
       }
     val (nRows, sumV, sw, swx) = partials
+    require(nRows > 0L, "meanCi: input has no rows with a non-null value")
     // replicate means, deterministic (m, r) order, 2.5%/97.5% order
-    // statistics — the same closing arithmetic the SQL replay uses
+    // statistics — the same closing arithmetic the SQL replay uses.
+    // Indices come from means.size, not `replicates`: replicates whose
+    // total Poisson weight is zero (possible on tiny inputs) carry no
+    // mean, and indexing past the surviving set would throw.
     val means = (0 until r).filter(sw(_) > 0L)
       .map(i => (math.floor(swx(i).toDouble / sw(i).toDouble
         * 1000000) / 1000000, i))
       .sorted
-    val loIdx = math.max(1, math.ceil(0.025 * r).toInt)
-    val hiIdx = math.min(r, math.ceil(0.975 * r).toInt)
+    require(means.nonEmpty,
+      "meanCi: every replicate drew total Poisson weight 0 (input too small)")
+    val m = means.size
+    val loIdx = math.max(1, math.ceil(0.025 * m).toInt)
+    val hiIdx = math.min(m, math.ceil(0.975 * m).toInt)
     val meanPoint =
       math.floor(sumV.toDouble / nRows.toDouble * 1000000) / 1000000
     spark.createDataFrame(java.util.Arrays.asList(

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * Exactly the textbook semantics: a CORE point has >= minPts
   * neighbors within ε (itself included); cores within ε of each other
   * share a cluster; a BORDER point is a non-core within ε of a core
-  * and joins its smallest core-neighbor's cluster (the deterministic
-  * stand-in for the paper's arrival-order assignment — the one place
-  * textbook DBSCAN is nondeterministic); everything else is NOISE.
+  * and joins the SMALLEST CLUSTER ID among its core-neighbors'
+  * clusters — i.e. min over cluster labels, where each label is its
+  * component's smallest core id (the deterministic stand-in for the
+  * paper's arrival-order assignment — the one place textbook DBSCAN
+  * is nondeterministic); everything else is NOISE. Note this is a
+  * min over CLUSTER ids, not over core-neighbor ids: a border
+  * touching clusters {5,9} via core-neighbors {9, 6} joins cluster 5
+  * (cluster of core 6), not core 9's.
   *
   * Scale shape: one radius join (grid-bounded), one degree aggregate,
   * two semi-join filters, one CC closure over core-core edges, one

@@ -42,7 +42,7 @@ object Hypothesis {
       col(sx).cast("double") / col(n).cast("double")
     def varOf(n: String, sx: String, sxx: String) =
       (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
-        (col(n) * (col(n) - 1)).cast("double")
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
     val va = varOf("na", "sxa", "sxxa"); val vb = varOf("nb", "sxb", "sxxb")
     val se2 = va / col("na").cast("double") + vb / col("nb").cast("double")
     wide.select(col("na").as("n_a"), col("nb").as("n_b"),
@@ -73,10 +73,14 @@ object Hypothesis {
     val cum = hist.withColumn("cle", sum("t").over(w))
       .select(col("v"), col("t"), col("ta"),
         (lit(2) * (col("cle") - col("t")) + col("t") + 1).as("dr"),
-        ((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tc"))
+        // t³−t in DECIMAL(38,0) from the first multiply: a BIGINT t³
+        // overflows at t ≈ 2.1M ties — easy for quantized corpus
+        // metrics — and would throw (ANSI) or silently wrap.
+        (col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec)
+          - col("t").cast(dec)).as("tc"))
     val agg = cum.agg(
       sum(col("ta")).as("na"), sum(col("t") - col("ta")).as("nb"),
-      sum((col("ta") * col("dr")).cast(dec)).as("dra"),
+      sum(col("ta").cast(dec) * col("dr").cast(dec)).as("dra"),
       sum(col("tc")).as("ties"))
     val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
     val n = col("na") + col("nb")
@@ -114,8 +118,11 @@ object Hypothesis {
       .withColumn("n", sum("o").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
     val num = (col("o") * col("n") - col("r") * col("c")).cast(dec)
+    // Denominator n·r·c multiplies in DOUBLE: the raw Long product
+    // exceeds 2^63 once n·r·c > 9.2e18 (n ~ 2M with balanced margins).
     val contrib9 = round((num * num).cast("double") /
-      (col("n") * col("r") * col("c")).cast("double") * 1000000000L)
+      (col("n").cast("double") * col("r").cast("double") *
+        col("c").cast("double")) * 1000000000L)
       .cast("long")
     withMargins
       .withColumn("c9", contrib9)
@@ -158,11 +165,15 @@ object Hypothesis {
     val ranked = byVal.withColumn("cle", sum("t").over(w))
       .select(col("v"),
         (lit(2) * (col("cle") - col("t")) + col("t") + 1).as("dr"),
-        ((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tc"))
+        // Same DECIMAL-first t³−t as mannWhitney: BIGINT wraps at
+        // ~2.1M ties per value.
+        (col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec)
+          - col("t").cast(dec)).as("tc"))
     val perGroup = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
       .join(ranked.select("v", "dr"), "v")
       .groupBy("g")
-      .agg(sum("c").as("ng"), sum((col("c") * col("dr")).cast(dec)).as("r2"))
+      .agg(sum("c").as("ng"),
+        sum(col("c").cast(dec) * col("dr").cast(dec)).as("r2"))
     val ties = ranked.agg(sum("tc").as("ties"))
     val nTot = perGroup.agg(sum("ng").as("n"), count(lit(1)).as("k"))
     val terms = perGroup.crossJoin(broadcast(nTot))

@@ -36,8 +36,15 @@ object Spatial {
   private def cellOf(c: Column, radius: Long): Column = {
     // floor division on possibly-negative coords: shift non-negative,
     // subtract the remainder, divide exactly (the `/` result is an
-    // integer-valued double below 2^53 — exact by IEEE-754)
-    val a = c + lit(Offset)
+    // integer-valued double below 2^53 — exact by IEEE-754).
+    // The shift is only valid within ±Offset — enforce it: an
+    // out-of-range coordinate would silently land in the wrong cell
+    // and DROP true neighbors, so fail loudly instead (one codegen'd
+    // comparison per row, never taken on valid data).
+    val v = when(abs(c) > lit(Offset), raise_error(concat(
+        lit(s"Spatial: coordinate out of ±2^40 range: "), c.cast("string"))))
+      .otherwise(c)
+    val a = v + lit(Offset)
     ((a - pmod(a, lit(radius))) / lit(radius)).cast("long")
   }
 

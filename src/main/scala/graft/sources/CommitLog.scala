@@ -93,12 +93,12 @@ object CommitLog {
     }
   }
 
-  /** The committed (run_id, batch_id) set, from the log. Snapshot
-    * files (from [[compactLog]]) contribute their folded entries. */
-  def committedBatches(spark: SparkSession, table: String): Seq[(String, Long)] = {
-    val (hfs, dir) = fs(spark, commitsDir(table))
-    if (!hfs.exists(dir)) return Seq.empty
-    val entries = hfs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap {
+  /** Parse the (run_id, batch_id) entries carried by a given set of
+    * log file names — `.commit` markers encode one entry in the name,
+    * `.snapshot` files fold many entries in their body. */
+  private def entriesOf(hfs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, names: Seq[String]): Seq[(String, Long)] =
+    names.flatMap {
       case n if n.endsWith(".commit") =>
         val stem = n.stripSuffix(".commit")
         val cut = stem.lastIndexOf('-')
@@ -116,7 +116,14 @@ object CommitLog {
         }.toSeq
       case _ => Seq.empty
     }
-    entries.distinct.sorted
+
+  /** The committed (run_id, batch_id) set, from the log. Snapshot
+    * files (from [[compactLog]]) contribute their folded entries. */
+  def committedBatches(spark: SparkSession, table: String): Seq[(String, Long)] = {
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    if (!hfs.exists(dir)) return Seq.empty
+    entriesOf(hfs, dir, hfs.listStatus(dir).toSeq.map(_.getPath.getName))
+      .distinct.sorted
   }
 
   /** Read exactly the committed partitions. Returns None when the log
@@ -137,12 +144,21 @@ object CommitLog {
     * a crash between the two leaves duplicate entries, which
     * [[committedBatches]] dedupes. */
   def compactLog(spark: SparkSession, table: String): Unit = {
-    val committed = committedBatches(spark, table)
-    if (committed.isEmpty) return
     val (hfs, dir) = fs(spark, commitsDir(table))
+    if (!hfs.exists(dir)) return
+    // ONE listing drives both the fold and the cleanup: the snapshot
+    // folds exactly these files and only these files are deleted. A
+    // marker committed by a concurrent writer AFTER this listing is
+    // neither folded nor deleted — it stays visible as a live marker
+    // until the next compaction (the earlier read-then-relist shape
+    // could delete such a marker without folding it, permanently
+    // hiding a committed batch).
     val olds = hfs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".commit") ||
         s.getPath.getName.endsWith(".snapshot"))
+    val committed =
+      entriesOf(hfs, dir, olds.map(_.getPath.getName)).distinct.sorted
+    if (committed.isEmpty) return
     val body = committed.map { case (r, b) => s"$r,$b" }.mkString("\n")
     val name = f"snap-${committed.length}%010d-${java.lang.System.nanoTime()}%020d.snapshot"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")

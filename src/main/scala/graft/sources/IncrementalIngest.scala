@@ -66,21 +66,45 @@ object IncrementalIngest {
   /** Compact the ledger: run history accretes one small parquet file
     * per batch (the `coalesce(1)` append), so a long-lived pipeline's
     * ledger becomes a small-file field that slows every pending scan.
-    * Rewrites the ledger aside via [[graft.ops.Layout.compact]] and
-    * swaps it in; call periodically (e.g. every N batches). */
+    *
+    * In-place swap, never a missing-ledger window: the earlier
+    * rename(p, old); rename(aside, p) dance left `ledgerPath`
+    * nonexistent between the renames, and a concurrent [[pendingFiles]]
+    * run in that window saw "no ledger" and returned EVERY listed file
+    * as pending — duplicate ingestion. Instead: (1) snapshot the
+    * ledger's current data files, (2) compact aside, (3) MOVE the
+    * compacted files INTO the live ledger path, (4) delete exactly the
+    * snapshotted old files. The ledger path exists throughout; in the
+    * (3)→(4) overlap both copies are present, which only duplicates
+    * ledger ROWS — harmless, because pendingFiles subtracts by
+    * anti-join on (file_path, file_size), where duplicates are a
+    * no-op. A reader racing step (4) can at worst fail loudly on a
+    * vanished file (Spark retries the task); it can never silently
+    * re-ingest. */
   def compactLedger(spark: SparkSession, ledgerPath: String,
                     targetBytes: Long = 64L * 1024 * 1024): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return
+    val olds = fs.listStatus(p).toSeq.filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (olds.isEmpty) return
     val aside = new org.apache.hadoop.fs.Path(ledgerPath + ".compact")
+    if (fs.exists(aside)) fs.delete(aside, true)
     graft.ops.Layout.compact(spark, ledgerPath, aside.toString, targetBytes)
-    val old = new org.apache.hadoop.fs.Path(ledgerPath + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(aside, p)
-    fs.delete(old, true)
+    val stamp = java.lang.System.nanoTime()
+    fs.listStatus(aside).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .zipWithIndex.foreach { case (s, i) =>
+        val dst = new org.apache.hadoop.fs.Path(p,
+          s"compacted-$stamp-$i-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, dst))
+          sys.error(s"ledger compaction: rename ${s.getPath} -> $dst failed")
+      }
+    olds.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(aside, true)
   }
 
   /** Run one incremental batch: read the pending files (if any), hand

@@ -42,6 +42,27 @@ class DbscanSpec extends SparkSpec {
     assert(m.values.forall(_._2 == "noise"), m.toString)
   }
 
+  test("border touching two clusters joins the smallest CLUSTER id") {
+    // 1-D line, eps=2, minPts=4. Cluster A = cores {1,8}@0, 9@1, 10@2
+    // (cluster id 1); cluster B = cores 6@6, 5@7, {3,4}@8 (cluster
+    // id 3). Border 20@4 has only 3 ε-neighbors (itself, 10, 6) →
+    // non-core, and its core-neighbors are 10 (cluster 1) and 6
+    // (cluster 3). The pinned rule is min over CLUSTER ids → 1. The
+    // rejected alternative — "smallest core-neighbor's cluster" —
+    // would pick core 6's cluster 3; this case separates them.
+    val p = Seq(
+      (1L, 0L, 0L), (8L, 0L, 0L), (9L, 1L, 0L), (10L, 2L, 0L),
+      (3L, 8L, 0L), (4L, 8L, 0L), (5L, 7L, 0L), (6L, 6L, 0L),
+      (20L, 4L, 0L)
+    ).toDF("id", "x", "y")
+    val m = Dbscan.cluster(p, eps = 2, minPts = 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toMap
+    for (i <- Seq(1L, 8L, 9L, 10L)) assert(m(i) == ((1L, "core")), s"$i")
+    for (i <- Seq(3L, 4L, 5L, 6L)) assert(m(i) == ((3L, "core")), s"$i")
+    assert(m(20L) == ((1L, "border")), m(20L).toString)
+  }
+
   test("deterministic across partitionings") {
     val big = (1 to 400).map { i =>
       val blob = i % 8

@@ -59,6 +59,20 @@ class SpatialSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 8L)))
   }
 
+  test("coordinate beyond ±2^40 fails loudly instead of mis-bucketing") {
+    // out of the floor-division shift's valid range: the old behavior
+    // silently landed the point in a wrong cell (dropping true
+    // neighbors); now the job must fail with a clear message
+    val bad = Spatial.nearestWithin(
+      Seq((1L, Spatial.Offset + 1L, 0L)).toDF("id", "x", "y"),
+      Seq((2L, 0L, 0L)).toDF("id", "x", "y"), radius = 10L)
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("out of ±2^40 range")), e.toString)
+  }
+
   test("withinRadius returns every admissible pair exactly once") {
     val left = Seq((1L, 0L, 0L), (2L, 100L, 100L))
     val right = Seq((10L, 3L, 4L), (11L, 103L, 96L), (12L, 500L, 500L))
