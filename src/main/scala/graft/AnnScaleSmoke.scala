@@ -305,7 +305,131 @@ object AnnScaleSmoke {
       java.nio.file.Paths.get("BENCH_SCALE_ANN_PQ.json"), json)
   }
 
+  /** Residual-vs-raw IVFADC on TRAINED cells (`runMain
+    * graft.AnnScaleSmoke pqres [rows]`) — closes the open claim from
+    * the r12 PQ smoke, where residual encoding measured recall 0.304
+    * against 0.933 no-residual but the cells were md5-SAMPLED corpus
+    * rows (coarse). Here the cells come from [[graft.ops.Ann
+    * .kmeansCentroids]] (the §34c trainer), and BOTH variants run on
+    * the identical corpus, identical cells, identical m/ksub (equal
+    * bytes) and identical nprobe (equal scan — same cells ⇒ same scan
+    * fraction, which is also reported honestly from the as-written
+    * index). One JSON line → BENCH_SCALE_ANN_PQ_RESIDUAL.json. */
+  def pqResidualSmoke(spark: SparkSession, rows: Long): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val dir = java.nio.file.Files.createTempDirectory("ann-pqres").toString
+    // identical manifold-shaped corpus to pqSmoke: rows/10 hash
+    // centers, normalized
+    val nCenters = math.max(rows / 10, 1)
+    val raw = "transform(sequence(0, 63), j -> " +
+      s"pmod(xxhash64(pmod(xxhash64(id), $nCenters), j), 2000) / 1000.0 - 1.0 + " +
+      "pmod(xxhash64(id, j, 7), 800) / 1000.0 - 0.4)"
+    spark.range(rows).select(col("id").as("vec_id"), expr(raw).as("vr"))
+      .withColumn("nrm", expr("sqrt(aggregate(vr, 0D, (a, v) -> a + v * v))"))
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    spark.read.parquet(s"$dir/raw")
+      .select(col("vec_id"),
+        expr("transform(vr, x -> CAST(x / nrm AS FLOAT))").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val corpus = spark.read.parquet(s"$dir/emb")
+    val queries = corpus.where(col("vec_id") < 100)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (truth, tBrute) = time(pairs(
+      graft.ops.Ann.bruteTopK(corpus, queries, "vec_id", "embedding", 10)))
+
+    // trained cells — the composition the r12 artifact left unmeasured
+    val (cents, tCells) = time {
+      val c = graft.ops.Ann.kmeansCentroids(corpus, "vec_id", "embedding",
+        k = 512, iters = 5)
+      c.count(); c
+    }
+    val centsPinned = cents.localCheckpoint(eager = true)
+
+    // shared PQ geometry: m=8, ksub=256 ⇒ 8 B/vec either way
+    val (m, ksub, nprobe, shortlist) = (8, 256, 50, 200)
+
+    // raw-vector codes on trained cells
+    val (modelRaw, tTrainRaw) = time {
+      val mm = graft.ops.Pq.train(corpus, "vec_id", "embedding", m, ksub, iters = 3)
+      mm.count(); mm
+    }
+    val (codesRaw, tEncRaw) = time {
+      val c = graft.ops.Pq.encodeWithCells(corpus, "vec_id", "embedding",
+        modelRaw, centsPinned)
+      c.write.mode("overwrite").parquet(s"$dir/codes_raw")
+      spark.read.parquet(s"$dir/codes_raw")
+    }
+    val (gotRaw, tProbeRaw) = time(pairs(
+      graft.ops.Pq.ivfAdcTopK(codesRaw, corpus, queries, "vec_id",
+        "embedding", modelRaw, centsPinned, k = 10, nprobe, shortlist)))
+    val recallRaw = truth.count(gotRaw.contains).toDouble / truth.size
+
+    // residual codes on the SAME trained cells
+    val (modelRes, tTrainRes) = time {
+      val mm = graft.ops.Pq.trainResidual(corpus, "vec_id", "embedding",
+        centsPinned, m, ksub, iters = 3)
+      mm.count(); mm
+    }
+    val (codesRes, tEncRes) = time {
+      val c = graft.ops.Pq.encodeResidualWithCells(corpus, "vec_id",
+        "embedding", modelRes, centsPinned)
+      c.write.mode("overwrite").parquet(s"$dir/codes_res")
+      spark.read.parquet(s"$dir/codes_res")
+    }
+    val (gotRes, tProbeRes) = time(pairs(
+      graft.ops.Pq.ivfAdcResidualTopK(codesRes, corpus, queries, "vec_id",
+        "embedding", modelRes, centsPinned, k = 10, nprobe, shortlist)))
+    val recallRes = truth.count(gotRes.contains).toDouble / truth.size
+
+    // honest scan fraction from the as-written index (same cells for
+    // both variants, so one number): avg over queries of rows in the
+    // probed cells / corpus rows
+    val probeCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(graft.ops.Ann.centroidArray(centsPinned)))
+      .select(col("query_id"),
+        explode(graft.ops.Ann.topCells(col("qv"), col("cents"), nprobe)).as("p"))
+      .select(col("query_id"), col("p.cent_id").as("cell"))
+    val sizes = codesRaw.groupBy("cell").count()
+    val scanFrac = probeCells.join(sizes, Seq("cell"))
+      .groupBy("query_id").agg(sum("count").as("s"))
+      .agg(avg("s")).head().getDouble(0) / rows
+
+    val json = s"""{"metric":"ann_pq_residual_trained_cells","rows":$rows,""" +
+      s""""dim":64,"m":$m,"ksub":$ksub,"bytes_per_vec":$m,""" +
+      s""""cells":512,"cells_trained":true,"kmeans_iters":5,""" +
+      s""""nprobe":$nprobe,"shortlist":$shortlist,""" +
+      s""""scan_fraction":${fmt(scanFrac)},""" +
+      s""""brute_sec":${fmt(tBrute)},"cells_train_sec":${fmt(tCells)},""" +
+      s""""raw":{"train_sec":${fmt(tTrainRaw)},"encode_sec":${fmt(tEncRaw)},""" +
+      s""""probe_sec":${fmt(tProbeRaw)},"recall_at_10":${fmt(recallRaw)}},""" +
+      s""""residual":{"train_sec":${fmt(tTrainRes)},"encode_sec":${fmt(tEncRes)},""" +
+      s""""probe_sec":${fmt(tProbeRes)},"recall_at_10":${fmt(recallRes)}}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_ANN_PQ_RESIDUAL.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pqres")) {
+      val rows = if (args.length > 1) args(1).toLong else 2000000L
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      pqResidualSmoke(spark, rows)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("auto")) {
       val rows = if (args.length > 1) args(1).toLong else 2000000L
       val spark = SparkSession.builder()

@@ -36,6 +36,39 @@ object ImgScaleSmoke {
     bos.toByteArray
   }
 
+  /** WebP lossless container with the given canvas — built to the
+    * RIFF/VP8L byte layout (no JDK WebP encoder exists); the dims walk
+    * under test reads exactly these header bytes. */
+  private def webpLossless(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + 5)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII")); le32(5)
+    out.write(0x2f); le32((w - 1) | ((h - 1) << 14))
+    out.toByteArray
+  }
+
+  private def encodeTiff(bits: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (((bits >>> ((x + y) % 63)) & 1L) == 1L) 0xffffff else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -109,13 +142,45 @@ object ImgScaleSmoke {
         .count())
     require(okProbe == n && okDecode == n,
       s"dims disagree: probe $okProbe decode $okDecode of $n")
+    // mixed-format corpus: PNG + real-JDK-encoder TIFF + constructed
+    // WebP (r13: the two formats the r12 probe lacked — modern crawls
+    // are heavily WebP). Dims are a pure function of id, so the check
+    // is EXACT per row, not a count heuristic.
+    spark.range(n).map { id =>
+      val bits = new java.util.SplittableRandom(id).nextLong() | 1L
+      // TIFF stays small: the JDK writes uncompressed RGB, and the
+      // vectorized parquet reader reserves batch-size × row-bytes
+      val cap = if (id % 3 == 1) 48 else 500
+      val w = (id % cap).toInt + 1
+      val h = ((id * 7) % cap).toInt + 1
+      val payload = (id % 3) match {
+        case 0 => renderPng(bits, w, h)
+        case 1 => encodeTiff(bits, w, h)
+        case _ => webpLossless(w, h)
+      }
+      (id, w, h, payload)
+    }.toDF("media_id", "w", "h", "payload")
+      .write.mode("overwrite").parquet(s"$root/mixed")
+    val mixed = spark.read.parquet(s"$root/mixed")
+    val t3 = System.nanoTime()
+    val exact = mixed.select(col("media_id"), col("w"), col("h"),
+        graft.expr.ImageDims.imageDims(col("payload")).as("d"))
+      .where(col("d.width") === col("w") && col("d.height") === col("h") &&
+        col("d.format") === element_at(
+          typedLit(Seq("png", "tiff", "webp")),
+          (col("media_id") % 3).cast("int") + 1))
+      .count()
+    val tMixed = (System.nanoTime() - t3) / 1e9
+    require(exact == n, s"mixed-format dims: $exact of $n exact")
     val json =
       s"""{"metric":"img_scale","images":$n,"gen_sec":${fmt(tGen)},""" +
       s""""hash_sec":${fmt(tHash)},"hash_rows_per_sec":${(nHashed / tHash).toLong},""" +
       s""""pairs_sec":${fmt(tPairs)},"planted_found":$planted,""" +
       s""""planted_expected":${n / 2},"false_pairs":$extra,""" +
       s""""dims_probe_sec":${fmt(tProbe)},"full_decode_sec":${fmt(tDecode)},""" +
-      s""""probe_speedup":${fmt(tDecode / tProbe)}}"""
+      s""""probe_speedup":${fmt(tDecode / tProbe)},""" +
+      s""""mixed_formats":["png","tiff","webp"],"mixed_rows":$n,""" +
+      s""""mixed_exact":$exact,"mixed_probe_sec":${fmt(tMixed)}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_IMG.json"), json)

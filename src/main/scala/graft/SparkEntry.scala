@@ -108,6 +108,109 @@ object SparkEntry {
         substring(col("text"), 1, 120).as("text")))
   }
 
+  /** Planted language-ID corpus (ids 9000000+): one stopword-dense
+    * sentence per language, unioned with the natural documents so
+    * text_lang_id gates all ~39 languages — including the pairs the
+    * stopword lists were curated to separate (es/pt, de/nl, da/no,
+    * cs/sk, hr/sl, ru/uk/bg/sr/mk) and the script-routed ones
+    * (ja-vs-zh via kana, ko/th/hi/he/el). ASCII-free of quotes so the
+    * same literals embed in the oracle's VALUES. */
+  private[graft] val langPlanted: Seq[(Long, String)] = Seq(
+    9000001L -> "the cat was on the mat and it is that simple for everyone",
+    9000002L -> "der hund ist nicht ein problem und die katze sitzt auf dem sofa zu hause",
+    9000003L -> "het huis is niet een probleem want je kunt van alles op aan de muur zien ook maar",
+    9000004L -> "el perro y la casa que es un lugar con los amigos en una tarde no muy lejana",
+    9000005L -> "o cachorro e as casas que é um lugar com os amigos em uma tarde não muito longe para se ver",
+    9000006L -> "le chien et la maison est que pour les amis dans une soirée du quartier il fait beau des fois",
+    9000007L -> "il cane e la casa che di non per una sera sono con gli amici si va bene",
+    9000008L -> "și câinele de la casă cu nu este pentru din care mai sunt o seară",
+    9000009L -> "els gossos i les cases amb què per una nit és dels amics com més hi ha aquest",
+    9000010L -> "och hunden att det som en kväll är av för med på inte han ser",
+    9000011L -> "og hunden det er til ikke af hvad efter noget hende skal være",
+    9000012L -> "og hunden det er til ikke av hva etter noe henne skal være",
+    9000013L -> "ja koira on ei että se hän mutta oli kun myös niin ovat",
+    9000014L -> "i pies w nie na się jest że do z to co jak",
+    9000015L -> "a pes je se na že to nebo ale jako pro jsem byl",
+    9000016L -> "a pes je sa na že to alebo ale ako pre som bol",
+    9000017L -> "a kutya az és nem hogy is egy van volt csak már meg",
+    9000018L -> "bir köpek ve bu için ne ben çok ama gibi var daha olarak",
+    9000019L -> "yang anjing dan di itu dengan untuk tidak ini dari akan pada adalah",
+    9000020L -> "và con chó của là có không được trong cho người này với các",
+    9000021L -> "je pas i u na se da su za ali kao što nije",
+    9000022L -> "je pes in na se da so za ali kot kaj tudi ni",
+    9000023L -> "ja koer on ei et see ta aga oli kui ka nii oma",
+    9000024L -> "ir šuo yra kad tai su bet kaip jis buvo iš apie jau",
+    9000025L -> "un suns ir ka tas ar bet kā viņš bija no par jau",
+    9000026L -> "и собака в не на что он как это но его по она",
+    9000027L -> "і собака в не на що він як це але його по вона",
+    9000028L -> "и кучето в не на че той как това но го по тя",
+    9000029L -> "и пас у не на што он као то али га по она",
+    9000030L -> "и кучето во не на што тој како тоа но го по таа",
+    9000031L -> "في من على أن إلى عن هذا كان مع لا هو ما",
+    9000032L -> "در از که با را این است برای آن خود تا هم",
+    9000033L -> "η γάτα και ο σκύλος στο σπίτι σήμερα",
+    9000034L -> "החתול והכלב בבית שלנו היום",
+    9000035L -> "แมวและสุนัขอยู่ในบ้านวันนี้",
+    9000036L -> "बिल्ली और कुत्ता घर में हैं आज",
+    9000037L -> "猫と犬は家にいます今日はいい天気です",
+    9000038L -> "猫和狗在家里今天天气很好",
+    9000039L -> "고양이와 개가 집에 있다 오늘",
+    9000040L -> "12345 67890 --- === +++")
+
+  /** The language-ID oracle, generated from the SAME stopword lists
+    * and script ranges the engine uses (graft.text.TextAnalysis) —
+    * single source of truth, the RuleConfig discipline. DuckDB
+    * replays the struct-max votes with list_max over (hits, lang)
+    * structs (field-order comparison matches Spark's struct
+    * ordering) and the script counts as deleted-length differences. */
+  private def langIdOracleSql: String = {
+    import graft.text.TextAnalysis.{latinStops, cyrillicStops, arabicStops, langScriptRanges}
+    def listLit(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString("[", ",", "]")
+    def voteList(stops: Seq[(String, Seq[String])]) = stops.map { case (l, ws) =>
+      s"{'h': len(list_filter(${listLit(ws)}, w -> list_contains(toks, w))), 'l': '$l'}"
+    }.mkString("[", ", ", "]")
+    val scriptCols = langScriptRanges.map { case (n, cls) =>
+      s"length(text) - length(regexp_replace(text, '[$cls]', '', 'g')) AS c_$n"
+    }.mkString(",\n    ")
+    val bestList = langScriptRanges.map { case (n, _) =>
+      s"{'h': c_$n, 's': '$n'}" }.mkString("[", ", ", "]")
+    val planted = langPlanted.map { case (id, txt) =>
+      s"(CAST($id AS BIGINT), '$txt')" }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $planted) AS p(doc_id, text)),
+       |sc AS (
+       |  SELECT doc_id, text,
+       |    $scriptCols
+       |  FROM base),
+       |b AS (
+       |  SELECT doc_id, c_kana, list_max($bestList) AS best,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM sc),
+       |v AS (
+       |  SELECT doc_id, c_kana, best,
+       |    list_max(${voteList(latinStops)}) AS lat,
+       |    list_max(${voteList(cyrillicStops)}) AS cyr,
+       |    list_max(${voteList(arabicStops)}) AS arab
+       |  FROM b)
+       |SELECT doc_id,
+       |  CASE WHEN best.h <= 0 THEN 'und'
+       |       WHEN best.s = 'hangul' THEN 'ko'
+       |       WHEN best.s = 'kana' THEN 'ja'
+       |       WHEN best.s = 'han' THEN (CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END)
+       |       WHEN best.s = 'thai' THEN 'th'
+       |       WHEN best.s = 'devanagari' THEN 'hi'
+       |       WHEN best.s = 'hebrew' THEN 'he'
+       |       WHEN best.s = 'greek' THEN 'el'
+       |       WHEN best.s = 'cyrillic' THEN (CASE WHEN cyr.h > 0 THEN cyr.l ELSE 'und' END)
+       |       WHEN best.s = 'arabic' THEN (CASE WHEN arab.h > 0 THEN arab.l ELSE 'und' END)
+       |       ELSE (CASE WHEN lat.h > 0 THEN lat.l ELSE 'und' END) END AS lang_guess
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1512,7 +1615,9 @@ object SparkEntry {
     }),
 
     "text_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(langPlanted.toDF("doc_id", "text"))
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")
     }),
@@ -6689,24 +6794,7 @@ object SparkEntry {
     // lexicographically-largest language winning ties (mirrors the
     // struct array_max tie-break in TextAnalysis.langId): sequential
     // CASE checked fr → es → en → de with >= comparisons.
-    "text_lang_id" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    len(list_filter(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], w -> list_contains(toks, w))) AS h_de,
-        |    len(list_filter(['the','a','of','and','to','in','is','that','it','for'], w -> list_contains(toks, w))) AS h_en,
-        |    len(list_filter(['el','la','de','que','y','en','un','por','con','para'], w -> list_contains(toks, w))) AS h_es,
-        |    len(list_filter(['le','la','de','et','un','est','que','pour','dans','sur'], w -> list_contains(toks, w))) AS h_fr
-        |  FROM tok)
-        |SELECT doc_id,
-        |  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
-        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
-        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-        |       WHEN h_en >= h_de THEN 'en'
-        |       ELSE 'de' END AS lang_guess
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> langIdOracleSql,
 
     // span-dedup replay: same length>0-filtered whitespace tokens,
     // same ceil(n/20) non-overlapping 20-word windows (1-based slice,

@@ -110,6 +110,8 @@ object ImageDims {
       .when(shiftright(p, 48) === 2, "jpeg")
       .when(shiftright(p, 48) === 3, "gif")
       .when(shiftright(p, 48) === 4, "bmp")
+      .when(shiftright(p, 48) === 5, "webp")
+      .when(shiftright(p, 48) === 6, "tiff")
     when(p.isNotNull, struct(
       fmt.as("format"),
       shiftright(p, 24).bitwiseAND(lit(0xffffffL)).cast("int").as("width"),

@@ -161,6 +161,52 @@ object Kernels {
     java.lang.Double.valueOf(round6(s))
   }
 
+  /** ADC table build: `out[s][c] = Σ_k (vec[s·dsub+k] − books[s][c][k])²`
+    * — the per-(query, cell) table the residual IVFADC probe needs
+    * query·nprobe times (the raw probe builds it once per query). The
+    * composed transform/zip_with/aggregate form pays m·ksub nested
+    * interpreted lambda dispatches per row — measured as the residual
+    * probe's dominant cost (17.5 s → sub-second table stage at 100k).
+    * Float subtraction/multiply then double accumulation, mirroring
+    * the HOF lambda's type chain exactly (PqSpec pins equivalence).
+    * Null on ragged input: m = 0, vec length not m·dsub, or any
+    * codeword length ≠ dsub. */
+  def adcTable(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+               books: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = books.numElements()
+    if (m == 0) return null
+    val dim = vec.numElements()
+    if (dim % m != 0) return null
+    val dsub = dim / m
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val bs = books.getArray(s)
+      val ksub = bs.numElements()
+      val row = new Array[Any](ksub)
+      var c = 0
+      while (c < ksub) {
+        val cw = bs.getArray(c)
+        if (cw.numElements() != dsub) return null
+        var acc = 0.0
+        var k = 0
+        val off = s * dsub
+        while (k < dsub) {
+          val d = vec.getFloat(off + k) - cw.getFloat(k)
+          val e = d * d
+          acc += e.toDouble
+          k += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      rows(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates
   // over UTF8String bytes. The Column formulations they replace
@@ -510,11 +556,15 @@ object Kernels {
     * BufferedImage allocation: the probe a 100 TB multimodal curation
     * pass runs to filter by resolution/format BEFORE paying for
     * decode. Recognizes PNG (IHDR), GIF87a/89a (logical screen
-    * descriptor), BMP (BITMAPINFOHEADER), and JPEG (marker walk to the
-    * first SOF segment, skipping tables/APPn). Packed return:
+    * descriptor), BMP (BITMAPINFOHEADER), JPEG (marker walk to the
+    * first SOF segment, skipping tables/APPn), WebP (RIFF container:
+    * VP8 lossy frame header, VP8L lossless 14-bit dims, VP8X extended
+    * 24-bit canvas — modern crawls are heavily WebP), and TIFF
+    * (II/MM byte-order header, IFD0 entry walk for ImageWidth 0x0100 /
+    * ImageLength 0x0101, SHORT or LONG). Packed return:
     * format(16 bits)<<48 | width(24)<<24 | height(24); 0 = not
     * recognized / truncated / dims out of the 24-bit range. Format
-    * ids: 1 png, 2 jpeg, 3 gif, 4 bmp. */
+    * ids: 1 png, 2 jpeg, 3 gif, 4 bmp, 5 webp, 6 tiff. */
   def imageDimsPacked(bytes: Array[Byte]): Long = {
     def u(i: Int): Int = bytes(i) & 0xff
     def be32(i: Int): Long =
@@ -548,6 +598,65 @@ object Kernels {
     // JPEG: walk marker segments to the first frame header (SOF)
     if (n >= 4 && u(0) == 0xff && u(1) == 0xd8) {
       return jpegDims(bytes)
+    }
+    // WebP: RIFF container, 'WEBP' form, first chunk VP8 /VP8L/VP8X
+    if (n >= 16 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P' &&
+        u(12) == 'V' && u(13) == 'P' && u(14) == '8') {
+      // lossy: 3-byte frame tag then start code 9D 01 2A, dims LE16
+      // with the top 2 bits reserved for scaling hints
+      if (u(15) == ' ' && n >= 30 &&
+          u(23) == 0x9d && u(24) == 0x01 && u(25) == 0x2a)
+        return pack(5L, (le16(26) & 0x3fff).toLong, (le16(28) & 0x3fff).toLong)
+      // lossless: signature byte 2F then 14-bit width-1 / height-1
+      if (u(15) == 'L' && n >= 25 && u(20) == 0x2f) {
+        val b = le32(21)
+        return pack(5L, (b & 0x3fff) + 1, ((b >> 14) & 0x3fff) + 1)
+      }
+      // extended: flags(1) + reserved(3), canvas w-1/h-1 24-bit LE
+      if (u(15) == 'X' && n >= 30) {
+        val w = (u(24) | (u(25) << 8) | (u(26) << 16)).toLong + 1
+        val h = (u(27) | (u(28) << 8) | (u(29) << 16)).toLong + 1
+        return pack(5L, w, h)
+      }
+      return 0L
+    }
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian), then the IFD0
+    // entry walk — tags 0x0100 ImageWidth / 0x0101 ImageLength, value
+    // inline for SHORT(3)/LONG(4) with count 1. Every cursor
+    // bounds-checks before reading; entry count capped (a hostile
+    // 65535-entry IFD is a 786 KB walk — bound it to sane headers).
+    if (n >= 8 && ((u(0) == 'I' && u(1) == 'I' && u(2) == 42 && u(3) == 0) ||
+                   (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 42))) {
+      val le = u(0) == 'I'
+      def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      def r32(i: Int): Long = if (le) le32(i) else be32(i)
+      val ifd = r32(4)
+      if (ifd < 8 || ifd > n - 2) return 0L
+      val base = ifd.toInt + 2
+      val cnt = math.min(r16(ifd.toInt), 512)
+      var w = 0L
+      var h = 0L
+      var e = 0
+      while (e < cnt) {
+        val off = base + 12 * e
+        if (off + 12 > n) return 0L
+        val tag = r16(off)
+        if (tag == 0x0100 || tag == 0x0101) {
+          val typ = r16(off + 2)
+          val count = r32(off + 4)
+          if (count == 1L) {
+            val v =
+              if (typ == 3) r16(off + 8).toLong
+              else if (typ == 4) r32(off + 8)
+              else -1L
+            if (v >= 0L) { if (tag == 0x0100) w = v else h = v }
+          }
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0) return pack(6L, w, h)
+      return 0L
     }
     0L
   }

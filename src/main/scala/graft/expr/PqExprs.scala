@@ -119,3 +119,60 @@ object AdcScore {
     GraftColumnBridge.column(AdcScore(
       GraftColumnBridge.expression(codes), GraftColumnBridge.expression(table)))
 }
+
+/** `adc_table(vec, books)` — the ADC table-build kernel
+  * ([[Kernels.adcTable]]): all m·ksub subdistances in one fused loop.
+  * The composed transform/zip_with/aggregate form pays m·ksub nested
+  * interpreted lambda dispatches per probe row, which dominates the
+  * residual IVFADC probe (query·nprobe tables instead of one per
+  * query). `books` is the literal m×ksub×dsub codebook array. */
+final case class AdcTable(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val booksOk = right.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    }
+    if (vecOk && booksOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<array<array<float>>>), " +
+      s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_table"
+
+  override protected def nullSafeEval(vec: Any, books: Any): Any =
+    Kernels.adcTable(vec.asInstanceOf[ArrayData],
+      books.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, books) => {
+      val r = ctx.freshName("tbl")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expr.Kernels.adcTable($vec, $books);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcTable =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcTable {
+  def adcTable(vec: Column, books: Column): Column =
+    GraftColumnBridge.column(AdcTable(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(books)))
+}

@@ -98,6 +98,17 @@ object Pq {
   private def centsLit(cw: Array[Array[Float]]): Column =
     typedlit(cw.zipWithIndex.map { case (v, c) => (c.toLong, v.toSeq) }.toSeq)
 
+  /** The composed higher-order form of the ADC table — the executable
+    * spec [[graft.expr.AdcTable]] is property-tested against (PqSpec).
+    * Production probes use the native kernel: this form pays m·ksub
+    * nested interpreted lambda dispatches per row. */
+  private[graft] def adcTableHof(vec: Column, booksLit: Column,
+      dsub: Int): Column =
+    transform(booksLit, (bs, s) => transform(bs, cw =>
+      aggregate(zip_with(slice(vec, s * dsub + 1, lit(dsub)), cw,
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)))
+
   /** Encode the corpus: `(id, codes array<int>)` — m codes per row via
     * the native L2 argmin against literal codebooks (narrow scan, no
     * shuffle, whole-stage codegen). */
@@ -121,12 +132,8 @@ object Pq {
   def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: DataFrame, k: Int): DataFrame = {
     val (m, books) = driverBooks(model)
-    val dsub = books(0)(0).length
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
-      aggregate(zip_with(slice(col(vecCol), s * dsub + 1, lit(dsub)), cw,
-        (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)))
+    val table = graft.expr.AdcTable.adcTable(col(vecCol), booksLit)
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol))
       .withColumn("tbl", table)
@@ -200,12 +207,8 @@ object Pq {
       model: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int = 8, shortlist: Int = 200): DataFrame = {
     val (m, books) = driverBooks(model)
-    val dsub = books(0)(0).length
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
-      aggregate(zip_with(slice(col(vecCol), s * dsub + 1, lit(dsub)), cw,
-        (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)))
+    val table = graft.expr.AdcTable.adcTable(col(vecCol), booksLit)
     val cents = broadcast(Ann.centroidArray(centroids))
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol))
@@ -237,6 +240,14 @@ object Pq {
   // ---- CELL RESIDUAL v − centroid, so one codebook's resolution ----
   // ---- concentrates on within-cell structure — sharper codes at ----
   // ---- the same m, at the cost of per-(query, cell) tables. --------
+  // ---- MEASURED (r13, BENCH_SCALE_ANN_PQ_RESIDUAL.json, 2M×64 ------
+  // ---- clustered, 512 k-means cells, nprobe 50, 9.8% scan): --------
+  // ---- residual recall@10 0.938 ≥ raw 0.936 at equal bytes and -----
+  // ---- scan; probe 5.0 s vs 4.1 s (the per-cell tables' price). ----
+  // ---- The r12 0.304 was COARSE SAMPLED cells: residuals against ---
+  // ---- md5-sampled corpus rows keep ~full vector norm and lose -----
+  // ---- the global structure a raw codebook exploits — residual -----
+  // ---- requires a TRAINED coarse quantizer (use kmeansCentroids). --
 
   /** `(id, cell, rvec)` — each vector's cell plus its residual against
     * that cell's centroid (the frame both residual train and encode
@@ -263,10 +274,14 @@ object Pq {
     train(residualFrame(corpus, idCol, vecCol, centroids)
       .localCheckpoint(eager = false), "id", "rvec", m, ksub, iters)
 
-  /** Residual encode: `(id, cell, codes)`. */
+  /** Residual encode: `(id, cell, codes)`. The residual frame is
+    * pinned (lazy localCheckpoint) — it feeds both the code projection
+    * and the cell join, and recomputing it means a second full
+    * assignment pass over the corpus. */
   def encodeResidualWithCells(corpus: DataFrame, idCol: String,
       vecCol: String, model: DataFrame, centroids: DataFrame): DataFrame = {
     val rf = residualFrame(corpus, idCol, vecCol, centroids)
+      .localCheckpoint(eager = false)
     encode(rf, "id", "rvec", model)
       .join(rf.select(col("id"), col("cell")), "id")
       .select(col("id"), col("cell"), col("codes"))
@@ -295,10 +310,13 @@ object Pq {
       .join(cvecs, "cell")
       .withColumn("_qr", zip_with(col("_qv"), col("_cvec"),
         (x, y) => (x - y).cast("float")))
-    val table = transform(booksLit, (bs, s) => transform(bs, cw =>
-      aggregate(zip_with(slice(col("_qr"), s * dsub + 1, lit(dsub)), cw,
-        (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)))
+      // pin _qr as a materialized ATTRIBUTE before the table build:
+      // CollapseProject otherwise inlines the zip_with derivation into
+      // the table expression's input and re-evaluates it (measured 14x
+      // on the residual probe at 100k before the native kernel). The
+      // frame is query·nprobe rows — tiny.
+      .localCheckpoint(eager = false)
+    val table = graft.expr.AdcTable.adcTable(col("_qr"), booksLit)
     val probes = broadcast(qres.withColumn("tbl", table)
       .select(col("query_id"), col("cell"), col("tbl")))
     val scored = codesWithCells.join(probes, "cell")

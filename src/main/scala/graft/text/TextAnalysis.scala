@@ -55,25 +55,117 @@ object TextAnalysis {
         lenOk * 0.2 + wordOk * 0.2) * 10000) / 10000
   }
 
-  /** Stopword evidence per language: tiny high-frequency function-word
-    * lists; the language with the most hits wins (ties → 'und'). The
-    * n-gram-free cousin of CLD-style detectors — O(tokens) per doc. */
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"))
+  /** Stopword evidence per language, SCRIPT-ROUTED: tiny
+    * high-frequency function-word lists, the language with the most
+    * distinct hits wins (struct-max, ties → lexicographically-largest
+    * lang code; 0 hits → 'und'). The n-gram-free cousin of CLD-style
+    * detectors — O(tokens) per doc.
+    *
+    * The lists are curated for PAIRWISE SEPARATION inside each script:
+    * shared Romance/Germanic function words appear in both lists they
+    * belong to (they cancel in the vote) while each language carries
+    * distinctive forms (es `el/los/y` vs pt `o/os/e`; de `ein/nicht`
+    * vs nl `een/niet`; da `af/hvad/efter` vs no `av/hva/etter`; cs
+    * `se/nebo/jsem` vs sk `sa/alebo/som`). All lists are public
+    * high-frequency function words. */
+  private[graft] val latinStops: Seq[(String, Seq[String])] = Seq(
+    "ca" -> Seq("els", "les", "amb", "què", "per", "una", "és", "dels", "com", "més", "hi", "aquest"),
+    "cs" -> Seq("a", "je", "se", "na", "že", "to", "nebo", "ale", "jako", "pro", "jsem", "byl"),
+    "da" -> Seq("og", "det", "er", "til", "ikke", "af", "hvad", "efter", "noget", "hende", "skal", "være"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "zu", "sich"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "on"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "es", "con", "no"),
+    "et" -> Seq("ja", "on", "ei", "et", "see", "ta", "aga", "oli", "kui", "ka", "nii", "oma"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "mutta", "oli", "kun", "myös", "niin", "ovat"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "pour", "dans", "une", "du", "il"),
+    "hr" -> Seq("je", "i", "u", "na", "se", "da", "su", "za", "ali", "kao", "što", "nije"),
+    "hu" -> Seq("a", "az", "és", "nem", "hogy", "is", "egy", "van", "volt", "csak", "már", "meg"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan", "pada", "adalah"),
+    "it" -> Seq("il", "lo", "la", "gli", "che", "di", "non", "per", "una", "sono", "con", "si"),
+    "lt" -> Seq("ir", "yra", "kad", "tai", "su", "bet", "kaip", "jis", "buvo", "iš", "apie", "jau"),
+    "lv" -> Seq("un", "ir", "ka", "tas", "ar", "bet", "kā", "viņš", "bija", "no", "par", "jau"),
+    "nl" -> Seq("de", "het", "een", "niet", "van", "je", "op", "aan", "voor", "zijn", "ook", "maar"),
+    "no" -> Seq("og", "det", "er", "til", "ikke", "av", "hva", "etter", "noe", "henne", "skal", "være"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "jest", "że", "do", "z", "to", "co", "jak"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "que", "não", "com", "em", "é", "para", "se"),
+    "ro" -> Seq("și", "de", "la", "cu", "nu", "este", "pentru", "din", "care", "mai", "sunt", "o"),
+    "sk" -> Seq("a", "je", "sa", "na", "že", "to", "alebo", "ale", "ako", "pre", "som", "bol"),
+    "sl" -> Seq("je", "in", "na", "se", "da", "so", "za", "ali", "kot", "kaj", "tudi", "ni"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "är", "av", "för", "med", "på", "inte", "han"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ne", "ben", "çok", "ama", "gibi", "var", "daha", "olarak"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "cho", "người", "này", "với", "các"))
 
-  def langId(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+  private[graft] val cyrillicStops: Seq[(String, Seq[String])] = Seq(
+    "bg" -> Seq("и", "в", "не", "на", "че", "той", "как", "това", "но", "го", "по", "тя"),
+    "mk" -> Seq("и", "во", "не", "на", "што", "тој", "како", "тоа", "но", "го", "по", "таа"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "как", "это", "но", "его", "по", "она"),
+    "sr" -> Seq("и", "у", "не", "на", "што", "он", "као", "то", "али", "га", "по", "она"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "він", "як", "це", "але", "його", "по", "вона"))
+
+  private[graft] val arabicStops: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "كان", "مع", "لا", "هو", "ما"),
+    "fa" -> Seq("در", "از", "که", "با", "را", "این", "است", "برای", "آن", "خود", "تا", "هم"))
+
+  /** Writing-system ranges used by [[langId]]'s routing — FINER than
+    * [[scriptRanges]] (kana split from han so ja/zh separate; hebrew,
+    * thai, devanagari added). Literal-char classes, any regex engine
+    * replays the counts. */
+  private[graft] val langScriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "؀-ۿ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "devanagari" -> "ऀ-ॿ",
+    "greek" -> "Ͱ-Ͽ",
+    "han" -> "一-鿿",
+    "hangul" -> "가-힯",
+    "hebrew" -> "֐-׿",
+    "kana" -> "぀-ヿ",
+    "latin" -> "A-Za-zÀ-ɏ",
+    "thai" -> "฀-๿")
+
+  /** One script's languages voting: struct-max over (distinct-hit
+    * count, lang). */
+  private def voteAmong(toks: Column,
+      stops: Seq[(String, Seq[String])]): Column =
+    array_max(array(stops.map { case (lang, words) =>
       struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
         lit(lang).as("lang"))
+    }: _*))
+
+  /** Language ID over ~39 languages: the dominant SCRIPT routes first
+    * (one regexp count per script class — so CJK/Thai/Hebrew text
+    * never pays a stopword scan, and single-language scripts resolve
+    * without one), then a per-script stopword vote separates the
+    * languages sharing that script (25 Latin, 5 Cyrillic, ar/fa).
+    * kana ⇒ ja; han with ANY kana ⇒ ja, han alone ⇒ zh. Scripted text
+    * whose script vote has no stopword hits → 'und' (seen script,
+    * unseen language — the honest answer). `when` branches evaluate
+    * lazily per row in codegen, so each row pays exactly one script's
+    * vote. */
+  def langId(text: Column): Column = {
+    def cnt(cls: String) =
+      coalesce(regexp_count(text, lit(s"[$cls]")), lit(0))
+    val counts = langScriptRanges.map { case (name, cls) => name -> cnt(cls) }
+    val best = array_max(array(counts.map { case (name, c) =>
+      struct(c.as("hits"), lit(name).as("s"))
+    }: _*))
+    val script = best.getField("s")
+    val kanaCnt = counts.toMap.apply("kana")
+    val toks = split(trim(lower(text)), "\\s+")
+    def voted(stops: Seq[(String, Seq[String])]): Column = {
+      val v = voteAmong(toks, stops)
+      when(v.getField("hits") > 0, v.getField("lang")).otherwise(lit("und"))
     }
-    // array_max on (hits, lang) structs: max hits, ties broken by the
-    // lexicographically-largest lang — deterministic; 0 hits → 'und'.
-    val best = array_max(array(scores: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    when(best.getField("hits") <= 0, lit("und"))
+      .when(script === "hangul", lit("ko"))
+      .when(script === "kana", lit("ja"))
+      .when(script === "han", when(kanaCnt > 0, lit("ja")).otherwise(lit("zh")))
+      .when(script === "thai", lit("th"))
+      .when(script === "devanagari", lit("hi"))
+      .when(script === "hebrew", lit("he"))
+      .when(script === "greek", lit("el"))
+      .when(script === "cyrillic", voted(cyrillicStops))
+      .when(script === "arabic", voted(arabicStops))
+      .otherwise(voted(latinStops))
   }
 
   /** Repetition ratio in [0,1]: fraction of token occurrences that are

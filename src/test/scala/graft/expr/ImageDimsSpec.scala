@@ -34,6 +34,98 @@ class ImageDimsSpec extends SparkSpec {
     }
   }
 
+  // WebP containers per the RIFF/VP8 bitstream spec — no JDK encoder
+  // exists, so the fixtures are built to the byte layout real encoders
+  // emit (frame tag + 9D 01 2A start code for lossy, 2F signature +
+  // packed 14-bit dims for lossless, 24-bit canvas for VP8X)
+  private def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(4 + 8 + payload.length))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(fourcc.getBytes("US-ASCII"))
+    out.write(le32(payload.length))
+    out.write(payload)
+    out.toByteArray
+  }
+  private def webpLossy(w: Int, h: Int): Array[Byte] =
+    riff("VP8 ", Array[Byte](0x30, 0x01, 0x00, // frame tag
+      0x9d.toByte, 0x01, 0x2a, // start code
+      (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte))
+  private def webpLossless(w: Int, h: Int): Array[Byte] = {
+    val b = (w - 1) | ((h - 1) << 14)
+    riff("VP8L", Array[Byte](0x2f,
+      (b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+      ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte))
+  }
+  private def webpExtended(w: Int, h: Int): Array[Byte] =
+    riff("VP8X", Array[Byte](0x02, 0, 0, 0,
+      ((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte,
+      (((w - 1) >> 16) & 0xff).toByte,
+      ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+      (((h - 1) >> 16) & 0xff).toByte))
+
+  test("webp: lossy, lossless, and extended container dims") {
+    val cases = Seq(
+      (webpLossy(320, 240), 320, 240),
+      (webpLossless(800, 600), 800, 600),
+      (webpExtended(1920, 1080), 1920, 1080),
+      (webpLossless(1, 1), 1, 1),
+      (webpLossless(16383, 16383), 16383, 16383)) // 14-bit max
+    cases.foreach { case (bytes, w, h) =>
+      val p = Kernels.imageDimsPacked(bytes)
+      assert((p >> 48) == 5L, s"fmt for ${w}x$h")
+      assert(((p >> 24) & 0xffffff) == w && (p & 0xffffff) == h, s"${w}x$h: $p")
+    }
+  }
+
+  test("tiff: real JDK encoder round-trip (II) plus hand-built MM") {
+    // the JDK ships a real TIFF encoder since 9 — same real-encoder
+    // discipline as png/jpeg/gif/bmp
+    val realTiff = encoded("tiff", 257, 131)
+    val p = Kernels.imageDimsPacked(realTiff)
+    assert((p >> 48) == 6L, p.toString)
+    assert(((p >> 24) & 0xffffff) == 257 && (p & 0xffffff) == 131)
+    // big-endian variant: MM header, IFD0 with SHORT width/LONG height
+    val mm = new ByteArrayOutputStream()
+    def be16(v: Int): Array[Byte] = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Int): Array[Byte] = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    mm.write("MM".getBytes("US-ASCII")); mm.write(be16(42)); mm.write(be32(8))
+    mm.write(be16(2)) // 2 IFD entries
+    mm.write(be16(0x0100)); mm.write(be16(3)); mm.write(be32(1))
+    mm.write(be16(640)); mm.write(be16(0)) // SHORT left-justified
+    mm.write(be16(0x0101)); mm.write(be16(4)); mm.write(be32(1))
+    mm.write(be32(480))
+    mm.write(be32(0)) // next-IFD terminator
+    val pm = Kernels.imageDimsPacked(mm.toByteArray)
+    assert((pm >> 48) == 6L && ((pm >> 24) & 0xffffff) == 640 &&
+      (pm & 0xffffff) == 480, pm.toString)
+  }
+
+  test("webp/tiff hostile payloads are NULL, never an exception") {
+    val bad = Seq(
+      webpLossy(320, 240).take(20),             // truncated before dims
+      webpLossless(800, 600).take(22),          // truncated mid-dims
+      { val b = webpLossy(320, 240); b(23) = 0x00; b }, // bad start code
+      { val b = webpLossless(10, 10); b(20) = 0x30; b }, // bad signature
+      riff("VP8Z", Array[Byte](1, 2, 3, 4)),    // unknown chunk
+      Array[Byte](0x49, 0x49, 42, 0),           // "II" tiff magic only
+      Array[Byte](0x49, 0x49, 42, 0,            // IFD offset beyond eof
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0x00),
+      Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8, // MM huge count, truncated
+        0xff.toByte, 0xff.toByte),
+      encoded("tiff", 8, 8).take(9))            // truncated real tiff
+    val df = bad.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "payload")
+    val out = df.select(ImageDims.imageDims(col("payload")).as("d"))
+      .where(col("d").isNotNull).count()
+    assert(out == 0L)
+  }
+
   test("header probe agrees with full ImageIO decode on dimensions") {
     val payloads = Seq(encoded("png", 48, 96), encoded("jpg", 97, 33))
     payloads.foreach { p =>

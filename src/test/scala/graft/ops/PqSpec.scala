@@ -25,6 +25,38 @@ class PqSpec extends SparkSpec {
     assert(top(1) == ((99L, 11L, 4.25, 2)))
   }
 
+  test("native adc_table equals the composed HOF spec on seeded vectors") {
+    // m=4 subspaces of dsub=3, ksub=5 codewords; hash-seeded floats
+    val books: Seq[Seq[Seq[Float]]] = (0 until 4).map(s =>
+      (0 until 5).map(c => (0 until 3).map(k =>
+        ((s * 131 + c * 17 + k * 7) % 23 - 11) / 4.0f)))
+    val booksLit = typedlit(books)
+    val vecs = (0 until 20).map(i => (i.toLong,
+      (0 until 12).map(k => ((i * 37 + k * 13) % 29 - 14) / 5.0f)))
+      .toDF("id", "vec")
+    val both = vecs.select(col("id"),
+        graft.expr.AdcTable.adcTable(col("vec"), booksLit).as("native"),
+        Pq.adcTableHof(col("vec"), booksLit, dsub = 3).as("hof"))
+      .as[(Long, Seq[Seq[Double]], Seq[Seq[Double]])].collect()
+    both.foreach { case (id, n, h) => assert(n == h, s"id $id") }
+  }
+
+  test("native adc_table nulls on ragged input instead of throwing") {
+    val booksRagged = typedlit(Seq(Seq(Seq(1f, 2f), Seq(3f)))) // 2 vs 1
+    val booksOk = typedlit(Seq(Seq(Seq(1f, 2f))))
+    val got = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f)))
+      .toDF("id", "vec")
+      .select(col("id"),
+        graft.expr.AdcTable.adcTable(col("vec"), booksRagged).as("a"),
+        graft.expr.AdcTable.adcTable(col("vec"), booksOk).as("b"))
+      .collect()
+    // id 1: dim 3 not divisible by m=1... (3 % 1 == 0 but codeword len
+    // 2 != dsub 3) → null either way; ragged books → null
+    assert(got.forall(_.isNullAt(1)))
+    val byId = got.map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byId(1L) && !byId(2L)) // dim 2 matches the 2-wide codeword
+  }
+
   test("lossless regime: ksub covers every subvector, ADC == brute L2") {
     // vectors assembled from 4 distinct values per 2-dim subspace
     val vals = Seq(Seq(0f, 0f), Seq(1f, 0f), Seq(0f, 1f), Seq(3f, 3f))

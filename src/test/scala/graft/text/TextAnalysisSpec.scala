@@ -38,6 +38,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "und"))
   }
 
+  test("langId separates all 39 planted languages via script routing + stopword votes") {
+    // the curated pairs: es/pt, de/nl, da/no, cs/sk, hr/sl,
+    // ru/uk/bg/sr/mk; script-routed: ar/fa, el, he, th, hi, ja/zh
+    // (kana presence), ko; trailing digits-only doc → und
+    val expected = Seq("en", "de", "nl", "es", "pt", "fr", "it", "ro",
+      "ca", "sv", "da", "no", "fi", "pl", "cs", "sk", "hu", "tr", "id",
+      "vi", "hr", "sl", "et", "lt", "lv", "ru", "uk", "bg", "sr", "mk",
+      "ar", "fa", "el", "he", "th", "hi", "ja", "zh", "ko", "und")
+    val got = graft.SparkEntry.langPlanted.toDF("doc_id", "text")
+      .orderBy("doc_id")
+      .select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == expected,
+      got.zip(expected).zipWithIndex.filter(p => p._1._1 != p._1._2).toString)
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     val df = Seq("Hello   World", "hello world", "different").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
