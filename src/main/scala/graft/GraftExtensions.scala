@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"audio_meta_packed expects (payload), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("lang_script_route"),
+      new ExpressionInfo(classOf[graft.expr.LangScriptRouteExpr].getName, "lang_script_route"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.LangScriptRouteExpr(c)
+          case other => throw new IllegalArgumentException(
+            s"lang_script_route expects (text), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[graft.expr.HllSketch].getName, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -92,6 +92,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"audio_meta_packed expects (payload), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("lang_script_route", exprs => exprs match {
+      case Seq(c) => graft.expr.LangScriptRouteExpr(c)
+      case other => throw new IllegalArgumentException(
+        s"lang_script_route expects (text), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("fix_mojibake", exprs => exprs match {
       case Seq(c) => graft.expr.FixMojibakeExpr(c)
       case other => throw new IllegalArgumentException(

@@ -14,7 +14,139 @@ import org.apache.spark.sql.SparkSession
   * rate × batch count. One JSON line → BENCH_SCALE_STREAM.json.
   */
 object StreamScaleSmoke {
+
+  /** Long-run commit-log smoke (`runMain graft.StreamScaleSmoke
+    * longrun [batches] [rowsPerBatch]`): 100+ micro-batches through
+    * [[graft.streaming.EventStreams.validateAndRouteCommitted]] in
+    * SEGMENTS — each segment drops files, drains an AvailableNow
+    * query off the SAME checkpoint (restart-resume exercised 5 times),
+    * then runs CommitLog.compactLog + vacuum on both tables. The
+    * individually spec-pinned pieces (atomic markers, snapshot folds,
+    * idempotent replay, uncommitted-partition vacuum) are here proven
+    * COMPOSED over a long run:
+    *   - exactly-once end to end: valid+error committed rows ==
+    *     generated rows, committed batch set == batch count, and an
+    *     explicitly REPLAYED batch changes nothing;
+    *   - bounded listing: after the final compaction the _commits dir
+    *     is one snapshot file and committedBatches latency is
+    *     measured before/after;
+    *   - a planted uncommitted partition (crash-before-marker) is
+    *     invisible to readers and reclaimed by vacuum;
+    *   - per-segment wall time stays flat (no state/lineage growth).
+    * One JSON line → BENCH_SCALE_STREAM_LONGRUN.json. */
+  def longrun(spark: SparkSession, nBatches: Int, rowsPerBatch: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    import graft.sources.CommitLog
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val root = java.nio.file.Files.createTempDirectory("stream-longrun").toString
+    val drop = s"$root/drop"
+    val valid = s"$root/valid"
+    val errors = s"$root/errors"
+    val ckpt = s"$root/ckpt"
+    val segments = 6
+    val perSeg = nBatches / segments
+    require(perSeg * segments == nBatches, s"$nBatches not divisible by $segments")
+    val segSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var schema: org.apache.spark.sql.types.StructType = null
+    (0 until segments).foreach { seg =>
+      (0 until perSeg).foreach { b =>
+        graft.bank.BankDataGen.generate(spark, rowsPerBatch,
+            seed = 5000 + seg * perSeg + b)
+          .withColumn("RecordOperation",
+            when(pmod(col("id"), lit(100)) === 0, lit("X"))
+              .otherwise(col("RecordOperation")))
+          .coalesce(1)
+          .write.mode("append").parquet(drop)
+      }
+      if (schema == null) schema = spark.read.parquet(drop).schema
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drop)
+      val q = graft.streaming.EventStreams.validateAndRouteCommitted(
+        stream, graft.bank.BankRules.all, "PayeeID", valid, errors, ckpt)
+      q.awaitTermination()
+      // periodic maintenance, concurrent with NOTHING (the quiescence
+      // the ledger/compaction contracts document)
+      CommitLog.compactLog(spark, valid)
+      CommitLog.compactLog(spark, errors)
+      CommitLog.vacuum(spark, valid, graceMs = 0)
+      CommitLog.vacuum(spark, errors, graceMs = 0)
+      segSecs += (System.nanoTime() - t0) / 1e9
+    }
+    val total = nBatches.toLong * rowsPerBatch
+    // exactly-once end to end
+    val committedValid = CommitLog.committedBatches(spark, valid)
+    require(committedValid.size == nBatches,
+      s"committed ${committedValid.size} of $nBatches batches")
+    val validRows = CommitLog.readCommitted(spark, valid).get.count()
+    val errorRows = CommitLog.readCommitted(spark, errors).get.count()
+    require(validRows + errorRows == total,
+      s"routed ${validRows + errorRows} of $total rows")
+    // replay an already-committed batch verbatim: idempotent markers +
+    // dynamic overwrite must change NOTHING
+    val (rId, bId) = committedValid.head
+    val replaySlice = CommitLog.readCommitted(spark, valid).get
+      .where(col("run_id") === rId && col("batch_id") === bId)
+      .drop("run_id", "batch_id")
+    // materialize the batch BEFORE replaying: the write dynamically
+    // overwrites the very partition the lazy frame would read
+    val replayLocal = spark.createDataFrame(
+      java.util.Arrays.asList(replaySlice.collect(): _*), replaySlice.schema)
+    CommitLog.writeBatch(replayLocal, valid, rId, bId)
+    val afterReplay = CommitLog.readCommitted(spark, valid).get.count()
+    require(afterReplay == validRows, s"replay changed counts: $afterReplay != $validRows")
+    // planted crash-before-marker: files exist, no marker → invisible,
+    // then vacuumed
+    spark.range(100).selectExpr("id")
+      .write.mode("overwrite")
+      .parquet(s"$valid/run_id=$rId/batch_id=999999")
+    val tornInvisible = CommitLog.readCommitted(spark, valid).get.count()
+    require(tornInvisible == validRows, "uncommitted partition leaked into a read")
+    CommitLog.vacuum(spark, valid, graceMs = 0)
+    val fs = new org.apache.hadoop.fs.Path(valid)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$valid/run_id=$rId/batch_id=999999")), "vacuum left the torn partition")
+    // bounded listing: _commits after the final compact + replay is
+    // the snapshot plus the one replayed marker
+    val commitFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$valid/_commits")).length
+    require(commitFiles <= 3, s"_commits not bounded: $commitFiles files")
+    val tList0 = System.nanoTime()
+    CommitLog.committedBatches(spark, valid)
+    val listMs = (System.nanoTime() - tList0) / 1e6
+    val flat = segSecs.max / segSecs.min
+    val json =
+      s"""{"metric":"stream_longrun","batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+      s""""segments":$segments,"segment_secs":[${segSecs.map(fmt).mkString(",")}],""" +
+      s""""segment_max_over_min":${fmt(flat)},""" +
+      s""""valid_rows":$validRows,"error_rows":$errorRows,"total_rows":$total,""" +
+      s""""replay_idempotent":true,"torn_partition_invisible_and_vacuumed":true,""" +
+      s""""commits_files_after_compact":$commitFiles,""" +
+      s""""committed_list_ms":${fmt(listMs)}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_STREAM_LONGRUN.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("longrun")) {
+      val nBatches = if (args.length > 1) args(1).toInt else 120
+      val rowsPerBatch = if (args.length > 2) args(2).toLong else 20000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      longrun(spark, nBatches, rowsPerBatch)
+      spark.stop()
+      return
+    }
     val rowsPerBatch = if (args.nonEmpty) args(0).toLong else 1000000L
     val nBatches = 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

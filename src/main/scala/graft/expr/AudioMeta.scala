@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * javax.sound stream per row (the [[ImageDimsPacked]] pattern for
   * audio). Kernel: [[Kernels.audioMetaPacked]] — WAV chunk walk,
   * AIFF COMM with the 80-bit extended-float rate, AU fixed header;
+  * r13 compressed-container headers: FLAC STREAMINFO, MP3 frame +
+  * Xing/Info, OGG Vorbis/Opus id header + last-page granule;
   * unrecognized/truncated payloads are NULL, never an exception. */
 final case class AudioMetaPacked(child: Expression) extends UnaryExpression {
 
@@ -60,9 +62,15 @@ object AudioMeta {
     * frames/rate rounded to milliseconds. */
   def audioMeta(payload: Column): Column = {
     val p = audioMetaPacked(payload)
-    val fmt = when(shiftright(p, 61) === 1, "wav")
-      .when(shiftright(p, 61) === 2, "aiff")
-      .when(shiftright(p, 61) === 3, "au")
+    // UNSIGNED shift: fmt ids >= 4 set bit 63, and an arithmetic
+    // shift would sign-extend them negative
+    val f = shiftrightunsigned(p, 61)
+    val fmt = when(f === 1, "wav")
+      .when(f === 2, "aiff")
+      .when(f === 3, "au")
+      .when(f === 4, "flac")
+      .when(f === 5, "mp3")
+      .when(f === 6, "ogg")
     val rate = shiftright(p, 36).bitwiseAND(lit(0xfffffL))
     val frames = p.bitwiseAND(lit(0xfffffffffL))
     when(p.isNotNull, struct(

@@ -207,6 +207,63 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Script routing for language ID in ONE UTF-8 byte pass — replaces
+    * ten per-script `regexp_count` scans per row (the langId front
+    * door runs over every document of a corpus). Counts code points
+    * in the ten BMP script ranges of
+    * [[graft.text.TextAnalysis.langScriptRanges]] (sorted name
+    * order), picks the argmax with ties to the LARGER index — the
+    * same winner as the composed struct-max over (hits, name), since
+    * the names are sorted. Returns -1 when no script chars at all;
+    * else bestIdx (0-9) | 0x10 when any kana was seen (the ja/zh
+    * discriminator). Non-BMP code points count nowhere, exactly like
+    * the char-class regexes. */
+  def langScriptRoute(s: UTF8String): Int = {
+    val n = s.numBytes
+    val counts = new Array[Int](10)
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
+      else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
+      else { len = 4; cp = b0 & 0x07 }
+      var k = 1
+      while (k < len && i + k < n) {
+        cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
+        k += 1
+      }
+      i += len
+      // indices = sorted langScriptRanges order:
+      // 0 arabic, 1 cyrillic, 2 devanagari, 3 greek, 4 han, 5 hangul,
+      // 6 hebrew, 7 kana, 8 latin, 9 thai
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= 0xc0 && cp <= 0x24f)) counts(8) += 1
+      else if (cp >= 0x400 && cp <= 0x4ff) counts(1) += 1
+      else if (cp >= 0x370 && cp <= 0x3ff) counts(3) += 1
+      else if (cp >= 0x600 && cp <= 0x6ff) counts(0) += 1
+      else if (cp >= 0x590 && cp <= 0x5ff) counts(6) += 1
+      else if (cp >= 0x900 && cp <= 0x97f) counts(2) += 1
+      else if (cp >= 0xe00 && cp <= 0xe7f) counts(9) += 1
+      else if (cp >= 0x3040 && cp <= 0x30ff) counts(7) += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) counts(4) += 1
+      else if (cp >= 0xac00 && cp <= 0xd7af) counts(5) += 1
+    }
+    var best = -1
+    var bestC = 0
+    var j = 0
+    while (j < 10) {
+      // >= keeps the LAST max: sorted names, so ties go to the
+      // lexicographically-largest name like the struct-max spec
+      if (counts(j) > 0 && counts(j) >= bestC) { best = j; bestC = counts(j) }
+      j += 1
+    }
+    if (best < 0) -1
+    else best | (if (counts(7) > 0) 0x10 else 0)
+  }
+
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates
   // over UTF8String bytes. The Column formulations they replace
@@ -765,10 +822,19 @@ object Kernels {
     * frame count (duration = frames/rate) without constructing a
     * javax.sound stream, for scan-speed duration/rate gates over a
     * multimodal corpus. Recognizes WAV (RIFF chunk walk to fmt+data),
-    * AIFF (FORM/COMM, 80-bit extended-float rate), and AU (fixed
-    * header). Packed return: fmt(3 bits)<<61 | channels(5)<<56 |
-    * rate(20)<<36 | frames(36); 0 = unrecognized / truncated /
-    * out-of-range. Format ids: 1 wav, 2 aiff, 3 au. */
+    * AIFF (FORM/COMM, 80-bit extended-float rate), AU (fixed header),
+    * and — r13, headers only, PCM stays undecoded — FLAC (STREAMINFO:
+    * exact rate/channels/total samples), MP3 (first Layer III frame
+    * header after an optional ID3v2 tag; duration from the Xing/Info
+    * frame count when present, else a CBR estimate from the first
+    * frame's bitrate — an ESTIMATE for headerless VBR, documented),
+    * and OGG (Vorbis identification header or OpusHead; total samples
+    * = the last page's granule position, scanned in the final 64 KB;
+    * Opus granules are 48 kHz by spec). Packed return:
+    * fmt(3 bits)<<61 | channels(5)<<56 | rate(20)<<36 | frames(36);
+    * 0 = unrecognized / truncated / out-of-range. Format ids: 1 wav,
+    * 2 aiff, 3 au, 4 flac, 5 mp3, 6 ogg. fmt ≥ 4 sets bit 63 —
+    * extract with an UNSIGNED shift. */
   def audioMetaPacked(bytes: Array[Byte]): Long = {
     def u(i: Int): Int = bytes(i) & 0xff
     def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
@@ -863,6 +929,97 @@ object Kernels {
         if (dataSize == 0xffffffffL) (n - be32(4)) / (bytesPerSample * ch)
         else dataSize / (bytesPerSample * ch)
       return pack(3L, ch, rate, frames)
+    }
+    // FLAC: 'fLaC' + STREAMINFO (mandatory FIRST metadata block):
+    // 20-bit rate, 3-bit channels-1, 36-bit total samples — exact
+    if (n >= 42 && u(0) == 'f' && u(1) == 'L' && u(2) == 'a' && u(3) == 'C' &&
+        (u(4) & 0x7f) == 0) {
+      val len = (u(5) << 16) | (u(6) << 8) | u(7)
+      if (len < 34) return 0L
+      val s = 8
+      val rate = (u(s + 10).toLong << 12) | (u(s + 11) << 4) | (u(s + 12) >> 4)
+      val ch = ((u(s + 12) >> 1) & 0x7) + 1L
+      val total = ((u(s + 13) & 0xf).toLong << 32) | be32(s + 14)
+      return pack(4L, ch, rate, total)
+    }
+    // MP3: optional ID3v2 (syncsafe size), then the first Layer III
+    // frame header; frames→samples via the layer's samples-per-frame
+    if (n >= 4 && ((u(0) == 0xff && (u(1) & 0xe0) == 0xe0) ||
+        (u(0) == 'I' && u(1) == 'D' && u(2) == '3'))) {
+      var off = 0
+      if (u(0) == 'I') {
+        if (n < 14) return 0L
+        val sz = ((u(6) & 0x7f) << 21) | ((u(7) & 0x7f) << 14) |
+          ((u(8) & 0x7f) << 7) | (u(9) & 0x7f)
+        val next = 10L + sz
+        if (next + 4 > n) return 0L
+        off = next.toInt
+      }
+      if (off + 4 > n || u(off) != 0xff || (u(off + 1) & 0xe0) != 0xe0) return 0L
+      val verBits = (u(off + 1) >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layerBits = (u(off + 1) >> 1) & 0x3 // 1=Layer III
+      if (verBits == 1 || layerBits != 1) return 0L
+      val brIdx = (u(off + 2) >> 4) & 0xf
+      val srIdx = (u(off + 2) >> 2) & 0x3
+      if (srIdx == 3 || brIdx == 15 || brIdx == 0) return 0L // free format: no
+      val base = srIdx match { case 0 => 44100L; case 1 => 48000L; case _ => 32000L }
+      val rate = verBits match { case 3 => base; case 2 => base / 2; case _ => base / 4 }
+      val mono = ((u(off + 3) >> 6) & 0x3) == 3
+      val ch = if (mono) 1L else 2L
+      val spf = if (verBits == 3) 1152L else 576L
+      // Xing/Info (VBR header) sits right after the side info
+      val side = if (verBits == 3) { if (mono) 17 else 32 }
+                 else { if (mono) 9 else 17 }
+      val x = off + 4 + side
+      var totalFrames = -1L
+      if (x + 12 <= n &&
+          ((u(x) == 'X' && u(x + 1) == 'i' && u(x + 2) == 'n' && u(x + 3) == 'g') ||
+           (u(x) == 'I' && u(x + 1) == 'n' && u(x + 2) == 'f' && u(x + 3) == 'o'))) {
+        val flags = be32(x + 4)
+        if ((flags & 1L) != 0L) totalFrames = be32(x + 8)
+      }
+      if (totalFrames < 0) {
+        val kbps =
+          if (verBits == 3)
+            Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)(brIdx)
+          else
+            Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)(brIdx)
+        val coef = if (verBits == 3) 144L else 72L
+        val frameBytes = coef * kbps * 1000L / rate
+        if (frameBytes <= 0) return 0L
+        totalFrames = (n - off).toLong / frameBytes
+      }
+      return pack(5L, ch, rate, totalFrames * spf)
+    }
+    // OGG: first page carries the Vorbis id header or OpusHead;
+    // total samples = the LAST page's granule position (tail scan)
+    if (n >= 58 && u(0) == 'O' && u(1) == 'g' && u(2) == 'g' && u(3) == 'S') {
+      val nseg = u(26)
+      val p = 27 + nseg
+      var ch = 0L
+      var rate = 0L
+      if (p + 16 <= n && u(p) == 0x01 && u(p + 1) == 'v' && u(p + 2) == 'o' &&
+          u(p + 3) == 'r' && u(p + 4) == 'b' && u(p + 5) == 'i' && u(p + 6) == 's') {
+        ch = u(p + 11); rate = le32(p + 12)
+      } else if (p + 19 <= n && u(p) == 'O' && u(p + 1) == 'p' && u(p + 2) == 'u' &&
+          u(p + 3) == 's' && u(p + 4) == 'H' && u(p + 5) == 'e' &&
+          u(p + 6) == 'a' && u(p + 7) == 'd') {
+        ch = u(p + 9); rate = 48000L // Opus granules are 48 kHz by spec
+      } else return 0L
+      var last = -1L
+      var i = math.max(0, n - 65536)
+      while (i + 14 <= n) {
+        if (u(i) == 'O' && u(i + 1) == 'g' && u(i + 2) == 'g' && u(i + 3) == 'S') {
+          var g = 0L
+          var j = 7
+          while (j >= 0) { g = (g << 8) | u(i + 6 + j); j -= 1 } // LE64
+          // -1 marks a headers-only page; keep the last non-negative
+          if (g >= 0L) last = g
+          i += 27
+        } else i += 1
+      }
+      if (last < 0L) return 0L
+      return pack(6L, ch, rate, last)
     }
     0L
   }

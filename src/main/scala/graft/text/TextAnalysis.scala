@@ -132,16 +132,46 @@ object TextAnalysis {
     }: _*))
 
   /** Language ID over ~39 languages: the dominant SCRIPT routes first
-    * (one regexp count per script class — so CJK/Thai/Hebrew text
-    * never pays a stopword scan, and single-language scripts resolve
-    * without one), then a per-script stopword vote separates the
-    * languages sharing that script (25 Latin, 5 Cyrillic, ar/fa).
-    * kana ⇒ ja; han with ANY kana ⇒ ja, han alone ⇒ zh. Scripted text
-    * whose script vote has no stopword hits → 'und' (seen script,
-    * unseen language — the honest answer). `when` branches evaluate
-    * lazily per row in codegen, so each row pays exactly one script's
-    * vote. */
+    * — ONE native UTF-8 byte pass ([[graft.expr.LangScriptRoute]],
+    * replacing ten per-script regexp scans; the composed regexp form
+    * survives as [[langIdComposed]], the executable spec the kernel is
+    * property-tested against) — so CJK/Thai/Hebrew text never pays a
+    * stopword scan and single-language scripts resolve without one;
+    * then a per-script stopword vote separates the languages sharing
+    * that script (25 Latin, 5 Cyrillic, ar/fa). kana ⇒ ja; han with
+    * ANY kana ⇒ ja, han alone ⇒ zh. Scripted text whose script vote
+    * has no stopword hits → 'und' (seen script, unseen language — the
+    * honest answer). `when` branches evaluate lazily per row in
+    * codegen, so each row pays exactly one script's vote. */
   def langId(text: Column): Column = {
+    // route = scriptIdx (sorted langScriptRanges order) | 0x10 if kana
+    val route = graft.expr.LangScriptRoute.langScriptRoute(text)
+    val scriptIdx = route.bitwiseAND(lit(0xf))
+    val kanaSeen = route.bitwiseAND(lit(0x10)) > 0
+    val toks = split(trim(lower(text)), "\\s+")
+    def voted(stops: Seq[(String, Seq[String])]): Column = {
+      val v = voteAmong(toks, stops)
+      when(v.getField("hits") > 0, v.getField("lang")).otherwise(lit("und"))
+    }
+    when(route.isNull, lit("und"))
+      .when(scriptIdx === 5, lit("ko"))   // hangul
+      .when(scriptIdx === 7, lit("ja"))   // kana
+      .when(scriptIdx === 4,              // han
+        when(kanaSeen, lit("ja")).otherwise(lit("zh")))
+      .when(scriptIdx === 9, lit("th"))   // thai
+      .when(scriptIdx === 2, lit("hi"))   // devanagari
+      .when(scriptIdx === 6, lit("he"))   // hebrew
+      .when(scriptIdx === 3, lit("el"))   // greek
+      .when(scriptIdx === 1, voted(cyrillicStops))
+      .when(scriptIdx === 0, voted(arabicStops))
+      .otherwise(voted(latinStops))       // latin (8)
+  }
+
+  /** The composed regexp form of [[langId]] — the executable spec the
+    * native script-route kernel is property-tested against
+    * (TextAnalysisSpec): ten per-script char-class counts, struct-max
+    * routing, identical vote layer. */
+  private[graft] def langIdComposed(text: Column): Column = {
     def cnt(cls: String) =
       coalesce(regexp_count(text, lit(s"[$cls]")), lit(0))
     val counts = langScriptRanges.map { case (name, cls) => name -> cnt(cls) }

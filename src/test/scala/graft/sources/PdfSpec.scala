@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal spec-valid single-page PDF with the given content
+    * stream; `flate` compresses it like real generators do. */
+  private def pdf(content: String, flate: Boolean = true,
+      encrypt: Boolean = false): Array[Byte] = {
+    val raw = content.getBytes("ISO-8859-1")
+    val body =
+      if (flate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length * 2 + 64)
+        val k = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, k)
+      } else raw
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val enc = if (encrypt) " /Encrypt 9 0 R" else ""
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${body.length}$filter >> stream\n")
+    out.write(body)
+    w("\nendstream endobj\n")
+    w(s"trailer << /Size 5 /Root 1 0 R$enc >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("flate and plain content streams: Tj, quote ops, and TJ arrays") {
+    val content = "BT /F1 12 Tf 72 720 Td (Hello) Tj (world) ' " +
+      "[(ker) -120 (ning)] TJ 0 0 (again) \" ET"
+    for (flate <- Seq(true, false)) {
+      val doc = Pdf.parse("p", pdf(content, flate))
+      assert(!doc._corrupt && !doc.encrypted)
+      assert(doc.version == "1.4")
+      assert(doc.n_pages == 1, doc.toString) // /Pages does NOT count
+      assert(doc.n_objects == 4)
+      assert(doc.n_streams == 1)
+      assert(doc.n_flate_streams == (if (flate) 1 else 0))
+      assert(doc.text == "Hello world kerning again", s"'${doc.text}'")
+    }
+  }
+
+  test("escapes: nested parens, octal, line continuation, specials") {
+    val content = "BT (a\\(b\\)c) Tj ((nested) ok) Tj (\\101\\102) Tj " +
+      "(li\\\nne) Tj (t\\tab) Tj ET"
+    val doc = Pdf.parse("p", pdf(content))
+    assert(doc.text == "a(b)c (nested) ok AB line t\tab", s"'${doc.text}'")
+  }
+
+  test("strings NOT followed by a text operator are ignored; hex skipped") {
+    val content = "/Title (not shown) BT (shown) Tj <48455828> Tj ET"
+    val doc = Pdf.parse("p", pdf(content))
+    assert(doc.text == "shown", s"'${doc.text}'")
+  }
+
+  test("encrypted: metadata yes, text no") {
+    val doc = Pdf.parse("p", pdf("BT (secret) Tj ET", encrypt = true))
+    assert(doc.encrypted && doc.text == null && !doc._corrupt)
+    assert(doc.version == "1.4")
+  }
+
+  test("unknown filter streams are skipped and counted, not decoded") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.7\n")
+    w("1 0 obj << /Length 4 /Filter /DCTDecode >> stream\n" +
+      "\u00ff\u00d8\u00ff\u00e0\nendstream endobj\n")
+    w("2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n")
+    w("%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_streams == 2 && doc.n_skipped_streams == 1)
+    assert(doc.text == "ok", s"'${doc.text}'")
+  }
+
+  test("hostile payloads degrade per row, never an exception") {
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "not a pdf at all".getBytes("UTF-8"),
+      pdf("BT (x) Tj ET").take(20),                   // truncated mid-object
+      {                                               // corrupt deflate bytes
+        val b = pdf("BT (x) Tj ET"); b(b.length / 2) = 0x00; b
+      },
+      "%PDF-1.5\nstream\n".getBytes("UTF-8"),         // stream, no endstream
+      ("%PDF-1.5\n1 0 obj << /Length 3 >> stream\n(((" +
+        "\nendstream endobj\n").getBytes("UTF-8"))    // unterminated string
+    val docs = cases.map(Pdf.parse("p", _))
+    assert(docs(0)._corrupt && docs(1)._corrupt)
+    assert(docs.drop(2).forall(!_._corrupt)) // framing survives, partial data
+  }
+
+  test("extractAll: corrupt isolation per row on a mixed frame") {
+    val rows = Seq(
+      ("a.pdf", pdf("BT (alpha doc) Tj ET")),
+      ("b.pdf", "garbage".getBytes("UTF-8")),
+      ("c.pdf", pdf("BT (gamma doc) Tj ET", flate = false)))
+    val got = Pdf.extractAll(rows.toDF("path", "payload"), "path", "payload")
+      .orderBy("path")
+      .select("path", "text", "_corrupt")
+      .collect()
+    assert(got(0).getString(1) == "alpha doc" && !got(0).getBoolean(2))
+    assert(got(1).isNullAt(1) && got(1).getBoolean(2))
+    assert(got(2).getString(1) == "gamma doc" && !got(2).getBoolean(2))
+  }
+
+  test("readDocuments: binaryFile glob, one row per file") {
+    val dir = java.nio.file.Files.createTempDirectory("pdf-spec")
+    try {
+      java.nio.file.Files.write(dir.resolve("one.pdf"),
+        pdf("BT (first file) Tj ET"))
+      java.nio.file.Files.write(dir.resolve("two.pdf"),
+        pdf("BT (second file) Tj ET"))
+      val got = Pdf.readDocuments(spark, s"$dir/*.pdf")
+        .select("text").as[String].collect().sorted.toSeq
+      assert(got == Seq("first file", "second file"))
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
+}

@@ -53,6 +53,32 @@ class TextAnalysisSpec extends SparkSpec {
       got.zip(expected).zipWithIndex.filter(p => p._1._1 != p._1._2).toString)
   }
 
+  test("native script-route langId equals the composed regexp spec") {
+    val hostile = Seq(
+      "", "   ", "12345 --- ===",
+      "ééé",
+      "abc да 中文 mixed scripts",
+      "😀 emoji only",
+      "カタカナ to 漢字",
+      "Αθήνα και",
+      "שלום abc",
+      "สวัสดี 123")
+    val texts = graft.SparkEntry.langPlanted.map(_._2) ++ hostile
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+    val both = df.select(col("i"),
+        TextAnalysis.langId(col("text")).as("native"),
+        TextAnalysis.langIdComposed(col("text")).as("spec"))
+      .collect()
+    both.foreach(r => assert(r.getString(1) == r.getString(2), r.toString))
+    // null text resolves to und on both forms
+    val nulls = Seq((1, Option.empty[String])).toDF("i", "text")
+      .select(TextAnalysis.langId(col("text")).as("n"),
+        TextAnalysis.langIdComposed(col("text")).as("s"))
+      .collect()(0)
+    assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     val df = Seq("Hello   World", "hello world", "different").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
