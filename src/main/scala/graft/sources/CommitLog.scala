@@ -61,6 +61,49 @@ object CommitLog {
     f"$runId-$batchId%020d.commit"
   }
 
+  /** Per-column batch statistics carried by a commit marker — the
+    * Iceberg-manifest idea at batch granularity: a reader with a range
+    * predicate prunes whole BATCH DIRECTORIES from its listing before
+    * any parquet footer is opened. min/max are rendered as strings;
+    * `typ` says how to compare ("num" → numeric, anything else →
+    * lexicographic). An all-NULL column records no stats row. */
+  final case class ColStats(col: String, typ: String, min: String, max: String)
+
+  // stats wire format: col:typ:min:max;... with %-escaping of the
+  // separators (and % itself) inside rendered values
+  private def esc(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case ':' => "%3a"
+      case ';' => "%3b"
+      case '\t' => "%09"
+      case '\n' => "%0a"
+      case '\r' => "%0d"
+      case c => c.toString
+    }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+  private def encodeStats(stats: Seq[ColStats]): String =
+    stats.map(s => s"${esc(s.col)}:${esc(s.typ)}:${esc(s.min)}:${esc(s.max)}")
+      .mkString(";")
+  private def decodeStats(s: String): Seq[ColStats] =
+    s.split(";").toSeq.filter(_.nonEmpty).flatMap { part =>
+      part.split(":", 4) match {
+        case Array(c, t, mn, mx) =>
+          Seq(ColStats(unesc(c), unesc(t), unesc(mn), unesc(mx)))
+        case _ => Seq.empty
+      }
+    }
+
   /** Write one batch's rows into its (run_id, batch_id) partition and
     * atomically commit it. Safe to replay with the same ids. */
   def writeBatch(df: DataFrame, table: String, runId: String, batchId: Long): Unit = {
@@ -72,17 +115,60 @@ object CommitLog {
     commit(df.sparkSession, table, runId, batchId)
   }
 
+  /** [[writeBatch]] recording min/max stats for `statsCols` in the
+    * commit marker — one extra small aggregate job over the batch buys
+    * batch-directory pruning for every future range read. */
+  def writeBatchWithStats(df: DataFrame, table: String, runId: String,
+      batchId: Long, statsCols: Seq[String]): Unit = {
+    val pinned = df.localCheckpoint(eager = false)
+    pinned.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id")
+      .parquet(table)
+    val stats =
+      if (statsCols.isEmpty) Seq.empty[ColStats]
+      else {
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+        val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val types = pinned.schema.fields.map(f => f.name -> f.dataType).toMap
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = row.get(2 * i)
+          val mx = row.get(2 * i + 1)
+          if (mn == null || mx == null) Seq.empty
+          else {
+            val numeric = types(c) match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case _ => false
+            }
+            Seq(ColStats(c, if (numeric) "num" else "str",
+              mn.toString, mx.toString))
+          }
+        }
+      }
+    commitWithStats(df.sparkSession, table, runId, batchId, stats)
+  }
+
   /** Mark an already-written (run_id, batch_id) partition committed.
     * Atomic (temp + rename), idempotent (existing marker wins). */
-  def commit(spark: SparkSession, table: String, runId: String, batchId: Long): Unit = {
+  def commit(spark: SparkSession, table: String, runId: String, batchId: Long): Unit =
+    commitWithStats(spark, table, runId, batchId, Seq.empty)
+
+  /** [[commit]] carrying per-column stats in the marker body. */
+  def commitWithStats(spark: SparkSession, table: String, runId: String,
+      batchId: Long, stats: Seq[ColStats]): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
     if (hfs.exists(marker)) return
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".${markerName(runId, batchId)}.${java.util.UUID.randomUUID()}.tmp")
+    val statsLine =
+      if (stats.isEmpty) "" else s"stats=${encodeStats(stats)}\n"
     val out = hfs.create(tmp, true)
-    try out.write(s"run_id=$runId\nbatch_id=$batchId\n".getBytes("UTF-8"))
+    try out.write(
+      s"run_id=$runId\nbatch_id=$batchId\n$statsLine".getBytes("UTF-8"))
     finally out.close()
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
@@ -111,11 +197,49 @@ object CommitLog {
           bos.toString("UTF-8")
         } finally in.close()
         text.linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(r, b) = line.split(",", 2)
+          // snapshot line: "r,b" or "r,b\t<stats>" — the tab-suffixed
+          // form carries folded marker stats through compaction
+          val core = line.split("\t", 2)(0)
+          val Array(r, b) = core.split(",", 2)
           (r, b.toLong)
         }.toSeq
       case _ => Seq.empty
     }
+
+  /** Per-batch stats from the log — marker bodies plus
+    * snapshot-folded lines. Batches committed without stats are
+    * simply absent (readers treat them as unprunable). */
+  def batchStats(spark: SparkSession,
+      table: String): Map[(String, Long), Seq[ColStats]] = {
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    if (!hfs.exists(dir)) return Map.empty
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = hfs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    hfs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".commit")) {
+        val stem = n.stripSuffix(".commit")
+        val cut = stem.lastIndexOf('-')
+        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
+        readText(st.getPath).linesIterator
+          .find(_.startsWith("stats="))
+          .map(l => key -> decodeStats(l.stripPrefix("stats=")))
+          .toSeq
+      } else if (n.endsWith(".snapshot")) {
+        readText(st.getPath).linesIterator.filter(_.contains("\t")).map { line =>
+          val Array(core, statsEnc) = line.split("\t", 2)
+          val Array(r, b) = core.split(",", 2)
+          (r, b.toLong) -> decodeStats(statsEnc)
+        }.toSeq
+      } else Seq.empty
+    }.toMap
+  }
 
   /** The committed (run_id, batch_id) set, from the log. Snapshot
     * files (from [[compactLog]]) contribute their folded entries. */
@@ -136,6 +260,45 @@ object CommitLog {
       val paths = committed.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
       Some(spark.read.option("basePath", table).parquet(paths: _*))
     }
+  }
+
+  /** Range read with BATCH PRUNING: only batches whose recorded
+    * [min, max] for `column` intersects [lo, hi] are listed or opened
+    * — at 100 TB the difference between touching every batch
+    * directory and touching the handful a time/id predicate selects.
+    * Batches without stats for the column (older writers, stats
+    * dropped by pre-stats snapshots) are conservatively read. The
+    * residual `BETWEEN` filter still applies — pruning is an
+    * optimization, never a semantics change. Numeric stats compare as
+    * doubles, string stats lexicographically. */
+  def readCommittedRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): Option[DataFrame] = {
+    val committed = committedBatches(spark, table)
+    if (committed.isEmpty) return None
+    val stats = batchStats(spark, table)
+    def overlaps(s: ColStats): Boolean =
+      if (s.typ == "num") {
+        val (mn, mx) = (s.min.toDouble, s.max.toDouble)
+        val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
+        mx >= l && mn <= h
+      } else s.max >= lo.toString && s.min <= hi.toString
+    val surviving = committed.filter { key =>
+      stats.get(key).flatMap(_.find(_.col == column)) match {
+        case Some(s) => overlaps(s)
+        case None => true // no stats recorded → cannot prune
+      }
+    }
+    if (surviving.isEmpty) {
+      // schema still needed: read one committed partition, return its
+      // empty slice under the residual filter
+      val (r, b) = committed.head
+      return Some(spark.read.option("basePath", table)
+        .parquet(s"$table/run_id=$r/batch_id=$b")
+        .where(col(column).between(lit(lo), lit(hi)) && lit(false)))
+    }
+    val paths = surviving.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
+    Some(spark.read.option("basePath", table).parquet(paths: _*)
+      .where(col(column).between(lit(lo), lit(hi))))
   }
 
   /** Fold all individual commit markers into one `.snapshot` file —
@@ -159,7 +322,16 @@ object CommitLog {
     val committed =
       entriesOf(hfs, dir, olds.map(_.getPath.getName)).distinct.sorted
     if (committed.isEmpty) return
-    val body = committed.map { case (r, b) => s"$r,$b" }.mkString("\n")
+    // stats survive compaction: folded as tab-suffixed snapshot fields
+    // (built from the same pre-listing state — batchStats re-lists,
+    // but only files that still exist, a subset of `olds`)
+    val stats = batchStats(spark, table)
+    val body = committed.map { case (r, b) =>
+      stats.get((r, b)) match {
+        case Some(s) if s.nonEmpty => s"$r,$b\t${encodeStats(s)}"
+        case _ => s"$r,$b"
+      }
+    }.mkString("\n")
     val name = f"snap-${committed.length}%010d-${java.lang.System.nanoTime()}%020d.snapshot"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val out = hfs.create(tmp, true)

@@ -104,4 +104,55 @@ class CommitLogSpec extends SparkSpec {
     assert(counts.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
     assert(CommitLog.readCommitted(spark, table).get.count() == 8L * batchRows)
   }
+
+  test("stats pruning: range reads list only intersecting batch dirs") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txstats").toString + "/t"
+    // three batches covering disjoint id ranges
+    def slab(lo: Long, n: Int, tag: String) =
+      (0 until n).map(i => (lo + i, s"$tag-$i")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(slab(0L, 100, "a"), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(slab(1000L, 100, "b"), table, "r1", 1L, Seq("id"))
+    CommitLog.writeBatchWithStats(slab(2000L, 100, "c"), table, "r1", 2L, Seq("id"))
+
+    val pruned = CommitLog.readCommittedRange(spark, table, "id", 1010L, 1020L).get
+    assert(pruned.count() == 11)
+    // only batch 1's files were even listed
+    assert(pruned.inputFiles.forall(_.contains("batch_id=1")),
+      pruned.inputFiles.mkString(", "))
+    // residual filter still applies inside the surviving batch
+    assert(pruned.agg(min("id"), max("id")).collect()(0).toSeq == Seq(1010L, 1020L))
+
+    // a predicate intersecting nothing returns an EMPTY frame with schema
+    val none = CommitLog.readCommittedRange(spark, table, "id", 5000L, 6000L).get
+    assert(none.count() == 0 && none.columns.contains("v"))
+
+    // pruning equals the unpruned filtered read
+    val full = CommitLog.readCommitted(spark, table).get
+      .where(col("id").between(0L, 1005L)).select("id").collect().map(_.getLong(0)).sorted
+    val pr = CommitLog.readCommittedRange(spark, table, "id", 0L, 1005L).get
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(pr.toSeq == full.toSeq)
+  }
+
+  test("stats survive compaction; stat-less batches read conservatively") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txstats2").toString + "/t"
+    def slab(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, s"x")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(slab(0L, 50), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(slab(500L, 50), table, "r1", 1L, Seq("id"))
+    CommitLog.writeBatch(slab(900L, 50), table, "r1", 2L) // NO stats
+    CommitLog.compactLog(spark, table)
+    // folded: stats still prune batch 0; batch 2 (no stats) always read
+    val got = CommitLog.readCommittedRange(spark, table, "id", 510L, 520L).get
+    assert(got.count() == 11)
+    assert(got.inputFiles.forall(f =>
+      f.contains("batch_id=1") || f.contains("batch_id=2")),
+      got.inputFiles.mkString(", "))
+    assert(CommitLog.batchStats(spark, table).contains(("r1", 0L)))
+    // string stats + separator characters round-trip the escaping
+    val tricky = Seq(("a:b;c%d\te", 1L), ("zz", 2L)).toDF("v", "id")
+    CommitLog.writeBatchWithStats(tricky, table, "r1", 3L, Seq("v"))
+    val s = CommitLog.batchStats(spark, table)(("r1", 3L)).find(_.col == "v").get
+    assert(s.typ == "str" && s.min == "a:b;c%d\te" && s.max == "zz")
+  }
 }
