@@ -1614,6 +1614,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // line unwrap / dehyphenation — the post-processing every
+    // PDF/fixed-width extraction needs; planted wrapped docs make the
+    // oracle exercise hyphen joins, CRLF normalization, and paragraph
+    // preservation deterministically.
+    "text_unwrap" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9100001L, "This is an exam-\nple of hyphen-\nated line wraps.\n\nNew para-\ngraph here."),
+        (9100002L, "CRLF line one\r\nline two\r\n\r\nsecond para"),
+        (9100003L, "already one line"),
+        (9100004L, "trailing spaces  \n   \nnext para")
+      ).toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(planted)
+        .select(col("doc_id"),
+          TextAnalysis.unwrapLines(col("text")).as("unwrapped"))
+        .orderBy("doc_id")
+    }),
+
     "text_lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2840,6 +2859,37 @@ object SparkEntry {
     // min join at the full Q2 join fan (supplier→nation→region).
     // Unit price floor-quantized to cents BEFORE the min so the
     // min/equality replay exactly cross-engine.
+    // TPC-H Q11 shape (important stock): supply value derived from
+    // lineitem (the q2/q9 convention — this schema ships no partsupp):
+    // value(part) = Σ cents over one nation's suppliers, keep parts
+    // whose value exceeds 1/1000 of the SAME aggregate's grand total.
+    // The scalar-subquery-over-own-aggregate decorrelates into one
+    // reused per-part aggregate + a broadcast one-row threshold; the
+    // comparison is exact-integer (value·1000 > total), no division.
+    "q11_important_stock" -> ((s, dir) => {
+      // a nation GROUP, not one nation: sf0.001 ships only 10
+      // suppliers across 25 nations, so a single-nation filter is
+      // vacuous at the smallest SF — half the key space keeps the
+      // scalar-subquery shape honest at every scale
+      val sup7 = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_nationkey") < 13)
+        .select(col("s_suppkey"))
+      val value = t(s, dir, "lineitem")
+        .join(broadcast(sup7), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_partkey")
+        .agg(sum("cents").as("value_cents"))
+        .localCheckpoint(eager = false)
+      val total = value.agg(sum("value_cents").as("total"))
+      value.crossJoin(broadcast(total))
+        .where(col("value_cents") * 1000 > col("total"))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey").asc)
+    }),
+
     "q2_min_cost_supplier" -> ((s, dir) => {
       val supply = t(s, dir, "lineitem")
         .where(col("l_quantity") > 0)
@@ -6794,6 +6844,30 @@ object SparkEntry {
     // lexicographically-largest language winning ties (mirrors the
     // struct array_max tie-break in TextAnalysis.langId): sequential
     // CASE checked fr → es → en → de with >= comparisons.
+    // unwrap replay: identical five-pass regexp chain (RE2 replays
+    // \p{L}, \s and the non-overlapping replaceAll semantics); the
+    // sentinel chr(1) matches the engine's U+0001
+    "text_unwrap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9100001 AS BIGINT), e'This is an exam-\nple of hyphen-\nated line wraps.\n\nNew para-\ngraph here.'),
+        |    (CAST(9100002 AS BIGINT), e'CRLF line one\r\nline two\r\n\r\nsecond para'),
+        |    (CAST(9100003 AS BIGINT), 'already one line'),
+        |    (CAST(9100004 AS BIGINT), e'trailing spaces  \n   \nnext para')) AS p(doc_id, text))
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '\r\n?', e'\n', 'g'),
+        |          '(\p{L})-\n(\p{L})', '\1\2', 'g'),
+        |        '\n\s*\n', chr(1), 'g'),
+        |      '\n', ' ', 'g'),
+        |    chr(1), e'\n\n', 'g') AS unwrapped
+        |FROM base ORDER BY doc_id""".stripMargin,
+
     "text_lang_id" -> langIdOracleSql,
 
     // span-dedup replay: same length>0-filtered whitespace tokens,
@@ -7727,6 +7801,25 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q11 replay: same derived supply values, same exact-integer
+    // value*1000 > total threshold (no division), BIGINT-cast sums
+    "q11_important_stock" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey < 13),
+        |v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM v)
+        |SELECT l_partkey AS p_partkey, value_cents
+        |FROM v, t
+        |WHERE value_cents * 1000 > total
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
 
     "q2_min_cost_supplier" ->
       """WITH supply AS (

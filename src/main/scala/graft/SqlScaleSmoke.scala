@@ -197,7 +197,12 @@ object SqlScaleSmoke {
     "q_kruskal_segments", "q_assortativity", "v_profile_moments",
     "v_benford_prices", "text_readability",
     // r12 sixth batch: integral HITS rounds, category-stat joins
-    "q_hits_purchases", "q_target_encode", "q_woe_segments")
+    "q_hits_purchases", "q_target_encode", "q_woe_segments",
+    // r13 additions: 39-language script-routed langId (native byte
+    // pass + per-script votes — the corpus-wide text front door),
+    // five-pass unwrap regexp chain, Q11's reused-aggregate scalar
+    // subquery over the derived supply relation
+    "text_lang_id", "text_unwrap", "q11_important_stock")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to

@@ -198,6 +198,29 @@ object TextAnalysis {
       .otherwise(voted(latinStops))
   }
 
+  /** Un-wrap hard line breaks — the standard post-processing for
+    * PDF/fixed-width-extracted text, where every visual line carries a
+    * newline and words hyphen-break across lines:
+    *   1. normalize CRLF/CR to LF;
+    *   2. de-hyphenate `letter-\n letter` wraps (non-overlapping
+    *      left-to-right, the shared Java/RE2 replaceAll semantics — a
+    *      chain like `a-\nb-\nc` resolves its first wrap per pass);
+    *   3. collapse PARAGRAAPH breaks (`\n\s*\n`) to a sentinel, turn
+    *      the remaining single newlines into spaces, restore the
+    *      sentinel as `\n\n`.
+    * Pure codegen'd regexp chain, each pattern RE2-replayable so the
+    * DuckDB oracle runs the identical passes. Sentinel is U+0001 —
+    * legitimate text never carries it (C4/control-char gates strip it
+    * upstream); a document that does would see those chars become
+    * paragraph breaks, documented. */
+  def unwrapLines(text: Column): Column = {
+    val lf = regexp_replace(text, "\\r\\n?", "\n")
+    val deh = regexp_replace(lf, "(\\p{L})-\\n(\\p{L})", "$1$2")
+    val prot = regexp_replace(deh, "\\n\\s*\\n", "\u0001")
+    val unwrapped = regexp_replace(prot, "\\n", " ")
+    regexp_replace(unwrapped, "\u0001", "\n\n")
+  }
+
   /** Repetition ratio in [0,1]: fraction of token occurrences that are
     * repeats of an earlier token — the Gopher-style "duplicate
     * fraction" filter (templated/boilerplate docs score high, natural

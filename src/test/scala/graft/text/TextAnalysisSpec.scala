@@ -79,6 +79,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
   }
 
+  test("unwrapLines: dehyphenation, CRLF, paragraph preservation") {
+    val cases = Seq(
+      ("This is an exam-\nple of hyphen-\nated line wraps.\n\nNew para-\ngraph here.",
+        "This is an example of hyphenated line wraps.\n\nNew paragraph here."),
+      ("CRLF one\r\ntwo\r\n\r\npara", "CRLF one two\n\npara"),
+      ("already one line", "already one line"),
+      // hyphen before a DIGIT is not a word wrap — stays
+      ("range 1-\n2 stays", "range 1- 2 stays"),
+      // unicode letters dehyphenate too (\p{L})
+      ("café-\néclair joins", "cafééclair joins"),
+      ("trailing  \n   \npara", "trailing  \n\npara"))
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .orderBy("i")
+      .select(TextAnalysis.unwrapLines(col("text"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) =>
+      assert(g == e, s"got '$g' expected '$e'")
+    }
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     val df = Seq("Hello   World", "hello world", "different").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
