@@ -1941,6 +1941,18 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // SEMANTIC decontamination: corpus embeddings within cosine 0.35
+    // of any probe embedding (vec_id < 20 stands in for an embedded
+    // benchmark) — the paraphrase-robust complement to the n-gram
+    // check. Probes broadcast; the corpus scans once, narrow.
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Decontaminate.semanticOverlaps(
+          emb.where(col("vec_id") >= 20), emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // benchmark decontamination: corpus docs sharing >=1 distinct
     // 4-word-gram with the probe set (doc_id < 20 stands in for a
     // benchmark). Probe grams broadcast; the corpus never shuffles —
@@ -5937,6 +5949,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // semantic-decontamination replay: brute cosine of every corpus
+    // vector against the probe set, 6-decimal rounding BEFORE the
+    // threshold/max, BIGINT hit counts
+    "decontam_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT b.vec_id AS cid, a.vec_id AS pid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i
+        |  WHERE a.vec_id < 20 AND b.vec_id >= 20
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT cid, round(dot / (na.nrm * nb.nrm), 6) AS c
+        |  FROM d JOIN n na ON na.vec_id = d.pid JOIN n nb ON nb.vec_id = d.cid)
+        |SELECT cid AS vec_id, max(c) AS max_cosine,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sc WHERE c >= 0.35
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // decontamination replay: distinct word 4-grams per doc, probe set
     // = doc_id < 20, string-equality gram join, distinct-hit counts

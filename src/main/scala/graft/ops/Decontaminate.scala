@@ -87,4 +87,30 @@ object Decontaminate {
         countDistinct("probe_id").as("n_probes"))
       .where(col("n_hits") >= minHits)
   }
+
+  /** SEMANTIC decontamination — the paraphrase-robust complement to
+    * the exact n-gram check: a corpus row whose EMBEDDING cosine
+    * against any probe (benchmark) embedding reaches `threshold` is
+    * flagged, catching reworded benchmark leakage that shares no long
+    * n-gram. Output: (vec_id, max_cosine, n_hits) for flagged rows
+    * only.
+    *
+    * 100 TB shape: the probe side is a benchmark — it BROADCASTS, the
+    * corpus is scanned once narrow (one fused cosine per (row, probe)
+    * inside the broadcast loop join), nothing corpus-sized shuffles,
+    * and only flagged rows reach the hit aggregate. Cosines round to
+    * 6 decimals BEFORE the threshold/max so any engine replays the
+    * flag set bit-identically. */
+  def semanticOverlaps(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("_pid"),
+      col(vecCol).as("_pv")))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .join(p, col("vec_id") =!= col("_pid"))
+      .select(col("vec_id"),
+        round(Ann.cosine(col("_cv"), col("_pv")), 6).as("c"))
+      .where(col("c") >= threshold)
+      .groupBy("vec_id")
+      .agg(max("c").as("max_cosine"), count(lit(1)).as("n_hits"))
+  }
 }

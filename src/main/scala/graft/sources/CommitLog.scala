@@ -262,6 +262,23 @@ object CommitLog {
     }
   }
 
+  /** Snapshot-pinned read: exactly the batches with
+    * `batch_id <= maxBatchId` (per run), regardless of what commits
+    * later — the reproducibility contract a training run needs ("run
+    * X read batches ≤ N" stays replayable forever, because committed
+    * batches are immutable and the marker set is append-only). Returns
+    * None when nothing qualifies. */
+  def readCommittedAsOf(spark: SparkSession, table: String,
+      maxBatchId: Long): Option[DataFrame] = {
+    val committed = committedBatches(spark, table)
+      .filter(_._2 <= maxBatchId)
+    if (committed.isEmpty) None
+    else {
+      val paths = committed.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
+      Some(spark.read.option("basePath", table).parquet(paths: _*))
+    }
+  }
+
   /** Range read with BATCH PRUNING: only batches whose recorded
     * [min, max] for `column` intersects [lo, hi] are listed or opened
     * — at 100 TB the difference between touching every batch

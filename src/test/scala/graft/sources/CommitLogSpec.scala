@@ -155,4 +155,20 @@ class CommitLogSpec extends SparkSpec {
     val s = CommitLog.batchStats(spark, table)(("r1", 3L)).find(_.col == "v").get
     assert(s.typ == "str" && s.min == "a:b;c%d\te" && s.max == "zz")
   }
+
+  test("as-of reads pin a snapshot that later commits cannot change") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txasof").toString + "/t"
+    CommitLog.writeBatch(rows(10, "a"), table, "r1", 0L)
+    CommitLog.writeBatch(rows(20, "b"), table, "r1", 1L)
+    val asOf1 = CommitLog.readCommittedAsOf(spark, table, 1L).get.count()
+    assert(asOf1 == 30)
+    // a later batch does not change the pinned snapshot
+    CommitLog.writeBatch(rows(40, "c"), table, "r1", 2L)
+    assert(CommitLog.readCommittedAsOf(spark, table, 1L).get.count() == 30)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 70)
+    // pinning survives compaction (markers fold, entries remain)
+    CommitLog.compactLog(spark, table)
+    assert(CommitLog.readCommittedAsOf(spark, table, 1L).get.count() == 30)
+    assert(CommitLog.readCommittedAsOf(spark, table, -1L).isEmpty)
+  }
 }
