@@ -638,4 +638,31 @@ class AnnSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("mixed vector lengths")))
   }
+
+  test("tuneBanding: S-curve arithmetic, recall clearing, noise minimization") {
+    // exact curve point: r=4, b=8 at s=0.8 -> 1-(1-0.8^4)^8
+    val expect = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 8)
+    assert(math.abs(Similarity.bandingRecall(0.8, 4, 8) - expect) < 1e-12)
+    // 32 hashes, threshold 0.8: the pick must clear 0.9 recall at the
+    // threshold and have the LOWEST noise candidate rate among clearing
+    // splits - verified against brute enumeration
+    val (r, b, rec, noise) = Similarity.tuneBanding(32, 0.8)
+    assert(r * b == 32 && rec >= 0.9, s"($r,$b,$rec)")
+    val all = (1 to 32).filter(32 % _ == 0).map { rr =>
+      val bb = 32 / rr
+      (rr, bb, Similarity.bandingRecall(0.8, rr, bb),
+        Similarity.bandingRecall(0.1, rr, bb))
+    }
+    val clearing = all.filter(_._3 >= 0.9)
+    assert(clearing.nonEmpty && noise == clearing.map(_._4).min)
+    // a HIGHER threshold picks more rows per band (sharper curve):
+    // monotonicity of the auto-dial
+    val loose = Similarity.tuneBanding(32, 0.5)._1
+    val strict = Similarity.tuneBanding(32, 0.95)._1
+    assert(strict >= loose, s"strict $strict < loose $loose")
+    // impossible recall target falls back to the highest-recall split
+    val (rf, bf, recF, _) = Similarity.tuneBanding(4, 0.99, minRecall = 0.999999)
+    assert(rf * bf == 4 && recF == (1 to 4).filter(4 % _ == 0)
+      .map(rr => Similarity.bandingRecall(0.99, rr, 4 / rr)).max)
+  }
 }
