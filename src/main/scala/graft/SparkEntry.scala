@@ -431,6 +431,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // as-of with a TOLERANCE bound (2 days in ns): a matched signup
+    // older than purchase_ts - tol is treated as no match — the
+    // staleness contract time-series joins need; DuckDB replays it as
+    // ASOF + a freshness CASE, so the tolerance row (26f2) is
+    // oracle-gated, not only spec-gated.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).drop("ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val signups = ev.where(col("event_type") === "signup")
+      graft.ops.AsofJoin.asofJoin(purchases, signups, "user_id", "ts",
+          Seq("value"), tolerance = Some(172800000000000L))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // same as-of semantics through the NATIVE path — custom
     // LogicalPlan + Strategy + SparkPlan (plans/NativeAsofJoin.scala)
     // — so the custom operator itself sits under the DuckDB ASOF
@@ -4368,6 +4383,18 @@ object SparkEntry {
 
     "q_asof_signup" ->
       """SELECT l.event_id, l.user_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // tolerance replay: ASOF match, then the freshness CASE — a
+    // carried signup older than ts - 2 days (ns) nulls out, exactly
+    // the engine's inclusive __t >= ts - tol bound
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+        |  CASE WHEN epoch_ns(r.ts) >= epoch_ns(l.ts) - 172800000000000
+        |       THEN r.value END AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
