@@ -65,6 +65,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"audio_meta_packed expects (payload), got ${other.size} args")
         }))
     ext.injectFunction((
+      new FunctionIdentifier("exif_has_gps"),
+      new ExpressionInfo(classOf[graft.expr.ExifHasGpsExpr].getName, "exif_has_gps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.ExifHasGpsExpr(c)
+          case other => throw new IllegalArgumentException(
+            s"exif_has_gps expects (payload), got ${other.size} args")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_exif"),
+      new ExpressionInfo(classOf[graft.expr.StripExifExpr].getName, "strip_exif"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => graft.expr.StripExifExpr(c)
+          case other => throw new IllegalArgumentException(
+            s"strip_exif expects (payload), got ${other.size} args")
+        }))
+    ext.injectFunction((
       new FunctionIdentifier("lang_script_route"),
       new ExpressionInfo(classOf[graft.expr.LangScriptRouteExpr].getName, "lang_script_route"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

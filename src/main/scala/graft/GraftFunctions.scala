@@ -92,6 +92,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"audio_meta_packed expects (payload), got ${other.size} args")
     }, "built-in")
+    registry.createOrReplaceTempFunction("exif_has_gps", exprs => exprs match {
+      case Seq(c) => graft.expr.ExifHasGpsExpr(c)
+      case other => throw new IllegalArgumentException(
+        s"exif_has_gps expects (payload), got ${other.size} args")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("strip_exif", exprs => exprs match {
+      case Seq(c) => graft.expr.StripExifExpr(c)
+      case other => throw new IllegalArgumentException(
+        s"strip_exif expects (payload), got ${other.size} args")
+    }, "built-in")
     registry.createOrReplaceTempFunction("lang_script_route", exprs => exprs match {
       case Seq(c) => graft.expr.LangScriptRouteExpr(c)
       case other => throw new IllegalArgumentException(

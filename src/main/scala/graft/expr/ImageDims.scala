@@ -91,7 +91,71 @@ final case class ExifOrientationExpr(child: Expression) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** `exif_has_gps(payload)` — does the JPEG carry a GPS IFD pointer
+  * (tag 0x8825)? The privacy probe before training on crawl images;
+  * kernel semantics in [[Kernels.exifHasGps]]. */
+final case class ExifHasGpsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exif_has_gps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      Kernels.exifHasGps(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.expr.Kernels.exifHasGps($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): ExifHasGpsExpr =
+    copy(child = newChild)
+}
+
+/** `strip_exif(payload)` — the JPEG with every APP1 (EXIF/XMP)
+  * segment spliced out, image stream untouched; non-JPEG/unparseable
+  * input passes through unchanged. Kernel:
+  * [[Kernels.stripExifSegments]]. */
+final case class StripExifExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "strip_exif"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.stripExifSegments(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.expr.Kernels.stripExifSegments($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripExifExpr =
+    copy(child = newChild)
+}
+
 object ImageDims {
+
+  /** GPS-presence privacy probe (false for non-JPEG/malformed). */
+  def exifHasGps(payload: Column): Column =
+    GraftColumnBridge.column(
+      ExifHasGpsExpr(GraftColumnBridge.expression(payload)))
+
+  /** EXIF/XMP scrub: APP1 segments spliced out, image untouched. */
+  def stripExif(payload: Column): Column =
+    GraftColumnBridge.column(
+      StripExifExpr(GraftColumnBridge.expression(payload)))
 
   def imageDimsPacked(payload: Column): Column =
     GraftColumnBridge.column(

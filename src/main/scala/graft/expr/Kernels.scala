@@ -817,6 +817,103 @@ object Kernels {
     0
   }
 
+  /** Does the JPEG's EXIF carry a GPS IFD (tag 0x8825 in IFD0)? — the
+    * privacy probe a crawl pipeline runs before training on images:
+    * phone photos embed the capture location. Same APP1/TIFF walk as
+    * [[exifOrientation]]; hostile payloads → false, never a throw. */
+  def exifHasGps(bytes: Array[Byte]): Boolean = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    val n = bytes.length
+    if (n < 4 || u(0) != 0xff || u(1) != 0xd8) return false
+    var i = 2
+    while (i + 3 < n) {
+      if (u(i) != 0xff) return false
+      var m = u(i + 1)
+      while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+      else if (m == 0xd9 || m == 0xda) return false
+      else {
+        if (i + 3 >= n) return false
+        val segLen = be16(i + 2)
+        if (segLen < 2) return false
+        if (m == 0xe1 && segLen >= 16 && i + 2 + segLen <= n &&
+            u(i + 4) == 'E' && u(i + 5) == 'x' && u(i + 6) == 'i' &&
+            u(i + 7) == 'f' && u(i + 8) == 0 && u(i + 9) == 0) {
+          val t = i + 10
+          val le =
+            if (u(t) == 'I' && u(t + 1) == 'I') true
+            else if (u(t) == 'M' && u(t + 1) == 'M') false
+            else return false
+          def r16(p: Int): Int = if (le) le16(p) else be16(p)
+          def r32(p: Int): Long =
+            if (le) u(p).toLong | (u(p + 1).toLong << 8) |
+              (u(p + 2).toLong << 16) | (u(p + 3).toLong << 24)
+            else (u(p).toLong << 24) | (u(p + 1).toLong << 16) |
+              (u(p + 2).toLong << 8) | u(p + 3).toLong
+          val segEnd = i + 2 + segLen
+          if (t + 8 > segEnd || r16(t + 2) != 42) return false
+          val d = t.toLong + r32(t + 4)
+          if (d < 0 || d + 2 > segEnd) return false
+          val count = r16(d.toInt)
+          var e = 0
+          while (e < count) {
+            val p = d + 2 + e.toLong * 12
+            if (p + 12 > segEnd) return false
+            if (r16(p.toInt) == 0x8825) return true // GPS Info IFD pointer
+            e += 1
+          }
+          return false
+        }
+        i += 2 + segLen
+      }
+    }
+    false
+  }
+
+  /** Strip every APP1 (EXIF/XMP) segment from a JPEG — the privacy
+    * SCRUB paired with [[exifHasGps]]: a lossless byte splice (the
+    * compressed image stream is untouched; decoders ignore the
+    * missing metadata), the standard pre-training treatment for crawl
+    * images. Non-JPEG or unparseable input returns the ORIGINAL bytes
+    * unchanged (scrub-what-you-can; route the rest by the probe).
+    * Stops copying segment-by-segment at SOS — from the scan marker
+    * on, the remainder is entropy-coded data copied verbatim. */
+  def stripExifSegments(bytes: Array[Byte]): Array[Byte] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    val n = bytes.length
+    if (n < 4 || u(0) != 0xff || u(1) != 0xd8) return bytes
+    val out = new java.io.ByteArrayOutputStream(n)
+    out.write(0xff); out.write(0xd8)
+    var i = 2
+    var stripped = false
+    while (i + 3 < n) {
+      if (u(i) != 0xff) return bytes // lost sync: pass through
+      var m = u(i + 1)
+      while (m == 0xff && i + 2 < n) { i += 1; m = u(i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        out.write(0xff); out.write(m); i += 2
+      } else if (m == 0xda) {
+        // start of scan: copy the rest verbatim (entropy-coded data)
+        out.write(bytes, i, n - i)
+        return if (stripped) out.toByteArray else bytes
+      } else if (m == 0xd9) {
+        out.write(0xff); out.write(0xd9)
+        return if (stripped) out.toByteArray else bytes
+      } else {
+        if (i + 3 >= n) return bytes
+        val segLen = be16(i + 2)
+        if (segLen < 2 || i + 2 + segLen > n) return bytes
+        if (m == 0xe1) stripped = true // APP1: drop (EXIF and XMP live here)
+        else out.write(bytes, i, 2 + segLen)
+        i += 2 + segLen
+      }
+    }
+    bytes // no SOS reached: structure incomplete, pass through
+  }
+
   /** Audio stream parameters from container HEADERS — the audio
     * sibling of [[imageDimsPacked]]: sample rate / channel count /
     * frame count (duration = frames/rate) without constructing a

@@ -55,6 +55,8 @@ class KernelFuzzSpec extends AnyFunSuite {
     Kernels.imageDimsPacked(bytes)
     Kernels.audioMetaPacked(bytes)
     Kernels.exifOrientation(bytes)
+    Kernels.exifHasGps(bytes)
+    Kernels.stripExifSegments(bytes)
     graft.sources.Pdf.parse("fuzz", bytes)
   }
 
