@@ -172,6 +172,17 @@ object ImgScaleSmoke {
       .count()
     val tMixed = (System.nanoTime() - t3) / 1e9
     require(exact == n, s"mixed-format dims: $exact of $n exact")
+    // the one-pass router over the same mixed corpus: classification
+    // counts must be exact thirds, and the wall time IS the full
+    // format+metadata+privacy front door (r13 MediaRoute)
+    val t4 = System.nanoTime()
+    val routed = graft.multimodal.MediaRoute.route(mixed, "payload")
+      .groupBy(expr("substring_index(media_format, '/', 1)").as("kind"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tRoute = (System.nanoTime() - t4) / 1e9
+    require(routed.getOrElse("image", 0L) == n &&
+      routed.getOrElse("unknown", 0L) == 0L,
+      s"router misclassified: $routed")
     val json =
       s"""{"metric":"img_scale","images":$n,"gen_sec":${fmt(tGen)},""" +
       s""""hash_sec":${fmt(tHash)},"hash_rows_per_sec":${(nHashed / tHash).toLong},""" +
@@ -180,7 +191,9 @@ object ImgScaleSmoke {
       s""""dims_probe_sec":${fmt(tProbe)},"full_decode_sec":${fmt(tDecode)},""" +
       s""""probe_speedup":${fmt(tDecode / tProbe)},""" +
       s""""mixed_formats":["png","tiff","webp"],"mixed_rows":$n,""" +
-      s""""mixed_exact":$exact,"mixed_probe_sec":${fmt(tMixed)}}"""
+      s""""mixed_exact":$exact,"mixed_probe_sec":${fmt(tMixed)},""" +
+      s""""route_sec":${fmt(tRoute)},""" +
+      s""""route_rows_per_sec":${(n / tRoute).toLong}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE_IMG.json"), json)

@@ -182,7 +182,8 @@ class AudioMetaSpec extends SparkSpec {
       "fLaC".getBytes("US-ASCII"),               // magic only
       Array[Byte](0xff.toByte, 0xe6.toByte, 0, 0), // sync but layer II bits
       "ID3".getBytes("US-ASCII"),                // tag magic only
-      ("ID3" + "     d").getBytes("ISO-8859-1"), // tag, no frame
+      ("ID3" + "\u0004\u0000\u0000\u0000\u0000\u0000d")
+        .getBytes("ISO-8859-1"), // tag header, no frame
       "OggS".getBytes("US-ASCII"),               // page magic only
       oggPage(0L, Array[Byte](9, 9, 9, 9)).++(new Array[Byte](40))) // neither vorbis nor opus
     val df = bad.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "payload")
