@@ -67,7 +67,14 @@ object RandomWalks {
             concat(col("path"), array(hop)))
             .otherwise(col("path")).as("path"),
           hop.isNull.as("dead"))
-        .localCheckpoint()
+        // LAZY: the eager form scheduled a standalone materialization
+        // job per step; lazy piggybacks on the first consumer (the
+        // ended-filter or the next frontier join) with the SAME
+        // boundary pinning. Bench-neutral at sf0.1 (the per-step cost
+        // is the frontier⋈adjacency join either way — r13 measured
+        // 10.5 vs 10.7 s under load); kept for the saved scheduler
+        // round trip per step, the GlobalOrder r13 discipline.
+        .localCheckpoint(eager = false)
       val ended = stepped.where(col("dead") || lit(step == walkLen))
         .select(col("walk_id"), col("path"))
       done = if (done == null) ended else done.union(ended)
