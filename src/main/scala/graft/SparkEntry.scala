@@ -1629,6 +1629,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // accent folding over the natural corpus plus planted diacritic
+    // rows (the corpus is ASCII-heavy; the plants make the oracle
+    // exercise real folds, stroke-letter survivors, and kana dakuten)
+    "text_fold_accents" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9200001L, "café naïve señor Müller Zürich Ångström"),
+        (9200002L, "ølsen Łódź stays partly"),
+        (9200003L, "クラブ dakuten folds too"),
+        (9200004L, "plain ascii unchanged")
+      ).toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(planted)
+        .select(col("doc_id"),
+          TextAnalysis.foldAccents(col("text")).as("folded"))
+        .orderBy("doc_id")
+    }),
+
     // line unwrap / dehyphenation — the post-processing every
     // PDF/fixed-width extraction needs; planted wrapped docs make the
     // oracle exercise hyphen joins, CRLF normalization, and paragraph
@@ -6905,6 +6923,21 @@ object SparkEntry {
     // lexicographically-largest language winning ties (mirrors the
     // struct array_max tie-break in TextAnalysis.langId): sequential
     // CASE checked fr → es → en → de with >= comparisons.
+    // accent-fold replay: DuckDB's strip_accents IS NFD+strip-marks
+    // (utf8proc), verified equivalent on diacritics, stroke letters,
+    // and kana dakuten
+    "text_fold_accents" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9200001 AS BIGINT), 'café naïve señor Müller Zürich Ångström'),
+        |    (CAST(9200002 AS BIGINT), 'ølsen Łódź stays partly'),
+        |    (CAST(9200003 AS BIGINT), 'クラブ dakuten folds too'),
+        |    (CAST(9200004 AS BIGINT), 'plain ascii unchanged')) AS p(doc_id, text))
+        |SELECT doc_id, strip_accents(text) AS folded
+        |FROM base ORDER BY doc_id""".stripMargin),
+
     // unwrap replay: identical five-pass regexp chain (RE2 replays
     // \p{L}, \s and the non-overlapping replaceAll semantics); the
     // sentinel chr(1) matches the engine's U+0001

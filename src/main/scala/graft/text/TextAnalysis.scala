@@ -221,6 +221,17 @@ object TextAnalysis {
     regexp_replace(unwrapped, "\u0001", "\n\n")
   }
 
+  /** Accent folding for matching keys — NFD then strip every
+    * combining mark (`café`→`cafe`, `Müller`→`Muller`; base letters
+    * with no decomposition like `ø` survive): the normalization
+    * record linkage, URL slugs, and fuzzy name joins apply before
+    * comparing. Identical to DuckDB's `strip_accents` (checked on
+    * diacritics, ring/umlaut/tilde/cedilla, stroke letters, and kana
+    * dakuten), so the oracle replays it with the built-in. */
+  def foldAccents(text: Column): Column =
+    regexp_replace(
+      graft.expr.NormalizeText.normalize(text, "NFD"), "\\p{M}", "")
+
   /** Repetition ratio in [0,1]: fraction of token occurrences that are
     * repeats of an earlier token — the Gopher-style "duplicate
     * fraction" filter (templated/boilerplate docs score high, natural
