@@ -665,4 +665,21 @@ class AnnSpec extends SparkSpec {
     assert(rf * bf == 4 && recF == (1 to 4).filter(4 % _ == 0)
       .map(rr => Similarity.bandingRecall(0.99, rr, 4 / rr)).max)
   }
+
+  test("minhashPairsAuto matches the manual form at its tuned banding") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with no overlap at all whatsoever"),
+      (4L, "another unrelated document about entirely other things")
+    ).toDF("doc_id", "text")
+    val (r, _, _, _) = Similarity.tuneBanding(32, 0.8)
+    val auto = Similarity.minhashPairsAuto(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val manual = Similarity.minhashPairs(docs, "doc_id", "text",
+        rowsPerBand = r, threshold = 0.8)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == manual && auto == Set((1L, 2L)), s"auto=$auto manual=$manual")
+  }
 }
