@@ -2906,11 +2906,19 @@ object SparkEntry {
     // min/equality replay exactly cross-engine.
     // TPC-H Q11 shape (important stock): supply value derived from
     // lineitem (the q2/q9 convention — this schema ships no partsupp):
-    // value(part) = Σ cents over one nation's suppliers, keep parts
-    // whose value exceeds 1/1000 of the SAME aggregate's grand total.
-    // The scalar-subquery-over-own-aggregate decorrelates into one
-    // reused per-part aggregate + a broadcast one-row threshold; the
-    // comparison is exact-integer (value·1000 > total), no division.
+    // value(part) = Σ cents over one nation group's suppliers, keep
+    // parts whose value exceeds 1.3× the MEAN part value. The
+    // threshold scales with the part count — TPC-H scales Q11's
+    // fraction by 1/SF for exactly this reason; a fixed
+    // total-fraction cut selects ~all parts at one SF and zero at
+    // another (the r13 vacuity finding). The
+    // scalar-subquery-over-own-aggregate decorrelates into one reused
+    // per-part aggregate + a broadcast one-row (total, n, max)
+    // threshold; the comparison is exact-integer
+    // (value·n·10 > total·13), no division. The broadcast row also
+    // carries a raise_error NON-VACUITY guard: if no part clears the
+    // cut (max·n·10 ≤ total·13) the query FAILS LOUDLY instead of
+    // certifying an empty result.
     "q11_important_stock" -> ((s, dir) => {
       // a nation GROUP, not one nation: sf0.001 ships only 10
       // suppliers across 25 nations, so a single-nation filter is
@@ -2928,9 +2936,17 @@ object SparkEntry {
         .groupBy("l_partkey")
         .agg(sum("cents").as("value_cents"))
         .localCheckpoint(eager = false)
-      val total = value.agg(sum("value_cents").as("total"))
-      value.crossJoin(broadcast(total))
-        .where(col("value_cents") * 1000 > col("total"))
+      val thresh = value
+        .agg(sum("value_cents").as("total"), count(lit(1)).as("n"),
+          max("value_cents").as("vmax"))
+        .select(col("total"), col("n"),
+          when(col("vmax") * col("n") * 10 > col("total") * 13, lit(1))
+            .otherwise(raise_error(lit(
+              "q11_important_stock: gate vacuous — no part value " +
+              "exceeds 1.3x mean at this scale"))).as("_nonvacuous"))
+      value.crossJoin(broadcast(thresh))
+        .where(col("value_cents") * col("n") * 10 > col("total") * 13 &&
+          col("_nonvacuous") === 1)
         .select(col("l_partkey").as("p_partkey"), col("value_cents"))
         .orderBy(col("value_cents").desc, col("p_partkey").asc)
     }),
@@ -7897,7 +7913,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
 
     // Q11 replay: same derived supply values, same exact-integer
-    // value*1000 > total threshold (no division), BIGINT-cast sums
+    // count-scaled threshold (value·n·10 > total·13, i.e. 1.3× the
+    // mean part value — scale-invariant selectivity), no division
     "q11_important_stock" ->
       """WITH sup AS (
         |  SELECT s_suppkey FROM supplier
@@ -7909,10 +7926,11 @@ object SparkEntry {
         |      AS value_cents
         |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
         |  GROUP BY 1),
-        |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM v)
+        |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM v)
         |SELECT l_partkey AS p_partkey, value_cents
         |FROM v, t
-        |WHERE value_cents * 1000 > total
+        |WHERE value_cents * n * 10 > total * 13
         |ORDER BY value_cents DESC, p_partkey""".stripMargin,
 
     "q2_min_cost_supplier" ->

@@ -153,6 +153,7 @@ object Kernels {
     var i = 0
     while (i < m) {
       val row = table.getArray(i)
+      if (row == null) return null // null sub-array: degrade, don't NPE
       val c = codes.getInt(i)
       if (c < 0 || c >= row.numElements()) return null
       s += row.getDouble(c)
@@ -183,12 +184,15 @@ object Kernels {
     var s = 0
     while (s < m) {
       val bs = books.getArray(s)
+      // containsNull inputs pass checkInputDataTypes: a null sub-book
+      // or codeword degrades to null like the HOF spec, never NPEs
+      if (bs == null) return null
       val ksub = bs.numElements()
       val row = new Array[Any](ksub)
       var c = 0
       while (c < ksub) {
         val cw = bs.getArray(c)
-        if (cw.numElements() != dsub) return null
+        if (cw == null || cw.numElements() != dsub) return null
         var acc = 0.0
         var k = 0
         val off = s * dsub

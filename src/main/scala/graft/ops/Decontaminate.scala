@@ -100,13 +100,23 @@ object Decontaminate {
     * inside the broadcast loop join), nothing corpus-sized shuffles,
     * and only flagged rows reach the hit aggregate. Cosines round to
     * 6 decimals BEFORE the threshold/max so any engine replays the
-    * flag set bit-identically. */
+    * flag set bit-identically.
+    *
+    * `sameIdSpace = true` additionally skips (corpus, probe) pairs
+    * with EQUAL ids — for the self-scan case where the probe set is a
+    * slice of the corpus under ONE id space and a row must not flag
+    * against itself. It defaults to FALSE because corpus and
+    * benchmark ids are normally independent: with the exclusion
+    * always on, a genuinely contaminated corpus row that merely
+    * COLLIDES with a probe id would silently never be checked against
+    * that probe. */
   def semanticOverlaps(corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      sameIdSpace: Boolean = false): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("_pid"),
       col(vecCol).as("_pv")))
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
-      .join(p, col("vec_id") =!= col("_pid"))
+      .join(p, if (sameIdSpace) col("vec_id") =!= col("_pid") else lit(true))
       .select(col("vec_id"),
         round(Ann.cosine(col("_cv"), col("_pv")), 6).as("c"))
       .where(col("c") >= threshold)

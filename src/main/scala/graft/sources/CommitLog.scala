@@ -1,7 +1,10 @@
 package graft.sources
 
+import java.math.{BigDecimal => JBigDecimal}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A minimal transactional table format: parquet partitions made
   * visible by an atomic commit log.
@@ -287,18 +290,27 @@ object CommitLog {
     * dropped by pre-stats snapshots) are conservatively read. The
     * residual `BETWEEN` filter still applies — pruning is an
     * optimization, never a semantics change. Numeric stats compare as
-    * doubles, string stats lexicographically. */
+    * exact decimals (a double round of a long stat above 2^53 could
+    * wrongly prune a boundary-touching batch — silent loss the
+    * residual filter cannot recover); string stats compare in
+    * UTF8String (UTF-8 byte / code-point) order, matching the order
+    * the residual Spark filter itself uses — Java String order is
+    * UTF-16 code-unit order, which disagrees for strings mixing
+    * supplementary characters with U+E000..U+FFFF. */
   def readCommittedRange(spark: SparkSession, table: String, column: String,
       lo: Any, hi: Any): Option[DataFrame] = {
     val committed = committedBatches(spark, table)
     if (committed.isEmpty) return None
     val stats = batchStats(spark, table)
+    def utf8(x: String) = UTF8String.fromString(x)
     def overlaps(s: ColStats): Boolean =
       if (s.typ == "num") {
-        val (mn, mx) = (s.min.toDouble, s.max.toDouble)
-        val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
-        mx >= l && mn <= h
-      } else s.max >= lo.toString && s.min <= hi.toString
+        val (mn, mx) = (new JBigDecimal(s.min), new JBigDecimal(s.max))
+        val (l, h) =
+          (new JBigDecimal(lo.toString), new JBigDecimal(hi.toString))
+        mx.compareTo(l) >= 0 && mn.compareTo(h) <= 0
+      } else utf8(s.max).compareTo(utf8(lo.toString)) >= 0 &&
+        utf8(s.min).compareTo(utf8(hi.toString)) <= 0
     val surviving = committed.filter { key =>
       stats.get(key).flatMap(_.find(_.col == column)) match {
         case Some(s) => overlaps(s)

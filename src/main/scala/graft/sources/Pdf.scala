@@ -15,17 +15,31 @@ import org.apache.spark.sql.functions._
   * Honest scope, documented rather than papered over:
   *   - literal strings `(…) Tj/'/"` and `[…] TJ` arrays are
   *     extracted, with PDF escape/octal/nested-paren rules; HEX
-  *     strings and CID/Type0 fonts (which need CMap/ToUnicode tables)
-  *     are NOT mapped — their bytes would be garbage, so they are
-  *     skipped and counted, and downstream quality gates (mojibake,
+  *     strings `<4861…>` behind the same operators decode through the
+  *     identical Latin-1 byte→char path UNLESS the document declares
+  *     a CID font (/Type0, /CIDFont, /Identity-H anywhere, including
+  *     inside decoded object streams) — CID code bytes would be
+  *     garbage without CMap/ToUnicode tables, so those documents skip
+  *     hex strings entirely and downstream quality gates (mojibake,
   *     langId, gopher) do what they exist for;
   *   - FlateDecode is the only filter decoded (it covers the vast
   *     majority of text content streams); other filters are skipped
   *     and counted;
-  *   - pages inside compressed object streams (/ObjStm) are invisible
-  *     to the raw-byte page count — `n_pages` is a lower bound there;
-  *   - encrypted documents (/Encrypt in the trailer) yield metadata
-  *     with `encrypted = true` and NO text (the bytes are ciphertext).
+  *   - compressed object streams (/Type /ObjStm, where PDF 1.5+ puts
+  *     most page/object dicts) are inflated and their page/object
+  *     counts folded in: `n_pages` adds `/Type /Page` dicts found in
+  *     the decoded bytes, `n_objects` adds the stream's declared /N.
+  *     Cross-reference streams (/Type /XRef) are recognized and never
+  *     text-extracted (binary tables, not text);
+  *   - object/page counters only look OUTSIDE stream payloads — an
+  *     uncompressed stream embedding another PDF (or any payload
+  *     containing delimited `obj` bytes) no longer inflates counts;
+  *   - encryption is probed where the spec puts /Encrypt — the
+  *     trailer dictionary (after the LAST `trailer` keyword) or the
+  *     xref-stream dict in the file tail — so a benign document whose
+  *     CONTENT merely mentions `/Encrypt` keeps its text. Encrypted
+  *     documents yield metadata with `encrypted = true` and NO text
+  *     (the bytes are ciphertext).
   *
   * Scale shape: one narrow map over (path, payload) rows — no
   * shuffle, no driver parsing; the unit of parallelism is the file
@@ -75,10 +89,28 @@ object Pdf {
   private def isWs(b: Int): Boolean =
     b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
 
-  /** Count `/Type /Page` (not /Pages) occurrences in raw bytes —
-    * whitespace between name tokens optional per the spec. */
-  private def countPages(bytes: Array[Byte]): Int = {
+  /** Spans of stream payload bytes, sorted and disjoint (the walk
+    * discovers them left to right) — counters skip hits inside. */
+  private type Spans = scala.collection.IndexedSeq[(Int, Int)]
+  private val NoSpans: Spans = Vector.empty
+
+  /** True when `idx` falls inside one of the sorted disjoint spans.
+    * Callers probe in increasing `idx` order; the cursor makes the
+    * whole scan linear. */
+  private final class SpanCursor(spans: Spans) {
+    private var k = 0
+    def inside(idx: Int): Boolean = {
+      while (k < spans.length && spans(k)._2 <= idx) k += 1
+      k < spans.length && idx >= spans(k)._1
+    }
+  }
+
+  /** Count `/Type /Page` (not /Pages) occurrences — whitespace
+    * between name tokens optional per the spec; hits inside stream
+    * payload spans don't count (they're data, not object dicts). */
+  private def countPages(bytes: Array[Byte], spans: Spans = NoSpans): Int = {
     val t = "/Type".getBytes("US-ASCII")
+    val cur = new SpanCursor(spans)
     var i = 0
     var pages = 0
     while ({ i = indexOf(bytes, t, i); i >= 0 }) {
@@ -87,33 +119,85 @@ object Pdf {
       if (j + 5 <= bytes.length && bytes(j) == '/' && bytes(j + 1) == 'P' &&
           bytes(j + 2) == 'a' && bytes(j + 3) == 'g' && bytes(j + 4) == 'e' &&
           (j + 5 == bytes.length ||
-            isWs(bytes(j + 5) & 0xff) || isDelim(bytes(j + 5) & 0xff)))
+            isWs(bytes(j + 5) & 0xff) || isDelim(bytes(j + 5) & 0xff)) &&
+          !cur.inside(i))
         pages += 1
       i += t.length
     }
     pages
   }
 
-  private def countToken(bytes: Array[Byte], tok: String): Int = {
+  private def countToken(bytes: Array[Byte], tok: String,
+      spans: Spans = NoSpans): Int = {
     val t = tok.getBytes("US-ASCII")
+    val cur = new SpanCursor(spans)
     var i = 0
     var c = 0
     while ({ i = indexOf(bytes, t, i); i >= 0 }) {
       val before = if (i == 0) ' '.toInt else bytes(i - 1) & 0xff
       val afterIdx = i + t.length
       val after = if (afterIdx >= bytes.length) ' '.toInt else bytes(afterIdx) & 0xff
-      if ((isWs(before) || isDelim(before)) && (isWs(after) || isDelim(after))) c += 1
+      if ((isWs(before) || isDelim(before)) && (isWs(after) || isDelim(after)) &&
+        !cur.inside(i)) c += 1
       i += t.length
     }
     c
   }
 
+  /** Last start index of delimited token `tok` in [from, until), or
+    * -1. Forward scan — callers pass disjoint windows, so the whole
+    * walk stays linear. */
+  private def lastTokenBefore(bytes: Array[Byte], tok: String,
+      from: Int, until: Int): Int = {
+    val t = tok.getBytes("US-ASCII")
+    var i = math.max(from, 0)
+    var last = -1
+    while ({ i = indexOf(bytes, t, i); i >= 0 && i + t.length <= until }) {
+      val before = if (i == 0) ' '.toInt else bytes(i - 1) & 0xff
+      val afterIdx = i + t.length
+      val after = if (afterIdx >= bytes.length) ' '.toInt else bytes(afterIdx) & 0xff
+      if ((isWs(before) || isDelim(before)) && (isWs(after) || isDelim(after)))
+        last = i
+      i += t.length
+    }
+    last
+  }
+
+  /** Parse the non-negative integer following name token `tok` (e.g.
+    * `/N 12`) in [from, until); -1 when absent. A name that merely
+    * PREFIXES another (`/N` vs `/Name`) doesn't match — the next byte
+    * must be whitespace. */
+  private def parseIntAfter(bytes: Array[Byte], tok: String,
+      from: Int, until: Int): Int = {
+    val t = tok.getBytes("US-ASCII")
+    var k = math.max(from, 0)
+    while ({ k = indexOf(bytes, t, k); k >= 0 && k < until }) {
+      var j = k + t.length
+      if (j < until && isWs(bytes(j) & 0xff)) {
+        while (j < until && isWs(bytes(j) & 0xff)) j += 1
+        var v = 0
+        var any = false
+        while (j < until && bytes(j) >= '0' && bytes(j) <= '9' &&
+            v < 100000000) {
+          v = v * 10 + (bytes(j) - '0'); any = true; j += 1
+        }
+        if (any) return v
+      }
+      k += t.length
+    }
+    -1
+  }
+
   /** Extract text-showing operator strings from one DECODED content
     * stream: literal strings followed by Tj / ' / ", and [ … ] TJ
     * arrays (kerning numbers between elements join with nothing, the
-    * standard naive extraction). Latin-1 byte→char for simple fonts;
-    * hex strings are skipped. */
-  private[sources] def textFromContent(s: Array[Byte], out: StringBuilder): Unit = {
+    * standard naive extraction). Latin-1 byte→char for simple fonts.
+    * Hex strings `<4861…>` behind the same operators decode through
+    * the identical byte→char path when `decodeHex` (the caller turns
+    * it off for documents declaring CID fonts, whose hex bytes are
+    * CMap codes, not characters). */
+  private[sources] def textFromContent(s: Array[Byte], out: StringBuilder,
+      decodeHex: Boolean = true): Unit = {
     val n = s.length
     var i = 0
     var arrayBuf: StringBuilder = null // inside [ … ] collecting for TJ
@@ -183,14 +267,42 @@ object Pdf {
         arrayBuf = null
         i += 1
       } else if (c == '<') {
-        // hex string or dict — skip to the matching close (unmapped
-        // CID text would be garbage; counted by the caller's skip
-        // bookkeeping only at the stream level)
-        if (i + 1 < n && s(i + 1) == '<') { i += 2 }
+        if (i + 1 < n && s(i + 1) == '<') { i += 2 } // dict open: walk on
         else {
+          // hex string: pairs of hex digits, whitespace ignored; an
+          // odd trailing digit gets a 0 low nibble per spec. A
+          // non-hex byte inside marks the string malformed — skipped,
+          // never emitted as garbage.
           var k = i + 1
-          while (k < n && s(k) != '>') k += 1
+          val sb = new StringBuilder
+          var hi = -1
+          var bad = false
+          while (k < n && s(k) != '>') {
+            val h = s(k) & 0xff
+            val d =
+              if (h >= '0' && h <= '9') h - '0'
+              else if (h >= 'A' && h <= 'F') h - 'A' + 10
+              else if (h >= 'a' && h <= 'f') h - 'a' + 10
+              else if (isWs(h)) -1
+              else { bad = true; -1 }
+            if (d >= 0) {
+              if (hi < 0) hi = d
+              else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+            }
+            k += 1
+          }
+          if (hi >= 0) sb.append((hi << 4).toChar)
           i = k + 1
+          if (decodeHex && !bad && sb.nonEmpty) {
+            if (arrayBuf != null) arrayBuf.append(sb)
+            else {
+              val op = peekOp(i)
+              if (op == "Tj" || op == "'" || op == "\"") {
+                if (out.nonEmpty) out.append(' ')
+                out.append(sb)
+              }
+            }
+          }
         }
       } else if (c == '%') {
         var k = i + 1
@@ -231,22 +343,54 @@ object Pdf {
         !isWs(bytes(k) & 0xff)) k += 1
       new String(bytes, 5, k - 5, java.nio.charset.StandardCharsets.ISO_8859_1)
     }
-    val encrypted = indexOf(bytes, "/Encrypt".getBytes("US-ASCII"), 0) >= 0
-    // countToken's delimiter guard already rejects endobj's inner
-    // "obj" (preceded by 'd'), so the token count IS the object count
-    val nObjects = countToken(bytes, "obj")
-    val nPages = countPages(bytes)
-    // stream walk: each "stream" keyword starts payload after CRLF/LF;
-    // the dict immediately before decides the filter
+    // /Encrypt lives in the trailer dictionary (or the xref-stream
+    // dict startxref points at) per spec — probing the WHOLE payload
+    // misclassified benign documents whose CONTENT mentions /Encrypt
+    // (a PDF about PDF encryption) and silently dropped all their
+    // text. Probe (a) from the LAST `trailer` keyword to EOF (after
+    // the final trailer only dict + startxref + %%EOF remain in a
+    // conforming file), and (b) the dict of the object the last
+    // `startxref` offset points at (xref-stream PDFs have no
+    // `trailer` keyword), clamped at that object's own `stream`
+    // keyword so stream payload bytes never match.
+    val encrypted = {
+      val encTok = "/Encrypt".getBytes("US-ASCII")
+      val lastTrailer = lastTokenBefore(bytes, "trailer", 0, n)
+      val trailerHit =
+        lastTrailer >= 0 && indexOf(bytes, encTok, lastTrailer) >= 0
+      val xrefHit = {
+        val sx = lastTokenBefore(bytes, "startxref", 0, n)
+        val off = if (sx < 0) -1 else parseIntAfter(bytes, "startxref", sx, n)
+        off >= 0 && off < n && {
+          val streamKw = indexOf(bytes, "stream".getBytes("US-ASCII"), off)
+          val until = if (streamKw < 0) math.min(off + 2048, n) else streamKw
+          val k = indexOf(bytes, encTok, off)
+          k >= 0 && k < until
+        }
+      }
+      trailerHit || xrefHit
+    }
+    // PASS 1 — stream discovery: find every stream's payload span and
+    // classify it from its OWN object's dict (the window runs back to
+    // the enclosing `obj` token, clamped past the previous stream's
+    // end, so a long dict — DecodeParms, metadata — can't push
+    // /Filter out of a fixed-width window, and one object's filter
+    // never leaks into the next). /Type /ObjStm streams are inflated
+    // HERE: their decoded bytes carry the page/object dicts PDF 1.5+
+    // compresses away from the raw scan, plus any CID-font
+    // declarations the text pass must know about before it starts.
     val streamTok = "stream".getBytes("US-ASCII")
     val endTok = "endstream".getBytes("US-ASCII")
     val flateTok = "/FlateDecode".getBytes("US-ASCII")
     val filterTok = "/Filter".getBytes("US-ASCII")
-    val out = new StringBuilder
+    val objStmTok = "/ObjStm".getBytes("US-ASCII")
+    val xrefTok = "/XRef".getBytes("US-ASCII")
+    // (ds, pe, dictFrom, streamKw, isFlate, hasFilter, kind)
+    // kind: 0 content, 1 ObjStm, 2 XRef
+    final case class StreamRef(ds: Int, pe: Int, dictFrom: Int,
+        kw: Int, isFlate: Boolean, hasFilter: Boolean, kind: Int)
+    val streams = scala.collection.mutable.ArrayBuffer.empty[StreamRef]
     var i = 0
-    var nStreams = 0
-    var nFlate = 0
-    var nSkipped = 0
     var prevEnd = 0 // end of the previous stream's endstream token
     while (!encrypted && { i = indexOf(bytes, streamTok, i); i >= 0 }) {
       // reject "endstream" matches: token must not be preceded by 'd'
@@ -257,36 +401,79 @@ object Pdf {
         if (ds < n && bytes(ds) == '\n') ds += 1
         val de = indexOf(bytes, endTok, ds)
         if (de > ds) {
-          nStreams += 1
-          // dict scan: at most 512 bytes before "stream", clamped past
-          // the PREVIOUS stream's end so one object's /Filter never
-          // leaks into the next stream's dict window
-          val dictFrom = math.max(prevEnd, i - 512)
-          val hasFilter = {
-            val k = indexOf(bytes, filterTok, dictFrom); k >= 0 && k < i
-          }
-          val isFlate = {
-            val k = indexOf(bytes, flateTok, dictFrom); k >= 0 && k < i
+          val objStart = lastTokenBefore(bytes, "obj", prevEnd, i)
+          val dictFrom =
+            if (objStart >= 0) objStart else math.max(prevEnd, i - 512)
+          def dictHas(tok: Array[Byte]): Boolean = {
+            val k = indexOf(bytes, tok, dictFrom); k >= 0 && k < i
           }
           // trim the trailing EOL the spec puts before "endstream"
           var pe = de
           if (pe > ds && bytes(pe - 1) == '\n') pe -= 1
           if (pe > ds && bytes(pe - 1) == '\r') pe -= 1
-          if (isFlate) {
-            nFlate += 1
-            inflate(bytes, ds, pe - ds) match {
-              case Some(dec) => textFromContent(dec, out)
-              case None => nSkipped += 1
-            }
-          } else if (!hasFilter) {
-            val slice = java.util.Arrays.copyOfRange(bytes, ds, pe)
-            textFromContent(slice, out)
-          } else nSkipped += 1
+          val kind =
+            if (dictHas(objStmTok)) 1 else if (dictHas(xrefTok)) 2 else 0
+          streams += StreamRef(ds, pe, dictFrom, i,
+            dictHas(flateTok), dictHas(filterTok), kind)
           i = de + endTok.length
           prevEnd = i
         } else i = n // endstream missing: framing lost, stop the walk
       } else i += streamTok.length
     }
+    val spans: Spans = streams.map(s => (s.ds, s.pe)).toVector
+    val nStreams = streams.length
+    var nFlate = 0
+    var nSkipped = 0
+    var objStmObjects = 0
+    var objStmPages = 0
+    val objStmDecoded = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    for (s <- streams if s.kind == 1) {
+      val dec =
+        if (s.isFlate) { nFlate += 1; inflate(bytes, s.ds, s.pe - s.ds) }
+        else if (!s.hasFilter)
+          Some(java.util.Arrays.copyOfRange(bytes, s.ds, s.pe))
+        else None
+      dec match {
+        case Some(d) =>
+          objStmDecoded += d
+          objStmPages += countPages(d)
+          val declaredN = parseIntAfter(bytes, "/N", s.dictFrom, s.kw)
+          objStmObjects += math.max(declaredN, 0)
+        case None => nSkipped += 1
+      }
+    }
+    // CID-font probe decides hex-string handling for the WHOLE doc:
+    // raw bytes plus every decoded object stream (where PDF 1.5+
+    // keeps font dicts). Conservative by construction — a false
+    // positive skips hex text, never emits CMap codes as Latin-1.
+    val cidTokens = Seq("/Type0", "/CIDFont", "/Identity-H")
+    val cidFonts = cidTokens.exists(t =>
+      indexOf(bytes, t.getBytes("US-ASCII"), 0) >= 0 ||
+        objStmDecoded.exists(d => indexOf(d, t.getBytes("US-ASCII"), 0) >= 0))
+    // PASS 2 — text extraction from content streams only (ObjStm
+    // carries dicts, not text operators; XRef payloads are binary
+    // tables — both would only add noise).
+    val out = new StringBuilder
+    for (s <- streams if s.kind == 0) {
+      if (s.isFlate) {
+        nFlate += 1
+        inflate(bytes, s.ds, s.pe - s.ds) match {
+          case Some(dec) => textFromContent(dec, out, decodeHex = !cidFonts)
+          case None => nSkipped += 1
+        }
+      } else if (!s.hasFilter) {
+        val slice = java.util.Arrays.copyOfRange(bytes, s.ds, s.pe)
+        textFromContent(slice, out, decodeHex = !cidFonts)
+      } else nSkipped += 1
+    }
+    for (s <- streams if s.kind == 2)
+      if (s.isFlate) nFlate += 1
+      else if (s.hasFilter) nSkipped += 1
+    // countToken's delimiter guard already rejects endobj's inner
+    // "obj" (preceded by 'd'); payload spans are excluded so embedded
+    // documents inside uncompressed streams can't inflate the counts
+    val nObjects = countToken(bytes, "obj", spans) + objStmObjects
+    val nPages = countPages(bytes, spans) + objStmPages
     PdfDoc(path, version, math.max(nObjects, 0), nPages, encrypted,
       nStreams, nFlate, nSkipped,
       if (encrypted) null else out.toString(), _corrupt = false)

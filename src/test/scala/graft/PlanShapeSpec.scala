@@ -75,6 +75,31 @@ class PlanShapeSpec extends SparkSpec {
       s"q16 must not read fact columns it never uses: $read")
   }
 
+  test("q11: supplier prune broadcasts; threshold is a 1-row broadcast; gate non-vacuous at BOTH shipped SFs") {
+    // the per-part value frame is localCheckpointed (reused by both
+    // the threshold aggregate and the filter), so the visible plan
+    // starts at the checkpoint RDD: assert the threshold attaches as
+    // a broadcast (1-row build side of a cross NLJ), never a
+    // re-shuffle of the value frame
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      s"threshold must attach as a 1-row broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"only the presentation sort may exchange, got $exchanges:\n$p")
+    // the r13 finding: the old fixed value*1000>total cut selected 199/200
+    // parts at sf0.001 and 0/2000 at sf0.01 — the count-scaled 1.3x-mean
+    // cut must select a non-empty, non-trivial set at EVERY shipped SF
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val df = SparkEntry.queries("q11_important_stock")(spark, d)
+      val n = df.count()
+      val total = df.sparkSession.read.parquet(s"$d/lineitem.parquet")
+        .select("l_partkey").distinct.count()
+      assert(n > 0, s"q11 vacuous at $d")
+      assert(n < total, s"q11 trivial (selects every part) at $d")
+    }
+  }
+
   test("q20: shipdate pushed down; per-part scalar joins broadcast") {
     val p = plan("q20_potential_suppliers")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),

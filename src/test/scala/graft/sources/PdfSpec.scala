@@ -56,10 +56,123 @@ class PdfSpec extends SparkSpec {
     assert(doc.text == "a(b)c (nested) ok AB line t\tab", s"'${doc.text}'")
   }
 
-  test("strings NOT followed by a text operator are ignored; hex skipped") {
-    val content = "/Title (not shown) BT (shown) Tj <48455828> Tj ET"
+  test("strings NOT followed by a text operator are ignored") {
+    val content = "/Title (not shown) BT (shown) Tj ET"
     val doc = Pdf.parse("p", pdf(content))
     assert(doc.text == "shown", s"'${doc.text}'")
+  }
+
+  test("hex strings decode through the Latin-1 path for simple fonts") {
+    // <48656C6C6F> = Hello; whitespace inside ignored; odd trailing
+    // digit pads a 0 low nibble (<7> = 0x70 = p); TJ arrays mix hex
+    // and literal elements
+    val content = "BT <48656C6C6F> Tj (lit) Tj <77 6F 72> Tj <7> Tj " +
+      "[<6B65> (r) <6E>] TJ ET"
+    val doc = Pdf.parse("p", pdf(content))
+    assert(doc.text == "Hello lit wor p kern", s"'${doc.text}'")
+  }
+
+  test("hex escape parity: hex and literal spell the same bytes") {
+    val lit = Pdf.parse("p", pdf("BT (AB\\tC) Tj ET"))
+    val hex = Pdf.parse("p", pdf("BT <41420943> Tj ET"))
+    assert(lit.text == "AB\tC" && hex.text == lit.text,
+      s"'${lit.text}' vs '${hex.text}'")
+  }
+
+  test("hex strings NOT behind a text operator, or malformed, stay out") {
+    val doc = Pdf.parse("p", pdf("BT <4869> (yes) Tj <4X69> Tj ET"))
+    // <4869> has no operator; <4X69> is malformed
+    assert(doc.text == "yes", s"'${doc.text}'")
+  }
+
+  test("CID font declared: hex strings are skipped (CMap codes, not chars)") {
+    // the font dict is a RAW object (where real PDFs put it) — the
+    // document-level probe must flip hex decoding off for the doc
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n")
+    w("2 0 obj << /Length 33 >> stream\nBT <0048> Tj (literal ok) Tj ET\nendstream endobj\n")
+    w("%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.text == "literal ok", s"'${doc.text}'")
+  }
+
+  test("/Encrypt in a content stream does NOT flag the doc encrypted") {
+    // the r13 finding: the whole-payload probe lost ALL text of any
+    // benign document that merely mentions /Encrypt in its content
+    val content = "BT (how the /Encrypt dictionary works) Tj ET"
+    val doc = Pdf.parse("p", pdf(content, flate = false))
+    assert(!doc.encrypted, "content-stream /Encrypt must not flag")
+    assert(doc.text == "how the /Encrypt dictionary works", s"'${doc.text}'")
+  }
+
+  test("/Encrypt in the trailer still detects (both helper paths)") {
+    assert(Pdf.parse("p", pdf("BT (s) Tj ET", encrypt = true)).encrypted)
+  }
+
+  test("long dict (>512 bytes) before stream: /Filter still found") {
+    // the r13 ADVICE finding: a fixed 512-byte window treated streams
+    // with long dicts (DecodeParms/metadata) as unfiltered and fed
+    // raw deflate bytes to the text walk
+    val pad = "/Meta (" + ("x" * 700) + ")"
+    val raw = "BT (deep dict) Tj ET".getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val k = d.deflate(buf); d.end()
+    val body = java.util.Arrays.copyOf(buf, k)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj << /Filter /FlateDecode $pad /Length ${body.length} >> stream\n")
+    out.write(body)
+    w("\nendstream endobj\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_flate_streams == 1, doc.toString)
+    assert(doc.text == "deep dict", s"'${doc.text}'")
+    assert(doc.n_skipped_streams == 0)
+  }
+
+  test("/Type /ObjStm: pages and objects inside the stream are counted") {
+    // PDF 1.5+ layout: page dicts live inside a compressed object
+    // stream; the raw-byte scan sees none of them
+    val inner = "3 0 <</Type /Pages /Kids [4 0 R 5 0 R] /Count 2>> " +
+      "4 0 <</Type /Page /Parent 3 0 R>> 5 0 <</Type /Page /Parent 3 0 R>>"
+    val innerBytes = inner.getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater()
+    d.setInput(innerBytes); d.finish()
+    val buf = new Array[Byte](innerBytes.length * 2 + 64)
+    val k = d.deflate(buf); d.end()
+    val body = java.util.Arrays.copyOf(buf, k)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"2 0 obj << /Type /ObjStm /N 3 /First 10 /Filter /FlateDecode " +
+      s"/Length ${body.length} >> stream\n")
+    out.write(body)
+    w("\nendstream endobj\n")
+    w("6 0 obj << /Length 14 >> stream\nBT (pg) Tj ET\nendstream endobj\n")
+    w("%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_pages == 2, doc.toString)          // both INSIDE the ObjStm
+    assert(doc.n_objects == 2 + 3, doc.toString)    // 2 raw + /N 3 compressed
+    assert(doc.text == "pg", s"'${doc.text}'")      // ObjStm adds no text
+    assert(doc.n_skipped_streams == 0)
+  }
+
+  test("uncompressed stream embedding another PDF does not inflate counts") {
+    val embedded = "%PDF-1.1\n7 0 obj <</Type /Page>> endobj\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Page >> endobj\n")
+    w(s"2 0 obj << /Length ${embedded.length} >> stream\n")
+    w(embedded)
+    w("\nendstream endobj\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 2, doc.toString) // not the embedded '7 0 obj'
+    assert(doc.n_pages == 1, doc.toString)   // not the embedded /Type /Page
   }
 
   test("encrypted: metadata yes, text no") {
