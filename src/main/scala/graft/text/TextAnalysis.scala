@@ -112,15 +112,43 @@ object TextAnalysis {
     * replays the counts. */
   private[graft] val langScriptRanges: Seq[(String, String)] = Seq(
     "arabic" -> "؀-ۿ",
+    "bengali" -> "ঀ-৿",
     "cyrillic" -> "Ѐ-ӿ",
     "devanagari" -> "ऀ-ॿ",
     "greek" -> "Ͱ-Ͽ",
+    "gujarati" -> "઀-૿",
+    "gurmukhi" -> "਀-੿",
     "han" -> "一-鿿",
     "hangul" -> "가-힯",
     "hebrew" -> "֐-׿",
     "kana" -> "぀-ヿ",
+    "kannada" -> "ಀ-೿",
     "latin" -> "A-Za-zÀ-ɏ",
+    "malayalam" -> "ഀ-ൿ",
+    "tamil" -> "஀-௿",
+    "telugu" -> "ఀ-౿",
     "thai" -> "฀-๿")
+
+  /** Script name → the language its text IS, for the scripts that
+    * (for web-corpus purposes) belong to exactly one language —
+    * including the seven Indic top-30-web-language scripts (bn, ta,
+    * te, gu, kn, ml, pa), which routed to 'und' before r14. Scripts
+    * shared across languages (latin, cyrillic, arabic, han/kana)
+    * resolve through stopword votes / the kana discriminator
+    * instead. */
+  private[graft] val singleLangScripts: Seq[(String, String)] = Seq(
+    "bengali" -> "bn",
+    "devanagari" -> "hi",
+    "greek" -> "el",
+    "gujarati" -> "gu",
+    "gurmukhi" -> "pa",
+    "hangul" -> "ko",
+    "hebrew" -> "he",
+    "kannada" -> "kn",
+    "malayalam" -> "ml",
+    "tamil" -> "ta",
+    "telugu" -> "te",
+    "thai" -> "th")
 
   /** One script's languages voting: struct-max over (distinct-hit
     * count, lang). */
