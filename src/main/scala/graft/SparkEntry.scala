@@ -110,7 +110,7 @@ object SparkEntry {
 
   /** Planted language-ID corpus (ids 9000000+): one stopword-dense
     * sentence per language, unioned with the natural documents so
-    * text_lang_id gates all ~39 languages — including the pairs the
+    * text_lang_id gates all ~46 languages — including the pairs the
     * stopword lists were curated to separate (es/pt, de/nl, da/no,
     * cs/sk, hr/sl, ru/uk/bg/sr/mk) and the script-routed ones
     * (ja-vs-zh via kana, ko/th/hi/he/el). ASCII-free of quotes so the
@@ -155,7 +155,21 @@ object SparkEntry {
     9000037L -> "猫と犬は家にいます今日はいい天気です",
     9000038L -> "猫和狗在家里今天天气很好",
     9000039L -> "고양이와 개가 집에 있다 오늘",
-    9000040L -> "12345 67890 --- === +++")
+    9000040L -> "12345 67890 --- === +++",
+    // the seven Indic single-language scripts (r15): bn ta te gu kn ml pa
+    9000041L -> "বিড়াল এবং কুকুর আজ বাড়িতে আছে",
+    9000042L -> "பூனை மற்றும் நாய் இன்று வீட்டில் உள்ளன",
+    9000043L -> "పిల్లి మరియు కుక్క ఈరోజు ఇంట్లో ఉన్నాయి",
+    9000044L -> "બિલાડી અને કૂતરો આજે ઘરમાં છે",
+    9000045L -> "ಬೆಕ್ಕು ಮತ್ತು ನಾಯಿ ಇಂದು ಮನೆಯಲ್ಲಿವೆ",
+    9000046L -> "പൂച്ചയും നായയും ഇന്ന് വീട്ടിലുണ്ട്",
+    9000047L -> "ਬਿੱਲੀ ਅਤੇ ਕੁੱਤਾ ਅੱਜ ਘਰ ਵਿੱਚ ਹਨ",
+    // mixed-script adversaries: majority script must win the argmax
+    // (Tamil-dominant with a Devanagari minority → ta, not hi; a
+    // Bengali-dominant doc with kana → bn, the kana flag must not
+    // hijack non-han routing)
+    9000048L -> "பூனை மற்றும் நாய் வீட்டில் உள்ளன இன்று மழை பெய்கிறது घर",
+    9000049L -> "বিড়াল এবং কুকুর আজ বাড়িতে আছে たち")
 
   /** The language-ID oracle, generated from the SAME stopword lists
     * and script ranges the engine uses (graft.text.TextAnalysis) —
@@ -164,7 +178,8 @@ object SparkEntry {
     * structs (field-order comparison matches Spark's struct
     * ordering) and the script counts as deleted-length differences. */
   private def langIdOracleSql: String = {
-    import graft.text.TextAnalysis.{latinStops, cyrillicStops, arabicStops, langScriptRanges}
+    import graft.text.TextAnalysis.{latinStops, cyrillicStops, arabicStops,
+      langScriptRanges, singleLangScripts}
     def listLit(words: Seq[String]) =
       words.map(w => s"'$w'").mkString("[", ",", "]")
     def voteList(stops: Seq[(String, Seq[String])]) = stops.map { case (l, ws) =>
@@ -177,6 +192,10 @@ object SparkEntry {
       s"{'h': c_$n, 's': '$n'}" }.mkString("[", ", ", "]")
     val planted = langPlanted.map { case (id, txt) =>
       s"(CAST($id AS BIGINT), '$txt')" }.mkString(",\n    ")
+    // the twelve single-language scripts resolve without a vote —
+    // generated from the SAME map langId's when-chain routes through
+    val singleArms = singleLangScripts.map { case (s, l) =>
+      s"WHEN best.s = '$s' THEN '$l'" }.mkString("\n       |       ")
     s"""WITH base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -198,13 +217,9 @@ object SparkEntry {
        |  FROM b)
        |SELECT doc_id,
        |  CASE WHEN best.h <= 0 THEN 'und'
-       |       WHEN best.s = 'hangul' THEN 'ko'
        |       WHEN best.s = 'kana' THEN 'ja'
        |       WHEN best.s = 'han' THEN (CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END)
-       |       WHEN best.s = 'thai' THEN 'th'
-       |       WHEN best.s = 'devanagari' THEN 'hi'
-       |       WHEN best.s = 'hebrew' THEN 'he'
-       |       WHEN best.s = 'greek' THEN 'el'
+       |       $singleArms
        |       WHEN best.s = 'cyrillic' THEN (CASE WHEN cyr.h > 0 THEN cyr.l ELSE 'und' END)
        |       WHEN best.s = 'arabic' THEN (CASE WHEN arab.h > 0 THEN arab.l ELSE 'und' END)
        |       ELSE (CASE WHEN lat.h > 0 THEN lat.l ELSE 'und' END) END AS lang_guess

@@ -212,19 +212,20 @@ object Kernels {
   }
 
   /** Script routing for language ID in ONE UTF-8 byte pass — replaces
-    * ten per-script `regexp_count` scans per row (the langId front
-    * door runs over every document of a corpus). Counts code points
-    * in the ten BMP script ranges of
+    * seventeen per-script `regexp_count` scans per row (the langId
+    * front door runs over every document of a corpus). Counts code
+    * points in the seventeen BMP script ranges of
     * [[graft.text.TextAnalysis.langScriptRanges]] (sorted name
     * order), picks the argmax with ties to the LARGER index — the
     * same winner as the composed struct-max over (hits, name), since
     * the names are sorted. Returns -1 when no script chars at all;
-    * else bestIdx (0-9) | 0x10 when any kana was seen (the ja/zh
-    * discriminator). Non-BMP code points count nowhere, exactly like
-    * the char-class regexes. */
+    * else bestIdx (0-16) | 0x100 when any kana was seen (the ja/zh
+    * discriminator — a FLAG bit above the 5-bit index space, so
+    * index 16 can never collide with it). Non-BMP code points count
+    * nowhere, exactly like the char-class regexes. */
   def langScriptRoute(s: UTF8String): Int = {
     val n = s.numBytes
-    val counts = new Array[Int](10)
+    val counts = new Array[Int](17)
     var i = 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
@@ -241,32 +242,45 @@ object Kernels {
       }
       i += len
       // indices = sorted langScriptRanges order:
-      // 0 arabic, 1 cyrillic, 2 devanagari, 3 greek, 4 han, 5 hangul,
-      // 6 hebrew, 7 kana, 8 latin, 9 thai
+      // 0 arabic, 1 bengali, 2 cyrillic, 3 devanagari, 4 greek,
+      // 5 gujarati, 6 gurmukhi, 7 han, 8 hangul, 9 hebrew, 10 kana,
+      // 11 kannada, 12 latin, 13 malayalam, 14 tamil, 15 telugu,
+      // 16 thai
       if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
-          (cp >= 0xc0 && cp <= 0x24f)) counts(8) += 1
-      else if (cp >= 0x400 && cp <= 0x4ff) counts(1) += 1
-      else if (cp >= 0x370 && cp <= 0x3ff) counts(3) += 1
+          (cp >= 0xc0 && cp <= 0x24f)) counts(12) += 1
+      else if (cp >= 0x400 && cp <= 0x4ff) counts(2) += 1
+      else if (cp >= 0x370 && cp <= 0x3ff) counts(4) += 1
       else if (cp >= 0x600 && cp <= 0x6ff) counts(0) += 1
-      else if (cp >= 0x590 && cp <= 0x5ff) counts(6) += 1
-      else if (cp >= 0x900 && cp <= 0x97f) counts(2) += 1
-      else if (cp >= 0xe00 && cp <= 0xe7f) counts(9) += 1
-      else if (cp >= 0x3040 && cp <= 0x30ff) counts(7) += 1
-      else if (cp >= 0x4e00 && cp <= 0x9fff) counts(4) += 1
-      else if (cp >= 0xac00 && cp <= 0xd7af) counts(5) += 1
+      else if (cp >= 0x590 && cp <= 0x5ff) counts(9) += 1
+      else if (cp >= 0x900 && cp <= 0xd7f) {
+        // the nine Indic 0x80-wide blocks U+0900..U+0D7F in layout
+        // order: devanagari, bengali, gurmukhi, gujarati, (oriya —
+        // not routed), tamil, telugu, kannada, malayalam
+        val b = indicBlockIdx((cp - 0x900) >> 7)
+        if (b >= 0) counts(b) += 1
+      }
+      else if (cp >= 0xe00 && cp <= 0xe7f) counts(16) += 1
+      else if (cp >= 0x3040 && cp <= 0x30ff) counts(10) += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) counts(7) += 1
+      else if (cp >= 0xac00 && cp <= 0xd7af) counts(8) += 1
     }
     var best = -1
     var bestC = 0
     var j = 0
-    while (j < 10) {
+    while (j < 17) {
       // >= keeps the LAST max: sorted names, so ties go to the
       // lexicographically-largest name like the struct-max spec
       if (counts(j) > 0 && counts(j) >= bestC) { best = j; bestC = counts(j) }
       j += 1
     }
     if (best < 0) -1
-    else best | (if (counts(7) > 0) 0x10 else 0)
+    else best | (if (counts(10) > 0) 0x100 else 0)
   }
+
+  /** (cp - 0x900) >> 7 → script index for the contiguous Indic block
+    * run; -1 for the one unrouted block (oriya). */
+  private[this] val indicBlockIdx: Array[Int] =
+    Array(3, 1, 6, 5, -1, 14, 15, 11, 13)
 
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates

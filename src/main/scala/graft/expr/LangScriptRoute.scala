@@ -10,9 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `lang_script_route(text)` — the script-routing front door of
   * [[graft.text.TextAnalysis.langId]] as ONE codegen'd UTF-8 byte
-  * pass ([[Kernels.langScriptRoute]]); the composed form pays ten
-  * per-script regexp scans per row. Value: dominant-script index
-  * (0-9, sorted langScriptRanges order) | 0x10 when kana present;
+  * pass ([[Kernels.langScriptRoute]]); the composed form pays
+  * seventeen per-script regexp scans per row. Value: dominant-script
+  * index (0-16, sorted langScriptRanges order) | 0x100 when kana
+  * present (flag bit above the index space);
   * NULL when the text holds no script characters (or is NULL) — the
   * caller's 'und'. */
 final case class LangScriptRouteExpr(child: Expression) extends UnaryExpression {

@@ -132,7 +132,7 @@ object TextAnalysis {
   /** Script name → the language its text IS, for the scripts that
     * (for web-corpus purposes) belong to exactly one language —
     * including the seven Indic top-30-web-language scripts (bn, ta,
-    * te, gu, kn, ml, pa), which routed to 'und' before r14. Scripts
+    * te, gu, kn, ml, pa), which routed to 'und' before r15. Scripts
     * shared across languages (latin, cyrillic, arabic, han/kana)
     * resolve through stopword votes / the kana discriminator
     * instead. */
@@ -159,46 +159,54 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }: _*))
 
-  /** Language ID over ~39 languages: the dominant SCRIPT routes first
+  /** Language ID over ~46 languages: the dominant SCRIPT routes first
     * — ONE native UTF-8 byte pass ([[graft.expr.LangScriptRoute]],
-    * replacing ten per-script regexp scans; the composed regexp form
-    * survives as [[langIdComposed]], the executable spec the kernel is
-    * property-tested against) — so CJK/Thai/Hebrew text never pays a
-    * stopword scan and single-language scripts resolve without one;
-    * then a per-script stopword vote separates the languages sharing
-    * that script (25 Latin, 5 Cyrillic, ar/fa). kana ⇒ ja; han with
-    * ANY kana ⇒ ja, han alone ⇒ zh. Scripted text whose script vote
-    * has no stopword hits → 'und' (seen script, unseen language — the
-    * honest answer). `when` branches evaluate lazily per row in
-    * codegen, so each row pays exactly one script's vote. */
+    * replacing seventeen per-script regexp scans; the composed regexp
+    * form survives as [[langIdComposed]], the executable spec the
+    * kernel is property-tested against) — so CJK/Thai/Hebrew/Indic
+    * text never pays a stopword scan and the twelve single-language
+    * scripts ([[singleLangScripts]]) resolve without one; then a
+    * per-script stopword vote separates the languages sharing a
+    * script (25 Latin, 5 Cyrillic, ar/fa). kana ⇒ ja; han with ANY
+    * kana ⇒ ja, han alone ⇒ zh. Scripted text whose script vote has
+    * no stopword hits → 'und' (seen script, unseen language — the
+    * honest answer). Routing is GENERATED from langScriptRanges order
+    * + singleLangScripts, so the three layers (native kernel, this
+    * when-chain, the DuckDB oracle) cannot drift on which script maps
+    * where. `when` branches evaluate lazily per row in codegen, so
+    * each row pays exactly one script's vote. */
   def langId(text: Column): Column = {
-    // route = scriptIdx (sorted langScriptRanges order) | 0x10 if kana
+    // route = scriptIdx (sorted langScriptRanges order) | 0x100 if kana
     val route = graft.expr.LangScriptRoute.langScriptRoute(text)
-    val scriptIdx = route.bitwiseAND(lit(0xf))
-    val kanaSeen = route.bitwiseAND(lit(0x10)) > 0
+    val scriptIdx = route.bitwiseAND(lit(0xff))
+    val kanaSeen = route.bitwiseAND(lit(0x100)) > 0
     val toks = split(trim(lower(text)), "\\s+")
     def voted(stops: Seq[(String, Seq[String])]): Column = {
       val v = voteAmong(toks, stops)
       when(v.getField("hits") > 0, v.getField("lang")).otherwise(lit("und"))
     }
-    when(route.isNull, lit("und"))
-      .when(scriptIdx === 5, lit("ko"))   // hangul
-      .when(scriptIdx === 7, lit("ja"))   // kana
-      .when(scriptIdx === 4,              // han
-        when(kanaSeen, lit("ja")).otherwise(lit("zh")))
-      .when(scriptIdx === 9, lit("th"))   // thai
-      .when(scriptIdx === 2, lit("hi"))   // devanagari
-      .when(scriptIdx === 6, lit("he"))   // hebrew
-      .when(scriptIdx === 3, lit("el"))   // greek
-      .when(scriptIdx === 1, voted(cyrillicStops))
-      .when(scriptIdx === 0, voted(arabicStops))
-      .otherwise(voted(latinStops))       // latin (8)
+    val single = singleLangScripts.toMap
+    langScriptRanges.map(_._1).zipWithIndex
+      .filter(_._1 != "latin") // latin is the otherwise arm
+      .foldLeft(when(route.isNull, lit("und"))) { case (acc, (name, i)) =>
+        val res = name match {
+          case "kana" => lit("ja")
+          case "han" => when(kanaSeen, lit("ja")).otherwise(lit("zh"))
+          case "cyrillic" => voted(cyrillicStops)
+          case "arabic" => voted(arabicStops)
+          case n => lit(single(n))
+        }
+        acc.when(scriptIdx === i, res)
+      }
+      .otherwise(voted(latinStops))
   }
 
   /** The composed regexp form of [[langId]] — the executable spec the
     * native script-route kernel is property-tested against
-    * (TextAnalysisSpec): ten per-script char-class counts, struct-max
-    * routing, identical vote layer. */
+    * (TextAnalysisSpec): seventeen per-script char-class counts,
+    * struct-max routing, identical vote layer; single-language
+    * scripts resolve through the same [[singleLangScripts]] map the
+    * native chain uses. */
   private[graft] def langIdComposed(text: Column): Column = {
     def cnt(cls: String) =
       coalesce(regexp_count(text, lit(s"[$cls]")), lit(0))
@@ -213,14 +221,13 @@ object TextAnalysis {
       val v = voteAmong(toks, stops)
       when(v.getField("hits") > 0, v.getField("lang")).otherwise(lit("und"))
     }
-    when(best.getField("hits") <= 0, lit("und"))
-      .when(script === "hangul", lit("ko"))
+    val base = when(best.getField("hits") <= 0, lit("und"))
       .when(script === "kana", lit("ja"))
       .when(script === "han", when(kanaCnt > 0, lit("ja")).otherwise(lit("zh")))
-      .when(script === "thai", lit("th"))
-      .when(script === "devanagari", lit("hi"))
-      .when(script === "hebrew", lit("he"))
-      .when(script === "greek", lit("el"))
+    singleLangScripts
+      .foldLeft(base) { case (acc, (name, lang)) =>
+        acc.when(script === name, lit(lang))
+      }
       .when(script === "cyrillic", voted(cyrillicStops))
       .when(script === "arabic", voted(arabicStops))
       .otherwise(voted(latinStops))

@@ -38,14 +38,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "und"))
   }
 
-  test("langId separates all 39 planted languages via script routing + stopword votes") {
+  test("langId separates all 46 planted languages via script routing + stopword votes") {
     // the curated pairs: es/pt, de/nl, da/no, cs/sk, hr/sl,
     // ru/uk/bg/sr/mk; script-routed: ar/fa, el, he, th, hi, ja/zh
-    // (kana presence), ko; trailing digits-only doc → und
+    // (kana presence), ko; digits-only doc → und; the seven Indic
+    // single-language scripts (bn/ta/te/gu/kn/ml/pa, r15); two mixed
+    // adversaries: Tamil+Devanagari-minority → ta, Bengali+kana → bn
+    // (majority script wins; kana flag only discriminates within han)
     val expected = Seq("en", "de", "nl", "es", "pt", "fr", "it", "ro",
       "ca", "sv", "da", "no", "fi", "pl", "cs", "sk", "hu", "tr", "id",
       "vi", "hr", "sl", "et", "lt", "lv", "ru", "uk", "bg", "sr", "mk",
-      "ar", "fa", "el", "he", "th", "hi", "ja", "zh", "ko", "und")
+      "ar", "fa", "el", "he", "th", "hi", "ja", "zh", "ko", "und",
+      "bn", "ta", "te", "gu", "kn", "ml", "pa", "ta", "bn")
     val got = graft.SparkEntry.langPlanted.toDF("doc_id", "text")
       .orderBy("doc_id")
       .select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
@@ -62,7 +66,23 @@ class TextAnalysisSpec extends SparkSpec {
       "カタカナ to 漢字",
       "Αθήνα και",
       "שלום abc",
-      "สวัสดี 123")
+      "สวัสดี 123",
+      // Indic mixed-script adversaries — exactly the divergence class
+      // the r14 half-landed extension could not see: an Indic-majority
+      // doc with a Devanagari or kana minority must route to the
+      // majority script on BOTH forms
+      "தமிழ் பெரும்பான்மை உரை இங்கே घर और",
+      "বাংলা লেখা এখানে আছে たち",
+      "తెలుగు మాట ఇక్కడ ಕನ್ನಡ",
+      "ગુજરાતી લખાણ અહીં છે ਪੰਜਾਬੀ",
+      "മലയാളം വാചകം ഇവിടെ",
+      // block-boundary code points: first/last char of each Indic
+      // block, plus Oriya (the unrouted gap block) which must count
+      // NOWHERE on both forms
+      "ঀ৿਀੿઀૿஀௿",
+      "ఀ౿ಀ೿ഀൿ",
+      "ଅଆ oriya gap plus the latin majority here",
+      "ଅଆ")
     val texts = graft.SparkEntry.langPlanted.map(_._2) ++ hostile
     val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("i", "text")
