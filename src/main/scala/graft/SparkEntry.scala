@@ -2951,11 +2951,16 @@ object SparkEntry {
         .groupBy("l_partkey")
         .agg(sum("cents").as("value_cents"))
         .localCheckpoint(eager = false)
+      // non-vacuity guard, mirrored in the SQL oracle (DuckDB
+      // error()); n ≤ 1 is exempt — one value can never exceed 1.3×
+      // its own mean, so a degenerate single-part input returns empty
+      // on both engines instead of tripping the guard
       val thresh = value
         .agg(sum("value_cents").as("total"), count(lit(1)).as("n"),
           max("value_cents").as("vmax"))
         .select(col("total"), col("n"),
-          when(col("vmax") * col("n") * 10 > col("total") * 13, lit(1))
+          when(col("vmax") * col("n") * 10 > col("total") * 13 ||
+              col("n") <= 1, lit(1))
             .otherwise(raise_error(lit(
               "q11_important_stock: gate vacuous — no part value " +
               "exceeds 1.3x mean at this scale"))).as("_nonvacuous"))
@@ -7942,10 +7947,13 @@ object SparkEntry {
         |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
         |  GROUP BY 1),
         |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total,
-        |             CAST(COUNT(*) AS BIGINT) AS n FROM v)
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(MAX(value_cents) AS BIGINT) AS vmax FROM v)
         |SELECT l_partkey AS p_partkey, value_cents
         |FROM v, t
         |WHERE value_cents * n * 10 > total * 13
+        |  AND 1 = (CASE WHEN vmax * n * 10 > total * 13 OR n <= 1 THEN 1
+        |                ELSE error('q11_important_stock: gate vacuous') END)
         |ORDER BY value_cents DESC, p_partkey""".stripMargin,
 
     "q2_min_cost_supplier" ->

@@ -305,10 +305,18 @@ object CommitLog {
     def utf8(x: String) = UTF8String.fromString(x)
     def overlaps(s: ColStats): Boolean =
       if (s.typ == "num") {
-        val (mn, mx) = (new JBigDecimal(s.min), new JBigDecimal(s.max))
-        val (l, h) =
-          (new JBigDecimal(lo.toString), new JBigDecimal(hi.toString))
-        mx.compareTo(l) >= 0 && mn.compareTo(h) <= 0
+        // Double/Float column stats legitimately serialize as 'NaN' /
+        // 'Infinity' / '-Infinity' (mn.toString of a non-finite
+        // value), which BigDecimal cannot parse — degrade to
+        // unprunable (conservative read): pruning is an optimization,
+        // never a semantics change, and the residual filter still
+        // applies.
+        try {
+          val (mn, mx) = (new JBigDecimal(s.min), new JBigDecimal(s.max))
+          val (l, h) =
+            (new JBigDecimal(lo.toString), new JBigDecimal(hi.toString))
+          mx.compareTo(l) >= 0 && mn.compareTo(h) <= 0
+        } catch { case _: NumberFormatException => true }
       } else utf8(s.max).compareTo(utf8(lo.toString)) >= 0 &&
         utf8(s.min).compareTo(utf8(hi.toString)) <= 0
     val surviving = committed.filter { key =>

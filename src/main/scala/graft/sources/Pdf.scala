@@ -166,8 +166,11 @@ object Pdf {
   /** Parse the non-negative integer following name token `tok` (e.g.
     * `/N 12`) in [from, until); -1 when absent. A name that merely
     * PREFIXES another (`/N` vs `/Name`) doesn't match — the next byte
-    * must be whitespace. */
-  private def parseIntAfter(bytes: Array[Byte], tok: String,
+    * must be whitespace. A number past the 9-digit cap (a startxref
+    * offset in a ≥1 GB file) is OVERFLOW, not a value — returning a
+    * truncated prefix would point the caller at an arbitrary byte, so
+    * the match is skipped instead. */
+  private[sources] def parseIntAfter(bytes: Array[Byte], tok: String,
       from: Int, until: Int): Int = {
     val t = tok.getBytes("US-ASCII")
     var k = math.max(from, 0)
@@ -177,11 +180,13 @@ object Pdf {
         while (j < until && isWs(bytes(j) & 0xff)) j += 1
         var v = 0
         var any = false
-        while (j < until && bytes(j) >= '0' && bytes(j) <= '9' &&
-            v < 100000000) {
-          v = v * 10 + (bytes(j) - '0'); any = true; j += 1
+        var overflow = false
+        while (j < until && bytes(j) >= '0' && bytes(j) <= '9') {
+          if (v < 100000000) v = v * 10 + (bytes(j) - '0')
+          else overflow = true
+          any = true; j += 1
         }
-        if (any) return v
+        if (any && !overflow) return v
       }
       k += t.length
     }

@@ -156,6 +156,29 @@ class CommitLogSpec extends SparkSpec {
     assert(s.typ == "str" && s.min == "a:b;c%d\te" && s.max == "zz")
   }
 
+  test("non-finite double stats (NaN/Infinity) degrade to unprunable, not a crash") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txnan").toString + "/t"
+    // a double column whose max is NaN (Spark orders NaN largest) and
+    // one whose min is -Infinity: both serialize as strings BigDecimal
+    // cannot parse — the batch must be conservatively read, with the
+    // residual filter still exact
+    val nanBatch = Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "score")
+    val infBatch = Seq((3L, Double.NegativeInfinity), (4L, 2.5)).toDF("id", "score")
+    val finite = Seq((5L, 100.0), (6L, 200.0)).toDF("id", "score")
+    CommitLog.writeBatchWithStats(nanBatch, table, "r1", 0L, Seq("score"))
+    CommitLog.writeBatchWithStats(infBatch, table, "r1", 1L, Seq("score"))
+    CommitLog.writeBatchWithStats(finite, table, "r1", 2L, Seq("score"))
+    val got = CommitLog.readCommittedRange(spark, table, "score", 1.0, 3.0).get
+    // NaN is not BETWEEN 1 and 3 — the residual filter stays exact
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // both non-finite-stat batches were listed; the finite batch
+    // [100, 200] is still pruned away
+    val files = got.inputFiles
+    assert(files.exists(_.contains("batch_id=0")) &&
+      files.exists(_.contains("batch_id=1")) &&
+      files.forall(f => !f.contains("batch_id=2")), files.mkString(", "))
+  }
+
   test("as-of reads pin a snapshot that later commits cannot change") {
     val table = java.nio.file.Files.createTempDirectory("graft-txasof").toString + "/t"
     CommitLog.writeBatch(rows(10, "a"), table, "r1", 0L)

@@ -111,6 +111,29 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse("p", pdf("BT (s) Tj ET", encrypt = true)).encrypted)
   }
 
+  test("10+ digit integers are overflow, not a truncated prefix") {
+    // a ≥1 GB file's startxref doesn't fit the 9-digit parse cap; a
+    // truncated prefix would aim the /Encrypt probe at an arbitrary
+    // byte — the match must be skipped instead
+    def p(s: String) = {
+      val b = s.getBytes("ISO-8859-1")
+      Pdf.parseIntAfter(b, "startxref", 0, b.length)
+    }
+    assert(p("startxref\n10000000001\n%%EOF") == -1)
+    // a later in-range occurrence still parses after a skipped one
+    assert(p("startxref\n10000000001\nstartxref\n42\n%%EOF") == 42)
+    // leading zeros are magnitude, not overflow
+    assert(p("startxref\n0000000042\n%%EOF") == 42)
+    // the cap's largest parseable value survives
+    assert(p("startxref\n999999999\n%%EOF") == 999999999)
+    // end-to-end: an overflowed startxref never locates a probe window
+    val body = "%PDF-1.4 /Encrypt 1 0 R padding " +
+      "1 0 obj << /Type /Page >> endobj " +
+      "startxref\n10000000001\n%%EOF"
+    val doc = Pdf.parse("p", body.getBytes("ISO-8859-1"))
+    assert(!doc.encrypted, "overflowed startxref must not locate a probe window")
+  }
+
   test("long dict (>512 bytes) before stream: /Filter still found") {
     // the r13 ADVICE finding: a fixed 512-byte window treated streams
     // with long dicts (DecodeParms/metadata) as unfiltered and fed
