@@ -3668,6 +3668,19 @@ object SparkEntry {
     * parity pin (SimilaritySpec) these paths already carry. Bench runs
     * them so the recorded numbers measure what production executes. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SGNS word2vec over the documents corpus — the walks → pairs →
+    // embeddings capstone: subsampled skip-gram pairs, seeded
+    // negatives, driver-resident quantized matrices, one job per
+    // epoch (corpus collapses to the distinct weighted pair table
+    // once). Bench-only (iterative trainer, no SQL replay; SgnsSpec
+    // pins planted-cluster recovery + bit-reproducibility + the
+    // DeepWalk closure).
+    "sgns_train_docs" -> ((s, dir) => {
+      val pairs = graft.text.SkipGram.trainingPairs(
+        t(s, dir, "documents"), "doc_id", "text", window = 2)
+      graft.text.Sgns.train(pairs, dim = 32, epochs = 5,
+        lr = 1.0, negatives = 5, topV = 4096).embeddingsDf(s)
+    }),
     // k-core of the part co-purchase graph: iterative peel to the
     // 8-core (dense co-assortment families). Rounds are data-dependent
     // (KCoreSpec pins semantics), so bench-only — no SQL replay.

@@ -1,0 +1,204 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skip-gram-with-negative-sampling (SGNS) word2vec trainer (Mikolov
+  * et al. 2013) — the capstone that closes the embedding-training
+  * chain this engine already generates data for: random walks
+  * ([[graft.ops.RandomWalks]]) → skip-gram pairs ([[SkipGram]]) →
+  * negatives ([[NegativeSampling]]) → EMBEDDINGS, which then feed the
+  * ANN / semantic-dedup family ([[graft.ops.Ann]]) as an
+  * `Array[Float]` column like any other vector corpus.
+  *
+  * Training is full-batch gradient descent with BOTH embedding
+  * matrices resident on the DRIVER — the [[LogReg]]/[[BpeTrain]] loop
+  * shape: per epoch, ONE Spark job computes the exact gradient of the
+  * SGNS log-loss over every (pair, negative) row, and the driver
+  * folds it into the two V×dim matrices (model data, like IVF
+  * centroids — the corpus is never collected). Published word2vec is
+  * sequential SGD with racing hogwild updates; a distributed,
+  * REPLAYABLE pipeline wants the batch form, which converges to the
+  * same neighborhood structure and is what makes the next two
+  * properties possible.
+  *
+  * Scale shape: the corpus collapses ONCE to the distinct
+  * (center, context, n) co-occurrence table — the [[BpeTrain]]
+  * corpus-collapse discipline — so epoch cost is proportional to
+  * DISTINCT pair count, not corpus token count; a pair occurring a
+  * million times is one row with weight n = 10⁶. Negatives are drawn
+  * per DISTINCT pair (k seeded draws, weight n — a documented
+  * deviation from per-occurrence draws that keeps the training frame
+  * collapse; draws colliding with the pair's true context are
+  * filtered, the standard re-draw guard). Per epoch one cached-frame
+  * scan + a tasks-many fold of 2·V·dim long arrays — exactly the
+  * MLlib treeAggregate wire shape, moving model-sized arrays, never
+  * rows.
+  *
+  * Determinism (the repo-wide quantize-before-sum discipline):
+  * weights live in INTEGER 1e-9 units; every per-row gradient
+  * contribution is floor-quantized to the same units BEFORE the
+  * per-partition dense-array add, so epoch gradients are
+  * order-independent integer sums and training is bit-reproducible
+  * across runs, partitionings and retries. Initialization is
+  * MurmurHash3-seeded uniform (-0.5/dim, 0.5/dim) on the input matrix
+  * (output matrix zero, the reference implementation's choice);
+  * sigmoids go through StrictMath.exp so the floating step is
+  * platform-pinned too.
+  *
+  * Bounds (enforced, not silent): V·dim ≤ 2M per matrix (16 MB of
+  * longs; gradient partials are 2·V·dim per task) — reduce with
+  * `topV` for larger vocabularies. Gradient accumulators hold
+  * Σ n·|w|·1e9 per slot in a long — fine to ~10⁹ total co-occurrence
+  * weight at unit-scale embeddings. */
+object Sgns {
+
+  /** Driver-resident model: `vocab(w)` is the word at index w;
+    * `inQ(w*dim + i)` / `outQ(w*dim + i)` the quantized (1e-9 units)
+    * input/output embeddings. */
+  final case class SgnsModel(dim: Int, vocab: Array[String],
+      inQ: Array[Long], outQ: Array[Long]) {
+
+    /** Input embeddings as the engine's standard vector-corpus shape:
+      * (word_id, word, embedding Array[Float]) — word_id is the vocab
+      * index as the LONG id the ANN family keys on
+      * ([[graft.ops.Ann.knnGraph]] / semantic dedup), word the
+      * human-readable join key. */
+    def embeddingsDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      vocab.iterator.zipWithIndex.map { case (w, wi) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { v(i) = (inQ(wi * dim + i) / 1e9).toFloat; i += 1 }
+        (wi.toLong, w, v.toSeq)
+      }.toSeq.toDF("word_id", "word", "embedding")
+        .select(col("word_id"), col("word"),
+          col("embedding").cast("array<float>").as("embedding"))
+    }
+  }
+
+  /** Train over a `(center, context)` string-pair frame (the
+    * [[SkipGram.pairs]]/[[SkipGram.trainingPairs]] output — one row
+    * per co-occurrence, duplicates carry weight). Words outside the
+    * `topV` most frequent (by center marginal, ties word-asc) are
+    * dropped — the standard vocabulary cap. */
+  def train(pairs: DataFrame, dim: Int, epochs: Int, lr: Double,
+      negatives: Int, topV: Int = 65536, tableSize: Int = 4096,
+      seed: String = "sgns"): SgnsModel = {
+    require(dim > 0 && epochs > 0 && lr > 0 && negatives >= 1,
+      "dim, epochs, lr, negatives must be positive")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // ---- corpus collapse: distinct weighted co-occurrence pairs ----
+    val cp = pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val freq = cp.groupBy(col("center").as("word"))
+      .agg(sum("n").as("freq"))
+    // ---- vocabulary: top-V by frequency, index = rank order ----
+    val vocab = freq.orderBy(col("freq").desc, col("word").asc)
+      .limit(topV).select("word").as[String].collect()
+    require(vocab.nonEmpty, "no words to train on")
+    val v = vocab.length
+    require(v.toLong * dim <= 2L * 1000 * 1000,
+      s"V*dim = ${v.toLong * dim} exceeds the 2M driver/task-resident " +
+        "bound - lower topV or dim (or train per-shard)")
+    val idxDf = broadcast(
+      vocab.iterator.zipWithIndex.map { case (w, i) => (w, i) }.toSeq
+        .toDF("word", "idx"))
+    // ---- negatives: k seeded draws per distinct pair, weight n ----
+    val table = NegativeSampling.sampleTable(freq, tableSize, topV)
+    val negs = NegativeSampling
+      .drawNegatives(cp, Seq("center", "context"), negatives, table, seed)
+      .where(col("neg_word") =!= col("context")) // re-draw guard
+      .join(cp, Seq("center", "context"))
+      .select(col("center"), col("neg_word").as("target"), col("n"),
+        lit(false).as("pos"))
+    val pos = cp.select(col("center"), col("context").as("target"),
+      col("n"), lit(true).as("pos"))
+    val rows = pos.unionAll(negs)
+      .join(idxDf.select(col("word").as("center"), col("idx").as("ci")), "center")
+      .join(idxDf.select(col("word").as("target"), col("idx").as("ti")), "target")
+      .select(col("ci"), col("ti"), col("n"), col("pos"))
+      .as[(Int, Int, Long, Boolean)]
+      .cache()
+    val nTotal = cp.agg(sum("n")).as[Long].head()
+    // ---- deterministic init: murmur-uniform in (-0.5/dim, 0.5/dim) ----
+    val len = v * dim
+    val inQ = new Array[Long](len)
+    val outQ = new Array[Long](len)
+    var wi = 0
+    while (wi < v) {
+      var i = 0
+      while (i < dim) {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"${vocab(wi)}|$i|$seed")
+        val u = (h & 0x7fffffff).toDouble / Int.MaxValue // [0, 1)
+        inQ(wi * dim + i) = math.round((u - 0.5) / dim * 1e9)
+        i += 1
+      }
+      wi += 1
+    }
+    // ---- epochs: one job each, integer-quantized gradient fold ----
+    val sc = spark.sparkContext
+    for (_ <- 0 until epochs) {
+      val bcIn = sc.broadcast(inQ.clone())
+      val bcOut = sc.broadcast(outQ.clone())
+      val partials = rows.mapPartitions { it =>
+        val win = bcIn.value
+        val wout = bcOut.value
+        val g = new Array[Long](2 * len) // [gIn | gOut]
+        while (it.hasNext) {
+          val (ci, ti, n, posLabel) = it.next()
+          val co = ci * dim
+          val to = ti * dim
+          var acc = 0.0
+          var i = 0
+          while (i < dim) {
+            acc += win(co + i).toDouble * wout(to + i).toDouble
+            i += 1
+          }
+          val dot = acc / 1e18
+          val p = 1.0 / (1.0 + StrictMath.exp(-dot))
+          val r = (p - (if (posLabel) 1.0 else 0.0)) * n
+          i = 0
+          while (i < dim) {
+            // grad wrt in_i = r * out_i; out is 1e-9-quantized, so
+            // floor(r * outQ_i) IS the 1e-9-quantized contribution
+            g(co + i) += math.floor(r * wout(to + i)).toLong
+            g(len + to + i) += math.floor(r * win(co + i)).toLong
+            i += 1
+          }
+        }
+        Iterator.single(g)
+      }.rdd.fold(new Array[Long](2 * len)) { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      bcIn.destroy(); bcOut.destroy()
+      var j = 0
+      while (j < len) {
+        inQ(j) -= math.round(lr * (partials(j).toDouble / nTotal))
+        outQ(j) -= math.round(lr * (partials(len + j).toDouble / nTotal))
+        j += 1
+      }
+    }
+    rows.unpersist()
+    SgnsModel(dim, vocab, inQ, outQ)
+  }
+
+  /** DeepWalk (Perozzi et al. 2014) end-to-end: random walks over the
+    * `(src, dst)` edge frame become token sequences, skip-gram pairs
+    * are generated over them, and SGNS trains node embeddings — the
+    * walks → pairs → embeddings closure. Node ids must be
+    * whitespace-free (they become tokens). */
+  def deepwalk(edges: DataFrame, walksPerNode: Int, walkLen: Int,
+      window: Int, dim: Int, epochs: Int, lr: Double, negatives: Int,
+      topV: Int = 65536, seed: String = "deepwalk"): SgnsModel = {
+    val walks = graft.ops.RandomWalks.walks(edges, walksPerNode, walkLen, seed)
+      .select(col("walk_id"), concat_ws(" ", col("path")).as("text"))
+    train(SkipGram.pairs(walks, "walk_id", "text", window),
+      dim, epochs, lr, negatives, topV, seed = seed)
+  }
+}
