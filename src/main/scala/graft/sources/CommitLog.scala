@@ -107,6 +107,43 @@ object CommitLog {
       }
     }
 
+  // ---- schema-in-marker (r15): evolution without footer reads ---- //
+
+  /** The (name, type-DDL) fingerprint of a batch frame, recorded in
+    * its commit marker so readers reconcile schemas from METADATA —
+    * never by opening parquet footers. Partition columns
+    * (run_id/batch_id) are added at write and excluded here. */
+  private def schemaOf(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+
+  private def encodeSchema(s: Seq[(String, String)]): String =
+    s.map { case (n, t) => s"${esc(n)}:${esc(t)}" }.mkString(";")
+  private def decodeSchema(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.filter(_.nonEmpty).flatMap { part =>
+      part.split(":", 2) match {
+        case Array(n, t) => Seq((unesc(n), unesc(t)))
+        case _ => Seq.empty
+      }
+    }
+
+  private val intChain = Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
+  private val floatChain = Seq("FLOAT", "DOUBLE")
+
+  /** Widest of two recorded types under the WIDENING-ONLY evolution
+    * rules (integral chain tinyint→…→bigint, float→double; identical
+    * types always compatible); None = incompatible drift. */
+  private[sources] def widen(a: String, b: String): Option[String] =
+    if (a == b) Some(a)
+    else {
+      val ia = intChain.indexOf(a); val ib = intChain.indexOf(b)
+      if (ia >= 0 && ib >= 0) Some(intChain(math.max(ia, ib)))
+      else {
+        val fa = floatChain.indexOf(a); val fb = floatChain.indexOf(b)
+        if (fa >= 0 && fb >= 0) Some(floatChain(math.max(fa, fb)))
+        else None
+      }
+    }
+
   /** Write one batch's rows into its (run_id, batch_id) partition and
     * atomically commit it. Safe to replay with the same ids. */
   def writeBatch(df: DataFrame, table: String, runId: String, batchId: Long): Unit = {
@@ -115,7 +152,7 @@ object CommitLog {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id", "batch_id")
       .parquet(table)
-    commit(df.sparkSession, table, runId, batchId)
+    commitWithMeta(df.sparkSession, table, runId, batchId, Seq.empty, schemaOf(df))
   }
 
   /** [[writeBatch]] recording min/max stats for `statsCols` in the
@@ -150,17 +187,25 @@ object CommitLog {
           }
         }
       }
-    commitWithStats(df.sparkSession, table, runId, batchId, stats)
+    commitWithMeta(df.sparkSession, table, runId, batchId, stats, schemaOf(pinned))
   }
 
   /** Mark an already-written (run_id, batch_id) partition committed.
     * Atomic (temp + rename), idempotent (existing marker wins). */
   def commit(spark: SparkSession, table: String, runId: String, batchId: Long): Unit =
-    commitWithStats(spark, table, runId, batchId, Seq.empty)
+    commitWithMeta(spark, table, runId, batchId, Seq.empty, Seq.empty)
 
   /** [[commit]] carrying per-column stats in the marker body. */
   def commitWithStats(spark: SparkSession, table: String, runId: String,
-      batchId: Long, stats: Seq[ColStats]): Unit = {
+      batchId: Long, stats: Seq[ColStats]): Unit =
+    commitWithMeta(spark, table, runId, batchId, stats, Seq.empty)
+
+  /** [[commit]] carrying stats AND the batch's schema fingerprint —
+    * what [[writeBatch]]/[[writeBatchWithStats]] record so reads can
+    * reconcile evolved schemas from marker metadata alone. */
+  def commitWithMeta(spark: SparkSession, table: String, runId: String,
+      batchId: Long, stats: Seq[ColStats],
+      schema: Seq[(String, String)]): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
@@ -169,9 +214,11 @@ object CommitLog {
       s".${markerName(runId, batchId)}.${java.util.UUID.randomUUID()}.tmp")
     val statsLine =
       if (stats.isEmpty) "" else s"stats=${encodeStats(stats)}\n"
+    val schemaLine =
+      if (schema.isEmpty) "" else s"schema=${encodeSchema(schema)}\n"
     val out = hfs.create(tmp, true)
     try out.write(
-      s"run_id=$runId\nbatch_id=$batchId\n$statsLine".getBytes("UTF-8"))
+      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine".getBytes("UTF-8"))
     finally out.close()
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
@@ -235,10 +282,51 @@ object CommitLog {
           .map(l => key -> decodeStats(l.stripPrefix("stats=")))
           .toSeq
       } else if (n.endsWith(".snapshot")) {
-        readText(st.getPath).linesIterator.filter(_.contains("\t")).map { line =>
-          val Array(core, statsEnc) = line.split("\t", 2)
-          val Array(r, b) = core.split(",", 2)
-          (r, b.toLong) -> decodeStats(statsEnc)
+        // snapshot line: "r,b" | "r,b\t<stats>" | "r,b\t<stats>\t<schema>"
+        // (stats field may be empty in the 3-field form)
+        readText(st.getPath).linesIterator.filter(_.contains("\t")).flatMap { line =>
+          val parts = line.split("\t", 3)
+          val Array(r, b) = parts(0).split(",", 2)
+          if (parts(1).nonEmpty)
+            Seq((r, b.toLong) -> decodeStats(parts(1)))
+          else Seq.empty
+        }.toSeq
+      } else Seq.empty
+    }.toMap
+  }
+
+  /** Per-batch schema fingerprints from the log — marker bodies plus
+    * snapshot-folded lines. Batches committed by pre-schema writers
+    * are absent (readers fall back to inferring their schema). */
+  def batchSchemas(spark: SparkSession,
+      table: String): Map[(String, Long), Seq[(String, String)]] = {
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    if (!hfs.exists(dir)) return Map.empty
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = hfs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    hfs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".commit")) {
+        val stem = n.stripSuffix(".commit")
+        val cut = stem.lastIndexOf('-')
+        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
+        readText(st.getPath).linesIterator
+          .find(_.startsWith("schema="))
+          .map(l => key -> decodeSchema(l.stripPrefix("schema=")))
+          .toSeq
+      } else if (n.endsWith(".snapshot")) {
+        readText(st.getPath).linesIterator.flatMap { line =>
+          val parts = line.split("\t", 3)
+          if (parts.length == 3 && parts(2).nonEmpty) {
+            val Array(r, b) = parts(0).split(",", 2)
+            Seq((r, b.toLong) -> decodeSchema(parts(2)))
+          } else Seq.empty
         }.toSeq
       } else Seq.empty
     }.toMap
@@ -253,16 +341,71 @@ object CommitLog {
       .distinct.sorted
   }
 
+  /** Schema-aware committed read (r15 evolution support): batches
+    * whose marker-recorded schemas differ are read per schema-group
+    * and unioned BY NAME — a column added in later batches reads NULL
+    * for the batches predating it, and widening-only type drift
+    * (tinyint→…→bigint, float→double) casts up to the widest recorded
+    * type. Incompatible drift (same column, types no widening chain
+    * joins) fails LOUDLY naming the column — never a silent
+    * mis-union. Batches without a recorded schema (pre-r15 writers)
+    * form one inferred-schema group, validated against the target the
+    * same way. All reconciliation happens on MARKER METADATA — the
+    * single-schema fast path (and any pre-schema table) is exactly
+    * one parquet read, no footer merging ever. */
+  private def readBatchSet(spark: SparkSession, table: String,
+      committed: Seq[(String, Long)]): DataFrame = {
+    def pathsOf(bs: Seq[(String, Long)]) =
+      bs.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
+    val schemas = batchSchemas(spark, table)
+    val groups = committed.groupBy(schemas.get).toSeq.sortBy(_._2.head)
+    if (groups.size <= 1)
+      return spark.read.option("basePath", table).parquet(pathsOf(committed): _*)
+    // target: per column name, the widest recorded type (declaration
+    // order = first group that declared the column)
+    val target = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    groups.foreach { case (sch, bs) =>
+      sch.toSeq.flatten.foreach { case (n, t) =>
+        target.get(n) match {
+          case None => target(n) = t
+          case Some(prev) => widen(prev, t) match {
+            case Some(w) => target(n) = w
+            case None => sys.error(
+              s"commit-log schema drift on column '$n' of $table is not " +
+                s"widening-only: '$prev' vs '$t' (batch ${bs.head}) — " +
+                "rewrite or fork the table")
+          }
+        }
+      }
+    }
+    groups.map { case (_, bs) =>
+      var df = spark.read.option("basePath", table).parquet(pathsOf(bs): _*)
+      target.foreach { case (n, t) =>
+        if (df.columns.contains(n)) {
+          val actual = df.schema(n).dataType.sql
+          if (actual != t) {
+            // the actual file type must itself widen INTO the target —
+            // covers unrecorded-schema groups whose physical type
+            // conflicts (a silent cast would null-coerce garbage)
+            if (!widen(actual, t).contains(t)) sys.error(
+              s"commit-log schema drift on column '$n' of $table is not " +
+                s"widening-only: file type '$actual' vs recorded target " +
+                s"'$t' (batches ${bs.take(3)}) — rewrite or fork the table")
+            df = df.withColumn(n, col(n).cast(t))
+          }
+        }
+      }
+      df
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Read exactly the committed partitions. Returns None when the log
     * is empty (a table with no committed data has no schema to offer —
     * callers decide whether that is empty-ok or an error). */
   def readCommitted(spark: SparkSession, table: String): Option[DataFrame] = {
     val committed = committedBatches(spark, table)
     if (committed.isEmpty) None
-    else {
-      val paths = committed.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
-      Some(spark.read.option("basePath", table).parquet(paths: _*))
-    }
+    else Some(readBatchSet(spark, table, committed))
   }
 
   /** Snapshot-pinned read: exactly the batches with
@@ -276,10 +419,7 @@ object CommitLog {
     val committed = committedBatches(spark, table)
       .filter(_._2 <= maxBatchId)
     if (committed.isEmpty) None
-    else {
-      val paths = committed.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
-      Some(spark.read.option("basePath", table).parquet(paths: _*))
-    }
+    else Some(readBatchSet(spark, table, committed))
   }
 
   /** Range read with BATCH PRUNING: only batches whose recorded
@@ -326,15 +466,13 @@ object CommitLog {
       }
     }
     if (surviving.isEmpty) {
-      // schema still needed: read one committed partition, return its
-      // empty slice under the residual filter
-      val (r, b) = committed.head
-      return Some(spark.read.option("basePath", table)
-        .parquet(s"$table/run_id=$r/batch_id=$b")
+      // schema still needed — and it must be the EVOLVED span schema
+      // (a single partition could predate an added column), so build
+      // from the full committed set; lit(false) means no data reads
+      return Some(readBatchSet(spark, table, committed)
         .where(col(column).between(lit(lo), lit(hi)) && lit(false)))
     }
-    val paths = surviving.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
-    Some(spark.read.option("basePath", table).parquet(paths: _*)
+    Some(readBatchSet(spark, table, surviving)
       .where(col(column).between(lit(lo), lit(hi))))
   }
 
@@ -359,13 +497,20 @@ object CommitLog {
     val committed =
       entriesOf(hfs, dir, olds.map(_.getPath.getName)).distinct.sorted
     if (committed.isEmpty) return
-    // stats survive compaction: folded as tab-suffixed snapshot fields
-    // (built from the same pre-listing state — batchStats re-lists,
-    // but only files that still exist, a subset of `olds`)
+    // stats AND schemas survive compaction: folded as tab-suffixed
+    // snapshot fields — "r,b[\t<stats>[\t<schema>]]", empty stats
+    // field kept when only a schema rides (built from the same
+    // pre-listing state — batchStats/batchSchemas re-list, but only
+    // files that still exist, a subset of `olds`)
     val stats = batchStats(spark, table)
+    val schemas = batchSchemas(spark, table)
     val body = committed.map { case (r, b) =>
-      stats.get((r, b)) match {
-        case Some(s) if s.nonEmpty => s"$r,$b\t${encodeStats(s)}"
+      val st = stats.get((r, b)).filter(_.nonEmpty).map(encodeStats)
+      val sc = schemas.get((r, b)).filter(_.nonEmpty).map(encodeSchema)
+      (st, sc) match {
+        case (Some(s), Some(h)) => s"$r,$b\t$s\t$h"
+        case (Some(s), None) => s"$r,$b\t$s"
+        case (None, Some(h)) => s"$r,$b\t\t$h"
         case _ => s"$r,$b"
       }
     }.mkString("\n")

@@ -156,6 +156,52 @@ class CommitLogSpec extends SparkSpec {
     assert(s.typ == "str" && s.min == "a:b;c%d\te" && s.max == "zz")
   }
 
+  test("schema evolution: added column reads NULL for prior batches; pruning stays exact") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txevo").toString + "/t"
+    CommitLog.writeBatchWithStats(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(
+      Seq((100L, "c", 1.5), (200L, "d", 2.5)).toDF("id", "v", "score"),
+      table, "r1", 1L, Seq("id"))
+    val all = CommitLog.readCommitted(spark, table).get
+    assert(all.columns.toSet == Set("id", "v", "score", "run_id", "batch_id"))
+    val rows = all.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(rows == Map(1L -> null, 2L -> null, 100L -> 1.5, 200L -> 2.5))
+    // batch-stats pruning still exact across the evolved span
+    val pruned = CommitLog.readCommittedRange(spark, table, "id", 100L, 150L).get
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq == Seq(100L))
+    assert(pruned.inputFiles.forall(_.contains("batch_id=1")),
+      pruned.inputFiles.mkString(", "))
+    // the zero-survivor empty frame carries the EVOLVED schema
+    val none = CommitLog.readCommittedRange(spark, table, "id", 5000L, 6000L).get
+    assert(none.count() == 0 && none.columns.contains("score"))
+    // evolution survives compaction (schema folded into the snapshot)
+    CommitLog.compactLog(spark, table)
+    val folded = CommitLog.readCommitted(spark, table).get
+    assert(folded.columns.contains("score") && folded.count() == 4)
+    assert(CommitLog.batchSchemas(spark, table).contains(("r1", 1L)))
+  }
+
+  test("schema evolution: widening int->bigint casts up; incompatible drift fails loudly") {
+    val wideT = java.nio.file.Files.createTempDirectory("graft-txwide").toString + "/t"
+    CommitLog.writeBatch(Seq((1, "a")).toDF("id", "v"), wideT, "r1", 0L)
+    CommitLog.writeBatch(Seq((5000000000L, "b")).toDF("id", "v"), wideT, "r1", 1L)
+    val wide = CommitLog.readCommitted(spark, wideT).get
+    assert(wide.schema("id").dataType.sql == "BIGINT", wide.schema.treeString)
+    assert(wide.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5000000000L))
+    val badT = java.nio.file.Files.createTempDirectory("graft-txbad").toString + "/t"
+    CommitLog.writeBatch(Seq((1L, 10L)).toDF("id", "v"), badT, "r1", 0L)
+    CommitLog.writeBatch(Seq((2L, "oops")).toDF("id", "v"), badT, "r1", 1L)
+    val e = intercept[RuntimeException] {
+      CommitLog.readCommitted(spark, badT).get.collect()
+    }
+    assert(e.getMessage.contains("'v'") && e.getMessage.contains("widening"),
+      e.getMessage)
+  }
+
   test("non-finite double stats (NaN/Infinity) degrade to unprunable, not a crash") {
     val table = java.nio.file.Files.createTempDirectory("graft-txnan").toString + "/t"
     // a double column whose max is NaN (Spark orders NaN largest) and
