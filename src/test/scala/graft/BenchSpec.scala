@@ -29,6 +29,27 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("stdoutLine fits the driver's 2KB tail window, keeps the true total") {
+    // small result sets pass through verbatim
+    val small = Map("q1" -> 1.0, "q2" -> 2.0)
+    assert(Bench.stdoutLine(small, "/sf", Map.empty) ==
+      Bench.jsonLine(small, "/sf", Map.empty))
+    // a 300-query set (~8KB full line) must reduce to <= budget with
+    // the headline total still over EVERY query and the slowest kept
+    val big = (1 to 300).map(i => f"query_name_$i%03d" -> i * 0.01).toMap
+    val line = Bench.stdoutLine(big, "/data/sf0.1", Map("load" -> "1.0"))
+    assert(line.length <= 1900, s"len ${line.length}")
+    val expectedTotal = big.values.sum
+    assert(line.contains(
+      "\"value\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(expectedTotal))))
+    assert(line.contains("query_name_300"), "slowest entry must survive")
+    assert(line.contains("queries_omitted"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // the FILE line stays complete regardless
+    assert(Bench.jsonLine(big, "/data/sf0.1", Map.empty).contains("query_name_001"))
+  }
+
   test("parsePrior extracts exactly the per-query map from a prior artifact line") {
     val line = Bench.jsonLine(Map("q1" -> 1.23456, "q_lag_gaps" -> 0.241), "/d/sf0.1",
       Map("load" -> "0.50,0.80", "reruns" -> ""))
