@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
   *     most page/object dicts) are inflated and their page/object
   *     counts folded in: `n_pages` adds `/Type /Page` dicts found in
   *     the decoded bytes, `n_objects` adds the stream's declared /N.
-  *     Cross-reference streams (/Type /XRef) are recognized and never
-  *     text-extracted (binary tables, not text);
+  *     Cross-reference streams (/Type /XRef) are never text-extracted
+  *     (binary tables, not text) — their W-field object tables ARE
+  *     decoded (r15, incl. PNG predictors), and when every xref
+  *     stream decodes cleanly the table's in-use + compressed entry
+  *     count (later revisions overriding earlier per object id) is
+  *     the `n_objects` authority instead of the token scan — the
+  *     table knows free slots and superseded objects raw bytes can't;
   *   - object/page counters only look OUTSIDE stream payloads — an
   *     uncompressed stream embedding another PDF (or any payload
   *     containing delimited `obj` bytes) no longer inflates counts;
@@ -161,6 +166,134 @@ object Pdf {
       i += t.length
     }
     last
+  }
+
+  /** Parse the `[ i i ... ]` integer array following name token `tok`
+    * in [from, until); empty when absent or malformed. Same 9-digit
+    * overflow rule as [[parseIntAfter]] (an overflowed element voids
+    * the array — a truncated width would misparse every row). */
+  private[sources] def parseIntArrayAfter(bytes: Array[Byte], tok: String,
+      from: Int, until: Int, cap: Int = 128): Seq[Int] = {
+    val t = tok.getBytes("US-ASCII")
+    var k = math.max(from, 0)
+    while ({ k = indexOf(bytes, t, k); k >= 0 && k < until }) {
+      var j = k + t.length
+      while (j < until && isWs(bytes(j) & 0xff)) j += 1
+      if (j < until && bytes(j) == '[') {
+        j += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var bad = false
+        var done = false
+        while (!done && !bad && j < until && out.length <= cap) {
+          while (j < until && isWs(bytes(j) & 0xff)) j += 1
+          if (j < until && bytes(j) == ']') { done = true }
+          else if (j < until && bytes(j) >= '0' && bytes(j) <= '9') {
+            var v = 0
+            var overflow = false
+            while (j < until && bytes(j) >= '0' && bytes(j) <= '9') {
+              if (v < 100000000) v = v * 10 + (bytes(j) - '0')
+              else overflow = true
+              j += 1
+            }
+            if (overflow) bad = true else out += v
+          } else bad = true
+        }
+        if (done && !bad) return out.toSeq
+        return Seq.empty
+      }
+      k += t.length
+    }
+    Seq.empty
+  }
+
+  /** Undo a PNG row predictor (filters 0-4, bpp = 1 byte — the
+    * Colors 1 / BitsPerComponent 8 shape xref streams use): rows of
+    * (1 filter byte + rowLen data). None on size mismatch or an
+    * unknown filter type. */
+  private def pngUnfilter(data: Array[Byte], rowLen: Int): Option[Array[Byte]] = {
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) return None
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i > 0) out(dst + i - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) out(dst - rowLen + i - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Decode a /Type /XRef stream's object table (ISO 32000 §7.5.8):
+    * fixed-width (type, field2, field3) rows per the dict's /W
+    * widths, object numbers from /Index pairs (default `[0 /Size]`),
+    * PNG predictors (/Predictor ≥ 10) unfiltered first. Returns
+    * (objNum, type) rows — type 0 free, 1 in-use, 2 compressed-in-
+    * ObjStm; None on ANY malformation, sending the caller back to the
+    * token-scan fallback (object counting is metadata, never worth a
+    * throw). */
+  private def xrefTable(bytes: Array[Byte], dictFrom: Int, until: Int,
+      payload: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    val w = parseIntArrayAfter(bytes, "/W", dictFrom, until, cap = 3)
+    if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w.sum == 0) return None
+    val rowLen = w.sum
+    val size = parseIntAfter(bytes, "/Size", dictFrom, until)
+    if (size <= 0 || size > 1000000) return None
+    val idx = parseIntArrayAfter(bytes, "/Index", dictFrom, until)
+    val index =
+      if (idx.nonEmpty && idx.length % 2 == 0) idx else Seq(0, size)
+    val pred = parseIntAfter(bytes, "/Predictor", dictFrom, until)
+    val data =
+      if (pred >= 10) pngUnfilter(payload, rowLen) match {
+        case Some(d) => d
+        case None => return None
+      } else payload
+    if (data.length % rowLen != 0) return None
+    val nRows = data.length / rowLen
+    val expected = index.grouped(2).map(_(1).toLong).sum
+    if (expected > nRows || expected > 1000000) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var row = 0
+    index.grouped(2).foreach { pair =>
+      val start = pair(0)
+      var k = 0
+      while (k < pair(1)) {
+        val off = row * rowLen
+        var typ = 1 // W[0] == 0 => type defaults to 1 (spec)
+        if (w(0) > 0) {
+          var v = 0
+          var i = 0
+          while (i < w(0)) { v = (v << 8) | (data(off + i) & 0xff); i += 1 }
+          typ = v
+        }
+        out += ((start + k, typ))
+        row += 1
+        k += 1
+      }
+    }
+    Some(out.toSeq)
   }
 
   /** Parse the non-negative integer following name token `tok` (e.g.
@@ -471,13 +604,36 @@ object Pdf {
         textFromContent(slice, out, decodeHex = !cidFonts)
       } else nSkipped += 1
     }
-    for (s <- streams if s.kind == 2)
-      if (s.isFlate) nFlate += 1
-      else if (s.hasFilter) nSkipped += 1
+    // Xref streams (r15): decode the W-field object table — when
+    // EVERY xref stream in the file decodes cleanly, the table is the
+    // object-count authority (it knows free slots and superseded
+    // objects the raw token scan cannot); file order = revision
+    // order, so later tables override earlier entries per object id.
+    // Any malformed table drops the authority and the token scan
+    // stands (counting is metadata, never worth a throw).
+    val xrefTypes = scala.collection.mutable.Map.empty[Int, Int]
+    var sawXrefTable = false
+    var xrefAuthority = true
+    for (s <- streams if s.kind == 2) {
+      val dec =
+        if (s.isFlate) { nFlate += 1; inflate(bytes, s.ds, s.pe - s.ds) }
+        else if (!s.hasFilter)
+          Some(java.util.Arrays.copyOfRange(bytes, s.ds, s.pe))
+        else { nSkipped += 1; None }
+      dec.flatMap(d => xrefTable(bytes, s.dictFrom, s.kw, d)) match {
+        case Some(entries) =>
+          sawXrefTable = true
+          entries.foreach { case (o, t) => xrefTypes(o) = t }
+        case None => xrefAuthority = false
+      }
+    }
     // countToken's delimiter guard already rejects endobj's inner
     // "obj" (preceded by 'd'); payload spans are excluded so embedded
     // documents inside uncompressed streams can't inflate the counts
-    val nObjects = countToken(bytes, "obj", spans) + objStmObjects
+    val nObjects =
+      if (sawXrefTable && xrefAuthority)
+        xrefTypes.valuesIterator.count(t => t == 1 || t == 2)
+      else countToken(bytes, "obj", spans) + objStmObjects
     val nPages = countPages(bytes, spans) + objStmPages
     PdfDoc(path, version, math.max(nObjects, 0), nPages, encrypted,
       nStreams, nFlate, nSkipped,

@@ -184,6 +184,76 @@ class PdfSpec extends SparkSpec {
     assert(doc.n_skipped_streams == 0)
   }
 
+  test("xref stream W-field table is the object-count authority") {
+    // 4 live objects (1 catalog, 2 pages, 3 page, 4 the xref stream)
+    // plus a STALE '5 0 obj' body superseded by the table (type 0
+    // free) — the token scan says 5, the xref table says 4
+    def rows(entries: Seq[(Int, Int, Int)]): Array[Byte] =
+      entries.flatMap { case (t, f2, f3) =>
+        Seq(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+      }.toArray
+    val table = rows(Seq((0, 0, 255), (1, 10, 0), (1, 20, 0), (1, 30, 0),
+      (1, 40, 0), (0, 0, 0))) // obj 0 free, 1-4 in use, 5 FREE
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R >> endobj\n")
+    w("5 0 obj << /Stale (superseded revision) >> endobj\n")
+    w(s"4 0 obj << /Type /XRef /Size 6 /W [1 2 1] " +
+      s"/Length ${table.length} >> stream\n")
+    out.write(table)
+    w("\nendstream endobj\nstartxref\n0\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 4, doc.toString)
+    assert(doc.n_pages == 1, doc.toString)
+  }
+
+  test("xref stream with PNG Up predictor and /Index decodes exactly") {
+    // table covers objects [2..5): 2,3 in use, 4 compressed (type 2)
+    // — compressed entries COUNT (they live in an ObjStm); raw rows
+    // Up-filtered (PNG type 2) before encoding
+    val raw = Seq[Array[Int]](
+      Array(1, 0, 10, 0), Array(1, 0, 20, 0), Array(2, 0, 1, 0))
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = Array(0, 0, 0, 0)
+    raw.foreach { row =>
+      filtered.write(2) // PNG Up
+      row.zip(prev).foreach { case (cur, up) =>
+        filtered.write((cur - up) & 0xff)
+      }
+      prev = row
+    }
+    val table = filtered.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("2 0 obj << /Type /Page >> endobj\n")
+    w("3 0 obj << /Type /Page >> endobj\n")
+    w(s"6 0 obj << /Type /XRef /Size 5 /W [1 2 1] /Index [2 3] " +
+      s"/DecodeParms << /Predictor 12 /Columns 4 >> " +
+      s"/Length ${table.length} >> stream\n")
+    out.write(table)
+    w("\nendstream endobj\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 3, doc.toString) // 2,3 in-use + 4 compressed
+  }
+
+  test("malformed xref table falls back to the token scan, never throws") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Page >> endobj\n")
+    // /W sums to 4 but the payload is 3 bytes — size mismatch
+    w("2 0 obj << /Type /XRef /Size 2 /W [1 2 1] /Length 3 >> stream\n")
+    out.write(Array[Byte](1, 0, 9))
+    w("\nendstream endobj\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 2, doc.toString) // token scan: objects 1 and 2
+    assert(doc.n_pages == 1)
+  }
+
   test("uncompressed stream embedding another PDF does not inflate counts") {
     val embedded = "%PDF-1.1\n7 0 obj <</Type /Page>> endobj\n"
     val out = new java.io.ByteArrayOutputStream()
