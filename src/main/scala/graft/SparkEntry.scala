@@ -1742,6 +1742,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IBAN scrubbing (the CC-scrub discipline for bank accounts):
+    // plant checksum-valid printed/compact/letter-bearing IBANs and a
+    // one-digit near-miss on deterministic doc subsets; only ISO
+    // 13616 mod-97-valid candidates become <IBAN>
+    "text_iban_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" wire DE89 3704 0044 0532 0130 00 today")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" acct GB29NWBK60161331926819 ref")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" bad DE89 3704 0044 0532 0130 01 nope")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit(" fr FR14 2004 1010 0505 0001 3M02 606 fin")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          size(TextAnalysis.ibanCandidates(planted)).cast("long").as("n_cand"),
+          size(TextAnalysis.ibanValidIn(planted)).cast("long").as("n_valid"),
+          TextAnalysis.scrubIban(planted).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // cross-document line dedup (CCNet-style boilerplate removal):
     // docs re-lined deterministically (10-word content lines) with a
     // planted cookie banner on even ids and a per-source footer —
@@ -5685,6 +5707,47 @@ object SparkEntry {
         |  CAST(len(valid) AS BIGINT) AS n_valid,
         |  list_reduce(list_prepend(t, valid),
         |    (acc, x) -> replace(acc, x, '<CC>')) AS scrubbed
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // IBAN replay: same candidate regex; the mod-97 fold encodes each
+    // rotated char as m*100+v (digit -> 1000+d, letter -> 10000+val)
+    // so list_reduce folds a uniform BIGINT list with the 0
+    // accumulator prepended — integer arithmetic, engine-exact
+    "text_iban_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' wire DE89 3704 0044 0532 0130 00 today' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' acct GB29NWBK60161331926819 ref' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' bad DE89 3704 0044 0532 0130 01 nope' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' fr FR14 2004 1010 0505 0001 3M02 606 fin' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract_all(t, '[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]){10,30}') AS cands
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, t, cands,
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(cands, x ->
+        |          struct_pack(orig := x,
+        |            rot := substr(replace(x, ' ', ''), 5) || substr(replace(x, ' ', ''), 1, 4),
+        |            n := length(replace(x, ' ', '')))),
+        |        s -> s.n BETWEEN 15 AND 34 AND 1 =
+        |          list_reduce(
+        |            list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(range(1, s.n + 1), i ->
+        |                CAST(CASE WHEN s.rot[i] BETWEEN '0' AND '9'
+        |                  THEN 1000 + CAST(s.rot[i] AS INTEGER)
+        |                  ELSE 10000 + ascii(s.rot[i]) - 55 END AS BIGINT))),
+        |            (acc, e) -> (acc * (CASE WHEN e >= 10000 THEN 100 ELSE 10 END) + e % 100) % 97)),
+        |      s -> s.orig) AS valid
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_cand,
+        |  CAST(len(valid) AS BIGINT) AS n_valid,
+        |  list_reduce(list_prepend(t, valid),
+        |    (acc, x) -> replace(acc, x, '<IBAN>')) AS scrubbed
         |FROM w ORDER BY doc_id""".stripMargin,
 
     // line-dedup replay: identical re-lining (banner/content/footer),

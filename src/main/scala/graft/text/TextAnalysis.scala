@@ -524,6 +524,62 @@ object TextAnalysis {
     aggregate(ccValid(text), coalesce(text, lit("")),
       (acc, x) => replace(acc, x, lit("<CC>")))
 
+  /** Candidate IBAN substrings: two uppercase letters + two check
+    * digits + 10-30 more alphanumerics with optional single-space
+    * grouping — both the printed form (`DE89 3704 0044 …`) and the
+    * compact form; validation is [[ibanValid]]'s job. An uppercase
+    * word glued directly after a real IBAN absorbs into the greedy
+    * candidate and fails the checksum — the candidate then survives
+    * unscrubbed (the standard scrubber trade-off; the separator-free
+    * plants the oracle gates never hit it). */
+  def ibanCandidates(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")),
+      lit("[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]){10,30}"), lit(0))
+
+  /** ISO 13616 mod-97 check over a compact (space-free) IBAN: rotate
+    * the first four chars to the end, map A..Z → 10..35, fold the
+    * digit stream mod 97 — valid iff the residue is 1 (plus the
+    * 15-34 length band). The fold is a codegen'd `aggregate` over
+    * character positions, reducing mod 97 every step (letters scale
+    * the accumulator by 100, digits by 10) — no bignum, and an engine
+    * with list lambdas replays it exactly. */
+  def ibanValid(compact: Column): Column = {
+    val n = length(compact)
+    val rot = concat(compact.substr(lit(5), n - 4),
+      compact.substr(lit(1), lit(4)))
+    val residue = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, i) => {
+        val ch = rot.substr(i, lit(1))
+        val isDigit = ch.between("0", "9")
+        // the cast only evaluates on the digit branch (CASE WHEN is
+        // lazy per row) — ANSI mode never sees a letter
+        (when(isDigit, acc * 10 + ch.cast("int"))
+          .otherwise(acc * 100 + ascii(ch) - 55)) % 97
+      })
+    n.between(15, 34) && (residue === 1)
+  }
+
+  /** The mod-97-VALID IBAN candidates of `text`, in match order, as
+    * their original (grouping-preserving) substrings — what a
+    * scrubber must replace. The checksum gate is what separates PII
+    * removal from destroying every uppercase reference code in the
+    * corpus (the [[ccValid]] discipline). */
+  def ibanValidIn(text: Column): Column = {
+    val structs = transform(ibanCandidates(text), x =>
+      struct(x.as("orig"), regexp_replace(x, " ", "").as("cs")))
+    transform(filter(structs, s => ibanValid(s.getField("cs"))),
+      s => s.getField("orig"))
+  }
+
+  /** Replace every mod-97-valid IBAN with `<IBAN>` (exact-substring
+    * replace per valid match; near-miss candidates survive). Compose
+    * with [[scrubPii]] / [[scrubCc]] for the full PII pass. */
+  def scrubIban(text: Column): Column =
+    aggregate(ibanValidIn(text), coalesce(text, lit("")),
+      (acc, x) => replace(acc, x, lit("<IBAN>")))
+
   /** Content fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Canonical exact-dup key that survives formatting jitter. */
   def fingerprint(text: Column): Column =

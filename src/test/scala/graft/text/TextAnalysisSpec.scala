@@ -99,6 +99,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
   }
 
+  test("scrubIban masks only mod-97-valid IBANs; near-misses and codes survive") {
+    val df = Seq(
+      (1L, "wire DE89 3704 0044 0532 0130 00 today"),   // valid, printed
+      (2L, "acct GB29NWBK60161331926819 ref"),           // valid, compact+letters
+      (3L, "fr FR14 2004 1010 0505 0001 3M02 606 fin"),  // valid, letter mid-BBAN
+      (4L, "bad DE89 3704 0044 0532 0130 01 nope"),      // one-digit near-miss
+      (5L, "code AB12 CDEF GHIJ KLMN OPQR reference"),   // IBAN-shaped, bad sum
+      (6L, "no candidates at all"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.scrubIban(col("text")).as("s"),
+        size(TextAnalysis.ibanValidIn(col("text"))).as("nv"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "wire <IBAN> today" && got(1L)._2 == 1)
+    assert(got(2L)._1 == "acct <IBAN> ref" && got(2L)._2 == 1)
+    assert(got(3L)._1 == "fr <IBAN> fin" && got(3L)._2 == 1)
+    assert(got(4L)._1.contains("0130 01") && got(4L)._2 == 0, got(4L).toString)
+    assert(got(5L)._1.contains("CDEF") && got(5L)._2 == 0)
+    assert(got(6L)._1 == "no candidates at all")
+    assert(got(7L)._1 == "")
+  }
+
   test("unwrapLines: dehyphenation, CRLF, paragraph preservation") {
     val cases = Seq(
       ("This is an exam-\nple of hyphen-\nated line wraps.\n\nNew para-\ngraph here.",

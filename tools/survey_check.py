@@ -22,11 +22,17 @@ survey = open(os.path.join(repo, "SURVEY.md")).read()
 problems = []
 
 # -- 1: every oracle-gated query key is bracket-cited ------------------
+# keys = latest CORRECTNESS round, UNIONED with any oracle_sql.json
+# passed as argv[1] (a fresh Verify dump) so queries added THIS round
+# are checked before the next round's correctness artifact exists
 rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
 if not rounds:
     problems.append("no CORRECTNESS_r*.json found")
 else:
-    keys = sorted(json.load(open(rounds[-1])).keys())
+    keys = set(json.load(open(rounds[-1])).keys())
+    if len(sys.argv) > 1:
+        keys |= set(json.load(open(sys.argv[1])).keys())
+    keys = sorted(keys)
     # bracket-cites look like "[q1_pricing_summary, q3_... ]" or prose
     # "[q_kmv_users — ...]"; collect every identifier inside brackets
     cited = set()
