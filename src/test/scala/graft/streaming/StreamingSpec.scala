@@ -332,6 +332,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/valid").count() == 3) // legacy read sees it
   }
 
+  test("restarted ingest with an added column: committed reads span the evolution") {
+    // the long-lived-ingest scenario commit-log schema evolution (r15)
+    // exists for: a stream restarts with a widened schema, the table
+    // now holds batches of BOTH shapes, and the committed read merges
+    // them (old batches NULL for the new column) without rewriting
+    // history or forking the table
+    import graft.rules.{Checks, Rule, RuleSet}
+    import graft.sources.CommitLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-route-evo").toString
+    val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
+    val rules = RuleSet(Seq(
+      Rule("code.digits", Checks.digits(col("code"), 3), "code must be 3 digits")))
+    import spark.implicits._
+    Seq(("P1", "123"), ("P2", "456")).toDF("pid", "code")
+      .write.mode("append").parquet(drop)
+    val q1 = EventStreams.validateAndRouteCommitted(
+      spark.readStream.schema("pid STRING, code STRING").parquet(drop),
+      rules, "pid", s"$dir/valid", s"$dir/errors", s"$dir/ckpt1")
+    try q1.awaitTermination(60000) finally q1.stop()
+    // restart on an EVOLVED drop zone: same table, new column
+    val drop2 = s"$dir/drop2"; new java.io.File(drop2).mkdirs()
+    Seq(("P3", "789", "eu-west")).toDF("pid", "code", "region")
+      .write.mode("append").parquet(drop2)
+    val q2 = EventStreams.validateAndRouteCommitted(
+      spark.readStream.schema("pid STRING, code STRING, region STRING")
+        .parquet(drop2),
+      rules, "pid", s"$dir/valid", s"$dir/errors", s"$dir/ckpt2")
+    try q2.awaitTermination(60000) finally q2.stop()
+    val all = CommitLog.readCommitted(spark, s"$dir/valid").get
+    assert(all.columns.contains("region"))
+    val rows = all.select("pid", "region").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("P1" -> null, "P2" -> null, "P3" -> "eu-west"), rows)
+  }
+
   test("sessionWindowStats merges gap-based sessions in batch and streaming") {
     import spark.implicits._
     // batch: 2 events 5 min apart + 1 event 2h later → 2 sessions
