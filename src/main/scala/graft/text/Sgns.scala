@@ -55,9 +55,12 @@ object Sgns {
 
   /** Driver-resident model: `vocab(w)` is the word at index w;
     * `inQ(w*dim + i)` / `outQ(w*dim + i)` the quantized (1e-9 units)
-    * input/output embeddings. */
+    * input/output embeddings. `lossQ(e)` is epoch e's summed SGNS
+    * log-loss in 1e-6 units (quantized per row before the integer
+    * fold, so the curve is as bit-reproducible as the weights) —
+    * divide by the corpus pair weight for a mean. */
   final case class SgnsModel(dim: Int, vocab: Array[String],
-      inQ: Array[Long], outQ: Array[Long]) {
+      inQ: Array[Long], outQ: Array[Long], lossQ: Array[Long]) {
 
     /** Input embeddings as the engine's standard vector-corpus shape:
       * (word_id, word, embedding Array[Float]) — word_id is the vocab
@@ -141,13 +144,14 @@ object Sgns {
     }
     // ---- epochs: one job each, integer-quantized gradient fold ----
     val sc = spark.sparkContext
-    for (_ <- 0 until epochs) {
+    val lossQ = new Array[Long](epochs)
+    for (e <- 0 until epochs) {
       val bcIn = sc.broadcast(inQ.clone())
       val bcOut = sc.broadcast(outQ.clone())
       val partials = rows.mapPartitions { it =>
         val win = bcIn.value
         val wout = bcOut.value
-        val g = new Array[Long](2 * len) // [gIn | gOut]
+        val g = new Array[Long](2 * len + 1) // [gIn | gOut | lossQ]
         while (it.hasNext) {
           val (ci, ti, n, posLabel) = it.next()
           val co = ci * dim
@@ -161,6 +165,10 @@ object Sgns {
           val dot = acc / 1e18
           val p = 1.0 / (1.0 + StrictMath.exp(-dot))
           val r = (p - (if (posLabel) 1.0 else 0.0)) * n
+          // SGNS log-loss of this row, 1e-6-quantized BEFORE the fold
+          val pl = if (posLabel) p else 1.0 - p
+          g(2 * len) +=
+            math.floor(-StrictMath.log(math.max(pl, 1e-12)) * n * 1e6).toLong
           i = 0
           while (i < dim) {
             // grad wrt in_i = r * out_i; out is 1e-9-quantized, so
@@ -171,12 +179,13 @@ object Sgns {
           }
         }
         Iterator.single(g)
-      }.rdd.fold(new Array[Long](2 * len)) { (a, b) =>
+      }.rdd.fold(new Array[Long](2 * len + 1)) { (a, b) =>
         var i = 0
         while (i < a.length) { a(i) += b(i); i += 1 }
         a
       }
       bcIn.destroy(); bcOut.destroy()
+      lossQ(e) = partials(2 * len)
       var j = 0
       while (j < len) {
         inQ(j) -= math.round(lr * (partials(j).toDouble / nTotal))
@@ -185,7 +194,45 @@ object Sgns {
       }
     }
     rows.unpersist()
-    SgnsModel(dim, vocab, inQ, outQ)
+    SgnsModel(dim, vocab, inQ, outQ, lossQ)
+  }
+
+  /** Persist: one row per (word_idx, matrix, dim_idx) triple is too
+    * wide — instead the "model is a small table" convention
+    * ([[LogReg.saveModel]]): (word, in quantized array, out quantized
+    * array), plus a `__meta__` row carrying dim and the loss curve.
+    * Word order = vocab index order, preserved through a rank
+    * column. */
+  def saveModel(spark: SparkSession, model: SgnsModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = model.vocab.iterator.zipWithIndex.map { case (w, wi) =>
+      (wi.toLong, w,
+        (0 until model.dim).map(i => model.inQ(wi * model.dim + i)),
+        (0 until model.dim).map(i => model.outQ(wi * model.dim + i)))
+    }.toSeq :+
+      ((-1L, "__meta__", Seq(model.dim.toLong), model.lossQ.toSeq))
+    rows.toDF("idx", "word", "in_q", "out_q")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]] — bit-identical
+    * matrices. */
+  def loadModel(spark: SparkSession, path: String): SgnsModel = {
+    val all = spark.read.parquet(path).collect()
+    // getSeq, not getAs[Seq[...]]: Spark hands back a mutable
+    // ArraySeq, which the 2.13 immutable-Seq ascription CCEs on
+    def seqOf(r: org.apache.spark.sql.Row, field: String): Seq[Long] =
+      r.getSeq[Long](r.fieldIndex(field))
+    val meta = all.find(_.getAs[Long]("idx") == -1L)
+      .getOrElse(sys.error(s"not an Sgns model: $path"))
+    val dim = seqOf(meta, "in_q").head.toInt
+    val lossQ = seqOf(meta, "out_q").toArray
+    val words = all.filter(_.getAs[Long]("idx") >= 0L)
+      .sortBy(_.getAs[Long]("idx"))
+    val vocab = words.map(_.getAs[String]("word"))
+    val inQ = words.flatMap(seqOf(_, "in_q")).toArray
+    val outQ = words.flatMap(seqOf(_, "out_q")).toArray
+    SgnsModel(dim, vocab, inQ, outQ, lossQ)
   }
 
   /** DeepWalk (Perozzi et al. 2014) end-to-end: random walks over the

@@ -75,6 +75,21 @@ class SgnsSpec extends SparkSpec {
     assert(a.outQ.toSeq == b.outQ.toSeq, "output matrix differs across partitionings")
   }
 
+  test("loss curve decreases; save/load round-trips bit-identically") {
+    val pairs = SkipGram.pairs(clusterDocs, "doc_id", "text", window = 2)
+    val m = Sgns.train(pairs, dim = 8, epochs = 10, lr = 2.0,
+      negatives = 3, topV = 100, seed = "loss")
+    assert(m.lossQ.length == 10)
+    assert(m.lossQ.last < m.lossQ.head,
+      s"loss did not decrease: ${m.lossQ.toSeq}")
+    val path = java.nio.file.Files.createTempDirectory("sgns-model").toString + "/m"
+    Sgns.saveModel(spark, m, path)
+    val back = Sgns.loadModel(spark, path)
+    assert(back.dim == m.dim && back.vocab.toSeq == m.vocab.toSeq)
+    assert(back.inQ.toSeq == m.inQ.toSeq && back.outQ.toSeq == m.outQ.toSeq)
+    assert(back.lossQ.toSeq == m.lossQ.toSeq)
+  }
+
   test("deepwalk closes walks -> pairs -> embeddings: two communities separate") {
     // two 6-cliques bridged by ONE edge: walks stay mostly inside
     // their community, so node embeddings must cluster by community
