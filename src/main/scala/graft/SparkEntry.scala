@@ -1742,6 +1742,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-document duplicated-substring removal (Lee et al. 2022's
+    // dedup target through the winnowing index): a license-style
+    // boilerplate planted mid-text on every third doc must come out,
+    // the doc's own text must survive — spans are df-gated selected
+    // fingerprints merged per doc, strip reconstructs the survivors
+    "text_substr_dedup" -> ((s, dir) => {
+      val boiler = " This Software Is Provided As Is Without Warranty " +
+        "Of Any Kind Express Or Implied "
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(substring(col("text"), 1, 40), lit(boiler),
+              expr("substring(text, 41)")))
+            .otherwise(col("text")).as("text"))
+      graft.text.Winnowing.stripDuplicateSpans(docs, "doc_id", "text",
+          k = 20, w = 8, minDf = 10)
+        .select(col("id").as("doc_id"), col("cleaned"),
+          col("n_spans"), col("removed_chars"))
+        .orderBy("doc_id")
+    }),
+
     // IBAN scrubbing (the CC-scrub discipline for bank accounts):
     // plant checksum-valid printed/compact/letter-bearing IBANs and a
     // one-digit near-miss on deterministic doc subsets; only ISO
@@ -5708,6 +5729,75 @@ object SparkEntry {
         |  list_reduce(list_prepend(t, valid),
         |    (acc, x) -> replace(acc, x, '<CC>')) AS scrubbed
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // substring-dedup replay: the full winnowing selection (k=20,
+    // w=8, case-sensitive), df>=10 fingerprint gate, gap-19 span
+    // merge via lag/sum windows, and segment-reconstruction strip
+    "text_substr_dedup" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN substring(text, 1, 40) ||
+        |        ' This Software Is Provided As Is Without Warranty Of Any Kind Express Or Implied ' ||
+        |        substring(text, 41)
+        |      ELSE text END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t AS s FROM d0 WHERE length(t) >= 27),
+        |g AS (
+        |  SELECT doc_id, CAST(ti.i AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(substring(s, CAST(ti.i AS INTEGER), 20)), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(range(1, length(s) - 18)) AS ti(i)),
+        |np AS (SELECT doc_id, max(p) AS n FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT doc_id, CAST(j.j AS BIGINT) AS j
+        |  FROM np, unnest(range(1, n - 6)) AS j(j)),
+        |wm AS (
+        |  SELECT w.doc_id, w.j, min(g.h) AS m
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 7
+        |  GROUP BY 1, 2),
+        |sel0 AS (
+        |  SELECT wm.doc_id, max(g.p) AS pos, wm.m AS fp
+        |  FROM wm JOIN g ON g.doc_id = wm.doc_id
+        |    AND g.p BETWEEN wm.j AND wm.j + 7 AND g.h = wm.m
+        |  GROUP BY wm.doc_id, wm.j, wm.m),
+        |sel AS (SELECT DISTINCT doc_id, pos, fp FROM sel0),
+        |dup AS (
+        |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+        |  GROUP BY fp HAVING count(*) >= 10),
+        |fl AS (SELECT DISTINCT s.doc_id, s.pos FROM sel s JOIN dup USING (fp)),
+        |mk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      -1000000) > 19 THEN 1 ELSE 0 END AS brk
+        |  FROM fl),
+        |sp0 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM mk),
+        |sp AS (
+        |  SELECT doc_id, span_id, min(pos) AS st,
+        |    max(pos) + 20 - min(pos) AS len
+        |  FROM sp0 GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT doc_id, st, len,
+        |    coalesce(lag(st + len) OVER (PARTITION BY doc_id ORDER BY st), 1) AS prev_end
+        |  FROM sp),
+        |agg AS (
+        |  SELECT seg.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(len) AS BIGINT) AS removed_chars,
+        |    string_agg(substring(d0.t, CAST(prev_end AS INTEGER),
+        |      CAST(st - prev_end AS INTEGER)), '' ORDER BY st) AS head,
+        |    max(st + len) AS last_end
+        |  FROM seg JOIN d0 ON d0.doc_id = seg.doc_id GROUP BY 1)
+        |SELECT d0.doc_id,
+        |  CASE WHEN agg.doc_id IS NULL THEN d0.t
+        |       ELSE agg.head || substring(d0.t, CAST(agg.last_end AS INTEGER)) END AS cleaned,
+        |  coalesce(agg.n_spans, 0) AS n_spans,
+        |  coalesce(agg.removed_chars, 0) AS removed_chars
+        |FROM d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
 
     // IBAN replay: same candidate regex; the mod-97 fold encodes each
     // rotated char as m*100+v (digit -> 1000+d, letter -> 10000+val)

@@ -55,12 +55,17 @@ object Winnowing {
     * (no complete window exists). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4,
-                   replayable: Boolean = true): DataFrame = {
+                   replayable: Boolean = true,
+                   caseFold: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
     val hashOne =
       if (replayable) "x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
       else "x -> xxhash64(x)"
-    df.select(col(idCol).as("id"), lower(col(textCol)).as("s"))
+    // caseFold = false keeps positions valid on the ORIGINAL text
+    // (what span removal needs; Unicode case folding is not always
+    // length-preserving)
+    df.select(col(idCol).as("id"),
+        (if (caseFold) lower(col(textCol)) else col(textCol)).as("s"))
       .where(length(col("s")) >= k + w - 1)
       .select(col("id"),
         graft.expr.CharGrams.charGrams(col("s"), k, distinct = false).as("g"))
@@ -80,6 +85,91 @@ object Winnowing {
       .select(col("id"), explode_outer(col("sel")).as("x"))
       .where(col("x").isNotNull)
       .select(col("id"), col("x.pos").as("pos"), col("x.fp").as("fp"))
+  }
+
+  /** Cross-document duplicated-substring SPANS — the Lee et al. 2022
+    * dedup target ("Deduplicating Training Data Makes Language Models
+    * Better" removes substrings repeated across the corpus; their
+    * suffix array is a single-machine structure, the winnowing index
+    * is the distributed stand-in): a selected fingerprint appearing
+    * in ≥ `minDf` DISTINCT documents marks a duplicated region;
+    * per doc, flagged positions within `max(w, k-1)` of each other
+    * merge into one span covering [start, lastPos + k). Inherited
+    * guarantee: any substring of length ≥ k+w-1 shared by ≥ minDf
+    * docs selects at least one identical fingerprint in each — no
+    * such region escapes unflagged (spans are fingerprint-anchored,
+    * so one may START up to w-1 chars into the duplicated region; it
+    * never extends past it, and the merge gap is what makes spans
+    * provably disjoint). Case-SENSITIVE (`caseFold = false`) so char
+    * positions map onto the original text for removal.
+    *
+    * Scale shape: fingerprints are a narrow per-doc projection (~1/w
+    * of grams), df is one (fp → distinct-doc count) aggregate, and
+    * the merge is a per-doc window over FLAGGED positions only — the
+    * corpus never self-joins. Output: (id, span_start, span_len),
+    * 1-based char start, spans disjoint and sorted per doc. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, w: Int = 8, minDf: Long = 10,
+      replayable: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val fps = fingerprints(df, idCol, textCol, k, w, replayable,
+      caseFold = false)
+    val dup = fps.select("fp", "id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDf)
+      .select("fp")
+    val flagged = fps.join(dup, "fp").select(col("id"), col("pos"))
+    val gap = math.max(w, k - 1)
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    flagged
+      .withColumn("brk",
+        when(col("pos") - coalesce(lag("pos", 1).over(byPos),
+          lit(Long.MinValue / 2)) > gap, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k - min("pos")).as("span_len"))
+      .select("id", "span_start", "span_len")
+  }
+
+  /** `textCol` with every [[duplicateSpans]] span REMOVED — the
+    * surviving segments concatenated in order: (id, cleaned, n_spans,
+    * removed_chars), documents without spans passing through
+    * verbatim. One extra doc-keyed join + one per-doc aggregate over
+    * span rows (spans are disjoint, so removed_chars = Σ span_len
+    * exactly). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, w: Int = 8, minDf: Long = 10,
+      replayable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val spans = duplicateSpans(df, idCol, textCol, k, w, minDf, replayable)
+    val byStart = Window.partitionBy("id").orderBy("span_start")
+    val segs = spans
+      .withColumn("prev_end",
+        coalesce(lag(col("span_start") + col("span_len"), 1).over(byStart),
+          lit(1L)))
+      .join(docs, "id")
+      .withColumn("seg", expr(
+        "substring(t, CAST(prev_end AS INT), CAST(span_start - prev_end AS INT))"))
+    val agg = segs.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_len").as("removed_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_start"), col("seg")))),
+          x => x.getField("seg")), "").as("head"),
+        max(col("span_start") + col("span_len")).as("last_end"),
+        first("t").as("dt"))
+      .select(col("id"), col("n_spans"), col("removed_chars"),
+        concat(col("head"),
+          expr("substring(dt, CAST(last_end AS INT))")).as("cleaned"))
+    docs.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cleaned"), col("t")).as("cleaned"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
   }
 
   /** Shared-fingerprint pairs: documents sharing ≥ `minShared`

@@ -97,6 +97,66 @@ class WinnowingSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("duplicateSpans localizes a cross-doc boilerplate; strip removes its core") {
+    val boiler = "THIS SOFTWARE IS PROVIDED AS IS WITHOUT WARRANTY OF ANY KIND EXPRESS OR IMPLIED"
+    val (k, w) = (20, 8)
+    // 12 docs share the boilerplate mid-text at a KNOWN position;
+    // 3 docs carry none; unique filler everywhere else
+    def filler(i: Long, n: Int) = (0 until n).map(p =>
+      java.lang.Long.toHexString(i * 131 + p * 17 + 3)).mkString(" ")
+    val insertAfter = 60
+    // 20 filler words guarantee >= 60 chars, so the prefix is UNIQUE
+    // right up to the boundary (a shared pad would itself be a real
+    // cross-doc duplicate and widen the span - by design)
+    def prefix(i: Long) = filler(i, 20).take(insertAfter)
+    val docs = ((1L to 12L).map { i =>
+      (i, prefix(i) + boiler + " " + filler(i + 100, 15))
+    } ++ (13L to 15L).map(i => (i, filler(i, 25)))).toDF("doc_id", "text")
+    val spans = Winnowing.duplicateSpans(docs, "doc_id", "text",
+      k = k, w = w, minDf = 10)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = spans.groupBy(_._1)
+    assert((1L to 12L).forall(byDoc.contains), s"missing docs: ${byDoc.keySet}")
+    assert((13L to 15L).forall(i => !byDoc.contains(i)))
+    val regionStart = insertAfter + 1 // 1-based
+    // the shared region includes the space APPENDED after the boiler
+    // (it too is identical across the 12 docs - by design)
+    val regionEnd = regionStart + boiler.length + 1 // exclusive
+    byDoc.filterKeys(_ <= 12L).foreach { case (id, ss) =>
+      assert(ss.length == 1, s"doc $id spans: ${ss.toSeq}")
+      val (_, start, len) = ss.head
+      assert(start >= regionStart && start <= regionStart + w - 1,
+        s"doc $id span starts at $start, region at $regionStart")
+      assert(start + len <= regionEnd, s"doc $id span ends past the region")
+      // at most w-1 leading + w-2 trailing chars of the region survive
+      assert(len >= boiler.length - (w - 1) - (w - 2), s"doc $id len $len")
+    }
+    // strip: the boilerplate CORE is gone, everything else survives
+    val cleaned = Winnowing.stripDuplicateSpans(docs, "doc_id", "text",
+      k = k, w = w, minDf = 10)
+      .select("id", "cleaned", "n_spans", "removed_chars")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val core = boiler.substring(w, boiler.length - w)
+    (1L to 12L).foreach { i =>
+      val (_, c, n, rem) = cleaned(i)
+      assert(!c.contains(core), s"doc $i still contains the core")
+      assert(n == 1 && rem >= boiler.length - (w - 1) - (w - 2))
+      // the doc's own filler survives around the removed span
+      assert(c.startsWith(prefix(i).take(40)))
+      assert(c.contains(filler(i + 100, 15).takeRight(30)))
+    }
+    (13L to 15L).foreach { i =>
+      val (_, c, n, rem) = cleaned(i)
+      assert(c == filler(i, 25) && n == 0 && rem == 0)
+    }
+    // partitioning determinism
+    val again = Winnowing.stripDuplicateSpans(docs.repartition(7), "doc_id",
+        "text", k = k, w = w, minDf = 10)
+      .select("id", "cleaned", "n_spans", "removed_chars")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == cleaned)
+  }
+
   test("sharedPairs maxDf drops boilerplate fingerprints") {
     val banner = "standard footer text appearing everywhere in the corpus now"
     val docs = (1L to 6L).map(i => (i, s"document body $i distinct words $i " + banner))
