@@ -202,7 +202,13 @@ object SqlScaleSmoke {
     // pass + per-script votes — the corpus-wide text front door),
     // five-pass unwrap regexp chain, Q11's reused-aggregate scalar
     // subquery over the derived supply relation
-    "text_lang_id", "text_unwrap", "q11_important_stock")
+    "text_lang_id", "text_unwrap", "q11_important_stock",
+    // r15 additions: cross-doc substring dedup (full-corpus winnowing
+    // fingerprints + df gate + per-doc window merge + reconstruction —
+    // the heaviest new text shuffle), IBAN scrub (per-char mod-97
+    // lambda aggregate, the Luhn-scrub cost shape), 46-language langId
+    // already rides text_lang_id above
+    "text_substr_dedup", "text_iban_scrub")
 
   /** Adversarial-skew smoke: a Zipf-keyed fact-fact join where 60% of
     * the left fact lands on ONE key, against a right fact too big to
