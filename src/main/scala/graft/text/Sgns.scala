@@ -235,6 +235,267 @@ object Sgns {
     SgnsModel(dim, vocab, inQ, outQ, lossQ)
   }
 
+  /** Subword (fastText-style) model: the input embedding of a word is
+    * the MEAN of its word vector and its char-ngram bucket vectors
+    * (Bojanowski et al. 2017) — which is what makes embeddings exist
+    * for words never seen in training. `bucketQ` is the B×dim bucket
+    * matrix; `ngramIds(w)` the bucket ids of vocab word w. */
+  final case class SgnsSubwordModel(dim: Int, buckets: Int,
+      minn: Int, maxn: Int, vocab: Array[String],
+      inQ: Array[Long], outQ: Array[Long], bucketQ: Array[Long],
+      lossQ: Array[Long]) {
+
+    private lazy val vocabIdx: Map[String, Int] =
+      vocab.iterator.zipWithIndex.toMap
+
+    /** Quantized composed input vector of ANY word — in-vocab words
+      * mean their word vector with their ngram buckets, OOV words
+      * mean their ngram buckets alone (the fastText OOV story). */
+    def embeddingOf(word: String): Array[Float] = {
+      val grams = Sgns.subwordBuckets(word, minn, maxn, buckets)
+      val acc = new Array[Double](dim)
+      var cnt = 0
+      vocabIdx.get(word).foreach { wi =>
+        var i = 0
+        while (i < dim) { acc(i) += inQ(wi * dim + i) / 1e9; i += 1 }
+        cnt += 1
+      }
+      grams.foreach { b =>
+        var i = 0
+        while (i < dim) { acc(i) += bucketQ(b * dim + i) / 1e9; i += 1 }
+        cnt += 1
+      }
+      val out = new Array[Float](dim)
+      if (cnt > 0) {
+        var i = 0
+        while (i < dim) { out(i) = (acc(i) / cnt).toFloat; i += 1 }
+      }
+      out
+    }
+  }
+
+  /** The char-ngram bucket ids of `word` (boundary-marked `<word>`,
+    * n in [minn, maxn], murmur-hashed mod `buckets`, distinct,
+    * sorted) — deterministic across JVMs. */
+  private[text] def subwordBuckets(word: String, minn: Int, maxn: Int,
+      buckets: Int): Array[Int] = {
+    val marked = "<" + word + ">"
+    val out = scala.collection.mutable.SortedSet.empty[Int]
+    var n = minn
+    while (n <= maxn) {
+      var i = 0
+      while (i + n <= marked.length) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(
+          marked.substring(i, i + n))
+        out += java.lang.Math.floorMod(h, buckets)
+        i += 1
+      }
+      n += 1
+    }
+    out.toArray
+  }
+
+  /** Subword SGNS (fastText, Bojanowski et al. 2017): identical
+    * training frame and fold discipline as [[train]], but the CENTER
+    * representation is the mean of the word vector and its char-ngram
+    * bucket vectors, and gradients distribute 1/(1+nGrams) to each —
+    * so morphologically-related words share parameters and OOV words
+    * get embeddings from their buckets alone. Bucket-id arrays are
+    * vocabulary-bounded model data broadcast once per training (not
+    * per epoch); the per-epoch fold moves (V + B + V)·dim longs.
+    * Bound: (V + buckets)·dim ≤ 4M. */
+  def trainSubword(pairs: DataFrame, dim: Int, epochs: Int, lr: Double,
+      negatives: Int, topV: Int = 65536, buckets: Int = 32768,
+      minn: Int = 3, maxn: Int = 5, tableSize: Int = 4096,
+      seed: String = "sgns-sub"): SgnsSubwordModel = {
+    require(dim > 0 && epochs > 0 && lr > 0 && negatives >= 1 &&
+      buckets > 0 && minn >= 1 && maxn >= minn,
+      "dim, epochs, lr, negatives, buckets, minn<=maxn must be positive")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cp = pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val freq = cp.groupBy(col("center").as("word"))
+      .agg(sum("n").as("freq"))
+    val vocab = freq.orderBy(col("freq").desc, col("word").asc)
+      .limit(topV).select("word").as[String].collect()
+    require(vocab.nonEmpty, "no words to train on")
+    val v = vocab.length
+    require((v.toLong + buckets) * dim <= 4L * 1000 * 1000,
+      s"(V+buckets)*dim = ${(v.toLong + buckets) * dim} exceeds the 4M " +
+        "driver/task-resident bound - lower topV, buckets or dim")
+    val gramIds: Array[Array[Int]] =
+      vocab.map(w => subwordBuckets(w, minn, maxn, buckets))
+    val idxDf = broadcast(
+      vocab.iterator.zipWithIndex.map { case (w, i) => (w, i) }.toSeq
+        .toDF("word", "idx"))
+    val table = NegativeSampling.sampleTable(freq, tableSize, topV)
+    val negs = NegativeSampling
+      .drawNegatives(cp, Seq("center", "context"), negatives, table, seed)
+      .where(col("neg_word") =!= col("context"))
+      .join(cp, Seq("center", "context"))
+      .select(col("center"), col("neg_word").as("target"), col("n"),
+        lit(false).as("pos"))
+    val pos = cp.select(col("center"), col("context").as("target"),
+      col("n"), lit(true).as("pos"))
+    val rows = pos.unionAll(negs)
+      .join(idxDf.select(col("word").as("center"), col("idx").as("ci")), "center")
+      .join(idxDf.select(col("word").as("target"), col("idx").as("ti")), "target")
+      .select(col("ci"), col("ti"), col("n"), col("pos"))
+      .as[(Int, Int, Long, Boolean)]
+      .cache()
+    val nTotal = cp.agg(sum("n")).as[Long].head()
+    val len = v * dim
+    val blen = buckets * dim
+    val inQ = new Array[Long](len)
+    val outQ = new Array[Long](len)
+    val bucketQ = new Array[Long](blen)
+    var wi = 0
+    while (wi < v) {
+      var i = 0
+      while (i < dim) {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"${vocab(wi)}|$i|$seed")
+        val u = (h & 0x7fffffff).toDouble / Int.MaxValue
+        inQ(wi * dim + i) = math.round((u - 0.5) / dim * 1e9)
+        i += 1
+      }
+      wi += 1
+    }
+    var bi = 0
+    while (bi < buckets) {
+      var i = 0
+      while (i < dim) {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"#bucket#$bi|$i|$seed")
+        val u = (h & 0x7fffffff).toDouble / Int.MaxValue
+        bucketQ(bi * dim + i) = math.round((u - 0.5) / dim * 1e9)
+        i += 1
+      }
+      bi += 1
+    }
+    val sc = spark.sparkContext
+    val bcGrams = sc.broadcast(gramIds)
+    val lossQ = new Array[Long](epochs)
+    for (e <- 0 until epochs) {
+      val bcIn = sc.broadcast(inQ.clone())
+      val bcOut = sc.broadcast(outQ.clone())
+      val bcBuck = sc.broadcast(bucketQ.clone())
+      val partials = rows.mapPartitions { it =>
+        val win = bcIn.value
+        val wout = bcOut.value
+        val wbuck = bcBuck.value
+        val grams = bcGrams.value
+        // [gIn | gOut | gBucket | loss]
+        val g = new Array[Long](2 * len + blen + 1)
+        val comp = new Array[Double](dim) // composed center, 1e-9 units
+        while (it.hasNext) {
+          val (ci, ti, n, posLabel) = it.next()
+          val co = ci * dim
+          val to = ti * dim
+          val gs = grams(ci)
+          val parts = 1 + gs.length
+          var i = 0
+          while (i < dim) {
+            var s = win(co + i).toDouble
+            var k = 0
+            while (k < gs.length) { s += wbuck(gs(k) * dim + i); k += 1 }
+            comp(i) = s / parts
+            i += 1
+          }
+          var acc = 0.0
+          i = 0
+          while (i < dim) { acc += comp(i) * wout(to + i); i += 1 }
+          val dot = acc / 1e18
+          val p = 1.0 / (1.0 + StrictMath.exp(-dot))
+          val r = (p - (if (posLabel) 1.0 else 0.0)) * n
+          val pl = if (posLabel) p else 1.0 - p
+          g(2 * len + blen) +=
+            math.floor(-StrictMath.log(math.max(pl, 1e-12)) * n * 1e6).toLong
+          val rp = r / parts
+          i = 0
+          while (i < dim) {
+            // grad wrt composed = r * out_i; distributes rp to the
+            // word slot and each bucket slot; grad wrt out = r * comp
+            val gi = math.floor(rp * wout(to + i)).toLong
+            g(co + i) += gi
+            var k = 0
+            while (k < gs.length) { g(2 * len + gs(k) * dim + i) += gi; k += 1 }
+            g(len + to + i) += math.floor(r * comp(i)).toLong
+            i += 1
+          }
+        }
+        Iterator.single(g)
+      }.rdd.fold(new Array[Long](2 * len + blen + 1)) { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      bcIn.destroy(); bcOut.destroy(); bcBuck.destroy()
+      lossQ(e) = partials(2 * len + blen)
+      var j = 0
+      while (j < len) {
+        inQ(j) -= math.round(lr * (partials(j).toDouble / nTotal))
+        outQ(j) -= math.round(lr * (partials(len + j).toDouble / nTotal))
+        j += 1
+      }
+      j = 0
+      while (j < blen) {
+        bucketQ(j) -= math.round(lr * (partials(2 * len + j).toDouble / nTotal))
+        j += 1
+      }
+    }
+    bcGrams.destroy()
+    rows.unpersist()
+    SgnsSubwordModel(dim, buckets, minn, maxn, vocab, inQ, outQ,
+      bucketQ, lossQ)
+  }
+
+  /** Document embeddings from a trained word-embedding frame: the
+    * idf-weighted mean of each document's word vectors — the standard
+    * strong baseline that turns SGNS output into a SEMANTIC-DEDUP /
+    * ANN corpus (feeds [[graft.ops.Ann]] and
+    * [[graft.ops.Decontaminate.semanticOverlaps]] directly). idf =
+    * ln(N / df) over the given corpus, weights and the final division
+    * in double (deterministic: idf derives from exact counts, the
+    * weighted mean is a native [[graft.expr.VectorSum]] fold over
+    * weight-scaled vectors — order-independent per-element double
+    * sums are NOT bit-exact in general, so the mean is rounded to
+    * 1e-6 like every served cosine).
+    *
+    * Scale shape: one broadcast of the vocabulary-bounded embedding
+    * frame, one narrow explode, one per-doc aggregate — the corpus
+    * shuffles (doc_id, token) pairs once, vectors ride the broadcast.
+    * Out-of-vocabulary tokens are skipped; docs with NO in-vocab
+    * token are omitted (no vector to offer). */
+  def docEmbeddings(docs: DataFrame, idCol: String, textCol: String,
+      wordVecs: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("word"))
+    val n = docs.select(col(idCol)).distinct().count()
+    // vocab filter FIRST so the df table is vocabulary-bounded (a
+    // broadcast of all corpus tokens would not be)
+    val inVocab = toks
+      .join(broadcast(wordVecs.select(col("word"),
+        col("embedding").cast("array<double>").as("vec"))), "word")
+      .localCheckpoint(eager = false)
+    val dfreq = inVocab.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val weighted = inVocab
+      .join(broadcast(dfreq), "word")
+      .select(col("doc_id"),
+        transform(col("vec"),
+          x => x * log(lit(n.toDouble) / col("df").cast("double"))).as("wv"))
+    weighted.groupBy("doc_id")
+      .agg(graft.expr.VectorSum.vectorSum(
+        col("wv").cast("array<float>")).as("s"))
+      .select(col("doc_id"),
+        expr("transform(s.sums, x -> CAST(round(x / s.n, 6) AS FLOAT))")
+          .as("embedding"))
+  }
+
   /** DeepWalk (Perozzi et al. 2014) end-to-end: random walks over the
     * `(src, dst)` edge frame become token sequences, skip-gram pairs
     * are generated over them, and SGNS trains node embeddings — the

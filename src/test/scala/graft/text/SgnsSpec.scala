@@ -90,6 +90,89 @@ class SgnsSpec extends SparkSpec {
     assert(back.lossQ.toSeq == m.lossQ.toSeq)
   }
 
+  test("docEmbeddings: idf-weighted means cluster docs by topic and feed semantic dedup") {
+    val pairs = SkipGram.pairs(clusterDocs, "doc_id", "text", window = 2)
+    val m = Sgns.train(pairs, dim = 16, epochs = 120, lr = 3.0,
+      negatives = 5, topV = 100, seed = "spec")
+    val docEmb = Sgns.docEmbeddings(clusterDocs, "doc_id", "text",
+      m.embeddingsDf(spark))
+    val got = docEmb.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    assert(got.size == 120) // every doc has in-vocab tokens
+    // doc cluster = doc_id / 100; intra-cluster doc cosine beats inter
+    val ids = got.keys.toSeq.sorted
+    val sample = ids.filter(_ % 7 == 0) // keep the pair loop small
+    val (intra, inter) = (for {
+      a <- sample; b <- sample if a < b
+    } yield ((a / 100) == (b / 100), cosine(got(a), got(b))))
+      .partition(_._1)
+    val intraMean = intra.map(_._2).sum / intra.size
+    val interMean = inter.map(_._2).sum / inter.size
+    assert(intraMean > interMean + 0.3,
+      s"docs not clustered: intra=$intraMean inter=$interMean")
+    // feeds the ANN family: mutual-kNN clustering recovers the 3 doc
+    // clusters exactly (k must span most of a
+    // 40-doc cluster: the cyclic fixture creates identical-embedding
+    // residue groups that mutual links must bridge)
+    val clusters = graft.ops.Ann.mutualKnnClusters(
+        docEmb, "doc_id", "embedding", k = 30, minCosine = 0.6)
+      .as[(Long, Long)].collect().toMap
+    val byComponent = clusters.groupBy(_._2).values.map(_.keys.toSet)
+    assert(byComponent.size == 3, s"${byComponent.size} components")
+    byComponent.foreach { members =>
+      assert(members.map(_ / 100).size == 1, s"mixed component: $members")
+    }
+  }
+
+  test("subword SGNS: morphological clusters separate; OOV words embed near their root's cluster") {
+    // three clusters whose words share a morphological ROOT — the
+    // structure subword buckets exist to exploit
+    val roots = Seq("payment", "transfer", "ledgerx")
+    val docs = (for {
+      (root, c) <- roots.zipWithIndex
+      d <- 0 until 40
+    } yield {
+      val words = (0 until 8).map(p => f"$root${(d + p) % 6}%02d")
+      (c.toLong * 100 + d, words.mkString(" "))
+    }).toDF("doc_id", "text")
+    val pairs = SkipGram.pairs(docs, "doc_id", "text", window = 2)
+    val m = Sgns.trainSubword(pairs, dim = 16, epochs = 100, lr = 3.0,
+      negatives = 5, topV = 100, buckets = 4096, minn = 3, maxn = 5,
+      seed = "sub")
+    assert(m.vocab.length == 18)
+    def embC(w: String) = m.embeddingOf(w)
+    // in-vocab separation through the COMPOSED embeddings
+    val ws = m.vocab.toSeq
+    def clusterOf(w: String) = roots.indexWhere(w.startsWith)
+    val (intra, inter) = (for {
+      a <- ws; b <- ws if a < b
+    } yield (clusterOf(a) == clusterOf(b), cosine(embC(a), embC(b))))
+      .partition(_._1)
+    val intraMean = intra.map(_._2).sum / intra.size
+    val interMean = inter.map(_._2).sum / inter.size
+    assert(intraMean > interMean + 0.15,
+      s"clusters not separated: intra=$intraMean inter=$interMean")
+    // the fastText property: an OOV word (never in any document)
+    // embeds through its ngram buckets alone, nearest its root's
+    // cluster
+    for ((root, c) <- roots.zipWithIndex) {
+      val oov = embC(root + "99")
+      val byCluster = roots.indices.map { cc =>
+        val members = ws.filter(clusterOf(_) == cc)
+        cc -> members.map(w => cosine(oov, embC(w))).sum / members.size
+      }
+      val best = byCluster.maxBy(_._2)._1
+      assert(best == c, s"OOV $root" + s"99 lands in cluster $best: $byCluster")
+    }
+    // same fold discipline => same bit-reproducibility
+    val a = Sgns.trainSubword(pairs, dim = 8, epochs = 3, lr = 1.0,
+      negatives = 2, topV = 100, buckets = 512, seed = "subr")
+    val b = Sgns.trainSubword(pairs.repartition(7), dim = 8, epochs = 3,
+      lr = 1.0, negatives = 2, topV = 100, buckets = 512, seed = "subr")
+    assert(a.inQ.toSeq == b.inQ.toSeq && a.bucketQ.toSeq == b.bucketQ.toSeq &&
+      a.outQ.toSeq == b.outQ.toSeq)
+  }
+
   test("deepwalk closes walks -> pairs -> embeddings: two communities separate") {
     // two 6-cliques bridged by ONE edge: walks stay mostly inside
     // their community, so node embeddings must cluster by community
