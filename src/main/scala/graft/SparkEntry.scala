@@ -3724,6 +3724,19 @@ object SparkEntry {
       graft.text.Sgns.train(pairs, dim = 32, epochs = 5,
         lr = 1.0, negatives = 5, topV = 4096).embeddingsDf(s)
     }),
+
+    // the corpus-embedding closure: train SGNS, then turn every doc
+    // into an idf-weighted mean vector (the semantic-dedup corpus) —
+    // measures the full text → embeddings path end to end
+    "sgns_doc_embed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.SkipGram.trainingPairs(
+        docs, "doc_id", "text", window = 2)
+      val m = graft.text.Sgns.train(pairs, dim = 32, epochs = 3,
+        lr = 1.0, negatives = 5, topV = 4096)
+      graft.text.Sgns.docEmbeddings(docs, "doc_id", "text",
+        m.embeddingsDf(s))
+    }),
     // k-core of the part co-purchase graph: iterative peel to the
     // 8-core (dense co-assortment families). Rounds are data-dependent
     // (KCoreSpec pins semantics), so bench-only — no SQL replay.

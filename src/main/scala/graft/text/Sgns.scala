@@ -457,12 +457,12 @@ object Sgns {
     * strong baseline that turns SGNS output into a SEMANTIC-DEDUP /
     * ANN corpus (feeds [[graft.ops.Ann]] and
     * [[graft.ops.Decontaminate.semanticOverlaps]] directly). idf =
-    * ln(N / df) over the given corpus, weights and the final division
-    * in double (deterministic: idf derives from exact counts, the
-    * weighted mean is a native [[graft.expr.VectorSum]] fold over
-    * weight-scaled vectors — order-independent per-element double
-    * sums are NOT bit-exact in general, so the mean is rounded to
-    * 1e-6 like every served cosine).
+    * ln(N / df) over the given corpus. The repo-wide
+    * quantize-before-sum discipline makes the mean BIT-REPRODUCIBLE
+    * across partitionings: each weighted element is floor-quantized
+    * to 1e-4 integer units BEFORE the [[graft.expr.VectorSum]] fold —
+    * integer-valued floats below 2^24 add exactly in any order — and
+    * one final division closes at round(·, 6).
     *
     * Scale shape: one broadcast of the vocabulary-bounded embedding
     * frame, one narrow explode, one per-doc aggregate — the corpus
@@ -483,16 +483,20 @@ object Sgns {
       .localCheckpoint(eager = false)
     val dfreq = inVocab.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
+    // floor-quantize each weighted element to 1e-4 units: the values
+    // are integer-valued and |idf·v·1e4| stays under 2^24, so the
+    // float fold below adds them EXACTLY in any partition order
     val weighted = inVocab
       .join(broadcast(dfreq), "word")
       .select(col("doc_id"),
         transform(col("vec"),
-          x => x * log(lit(n.toDouble) / col("df").cast("double"))).as("wv"))
+          x => floor(x * log(lit(n.toDouble) / col("df").cast("double"))
+            * 1e4)).as("wv"))
     weighted.groupBy("doc_id")
       .agg(graft.expr.VectorSum.vectorSum(
         col("wv").cast("array<float>")).as("s"))
       .select(col("doc_id"),
-        expr("transform(s.sums, x -> CAST(round(x / s.n, 6) AS FLOAT))")
+        expr("transform(s.sums, x -> CAST(round(x / s.n / 1e4, 6) AS FLOAT))")
           .as("embedding"))
   }
 

@@ -122,6 +122,13 @@ class SgnsSpec extends SparkSpec {
     byComponent.foreach { members =>
       assert(members.map(_ / 100).size == 1, s"mixed component: $members")
     }
+    // quantize-before-sum: the embeddings are bit-identical under a
+    // different partitioning
+    val again = Sgns.docEmbeddings(clusterDocs.repartition(7), "doc_id",
+        "text", m.embeddingsDf(spark))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toSeq }.toMap
+    assert(again == got.map { case (id, v) => id -> v.toSeq })
   }
 
   test("subword SGNS: morphological clusters separate; OOV words embed near their root's cluster") {
