@@ -262,8 +262,12 @@ object Pdf {
     val size = parseIntAfter(bytes, "/Size", dictFrom, until)
     if (size <= 0 || size > 1000000) return None
     val idx = parseIntArrayAfter(bytes, "/Index", dictFrom, until)
+    // absent /Index defaults to [0, Size]; a PRESENT but odd-length
+    // one is malformation — fall back rather than guess pair bounds
     val index =
-      if (idx.nonEmpty && idx.length % 2 == 0) idx else Seq(0, size)
+      if (idx.isEmpty) Seq(0, size)
+      else if (idx.length % 2 == 0) idx
+      else return None
     val pred = parseIntAfter(bytes, "/Predictor", dictFrom, until)
     val data =
       if (pred >= 10) pngUnfilter(payload, rowLen) match {

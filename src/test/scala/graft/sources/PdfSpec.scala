@@ -297,10 +297,28 @@ class PdfSpec extends SparkSpec {
       },
       "%PDF-1.5\nstream\n".getBytes("UTF-8"),         // stream, no endstream
       ("%PDF-1.5\n1 0 obj << /Length 3 >> stream\n(((" +
-        "\nendstream endobj\n").getBytes("UTF-8"))    // unterminated string
+        "\nendstream endobj\n").getBytes("UTF-8"),    // unterminated string
+      // hostile xref-stream dicts (r15 W-field decode paths): every
+      // malformation must fall back to the token scan, never throw
+      ("%PDF-1.5\n1 0 obj << /Type /XRef /Size 2 /W [9 9 9] /Length 4 " +
+        ">> stream\nABCD\nendstream endobj\n").getBytes("UTF-8"), // widths > 8
+      ("%PDF-1.5\n1 0 obj << /Type /XRef /Size 2 /W [1 2 1] /Index [5] " +
+        "/Length 8 >> stream\nABCDEFGH\nendstream endobj\n")
+        .getBytes("UTF-8"),                           // odd /Index
+      ("%PDF-1.5\n1 0 obj << /Type /XRef /Size 999999999 /W [1 2 1] " +
+        "/Length 4 >> stream\nABCD\nendstream endobj\n")
+        .getBytes("UTF-8"),                           // insane /Size
+      ("%PDF-1.5\n1 0 obj << /Type /XRef /Size 2 /W [1 2 1] " +
+        "/DecodeParms << /Predictor 12 /Columns 4 >> /Length 7 " +
+        ">> stream\n	ABCDEF\nendstream endobj\n")
+        .getBytes("ISO-8859-1"),                      // bad predictor rows
+      ("%PDF-1.5\n1 0 obj << /Type /XRef /Size 2 /W [0 0 0] /Length 4 " +
+        ">> stream\nABCD\nendstream endobj\n").getBytes("UTF-8")) // zero widths
     val docs = cases.map(Pdf.parse("p", _))
     assert(docs(0)._corrupt && docs(1)._corrupt)
     assert(docs.drop(2).forall(!_._corrupt)) // framing survives, partial data
+    // the malformed-xref rows fell back to the token scan (1 obj each)
+    assert(docs.drop(6).forall(_.n_objects == 1), docs.drop(6).mkString("\n"))
   }
 
   test("extractAll: corrupt isolation per row on a mixed frame") {
