@@ -87,9 +87,11 @@ object Sgns {
     * dropped — the standard vocabulary cap. */
   def train(pairs: DataFrame, dim: Int, epochs: Int, lr: Double,
       negatives: Int, topV: Int = 65536, tableSize: Int = 4096,
-      seed: String = "sgns"): SgnsModel = {
+      seed: String = "sgns", init: Option[SgnsModel] = None): SgnsModel = {
     require(dim > 0 && epochs > 0 && lr > 0 && negatives >= 1,
       "dim, epochs, lr, negatives must be positive")
+    init.foreach(m => require(m.dim == dim,
+      s"init model dim ${m.dim} != $dim"))
     val spark = pairs.sparkSession
     import spark.implicits._
     // ---- corpus collapse: distinct weighted co-occurrence pairs ----
@@ -126,19 +128,32 @@ object Sgns {
       .as[(Int, Int, Long, Boolean)]
       .cache()
     val nTotal = cp.agg(sum("n")).as[Long].head()
-    // ---- deterministic init: murmur-uniform in (-0.5/dim, 0.5/dim) ----
+    // ---- deterministic init: murmur-uniform in (-0.5/dim, 0.5/dim);
+    // words carried by `init` RESUME their trained vectors (so a
+    // continued run over the same pairs is bit-identical to one long
+    // run, and a long-lived pipeline retrains incrementally instead
+    // of from scratch) ----
     val len = v * dim
     val inQ = new Array[Long](len)
     val outQ = new Array[Long](len)
+    val carried: Map[String, Int] =
+      init.map(_.vocab.iterator.zipWithIndex.toMap).getOrElse(Map.empty)
     var wi = 0
     while (wi < v) {
-      var i = 0
-      while (i < dim) {
-        val h = scala.util.hashing.MurmurHash3
-          .stringHash(s"${vocab(wi)}|$i|$seed")
-        val u = (h & 0x7fffffff).toDouble / Int.MaxValue // [0, 1)
-        inQ(wi * dim + i) = math.round((u - 0.5) / dim * 1e9)
-        i += 1
+      carried.get(vocab(wi)) match {
+        case Some(pi) =>
+          val m = init.get
+          System.arraycopy(m.inQ, pi * dim, inQ, wi * dim, dim)
+          System.arraycopy(m.outQ, pi * dim, outQ, wi * dim, dim)
+        case None =>
+          var i = 0
+          while (i < dim) {
+            val h = scala.util.hashing.MurmurHash3
+              .stringHash(s"${vocab(wi)}|$i|$seed")
+            val u = (h & 0x7fffffff).toDouble / Int.MaxValue // [0, 1)
+            inQ(wi * dim + i) = math.round((u - 0.5) / dim * 1e9)
+            i += 1
+          }
       }
       wi += 1
     }

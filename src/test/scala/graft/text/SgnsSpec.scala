@@ -90,6 +90,37 @@ class SgnsSpec extends SparkSpec {
     assert(back.lossQ.toSeq == m.lossQ.toSeq)
   }
 
+  test("continued training is bit-identical to one long run; vocab growth carries vectors") {
+    val pairs = SkipGram.pairs(clusterDocs, "doc_id", "text", window = 2)
+    val full = Sgns.train(pairs, dim = 8, epochs = 5, lr = 1.0,
+      negatives = 2, topV = 100, seed = "resume")
+    val part = Sgns.train(pairs, dim = 8, epochs = 2, lr = 1.0,
+      negatives = 2, topV = 100, seed = "resume")
+    val resumed = Sgns.train(pairs, dim = 8, epochs = 3, lr = 1.0,
+      negatives = 2, topV = 100, seed = "resume", init = Some(part))
+    assert(resumed.inQ.toSeq == full.inQ.toSeq &&
+      resumed.outQ.toSeq == full.outQ.toSeq,
+      "resume from a 2-epoch checkpoint diverged from the 5-epoch run")
+    // vocabulary growth: new docs add new words; carried words resume
+    // their trained vectors, new words initialize fresh
+    val grown = clusterDocs.unionAll(
+      Seq((900L, "newword0 newword1 newword0 newword1 newword2 newword0"))
+        .toDF("doc_id", "text"))
+    val g = Sgns.train(SkipGram.pairs(grown, "doc_id", "text", window = 2),
+      dim = 8, epochs = 1, lr = 1e-9, negatives = 2, topV = 100,
+      seed = "resume", init = Some(part))
+    assert(g.vocab.length == 21, g.vocab.mkString(","))
+    // at a vanishing lr the carried words' vectors are (nearly) the
+    // checkpoint's: gradients round to 0 under 1e-9 units
+    val gIdx = g.vocab.iterator.zipWithIndex.toMap
+    val pIdx = part.vocab.iterator.zipWithIndex.toMap
+    part.vocab.foreach { w =>
+      val (gi, pi) = (gIdx(w), pIdx(w))
+      assert((0 until 8).forall(i =>
+        g.inQ(gi * 8 + i) == part.inQ(pi * 8 + i)), s"carried $w moved")
+    }
+  }
+
   test("docEmbeddings: idf-weighted means cluster docs by topic and feed semantic dedup") {
     val pairs = SkipGram.pairs(clusterDocs, "doc_id", "text", window = 2)
     val m = Sgns.train(pairs, dim = 16, epochs = 120, lr = 3.0,
