@@ -1763,6 +1763,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // boilerplate forensics: the most-duplicated substrings of the
+    // corpus, two planted boilers (every 3rd / every 5th doc) must
+    // dominate the report with their exact doc counts
+    "text_top_boilerplate" -> ((s, dir) => {
+      val boiler1 = " This Software Is Provided As Is Without Warranty " +
+        "Of Any Kind Express Or Implied "
+      val boiler2 = " Subscribe To Our Newsletter For Updates And Offers "
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              concat(substring(col("text"), 1, 40), lit(boiler1),
+                expr("substring(text, 41)")))
+              .otherwise(col("text")),
+            when(col("doc_id") % 5 === 0, lit(boiler2)).otherwise(lit("")))
+            .as("text"))
+      graft.text.Winnowing.topDuplicateSubstrings(docs, "doc_id", "text",
+        k = 20, w = 8, minDf = 10, topK = 15)
+    }),
+
     // IBAN scrubbing (the CC-scrub discipline for bank accounts):
     // plant checksum-valid printed/compact/letter-bearing IBANs and a
     // one-digit near-miss on deterministic doc subsets; only ISO
@@ -5742,6 +5762,54 @@ object SparkEntry {
         |  list_reduce(list_prepend(t, valid),
         |    (acc, x) -> replace(acc, x, '<CC>')) AS scrubbed
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // boilerplate-forensics replay: winnow selection + df gate +
+    // lexicographic-min (doc, pos) example + gram render, top-15
+    "text_top_boilerplate" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN substring(text, 1, 40) ||
+        |        ' This Software Is Provided As Is Without Warranty Of Any Kind Express Or Implied ' ||
+        |        substring(text, 41)
+        |      ELSE text END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' Subscribe To Our Newsletter For Updates And Offers ' ELSE '' END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t AS s FROM d0 WHERE length(t) >= 27),
+        |g AS (
+        |  SELECT doc_id, CAST(ti.i AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(substring(s, CAST(ti.i AS INTEGER), 20)), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(range(1, length(s) - 18)) AS ti(i)),
+        |np AS (SELECT doc_id, max(p) AS n FROM g GROUP BY doc_id),
+        |win AS (
+        |  SELECT doc_id, CAST(j.j AS BIGINT) AS j
+        |  FROM np, unnest(range(1, n - 6)) AS j(j)),
+        |wm AS (
+        |  SELECT w.doc_id, w.j, min(g.h) AS m
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 7
+        |  GROUP BY 1, 2),
+        |sel0 AS (
+        |  SELECT wm.doc_id, max(g.p) AS pos, wm.m AS fp
+        |  FROM wm JOIN g ON g.doc_id = wm.doc_id
+        |    AND g.p BETWEEN wm.j AND wm.j + 7 AND g.h = wm.m
+        |  GROUP BY wm.doc_id, wm.j, wm.m),
+        |sel AS (SELECT DISTINCT doc_id, pos, fp FROM sel0),
+        |dup AS (
+        |  SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, fp FROM sel)
+        |  GROUP BY fp HAVING count(*) >= 10),
+        |ex AS (
+        |  SELECT s.fp, dup.n_docs,
+        |    min(struct_pack(id := s.doc_id, pos := s.pos)) AS at
+        |  FROM sel s JOIN dup USING (fp)
+        |  GROUP BY s.fp, dup.n_docs)
+        |SELECT ex.n_docs,
+        |  substring(d0.t, CAST((ex.at).pos AS INTEGER), 20) AS snippet
+        |FROM ex JOIN d0 ON d0.doc_id = (ex.at).id
+        |ORDER BY n_docs DESC, snippet ASC
+        |LIMIT 15""".stripMargin,
 
     // substring-dedup replay: the full winnowing selection (k=20,
     // w=8, case-sensitive), df>=10 fingerprint gate, gap-19 span

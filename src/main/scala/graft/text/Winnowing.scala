@@ -134,6 +134,36 @@ object Winnowing {
       .select("id", "span_start", "span_len")
   }
 
+  /** The corpus's most-duplicated substrings — boilerplate FORENSICS,
+    * the report half of [[duplicateSpans]] (what should this corpus's
+    * blocklist / strip stage contain?): every df-qualifying selected
+    * fingerprint with its distinct-doc count and ONE deterministic
+    * example occurrence (lexicographic-min (id, pos)) rendered as the
+    * k-char gram text. Top `topK` by (n_docs DESC, snippet ASC) —
+    * fully deterministic: identical gram text ⇒ identical
+    * fingerprint, so no two rows tie on both keys. Same scale shape
+    * as duplicateSpans plus one fingerprint-bounded join back for the
+    * snippet text. */
+  def topDuplicateSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, w: Int = 8, minDf: Long = 10,
+      topK: Int = 20): DataFrame = {
+    require(minDf >= 2 && topK >= 1, "need minDf >= 2, topK >= 1")
+    val fps = fingerprints(df, idCol, textCol, k, w, replayable = true,
+      caseFold = false)
+    val dfreq = fps.select("fp", "id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDf)
+    val ex = fps.join(dfreq, "fp")
+      .groupBy("fp", "n_docs")
+      .agg(min(struct(col("id"), col("pos"))).as("at"))
+    ex.join(df.select(col(idCol).as("id"), col(textCol).as("t")),
+        col("at.id") === col("id"))
+      .select(col("n_docs"),
+        expr(s"substring(t, CAST(at.pos AS INT), $k)").as("snippet"))
+      .orderBy(col("n_docs").desc, col("snippet").asc)
+      .limit(topK)
+  }
+
   /** `textCol` with every [[duplicateSpans]] span REMOVED — the
     * surviving segments concatenated in order: (id, cleaned, n_spans,
     * removed_chars), documents without spans passing through

@@ -157,6 +157,23 @@ class WinnowingSpec extends SparkSpec {
     assert(again == cleaned)
   }
 
+  test("topDuplicateSubstrings reports the planted boilerplate with exact doc counts") {
+    val boiler = "STANDARD FOOTER APPEARING IN MOST DOCUMENTS HERE"
+    def filler(i: Long, n: Int) = (0 until n).map(p =>
+      java.lang.Long.toHexString(i * 131 + p * 17 + 3)).mkString(" ")
+    val docs = ((1L to 12L).map(i => (i, filler(i, 15) + " " + boiler)) ++
+      (13L to 15L).map(i => (i, filler(i, 25)))).toDF("doc_id", "text")
+    val top = Winnowing.topDuplicateSubstrings(docs, "doc_id", "text",
+        k = 20, w = 8, minDf = 10, topK = 5)
+      .as[(Long, String)].collect()
+    assert(top.nonEmpty && top.forall(_._1 == 12L), top.toSeq.toString)
+    // every reported snippet is a verbatim substring of the boilerplate
+    // region (" " + boiler); snippets are k = 20 chars
+    top.foreach { case (_, snip) =>
+      assert(snip.length == 20 && (" " + boiler).contains(snip), s"'$snip'")
+    }
+  }
+
   test("sharedPairs maxDf drops boilerplate fingerprints") {
     val banner = "standard footer text appearing everywhere in the corpus now"
     val docs = (1L to 6L).map(i => (i, s"document body $i distinct words $i " + banner))
