@@ -485,29 +485,54 @@ object Sgns {
     * Out-of-vocabulary tokens are skipped; docs with NO in-vocab
     * token are omitted (no vector to offer). */
   def docEmbeddings(docs: DataFrame, idCol: String, textCol: String,
+      wordVecs: DataFrame): DataFrame =
+    docEmbeddingsFrozen(docs, idCol, textCol,
+      idfWeights(docs, idCol, textCol, wordVecs))
+
+  /** The FROZEN (word, embedding, weight) frame a serving/streaming
+    * embedder scores against: idf = ln(N / df) captured over THIS
+    * corpus for the model's vocabulary (the df table is
+    * vocabulary-bounded — the vocab filter runs before it). Persist
+    * next to the model; [[docEmbeddingsFrozen]] then embeds any batch
+    * against it without corpus statistics of its own. */
+  def idfWeights(docs: DataFrame, idCol: String, textCol: String,
       wordVecs: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(filter(split(trim(lower(col(textCol))), "\\s+"),
           t => length(t) > 0)).as("word"))
     val n = docs.select(col(idCol)).distinct().count()
-    // vocab filter FIRST so the df table is vocabulary-bounded (a
-    // broadcast of all corpus tokens would not be)
-    val inVocab = toks
-      .join(broadcast(wordVecs.select(col("word"),
-        col("embedding").cast("array<double>").as("vec"))), "word")
-      .localCheckpoint(eager = false)
-    val dfreq = inVocab.select("doc_id", "word").distinct()
+    val vecs = wordVecs.select(col("word"),
+      col("embedding").cast("array<double>").as("vec"))
+    toks.join(broadcast(vecs), "word")
+      .select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
+      .join(broadcast(vecs), "word")
+      .select(col("word"), col("vec").cast("array<float>").as("embedding"),
+        log(lit(n.toDouble) / col("df").cast("double")).as("weight"))
+  }
+
+  /** [[docEmbeddings]] against a FROZEN weight frame — the streaming/
+    * serving form: per-batch idf would drift a document's vector
+    * between batches (same doc, different embedding — dedup equality
+    * broken), so the ingest path is pure scoring against weights
+    * captured once at model time (the LogReg/NbClassifier serving
+    * discipline). Same quantize-before-sum bit-reproducibility. */
+  def docEmbeddingsFrozen(docs: DataFrame, idCol: String, textCol: String,
+      weightedVecs: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("word"))
     // floor-quantize each weighted element to 1e-4 units: the values
-    // are integer-valued and |idf·v·1e4| stays under 2^24, so the
+    // are integer-valued and |w·v·1e4| stays under 2^24, so the
     // float fold below adds them EXACTLY in any partition order
-    val weighted = inVocab
-      .join(broadcast(dfreq), "word")
+    toks
+      .join(broadcast(weightedVecs.select(col("word"),
+        col("embedding").cast("array<double>").as("vec"), col("weight"))),
+        "word")
       .select(col("doc_id"),
         transform(col("vec"),
-          x => floor(x * log(lit(n.toDouble) / col("df").cast("double"))
-            * 1e4)).as("wv"))
-    weighted.groupBy("doc_id")
+          x => floor(x * col("weight") * 1e4)).as("wv"))
+      .groupBy("doc_id")
       .agg(graft.expr.VectorSum.vectorSum(
         col("wv").cast("array<float>")).as("s"))
       .select(col("doc_id"),
