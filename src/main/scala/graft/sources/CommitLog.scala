@@ -146,20 +146,22 @@ object CommitLog {
 
   /** Write one batch's rows into its (run_id, batch_id) partition and
     * atomically commit it. Safe to replay with the same ids. */
-  def writeBatch(df: DataFrame, table: String, runId: String, batchId: Long): Unit = {
+  def writeBatch(df: DataFrame, table: String, runId: String,
+      batchId: Long, ts: Long = -1L): Unit = {
     df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id", "batch_id")
       .parquet(table)
-    commitWithMeta(df.sparkSession, table, runId, batchId, Seq.empty, schemaOf(df))
+    commitWithMeta(df.sparkSession, table, runId, batchId, Seq.empty,
+      schemaOf(df), ts)
   }
 
   /** [[writeBatch]] recording min/max stats for `statsCols` in the
     * commit marker — one extra small aggregate job over the batch buys
     * batch-directory pruning for every future range read. */
   def writeBatchWithStats(df: DataFrame, table: String, runId: String,
-      batchId: Long, statsCols: Seq[String]): Unit = {
+      batchId: Long, statsCols: Seq[String], ts: Long = -1L): Unit = {
     val pinned = df.localCheckpoint(eager = false)
     pinned.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -187,7 +189,8 @@ object CommitLog {
           }
         }
       }
-    commitWithMeta(df.sparkSession, table, runId, batchId, stats, schemaOf(pinned))
+    commitWithMeta(df.sparkSession, table, runId, batchId, stats,
+      schemaOf(pinned), ts)
   }
 
   /** Mark an already-written (run_id, batch_id) partition committed.
@@ -202,10 +205,13 @@ object CommitLog {
 
   /** [[commit]] carrying stats AND the batch's schema fingerprint —
     * what [[writeBatch]]/[[writeBatchWithStats]] record so reads can
-    * reconcile evolved schemas from marker metadata alone. */
+    * reconcile evolved schemas from marker metadata alone. The marker
+    * also records a COMMIT TIMESTAMP (wall millis; pass `ts` ≥ 0 to
+    * pin it — tests and backfills) powering
+    * [[readCommittedAsOfTimestamp]] time travel. */
   def commitWithMeta(spark: SparkSession, table: String, runId: String,
       batchId: Long, stats: Seq[ColStats],
-      schema: Seq[(String, String)]): Unit = {
+      schema: Seq[(String, String)], ts: Long = -1L): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
@@ -216,9 +222,12 @@ object CommitLog {
       if (stats.isEmpty) "" else s"stats=${encodeStats(stats)}\n"
     val schemaLine =
       if (schema.isEmpty) "" else s"schema=${encodeSchema(schema)}\n"
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    val tsLine = s"ts=$tsv\n"
     val out = hfs.create(tmp, true)
     try out.write(
-      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine".getBytes("UTF-8"))
+      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine"
+        .getBytes("UTF-8"))
     finally out.close()
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
@@ -285,9 +294,9 @@ object CommitLog {
         // snapshot line: "r,b" | "r,b\t<stats>" | "r,b\t<stats>\t<schema>"
         // (stats field may be empty in the 3-field form)
         readText(st.getPath).linesIterator.filter(_.contains("\t")).flatMap { line =>
-          val parts = line.split("\t", 3)
+          val parts = line.split("\t", -1)
           val Array(r, b) = parts(0).split(",", 2)
-          if (parts(1).nonEmpty)
+          if (parts.length > 1 && parts(1).nonEmpty)
             Seq((r, b.toLong) -> decodeStats(parts(1)))
           else Seq.empty
         }.toSeq
@@ -322,14 +331,69 @@ object CommitLog {
           .toSeq
       } else if (n.endsWith(".snapshot")) {
         readText(st.getPath).linesIterator.flatMap { line =>
-          val parts = line.split("\t", 3)
-          if (parts.length == 3 && parts(2).nonEmpty) {
+          val parts = line.split("\t", -1)
+          if (parts.length > 2 && parts(2).nonEmpty) {
             val Array(r, b) = parts(0).split(",", 2)
             Seq((r, b.toLong) -> decodeSchema(parts(2)))
           } else Seq.empty
         }.toSeq
       } else Seq.empty
     }.toMap
+  }
+
+  /** Per-batch commit timestamps (wall millis) from the log — marker
+    * `ts=` lines plus snapshot-folded fourth fields. Batches
+    * committed by pre-timestamp writers are absent. */
+  def batchTimestamps(spark: SparkSession,
+      table: String): Map[(String, Long), Long] = {
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    if (!hfs.exists(dir)) return Map.empty
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = hfs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    hfs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".commit")) {
+        val stem = n.stripSuffix(".commit")
+        val cut = stem.lastIndexOf('-')
+        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
+        readText(st.getPath).linesIterator
+          .find(_.startsWith("ts="))
+          .flatMap(l => l.stripPrefix("ts=").toLongOption)
+          .map(key -> _).toSeq
+      } else if (n.endsWith(".snapshot")) {
+        readText(st.getPath).linesIterator.flatMap { line =>
+          val parts = line.split("\t", -1)
+          if (parts.length > 3 && parts(3).nonEmpty) {
+            val Array(r, b) = parts(0).split(",", 2)
+            parts(3).toLongOption.map(t => (r, b.toLong) -> t)
+          } else None
+        }.toSeq
+      } else Seq.empty
+    }.toMap
+  }
+
+  /** TIME-TRAVEL read: exactly the batches whose recorded commit
+    * timestamp is ≤ `tsMillis` — "the table as a reader at time T saw
+    * it" (modulo commit-vs-wall-clock skew, which is what the
+    * timestamps record). Batches without a recorded timestamp
+    * (pre-timestamp writers) are conservatively INCLUDED — they
+    * predate the feature, hence any queryable T. Same immutability
+    * contract as [[readCommittedAsOf]]: committed batches never
+    * mutate and the marker set is append-only, so an as-of-time read
+    * is reproducible forever. */
+  def readCommittedAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Option[DataFrame] = {
+    val ts = batchTimestamps(spark, table)
+    val committed = committedBatches(spark, table)
+      .filter(key => ts.get(key).forall(_ <= tsMillis))
+    if (committed.isEmpty) None
+    else Some(readBatchSet(spark, table, committed))
   }
 
   /** The committed (run_id, batch_id) set, from the log. Snapshot
@@ -497,22 +561,23 @@ object CommitLog {
     val committed =
       entriesOf(hfs, dir, olds.map(_.getPath.getName)).distinct.sorted
     if (committed.isEmpty) return
-    // stats AND schemas survive compaction: folded as tab-suffixed
-    // snapshot fields — "r,b[\t<stats>[\t<schema>]]", empty stats
-    // field kept when only a schema rides (built from the same
-    // pre-listing state — batchStats/batchSchemas re-list, but only
-    // files that still exist, a subset of `olds`)
+    // stats, schemas AND timestamps survive compaction: folded as
+    // tab-suffixed snapshot fields — "r,b[\t<stats>[\t<schema>
+    // [\t<ts>]]]", earlier fields kept empty when a later one rides
+    // (built from the same pre-listing state — the meta readers
+    // re-list, but only files that still exist, a subset of `olds`)
     val stats = batchStats(spark, table)
     val schemas = batchSchemas(spark, table)
+    val tss = batchTimestamps(spark, table)
     val body = committed.map { case (r, b) =>
-      val st = stats.get((r, b)).filter(_.nonEmpty).map(encodeStats)
-      val sc = schemas.get((r, b)).filter(_.nonEmpty).map(encodeSchema)
-      (st, sc) match {
-        case (Some(s), Some(h)) => s"$r,$b\t$s\t$h"
-        case (Some(s), None) => s"$r,$b\t$s"
-        case (None, Some(h)) => s"$r,$b\t\t$h"
-        case _ => s"$r,$b"
-      }
+      val fields = Seq(
+        stats.get((r, b)).filter(_.nonEmpty).map(encodeStats),
+        schemas.get((r, b)).filter(_.nonEmpty).map(encodeSchema),
+        tss.get((r, b)).map(_.toString))
+      val upto = fields.lastIndexWhere(_.isDefined)
+      if (upto < 0) s"$r,$b"
+      else s"$r,$b\t" +
+        fields.take(upto + 1).map(_.getOrElse("")).mkString("\t")
     }.mkString("\n")
     val name = f"snap-${committed.length}%010d-${java.lang.System.nanoTime()}%020d.snapshot"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")

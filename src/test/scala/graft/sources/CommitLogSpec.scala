@@ -202,6 +202,31 @@ class CommitLogSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("as-of-timestamp time travel: pinned commit times select exact batch sets") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txtime").toString + "/t"
+    CommitLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table, "r1", 1L, ts = 2000L)
+    CommitLog.writeBatch(Seq((3L, "c")).toDF("id", "v"), table, "r1", 2L, ts = 3000L)
+    def idsAsOf(t: Long) =
+      CommitLog.readCommittedAsOfTimestamp(spark, table, t)
+        .map(_.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(idsAsOf(500L).isEmpty)
+    assert(idsAsOf(1000L).contains(Seq(1L)))
+    assert(idsAsOf(2500L).contains(Seq(1L, 2L)))
+    assert(idsAsOf(9999L).contains(Seq(1L, 2L, 3L)))
+    // timestamps survive compaction (fourth snapshot field)
+    CommitLog.compactLog(spark, table)
+    assert(idsAsOf(2500L).contains(Seq(1L, 2L)))
+    assert(CommitLog.batchTimestamps(spark, table) ==
+      Map(("r1", 0L) -> 1000L, ("r1", 1L) -> 2000L, ("r1", 2L) -> 3000L))
+    // stats/schema parsers are unconfused by the 4-field snapshot line
+    assert(CommitLog.batchSchemas(spark, table).contains(("r1", 0L)))
+    // a pre-timestamp batch (manual commit without ts is impossible
+    // now, so simulate by the absence path: unknown ts => included)
+    val later = CommitLog.readCommittedAsOfTimestamp(spark, table, 1500L).get
+    assert(later.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("non-finite double stats (NaN/Infinity) degrade to unprunable, not a crash") {
     val table = java.nio.file.Files.createTempDirectory("graft-txnan").toString + "/t"
     // a double column whose max is NaN (Spark orders NaN largest) and
