@@ -89,10 +89,21 @@ try:
 except FileNotFoundError:
     problems.append("BENCH_SCALE_IMG.json missing")
 
+# -- 4: §2 row ids unique (a duplicated id hides a row from audits) ----
+ids = re.findall(r"^\| (\d+[a-z0-9]*) \|", survey, re.M)
+dupes = sorted({i for i in ids if ids.count(i) > 1})
+if dupes:
+    problems.append(f"duplicated §2 row ids: {', '.join(dupes)}")
+
+# -- 5: every artifact file the survey cites exists ---------------------
+for art in sorted(set(re.findall(r"\b(BENCH_[A-Z0-9_]+\.json)\b", survey))):
+    if not os.path.exists(os.path.join(repo, art)):
+        problems.append(f"survey cites missing artifact {art}")
+
 if problems:
     print("SURVEY CHECK FAILED:")
     for p in problems:
         print(" -", p)
     sys.exit(1)
-print("SURVEY CHECK OK: all correctness keys cited; "
-      "artifact figures consistent")
+print("SURVEY CHECK OK: all correctness keys cited; row ids unique; "
+      "cited artifacts exist; artifact figures consistent")
