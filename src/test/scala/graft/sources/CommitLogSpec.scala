@@ -225,6 +225,17 @@ class CommitLogSpec extends SparkSpec {
     // now, so simulate by the absence path: unknown ts => included)
     val later = CommitLog.readCommittedAsOfTimestamp(spark, table, 1500L).get
     assert(later.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // time travel COMPOSES with schema evolution: a widened batch
+    // commits later; as-of T before it sees the narrow schema, after
+    // it the evolved one (with NULLs for the old batches)
+    CommitLog.writeBatch(Seq((4L, "d", 1.5)).toDF("id", "v", "score"),
+      table, "r1", 3L, ts = 4000L)
+    val before4k = CommitLog.readCommittedAsOfTimestamp(spark, table, 3500L).get
+    assert(!before4k.columns.contains("score"))
+    val after4k = CommitLog.readCommittedAsOfTimestamp(spark, table, 4000L).get
+    assert(after4k.columns.contains("score") && after4k.count() == 4)
+    assert(after4k.where(col("id") === 4L).select("score").head().getDouble(0) == 1.5)
+    assert(after4k.where(col("id") === 1L).select("score").head().isNullAt(0))
   }
 
   test("non-finite double stats (NaN/Infinity) degrade to unprunable, not a crash") {
