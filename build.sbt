@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver snapshots the LAST ~2 KB of stdout and parses the
+// final line as JSON; sbt's "[success] Total time" summary after
+// Bench's JSON line is what kept BENCH_r{12..15}.json at
+// "parsed": null. Suppressing the success summary makes Bench's JSON
+// the absolute last stdout line (exit codes still signal failure).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -246,7 +246,18 @@ object Bench {
     // stdout gets the 2 KB-window form (the driver's snapshot keeps
     // only the stdout tail); the FILE always gets the full line so the
     // recorded numbers are auditable
-    println(stdoutLine(results, sfDir, meta))
+    val forStdout = stdoutLine(results, sfDir, meta)
+    println(forStdout)
+    // r12-r15 carried `"parsed": null` in BENCH_r{N}.json: the driver
+    // parses the stdout TAIL, and sbt appends its own "[success]
+    // Total time" line after ours. A JVM shutdown hook runs when the
+    // sbt JVM exits — strictly after sbt's summary — so re-printing
+    // the line there makes the JSON the absolute last stdout line of
+    // the process, inside the driver's 2 KB window.
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      java.lang.System.out.println(forStdout)
+      java.lang.System.out.flush()
+    }))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath(only, sys.env.get)), json)
     spark.stop()

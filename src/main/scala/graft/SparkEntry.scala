@@ -169,7 +169,12 @@ object SparkEntry {
     // Bengali-dominant doc with kana → bn, the kana flag must not
     // hijack non-han routing)
     9000048L -> "பூனை மற்றும் நாய் வீட்டில் உள்ளன இன்று மழை பெய்கிறது घर",
-    9000049L -> "বিড়াল এবং কুকুর আজ বাড়িতে আছে たち")
+    9000049L -> "বিড়াল এবং কুকুর আজ বাড়িতে আছে たち",
+    // r16: Odia — the ninth Indic block, the routing gap until r16 —
+    // plus an Odia-majority doc with a Tamil minority (the 0B7F|0B80
+    // block boundary: adjacent blocks must not bleed counts)
+    9000050L -> "ବିଲେଇ ଏବଂ କୁକୁର ଆଜି ଘରେ ଅଛନ୍ତି",
+    9000051L -> "ବିଲେଇ ଏବଂ କୁକୁର ଆଜି ଘରେ ଅଛନ୍ତି ஃஇ")
 
   /** The language-ID oracle, generated from the SAME stopword lists
     * and script ranges the engine uses (graft.text.TextAnalysis) —

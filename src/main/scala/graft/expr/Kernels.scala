@@ -212,20 +212,20 @@ object Kernels {
   }
 
   /** Script routing for language ID in ONE UTF-8 byte pass — replaces
-    * seventeen per-script `regexp_count` scans per row (the langId
+    * eighteen per-script `regexp_count` scans per row (the langId
     * front door runs over every document of a corpus). Counts code
-    * points in the seventeen BMP script ranges of
+    * points in the eighteen BMP script ranges of
     * [[graft.text.TextAnalysis.langScriptRanges]] (sorted name
     * order), picks the argmax with ties to the LARGER index — the
     * same winner as the composed struct-max over (hits, name), since
     * the names are sorted. Returns -1 when no script chars at all;
-    * else bestIdx (0-16) | 0x100 when any kana was seen (the ja/zh
+    * else bestIdx (0-17) | 0x100 when any kana was seen (the ja/zh
     * discriminator — a FLAG bit above the 5-bit index space, so
-    * index 16 can never collide with it). Non-BMP code points count
+    * index 17 can never collide with it). Non-BMP code points count
     * nowhere, exactly like the char-class regexes. */
   def langScriptRoute(s: UTF8String): Int = {
     val n = s.numBytes
-    val counts = new Array[Int](17)
+    val counts = new Array[Int](18)
     var i = 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
@@ -244,8 +244,8 @@ object Kernels {
       // indices = sorted langScriptRanges order:
       // 0 arabic, 1 bengali, 2 cyrillic, 3 devanagari, 4 greek,
       // 5 gujarati, 6 gurmukhi, 7 han, 8 hangul, 9 hebrew, 10 kana,
-      // 11 kannada, 12 latin, 13 malayalam, 14 tamil, 15 telugu,
-      // 16 thai
+      // 11 kannada, 12 latin, 13 malayalam, 14 oriya, 15 tamil,
+      // 16 telugu, 17 thai
       if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
           (cp >= 0xc0 && cp <= 0x24f)) counts(12) += 1
       else if (cp >= 0x400 && cp <= 0x4ff) counts(2) += 1
@@ -254,12 +254,12 @@ object Kernels {
       else if (cp >= 0x590 && cp <= 0x5ff) counts(9) += 1
       else if (cp >= 0x900 && cp <= 0xd7f) {
         // the nine Indic 0x80-wide blocks U+0900..U+0D7F in layout
-        // order: devanagari, bengali, gurmukhi, gujarati, (oriya —
-        // not routed), tamil, telugu, kannada, malayalam
-        val b = indicBlockIdx((cp - 0x900) >> 7)
-        if (b >= 0) counts(b) += 1
+        // order: devanagari, bengali, gurmukhi, gujarati, oriya,
+        // tamil, telugu, kannada, malayalam (r16: Odia routed —
+        // single-language script, top-40 web language)
+        counts(indicBlockIdx((cp - 0x900) >> 7)) += 1
       }
-      else if (cp >= 0xe00 && cp <= 0xe7f) counts(16) += 1
+      else if (cp >= 0xe00 && cp <= 0xe7f) counts(17) += 1
       else if (cp >= 0x3040 && cp <= 0x30ff) counts(10) += 1
       else if (cp >= 0x4e00 && cp <= 0x9fff) counts(7) += 1
       else if (cp >= 0xac00 && cp <= 0xd7af) counts(8) += 1
@@ -267,7 +267,7 @@ object Kernels {
     var best = -1
     var bestC = 0
     var j = 0
-    while (j < 17) {
+    while (j < 18) {
       // >= keeps the LAST max: sorted names, so ties go to the
       // lexicographically-largest name like the struct-max spec
       if (counts(j) > 0 && counts(j) >= bestC) { best = j; bestC = counts(j) }
@@ -278,9 +278,9 @@ object Kernels {
   }
 
   /** (cp - 0x900) >> 7 → script index for the contiguous Indic block
-    * run; -1 for the one unrouted block (oriya). */
+    * run — all nine blocks routed as of r16 (oriya was the gap). */
   private[this] val indicBlockIdx: Array[Int] =
-    Array(3, 1, 6, 5, -1, 14, 15, 11, 13)
+    Array(3, 1, 6, 5, 14, 15, 16, 11, 13)
 
   // ------------------------------------------------------------------ //
   // Validation-rule kernels: allocation-free single-pass predicates

@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `lang_script_route(text)` — the script-routing front door of
   * [[graft.text.TextAnalysis.langId]] as ONE codegen'd UTF-8 byte
   * pass ([[Kernels.langScriptRoute]]); the composed form pays
-  * seventeen per-script regexp scans per row. Value: dominant-script
-  * index (0-16, sorted langScriptRanges order) | 0x100 when kana
+  * eighteen per-script regexp scans per row. Value: dominant-script
+  * index (0-17, sorted langScriptRanges order) | 0x100 when kana
   * present (flag bit above the index space);
   * NULL when the text holds no script characters (or is NULL) — the
   * caller's 'und'. */

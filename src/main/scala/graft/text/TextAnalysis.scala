@@ -125,13 +125,14 @@ object TextAnalysis {
     "kannada" -> "ಀ-೿",
     "latin" -> "A-Za-zÀ-ɏ",
     "malayalam" -> "ഀ-ൿ",
+    "oriya" -> "଀-୿",
     "tamil" -> "஀-௿",
     "telugu" -> "ఀ-౿",
     "thai" -> "฀-๿")
 
   /** Script name → the language its text IS, for the scripts that
     * (for web-corpus purposes) belong to exactly one language —
-    * including the seven Indic top-30-web-language scripts (bn, ta,
+    * including the eight Indic web-language scripts (bn, ta, or,
     * te, gu, kn, ml, pa), which routed to 'und' before r15. Scripts
     * shared across languages (latin, cyrillic, arabic, han/kana)
     * resolve through stopword votes / the kana discriminator
@@ -146,6 +147,7 @@ object TextAnalysis {
     "hebrew" -> "he",
     "kannada" -> "kn",
     "malayalam" -> "ml",
+    "oriya" -> "or",
     "tamil" -> "ta",
     "telugu" -> "te",
     "thai" -> "th")
@@ -161,10 +163,10 @@ object TextAnalysis {
 
   /** Language ID over ~46 languages: the dominant SCRIPT routes first
     * — ONE native UTF-8 byte pass ([[graft.expr.LangScriptRoute]],
-    * replacing seventeen per-script regexp scans; the composed regexp
+    * replacing eighteen per-script regexp scans; the composed regexp
     * form survives as [[langIdComposed]], the executable spec the
     * kernel is property-tested against) — so CJK/Thai/Hebrew/Indic
-    * text never pays a stopword scan and the twelve single-language
+    * text never pays a stopword scan and the thirteen single-language
     * scripts ([[singleLangScripts]]) resolve without one; then a
     * per-script stopword vote separates the languages sharing a
     * script (25 Latin, 5 Cyrillic, ar/fa). kana ⇒ ja; han with ANY
@@ -203,7 +205,7 @@ object TextAnalysis {
 
   /** The composed regexp form of [[langId]] — the executable spec the
     * native script-route kernel is property-tested against
-    * (TextAnalysisSpec): seventeen per-script char-class counts,
+    * (TextAnalysisSpec): eighteen per-script char-class counts,
     * struct-max routing, identical vote layer; single-language
     * scripts resolve through the same [[singleLangScripts]] map the
     * native chain uses. */

@@ -38,18 +38,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "und"))
   }
 
-  test("langId separates all 46 planted languages via script routing + stopword votes") {
+  test("langId separates all 47 planted languages via script routing + stopword votes") {
     // the curated pairs: es/pt, de/nl, da/no, cs/sk, hr/sl,
     // ru/uk/bg/sr/mk; script-routed: ar/fa, el, he, th, hi, ja/zh
-    // (kana presence), ko; digits-only doc → und; the seven Indic
-    // single-language scripts (bn/ta/te/gu/kn/ml/pa, r15); two mixed
-    // adversaries: Tamil+Devanagari-minority → ta, Bengali+kana → bn
-    // (majority script wins; kana flag only discriminates within han)
+    // (kana presence), ko; digits-only doc → und; the eight Indic
+    // single-language scripts (bn/ta/te/gu/kn/ml/pa r15, or r16);
+    // mixed adversaries: Tamil+Devanagari-minority → ta, Bengali+kana
+    // → bn, Odia+Tamil-minority → or (majority script wins; kana flag
+    // only discriminates within han)
     val expected = Seq("en", "de", "nl", "es", "pt", "fr", "it", "ro",
       "ca", "sv", "da", "no", "fi", "pl", "cs", "sk", "hu", "tr", "id",
       "vi", "hr", "sl", "et", "lt", "lv", "ru", "uk", "bg", "sr", "mk",
       "ar", "fa", "el", "he", "th", "hi", "ja", "zh", "ko", "und",
-      "bn", "ta", "te", "gu", "kn", "ml", "pa", "ta", "bn")
+      "bn", "ta", "te", "gu", "kn", "ml", "pa", "ta", "bn", "or", "or")
     val got = graft.SparkEntry.langPlanted.toDF("doc_id", "text")
       .orderBy("doc_id")
       .select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
@@ -77,11 +78,13 @@ class TextAnalysisSpec extends SparkSpec {
       "ગુજરાતી લખાણ અહીં છે ਪੰਜਾਬੀ",
       "മലയാളം വാചകം ഇവിടെ",
       // block-boundary code points: first/last char of each Indic
-      // block, plus Oriya (the unrouted gap block) which must count
-      // NOWHERE on both forms
+      // block, plus Oriya (routed r16 — a lone Odia fragment must
+      // resolve 'or' on both forms, and an Odia minority under a
+      // Latin majority must lose the argmax)
       "ঀ৿਀੿઀૿஀௿",
       "ఀ౿ಀ೿ഀൿ",
-      "ଅଆ oriya gap plus the latin majority here",
+      "଀୿",
+      "ଅଆ oriya minority with the latin majority here",
       "ଅଆ")
     val texts = graft.SparkEntry.langPlanted.map(_._2) ++ hostile
     val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
