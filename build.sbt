@@ -17,6 +17,9 @@ run / fork := true
 // "parsed": null. Suppressing the success summary makes Bench's JSON
 // the absolute last stdout line (exit codes still signal failure).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

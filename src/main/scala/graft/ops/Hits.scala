@@ -28,48 +28,92 @@ object Hits {
   /** Hub/authority scores after `iters` rounds over directed
     * `(src, dst)` edges (deduped internally). Output:
     * `(node, hub, authority)` in 10¹² micro-units — nodes with no
-    * out-edges have hub 0, no in-edges authority 0. */
+    * out-edges have hub 0, no in-edges authority 0.
+    *
+    * Shuffle shape is picked ONCE by node count (r16 — the r15 scale
+    * suite's worst curve, 2.75× at 10×, was this regime boundary left
+    * to the auto-broadcast threshold, which the derived score frames
+    * drift past as data grows):
+    *  - `≤ broadcastNodeLimit` nodes: score frames are explicitly
+    *    broadcast into each half-step join, so the edge frame pinned
+    *    on the AGGREGATION key (byDst for the a-step's groupBy dst)
+    *    flows through the join and the aggregate reuses its exchange
+    *    — ZERO edge shuffles per half-step;
+    *  - above it: scores are too big to ship, so each half-step joins
+    *    the copy pinned on the JOIN key (bySrc for the a-step, since
+    *    hub scores key on src) and pays exactly ONE shuffle — the
+    *    joined frame into the aggregate — which is the floor for a
+    *    shuffle join. */
   def scores(edges: DataFrame, iters: Int = 5,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     val dec = "decimal(38,0)"
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
+    // node set pre-partitioned by node: every round's two left joins
+    // land on this exchange instead of re-shuffling the full node set
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).localCheckpoint(eager = false)
+    val small = nodes.count() <= broadcastNodeLimit
+    // dedupe rides each pin's OWN shuffle instead of a separate
+    // distinct() exchange: hash(src) clusters equal (src,dst) pairs,
+    // so dropDuplicates after the repartition is partition-local and
+    // the pin's partitioning survives for every round's join/agg reuse
+    val bySrc = e.repartition(col("src")).dropDuplicates("src", "dst")
       .localCheckpoint(eager = false)
-    val bySrc = e.repartition(col("src")).localCheckpoint(eager = false)
-    val byDst = e.repartition(col("dst")).localCheckpoint(eager = false)
+    val byDst = e.repartition(col("dst")).dropDuplicates("src", "dst")
+      .localCheckpoint(eager = false)
     val one = lit(1000000000000L)
+    // scores stay SPARSE inside the loop: a node absent from the
+    // frame is exactly a zero score, and zeros contribute nothing to
+    // either half-step's sum — densifying against the full node set
+    // every round (the r15 shape) paid two extra joins per round for
+    // rows the next join immediately dropped. Round 1's hub input is
+    // the full node set at 1.
     var hub = nodes.withColumn("h", one)
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      // authority step: a(v) = Σ h(u) over u→v, max-normalized
-      val aSum = byDst.join(hub.withColumnRenamed("node", "src"), "src")
+      // authority step: a(v) = Σ h(u) over u→v, max-normalized.
+      // Each sum frame is PINNED (localCheckpoint) before use: it
+      // feeds both the max broadcast and the score projection, and
+      // un-pinned those two subtrees each re-execute the edges⋈scores
+      // join+agg — and round N's plan re-executes every prior round's
+      // under each of its broadcasts, the compounding that bent the
+      // 10× scale curve. Pinning is cheap: one row per scored node.
+      val hubBySrc = hub.withColumnRenamed("node", "src")
+      val aSum = (if (small) byDst.join(broadcast(hubBySrc), "src")
+                  else bySrc.join(hubBySrc, "src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h").cast(dec)).as("s"))
+        .localCheckpoint(eager = false)
       val aMax = aSum.agg(max("s").as("smax"))
-      val aN = aSum.crossJoin(broadcast(aMax))
+      auth = aSum.crossJoin(broadcast(aMax))
         .select(col("node"),
           expr("(s * 1000000000000) div smax").as("a"))
-      auth = nodes.join(aN, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
       // hub step: h(u) = Σ a(v) over u→v, max-normalized
-      val hSum = bySrc.join(auth.withColumnRenamed("node", "dst"), "dst")
+      val authByDst = auth.withColumnRenamed("node", "dst")
+      val hSum = (if (small) bySrc.join(broadcast(authByDst), "dst")
+                  else byDst.join(authByDst, "dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("a").cast(dec)).as("s"))
+        .localCheckpoint(eager = false)
       val hMax = hSum.agg(max("s").as("smax"))
-      val hN = hSum.crossJoin(broadcast(hMax))
+      hub = hSum.crossJoin(broadcast(hMax))
         .select(col("node"),
           expr("(s * 1000000000000) div smax").as("h"))
-      hub = nodes.join(hN, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
         hub = hub.localCheckpoint()
         auth = auth.localCheckpoint()
       }
     }
-    hub.join(auth, "node")
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    // densify ONCE: nodes with no out-edges get hub 0, no in-edges
+    // authority 0
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("authority"))
   }
 }

@@ -147,21 +147,23 @@ object CommitLog {
   /** Write one batch's rows into its (run_id, batch_id) partition and
     * atomically commit it. Safe to replay with the same ids. */
   def writeBatch(df: DataFrame, table: String, runId: String,
-      batchId: Long, ts: Long = -1L): Unit = {
+      batchId: Long, ts: Long = -1L,
+      retires: Seq[(String, Long)] = Seq.empty): Unit = {
     df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id", "batch_id")
       .parquet(table)
     commitWithMeta(df.sparkSession, table, runId, batchId, Seq.empty,
-      schemaOf(df), ts)
+      schemaOf(df), ts, retires)
   }
 
   /** [[writeBatch]] recording min/max stats for `statsCols` in the
     * commit marker — one extra small aggregate job over the batch buys
     * batch-directory pruning for every future range read. */
   def writeBatchWithStats(df: DataFrame, table: String, runId: String,
-      batchId: Long, statsCols: Seq[String], ts: Long = -1L): Unit = {
+      batchId: Long, statsCols: Seq[String], ts: Long = -1L,
+      retires: Seq[(String, Long)] = Seq.empty): Unit = {
     val pinned = df.localCheckpoint(eager = false)
     pinned.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -190,7 +192,7 @@ object CommitLog {
         }
       }
     commitWithMeta(df.sparkSession, table, runId, batchId, stats,
-      schemaOf(pinned), ts)
+      schemaOf(pinned), ts, retires)
   }
 
   /** Mark an already-written (run_id, batch_id) partition committed.
@@ -211,7 +213,8 @@ object CommitLog {
     * [[readCommittedAsOfTimestamp]] time travel. */
   def commitWithMeta(spark: SparkSession, table: String, runId: String,
       batchId: Long, stats: Seq[ColStats],
-      schema: Seq[(String, String)], ts: Long = -1L): Unit = {
+      schema: Seq[(String, String)], ts: Long = -1L,
+      retires: Seq[(String, Long)] = Seq.empty): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
@@ -224,9 +227,15 @@ object CommitLog {
       if (schema.isEmpty) "" else s"schema=${encodeSchema(schema)}\n"
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
     val tsLine = s"ts=$tsv\n"
+    // a compactDeletes rewrite RETIRES its original in the same
+    // marker: the visibility flip (original out, rewrite in) is one
+    // atomic rename — no crash window where both are live
+    val retiresLine =
+      if (retires.isEmpty) ""
+      else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
     val out = hfs.create(tmp, true)
     try out.write(
-      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine"
+      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine$retiresLine"
         .getBytes("UTF-8"))
     finally out.close()
     // rename onto the final name; losing a race to another committer
@@ -238,40 +247,61 @@ object CommitLog {
     }
   }
 
-  /** Parse the (run_id, batch_id) entries carried by a given set of
-    * log file names — `.commit` markers encode one entry in the name,
-    * `.snapshot` files fold many entries in their body. */
-  private def entriesOf(hfs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, names: Seq[String]): Seq[(String, Long)] =
-    names.flatMap {
-      case n if n.endsWith(".commit") =>
-        val stem = n.stripSuffix(".commit")
-        val cut = stem.lastIndexOf('-')
-        Seq((stem.substring(0, cut), stem.substring(cut + 1).toLong))
-      case n if n.endsWith(".snapshot") =>
-        val in = hfs.open(new org.apache.hadoop.fs.Path(dir, n))
-        val text = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-          bos.toString("UTF-8")
-        } finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map { line =>
-          // snapshot line: "r,b" or "r,b\t<stats>" — the tab-suffixed
-          // form carries folded marker stats through compaction
-          val core = line.split("\t", 2)(0)
-          val Array(r, b) = core.split(",", 2)
-          (r, b.toLong)
-        }.toSeq
-      case _ => Seq.empty
-    }
+  /** Everything a marker can carry about one batch. Absent fields
+    * (older writers, pre-stats snapshots) are empty/None — readers
+    * degrade conservatively. */
+  final case class BatchMeta(stats: Seq[ColStats],
+      schema: Seq[(String, String)], ts: Option[Long])
 
-  /** Per-batch stats from the log — marker bodies plus
-    * snapshot-folded lines. Batches committed without stats are
-    * simply absent (readers treat them as unprunable). */
-  def batchStats(spark: SparkSession,
-      table: String): Map[(String, Long), Seq[ColStats]] = {
+  /** One row-level DELETE recorded in the log: `pred` rows are gone
+    * from exactly the `applies` batches (the committed set at delete
+    * time — batches committed later are untouched). `kind` ∈
+    * {"in", "range"}; `typ` is the Spark DDL type the string-rendered
+    * `vals` cast back to. */
+  final case class Tombstone(ts: Long, col: String, typ: String,
+      kind: String, vals: Seq[String], applies: Seq[(String, Long)])
+
+  /** The full decoded state of a table's commit log. */
+  final case class LogState(
+      entries: Seq[(String, Long)],
+      retired: Map[(String, Long), Long],
+      meta: Map[(String, Long), BatchMeta],
+      tombstones: Seq[Tombstone]) {
+    /** The live committed set: log entries minus retired batches. */
+    def committed: Seq[(String, Long)] =
+      entries.filterNot(retired.contains)
+    /** Live committed set as a reader at wall-time `tsMillis` saw it:
+      * batches committed by then (no recorded ts = predates the
+      * feature, included) and not yet retired by then. */
+    def committedAsOf(tsMillis: Long): Seq[(String, Long)] =
+      entries.filter { key =>
+        meta.get(key).flatMap(_.ts).forall(_ <= tsMillis) &&
+          retired.get(key).forall(_ > tsMillis)
+      }
+  }
+
+  private def parseKey(stem: String): (String, Long) = {
+    val cut = stem.lastIndexOf('-')
+    (stem.substring(0, cut), stem.substring(cut + 1).toLong)
+  }
+
+  /** Decode the ENTIRE log in one listing + one read per log file —
+    * committed entries, per-batch meta, retire marks, tombstones.
+    * Every reader threads this one state through (the r15 split
+    * readers each re-listed and re-opened every marker, so a
+    * committed read cost 2-3 full log scans — on object stores that
+    * is per-read latency linear in uncompacted marker count). */
+  def logState(spark: SparkSession, table: String): LogState = {
     val (hfs, dir) = fs(spark, commitsDir(table))
-    if (!hfs.exists(dir)) return Map.empty
+    if (!hfs.exists(dir))
+      return LogState(Seq.empty, Map.empty, Map.empty, Seq.empty)
+    logStateOf(hfs, hfs.listStatus(dir).toSeq)
+  }
+
+  /** [[logState]] over an explicit file listing — [[compactLog]]
+    * needs the decoded state of EXACTLY the files it will fold. */
+  private def logStateOf(hfs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): LogState = {
     def readText(p: org.apache.hadoop.fs.Path): String = {
       val in = hfs.open(p)
       try {
@@ -280,130 +310,124 @@ object CommitLog {
         bos.toString("UTF-8")
       } finally in.close()
     }
-    hfs.listStatus(dir).toSeq.flatMap { st =>
+    val entries = Seq.newBuilder[(String, Long)]
+    val retired = Map.newBuilder[(String, Long), Long]
+    val meta = scala.collection.mutable.Map.empty[(String, Long), BatchMeta]
+    val tombs = Seq.newBuilder[Tombstone]
+    files.foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(".commit")) {
-        val stem = n.stripSuffix(".commit")
-        val cut = stem.lastIndexOf('-')
-        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
-        readText(st.getPath).linesIterator
-          .find(_.startsWith("stats="))
-          .map(l => key -> decodeStats(l.stripPrefix("stats=")))
-          .toSeq
+        val key = parseKey(n.stripSuffix(".commit"))
+        entries += key
+        var stats = Seq.empty[ColStats]
+        var schema = Seq.empty[(String, String)]
+        var ts = Option.empty[Long]
+        var retires = Seq.empty[(String, Long)]
+        readText(st.getPath).linesIterator.foreach { l =>
+          if (l.startsWith("stats=")) stats = decodeStats(l.stripPrefix("stats="))
+          else if (l.startsWith("schema=")) schema = decodeSchema(l.stripPrefix("schema="))
+          else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption
+          else if (l.startsWith("retires=")) retires =
+            l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
+              val i = e.lastIndexOf(',')
+              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
+            }
+        }
+        if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
+          meta(key) = BatchMeta(stats, schema, ts)
+        retires.foreach(k => retired += k -> ts.getOrElse(0L))
       } else if (n.endsWith(".snapshot")) {
-        // snapshot line: "r,b" | "r,b\t<stats>" | "r,b\t<stats>\t<schema>"
-        // (stats field may be empty in the 3-field form)
-        readText(st.getPath).linesIterator.filter(_.contains("\t")).flatMap { line =>
+        // snapshot line: "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>]]]]"
+        // (earlier fields may be empty when a later one rides; field 5
+        // present ⇔ THIS batch was retired by a compactDeletes rewrite)
+        readText(st.getPath).linesIterator.filter(_.nonEmpty).foreach { line =>
           val parts = line.split("\t", -1)
           val Array(r, b) = parts(0).split(",", 2)
-          if (parts.length > 1 && parts(1).nonEmpty)
-            Seq((r, b.toLong) -> decodeStats(parts(1)))
-          else Seq.empty
-        }.toSeq
-      } else Seq.empty
-    }.toMap
-  }
-
-  /** Per-batch schema fingerprints from the log — marker bodies plus
-    * snapshot-folded lines. Batches committed by pre-schema writers
-    * are absent (readers fall back to inferring their schema). */
-  def batchSchemas(spark: SparkSession,
-      table: String): Map[(String, Long), Seq[(String, String)]] = {
-    val (hfs, dir) = fs(spark, commitsDir(table))
-    if (!hfs.exists(dir)) return Map.empty
-    def readText(p: org.apache.hadoop.fs.Path): String = {
-      val in = hfs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        bos.toString("UTF-8")
-      } finally in.close()
+          val key = (r, b.toLong)
+          entries += key
+          val stats = if (parts.length > 1 && parts(1).nonEmpty)
+            decodeStats(parts(1)) else Seq.empty
+          val schema = if (parts.length > 2 && parts(2).nonEmpty)
+            decodeSchema(parts(2)) else Seq.empty
+          val ts = if (parts.length > 3 && parts(3).nonEmpty)
+            parts(3).toLongOption else None
+          if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
+            meta(key) = BatchMeta(stats, schema, ts)
+          if (parts.length > 4 && parts(4).nonEmpty)
+            parts(4).toLongOption.foreach(t => retired += key -> t)
+        }
+      } else if (n.endsWith(".tombstone")) {
+        var ts = 0L; var colN = ""; var typ = ""; var kind = ""
+        var vals = Seq.empty[String]; var applies = Seq.empty[(String, Long)]
+        readText(st.getPath).linesIterator.foreach { l =>
+          if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption.getOrElse(0L)
+          else if (l.startsWith("col=")) colN = unesc(l.stripPrefix("col="))
+          else if (l.startsWith("typ=")) typ = unesc(l.stripPrefix("typ="))
+          else if (l.startsWith("kind=")) kind = l.stripPrefix("kind=")
+          else if (l.startsWith("vals=")) vals =
+            l.stripPrefix("vals=").split(";", -1).toSeq.filter(_.nonEmpty).map(unesc)
+          else if (l.startsWith("applies=")) applies =
+            l.stripPrefix("applies=").split(";").toSeq.filter(_.nonEmpty).map { e =>
+              val i = e.lastIndexOf(',')
+              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
+            }
+        }
+        if (colN.nonEmpty && kind.nonEmpty)
+          tombs += Tombstone(ts, colN, typ, kind, vals, applies)
+      }
     }
-    hfs.listStatus(dir).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".commit")) {
-        val stem = n.stripSuffix(".commit")
-        val cut = stem.lastIndexOf('-')
-        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
-        readText(st.getPath).linesIterator
-          .find(_.startsWith("schema="))
-          .map(l => key -> decodeSchema(l.stripPrefix("schema=")))
-          .toSeq
-      } else if (n.endsWith(".snapshot")) {
-        readText(st.getPath).linesIterator.flatMap { line =>
-          val parts = line.split("\t", -1)
-          if (parts.length > 2 && parts(2).nonEmpty) {
-            val Array(r, b) = parts(0).split(",", 2)
-            Seq((r, b.toLong) -> decodeSchema(parts(2)))
-          } else Seq.empty
-        }.toSeq
-      } else Seq.empty
-    }.toMap
+    LogState(entries.result().distinct.sorted, retired.result(),
+      meta.toMap, tombs.result().sortBy(_.ts))
   }
 
-  /** Per-batch commit timestamps (wall millis) from the log — marker
-    * `ts=` lines plus snapshot-folded fourth fields. Batches
+  /** Per-batch stats from the log. Batches committed without stats
+    * are simply absent (readers treat them as unprunable). */
+  def batchStats(spark: SparkSession,
+      table: String): Map[(String, Long), Seq[ColStats]] =
+    logState(spark, table).meta.collect {
+      case (k, m) if m.stats.nonEmpty => k -> m.stats }
+
+  /** Per-batch schema fingerprints from the log. Batches committed by
+    * pre-schema writers are absent (readers infer their schema). */
+  def batchSchemas(spark: SparkSession,
+      table: String): Map[(String, Long), Seq[(String, String)]] =
+    logState(spark, table).meta.collect {
+      case (k, m) if m.schema.nonEmpty => k -> m.schema }
+
+  /** Per-batch commit timestamps (wall millis) from the log. Batches
     * committed by pre-timestamp writers are absent. */
   def batchTimestamps(spark: SparkSession,
-      table: String): Map[(String, Long), Long] = {
-    val (hfs, dir) = fs(spark, commitsDir(table))
-    if (!hfs.exists(dir)) return Map.empty
-    def readText(p: org.apache.hadoop.fs.Path): String = {
-      val in = hfs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        bos.toString("UTF-8")
-      } finally in.close()
-    }
-    hfs.listStatus(dir).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".commit")) {
-        val stem = n.stripSuffix(".commit")
-        val cut = stem.lastIndexOf('-')
-        val key = (stem.substring(0, cut), stem.substring(cut + 1).toLong)
-        readText(st.getPath).linesIterator
-          .find(_.startsWith("ts="))
-          .flatMap(l => l.stripPrefix("ts=").toLongOption)
-          .map(key -> _).toSeq
-      } else if (n.endsWith(".snapshot")) {
-        readText(st.getPath).linesIterator.flatMap { line =>
-          val parts = line.split("\t", -1)
-          if (parts.length > 3 && parts(3).nonEmpty) {
-            val Array(r, b) = parts(0).split(",", 2)
-            parts(3).toLongOption.map(t => (r, b.toLong) -> t)
-          } else None
-        }.toSeq
-      } else Seq.empty
-    }.toMap
-  }
+      table: String): Map[(String, Long), Long] =
+    logState(spark, table).meta.collect {
+      case (k, m) if m.ts.nonEmpty => k -> m.ts.get }
 
   /** TIME-TRAVEL read: exactly the batches whose recorded commit
     * timestamp is ≤ `tsMillis` — "the table as a reader at time T saw
     * it" (modulo commit-vs-wall-clock skew, which is what the
     * timestamps record). Batches without a recorded timestamp
     * (pre-timestamp writers) are conservatively INCLUDED — they
-    * predate the feature, hence any queryable T. Same immutability
-    * contract as [[readCommittedAsOf]]: committed batches never
-    * mutate and the marker set is append-only, so an as-of-time read
-    * is reproducible forever. */
+    * predate the feature, hence any queryable T. Batches RETIRED by a
+    * later [[compactDeletes]] rewrite are included while their
+    * retirement postdates T (pre-delete history stays readable until
+    * [[vacuum]] reclaims the superseded dirs), and tombstones apply
+    * only when their delete predates T — an as-of-T read before a
+    * delete sees the deleted rows. Committed batches never mutate and
+    * the marker set is append-only, so an as-of-time read is
+    * reproducible until vacuum. */
   def readCommittedAsOfTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): Option[DataFrame] = {
-    val ts = batchTimestamps(spark, table)
-    val committed = committedBatches(spark, table)
-      .filter(key => ts.get(key).forall(_ <= tsMillis))
+    val st = logState(spark, table)
+    val committed = st.committedAsOf(tsMillis)
     if (committed.isEmpty) None
-    else Some(readBatchSet(spark, table, committed))
+    else Some(readBatchSet(spark, table, committed, st,
+      tombstoneAsOf = Some(tsMillis)))
   }
 
-  /** The committed (run_id, batch_id) set, from the log. Snapshot
-    * files (from [[compactLog]]) contribute their folded entries. */
-  def committedBatches(spark: SparkSession, table: String): Seq[(String, Long)] = {
-    val (hfs, dir) = fs(spark, commitsDir(table))
-    if (!hfs.exists(dir)) return Seq.empty
-    entriesOf(hfs, dir, hfs.listStatus(dir).toSeq.map(_.getPath.getName))
-      .distinct.sorted
-  }
+  /** The live committed (run_id, batch_id) set, from the log:
+    * snapshot files (from [[compactLog]]) contribute their folded
+    * entries; batches retired by [[compactDeletes]] are excluded. */
+  def committedBatches(spark: SparkSession, table: String): Seq[(String, Long)] =
+    logState(spark, table).committed
 
   /** Schema-aware committed read (r15 evolution support): batches
     * whose marker-recorded schemas differ are read per schema-group
@@ -417,11 +441,20 @@ object CommitLog {
     * same way. All reconciliation happens on MARKER METADATA — the
     * single-schema fast path (and any pre-schema table) is exactly
     * one parquet read, no footer merging ever. */
-  private def readBatchSet(spark: SparkSession, table: String,
-      committed: Seq[(String, Long)]): DataFrame = {
+  private[sources] def readBatchSet(spark: SparkSession, table: String,
+      committed: Seq[(String, Long)], st: LogState,
+      tombstoneAsOf: Option[Long] = None): DataFrame =
+    applyTombstones(rawBatchSet(spark, table, committed, st),
+      committed, st, tombstoneAsOf)
+
+  /** [[readBatchSet]] WITHOUT the tombstone row filter — the DSv2
+    * scan path applies deletes itself (or verifies none apply). */
+  private[sources] def rawBatchSet(spark: SparkSession, table: String,
+      committed: Seq[(String, Long)], st: LogState): DataFrame = {
     def pathsOf(bs: Seq[(String, Long)]) =
       bs.map { case (r, b) => s"$table/run_id=$r/batch_id=$b" }
-    val schemas = batchSchemas(spark, table)
+    val schemas = st.meta.collect {
+      case (k, m) if m.schema.nonEmpty => k -> m.schema }
     val groups = committed.groupBy(schemas.get).toSeq.sortBy(_._2.head)
     if (groups.size <= 1)
       return spark.read.option("basePath", table).parquet(pathsOf(committed): _*)
@@ -467,23 +500,28 @@ object CommitLog {
     * is empty (a table with no committed data has no schema to offer —
     * callers decide whether that is empty-ok or an error). */
   def readCommitted(spark: SparkSession, table: String): Option[DataFrame] = {
-    val committed = committedBatches(spark, table)
+    val st = logState(spark, table)
+    val committed = st.committed
     if (committed.isEmpty) None
-    else Some(readBatchSet(spark, table, committed))
+    else Some(readBatchSet(spark, table, committed, st))
   }
 
   /** Snapshot-pinned read: exactly the batches with
     * `batch_id <= maxBatchId` (per run), regardless of what commits
     * later — the reproducibility contract a training run needs ("run
-    * X read batches ≤ N" stays replayable forever, because committed
-    * batches are immutable and the marker set is append-only). Returns
+    * X read batches ≤ N" stays replayable, because committed batches
+    * are immutable and the marker set is append-only). Row-level
+    * DELETES do apply here (all of them, not as-of anything): a
+    * batch-pinned read is a reproducibility pin, not an audit-history
+    * pin, and a GDPR-delete must reach every future read — use
+    * [[readCommittedAsOfTimestamp]] for pre-delete history. Returns
     * None when nothing qualifies. */
   def readCommittedAsOf(spark: SparkSession, table: String,
       maxBatchId: Long): Option[DataFrame] = {
-    val committed = committedBatches(spark, table)
-      .filter(_._2 <= maxBatchId)
+    val st = logState(spark, table)
+    val committed = st.committed.filter(_._2 <= maxBatchId)
     if (committed.isEmpty) None
-    else Some(readBatchSet(spark, table, committed))
+    else Some(readBatchSet(spark, table, committed, st))
   }
 
   /** Range read with BATCH PRUNING: only batches whose recorded
@@ -503,9 +541,11 @@ object CommitLog {
     * supplementary characters with U+E000..U+FFFF. */
   def readCommittedRange(spark: SparkSession, table: String, column: String,
       lo: Any, hi: Any): Option[DataFrame] = {
-    val committed = committedBatches(spark, table)
+    val st = logState(spark, table)
+    val committed = st.committed
     if (committed.isEmpty) return None
-    val stats = batchStats(spark, table)
+    val stats = st.meta.collect {
+      case (k, m) if m.stats.nonEmpty => k -> m.stats }
     def utf8(x: String) = UTF8String.fromString(x)
     def overlaps(s: ColStats): Boolean =
       if (s.typ == "num") {
@@ -533,10 +573,10 @@ object CommitLog {
       // schema still needed — and it must be the EVOLVED span schema
       // (a single partition could predate an added column), so build
       // from the full committed set; lit(false) means no data reads
-      return Some(readBatchSet(spark, table, committed)
+      return Some(readBatchSet(spark, table, committed, st)
         .where(col(column).between(lit(lo), lit(hi)) && lit(false)))
     }
-    Some(readBatchSet(spark, table, surviving)
+    Some(readBatchSet(spark, table, surviving, st)
       .where(col(column).between(lit(lo), lit(hi))))
   }
 
@@ -558,22 +598,24 @@ object CommitLog {
     val olds = hfs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".commit") ||
         s.getPath.getName.endsWith(".snapshot"))
-    val committed =
-      entriesOf(hfs, dir, olds.map(_.getPath.getName)).distinct.sorted
+    // retire markers and tombstones are NOT folded: they stay as
+    // individual files (rare — one per compactDeletes rewrite / one
+    // per delete), so their semantics survive any compaction order
+    val st = logStateOf(hfs, olds)
+    val committed = st.entries
     if (committed.isEmpty) return
-    // stats, schemas AND timestamps survive compaction: folded as
-    // tab-suffixed snapshot fields — "r,b[\t<stats>[\t<schema>
-    // [\t<ts>]]]", earlier fields kept empty when a later one rides
-    // (built from the same pre-listing state — the meta readers
-    // re-list, but only files that still exist, a subset of `olds`)
-    val stats = batchStats(spark, table)
-    val schemas = batchSchemas(spark, table)
-    val tss = batchTimestamps(spark, table)
+    // stats, schemas, timestamps AND retire marks survive compaction:
+    // folded as tab-suffixed snapshot fields — "r,b[\t<stats>
+    // [\t<schema>[\t<ts>[\t<retireTs>]]]]", earlier fields kept empty
+    // when a later one rides (decoded from exactly the `olds` listing
+    // — ONE pass, no relist)
     val body = committed.map { case (r, b) =>
+      val m = st.meta.get((r, b))
       val fields = Seq(
-        stats.get((r, b)).filter(_.nonEmpty).map(encodeStats),
-        schemas.get((r, b)).filter(_.nonEmpty).map(encodeSchema),
-        tss.get((r, b)).map(_.toString))
+        m.map(_.stats).filter(_.nonEmpty).map(encodeStats),
+        m.map(_.schema).filter(_.nonEmpty).map(encodeSchema),
+        m.flatMap(_.ts).map(_.toString),
+        st.retired.get((r, b)).map(_.toString))
       val upto = fields.lastIndexWhere(_.isDefined)
       if (upto < 0) s"$r,$b"
       else s"$r,$b\t" +
@@ -589,11 +631,17 @@ object CommitLog {
   }
 
   /** Delete data partitions that were never committed (crashed
-    * writers). Only removes (run_id, batch_id) directories absent
-    * from the log — an in-flight writer's partition is also absent,
-    * so vacuum only what is older than `graceMs`. */
+    * writers) or were RETIRED by [[compactDeletes]]. Uncommitted
+    * dirs — also what an in-flight writer's partition looks like —
+    * are removed only when older than `graceMs` by mtime; retired
+    * dirs only when the RETIREMENT is older than `graceMs` (their
+    * mtime is the original write, which would reclaim a
+    * just-superseded batch instantly and break pre-delete time
+    * travel before the grace window). Reclaiming a retired dir ends
+    * time travel into its era — the Delta/Iceberg vacuum contract. */
   def vacuum(spark: SparkSession, table: String, graceMs: Long = 24L * 3600 * 1000): Unit = {
-    val committed = committedBatches(spark, table).toSet
+    val st = logState(spark, table)
+    val committed = st.committed.toSet
     val (hfs, root) = fs(spark, table)
     if (!hfs.exists(root)) return
     val now = java.lang.System.currentTimeMillis()
@@ -605,7 +653,179 @@ object CommitLog {
       if batchDir.isDirectory && batchDir.getPath.getName.startsWith("batch_id=")
       batchId = batchDir.getPath.getName.stripPrefix("batch_id=").toLong
       if !committed.contains((runId, batchId))
-      if now - batchDir.getModificationTime > graceMs
+      if (st.retired.get((runId, batchId)) match {
+        case Some(retireTs) => now - retireTs > graceMs
+        case None => now - batchDir.getModificationTime > graceMs
+      })
     } hfs.delete(batchDir.getPath, true)
+  }
+
+  // ---- row-level DELETE (r16): tombstones + copy-on-write ---- //
+
+  /** The Column predicate a tombstone encodes (true ⇔ row deleted).
+    * NULL predicate values (row's column is NULL, or the column was
+    * added after the row's batch) coalesce to NOT deleted — a delete
+    * names values, and NULL never equals a value. */
+  private def tombstonePred(t: Tombstone): org.apache.spark.sql.Column = {
+    def l(v: String) = lit(v).cast(t.typ)
+    val p = t.kind match {
+      case "in" => col(t.col).isin(t.vals.map(l): _*)
+      case "range" => col(t.col).between(l(t.vals(0)), l(t.vals(1)))
+      case other => sys.error(s"unknown tombstone kind '$other'")
+    }
+    coalesce(p, lit(false))
+  }
+
+  /** Filter `df` down to the rows no applicable tombstone deletes.
+    * A tombstone applies to a row iff the row's (run_id, batch_id) is
+    * in the tombstone's recorded `applies` set AND visible to this
+    * read — batches committed after the delete, and rewritten
+    * (tombstone-applied) batches, are untouched by construction.
+    * With `tombstoneAsOf`, only deletes recorded by that wall time
+    * apply (time travel sees pre-delete state). */
+  private def applyTombstones(df: DataFrame, visible: Seq[(String, Long)],
+      st: LogState, tombstoneAsOf: Option[Long]): DataFrame = {
+    val visibleSet = visible.toSet
+    val live = st.tombstones
+      .filter(t => tombstoneAsOf.forall(t.ts <= _))
+      .map(t => t.copy(applies = t.applies.filter(visibleSet)))
+      .filter(_.applies.nonEmpty)
+    live.foldLeft(df) { (acc, t) =>
+      // '-' is the unambiguous separator: markerName REQUIRES run ids
+      // to never contain it (a bare concat could alias ("a1",2) with
+      // ("a",12))
+      val member = concat_ws("-", col("run_id"), col("batch_id"))
+        .isin(t.applies.map { case (r, b) => s"$r-$b" }: _*)
+      acc.where(!(member && tombstonePred(t)))
+    }
+  }
+
+  /** Row-level DELETE, logical phase: append a `.tombstone` marker
+    * (atomic temp+rename, like commits) recording the predicate
+    * `column ∈ values` / `column BETWEEN lo AND hi` and the EXACT
+    * committed set it applies to — batches committed later are
+    * untouched by construction, so the delete is a fixed fact, not a
+    * standing rule. Readers apply it as a residual filter until
+    * [[compactDeletes]] rewrites the affected batches;
+    * [[readCommittedAsOfTimestamp]] with T before the delete still
+    * sees the rows (GDPR-delete history disappears when [[vacuum]]
+    * reclaims the rewritten originals). `typ` is taken from the
+    * affected batches' recorded schemas when available. */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      kind: String, values: Seq[Any], ts: Long = -1L): Unit = {
+    require(kind == "in" || kind == "range",
+      s"tombstone kind must be 'in' or 'range', got '$kind'")
+    require(kind != "range" || values.length == 2,
+      s"range delete needs (lo, hi), got ${values.length} values")
+    require(values.nonEmpty, "delete needs at least one value")
+    val st = logState(spark, table)
+    val applies = st.committed
+    if (applies.isEmpty) return
+    // the value type: the widest recorded type for the column across
+    // applied batches; fall back on the Scala runtime type
+    val recorded = applies.flatMap(k =>
+      st.meta.get(k).toSeq.flatMap(_.schema).filter(_._1 == column).map(_._2))
+    val typ = recorded.reduceOption((a, b) => widen(a, b).getOrElse(a))
+      .getOrElse(values.head match {
+        case _: Int | _: Long => "BIGINT"
+        case _: Float | _: Double => "DOUBLE"
+        case _ => "STRING"
+      })
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    hfs.mkdirs(dir)
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    val name = f"del-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.tombstone"
+    val body =
+      s"""ts=$tsv
+         |col=${esc(column)}
+         |typ=${esc(typ)}
+         |kind=$kind
+         |vals=${values.map(v => esc(v.toString)).mkString(";")}
+         |applies=${applies.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}
+         |""".stripMargin
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, name)
+    if (!hfs.rename(tmp, marker)) {
+      hfs.delete(tmp, false); sys.error(s"could not write tombstone $marker")
+    }
+  }
+
+  /** Row-level DELETE, physical phase (copy-on-write at batch
+    * granularity): for every batch an un-applied tombstone touches,
+    * write the batch MINUS its deleted rows as a NEW
+    * (runId + "rw<hash>", batchId) partition and commit it (fresh
+    * stats for the columns that had them, same schema lineage, commit
+    * ts = now so pre-delete time travel excludes it) with a
+    * `retires=` line in the SAME marker — the original's retirement
+    * and the rewrite's visibility are one atomic rename, no crash
+    * window where both (or neither) are live. Batch-stats pruning
+    * skips batches whose recorded [min,max] cannot contain any
+    * deleted value. Current reads flip atomically per batch from
+    * (original + residual filter) to (rewrite, no filter) — both
+    * shapes return identical rows, so a reader racing the swap is
+    * correct either way; [[vacuum]] reclaims retired dirs after the
+    * grace window. */
+  def compactDeletes(spark: SparkSession, table: String,
+      ts: Long = -1L): Unit = {
+    val st = logState(spark, table)
+    val visibleSet = st.committed.toSet
+    def utf8(x: String) = UTF8String.fromString(x)
+    // can tombstone t possibly delete rows of batch key? (stats prune)
+    def mayHit(t: Tombstone, key: (String, Long)): Boolean =
+      st.meta.get(key).flatMap(_.stats.find(_.col == t.col)) match {
+        case None => true
+        case Some(s) =>
+          def inRange(v: String): Boolean =
+            if (s.typ == "num")
+              try {
+                val x = new JBigDecimal(v)
+                new JBigDecimal(s.min).compareTo(x) <= 0 &&
+                  new JBigDecimal(s.max).compareTo(x) >= 0
+              } catch { case _: NumberFormatException => true }
+            else utf8(s.min).compareTo(utf8(v)) <= 0 &&
+              utf8(s.max).compareTo(utf8(v)) >= 0
+          t.kind match {
+            case "in" => t.vals.exists(inRange)
+            case _ => // range [lo, hi] overlaps [min, max]
+              if (s.typ == "num")
+                try {
+                  val (lo, hi) = (new JBigDecimal(t.vals(0)), new JBigDecimal(t.vals(1)))
+                  new JBigDecimal(s.max).compareTo(lo) >= 0 &&
+                    new JBigDecimal(s.min).compareTo(hi) <= 0
+                } catch { case _: NumberFormatException => true }
+              else utf8(s.max).compareTo(utf8(t.vals(0))) >= 0 &&
+                utf8(s.min).compareTo(utf8(t.vals(1))) <= 0
+          }
+      }
+    // batch → the tombstones that still apply to it
+    val perBatch = st.tombstones
+      .flatMap(t => t.applies.filter(visibleSet).map(_ -> t))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .filter { case (key, ts) => ts.exists(mayHit(_, key)) }
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    perBatch.foreach { case ((runId, batchId), tombs) =>
+      val dirPath = s"$table/run_id=$runId/batch_id=$batchId"
+      val original = spark.read.parquet(dirPath) // no partition cols
+      val kept = tombs.foldLeft(original)((df, t) =>
+        if (df.columns.contains(t.col)) df.where(!tombstonePred(t)) else df)
+      // rewrite run id: derived from the original so lineage is
+      // readable; hash over the tombstone set so re-running after new
+      // deletes yields a fresh partition, while a retry of the SAME
+      // compaction is idempotent (same name → dynamic overwrite + no-op
+      // commit)
+      val h = scala.util.hashing.MurmurHash3.orderedHash(
+        tombs.map(t => (t.ts, t.col, t.kind, t.vals))) & 0x7fffffff
+      val rwRun = f"${runId}rw$h%08x"
+      val statsCols = st.meta.get((runId, batchId))
+        .map(_.stats.map(_.col)).getOrElse(Seq.empty)
+      val retires = Seq((runId, batchId))
+      if (statsCols.isEmpty)
+        writeBatch(kept, table, rwRun, batchId, tsv, retires)
+      else
+        writeBatchWithStats(kept, table, rwRun, batchId, statsCols, tsv,
+          retires)
+    }
   }
 }

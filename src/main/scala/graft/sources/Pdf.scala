@@ -258,6 +258,11 @@ object Pdf {
       payload: Array[Byte]): Option[Seq[(Int, Int)]] = {
     val w = parseIntArrayAfter(bytes, "/W", dictFrom, until, cap = 3)
     if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w.sum == 0) return None
+    // the TYPE field is 0/1/2 per spec and is accumulated below into
+    // an Int via (v << 8) | b — a hostile W[0] of 5-8 would silently
+    // overflow into a garbage type value that skews the authoritative
+    // object count; treat it as malformation (token-scan fallback)
+    if (w(0) > 4) return None
     val rowLen = w.sum
     val size = parseIntAfter(bytes, "/Size", dictFrom, until)
     if (size <= 0 || size > 1000000) return None
@@ -631,11 +636,18 @@ object Pdf {
         case None => xrefAuthority = false
       }
     }
+    // hybrid-reference files (r16): a classic `xref` keyword table
+    // outside stream payloads records objects the xref STREAMS never
+    // saw — counting only decoded stream entries would drop them, so
+    // a classic section anywhere drops the authority and the token
+    // scan stands ("startxref" doesn't match: countToken's delimiter
+    // guard rejects letter-preceded tokens)
+    val classicXref = countToken(bytes, "xref", spans) > 0
     // countToken's delimiter guard already rejects endobj's inner
     // "obj" (preceded by 'd'); payload spans are excluded so embedded
     // documents inside uncompressed streams can't inflate the counts
     val nObjects =
-      if (sawXrefTable && xrefAuthority)
+      if (sawXrefTable && xrefAuthority && !classicXref)
         xrefTypes.valuesIterator.count(t => t == 1 || t == 2)
       else countToken(bytes, "obj", spans) + objStmObjects
     val nPages = countPages(bytes, spans) + objStmPages

@@ -24,11 +24,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * narrow per-batch work plus the cell-partitioned append. */
 object EmbedIngest {
 
+  /** run_id for a pipeline, derived from its checkpoint path: the
+    * sanitized path TAIL (human-readable in `run_id=` dirs) plus a
+    * 64-bit hash of the FULL path — two pipelines with distinct
+    * checkpoints appending to the same index can no longer collide on
+    * run_id (a 31-bit hash alone could, and colliding run_ids with
+    * coincident batch ids dynamically overwrite each other's
+    * committed partitions without any error). */
+  private[graft] def runIdOf(checkpoint: String): String = {
+    val tail = checkpoint.takeRight(40)
+      .map(c => if (c.isLetterOrDigit) c else '_')
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(checkpoint, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(checkpoint, 0x3c6ef372)
+    f"${tail}_$h1%08x$h2%08x"
+  }
+
   def start(stream: DataFrame, idCol: String, textCol: String,
             weightedVecs: DataFrame, centroids: DataFrame,
             indexPath: String, checkpoint: String): StreamingQuery = {
-    val runId = (scala.util.hashing.MurmurHash3.stringHash(checkpoint)
-      & 0x7fffffff).toHexString
+    val runId = runIdOf(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

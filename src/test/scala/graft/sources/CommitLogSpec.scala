@@ -276,4 +276,84 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readCommittedAsOf(spark, table, 1L).get.count() == 30)
     assert(CommitLog.readCommittedAsOf(spark, table, -1L).isEmpty)
   }
+
+  test("deleteWhere: rows vanish from prior batches only; time travel sees pre-delete state") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txdel").toString + "/t"
+    CommitLog.writeBatch(rows(10, "a"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(rows(20, "b"), table, "r1", 1L, ts = 2000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(3L, 5L), ts = 3000L)
+    // ids 3 and 5 gone from BOTH prior batches
+    val cur = CommitLog.readCommitted(spark, table).get
+    assert(cur.count() == 26, cur.count().toString)
+    assert(cur.where(col("id").isin(3L, 5L)).count() == 0)
+    // a batch committed AFTER the delete keeps its 3 and 5 — the
+    // tombstone recorded the exact batch set it applies to
+    CommitLog.writeBatch(rows(10, "c"), table, "r1", 2L, ts = 4000L)
+    val after = CommitLog.readCommitted(spark, table).get
+    assert(after.count() == 36)
+    assert(after.where(col("id").isin(3L, 5L)).count() == 2)
+    // time travel: before the delete the rows exist; after, they don't
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get.count() == 30)
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 3500L).get.count() == 26)
+    // range delete composes on top
+    CommitLog.deleteWhere(spark, table, "id", "range", Seq(7L, 8L), ts = 5000L)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 36 - 6)
+    // batch-pinned reads apply deletes (a GDPR-delete reaches every
+    // future read); only as-of-TIMESTAMP reads pre-delete history
+    assert(CommitLog.readCommittedAsOf(spark, table, 1L).get.count() == 22)
+    // NULL predicate values never match: a delete on v keeps null-v rows
+    val withNull = Seq((100L, Option.empty[String]), (101L, Some("kill")))
+      .toDF("id", "v")
+    CommitLog.writeBatch(withNull, table, "r1", 3L, ts = 6000L)
+    CommitLog.deleteWhere(spark, table, "v", "in", Seq("kill"), ts = 7000L)
+    val fin = CommitLog.readCommitted(spark, table).get
+    assert(fin.where(col("id") === 100L).count() == 1, "null row must survive")
+    assert(fin.where(col("id") === 101L).count() == 0)
+  }
+
+  test("compactDeletes: copy-on-write rewrite, stats-pruned; vacuum reclaims retired dirs") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txcdel").toString + "/t"
+    def idRows(lo: Long, n: Int, tag: String) =
+      (0 until n).map(i => (lo + i, s"$tag-$i")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(idRows(0, 10, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.writeBatchWithStats(idRows(100, 10, "b"), table, "r1", 1L,
+      Seq("id"), ts = 2000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(5L), ts = 3000L)
+    CommitLog.compactDeletes(spark, table, ts = 4000L)
+    // batch 1's stats [100,109] cannot contain 5 — it must NOT be
+    // rewritten; batch 0 is retired and replaced by an r1rw* rewrite
+    val st = CommitLog.logState(spark, table)
+    assert(st.retired.keySet == Set(("r1", 0L)), st.retired.toString)
+    val live = st.committed
+    assert(live.exists { case (r, b) => r.startsWith("r1rw") && b == 0L }, live.toString)
+    assert(live.contains(("r1", 1L)), "untouched batch must keep its original")
+    val cur = CommitLog.readCommitted(spark, table).get
+    assert(cur.count() == 19)
+    assert(cur.where(col("id") === 5L).count() == 0)
+    // pre-delete time travel still sees id 5 (retired dir still on disk)
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get.count() == 20)
+    // re-running the same compaction is a no-op (same rewrite name)
+    CommitLog.compactDeletes(spark, table, ts = 4500L)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 19)
+    assert(CommitLog.logState(spark, table).committed.size == 2)
+    // rewritten batch keeps usable stats: a range read prunes on them
+    val pruned = CommitLog.readCommittedRange(spark, table, "id", 0L, 9L).get
+    assert(pruned.count() == 9)
+    assert(!pruned.inputFiles.exists(_.contains("run_id=r1/batch_id=1")),
+      "range read must prune the [100,109] batch")
+    // log compaction preserves retire marks and tombstones
+    CommitLog.compactLog(spark, table)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 19)
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get.count() == 20)
+    // vacuum reclaims the retired dir once the grace window passes —
+    // ending time travel into the pre-delete era
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    val (hfs, p) = {
+      val pp = new org.apache.hadoop.fs.Path(s"$table/run_id=r1/batch_id=0")
+      (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
+    }
+    assert(!hfs.exists(p), "retired dir must be vacuumed")
+    assert(CommitLog.readCommitted(spark, table).get.count() == 19)
+  }
 }

@@ -254,6 +254,48 @@ class PdfSpec extends SparkSpec {
     assert(doc.n_pages == 1)
   }
 
+  test("hybrid classic-xref + xref-stream file drops the stream authority") {
+    // a classic 'xref' keyword section records object 9 that the xref
+    // STREAM never saw — stream-only counting would report 2; the
+    // classic section must drop the authority so the token scan (3
+    // objects) stands
+    def rows(entries: Seq[(Int, Int, Int)]): Array[Byte] =
+      entries.flatMap { case (t, f2, f3) =>
+        Seq(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+      }.toArray
+    val table = rows(Seq((0, 0, 255), (1, 10, 0), (1, 20, 0)))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Page >> endobj\n")
+    w("9 0 obj << /OnlyInClassicSection true >> endobj\n")
+    w("xref\n0 1\n0000000000 65535 f \n9 1\n0000000052 00000 n \n")
+    w("trailer << /Size 10 >>\n")
+    w(s"2 0 obj << /Type /XRef /Size 3 /W [1 2 1] " +
+      s"/Length ${table.length} >> stream\n")
+    out.write(table)
+    w("\nendstream endobj\nstartxref\n0\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 3, doc.toString) // token scan: 1, 9, 2
+  }
+
+  test("hostile /W type width over 4 bytes is malformation, not garbage counts") {
+    // W[0]=5 would accumulate the type field into an Int with
+    // (v << 8) | b and silently overflow — must fall back to the
+    // token scan instead of reporting a skewed authoritative count
+    val table = Array.fill[Byte](16)(1) // 2 rows of W [5 2 1]
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Page >> endobj\n")
+    w(s"2 0 obj << /Type /XRef /Size 2 /W [5 2 1] " +
+      s"/Length ${table.length} >> stream\n")
+    out.write(table)
+    w("\nendstream endobj\n%%EOF\n")
+    val doc = Pdf.parse("p", out.toByteArray)
+    assert(doc.n_objects == 2, doc.toString) // token scan: objects 1 and 2
+  }
+
   test("uncompressed stream embedding another PDF does not inflate counts") {
     val embedded = "%PDF-1.1\n7 0 obj <</Type /Page>> endobj\n"
     val out = new java.io.ByteArrayOutputStream()
