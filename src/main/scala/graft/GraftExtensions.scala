@@ -16,6 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
+    // SQL front door for the commit-log table format:
+    // SELECT ... FROM graft_commitlog.`/path`. Spark's own SQL-on-file
+    // rule admits only V1 FileFormat providers and FAILS the analysis
+    // for anything else registered under the name, and it runs before
+    // injected resolution rules — so the format's path tables must
+    // resolve in the earlier hint-resolution batch, where the
+    // identifier shape (2 parts, our format name) is already decided.
+    ext.injectHintResolutionRule(spark => graft.sources.ResolveCommitLogSql(spark))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -1579,6 +1579,35 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // intrinsic embedding quality #1 — neighbor purity by planted
+    // label at k=3: the label-coherence readout a curation pipeline
+    // dials dims/epochs against (EmbedEval rides knnGraph, so the
+    // cells/nprobe scale path applies unchanged)
+    "emb_neighbor_purity" -> ((s, dir) => {
+      graft.ops.EmbedEval.neighborPurity(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
+    // intrinsic embedding quality #2 — Spearman rank correlation
+    // between a gold similarity (label distance) and model cosine
+    // over a deterministic stride pair set (equi-joins, no pair
+    // cross join; min-rank convention, exact-integer Σd²)
+    "emb_sim_rank_corr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"), col("label").as("a_lbl"))
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("label").as("b_lbl"))
+      val pairs = a
+        .withColumn("st", explode(array(lit(1L), lit(7L), lit(31L), lit(101L))))
+        .withColumn("b_id", col("a_id") + col("st"))
+        .join(b, "b_id")
+        .select(
+          (-abs(col("a_lbl") - col("b_lbl"))).cast("long").as("gold"),
+          round(Ann.cosine(col("a_vec"), col("b_vec")), 6).as("model"))
+      graft.ops.EmbedEval.spearman(pairs, "gold", "model")
+    }),
+
     // hard-negative mining (retrieval-training triplets): rank-1 is
     // the positive, ranks 4-8 the negatives (skip band 3 guards
     // against unlabeled duplicates); one ranking pass serves both
@@ -3762,6 +3791,24 @@ object SparkEntry {
       graft.text.Sgns.docEmbeddings(docs, "doc_id", "text",
         m.embeddingsDf(s))
     }),
+
+    // intrinsic quality readout riding the trained model: SGNS → doc
+    // embeddings → neighbor purity by language — the measured dial
+    // for dim/epoch/negative choices (EmbedEval applied to 54bd; the
+    // gated oracle form runs on the embeddings table, this measures
+    // the trainer's own output end to end)
+    "sgns_embed_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.SkipGram.trainingPairs(
+        docs, "doc_id", "text", window = 2)
+      val m = graft.text.Sgns.train(pairs, dim = 32, epochs = 3,
+        lr = 1.0, negatives = 5, topV = 4096)
+      val vecs = graft.text.Sgns.docEmbeddings(docs, "doc_id", "text",
+        m.embeddingsDf(s))
+      graft.ops.EmbedEval.neighborPurity(
+        vecs.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "embedding", "lang", k = 5)
+    }),
     // k-core of the part co-purchase graph: iterative peel to the
     // 8-core (dense co-assortment families). Rounds are data-dependent
     // (KCoreSpec pins semantics), so bench-only — no SQL replay.
@@ -5388,6 +5435,73 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // neighbor-purity replay: the ann_knn_graph top-3 CTE joined back
+    // to labels, purity as exact-count division rounded 1e-6
+    "emb_neighbor_purity" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid),
+        |g AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM sc QUALIFY rnk <= 3)
+        |SELECT ql.label AS label,
+        |  count(DISTINCT g.query_id) AS n_queries,
+        |  count(*) AS n_edges,
+        |  round(CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS purity
+        |FROM g
+        |JOIN embeddings ql ON ql.vec_id = g.query_id
+        |JOIN embeddings nl ON nl.vec_id = g.neighbor_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Spearman replay: identical stride pair set, identical min-rank
+    // (rank()) convention, exact-integer Σd², one final double divide
+    "emb_sim_rank_corr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, a.vec_id + t.st AS b_id
+        |  FROM embeddings a, unnest([1, 7, 31, 101]) AS t(st)),
+        |pd AS (
+        |  SELECT p.a_id, p.b_id, sum(ea.v * eb.v) AS dot
+        |  FROM p
+        |  JOIN e ea ON ea.vec_id = p.a_id
+        |  JOIN e eb ON eb.vec_id = p.b_id AND eb.i = ea.i
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT -abs(la.label - lb.label) AS gold,
+        |         round(pd.dot / (na.nrm * nb.nrm), 6) AS model
+        |  FROM pd
+        |  JOIN n na ON na.vec_id = pd.a_id
+        |  JOIN n nb ON nb.vec_id = pd.b_id
+        |  JOIN embeddings la ON la.vec_id = pd.a_id
+        |  JOIN embeddings lb ON lb.vec_id = pd.b_id),
+        |r AS (
+        |  SELECT rank() OVER (ORDER BY gold ASC) AS rg,
+        |         rank() OVER (ORDER BY model ASC) AS rm
+        |  FROM pr)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum((rg - rm) * (rg - rm)) AS BIGINT) AS sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum((rg - rm) * (rg - rm)) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) *
+        |     (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)), 6) AS rho
+        |FROM r""".stripMargin,
 
     // centroid-outlier replay: same integer-quantized centroid (exact
     // in any sum order), same element joins, round6 cosine

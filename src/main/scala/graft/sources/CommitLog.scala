@@ -546,26 +546,10 @@ object CommitLog {
     if (committed.isEmpty) return None
     val stats = st.meta.collect {
       case (k, m) if m.stats.nonEmpty => k -> m.stats }
-    def utf8(x: String) = UTF8String.fromString(x)
-    def overlaps(s: ColStats): Boolean =
-      if (s.typ == "num") {
-        // Double/Float column stats legitimately serialize as 'NaN' /
-        // 'Infinity' / '-Infinity' (mn.toString of a non-finite
-        // value), which BigDecimal cannot parse — degrade to
-        // unprunable (conservative read): pruning is an optimization,
-        // never a semantics change, and the residual filter still
-        // applies.
-        try {
-          val (mn, mx) = (new JBigDecimal(s.min), new JBigDecimal(s.max))
-          val (l, h) =
-            (new JBigDecimal(lo.toString), new JBigDecimal(hi.toString))
-          mx.compareTo(l) >= 0 && mn.compareTo(h) <= 0
-        } catch { case _: NumberFormatException => true }
-      } else utf8(s.max).compareTo(utf8(lo.toString)) >= 0 &&
-        utf8(s.min).compareTo(utf8(hi.toString)) <= 0
     val surviving = committed.filter { key =>
       stats.get(key).flatMap(_.find(_.col == column)) match {
-        case Some(s) => overlaps(s)
+        case Some(s) =>
+          statsMayMatch(s, Some(lo.toString), Some(hi.toString))
         case None => true // no stats recorded → cannot prune
       }
     }
@@ -578,6 +562,33 @@ object CommitLog {
     }
     Some(readBatchSet(spark, table, surviving, st)
       .where(col(column).between(lit(lo), lit(hi))))
+  }
+
+  /** Could a batch whose recorded [min, max] is `s` hold a value in
+    * [lo, hi] (None = unbounded side)? The shared pruning predicate —
+    * readCommittedRange's BETWEEN and the DSv2 scan's pushed filters
+    * both reduce to it. Numeric stats compare as exact decimals (a
+    * double round of a long stat above 2^53 could wrongly prune a
+    * boundary-touching batch); non-finite renderings ('NaN',
+    * 'Infinity') and non-numeric probe values degrade to UNPRUNABLE —
+    * pruning is an optimization, never a semantics change, and the
+    * residual filter always applies. String stats compare in
+    * UTF8String (code-point) order, matching the residual Spark
+    * filter itself — Java String order is UTF-16 code-unit order,
+    * which disagrees for strings mixing supplementary characters with
+    * U+E000..U+FFFF. */
+  private[sources] def statsMayMatch(s: ColStats, lo: Option[String],
+      hi: Option[String]): Boolean = {
+    def utf8(x: String) = UTF8String.fromString(x)
+    if (s.typ == "num")
+      try {
+        val (mn, mx) = (new JBigDecimal(s.min), new JBigDecimal(s.max))
+        lo.forall(l => mx.compareTo(new JBigDecimal(l)) >= 0) &&
+          hi.forall(h => mn.compareTo(new JBigDecimal(h)) <= 0)
+      } catch { case _: NumberFormatException => true }
+    else
+      lo.forall(l => utf8(s.max).compareTo(utf8(l)) >= 0) &&
+        hi.forall(h => utf8(s.min).compareTo(utf8(h)) <= 0)
   }
 
   /** Fold all individual commit markers into one `.snapshot` file —

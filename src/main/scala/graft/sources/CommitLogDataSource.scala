@@ -1,0 +1,389 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2Relation, FileScan, FileTable}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 front door for the commit-log table format: the rung
+  * that turns [[CommitLog]] from a Scala library into a TABLE — any
+  * user can `spark.read.format("graft_commitlog").load(path)` (or,
+  * with [[graft.GraftExtensions]] installed, plain SQL
+  * `SELECT ... FROM graft_commitlog.`/path``) and get atomic
+  * visibility, batch-stats pruning, widening-only schema evolution,
+  * row-level deletes and time travel, exactly as the library read
+  * does. Delta/Iceberg ship the same rung; the reference's pipeline
+  * (DM_bankfile_validate_pipeline.py + checkpoint_manager.py) has no
+  * table format at all — its consumers re-read whole prefixes.
+  *
+  * Read options:
+  *   - `asOfBatch` — snapshot pin: batches with batch_id ≤ N per run
+  *     (the reproducible-training-run contract; row-level deletes
+  *     still apply — a GDPR delete must reach every future read).
+  *   - `asOfTimestamp` — time travel: the table as a reader at wall
+  *     time T saw it (epoch millis, or `yyyy-MM-dd HH:mm:ss[.f]`);
+  *     sees its ERA's schema and PRE-delete rows until vacuum.
+  *   Mutually exclusive; both at once error loudly.
+  *
+  * Plan shape — two paths, picked per scan:
+  *   - FAST (steady state: one schema lineage among surviving
+  *     batches, no live tombstone): the scan IS Spark's own
+  *     [[ParquetScan]] over an [[InMemoryFileIndex]] listing EXACTLY
+  *     the surviving committed batch directories — full vectorized
+  *     columnar reads, whole-stage codegen, parquet row-group
+  *     pushdown. Uncommitted or torn batches are structurally
+  *     invisible (never listed); at 100 TB the scan lists the handful
+  *     of dirs a predicate selects, not everything ever attempted.
+  *   - FALLBACK (mixed schema lineages needing widening casts, or
+  *     live tombstones awaiting [[CommitLog.compactDeletes]]): a
+  *     [[V1Scan]] wrapping the library's own
+  *     [[CommitLog.readBatchSet]] — the row-at-a-time cost is paid
+  *     only in the transitional states the format itself defines, and
+  *     compaction restores the fast path.
+  *
+  * Pushed filters map onto BATCH-STATS pruning before any file is
+  * listed: each conjunct reduces to a [lo, hi] bound per column
+  * (strict bounds widened to closed — conservative, never wrong) and
+  * a batch survives only if its marker-recorded [min, max] may
+  * intersect every bound ([[CommitLog.statsMayMatch]], the same
+  * predicate readCommittedRange uses); partition-column conjuncts
+  * (run_id / batch_id) evaluate against each batch's literal key the
+  * same way (point stats). ALL filters remain residual in the plan —
+  * pruning only removes provably-empty batch directories, never
+  * changes semantics — while data-column filters are additionally
+  * handed to parquet for row-group skipping.
+  *
+  * `Dataset.inputFiles` consults the TABLE-level index (Spark's
+  * design), which here lists exactly the committed-and-visible files
+  * — torn batches absent, time-travel era respected. The per-SCAN
+  * view, including pushed-filter batch pruning, is
+  * [[CommitLogDataSource.scanInputFiles]].
+  *
+  * Writes stay on the library API ([[CommitLog.writeBatch]] /
+  * writeBatchWithStats): the format's writer contract (atomic marker
+  * rename, exactly-once replay, stats/schema/ts in the marker) is
+  * stronger than a generic DSv2 append, and a second write path would
+  * be a second thing to keep exactly-once.
+  */
+class CommitLogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft_commitlog"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(sys.error(
+      "graft_commitlog needs a path: " +
+        "spark.read.format(\"graft_commitlog\").load(\"/table\")"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new CommitLogTable(pathOf(options), options, None).schema
+
+  override def inferPartitioning(
+      options: CaseInsensitiveStringMap): Array[Transform] =
+    Array(Expressions.identity("run_id"), Expressions.identity("batch_id"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new CommitLogTable(pathOf(options), options, Option(schema))
+  }
+}
+
+/** `format("graft-commitlog")` alias (the dashed spelling); SQL
+  * identifiers use the underscore form. */
+class CommitLogDataSourceDashed extends CommitLogDataSource {
+  override def shortName(): String = "graft-commitlog"
+}
+
+object CommitLogDataSource {
+  /** The parquet files a PLANNED query will actually read — the
+    * per-scan view that includes pushed-filter batch-stats pruning
+    * (`Dataset.inputFiles` consults the table-level index by Spark
+    * design: all committed-and-visible files). Empty for fallback
+    * scans (mixed lineages / live tombstones), whose reads go through
+    * the library path. */
+  def scanInputFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan match {
+        case f: FileScan => f.fileIndex.inputFiles.toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+}
+
+/** Analyzer rule (installed by [[graft.GraftExtensions]]): resolves
+  * `graft_commitlog.`/path`` in SQL text to the DSv2 table. Spark's
+  * own SQL-on-file rule admits only V1 `FileFormat` providers, so a
+  * table FORMAT needs its own resolution rung — the convention Delta
+  * established for `delta.`/path``. */
+case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          Set("graft_commitlog", "graft-commitlog")
+            .contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+      val opts = new java.util.HashMap[String, String](u.options)
+      opts.put("path", u.multipartIdentifier(1))
+      val cis = new CaseInsensitiveStringMap(opts)
+      DataSourceV2Relation.create(
+        new CommitLogTable(u.multipartIdentifier(1), cis, None), None, None, cis)
+  }
+}
+
+/** A [[FileTable]] so the whole file-source surface behaves —
+  * `Dataset.inputFiles`, partitioning metadata, catalog display —
+  * while every read decision (visibility, pruning, evolution,
+  * deletes, time travel) comes from the commit log. */
+private[sources] final class CommitLogTable(val table: String,
+    options: CaseInsensitiveStringMap, knownSchema: Option[StructType])
+    extends FileTable(SparkSession.active, options, Seq(table), knownSchema) {
+
+  private[sources] def spark: SparkSession = SparkSession.active
+
+  private[sources] val asOfTs: Option[Long] =
+    Option(options.get("asOfTimestamp")).map { s =>
+      s.toLongOption.getOrElse(
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException => sys.error(
+            "graft_commitlog asOfTimestamp must be epoch millis or " +
+              s"'yyyy-MM-dd HH:mm:ss[.f]', got '$s'")
+        })
+    }
+  private[sources] val asOfBatch: Option[Long] =
+    Option(options.get("asOfBatch")).map(s => s.toLongOption.getOrElse(
+      sys.error(s"graft_commitlog asOfBatch must be a long, got '$s'")))
+  if (asOfTs.nonEmpty && asOfBatch.nonEmpty)
+    sys.error("graft_commitlog: asOfBatch and asOfTimestamp are " +
+      "mutually exclusive — a read is pinned to one notion of time")
+
+  /** ONE log decode per table instance: schema(), inputFiles and the
+    * scan resolve against the SAME committed set (a commit landing
+    * mid-plan cannot tear a read into mixed eras). */
+  private[sources] lazy val st: CommitLog.LogState =
+    CommitLog.logState(spark, table)
+  private[sources] lazy val committed: Seq[(String, Long)] =
+    (asOfTs, asOfBatch) match {
+      case (Some(t), _) => st.committedAsOf(t)
+      case (_, Some(b)) => st.committed.filter(_._2 <= b)
+      case _ => st.committed
+    }
+
+  /** The table schema IS the library read's schema —
+    * [[CommitLog.rawBatchSet]]'s widening-only reconciliation over
+    * the visible batch set (so an as-of read sees the schema of its
+    * era, and incompatible drift fails loudly at plan time), plus the
+    * run_id/batch_id partition columns. One source of truth: the DSv2
+    * read and readCommitted cannot disagree on shape. */
+  private[sources] lazy val reconciled: StructType = {
+    if (committed.isEmpty) sys.error(
+      s"graft_commitlog: no committed batches at $table" +
+        asOfTs.map(t => s" as of timestamp $t").getOrElse("") +
+        asOfBatch.map(b => s" as of batch $b").getOrElse(""))
+    CommitLog.rawBatchSet(spark, table, committed, st).schema
+  }
+
+  override def name(): String = s"graft_commitlog.`$table`"
+  override lazy val schema: StructType = knownSchema.getOrElse(reconciled)
+  override lazy val dataSchema: StructType = StructType(
+    schema.fields.filterNot(f => CommitLogTable.partNames.contains(f.name)))
+  override def inferSchema(files: Seq[FileStatus]): Option[StructType] =
+    Some(dataSchema)
+  override def formatName: String = "graft_commitlog"
+  override def fallbackFileFormat: Class[_ <: FileFormat] =
+    classOf[ParquetFileFormat]
+
+  /** Table-level index: exactly the committed-and-visible batch
+    * directories — what `Dataset.inputFiles` reports. Torn batches
+    * never appear; a time-travel table lists only its era. */
+  override lazy val fileIndex: PartitioningAwareFileIndex =
+    CommitLogTable.index(spark, table, committed, schema)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    sys.error("graft_commitlog is read-only through DSv2 — write with " +
+      "CommitLog.writeBatch/writeBatchWithStats (the atomic marker " +
+      "protocol is the format's exactly-once contract)")
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    reconciled // force the loud empty-table / schema-drift errors
+    new CommitLogScanBuilder(this)
+  }
+}
+
+private[sources] object CommitLogTable {
+  val partNames = Seq("run_id", "batch_id")
+
+  def index(spark: SparkSession, table: String,
+      batches: Seq[(String, Long)], schema: StructType): InMemoryFileIndex =
+    new InMemoryFileIndex(spark,
+      batches.map { case (r, b) => new Path(s"$table/run_id=$r/batch_id=$b") },
+      Map("basePath" -> table), Some(schema),
+      FileStatusCache.getOrCreate(spark), None, None)
+}
+
+private[sources] final class CommitLogScanBuilder(t: CommitLogTable)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  import CommitLogTable.partNames
+
+  private val fullSchema: StructType = t.schema
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** One [lo, hi] bound (closed; None side unbounded) or an any-of
+    * value set a conjunct implies for one column. */
+  private case class Bound(name: String, lo: Option[String],
+      hi: Option[String], anyOf: Option[Seq[String]])
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def boundOf(f: Filter): Option[Bound] = f match {
+    // strict bounds widen to closed: pruning may only drop batches
+    // that CANNOT match, and the residual filter restores exactness
+    case EqualTo(a, v) if v != null =>
+      Some(Bound(a, Some(v.toString), Some(v.toString), None))
+    case EqualNullSafe(a, v) if v != null =>
+      Some(Bound(a, Some(v.toString), Some(v.toString), None))
+    case GreaterThan(a, v) if v != null =>
+      Some(Bound(a, Some(v.toString), None, None))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      Some(Bound(a, Some(v.toString), None, None))
+    case LessThan(a, v) if v != null =>
+      Some(Bound(a, None, Some(v.toString), None))
+    case LessThanOrEqual(a, v) if v != null =>
+      Some(Bound(a, None, Some(v.toString), None))
+    // nulls inside IN never match a row — the non-null values alone
+    // bound the batches that could contribute
+    case In(a, vs) if vs != null && vs.exists(_ != null) =>
+      Some(Bound(a, None, None,
+        Some(vs.toSeq.filter(_ != null).map(_.toString))))
+    case _ => None
+  }
+
+  /** Could batch `key` hold a row matching `b`? Partition columns
+    * compare against the batch's literal key as point stats; data
+    * columns against marker-recorded min/max (absent → unprunable). */
+  private def mayMatch(key: (String, Long), b: Bound): Boolean = {
+    val stats: Option[CommitLog.ColStats] =
+      if (b.name == "run_id")
+        Some(CommitLog.ColStats("run_id", "str", key._1, key._1))
+      else if (b.name == "batch_id")
+        Some(CommitLog.ColStats("batch_id", "num",
+          key._2.toString, key._2.toString))
+      else t.st.meta.get(key).flatMap(_.stats.find(_.col == b.name))
+    stats match {
+      case None => true
+      case Some(s) => b.anyOf match {
+        case Some(vs) =>
+          vs.exists(v => CommitLog.statsMayMatch(s, Some(v), Some(v)))
+        case None => CommitLog.statsMayMatch(s, b.lo, b.hi)
+      }
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.flatMap(conjuncts).filter(boundOf(_).nonEmpty)
+    filters // ALL filters stay residual — pruning never changes semantics
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val bounds = pushed.flatMap(boundOf)
+    val surviving = t.committed.filter(key => bounds.forall(mayMatch(key, _)))
+    val survivingSet = surviving.toSet
+    val dataSchema =
+      StructType(fullSchema.fields.filterNot(f => partNames.contains(f.name)))
+    // fast path: every surviving batch shares ONE schema lineage that
+    // IS the table schema (no widening casts pending), and no live
+    // tombstone touches the visible set (compactDeletes restores this)
+    val groups = surviving
+      .groupBy(key => t.st.meta.get(key).map(_.schema).filter(_.nonEmpty))
+    val oneLineage = groups.size <= 1 && groups.keysIterator.forall {
+      case None => true // single inferred group — fullSchema came from it
+      case Some(recorded) =>
+        recorded == dataSchema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+    }
+    val tombstoned = t.st.tombstones.exists(tb =>
+      t.asOfTs.forall(tb.ts <= _) && tb.applies.exists(survivingSet))
+    if (surviving.nonEmpty && oneLineage && !tombstoned) {
+      val spark = t.spark
+      val index =
+        if (surviving == t.committed) t.fileIndex // reuse the table listing
+        else CommitLogTable.index(spark, t.table, surviving, fullSchema)
+      val readPart = StructType(
+        required.fields.filter(f => partNames.contains(f.name)))
+      val readData = StructType(
+        required.fields.filterNot(f => partNames.contains(f.name)))
+      val parquetFilters = pushed.filter(
+        _.references.forall(dataSchema.fieldNames.contains))
+      ParquetScan(spark, spark.sessionState.newHadoopConfWithOptions(Map.empty),
+        index, dataSchema, readData, readPart, parquetFilters,
+        CaseInsensitiveStringMap.empty())
+    } else new CommitLogV1FallbackScan(t, surviving, required)
+  }
+}
+
+/** The transitional-state read (mixed schema lineages, live
+  * tombstones, or zero surviving batches): delegate to the library's
+  * own [[CommitLog.readBatchSet]] through the V1 fallback bridge —
+  * correctness is the library's single implementation, and
+  * [[CommitLog.compactDeletes]] / steady schema restore the
+  * vectorized path. */
+private[sources] final class CommitLogV1FallbackScan(t: CommitLogTable,
+    surviving: Seq[(String, Long)], required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        val spark = t.spark
+        val base =
+          if (surviving.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], required)
+          else CommitLog.readBatchSet(spark, t.table, surviving, t.st,
+            tombstoneAsOf = t.asOfTs)
+        val cols = required.fields.toSeq.map { f =>
+          // a column can be absent when stats pruning removed every
+          // batch of the schema group that declared it — NULL is
+          // exactly what the unpruned union would have read
+          if (base.columns.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        base.select(cols: _*).rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}

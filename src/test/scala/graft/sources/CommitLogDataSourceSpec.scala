@@ -1,0 +1,214 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DSv2 front door must be indistinguishable from the library
+  * read (same rows, same schema, same evolution/time-travel/delete
+  * semantics) while exposing the format to plain SQL and keeping the
+  * steady-state scan on Spark's vectorized parquet path with
+  * batch-directory pruning visible in inputFiles. */
+class CommitLogDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int, tag: String, base: Long = 0L) =
+    (0 until n).map(i => (base + i, s"$tag-$i")).toDF("id", "v")
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val names = df.columns.sorted.toSeq
+    df.select(names.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+  }
+
+  private def isVectorized(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collectLeaves()
+      .exists(_.getClass.getSimpleName == "BatchScanExec")
+
+  test("format read ≡ readCommitted row-for-row (schema AND rows); torn batches invisible in inputFiles; dashed alias") {
+    val table = tmp("graft-dsv2")
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(rows(10, "b", 10L), table, "r1", 1L, Seq("id"))
+    CommitLog.writeBatchWithStats(rows(5, "c", 20L), table, "r2", 0L, Seq("id"))
+    // torn batch: data files, no marker — must stay invisible via DSv2
+    rows(99, "torn", 90L).withColumn("run_id", lit("r9")).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id").parquet(table)
+
+    val lib = CommitLog.readCommitted(spark, table).get
+    val dsv2 = spark.read.format("graft_commitlog").load(table)
+    assert(dsv2.schema == lib.schema, "DSv2 schema must BE the library schema")
+    assert(canon(dsv2) == canon(lib))
+    assert(dsv2.count() == 25, "torn batch visible through DSv2")
+    assert(isVectorized(dsv2), "steady-state read must be the vectorized parquet path")
+    assert(dsv2.inputFiles.nonEmpty &&
+      dsv2.inputFiles.forall(!_.contains("run_id=r9")),
+      "torn batch files must never appear in inputFiles")
+
+    val dashed = spark.read.format("graft-commitlog").load(table)
+    assert(canon(dashed) == canon(lib))
+  }
+
+  test("SQL front door via GraftExtensions: SELECT over graft_commitlog.`/path`") {
+    val table = tmp("graft-dsv2-sql")
+    CommitLog.writeBatch(rows(6, "a"), table, "r1", 0L)
+    CommitLog.writeBatch(rows(4, "b", 10L), table, "r1", 1L)
+    val lib = canon(CommitLog.readCommitted(spark, table).get)
+
+    val shared = spark // ensure the shared context exists first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val sql = sess.sql(s"SELECT * FROM graft_commitlog.`$table`")
+      assert(canon(sql) == lib)
+      assert(sess.sql(
+        s"SELECT count(*) AS n FROM graft_commitlog.`$table` WHERE id >= 10")
+        .collect()(0).getLong(0) == 4L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("pushed filters prune batch directories: inputFiles shows it, result stays exact") {
+    val table = tmp("graft-dsv2-prune")
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(rows(10, "b", 10L), table, "r1", 1L, Seq("id"))
+    CommitLog.writeBatchWithStats(rows(10, "c", 20L), table, "r1", 2L, Seq("id"))
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      CommitLogDataSource.scanInputFiles(df)
+    val read = spark.read.format("graft_commitlog").load(table)
+    val mid = read.where(col("id").between(12L, 15L))
+    assert(scanFiles(mid).nonEmpty)
+    assert(scanFiles(mid).forall(_.contains("batch_id=1")),
+      s"stats pruning must keep only batch 1: ${scanFiles(mid)}")
+    assert(canon(mid) ==
+      canon(CommitLog.readCommittedRange(spark, table, "id", 12L, 15L).get))
+    // conjunction across columns: v has no stats (unprunable), id prunes
+    val conj = read.where(col("id") >= 20L && col("v").startsWith("c"))
+    assert(scanFiles(conj).nonEmpty && scanFiles(conj).forall(_.contains("batch_id=2")))
+    assert(conj.count() == 10)
+    // IN-set pruning
+    val inSet = read.where(col("id").isin(3L, 7L))
+    assert(scanFiles(inSet).nonEmpty && scanFiles(inSet).forall(_.contains("batch_id=0")))
+    assert(inSet.count() == 2)
+    // partition-column pruning needs no stats at all
+    val part = read.where(col("batch_id") === 2L)
+    assert(scanFiles(part).nonEmpty && scanFiles(part).forall(_.contains("batch_id=2")))
+    assert(part.count() == 10)
+    // a zero-survivor predicate returns empty with intact schema
+    val none = read.where(col("id") > 1000L)
+    assert(none.count() == 0 && none.schema == read.schema)
+  }
+
+  test("asOfBatch and asOfTimestamp options replay the library's time travel; era schema") {
+    val table = tmp("graft-dsv2-asof")
+    CommitLog.writeBatch(rows(5, "a"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(rows(5, "b", 5L), table, "r1", 1L, ts = 2000L)
+    CommitLog.writeBatch(
+      rows(5, "c", 10L).withColumn("extra", lit(7L)), table, "r1", 2L, ts = 3000L)
+
+    val pinned = spark.read.format("graft_commitlog")
+      .option("asOfBatch", "1").load(table)
+    assert(canon(pinned) == canon(CommitLog.readCommittedAsOf(spark, table, 1L).get))
+
+    val early = spark.read.format("graft_commitlog")
+      .option("asOfTimestamp", "2500").load(table)
+    assert(canon(early) ==
+      canon(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get))
+    assert(!early.columns.contains("extra"),
+      "as-of T must see the schema of its era")
+    val full = spark.read.format("graft_commitlog").load(table)
+    assert(full.columns.contains("extra"))
+    assert(full.where(col("extra").isNull).count() == 10,
+      "pre-evolution batches read NULL for the added column")
+
+    intercept[RuntimeException] {
+      spark.read.format("graft_commitlog").option("asOfBatch", "1")
+        .option("asOfTimestamp", "2500").load(table)
+    }
+    intercept[RuntimeException] {
+      spark.read.format("graft_commitlog")
+        .option("asOfTimestamp", "not-a-time").load(table).collect()
+    }
+  }
+
+  test("schema evolution reads through DSv2: widening cast, fallback plan, loud drift") {
+    val table = tmp("graft-dsv2-evo")
+    CommitLog.writeBatch(
+      rows(4, "a").withColumn("id", col("id").cast("int")), table, "r1", 0L)
+    CommitLog.writeBatch(rows(4, "b", 100L), table, "r1", 1L)
+
+    val lib = CommitLog.readCommitted(spark, table).get
+    val dsv2 = spark.read.format("graft_commitlog").load(table)
+    assert(dsv2.schema("id").dataType.sql == "BIGINT")
+    assert(canon(dsv2) == canon(lib))
+    assert(!isVectorized(dsv2),
+      "mixed lineages must take the library-delegating fallback")
+
+    // incompatible drift fails loudly AT PLAN TIME, naming the column
+    val bad = tmp("graft-dsv2-drift")
+    CommitLog.writeBatch(rows(3, "a"), bad, "r1", 0L)
+    CommitLog.writeBatch(
+      rows(3, "b").withColumn("id", concat(lit("x"), col("id"))), bad, "r1", 1L)
+    val e = intercept[RuntimeException] {
+      spark.read.format("graft_commitlog").load(bad)
+    }
+    assert(e.getMessage.contains("widening-only") && e.getMessage.contains("'id'"))
+  }
+
+  test("pruning away the lineage that declared a column still yields its NULLs") {
+    val table = tmp("graft-dsv2-prune-evo")
+    CommitLog.writeBatchWithStats(rows(5, "a"), table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(
+      rows(5, "b", 100L).withColumn("extra", lit(9L)), table, "r1", 1L, Seq("id"))
+    val read = spark.read.format("graft_commitlog").load(table)
+    val onlyOld = read.where(col("id") < 50L)
+    assert(onlyOld.count() == 5)
+    assert(onlyOld.where(col("extra").isNull).count() == 5,
+      "the added column survives pruning of every batch that declared it")
+  }
+
+  test("row-level deletes: residual-filtered until compactDeletes restores the fast path") {
+    val table = tmp("graft-dsv2-del")
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"), ts = 1000L)
+    CommitLog.writeBatchWithStats(rows(10, "b", 10L), table, "r1", 1L, Seq("id"), ts = 2000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(3L, 13L), ts = 3000L)
+
+    val live = spark.read.format("graft_commitlog").load(table)
+    assert(live.count() == 18)
+    assert(live.where(col("id").isin(3L, 13L)).count() == 0)
+    assert(!isVectorized(live), "live tombstones must take the fallback")
+    assert(canon(live) == canon(CommitLog.readCommitted(spark, table).get))
+
+    // pre-delete time travel through the option
+    val before = spark.read.format("graft_commitlog")
+      .option("asOfTimestamp", "2500").load(table)
+    assert(before.count() == 20)
+
+    CommitLog.compactDeletes(spark, table, ts = 4000L)
+    val after = spark.read.format("graft_commitlog").load(table)
+    assert(after.count() == 18)
+    assert(isVectorized(after), "compaction must restore the vectorized path")
+    assert(after.inputFiles.exists(_.contains("rw")),
+      "the scan must read the rewrite partitions")
+    assert(canon(after) == canon(CommitLog.readCommitted(spark, table).get))
+  }
+
+  test("empty table errors loudly; missing path errors loudly") {
+    val empty = tmp("graft-dsv2-empty")
+    val e = intercept[RuntimeException] {
+      spark.read.format("graft_commitlog").load(empty)
+    }
+    assert(e.getMessage.contains("no committed batches"))
+  }
+}
