@@ -1944,9 +1944,11 @@ object SparkEntry {
       val stripped = urlDeduped.withColumn("clean",
         graft.text.Html.stripHtml(col("html")))
       val gated = stripped.where(TextAnalysis.wsTokenCount(col("clean")) >= 25)
-      val fp = gated.withColumn("_fp", TextAnalysis.fingerprint(col("clean")))
-      val reps = fp.groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
-      val unique = fp.join(reps, Seq("_fp", "doc_id"), "left_semi").drop("_fp")
+      // one-pass min-id survivor per fingerprint: the earlier
+      // groupBy+semi-join re-executed the whole upstream subtree
+      // (urldedup+stripHtml+gate) on BOTH sides of the join
+      val unique = graft.ops.Dedup.keepFirstPerKey(gated,
+        TextAnalysis.fingerprint(col("clean")), "doc_id")
       graft.text.UrlOps.perDomainCap(unique, "doc_id", "url", cap = 3)
         .select(col("doc_id"), col("domain"),
           TextAnalysis.wsTokenCount(col("clean")).cast("long").as("n_tokens"))

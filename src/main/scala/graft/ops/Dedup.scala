@@ -60,6 +60,25 @@ object Dedup {
       .select(col("b.p.*"))
   }
 
+  /** Keep exactly the min-`idCol` row per `key`, in ONE pass: a
+    * codegen'd `min(struct(id, payload))` aggregate — the k=1 form of
+    * [[dropExactPreferring]]'s shape. The alternatives both pay more:
+    * the groupBy+semi-join form executes the input SUBTREE twice (in
+    * a composed pipeline each dedup level doubles every upstream
+    * operator — stripHtml/fingerprint ran up to 4× in the crawl
+    * pipeline), and the window form sorts whole partitions with no
+    * map-side reduction. Here map-side partials collapse duplicate-
+    * heavy partitions before the shuffle, which carries one struct per
+    * (key × task). `idCol` must be unique (the struct comparison then
+    * never reaches the payload) and payload column types orderable. */
+  def keepFirstPerKey(df: DataFrame, key: org.apache.spark.sql.Column,
+                      idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(key.as("__k"))
+      .agg(min(struct(col(idCol).as("i"), payload.as("p"))).as("b"))
+      .select(col("b.p.*"))
+  }
+
   /** Keys appearing more than once — the duplicate-PayeeID check. */
   def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)

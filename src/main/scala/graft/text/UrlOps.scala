@@ -162,12 +162,12 @@ object UrlOps {
 
   /** Exact URL dedup: keep the min-id row per [[normalizeUrl]]
     * equivalence class. Same min-id-survivor convention as
-    * [[graft.ops.Dedup]]; one shuffle on the normalized URL. */
-  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val withNorm = df.withColumn("_nurl", normalizeUrl(col(urlCol)))
-    val reps = withNorm.groupBy("_nurl").agg(min(col(idCol)).as(idCol))
-    withNorm.join(reps, Seq("_nurl", idCol), "left_semi").drop("_nurl")
-  }
+    * [[graft.ops.Dedup]]; ONE pass, one shuffle
+    * ([[graft.ops.Dedup.keepFirstPerKey]] — the earlier
+    * groupBy+semi-join shape executed the whole upstream subtree
+    * twice, which a composed crawl pipeline pays at every stage). */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.ops.Dedup.keepFirstPerKey(df, normalizeUrl(col(urlCol)), idCol)
 
   /** Per-registered-domain document cap: keep at most `cap` rows per
     * domain, chosen by a deterministic content-keyed hash order
