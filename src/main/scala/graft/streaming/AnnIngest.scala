@@ -22,6 +22,119 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AnnIngest {
 
+  // ---- index generations + re-cluster maintenance (r16) ---- //
+  //
+  // A grown index keeps the centroids it started with; as the corpus
+  // drifts, new vectors crowd into the few cells nearest the drifted
+  // region — recall at fixed nprobe survives (a probe and its
+  // neighbors crowd into the SAME cells) but the probed fraction
+  // balloons toward a full scan (the r8 quantization lesson, now on
+  // the streaming path). recluster() retrains the quantizer from the
+  // accumulated index and rewrites it cell-partitioned into a NEW
+  // generation directory, then flips one `_current.gen` pointer by
+  // atomic rename — readers see the old generation until the flip and
+  // the new one after, never a mix. Probes and appends resolve the
+  // pointer per call, so a stream RESTARTED after maintenance appends
+  // to the new generation (replays of an already-copied batch
+  // dynamic-overwrite their own (cell, run, batch) partitions with
+  // identical content — idempotent, because assignment against the
+  // new model is deterministic). DISCIPLINE: run recluster between
+  // stream segments (the AvailableNow cadence), never under a live
+  // writer — a concurrent append would assign against the old model.
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val genMarker = """_gen(\d{8})\.current""".r
+
+  /** The generation directory reads and appends resolve to: the
+    * HIGHEST-numbered `_genNNNNNNNN.current` marker present, else the
+    * index root (the gen-0 layout every pre-maintenance index has).
+    * Markers are append-only files created by atomic rename — no
+    * pointer is ever deleted-then-replaced, so there is no window
+    * where a reader resolves to a stale generation mid-swap. */
+  def currentDataPath(spark: SparkSession, indexPath: String): String = {
+    val (fs, root) = hfs(spark, indexPath)
+    if (!fs.exists(root)) return indexPath
+    val gens = fs.listStatus(root).toSeq.flatMap(
+      _.getPath.getName match {
+        case genMarker(n) => Seq(n.toInt)
+        case _ => Seq.empty
+      })
+    if (gens.isEmpty) indexPath
+    else f"$indexPath/_gen${gens.max}%08d"
+  }
+
+  private def genNumber(dataPath: String, indexPath: String): Int =
+    if (dataPath == indexPath) 0
+    else dataPath.substring(indexPath.length + 1).stripPrefix("_gen").toInt
+
+  /** The current generation's persisted flat centroid model — what a
+    * restarted ingest segment should append with after maintenance. */
+  def currentCentroids(spark: SparkSession, indexPath: String): DataFrame =
+    Ann.loadCentroids(spark,
+      s"${currentDataPath(spark, indexPath)}/_model/flat")
+
+  /** Retrain the quantizer from the accumulated index (deterministic
+    * md5 sample → [[Ann.kmeansCentroids]]), rewrite every indexed
+    * vector cell-partitioned under the new model into generation
+    * N+1, persist the model alongside, and flip the `_current.gen`
+    * pointer atomically. One pass over the index + a model-sized
+    * training job; old generations stay on disk for readers that
+    * resolved before the flip (reclaim them once drained). Returns
+    * the new centroids. */
+  def recluster(spark: SparkSession, indexPath: String, numCells: Int,
+      iters: Int = 5, sampleRows: Int = 65536): DataFrame = {
+    val cur = currentDataPath(spark, indexPath)
+    val rows = spark.read.parquet(cur)
+      .select(col("id"), col("vec"), col("run_id"), col("batch_id"))
+    val sample = rows.select(col("id"), col("vec"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(sampleRows)
+    val cents = Ann.kmeansCentroids(sample, "id", "vec", numCells, iters)
+    val genPath = f"$indexPath/_gen${genNumber(cur, indexPath) + 1}%08d"
+    rows.crossJoin(broadcast(Ann.centroidArray(cents)))
+      .select(col("id"), col("vec"),
+        Ann.bestCell(col("vec"), col("cents")).as("cell"),
+        col("run_id"), col("batch_id"))
+      .repartition(col("cell")) // one file per cell, see processBatch
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "run_id", "batch_id")
+      .parquet(genPath)
+    Ann.saveCentroids(cents, s"$genPath/_model/flat")
+    val props = new java.util.Properties()
+    props.setProperty("kind", "flat")
+    props.setProperty("num_cells", numCells.toString)
+    props.setProperty("sample_rows", sampleRows.toString)
+    props.setProperty("mean_top_cosine", "-1")
+    props.setProperty("threshold", "-1")
+    props.setProperty("num_coarse", "0")
+    props.setProperty("num_fine", "0")
+    val (fs, _) = hfs(spark, indexPath)
+    val propsOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$genPath/_quantizer.properties"), true)
+    try props.store(propsOut, "graft ANN recluster quantizer")
+    finally propsOut.close()
+    // the swap: create the generation's marker by write-temp-then-
+    // atomic-rename (the CommitLog protocol); resolution takes the max
+    // marker, so the new generation becomes visible in one rename and
+    // nothing is ever deleted out from under a reader
+    val markerName = f"_gen${genNumber(cur, indexPath) + 1}%08d.current"
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/.$markerName.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(genPath.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$indexPath/$markerName")
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(ptr)) sys.error(s"could not publish $ptr")
+    }
+    cents
+  }
+
   /** (id, vec, cell) assignment of a batch against broadcast centroids;
     * scores rounded like Ann.ivfTopK so assignment is reproducible.
     * Narrow: the centroid set folds into one broadcast array row and
@@ -63,7 +176,7 @@ object AnnIngest {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "run_id", "batch_id")
-      .parquet(indexPath)
+      .parquet(currentDataPath(batch.sparkSession, indexPath))
 
   /** Two-level variants: same index layout and probe discipline, cells
     * from the hierarchical quantizer ([[Ann.twoLevelCentroids]]) — the
@@ -86,7 +199,7 @@ object AnnIngest {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "run_id", "batch_id")
-      .parquet(indexPath)
+      .parquet(currentDataPath(batch.sparkSession, indexPath))
 
   /** Probe a two-level index: top `nCoarseProbe` coarse cells per
     * query, top `nprobe` of their fine cells overall, partition-pruned
@@ -101,7 +214,8 @@ object AnnIngest {
           nCoarseProbe, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cent_id").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.get(0))
-    val index = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
+    val index = spark.read.parquet(currentDataPath(spark, indexPath))
+      .where(col("cell").isin(cells: _*))
     Ann.topKPerQuery(
       index.join(broadcast(probes), Seq("cell"))
         .where(col("id") =!= col("query_id"))
@@ -172,12 +286,15 @@ object AnnIngest {
   def probeAuto(spark: SparkSession, indexPath: String, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 nCoarseProbe: Int = 32, nprobe: Int = 50): DataFrame = {
-    val choice = readQuantizerChoice(indexPath)
+    // model + decision live in the CURRENT generation (a recluster
+    // rewrites both); the data reads below resolve the same way
+    val gen = currentDataPath(spark, indexPath)
+    val choice = readQuantizerChoice(gen)
     if (choice.kind == "two_level") {
-      val (coarse, fine) = Ann.loadTwoLevel(spark, s"$indexPath/_model")
+      val (coarse, fine) = Ann.loadTwoLevel(spark, s"$gen/_model")
       probe2(spark, indexPath, coarse, fine, queries, idCol, vecCol, k, nCoarseProbe, nprobe)
     } else {
-      val flat = Ann.loadCentroids(spark, s"$indexPath/_model/flat")
+      val flat = Ann.loadCentroids(spark, s"$gen/_model/flat")
       probe(spark, indexPath, flat, queries, idCol, vecCol, k, nprobe)
     }
   }
@@ -198,7 +315,8 @@ object AnnIngest {
     // queries are small by contract → the probed cell set is tiny;
     // materializing it gives the scan a static partition filter
     val cells = probes.select("cell").distinct().collect().map(_.get(0))
-    val index = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
+    val index = spark.read.parquet(currentDataPath(spark, indexPath))
+      .where(col("cell").isin(cells: _*))
 
     Ann.topKPerQuery(
       index.join(broadcast(probes), Seq("cell"))

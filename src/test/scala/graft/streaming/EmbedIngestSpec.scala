@@ -78,6 +78,88 @@ class EmbedIngestSpec extends SparkSpec {
     weights.unpersist(); cents.unpersist()
   }
 
+  test("drifted feed crowds stale centroids; recluster rebalances in one atomic generation swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embed-drift").toString
+    val idx = s"$dir/index"
+    // six DISTINCT-vocabulary topics; the quantizer only ever sees the
+    // first three (the pre-drift world), topics 3-5 arrive later
+    val all = {
+      val docs = for {
+        c <- 0 until 6
+        d <- 0 until 30
+      } yield {
+        val words = (0 until 8).map(p => s"t${c}w${(d + p) % 6}")
+        (c.toLong * 100 + d, words.mkString(" "))
+      }
+      docs.toDF("doc_id", "text")
+    }
+    val early = all.where(col("doc_id") < 300)
+    val late = all.where(col("doc_id") >= 300)
+    val m = Sgns.train(SkipGram.pairs(all, "doc_id", "text", window = 2),
+      dim = 16, epochs = 40, lr = 2.0, negatives = 3, topV = 200,
+      seed = "drift")
+    val weights = Sgns.idfWeights(all, "doc_id", "text",
+      m.embeddingsDf(spark)).cache()
+    // centroids trained on the EARLY world only — the serving reality
+    val cents0 = graft.ops.Ann.kmeansCentroids(
+      Sgns.docEmbeddings(early, "doc_id", "text", m.embeddingsDf(spark)),
+      "doc_id", "embedding", k = 6, iters = 3).cache()
+
+    EmbedIngest.processBatch(early, "doc_id", "text", weights, cents0,
+      idx, "r1", 0L)
+    EmbedIngest.processBatch(late, "doc_id", "text", weights, cents0,
+      idx, "r1", 1L)
+
+    def maxLateCellFraction: Double = {
+      val cells = spark.read.parquet(
+          AnnIngest.currentDataPath(spark, idx))
+        .where(col("id") >= 300).groupBy("cell").count()
+        .select("count").as[Long].collect()
+      cells.max.toDouble / cells.sum
+    }
+    // drift: the three unseen topics crowd into few stale cells
+    val crowdedBefore = maxLateCellFraction
+    assert(crowdedBefore >= 0.5,
+      s"fixture should crowd drifted docs, got $crowdedBefore")
+
+    // maintenance: retrain from the accumulated index, rewrite, swap
+    assert(AnnIngest.currentDataPath(spark, idx) == idx)
+    AnnIngest.recluster(spark, idx, numCells = 12, iters = 3)
+    val gen1 = AnnIngest.currentDataPath(spark, idx)
+    assert(gen1 == s"$idx/_gen00000001")
+    assert(spark.read.parquet(gen1).count() == 180, "rewrite lost rows")
+    val crowdedAfter = maxLateCellFraction
+    assert(crowdedAfter < crowdedBefore,
+      s"recluster must rebalance: $crowdedBefore -> $crowdedAfter")
+
+    // probes resolve the new generation transparently and twins of
+    // DRIFTED docs still land at cosine 1.0
+    val cents1 = AnnIngest.currentCentroids(spark, idx).cache()
+    val twins = late.where(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 9000L).as("doc_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    val hits = EmbedIngest.probeText(spark, idx, twins, "doc_id", "text",
+        weights, cents1, k = 1, nprobe = 2)
+      .select("query_id", "cosine").as[(Long, Double)].collect()
+    assert(hits.length == 9)
+    hits.foreach { case (q, c) => assert(c >= 0.999999, s"twin $q cosine $c") }
+
+    // a replayed pre-swap batch (foreachBatch retry after restart)
+    // appends into the NEW generation idempotently: same (cell, run,
+    // batch) partitions, same content, count unchanged
+    val before = spark.read.parquet(gen1).count()
+    EmbedIngest.processBatch(late, "doc_id", "text", weights, cents1,
+      idx, "r1", 1L)
+    assert(spark.read.parquet(gen1).count() == before)
+
+    // second maintenance round: the marker sequence keeps advancing
+    AnnIngest.recluster(spark, idx, numCells = 12, iters = 1)
+    assert(AnnIngest.currentDataPath(spark, idx) == s"$idx/_gen00000002")
+    assert(spark.read.parquet(
+      AnnIngest.currentDataPath(spark, idx)).count() == 180)
+    weights.unpersist(); cents0.unpersist(); cents1.unpersist()
+  }
+
   test("streaming end-to-end over file drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-embed-s").toString
     val drop = s"$dir/drop"; new java.io.File(drop).mkdirs()
