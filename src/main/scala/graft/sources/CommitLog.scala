@@ -61,6 +61,9 @@ object CommitLog {
   private def markerName(runId: String, batchId: Long) = {
     require(!runId.contains("-") && !runId.contains("/"),
       s"runId must not contain '-' or '/': $runId")
+    require(runId != "txn",
+      "runId 'txn' is reserved: its markers would collide with " +
+        "transaction markers (txn-<ts>-<uuid>.commit)")
     f"$runId-$batchId%020d.commit"
   }
 
@@ -158,6 +161,43 @@ object CommitLog {
       schemaOf(df), ts, retires)
   }
 
+  /** One small aggregate computing per-column min/max for the marker.
+    * All-NULL columns record no stats row (unprunable, conservative). */
+  private def statsOf(pinned: DataFrame, statsCols: Seq[String]): Seq[ColStats] =
+    if (statsCols.isEmpty) Seq.empty[ColStats]
+    else {
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+      val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val types = pinned.schema.fields.map(f => f.name -> f.dataType).toMap
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val mn = row.get(2 * i)
+        val mx = row.get(2 * i + 1)
+        if (mn == null || mx == null) Seq.empty
+        else {
+          val numeric = types(c) match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case _ => false
+          }
+          Seq(ColStats(c, if (numeric) "num" else "str",
+            mn.toString, mx.toString))
+        }
+      }
+    }
+
+  /** Write one (run_id, batch_id) partition's data files WITHOUT a
+    * marker — the transactional building block: data lands first,
+    * visibility comes from whatever marker later names the partition
+    * ([[commitWithMeta]] for a single batch, [[commitTxn]] for several
+    * at once). */
+  private def writeDataOnly(df: DataFrame, table: String, runId: String,
+      batchId: Long): Unit =
+    df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id")
+      .parquet(table)
+
   /** [[writeBatch]] recording min/max stats for `statsCols` in the
     * commit marker — one extra small aggregate job over the batch buys
     * batch-directory pruning for every future range read. */
@@ -165,34 +205,9 @@ object CommitLog {
       batchId: Long, statsCols: Seq[String], ts: Long = -1L,
       retires: Seq[(String, Long)] = Seq.empty): Unit = {
     val pinned = df.localCheckpoint(eager = false)
-    pinned.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_id", "batch_id")
-      .parquet(table)
-    val stats =
-      if (statsCols.isEmpty) Seq.empty[ColStats]
-      else {
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
-        val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val types = pinned.schema.fields.map(f => f.name -> f.dataType).toMap
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val mn = row.get(2 * i)
-          val mx = row.get(2 * i + 1)
-          if (mn == null || mx == null) Seq.empty
-          else {
-            val numeric = types(c) match {
-              case _: org.apache.spark.sql.types.NumericType => true
-              case _ => false
-            }
-            Seq(ColStats(c, if (numeric) "num" else "str",
-              mn.toString, mx.toString))
-          }
-        }
-      }
-    commitWithMeta(df.sparkSession, table, runId, batchId, stats,
-      schemaOf(pinned), ts, retires)
+    writeDataOnly(pinned, table, runId, batchId)
+    commitWithMeta(df.sparkSession, table, runId, batchId,
+      statsOf(pinned, statsCols), schemaOf(pinned), ts, retires)
   }
 
   /** Mark an already-written (run_id, batch_id) partition committed.
@@ -314,9 +329,43 @@ object CommitLog {
     val retired = Map.newBuilder[(String, Long), Long]
     val meta = scala.collection.mutable.Map.empty[(String, Long), BatchMeta]
     val tombs = Seq.newBuilder[Tombstone]
+    // "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>]]]]" — the folded
+    // per-batch form shared by snapshot lines and txn add= lines
+    def parseFolded(line: String): Unit = {
+      val parts = line.split("\t", -1)
+      val Array(r, b) = parts(0).split(",", 2)
+      val key = (r, b.toLong)
+      entries += key
+      val stats = if (parts.length > 1 && parts(1).nonEmpty)
+        decodeStats(parts(1)) else Seq.empty
+      val schema = if (parts.length > 2 && parts(2).nonEmpty)
+        decodeSchema(parts(2)) else Seq.empty
+      val ts = if (parts.length > 3 && parts(3).nonEmpty)
+        parts(3).toLongOption else None
+      if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
+        meta(key) = BatchMeta(stats, schema, ts)
+      if (parts.length > 4 && parts(4).nonEmpty)
+        parts(4).toLongOption.foreach(t => retired += key -> t)
+    }
     files.foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".commit")) {
+      if (n.startsWith("txn-") && n.endsWith(".commit")) {
+        // transaction marker: several partitions become visible (and
+        // several retire) in the ONE atomic rename that created this
+        // file — the multi-batch commit an upsert/merge needs
+        var ts = 0L
+        var retires = Seq.empty[(String, Long)]
+        readText(st.getPath).linesIterator.foreach { l =>
+          if (l.startsWith("add=")) parseFolded(l.stripPrefix("add="))
+          else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption.getOrElse(0L)
+          else if (l.startsWith("retires=")) retires =
+            l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
+              val i = e.lastIndexOf(',')
+              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
+            }
+        }
+        retires.foreach(k => retired += k -> ts)
+      } else if (n.endsWith(".commit")) {
         val key = parseKey(n.stripSuffix(".commit"))
         entries += key
         var stats = Seq.empty[ColStats]
@@ -337,25 +386,10 @@ object CommitLog {
           meta(key) = BatchMeta(stats, schema, ts)
         retires.foreach(k => retired += k -> ts.getOrElse(0L))
       } else if (n.endsWith(".snapshot")) {
-        // snapshot line: "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>]]]]"
-        // (earlier fields may be empty when a later one rides; field 5
-        // present ⇔ THIS batch was retired by a compactDeletes rewrite)
-        readText(st.getPath).linesIterator.filter(_.nonEmpty).foreach { line =>
-          val parts = line.split("\t", -1)
-          val Array(r, b) = parts(0).split(",", 2)
-          val key = (r, b.toLong)
-          entries += key
-          val stats = if (parts.length > 1 && parts(1).nonEmpty)
-            decodeStats(parts(1)) else Seq.empty
-          val schema = if (parts.length > 2 && parts(2).nonEmpty)
-            decodeSchema(parts(2)) else Seq.empty
-          val ts = if (parts.length > 3 && parts(3).nonEmpty)
-            parts(3).toLongOption else None
-          if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
-            meta(key) = BatchMeta(stats, schema, ts)
-          if (parts.length > 4 && parts(4).nonEmpty)
-            parts(4).toLongOption.foreach(t => retired += key -> t)
-        }
+        // snapshot line: the folded per-batch form (earlier fields may
+        // be empty when a later one rides; field 5 present ⇔ THIS
+        // batch was retired by a compactDeletes/upsert rewrite)
+        readText(st.getPath).linesIterator.filter(_.nonEmpty).foreach(parseFolded)
       } else if (n.endsWith(".tombstone")) {
         var ts = 0L; var colN = ""; var typ = ""; var kind = ""
         var vals = Seq.empty[String]; var applies = Seq.empty[(String, Long)]
@@ -669,6 +703,245 @@ object CommitLog {
         case None => now - batchDir.getModificationTime > graceMs
       })
     } hfs.delete(batchDir.getPath, true)
+  }
+
+  // ---- CHANGE FEED (r16): the incremental read over the log ---- //
+
+  /** Does `runId` name a copy-on-write rewrite, and of what kind?
+    * Rewrite runs are minted as `<origRun>rw<8hex>` (compactDeletes)
+    * or `<origRun>up<8hex>` (upsert); the original must actually be a
+    * log entry — a user run that merely ends in the pattern is not a
+    * rewrite. */
+  private def rewriteOf(st: LogState, runId: String,
+      batchId: Long): Option[(String, String)] = {
+    val m = """^(.*)(rw|up)([0-9a-f]{8})$""".r
+    runId match {
+      case m(orig, kind, _) if st.entries.contains((orig, batchId)) =>
+        Some((orig, kind))
+      case _ => None
+    }
+  }
+
+  /** CHANGE FEED: every row-level change the log records in
+    * `(sinceTs, untilTs]`, as (change_type, change_ts, data columns) —
+    * the incremental read a downstream pipeline consumes instead of
+    * re-reading the table (Delta's change-data-feed rung, derived
+    * here entirely from the log's own markers — nothing extra is
+    * written on the hot path):
+    *
+    *   - `insert`: rows of batches COMMITTED in-window (plain appends
+    *     and upserts' new batches; an upserted key's update arrives as
+    *     delete + insert). Copy-on-write rewrites are NOT inserts —
+    *     their rows are carried-over copies.
+    *   - `delete`: rows matched by tombstones RECORDED in-window
+    *     (emitted at the tombstone's time — the later compactDeletes
+    *     rewrite is the physical application of an already-reported
+    *     change and emits nothing), plus rows an UPSERT rewrite
+    *     dropped relative to its retired original (the matched old
+    *     copies).
+    *
+    * The feed needs the in-window originals still on disk: once
+    * [[vacuum]] reclaims a retired dir inside the asked window the
+    * history is gone and this fails LOUDLY rather than emit a partial
+    * feed — size vacuum grace to the longest consumer lag, the
+    * Delta/Iceberg contract. Returns None when the window holds no
+    * changes. */
+  def readChangeFeed(spark: SparkSession, table: String, sinceTs: Long,
+      untilTs: Long = Long.MaxValue): Option[DataFrame] = {
+    val st = logState(spark, table)
+    def inWindow(t: Long) = t > sinceTs && t <= untilTs
+    val (hfs, _) = fs(spark, table)
+    def requireDir(r: String, b: Long, why: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$table/run_id=$r/batch_id=$b")
+      if (!hfs.exists(p)) sys.error(
+        s"change feed needs ($r, $b) for $why, but its directory was " +
+          "vacuumed — history before the vacuum grace window is gone")
+    }
+    def withMeta(df: DataFrame, tpe: String, t: Long): DataFrame =
+      df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
+
+    val parts = Seq.newBuilder[DataFrame]
+
+    // inserts: in-window commits that are not rewrites (read raw even
+    // if since retired — an upsert later in the window retires them,
+    // but their arrival was still an insert event)
+    st.entries.foreach { case (r, b) =>
+      val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
+      if (inWindow(ts) && rewriteOf(st, r, b).isEmpty) {
+        requireDir(r, b, "an in-window insert")
+        parts += withMeta(
+          rawBatchSet(spark, table, Seq((r, b)), st)
+            .drop("run_id", "batch_id"), "insert", ts)
+      }
+    }
+
+    // tombstone deletes: the matching rows of each in-window delete —
+    // of what was VISIBLE at delete time (earlier tombstones applied
+    // first, so a row deleted twice is reported once, at its first
+    // delete)
+    st.tombstones.filter(t => inWindow(t.ts)).foreach { t =>
+      t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") }
+      if (t.applies.nonEmpty) {
+        val visible = applyTombstones(
+          rawBatchSet(spark, table, t.applies, st),
+          t.applies, st, tombstoneAsOf = Some(t.ts - 1))
+        parts += withMeta(
+          visible.drop("run_id", "batch_id")
+            .where(coalesce(tombstonePred(t), lit(false))), "delete", t.ts)
+      }
+    }
+
+    // upsert deletes: original ∖ rewrite = the matched old copies
+    st.entries.foreach { case (r, b) =>
+      rewriteOf(st, r, b) match {
+        case Some((orig, "up")) =>
+          val ts = st.retired.getOrElse((orig, b), 0L)
+          if (inWindow(ts)) {
+            requireDir(orig, b, "an upsert's pre-image")
+            requireDir(r, b, "an upsert rewrite")
+            // pre-image = what was visible just before the upsert:
+            // tombstone-deleted rows were folded OUT of the rewrite
+            // but already reported at their own delete time
+            val before = applyTombstones(
+              rawBatchSet(spark, table, Seq((orig, b)), st),
+              Seq((orig, b)), st, tombstoneAsOf = Some(ts))
+              .drop("run_id", "batch_id")
+            val after = rawBatchSet(spark, table, Seq((r, b)), st)
+              .drop("run_id", "batch_id")
+            parts += withMeta(before.exceptAll(
+              after.select(before.columns.map(col): _*)), "delete", ts)
+          }
+        case _ => ()
+      }
+    }
+
+    val all = parts.result()
+    if (all.isEmpty) None
+    else Some(all.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  // ---- multi-partition TRANSACTIONS + row-level UPSERT (r16) ---- //
+
+  /** Everything one transaction add carries: the partition key plus
+    * the marker metadata a single-batch commit would have recorded. */
+  final case class TxnAdd(runId: String, batchId: Long,
+      stats: Seq[ColStats] = Seq.empty,
+      schema: Seq[(String, String)] = Seq.empty)
+
+  /** Commit SEVERAL already-written partitions — and retire others —
+    * in ONE atomic marker rename: the multi-batch visibility flip an
+    * upsert/merge needs (a rewrite of N batches plus one new batch
+    * must become visible together or not at all; N+1 single-batch
+    * markers would expose every prefix as a torn intermediate state).
+    * Readers decode `add=` lines exactly like snapshot lines, so
+    * stats/schema/ts pruning and evolution work unchanged, and
+    * [[compactLog]] folds transaction markers like any other. */
+  def commitTxn(spark: SparkSession, table: String, adds: Seq[TxnAdd],
+      retires: Seq[(String, Long)], ts: Long = -1L): Unit = {
+    require(adds.nonEmpty, "a transaction must add at least one partition")
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    hfs.mkdirs(dir)
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    val addLines = adds.map { a =>
+      markerName(a.runId, a.batchId) // validates the run id
+      val fields = Seq(
+        Some(a.stats).filter(_.nonEmpty).map(encodeStats),
+        Some(a.schema).filter(_.nonEmpty).map(encodeSchema),
+        Some(tsv.toString))
+      s"add=${a.runId},${a.batchId}\t" +
+        fields.map(_.getOrElse("")).mkString("\t") + "\n"
+    }.mkString
+    val retiresLine =
+      if (retires.isEmpty) ""
+      else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
+    val name = f"txn-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.commit"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(s"ts=$tsv\n$addLines$retiresLine".getBytes("UTF-8"))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, name)
+    if (!hfs.rename(tmp, marker)) {
+      hfs.delete(tmp, false); sys.error(s"could not commit $marker")
+    }
+  }
+
+  /** Row-level UPSERT — the full-row MERGE a CDC feed applies
+    * (`WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT
+    * *`, keyed on `keyCol`): the new rows land as a fresh
+    * (runId, batchId) partition; every committed batch whose recorded
+    * [min, max] for `keyCol` may contain an upserted key is rewritten
+    * copy-on-write MINUS the matched keys (batch-stats pruning means a
+    * time/id-keyed CDC apply rewrites the handful of batches it
+    * touches, not the table); the rewrites, the new batch, and the
+    * originals' retirement flip in ONE [[commitTxn]] marker — a reader
+    * never sees a key doubled or missing. Live tombstones that applied
+    * to a rewritten original are folded into its rewrite (a deleted
+    * row must not resurrect). Pre-upsert time travel sees the original
+    * rows until [[vacuum]] reclaims the retired dirs; NULL keys never
+    * match (a NULL-keyed new row inserts, a NULL-keyed old row
+    * survives). Stats are recomputed per rewrite for the columns the
+    * original recorded, so pruning stays exact. */
+  def upsert(spark: SparkSession, table: String, df: DataFrame,
+      keyCol: String, runId: String, batchId: Long, ts: Long = -1L,
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    val st = logState(spark, table)
+    require(!st.entries.contains((runId, batchId)),
+      s"($runId, $batchId) is already committed — an upsert needs a " +
+        "fresh batch id (committed batches are immutable)")
+    val pinned = df.localCheckpoint(eager = false)
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    // Which batches can possibly hold an upserted key? Per-KEY stats
+    // checks when the key set is small (the CDC norm — and the [min,
+    // max] ENVELOPE alone would mark every batch between the lowest
+    // and highest key: one late-id key stretches it over the whole
+    // table); past the cap, degrade to the envelope (conservative:
+    // extra rewrites, never a wrong result).
+    val keyCap = 10000
+    val someKeys = pinned.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().limit(keyCap + 1).collect().map(_.get(0))
+    // envelope for the over-cap fallback: typed min/max (the column's
+    // own ordering — a lexicographic envelope over rendered numerics
+    // could wrongly EXCLUDE a batch and leave a key doubled)
+    lazy val kRow = pinned.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    val affected =
+      if (someKeys.isEmpty) Seq.empty // all keys NULL: nothing matches
+      else st.committed.filter { key =>
+        st.meta.get(key).flatMap(_.stats.find(_.col == keyCol)) match {
+          case Some(s) =>
+            if (someKeys.length <= keyCap)
+              someKeys.exists(k =>
+                statsMayMatch(s, Some(k.toString), Some(k.toString)))
+            else statsMayMatch(s, Some(kRow.get(0).toString),
+              Some(kRow.get(1).toString))
+          case None => true // no stats recorded → must assume a match
+        }
+      }
+    writeDataOnly(pinned, table, runId, batchId)
+    val newAdd = TxnAdd(runId, batchId, statsOf(pinned, statsCols),
+      schemaOf(pinned))
+    val keys = broadcast(pinned.select(col(keyCol).as("__k")).distinct())
+    val visibleSet = st.committed.toSet
+    val rewrites = affected.map { case (r, b) =>
+      val original = spark.read.parquet(s"$table/run_id=$r/batch_id=$b")
+      val unDeleted = st.tombstones
+        .filter(t => t.applies.contains((r, b)) && visibleSet((r, b)))
+        .foldLeft(original)((d, t) =>
+          if (d.columns.contains(t.col)) d.where(!tombstonePred(t)) else d)
+      val kept = unDeleted
+        .join(keys, unDeleted(keyCol) === keys("__k"), "left_anti")
+        .localCheckpoint(eager = false)
+      // rewrite id hashed from the upsert identity: a RETRY of the
+      // same upsert overwrites its own partitions (idempotent), a
+      // later different upsert gets fresh ones
+      val h = scala.util.hashing.MurmurHash3.orderedHash(
+        Seq(runId, batchId, keyCol, r, b)) & 0x7fffffff
+      val rwRun = f"${r}up$h%08x"
+      writeDataOnly(kept, table, rwRun, b)
+      val rwStats = st.meta.get((r, b)).map(_.stats.map(_.col))
+        .filter(_.nonEmpty).map(statsOf(kept, _)).getOrElse(Seq.empty)
+      TxnAdd(rwRun, b, rwStats, schemaOf(kept))
+    }
+    commitTxn(spark, table, rewrites :+ newAdd, affected, tsv)
   }
 
   // ---- row-level DELETE (r16): tombstones + copy-on-write ---- //

@@ -356,4 +356,174 @@ class CommitLogSpec extends SparkSpec {
     assert(!hfs.exists(p), "retired dir must be vacuumed")
     assert(CommitLog.readCommitted(spark, table).get.count() == 19)
   }
+
+  test("upsert: CDC full-row merge — matched keys update, new keys insert, one atomic flip") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txup").toString + "/t"
+    def idRows(lo: Long, n: Int, tag: String) =
+      (0 until n).map(i => (lo + i, s"$tag-$i")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(idRows(0, 10, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.writeBatchWithStats(idRows(100, 10, "b"), table, "r1", 1L,
+      Seq("id"), ts = 2000L)
+
+    // upsert: ids 3,4 updated, 500,501 inserted
+    val changes = Seq((3L, "NEW-3"), (4L, "NEW-4"), (500L, "NEW-500"),
+      (501L, "NEW-501")).toDF("id", "v")
+    CommitLog.upsert(spark, table, changes, "id", "r2", 0L, ts = 3000L,
+      statsCols = Seq("id"))
+
+    val cur = CommitLog.readCommitted(spark, table).get
+    assert(cur.count() == 22)
+    assert(cur.where(col("id") === 3L).select("v").as[String].head() == "NEW-3")
+    assert(cur.where(col("id") === 500L).count() == 1)
+    assert(cur.where(col("v") === "a-3").count() == 0, "old copy must be gone")
+    assert(cur.groupBy("id").count().where(col("count") > 1).count() == 0,
+      "no key may appear twice after an upsert")
+
+    // batch-stats pruning: batch 1 ([100,109]) holds no upserted key —
+    // it must NOT be rewritten; batch 0 is retired for an r1up* rewrite
+    val st = CommitLog.logState(spark, table)
+    assert(st.retired.keySet == Set(("r1", 0L)), st.retired.toString)
+    assert(st.committed.contains(("r1", 1L)))
+    assert(st.committed.exists { case (r, b) => r.startsWith("r1up") && b == 0L })
+    assert(st.committed.contains(("r2", 0L)))
+
+    // the rewrite recomputed its stats: a range read over [0,9] never
+    // opens batch 1, and the rewrite's narrowed range still prunes
+    val pruned = CommitLog.readCommittedRange(spark, table, "id", 0L, 9L).get
+    assert(pruned.count() == 10) // 8 survivors + upserted 3,4
+    assert(!pruned.inputFiles.exists(_.contains("run_id=r1/batch_id=1")))
+
+    // pre-upsert time travel sees the original rows
+    val before = CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get
+    assert(before.count() == 20)
+    assert(before.where(col("id") === 3L).select("v").as[String].head() == "a-3")
+    assert(before.where(col("id") === 500L).count() == 0)
+
+    // retrying the SAME upsert is idempotent in content: rewrite names
+    // hash from the upsert identity, the new batch id is guarded
+    intercept[IllegalArgumentException] {
+      CommitLog.upsert(spark, table, changes, "id", "r2", 0L, ts = 3100L)
+    }
+
+    // a second upsert touching the REWRITE chains copy-on-write
+    CommitLog.upsert(spark, table,
+      Seq((4L, "NEWER-4")).toDF("id", "v"), "id", "r2", 1L, ts = 4000L,
+      statsCols = Seq("id"))
+    val cur2 = CommitLog.readCommitted(spark, table).get
+    assert(cur2.count() == 22)
+    assert(cur2.where(col("id") === 4L).select("v").as[String].head() == "NEWER-4")
+
+    // log compaction folds transaction markers; everything still reads
+    CommitLog.compactLog(spark, table)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 22)
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get.count() == 20)
+    assert(CommitLog.readCommittedRange(spark, table, "id", 0L, 9L).get.count() == 10)
+
+    // vacuum reclaims the retired originals after the grace window
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    val (hfs, p0) = {
+      val pp = new org.apache.hadoop.fs.Path(s"$table/run_id=r1/batch_id=0")
+      (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
+    }
+    assert(!hfs.exists(p0), "retired original must be vacuumed")
+    assert(CommitLog.readCommitted(spark, table).get.count() == 22)
+  }
+
+  test("upsert folds live tombstones into rewrites: a deleted row cannot resurrect") {
+    import org.apache.spark.sql.functions.lit
+    val table = java.nio.file.Files.createTempDirectory("graft-txupdel").toString + "/t"
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(base, table, "r1", 0L, Seq("id"), ts = 1000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(2L), ts = 2000L)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 2)
+    // the upsert rewrites batch 0 (key 1 matches); the rewrite must
+    // NOT carry id 2 back to life (tombstones name original batches,
+    // not rewrites)
+    CommitLog.upsert(spark, table, Seq((1L, "ONE")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 3000L, statsCols = Seq("id"))
+    val cur = CommitLog.readCommitted(spark, table).get
+    assert(cur.count() == 2, cur.collect().mkString(","))
+    assert(cur.where(col("id") === 2L).count() == 0, "deleted row resurrected")
+    assert(cur.where(col("id") === 1L).select("v").as[String].head() == "ONE")
+
+    // upsert with an evolved schema: the new batch adds a column; the
+    // widening union reads old rows as NULL for it
+    CommitLog.upsert(spark, table,
+      Seq((9L, "nine")).toDF("id", "v").withColumn("extra", lit(7L)),
+      "id", "r2", 1L, ts = 4000L)
+    val evolved = CommitLog.readCommitted(spark, table).get
+    assert(evolved.columns.contains("extra"))
+    assert(evolved.where(col("id") === 9L).select("extra").as[Long].head() == 7L)
+    assert(evolved.where(col("extra").isNull).count() == 2)
+
+    // NULL keys: a NULL-keyed new row inserts, old rows survive
+    CommitLog.upsert(spark, table,
+      Seq((Option.empty[Long], Some("nullkey"))).toDF("id", "v"),
+      "id", "r2", 2L, ts = 5000L)
+    val withNull = CommitLog.readCommitted(spark, table).get
+    assert(withNull.count() == 4)
+    assert(withNull.where(col("id").isNull).count() == 1)
+  }
+
+  test("change feed: inserts, deletes, and upserts replay as an incremental event stream") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txcdf").toString + "/t"
+    def idRows(lo: Long, n: Int, tag: String) =
+      (0 until n).map(i => (lo + i, s"$tag-$i")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(idRows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.writeBatchWithStats(idRows(100, 5, "b"), table, "r1", 1L,
+      Seq("id"), ts = 2000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(2L), ts = 3000L)
+    CommitLog.upsert(spark, table,
+      Seq((3L, "NEW-3"), (500L, "NEW-500")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 4000L, statsCols = Seq("id"))
+
+    def feed(since: Long, until: Long = Long.MaxValue) =
+      CommitLog.readChangeFeed(spark, table, since, until).get
+        .select("change_type", "change_ts", "id", "v")
+        .as[(String, Long, Option[Long], String)].collect().toSet
+
+    // the full history: 10 inserts at 1000/2000, the id=2 delete at
+    // 3000, the upsert at 4000 = delete of old 3 + inserts of NEW rows
+    val all = feed(0L)
+    assert(all.count(_._1 == "insert") == 12)
+    assert(all.count(_._1 == "delete") == 2)
+    assert(all.contains(("delete", 3000L, Some(2L), "a-2")))
+    assert(all.contains(("delete", 4000L, Some(3L), "a-3")))
+    assert(all.contains(("insert", 4000L, Some(3L), "NEW-3")))
+    assert(all.contains(("insert", 4000L, Some(500L), "NEW-500")))
+
+    // window boundaries: since is exclusive, until inclusive
+    assert(feed(1000L, 2000L) ==
+      idRows(100, 5, "b").as[(Long, String)].collect().toSet
+        .map((r: (Long, String)) => ("insert", 2000L, Some(r._1), r._2)))
+    // the upsert-only window carries exactly the delta
+    val up = feed(3000L, 4000L)
+    assert(up == Set(
+      ("delete", 4000L, Some(3L), "a-3"),
+      ("insert", 4000L, Some(3L), "NEW-3"),
+      ("insert", 4000L, Some(500L), "NEW-500")))
+    // empty window
+    assert(CommitLog.readChangeFeed(spark, table, 4000L).isEmpty)
+
+    // compactDeletes is the physical application of an already-
+    // reported tombstone: the feed is unchanged by it
+    CommitLog.compactDeletes(spark, table, ts = 5000L)
+    assert(feed(0L) == all)
+    assert(CommitLog.readChangeFeed(spark, table, 4500L).isEmpty)
+
+    // a second delete matching an already-deleted row reports only
+    // the still-visible matches (id=2 died at 3000, not again)
+    CommitLog.deleteWhere(spark, table, "id", "range", Seq(1L, 2L), ts = 6000L)
+    val d2 = feed(5000L, 6000L)
+    assert(d2 == Set(("delete", 6000L, Some(1L), "a-1")))
+
+    // vacuumed history fails loudly instead of a partial feed
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    val e = intercept[RuntimeException] { feed(0L) }
+    assert(e.getMessage.contains("vacuumed"))
+    // but windows after the vacuumed era still read
+    assert(feed(5000L, 6000L) == d2)
+  }
 }
