@@ -1588,6 +1588,19 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 3)
     }),
 
+    // intrinsic embedding quality #3 — 3COSADD analogy accuracy over
+    // deterministic stride quadruples (a, a+1, a+7, a+8): grades the
+    // LINEAR structure of the space; vocabulary-argmax with the
+    // (cosine desc, id asc) tie order on round-6 cosines
+    "emb_analogy_acc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val quads = emb.select(col("vec_id").as("a"),
+          (col("vec_id") + 1L).as("b"), (col("vec_id") + 7L).as("c"),
+          (col("vec_id") + 8L).as("d"))
+        .join(emb.select(col("vec_id").as("d")), "d") // gold must exist
+      graft.ops.EmbedEval.analogyAccuracy(emb, "vec_id", "embedding", quads)
+    }),
+
     // intrinsic embedding quality #2 — Spearman rank correlation
     // between a gold similarity (label distance) and model cosine
     // over a deterministic stride pair set (equi-joins, no pair
@@ -5468,6 +5481,53 @@ object SparkEntry {
         |JOIN embeddings nl ON nl.vec_id = g.neighbor_id
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // 3COSADD replay: same stride quads, element-wise b−a+c target,
+    // round-6 cosine argmax over the vocabulary minus {a,b,c} with
+    // the (cosine DESC, id ASC) tie order
+    "emb_analogy_acc" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |tgt AS (
+        |  -- quads derived IN element space (e ⋈ e, the knn-oracle
+        |  -- shape): joining e against a separate quad CTE sends
+        |  -- DuckDB through a per-outer-row delim join that re-runs
+        |  -- the unnest (measured 110 s vs 1.1 s for this form)
+        |  SELECT ea.vec_id AS a, ea.vec_id + 1 AS b, ea.vec_id + 7 AS c,
+        |         ea.vec_id + 8 AS d, ea.i, eb.v - ea.v + ec.v AS tv
+        |  FROM e ea
+        |  JOIN e eb ON eb.vec_id = ea.vec_id + 1 AND eb.i = ea.i
+        |  JOIN e ec ON ec.vec_id = ea.vec_id + 7 AND ec.i = ea.i
+        |  JOIN embeddings dd ON dd.vec_id = ea.vec_id + 8),
+        |tn AS (
+        |  SELECT a, b, c, d, sqrt(sum(tv * tv)) AS tnrm
+        |  FROM tgt GROUP BY 1, 2, 3, 4),
+        |wn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT tgt.a, tgt.b, tgt.c, tgt.d, w.vec_id AS w,
+        |         sum(tgt.tv * w.v) AS dot
+        |  FROM tgt
+        |  JOIN e w ON w.i = tgt.i
+        |  WHERE w.vec_id <> tgt.a AND w.vec_id <> tgt.b AND w.vec_id <> tgt.c
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |sc AS (
+        |  SELECT dots.a, dots.b, dots.c, dots.d, dots.w,
+        |         round(dots.dot / (tn.tnrm * wn.nrm), 6) AS cos
+        |  FROM dots
+        |  JOIN tn ON tn.a = dots.a AND tn.b = dots.b AND tn.c = dots.c AND tn.d = dots.d
+        |  JOIN wn ON wn.vec_id = dots.w),
+        |win AS (
+        |  SELECT a, d, w,
+        |    row_number() OVER (PARTITION BY a, b, c, d
+        |                       ORDER BY cos DESC, w ASC) AS rnk
+        |  FROM sc QUALIFY rnk = 1)
+        |SELECT count(*) AS n_quads,
+        |  CAST(sum(CASE WHEN w = d THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN w = d THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS accuracy
+        |FROM win""".stripMargin,
 
     // Spearman replay: identical stride pair set, identical min-rank
     // (rank()) convention, exact-integer Σd², one final double divide

@@ -52,6 +52,66 @@ object EmbedEval {
       .orderBy("label")
   }
 
+  /** Word-analogy accuracy by 3COSADD (Mikolov et al. 2013: "a is to
+    * b as c is to ?" answered by argmax cosine against v_b − v_a +
+    * v_c, the three question words excluded) — the third intrinsic
+    * instrument after [[neighborPurity]] and [[spearman]], grading the
+    * LINEAR structure of a vector space (offsets meaning something is
+    * what separates a trained embedding from a hash).
+    *
+    * `quads` supplies gold (a, b, c, d) rows; the prediction is the
+    * cosine-argmax over the WHOLE vocabulary with the deterministic
+    * (cosine desc, id asc) tie order on 1e-6-rounded cosines, so the
+    * verdict replays in any engine. One row out: (n_quads, n_correct,
+    * accuracy).
+    *
+    * Scale shape: vectors are MODEL data (vocabulary-bounded — they
+    * broadcast), a gold benchmark is thousands of quads; the quad ×
+    * vocabulary scoring is one narrow broadcast-join projection, no
+    * shuffle until the final quad-sized aggregate. */
+  def analogyAccuracy(vectors: DataFrame, idCol: String, vecCol: String,
+      quads: DataFrame, aCol: String = "a", bCol: String = "b",
+      cCol: String = "c", dCol: String = "d"): DataFrame = {
+    val v = vectors.select(col(idCol).as("_w"),
+      col(vecCol).cast("array<double>").as("_v"))
+    def side(q: DataFrame, name: String, as: String) =
+      q.join(broadcast(v.select(col("_w").as(name), col("_v").as(as))), name)
+    val withTarget = side(side(side(quads.select(
+        col(aCol).as("_a"), col(bCol).as("_b"),
+        col(cCol).as("_c"), col(dCol).as("_d")),
+        "_a", "_va"), "_b", "_vb"), "_c", "_vc")
+      .select(col("_a"), col("_b"), col("_c"), col("_d"),
+        zip_with(zip_with(col("_vb"), col("_va"), (x, y) => x - y),
+          col("_vc"), (x, y) => x + y).as("_t"))
+    val scored = withTarget
+      .join(broadcast(v)) // quad × vocabulary, narrow
+      .where(col("_w") =!= col("_a") && col("_w") =!= col("_b") &&
+        col("_w") =!= col("_c"))
+      .select(col("_a"), col("_b"), col("_c"), col("_d"),
+        // double arithmetic end-to-end (the target b−a+c is derived,
+        // not stored — a float round-trip would split round-6 ties
+        // differently from any double-precision replay)
+        struct(round(Ann.cosineHof(col("_t"), col("_v")), 6).as("cos"),
+          col("_w").as("w")).as("_s"))
+    // max of (cos, w-desc-by-negation?) — the deterministic winner is
+    // (cosine DESC, id ASC): invert the id inside the comparison by
+    // max over (cos, struct-compare) ... ids have no generic negation,
+    // so take min over (-cos, id) instead: smallest −cos = largest
+    // cosine, then smallest id
+    val winner = scored
+      .select(col("_a"), col("_b"), col("_c"), col("_d"),
+        struct((-col("_s.cos")).as("nc"), col("_s.w").as("w")).as("_r"))
+      .groupBy("_a", "_b", "_c", "_d")
+      .agg(min(col("_r")).as("best"))
+    winner.agg(
+        count(lit(1)).as("n_quads"),
+        sum(when(col("best.w") === col("_d"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_quads"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_quads"), 6)
+          .as("accuracy"))
+  }
+
   /** Spearman rank correlation between `goldCol` and `modelCol` over
     * a pair frame, in the MIN-RANK (SQL `rank()`) convention:
     * deterministic under ties with no arbitrary tie-break and

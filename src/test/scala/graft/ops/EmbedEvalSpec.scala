@@ -76,6 +76,46 @@ class EmbedEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("rho") == 0.75)
   }
 
+  test("analogyAccuracy: exact linear structure scores 1.0; corrupted gold and exclusions behave") {
+    // v(group, role) = groupVec ⊕ roleVec — offsets are exactly linear,
+    // so (g0r0, g0r1, g1r0) must resolve to g1r1 by 3COSADD
+    def v(g: Int, r: Int): Seq[Float] = {
+      val a = Array.fill(6)(0.1f)
+      a(g) = 1.0f; a(3 + r) = 1.0f; a.toSeq
+    }
+    val vecs = (for { g <- 0 until 3; r <- 0 until 2 }
+      yield (g.toLong * 10 + r, v(g, r)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val quads = Seq(
+      (0L, 1L, 10L, 11L), // g0r0 : g0r1 :: g1r0 : g1r1
+      (0L, 1L, 20L, 21L),
+      (10L, 11L, 20L, 21L),
+      (1L, 0L, 21L, 20L)) // reversed roles
+      .toDF("a", "b", "c", "d")
+    val perfect = EmbedEval.analogyAccuracy(vecs, "vec_id", "embedding", quads)
+      .collect()(0)
+    assert(perfect.getAs[Long]("n_quads") == 4L)
+    assert(perfect.getAs[Long]("n_correct") == 4L)
+    assert(perfect.getAs[Double]("accuracy") == 1.0)
+
+    // corrupt one gold answer: exactly that quad fails
+    val corrupted = quads.withColumn("d",
+      when(col("a") === 0L && col("c") === 10L, lit(20L)).otherwise(col("d")))
+    val r = EmbedEval.analogyAccuracy(vecs, "vec_id", "embedding", corrupted)
+      .collect()(0)
+    assert(r.getAs[Long]("n_correct") == 3L)
+    assert(r.getAs[Double]("accuracy") == 0.75)
+
+    // exclusion rule: without it, b (closest to b−a+c when offsets
+    // are small) could win — a quad whose gold is its own c must lose
+    val selfQuad = Seq((0L, 1L, 0L, 1L)).toDF("a", "b", "c", "d")
+    // target = b−a+c = v(b); a, b, c excluded → the winner cannot be b
+    val s = EmbedEval.analogyAccuracy(vecs, "vec_id", "embedding", selfQuad)
+      .collect()(0)
+    assert(s.getAs[Long]("n_correct") == 0L)
+  }
+
   test("spearman is row-order and partitioning invariant") {
     val pairs = (0 until 200).map { i =>
       (i.toLong % 17, math.sin(i.toDouble) * 100)
