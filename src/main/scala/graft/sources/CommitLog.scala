@@ -1036,6 +1036,20 @@ object CommitLog {
     }
   }
 
+  /** Can tombstone `t` possibly delete rows of batch `key`, judged by
+    * the batch's recorded stats? (No stats → must assume yes.) Shared
+    * by [[compactDeletes]]'s rewrite pruning and the streaming
+    * source's fresh-delivery guard. */
+  private[sources] def tombstoneMayHit(st: LogState, t: Tombstone,
+      key: (String, Long)): Boolean =
+    st.meta.get(key).flatMap(_.stats.find(_.col == t.col)) match {
+      case None => true
+      case Some(s) => t.kind match {
+        case "in" => t.vals.exists(v => statsMayMatch(s, Some(v), Some(v)))
+        case _ => statsMayMatch(s, Some(t.vals(0)), Some(t.vals(1)))
+      }
+    }
+
   /** Row-level DELETE, physical phase (copy-on-write at batch
     * granularity): for every batch an un-applied tombstone touches,
     * write the batch MINUS its deleted rows as a NEW
@@ -1055,39 +1069,11 @@ object CommitLog {
       ts: Long = -1L): Unit = {
     val st = logState(spark, table)
     val visibleSet = st.committed.toSet
-    def utf8(x: String) = UTF8String.fromString(x)
-    // can tombstone t possibly delete rows of batch key? (stats prune)
-    def mayHit(t: Tombstone, key: (String, Long)): Boolean =
-      st.meta.get(key).flatMap(_.stats.find(_.col == t.col)) match {
-        case None => true
-        case Some(s) =>
-          def inRange(v: String): Boolean =
-            if (s.typ == "num")
-              try {
-                val x = new JBigDecimal(v)
-                new JBigDecimal(s.min).compareTo(x) <= 0 &&
-                  new JBigDecimal(s.max).compareTo(x) >= 0
-              } catch { case _: NumberFormatException => true }
-            else utf8(s.min).compareTo(utf8(v)) <= 0 &&
-              utf8(s.max).compareTo(utf8(v)) >= 0
-          t.kind match {
-            case "in" => t.vals.exists(inRange)
-            case _ => // range [lo, hi] overlaps [min, max]
-              if (s.typ == "num")
-                try {
-                  val (lo, hi) = (new JBigDecimal(t.vals(0)), new JBigDecimal(t.vals(1)))
-                  new JBigDecimal(s.max).compareTo(lo) >= 0 &&
-                    new JBigDecimal(s.min).compareTo(hi) <= 0
-                } catch { case _: NumberFormatException => true }
-              else utf8(s.max).compareTo(utf8(t.vals(0))) >= 0 &&
-                utf8(s.min).compareTo(utf8(t.vals(1))) <= 0
-          }
-      }
     // batch → the tombstones that still apply to it
     val perBatch = st.tombstones
       .flatMap(t => t.applies.filter(visibleSet).map(_ -> t))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
-      .filter { case (key, ts) => ts.exists(mayHit(_, key)) }
+      .filter { case (key, ts) => ts.exists(tombstoneMayHit(st, _, key)) }
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
     perBatch.foreach { case ((runId, batchId), tombs) =>
       val dirPath = s"$table/run_id=$runId/batch_id=$batchId"

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{InputPartition, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan, VariantExtraction}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileFormat, FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -166,6 +167,8 @@ private[sources] final class CommitLogTable(val table: String,
               s"'yyyy-MM-dd HH:mm:ss[.f]', got '$s'")
         })
     }
+  private[sources] val ignoreDeletes: Boolean =
+    Option(options.get("ignoreDeletes")).exists(_.toBoolean)
   private[sources] val asOfBatch: Option[Long] =
     Option(options.get("asOfBatch")).map(s => s.toLongOption.getOrElse(
       sys.error(s"graft_commitlog asOfBatch must be a long, got '$s'")))
@@ -216,7 +219,8 @@ private[sources] final class CommitLogTable(val table: String,
     CommitLogTable.index(spark, table, committed, schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     sys.error("graft_commitlog is read-only through DSv2 — write with " +
@@ -342,9 +346,8 @@ private[sources] final class CommitLogScanBuilder(t: CommitLogTable)
         required.fields.filterNot(f => partNames.contains(f.name)))
       val parquetFilters = pushed.filter(
         _.references.forall(dataSchema.fieldNames.contains))
-      ParquetScan(spark, spark.sessionState.newHadoopConfWithOptions(Map.empty),
-        index, dataSchema, readData, readPart, parquetFilters,
-        CaseInsensitiveStringMap.empty())
+      new CommitLogParquetScan(spark, index, dataSchema, readData, readPart,
+        parquetFilters, t)
     } else new CommitLogV1FallbackScan(t, surviving, required)
   }
 }
@@ -355,10 +358,44 @@ private[sources] final class CommitLogScanBuilder(t: CommitLogTable)
   * correctness is the library's single implementation, and
   * [[CommitLog.compactDeletes]] / steady schema restore the
   * vectorized path. */
+/** The fast-path scan: Spark's own [[ParquetScan]] with the streaming
+  * entry point attached — `readStream.format("graft_commitlog")` tails
+  * the committed-append log through [[CommitLogMicroBatchStream]]. */
+private[sources] final class CommitLogParquetScan(
+    sparkSession: SparkSession,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    dataSchema: StructType, readDataSchema: StructType,
+    readPartitionSchema: StructType, parquetFilters: Array[Filter],
+    t: CommitLogTable)
+    extends ParquetScan(sparkSession,
+      sparkSession.sessionState.newHadoopConfWithOptions(Map.empty), index,
+      dataSchema, readDataSchema, readPartitionSchema, parquetFilters,
+      CaseInsensitiveStringMap.empty(), None, Seq.empty, Seq.empty,
+      Array.empty[VariantExtraction]) {
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    CommitLogStreamEntry.stream(t)
+}
+
+private[sources] object CommitLogStreamEntry {
+  def stream(t: CommitLogTable): MicroBatchStream = {
+    if (t.asOfTs.nonEmpty || t.asOfBatch.nonEmpty) sys.error(
+      "graft_commitlog streaming tails the live log — asOfBatch / " +
+        "asOfTimestamp are batch-read pins (a stream from a frozen " +
+        "snapshot would never emit anything new)")
+    new CommitLogMicroBatchStream(t.table, t.schema, t.ignoreDeletes)
+  }
+}
+
 private[sources] final class CommitLogV1FallbackScan(t: CommitLogTable,
     surviving: Seq[(String, Long)], required: StructType) extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  // streaming reads batch directories independently, so the
+  // transitional batch-read states never block a stream
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    CommitLogStreamEntry.stream(t)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

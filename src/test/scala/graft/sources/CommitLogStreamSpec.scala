@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** `readStream.format("graft_commitlog")` must tail the committed
+  * append log exactly-once across restarts, keep torn batches
+  * invisible, never re-deliver copy-on-write rewrites of batches it
+  * already streamed, deliver each chain's live member on a fresh
+  * start, and fail loudly on un-compacted deletes. */
+class CommitLogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Long, n: Int, tag: String) =
+    (0 until n).map(i => (lo + i, s"$tag-$i")).toDF("id", "v")
+
+  private def drain(table: String, checkpoint: String, sink: String,
+      ignoreDeletes: Boolean = false): Unit = {
+    val reader = spark.readStream.format("graft_commitlog")
+    val q = (if (ignoreDeletes) reader.option("ignoreDeletes", "true") else reader)
+      .load(table)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+  }
+
+  private def sunk(sink: String): Set[(Long, String)] =
+    spark.read.parquet(sink).select("id", "v")
+      .as[(Long, String)].collect().toSet
+
+  test("tail the committed log exactly-once across restarts; torn batches invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatch(rows(0, 5, "a"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(rows(10, 5, "b"), table, "r1", 1L, ts = 2000L)
+    // torn batch: data files without a marker must never stream
+    rows(900, 9, "torn").withColumn("run_id", lit("r9")).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id").parquet(table)
+
+    drain(table, ckpt, sink)
+    assert(sunk(sink) == (rows(0, 5, "a").union(rows(10, 5, "b")))
+      .as[(Long, String)].collect().toSet)
+
+    // restart with new appends: ONLY the new batch arrives
+    CommitLog.writeBatch(rows(20, 5, "c"), table, "r1", 2L, ts = 3000L)
+    CommitLog.commit(spark, table, "r9", 0L) // the torn batch commits late
+    drain(table, ckpt, sink)
+    val all = sunk(sink)
+    assert(all.count(_._2.startsWith("a")) == 5, "batch a must not re-stream")
+    assert(all.count(_._2.startsWith("c")) == 5)
+    assert(all.count(_._2.startsWith("torn")) == 9,
+      "a late-committed batch streams exactly once")
+    // idle restart delivers nothing new
+    drain(table, ckpt, sink)
+    assert(sunk(sink) == all)
+  }
+
+  test("rewrites never re-deliver; fresh streams get each chain's live member; delete guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream2").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatchWithStats(rows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    drain(table, ckpt, sink)
+    assert(sunk(sink).size == 5)
+
+    // upsert: id 3 updated, 100 inserted — the restarted stream gets
+    // ONLY the upsert's new batch, never the rewrite's carried copies
+    CommitLog.upsert(spark, table,
+      Seq((3L, "NEW-3"), (100L, "NEW-100")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 2000L, statsCols = Seq("id"))
+    drain(table, ckpt, sink)
+    val afterUpsert = sunk(sink)
+    assert(afterUpsert.size == 7, afterUpsert.toString) // 5 + 2 new
+    assert(afterUpsert.contains((3L, "NEW-3")) && afterUpsert.contains((3L, "a-3")),
+      "append stream keeps history; updates arrive as new rows")
+
+    // a FRESH stream on the upserted table delivers current state:
+    // the rewrite (matched key removed once) + the new batch
+    val (ckpt2, sink2) = (s"$dir/ckpt2", s"$dir/sink2")
+    drain(table, ckpt2, sink2)
+    assert(sunk(sink2) ==
+      CommitLog.readCommitted(spark, table).get
+        .select("id", "v").as[(Long, String)].collect().toSet)
+
+    // un-compacted delete: a fresh stream fails loudly...
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 3000L)
+    val (ckpt3, sink3) = (s"$dir/ckpt3", s"$dir/sink3")
+    val e = intercept[Exception] { drain(table, ckpt3, sink3) }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage match { case null => "" case m => m }) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("compactDeletes"))
+    // ...streams with ignoreDeletes, or after compaction
+    val (ckpt4, sink4) = (s"$dir/ckpt4", s"$dir/sink4")
+    drain(table, ckpt4, sink4, ignoreDeletes = true)
+    assert(sunk(sink4).contains((1L, "a-1")), "pre-delete rows opted into")
+    CommitLog.compactDeletes(spark, table, ts = 4000L)
+    val (ckpt5, sink5) = (s"$dir/ckpt5", s"$dir/sink5")
+    drain(table, ckpt5, sink5)
+    assert(sunk(sink5) ==
+      CommitLog.readCommitted(spark, table).get
+        .select("id", "v").as[(Long, String)].collect().toSet)
+
+    // the EXISTING stream (which already saw the deleted row) resumes
+    // fine past the compaction: the rw rewrite's chain is covered
+    drain(table, ckpt, sink)
+    assert(sunk(sink) == afterUpsert, "compaction must not re-deliver")
+  }
+
+  test("streaming offsets round-trip their serialization") {
+    val o = CommitLogStreamOffset(
+      Set(("r1", 3L), ("run with space", 0L)), Set(("r1up00abcdef", 3L)))
+    assert(CommitLogStreamOffset.parse(o.json()) == o)
+    assert(CommitLogStreamOffset.parse("") ==
+      CommitLogStreamOffset(Set.empty, Set.empty))
+  }
+}
