@@ -20,6 +20,10 @@ Global / showSuccess := false
 // showSuccess is consumed by sbt's command layer, not a task — exclude
 // it from the unused-key lint
 Global / excludeLintKeys += showSuccess
+// Forked `run` output goes straight to stdout, NOT through sbt's
+// logger: the logger prefixes every line with "[info] ", which would
+// sit between the driver's tail-parser and Bench's bare JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,6 +135,62 @@ object AnnIngest {
     cents
   }
 
+  /** The maintenance DIAL: how unbalanced the current generation's
+    * cells are — (cells, rows, max-cell fraction, expected scan
+    * fraction at `nprobe`). A healthy index scans ~nprobe/cells per
+    * probe; a drifted one concentrates rows in few cells and the scan
+    * fraction climbs toward 1. Poll this between stream segments and
+    * [[recluster]] when it crosses the budgeted fraction — the
+    * measured trigger, not a guess (one groupBy over the index's
+    * partition column — a metadata-cheap aggregate). */
+  def cellBalance(spark: SparkSession, indexPath: String,
+      nprobe: Int): DataFrame = {
+    val sizes = spark.read.parquet(currentDataPath(spark, indexPath))
+      .groupBy("cell").count()
+    // expected scan fraction at nprobe ≈ sum of the nprobe largest
+    // cells / rows — the adversarial bound (a probe lands in the hot
+    // cells exactly when the drifted region is what's being queried)
+    sizes.select(col("count"))
+      .orderBy(col("count").desc)
+      .limit(nprobe)
+      .agg(sum("count").as("hot_rows"))
+      .crossJoin(sizes.agg(count(lit(1)).as("cells"),
+        sum("count").as("rows"), max("count").as("max_cell")))
+      .select(col("cells"), col("rows"),
+        round(col("max_cell").cast("double") / col("rows"), 6)
+          .as("max_cell_frac"),
+        round(col("hot_rows").cast("double") / col("rows"), 6)
+          .as(s"scan_frac_at_$nprobe"))
+  }
+
+  /** Reclaim generation directories SUPERSEDED by a later recluster,
+    * once their marker is older than `graceMs` — readers that resolved
+    * before the swap must drain first (the vacuum contract, same as
+    * CommitLog's). The current generation and the root (gen-0) layout
+    * are never touched; gen-0's data stays until the caller removes it
+    * explicitly (it doubles as the legacy whole-dir read surface). */
+  def vacuumGenerations(spark: SparkSession, indexPath: String,
+      graceMs: Long = 24L * 3600 * 1000): Unit = {
+    val (fs, root) = hfs(spark, indexPath)
+    if (!fs.exists(root)) return
+    val markers = fs.listStatus(root).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case genMarker(n) => Seq((n.toInt, s))
+        case _ => Seq.empty
+      })
+    if (markers.isEmpty) return
+    val current = markers.map(_._1).max
+    val now = java.lang.System.currentTimeMillis()
+    markers.filter { case (n, s) =>
+      n < current && now - s.getModificationTime > graceMs
+    }.foreach { case (n, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$indexPath/_gen$n%08d"), true)
+      // the marker itself stays: resolution takes the max, and a
+      // surviving marker documents the generation history
+    }
+  }
+
   /** (id, vec, cell) assignment of a batch against broadcast centroids;
     * scores rounded like Ann.ivfTopK so assignment is reproducible.
     * Narrow: the centroid set folds into one broadcast array row and

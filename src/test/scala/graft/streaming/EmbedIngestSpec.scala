@@ -152,8 +152,24 @@ class EmbedIngestSpec extends SparkSpec {
       idx, "r1", 1L)
     assert(spark.read.parquet(gen1).count() == before)
 
+    // the maintenance DIAL: cell balance improves across the swap
+    val bal = AnnIngest.cellBalance(spark, idx, nprobe = 2).collect()(0)
+    assert(bal.getAs[Long]("rows") == 180L)
+    assert(bal.getAs[Double]("max_cell_frac") < crowdedBefore)
+
     // second maintenance round: the marker sequence keeps advancing
     AnnIngest.recluster(spark, idx, numCells = 12, iters = 1)
+    assert(AnnIngest.currentDataPath(spark, idx) == s"$idx/_gen00000002")
+    assert(spark.read.parquet(
+      AnnIngest.currentDataPath(spark, idx)).count() == 180)
+
+    // vacuum: superseded gen-1 reclaims past the grace window; the
+    // current generation and the gen-0 root survive
+    AnnIngest.vacuumGenerations(spark, idx, graceMs = -1L)
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$idx/_gen00000001")))
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$idx/_gen00000002")))
     assert(AnnIngest.currentDataPath(spark, idx) == s"$idx/_gen00000002")
     assert(spark.read.parquet(
       AnnIngest.currentDataPath(spark, idx)).count() == 180)
