@@ -24,6 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolve in the earlier hint-resolution batch, where the
     // identifier shape (2 parts, our format name) is already decided.
     ext.injectHintResolutionRule(spark => graft.sources.ResolveCommitLogSql(spark))
+    // the CHANGE FEED as a SQL table function — the CDC read for SQL
+    // users: SELECT * FROM graft_commitlog_changes('/table', since
+    // [, until]) with epoch-milli bounds ((since, until], the
+    // readChangeFeed contract); an empty window returns an empty
+    // relation in the feed's schema, not an error
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_commitlog_changes"),
+      new ExpressionInfo(graft.sources.CommitLog.getClass.getName,
+        "graft_commitlog_changes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sources.CommitLogChangesFunction.plan(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

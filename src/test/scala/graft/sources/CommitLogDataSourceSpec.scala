@@ -78,6 +78,45 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL change feed: graft_commitlog_changes table function replays the CDC events") {
+    val table = tmp("graft-dsv2-cdf")
+    CommitLog.writeBatchWithStats(rows(5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.upsert(spark, table,
+      Seq((2L, "NEW-2"), (50L, "NEW-50")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 2000L, statsCols = Seq("id"))
+    val lib = CommitLog.readChangeFeed(spark, table, 0L).get
+      .select("change_type", "change_ts", "id", "v")
+      .collect().map(_.toString).toSet
+
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val sql = sess.sql(
+        s"SELECT change_type, change_ts, id, v FROM graft_commitlog_changes('$table', 0)")
+        .collect().map(_.toString).toSet
+      assert(sql == lib)
+      // window form + downstream composition
+      assert(sess.sql(
+        s"SELECT count(*) AS n FROM graft_commitlog_changes('$table', 1000, 2000) " +
+          "WHERE change_type = 'delete'").collect()(0).getLong(0) == 1L)
+      // empty window: empty relation in the feed's schema, not an error
+      val empty = sess.sql(
+        s"SELECT * FROM graft_commitlog_changes('$table', 2000)")
+      assert(empty.count() == 0)
+      assert(empty.columns.contains("change_type") && empty.columns.contains("v"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("pushed filters prune batch directories: inputFiles shows it, result stays exact") {
     val table = tmp("graft-dsv2-prune")
     CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
