@@ -61,6 +61,11 @@ object CommitLog {
   private def markerName(runId: String, batchId: Long) = {
     require(!runId.contains("-") && !runId.contains("/"),
       s"runId must not contain '-' or '/': $runId")
+    // ',' separates run from batch in txn add= / snapshot lines, tab
+    // separates folded fields, newlines separate lines — any of them
+    // inside a run id would corrupt every folded marker form
+    require(!runId.exists(c => c == ',' || c == '\t' || c == '\n' || c == '\r'),
+      s"runId must not contain ',', tab, or newline: ${esc(runId)}")
     require(runId != "txn",
       "runId 'txn' is reserved: its markers would collide with " +
         "transaction markers (txn-<ts>-<uuid>.commit)")
@@ -253,6 +258,13 @@ object CommitLog {
       s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine$retiresLine"
         .getBytes("UTF-8"))
     finally out.close()
+    // retiring commits (compactDeletes rewrites) get the same
+    // conflict check as transactions — a retry of the SAME rewrite is
+    // already a no-op via the marker-exists return above, so reaching
+    // here with an already-retired original means a DIFFERENT
+    // concurrent rewrite won
+    try checkRetireConflict(spark, table, retires)
+    catch { case e: Throwable => hfs.delete(tmp, false); throw e }
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
     if (!hfs.rename(tmp, marker)) {
@@ -598,6 +610,26 @@ object CommitLog {
       .where(col(column).between(lit(lo), lit(hi))))
   }
 
+  /** Is rendered-decimal stats pruning EXACT for probe value `k`
+    * against a batch whose recorded key-column type is
+    * `recordedTyp`? Floating-point values render lossily across the
+    * float→double widening the read path applies: a FLOAT batch's
+    * stats record "0.1" while the same value widened to DOUBLE in the
+    * probe frame renders "0.10000000149011612" — comparing the two as
+    * exact decimals would wrongly prune the batch, and the residual
+    * anti-join (which compares in Spark's widened-cast semantics)
+    * would then leave the stale key copy live. Any float/double probe
+    * whose runtime type is not exactly the batch's recorded type —
+    * including an unrecorded schema — degrades to UNPRUNABLE: extra
+    * rewrites, never a doubled key. Integral/string/decimal probes
+    * render exactly at any recorded width. */
+  private def probePrunable(k: Any, recordedTyp: Option[String]): Boolean =
+    k match {
+      case _: java.lang.Float => recordedTyp.contains("FLOAT")
+      case _: java.lang.Double => recordedTyp.contains("DOUBLE")
+      case _ => true
+    }
+
   /** Could a batch whose recorded [min, max] is `s` hold a value in
     * [lo, hi] (None = unbounded side)? The shared pruning predicate —
     * readCommittedRange's BETWEEN and the DSv2 scan's pushed filters
@@ -791,6 +823,26 @@ object CommitLog {
       }
     }
 
+    // full-consumption deletes: an original retired with NO surviving
+    // rewrite entry (the rewrite kept zero rows, so none was added) —
+    // every row still visible at retirement was removed. A merge
+    // whose keys matched the whole batch lands here; compactDeletes
+    // reaches this state only when tombstones (already reported at
+    // their own times) had deleted every row, so its `before` frame
+    // is empty and nothing double-reports.
+    st.retired.foreach { case ((r, b), rts) =>
+      val hasRewriteEntry = st.entries.exists { case (r2, b2) =>
+        b2 == b && r2 != r && rewriteOf(st, r2, b2).exists(_._1 == r) }
+      if (inWindow(rts) && !hasRewriteEntry) {
+        requireDir(r, b, "a full-batch delete's pre-image")
+        val before = applyTombstones(
+          rawBatchSet(spark, table, Seq((r, b)), st),
+          Seq((r, b)), st, tombstoneAsOf = Some(rts))
+          .drop("run_id", "batch_id")
+        parts += withMeta(before, "delete", rts)
+      }
+    }
+
     // upsert deletes: original ∖ rewrite = the matched old copies
     st.entries.foreach { case (r, b) =>
       rewriteOf(st, r, b) match {
@@ -838,7 +890,8 @@ object CommitLog {
     * [[compactLog]] folds transaction markers like any other. */
   def commitTxn(spark: SparkSession, table: String, adds: Seq[TxnAdd],
       retires: Seq[(String, Long)], ts: Long = -1L): Unit = {
-    require(adds.nonEmpty, "a transaction must add at least one partition")
+    require(adds.nonEmpty || retires.nonEmpty,
+      "a transaction must add or retire at least one partition")
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
@@ -859,11 +912,37 @@ object CommitLog {
     val out = hfs.create(tmp, true)
     try out.write(s"ts=$tsv\n$addLines$retiresLine".getBytes("UTF-8"))
     finally out.close()
+    // conflict detection, re-read as late as possible: a concurrent
+    // upsert/compactDeletes that already retired one of our retires
+    // means BOTH transactions rewrote the same original — committing
+    // ours too would leave two live rewrites and double its rows.
+    // Failing here narrows the exposure to the re-read→rename window;
+    // full serialization needs the documented single-writer
+    // discipline for mutating operations.
+    try checkRetireConflict(spark, table, retires)
+    catch { case e: Throwable => hfs.delete(tmp, false); throw e }
     val marker = new org.apache.hadoop.fs.Path(dir, name)
     if (!hfs.rename(tmp, marker)) {
       hfs.delete(tmp, false); sys.error(s"could not commit $marker")
     }
   }
+
+  /** Fail loudly when any of `retires` was already retired by a
+    * concurrent transaction (both rewrote the same original — two
+    * live rewrites would double its rows). Shared by [[commitTxn]]
+    * and the retiring form of [[commitWithMeta]]. */
+  private def checkRetireConflict(spark: SparkSession, table: String,
+      retires: Seq[(String, Long)]): Unit =
+    if (retires.nonEmpty) {
+      val cur = logState(spark, table)
+      val conflicted = retires.filter(cur.retired.contains)
+      if (conflicted.nonEmpty) sys.error(
+        s"commit-log write conflict on $table: original batch(es) " +
+          s"${conflicted.take(3).mkString(", ")} already retired by a " +
+          "concurrent upsert/compactDeletes — this rewrite is based on " +
+          "stale state; re-run against the current log (mutating " +
+          "operations are single-writer per table)")
+    }
 
   /** Row-level UPSERT — the full-row MERGE a CDC feed applies
     * (`WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT
@@ -880,68 +959,156 @@ object CommitLog {
     * rows until [[vacuum]] reclaims the retired dirs; NULL keys never
     * match (a NULL-keyed new row inserts, a NULL-keyed old row
     * survives). Stats are recomputed per rewrite for the columns the
-    * original recorded, so pruning stays exact. */
+    * original recorded, so pruning stays exact.
+    *
+    * Concurrency: mutating operations (upsert / compactDeletes /
+    * recluster) are SINGLE-WRITER per table — two racing mutations of
+    * the same original are detected at commit time (the marker write
+    * re-reads the log and fails if any retire target is already
+    * retired), narrowing the unprotected window to the final rename;
+    * plain appends remain freely concurrent. */
   def upsert(spark: SparkSession, table: String, df: DataFrame,
       keyCol: String, runId: String, batchId: Long, ts: Long = -1L,
-      statsCols: Seq[String] = Seq.empty): Unit = {
+      statsCols: Seq[String] = Seq.empty): Unit =
+    merge(spark, table, df, Seq(keyCol), runId, batchId, ts, statsCols)
+
+  /** [[upsert]] generalized to the CDC MERGE shapes a real feed needs
+    * (r16 verdict asks #3/#7):
+    *
+    *   - **composite keys** (`keyCols`): a row matches when EVERY key
+    *     column is equal (SQL `ON t.k1 = s.k1 AND t.k2 = s.k2` —
+    *     NULL in any component never matches, so a NULL-keyed source
+    *     row inserts and a NULL-keyed target row survives). The
+    *     reference's own error-file key is composite
+    *     (FILENAME|PayeeId) — no concatenated synthetic key needed.
+    *     Batch pruning stays exact PER COLUMN: a batch is rewritten
+    *     only when some source key matches the recorded [min, max] of
+    *     every key column that has stats.
+    *   - **`deleteWhen`** — `WHEN MATCHED AND <cond> THEN DELETE`:
+    *     source rows satisfying the predicate are delete ops — their
+    *     matched target rows are removed and the op rows are NOT
+    *     inserted (the Delta CDC-apply pattern for op-code feeds:
+    *     `deleteWhen = col("op") === "D"`). Remaining source rows
+    *     update/insert as before. All ops in one source batch apply
+    *     together: old copies of every op key are removed once, then
+    *     non-delete rows land as the new batch.
+    *   - **`dropCols`** — columns (op codes, CDC sequence numbers)
+    *     removed from the source before it lands as the new batch,
+    *     while remaining visible to `deleteWhen`.
+    *
+    * Target-side `WHEN MATCHED AND <cond on t>` shapes (keep the old
+    * row when the new one is stale) are out of scope — they need the
+    * joined (t, s) pair per row; sequence your feed upstream. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], runId: String, batchId: Long, ts: Long = -1L,
+      statsCols: Seq[String] = Seq.empty,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      dropCols: Seq[String] = Seq.empty): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
     val st = logState(spark, table)
     require(!st.entries.contains((runId, batchId)),
-      s"($runId, $batchId) is already committed — an upsert needs a " +
+      s"($runId, $batchId) is already committed — a merge needs a " +
         "fresh batch id (committed batches are immutable)")
-    val pinned = df.localCheckpoint(eager = false)
+    val ops = source.localCheckpoint(eager = false)
+    // the rows that will LAND (updates + inserts); delete ops only
+    // remove old copies
+    val pinned = deleteWhen
+      .map(d => ops.where(!coalesce(d, lit(false)))).getOrElse(ops)
+      .drop(dropCols: _*)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    // Which batches can possibly hold an upserted key? Per-KEY stats
+    // Which batches can possibly hold a merged key? Per-KEY stats
     // checks when the key set is small (the CDC norm — and the [min,
     // max] ENVELOPE alone would mark every batch between the lowest
     // and highest key: one late-id key stretches it over the whole
-    // table); past the cap, degrade to the envelope (conservative:
-    // extra rewrites, never a wrong result).
+    // table); past the cap, degrade to the per-column envelope
+    // (conservative: extra rewrites, never a wrong result).
     val keyCap = 10000
-    val someKeys = pinned.select(col(keyCol)).where(col(keyCol).isNotNull)
-      .distinct().limit(keyCap + 1).collect().map(_.get(0))
-    // envelope for the over-cap fallback: typed min/max (the column's
-    // own ordering — a lexicographic envelope over rendered numerics
-    // could wrongly EXCLUDE a batch and leave a key doubled)
-    lazy val kRow = pinned.agg(min(col(keyCol)), max(col(keyCol))).collect()(0)
+    val keyExprs = keyCols.map(col)
+    val someKeys = ops.select(keyExprs: _*)
+      .where(keyExprs.map(_.isNotNull).reduce(_ && _))
+      .distinct().limit(keyCap + 1).collect()
+    // envelope for the over-cap fallback: typed min/max per column
+    // (each column's own ordering — a lexicographic envelope over
+    // rendered numerics could wrongly EXCLUDE a batch and leave a key
+    // doubled)
+    lazy val kRow = ops.agg(
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).collect()(0)
     val affected =
       if (someKeys.isEmpty) Seq.empty // all keys NULL: nothing matches
       else st.committed.filter { key =>
-        st.meta.get(key).flatMap(_.stats.find(_.col == keyCol)) match {
-          case Some(s) =>
-            if (someKeys.length <= keyCap)
-              someKeys.exists(k =>
-                statsMayMatch(s, Some(k.toString), Some(k.toString)))
-            else statsMayMatch(s, Some(kRow.get(0).toString),
-              Some(kRow.get(1).toString))
-          case None => true // no stats recorded → must assume a match
+        val meta = st.meta.get(key)
+        val colStats = keyCols.map(kc =>
+          kc -> meta.flatMap(_.stats.find(_.col == kc)))
+        if (colStats.forall(_._2.isEmpty)) true // no stats → assume match
+        else {
+          // rendered-decimal pruning is exact only when a floating
+          // probe's runtime type matches the batch's RECORDED column
+          // type (see probePrunable) — a mismatch leaves that column
+          // unconstrained rather than risk a stale copy surviving
+          def recTyp(kc: String) =
+            meta.flatMap(_.schema.find(_._1 == kc)).map(_._2)
+          def colMayHold(kc: String, s: Option[ColStats], v: Any): Boolean =
+            s.isEmpty || !probePrunable(v, recTyp(kc)) ||
+              statsMayMatch(s.get, Some(v.toString), Some(v.toString))
+          if (someKeys.length <= keyCap)
+            someKeys.exists(row => colStats.zipWithIndex.forall {
+              case ((kc, s), i) => colMayHold(kc, s, row.get(i)) })
+          else colStats.zipWithIndex.forall { case ((kc, s), i) =>
+            val (lo, hi) = (kRow.get(2 * i), kRow.get(2 * i + 1))
+            s.isEmpty || lo == null ||
+              !probePrunable(lo, recTyp(kc)) || !probePrunable(hi, recTyp(kc)) ||
+              statsMayMatch(s.get, Some(lo.toString), Some(hi.toString))
+          }
         }
       }
-    writeDataOnly(pinned, table, runId, batchId)
-    val newAdd = TxnAdd(runId, batchId, statsOf(pinned, statsCols),
-      schemaOf(pinned))
-    val keys = broadcast(pinned.select(col(keyCol).as("__k")).distinct())
+    // a pure-delete feed (or an empty source) lands no new batch —
+    // an empty parquet write creates no directory, so its add would
+    // dangle and break every future read
+    val hasNewRows = !pinned.isEmpty
+    val newAdd =
+      if (!hasNewRows) Seq.empty
+      else {
+        writeDataOnly(pinned, table, runId, batchId)
+        Seq(TxnAdd(runId, batchId, statsOf(pinned, statsCols),
+          schemaOf(pinned)))
+      }
+    val keys = broadcast(
+      ops.select(keyCols.map(c => col(c).as(s"__k_$c")): _*).distinct())
     val visibleSet = st.committed.toSet
-    val rewrites = affected.map { case (r, b) =>
+    val (hfs, _) = fs(spark, table)
+    val rewrites = affected.flatMap { case (r, b) =>
       val original = spark.read.parquet(s"$table/run_id=$r/batch_id=$b")
       val unDeleted = st.tombstones
         .filter(t => t.applies.contains((r, b)) && visibleSet((r, b)))
         .foldLeft(original)((d, t) =>
           if (d.columns.contains(t.col)) d.where(!tombstonePred(t)) else d)
-      val kept = unDeleted
-        .join(keys, unDeleted(keyCol) === keys("__k"), "left_anti")
+      val matchCond = keyCols.map(c =>
+        unDeleted(c) === keys(s"__k_$c")).reduce(_ && _)
+      val kept = unDeleted.join(keys, matchCond, "left_anti")
         .localCheckpoint(eager = false)
-      // rewrite id hashed from the upsert identity: a RETRY of the
-      // same upsert overwrites its own partitions (idempotent), a
-      // later different upsert gets fresh ones
+      // rewrite id hashed from the merge identity: a RETRY of the
+      // same merge overwrites its own partitions (idempotent), a
+      // later different merge gets fresh ones
       val h = scala.util.hashing.MurmurHash3.orderedHash(
-        Seq(runId, batchId, keyCol, r, b)) & 0x7fffffff
+        Seq(runId, batchId, keyCols.mkString(","), r, b)) & 0x7fffffff
       val rwRun = f"${r}up$h%08x"
       writeDataOnly(kept, table, rwRun, b)
-      val rwStats = st.meta.get((r, b)).map(_.stats.map(_.col))
-        .filter(_.nonEmpty).map(statsOf(kept, _)).getOrElse(Seq.empty)
-      TxnAdd(rwRun, b, rwStats, schemaOf(kept))
+      // a rewrite that kept ZERO rows writes no directory (dynamic
+      // overwrite of an empty frame is a no-op) — adding it anyway
+      // would leave a committed entry with no data behind it and
+      // break every future read; the original simply retires with no
+      // replacement
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(
+          s"$table/run_id=$rwRun/batch_id=$b"))) None
+      else {
+        val rwStats = st.meta.get((r, b)).map(_.stats.map(_.col))
+          .filter(_.nonEmpty).map(statsOf(kept, _)).getOrElse(Seq.empty)
+        Some(TxnAdd(rwRun, b, rwStats, schemaOf(kept)))
+      }
     }
-    commitTxn(spark, table, rewrites :+ newAdd, affected, tsv)
+    if (affected.isEmpty && newAdd.isEmpty) return // no-op feed
+    commitTxn(spark, table, rewrites ++ newAdd, affected, tsv)
   }
 
   // ---- row-level DELETE (r16): tombstones + copy-on-write ---- //
@@ -1091,11 +1258,19 @@ object CommitLog {
       val statsCols = st.meta.get((runId, batchId))
         .map(_.stats.map(_.col)).getOrElse(Seq.empty)
       val retires = Seq((runId, batchId))
-      if (statsCols.isEmpty)
-        writeBatch(kept, table, rwRun, batchId, tsv, retires)
-      else
-        writeBatchWithStats(kept, table, rwRun, batchId, statsCols, tsv,
-          retires)
+      val pinnedKept = kept.localCheckpoint(eager = false)
+      writeDataOnly(pinnedKept, table, rwRun, batchId)
+      // tombstones that consumed the WHOLE batch leave an empty
+      // rewrite — no directory is written, so committing its marker
+      // would dangle; the original retires with no replacement
+      // (a retire-only transaction marker)
+      val (hfs, _) = fs(spark, table)
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(
+          s"$table/run_id=$rwRun/batch_id=$batchId")))
+        commitTxn(spark, table, Seq.empty, retires, tsv)
+      else commitWithMeta(spark, table, rwRun, batchId,
+        if (statsCols.isEmpty) Seq.empty else statsOf(pinnedKept, statsCols),
+        schemaOf(pinnedKept), tsv, retires)
     }
   }
 }

@@ -18,28 +18,76 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final case class CommitLogStreamOffset(read: Set[(String, Long)],
     covered: Set[(String, Long)]) extends Offset {
   def all: Set[(String, Long)] = read ++ covered
+
+  /** Wire format v2 (r17): per-run RANGE compression —
+    * `v2|run:lo[~hi],lo[~hi];run2:…|<covered part, same form>`.
+    * The r16 format serialized every (run_id, batch_id) ever seen,
+    * one entry each — O(all batches ever) bytes written twice per
+    * micro-batch, unbounded on a long-lived table. Batch ids within
+    * a run are assigned sequentially by every writer in this library
+    * (streaming sinks count epochs 0,1,2,…; rewrite runs carry the
+    * single original id), so a year of micro-batches folds to ONE
+    * `run:0~524159` range per writer run: steady-state offsets are
+    * O(#runs + #id-gaps), not O(#batches) — the commit-log analogue
+    * of Delta's monotone (version, index) scalar, without assuming a
+    * totally ordered log. Compression is EXACT (ranges expand to the
+    * identical set), so delta planning, rewrite-lineage walks, and
+    * replay semantics are untouched; sparse id schemes degrade to
+    * one range per batch — never wrong, just uncompressed. Run ids
+    * are URL-encoded (':' ';' ',' '|' '~' all escape), keeping the
+    * separators unambiguous. */
   override def json(): String = {
-    def enc(s: (String, Long), tag: String) =
-      tag + java.net.URLEncoder.encode(s._1, "UTF-8") + "," + s._2
-    (read.toSeq.sorted.map(enc(_, "")) ++
-      covered.toSeq.sorted.map(enc(_, "~"))).mkString(";")
+    def part(s: Set[(String, Long)]): String =
+      s.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ks) =>
+        val ids = ks.map(_._2).toSeq.sorted
+        val ranges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        ids.foreach { b =>
+          if (ranges.nonEmpty && ranges.last._2 == b - 1)
+            ranges(ranges.length - 1) = (ranges.last._1, b)
+          else ranges += ((b, b))
+        }
+        java.net.URLEncoder.encode(r, "UTF-8") + ":" +
+          ranges.map { case (lo, hi) =>
+            if (lo == hi) s"$lo" else s"$lo~$hi" }.mkString(",")
+      }.mkString(";")
+    "v2|" + part(read) + "|" + part(covered)
   }
 }
 
 object CommitLogStreamOffset {
-  def parse(json: String): CommitLogStreamOffset = {
-    val read = Set.newBuilder[(String, Long)]
-    val covered = Set.newBuilder[(String, Long)]
-    json.split(";").iterator.filter(_.nonEmpty).foreach { part =>
-      val (tagged, target) =
-        if (part.startsWith("~")) (part.substring(1), covered)
-        else (part, read)
-      val i = tagged.lastIndexOf(',')
-      target += ((java.net.URLDecoder.decode(tagged.substring(0, i), "UTF-8"),
-        tagged.substring(i + 1).toLong))
+  /** Parse either wire format: v2 range-compressed, or the r16
+    * full-enumeration form — an old checkpoint keeps resolving, and
+    * its next offset write comes out compressed. */
+  def parse(json: String): CommitLogStreamOffset =
+    if (json.startsWith("v2|")) {
+      val parts = json.substring(3).split("\\|", -1)
+      def decode(s: String): Set[(String, Long)] =
+        s.split(";").iterator.filter(_.nonEmpty).flatMap { entry =>
+          val i = entry.lastIndexOf(':')
+          val run = java.net.URLDecoder.decode(entry.substring(0, i), "UTF-8")
+          entry.substring(i + 1).split(",").iterator
+            .filter(_.nonEmpty).flatMap { r =>
+              val j = r.indexOf('~')
+              if (j < 0) Iterator(run -> r.toLong)
+              else (r.substring(0, j).toLong to r.substring(j + 1).toLong)
+                .iterator.map(run -> _)
+            }
+        }.toSet
+      CommitLogStreamOffset(decode(parts(0)),
+        decode(if (parts.length > 1) parts(1) else ""))
+    } else {
+      val read = Set.newBuilder[(String, Long)]
+      val covered = Set.newBuilder[(String, Long)]
+      json.split(";").iterator.filter(_.nonEmpty).foreach { part =>
+        val (tagged, target) =
+          if (part.startsWith("~")) (part.substring(1), covered)
+          else (part, read)
+        val i = tagged.lastIndexOf(',')
+        target += ((java.net.URLDecoder.decode(tagged.substring(0, i), "UTF-8"),
+          tagged.substring(i + 1).toLong))
+      }
+      CommitLogStreamOffset(read.result(), covered.result())
     }
-    CommitLogStreamOffset(read.result(), covered.result())
-  }
 }
 
 /** Micro-batch streaming source over the commit-log table format —
@@ -115,11 +163,23 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
     if (!ignoreDeletes) {
       // fresh-stream-after-delete guard: rows about to be delivered
       // that a live tombstone already deletes would hand the consumer
-      // state the batch readers no longer see
+      // state the batch readers no longer see. EXEMPT batches whose
+      // rewrite is already live (compactDeletes/upsert materialized
+      // the delete): the only way such a batch is still in this delta
+      // is checkpoint REPLAY of a micro-batch planned before the
+      // tombstone landed — replay re-delivers exactly what was
+      // planned (the pre-delete rows, correct exactly-once replay
+      // semantics), and erroring here would wedge the stream forever
+      // (the tombstone keeps naming the retired original, so no
+      // amount of compaction could ever clear the old error).
       val st = CommitLog.logState(spark, table)
+      val live = st.committed.toSet
+      def materialized(k: (String, Long)): Boolean =
+        live.exists(e => e._2 == k._2 && e != k && chainSeen(e, Set(k)))
       val deltaSet = delta.toSet
       st.tombstones.find(t => t.applies.exists(k =>
-        deltaSet(k) && CommitLog.tombstoneMayHit(st, t, k))).foreach { t =>
+        deltaSet(k) && CommitLog.tombstoneMayHit(st, t, k) &&
+          !materialized(k))).foreach { t =>
         sys.error("graft_commitlog stream: a live row-delete (tombstone " +
           s"on '${t.col}') applies to batches this stream is about to " +
           "deliver — run CommitLog.compactDeletes(...) first, or set " +

@@ -526,4 +526,121 @@ class CommitLogSpec extends SparkSpec {
     // but windows after the vacuumed era still read
     assert(feed(5000L, 6000L) == d2)
   }
+
+  test("merge: composite keys match per-column; deleteWhen removes, dropCols stay out") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txmerge").toString + "/t"
+    // two batches with DISJOINT stats on the second key column — the
+    // per-column prune must rewrite only the batch every key column
+    // of some source key can live in
+    CommitLog.writeBatchWithStats(
+      Seq(("f1", 1L, "a-1"), ("f1", 2L, "a-2")).toDF("file", "payee", "v"),
+      table, "r1", 0L, Seq("file", "payee"), ts = 1000L)
+    CommitLog.writeBatchWithStats(
+      Seq(("f2", 100L, "b-100"), ("f2", 101L, "b-101")).toDF("file", "payee", "v"),
+      table, "r1", 1L, Seq("file", "payee"), ts = 2000L)
+
+    // CDC op feed: update (f1,2), delete (f2,100), insert (f3,7) —
+    // keyed on the composite (file, payee), op column dropped
+    val feed = Seq(
+      ("f1", 2L, "NEW-2", "U"),
+      ("f2", 100L, null.asInstanceOf[String], "D"),
+      ("f3", 7L, "NEW-7", "I")).toDF("file", "payee", "v", "op")
+    CommitLog.merge(spark, table, feed, Seq("file", "payee"), "r2", 0L,
+      ts = 3000L, statsCols = Seq("file", "payee"),
+      deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+
+    val out = CommitLog.readCommitted(spark, table).get
+    assert(!out.columns.contains("op"), "op column must not land")
+    val rows = out.select("file", "payee", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(rows == Set(
+      ("f1", 1L, "a-1"), ("f1", 2L, "NEW-2"),   // update applied once
+      ("f2", 101L, "b-101"),                     // delete removed 100
+      ("f3", 7L, "NEW-7")), rows.toString)       // insert landed
+
+    // pruning: batch (r1,0) was rewritten (its stats straddle the
+    // update key); a batch whose SECOND column's stats exclude every
+    // source key must NOT be rewritten even when the first matches
+    CommitLog.writeBatchWithStats(
+      Seq(("f1", 500L, "c-500")).toDF("file", "payee", "v"),
+      table, "r1", 2L, Seq("file", "payee"), ts = 4000L)
+    CommitLog.merge(spark, table,
+      Seq(("f1", 1L, "NEWER-1")).toDF("file", "payee", "v"),
+      Seq("file", "payee"), "r3", 0L, ts = 5000L,
+      statsCols = Seq("file", "payee"))
+    val live = CommitLog.committedBatches(spark, table)
+    assert(live.contains(("r1", 2L)),
+      s"(r1,2): file stats match but payee [500,500] excludes key 1 — must not rewrite: $live")
+    assert(CommitLog.readCommitted(spark, table).get
+      .where(col("payee") === 1L).select("v").as[String].collect().toSeq ==
+      Seq("NEWER-1"))
+
+    // pure-delete feed: matched rows vanish, no empty batch lands
+    CommitLog.merge(spark, table,
+      Seq(("f3", 7L, "x", "D")).toDF("file", "payee", "v", "op"),
+      Seq("file", "payee"), "r4", 0L, ts = 6000L,
+      statsCols = Seq("file", "payee"),
+      deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+    assert(CommitLog.readCommitted(spark, table).get
+      .where(col("file") === "f3").count() == 0)
+    assert(!CommitLog.committedBatches(spark, table).contains(("r4", 0L)),
+      "a pure-delete merge lands no new batch")
+  }
+
+  test("upsert with a float-keyed batch: widened probe never prunes the affected batch") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txfloat").toString + "/t"
+    // FLOAT key column: stats render "0.1"/"2.5" from the float values
+    CommitLog.writeBatchWithStats(
+      Seq((0.1f, "old-a"), (2.5f, "old-b")).toDF("k", "v"),
+      table, "r1", 0L, Seq("k"), ts = 1000L)
+    // the CDC frame carries the SAME key widened to double — renders
+    // "0.10000000149011612", outside the batch's rendered [0.1, 0.1]
+    // decimal envelope, while Spark's own float→double cast compare
+    // matches it exactly (the r16 ADVICE scenario)
+    CommitLog.upsert(spark, table,
+      Seq((0.1f.toDouble, "new-a")).toDF("k", "v"),
+      "k", "r2", 0L, ts = 2000L, statsCols = Seq("k"))
+    val out = CommitLog.readCommitted(spark, table).get
+      .select(col("k").cast("double"), col("v")).as[(Double, String)]
+      .collect().toSeq
+    assert(out.count(_._1 == 0.1f.toDouble) == 1,
+      s"stale float key copy must not survive the upsert: $out")
+    assert(out.find(_._1 == 0.1f.toDouble).get._2 == "new-a")
+    assert(out.size == 2, s"unmatched row survives untouched: $out")
+  }
+
+  test("concurrent rewrite conflict: retiring an already-retired batch fails loudly") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txconf").toString + "/t"
+    CommitLog.writeBatchWithStats(rows(5, "a"), table, "r1", 0L, Seq("id"), ts = 1000L)
+    // first upsert retires (r1, 0) behind its rewrite
+    CommitLog.upsert(spark, table, Seq((1L, "NEW-1")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 2000L, statsCols = Seq("id"))
+    // a SECOND transaction still retiring the original (stale state —
+    // the race the r16 ADVICE described) must fail, not double rows
+    CommitLog.writeBatch(rows(1, "x"), table, "r9", 0L, ts = 2500L)
+    val e = intercept[RuntimeException] {
+      CommitLog.commitTxn(spark, table,
+        Seq(CommitLog.TxnAdd("r9", 1L)), retires = Seq(("r1", 0L)), ts = 3000L)
+    }
+    assert(e.getMessage.contains("conflict"))
+    // same guard on the compactDeletes-style retiring commit
+    val e2 = intercept[RuntimeException] {
+      CommitLog.commitWithMeta(spark, table, "r9", 2L, Seq.empty, Seq.empty,
+        ts = 3500L, retires = Seq(("r1", 0L)))
+    }
+    assert(e2.getMessage.contains("conflict"))
+    // the table is still exactly the first upsert's result
+    assert(CommitLog.readCommitted(spark, table).get
+      .where(col("id") === 1L).count() == 1)
+  }
+
+  test("run ids with marker-format separators are rejected up front") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txrunid").toString + "/t"
+    for (bad <- Seq("a,b", "a\tb", "a\nb")) {
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.writeBatch(rows(1, "x"), table, bad, 0L)
+      }
+      assert(e.getMessage.contains("runId"))
+    }
+  }
 }

@@ -119,4 +119,76 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(CommitLogStreamOffset.parse("") ==
       CommitLogStreamOffset(Set.empty, Set.empty))
   }
+
+  test("offsets are range-compressed: byte size is flat in batch count, not linear") {
+    def dense(n: Int) = CommitLogStreamOffset(
+      (0 until n).map(i => ("run2024", i.toLong)).toSet, Set.empty)
+    // the r16 format was O(batches): ~9 bytes per batch. v2 folds a
+    // sequential run into ONE range — 120 and 5000 batches serialize
+    // to the same handful of bytes (the 100 TB long-lived-table fix)
+    val j120 = dense(120).json()
+    val j5000 = dense(5000).json()
+    assert(j120 == "v2|run2024:0~119|", j120)
+    assert(j5000.length == j120.length + 1, s"${j5000.length} vs ${j120.length}")
+    assert(CommitLogStreamOffset.parse(j5000) == dense(5000))
+    // gaps stay exact: each contiguous span is its own range
+    val gappy = CommitLogStreamOffset(
+      Set(("r", 0L), ("r", 1L), ("r", 5L), ("r", 7L), ("r", 8L)),
+      Set(("rup00abcdef", 5L)))
+    assert(CommitLogStreamOffset.parse(gappy.json()) == gappy)
+    assert(gappy.json() == "v2|r:0~1,5,7~8|rup00abcdef:5")
+  }
+
+  test("r16-format checkpoints (full enumeration) still parse") {
+    val legacy = "r1,0;r1,1;run+with+space,2;~r1up00abcdef,1"
+    assert(CommitLogStreamOffset.parse(legacy) == CommitLogStreamOffset(
+      Set(("r1", 0L), ("r1", 1L), ("run with space", 2L)),
+      Set(("r1up00abcdef", 1L))))
+  }
+
+  test("checkpoint replay of a pre-delete micro-batch resumes after compactDeletes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream3").toString
+    val table = s"$dir/t"
+    CommitLog.writeBatchWithStats(rows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    val stream = new CommitLogMicroBatchStream(table,
+      CommitLog.readCommitted(spark, table).get.schema, ignoreDeletes = false)
+    // the offsets a checkpointed micro-batch recorded BEFORE the
+    // tombstone landed
+    val start = stream.initialOffset()
+    val end = stream.latestOffset()
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 2000L)
+    // before compaction the replay hits the loud guard (indistinguishable
+    // from a fresh stream) — but its remedy must WORK:
+    val e = intercept[RuntimeException] { stream.planInputPartitions(start, end) }
+    assert(e.getMessage.contains("compactDeletes"))
+    CommitLog.compactDeletes(spark, table, ts = 3000L)
+    // after compaction the delete is materialized in the rewrite; the
+    // replayed (pre-delete) micro-batch plans and delivers what it
+    // originally planned instead of wedging the stream forever
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.nonEmpty, "replayed micro-batch must still plan")
+    // and a fresh drain of the compacted table needs no ignoreDeletes
+    val (ckpt, sink) = (s"$dir/ckpt", s"$dir/sink")
+    drain(table, ckpt, sink)
+    assert(sunk(sink) == CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet)
+  }
+
+  test("an old checkpoint keeps resolving across compactLog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream4").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatch(rows(0, 3, "a"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(rows(10, 3, "b"), table, "r1", 1L, ts = 2000L)
+    drain(table, ckpt, sink)
+    assert(sunk(sink).size == 6)
+    // fold the markers into a snapshot, then append: the checkpoint
+    // written before the compaction must deliver ONLY the new batch
+    CommitLog.compactLog(spark, table)
+    CommitLog.writeBatch(rows(20, 3, "c"), table, "r1", 2L, ts = 3000L)
+    drain(table, ckpt, sink)
+    val all = sunk(sink)
+    assert(all.size == 9, all.toString)
+    assert(all.count(_._2.startsWith("c")) == 3)
+  }
 }
