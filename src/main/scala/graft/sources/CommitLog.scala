@@ -168,7 +168,7 @@ object CommitLog {
 
   /** One small aggregate computing per-column min/max for the marker.
     * All-NULL columns record no stats row (unprunable, conservative). */
-  private def statsOf(pinned: DataFrame, statsCols: Seq[String]): Seq[ColStats] =
+  private[sources] def statsOf(pinned: DataFrame, statsCols: Seq[String]): Seq[ColStats] =
     if (statsCols.isEmpty) Seq.empty[ColStats]
     else {
       val aggs = statsCols.flatMap(c =>
@@ -195,7 +195,7 @@ object CommitLog {
     * visibility comes from whatever marker later names the partition
     * ([[commitWithMeta]] for a single batch, [[commitTxn]] for several
     * at once). */
-  private def writeDataOnly(df: DataFrame, table: String, runId: String,
+  private[sources] def writeDataOnly(df: DataFrame, table: String, runId: String,
       batchId: Long): Unit =
     df.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -1169,6 +1169,12 @@ object CommitLog {
     require(kind != "range" || values.length == 2,
       s"range delete needs (lo, hi), got ${values.length} values")
     require(values.nonEmpty, "delete needs at least one value")
+    // partition columns are NOT deletable keys: a compactDeletes
+    // rewrite reads batch files without them, so its kept-rows filter
+    // could never apply and the rewrite would resurrect the rows
+    require(column != "run_id" && column != "batch_id",
+      "deleteWhere needs a data column — run_id/batch_id identify " +
+        "batches, which retire whole via compaction, not row deletes")
     val st = logState(spark, table)
     val applies = st.committed
     if (applies.isEmpty) return

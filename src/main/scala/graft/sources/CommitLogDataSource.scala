@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
@@ -76,11 +76,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * view, including pushed-filter batch pruning, is
   * [[CommitLogDataSource.scanInputFiles]].
   *
-  * Writes stay on the library API ([[CommitLog.writeBatch]] /
-  * writeBatchWithStats): the format's writer contract (atomic marker
-  * rename, exactly-once replay, stats/schema/ts in the marker) is
-  * stronger than a generic DSv2 append, and a second write path would
-  * be a second thing to keep exactly-once.
+  * SQL WRITES (r17): `INSERT INTO` / `INSERT OVERWRITE` /
+  * `DELETE FROM` / `MERGE INTO` all map onto the library's marker
+  * protocol — see [[CommitLogSqlWrites]]. There is still exactly ONE
+  * write implementation: the SQL statements are sugar over
+  * writeBatchWithStats / commitTxn / deleteWhere / merge, so the
+  * atomic-marker, exactly-once, and stats-in-marker contracts hold
+  * bit-for-bit whichever door a writer uses. `CREATE TABLE name USING
+  * graft_commitlog LOCATION path` registers the format in the session
+  * catalog (reads resolve through [[CommitLogDataSource.getTable]]
+  * with the location as the path option).
   */
 class CommitLogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft_commitlog"
@@ -135,15 +140,129 @@ object CommitLogDataSource {
   * established for `delta.`/path``. */
 case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // MERGE INTO must be intercepted BEFORE Spark's row-level rewrite
+    // (which demands SupportsRowLevelOperations); the bottom-up
+    // traversal resolves the target relation in the same pass, so
+    // match both the unresolved and just-resolved shapes
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+        if mergeTargetPath(m.targetTable).nonEmpty =>
+      rewriteMerge(m, mergeTargetPath(m.targetTable).get)
+    // InsertIntoStatement holds its target as a FIELD, not a child —
+    // operator traversal never visits it (Spark's own ResolveRelations
+    // special-cases it the same way)
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if ourUnresolved(i.table).nonEmpty =>
+      i.copy(table = resolveOur(ourUnresolved(i.table).get))
+    case u: UnresolvedRelation if ourUnresolved(u).nonEmpty =>
+      resolveOur(u)
+  }
+
+  private def ourUnresolved(p: LogicalPlan): Option[UnresolvedRelation] =
+    p match {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            Set("graft_commitlog", "graft-commitlog")
+              .contains(u.multipartIdentifier.head
+                .toLowerCase(java.util.Locale.ROOT)) => Some(u)
+      case _ => None
+    }
+
+  private def resolveOur(u: UnresolvedRelation): LogicalPlan = {
+    val opts = new java.util.HashMap[String, String](u.options)
+    opts.put("path", u.multipartIdentifier(1))
+    val cis = new CaseInsensitiveStringMap(opts)
+    DataSourceV2Relation.create(
+      new CommitLogTable(u.multipartIdentifier(1), cis, None), None, None, cis)
+  }
+
+  private def mergeTargetPath(p: LogicalPlan): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) =>
+      mergeTargetPath(child)
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           Set("graft_commitlog", "graft-commitlog")
             .contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
-      val opts = new java.util.HashMap[String, String](u.options)
-      opts.put("path", u.multipartIdentifier(1))
-      val cis = new CaseInsensitiveStringMap(opts)
-      DataSourceV2Relation.create(
-        new CommitLogTable(u.multipartIdentifier(1), cis, None), None, None, cis)
+      Some(u.multipartIdentifier(1))
+    case r: DataSourceV2Relation => r.table match {
+      case t: CommitLogTable => Some(t.table)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Map the supported MERGE shapes onto [[MergeIntoCommitLogCommand]]
+    * (→ [[CommitLog.merge]]); everything else fails loudly NAMING the
+    * supported form — a silent approximation of merge semantics is
+    * worse than no support. */
+  private def rewriteMerge(
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
+      path: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo => CatEq}
+    def fail(why: String): Nothing = sys.error(
+      s"graft_commitlog MERGE supports: ON t.k = s.k [AND ...], " +
+        "WHEN MATCHED [AND <cond on source>] THEN DELETE, " +
+        "WHEN MATCHED THEN UPDATE SET *, " +
+        s"WHEN NOT MATCHED THEN INSERT *. Unsupported here: $why")
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyCols = conjuncts(m.mergeCondition).map {
+      case CatEq(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last == b.nameParts.last => a.nameParts.last
+      case other => fail(s"ON conjunct '${other.sql}' (need t.col = s.col " +
+        "with the SAME column name on both sides)")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE")
+    if (m.schemaEvolutionEnabled) fail("WITH SCHEMA EVOLUTION")
+    var deleteCond: Option[Option[org.apache.spark.sql.catalyst.expressions.Expression]] = None
+    var sawUpdate = false
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        if (deleteCond.nonEmpty) fail("two DELETE clauses")
+        deleteCond = Some(cond)
+      case UpdateStarAction(None) => sawUpdate = true
+      case UpdateStarAction(Some(c)) =>
+        fail(s"WHEN MATCHED AND ${c.sql} THEN UPDATE (conditions go on " +
+          "DELETE; sequence target-side staleness upstream)")
+      case other => fail(s"matched action $other (use UPDATE SET * / DELETE)")
+    }
+    if (sawUpdate && deleteCond.contains(None))
+      fail("an unconditional DELETE alongside UPDATE SET * (the delete " +
+        "shadows every update)")
+    m.notMatchedActions.foreach {
+      case InsertStarAction(None) => ()
+      case InsertStarAction(Some(c)) =>
+        fail(s"WHEN NOT MATCHED AND ${c.sql} THEN INSERT (delete-op rows " +
+          "already never insert; filter the source for anything else)")
+      case other => fail(s"not-matched action $other (use INSERT *)")
+    }
+    if (!sawUpdate && deleteCond.isEmpty)
+      fail("no matched action (add WHEN MATCHED THEN UPDATE SET *)")
+    // delete-only form: without UPDATE SET * / INSERT *, non-delete
+    // source rows must touch NOTHING — the command filters the source
+    // to the delete ops
+    val deleteOnly = !sawUpdate
+    if (deleteOnly && m.notMatchedActions.nonEmpty)
+      fail("INSERT * without UPDATE SET * (matched non-delete rows " +
+        "would have to keep the OLD row while inserting is keyed — add " +
+        "WHEN MATCHED THEN UPDATE SET *)")
+    if (deleteOnly && deleteCond.contains(None))
+      deleteCond = Some(Some(
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+    // the condition travels as SQL text over SOURCE column names
+    // (qualifiers stripped) — see MergeIntoCommitLogCommand
+    val deleteWhenSql = deleteCond.flatten.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.nameParts.last))
+    }.sql)
+    MergeIntoCommitLogCommand(path, m.sourceTable, keyCols, deleteWhenSql,
+      deleteOnly)
   }
 }
 
@@ -153,7 +272,8 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
   * deletes, time travel) comes from the commit log. */
 private[sources] final class CommitLogTable(val table: String,
     options: CaseInsensitiveStringMap, knownSchema: Option[StructType])
-    extends FileTable(SparkSession.active, options, Seq(table), knownSchema) {
+    extends FileTable(SparkSession.active, options, Seq(table), knownSchema)
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sources] def spark: SparkSession = SparkSession.active
 
@@ -218,14 +338,41 @@ private[sources] final class CommitLogTable(val table: String,
   override lazy val fileIndex: PartitioningAwareFileIndex =
     CommitLogTable.index(spark, table, committed, schema)
 
+  private[sources] def tblOptions: CaseInsensitiveStringMap = options
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    sys.error("graft_commitlog is read-only through DSv2 — write with " +
-      "CommitLog.writeBatch/writeBatchWithStats (the atomic marker " +
-      "protocol is the format's exactly-once contract)")
+  private def requireMutable(what: String): Unit =
+    if (asOfTs.nonEmpty || asOfBatch.nonEmpty) sys.error(
+      s"graft_commitlog: $what mutates the LIVE table — asOfBatch/" +
+        "asOfTimestamp are read pins and cannot name a write target")
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` (r16 verdict ask #6): the
+    * V1 write bridge routes every row through the library's
+    * marker-protocol write — one statement, one atomic visibility
+    * flip, torn-write invisibility preserved (a failed statement
+    * leaves data files but no marker). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireMutable("INSERT")
+    new CommitLogWriteBuilder(this, info)
+  }
+
+  /** SQL `DELETE FROM` (r16 verdict ask #6): predicates with an exact
+    * tombstone form (`= / IN / BETWEEN` on one data column) map onto
+    * [[CommitLog.deleteWhere]]; no WHERE retires the whole committed
+    * set in one transaction marker. Anything else is rejected at
+    * analysis by [[canDeleteWhere]] — never approximated. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    CommitLogSqlWrites.canDelete(filters)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    requireMutable("DELETE")
+    CommitLogSqlWrites.delete(spark, table, filters)
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     reconciled // force the loud empty-table / schema-drift errors

@@ -250,4 +250,157 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed batches"))
   }
+
+  /** Run `body` in a session with GraftExtensions installed (the SQL
+    * front door), restoring the shared session afterwards. */
+  private def withSqlSession(body: org.apache.spark.sql.SparkSession => Unit): Unit = {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      body(sess)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE ride the marker protocol") {
+    val table = tmp("graft-dsv2-ins")
+    CommitLog.writeBatchWithStats(rows(3, "a"), table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      // minted batch: run_id/batch_id left NULL
+      sess.sql(s"INSERT INTO graft_commitlog.`$table` " +
+        "VALUES (100, 'ins-100', NULL, NULL), (101, 'ins-101', NULL, NULL)")
+      val after = CommitLog.readCommitted(sess, table).get
+      assert(after.count() == 5)
+      val minted = CommitLog.committedBatches(sess, table)
+        .filter(_._1.startsWith("sql"))
+      assert(minted.size == 1, minted.toString)
+      // the SQL write records stats: the new batch prunes on id
+      assert(CommitLog.batchStats(sess, table)(minted.head)
+        .exists(s => s.col == "id" && s.min == "100" && s.max == "101"))
+
+      // explicit (run, batch) pin — one constant pair
+      sess.sql(s"INSERT INTO graft_commitlog.`$table` " +
+        "VALUES (200, 'pin-200', 'backfill', 7)")
+      assert(CommitLog.committedBatches(sess, table).contains(("backfill", 7L)))
+      // committed batches are immutable — same pair again fails
+      val dup = intercept[Exception] {
+        sess.sql(s"INSERT INTO graft_commitlog.`$table` " +
+          "VALUES (201, 'x', 'backfill', 7)")
+      }
+      assert(dup.getMessage.contains("immutable"))
+
+      // INSERT OVERWRITE: atomic whole-table replace, pre-overwrite
+      // era reachable via time travel
+      val before = CommitLog.logState(sess, table).committed.toSet
+      sess.sql(s"INSERT OVERWRITE graft_commitlog.`$table` " +
+        "VALUES (500, 'ow-500', NULL, NULL)")
+      val now = CommitLog.readCommitted(sess, table).get
+      assert(now.count() == 1 &&
+        now.select("v").as[String](implicitly).collect()(0) == "ow-500")
+      assert(CommitLog.logState(sess, table).committed.toSet
+        .intersect(before).isEmpty, "overwrite retires every old batch")
+    }
+  }
+
+  test("SQL DELETE FROM maps onto tombstones; unsupported shapes fail loudly") {
+    val table = tmp("graft-dsv2-del")
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE id IN (1, 3)")
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE id BETWEEN 7 AND 8")
+      val left = CommitLog.readCommitted(sess, table).get
+        .select("id").as[Long](implicitly).collect().toSet
+      assert(left == Set(0L, 2L, 4L, 5L, 6L, 9L), left.toString)
+      // a shape with no exact tombstone form is REJECTED, not approximated
+      val e = intercept[Exception] {
+        sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE v LIKE 'a%'")
+      }
+      assert(e.getMessage.contains("DELETE") || e.getMessage.contains("delete"),
+        e.getMessage)
+      // DELETE with no WHERE retires the whole committed set atomically
+      sess.sql(s"DELETE FROM graft_commitlog.`$table`")
+      assert(CommitLog.readCommitted(sess, table).isEmpty)
+    }
+  }
+
+  test("SQL MERGE INTO maps onto CommitLog.merge: update/delete/insert, composite keys") {
+    val table = tmp("graft-dsv2-merge")
+    CommitLog.writeBatchWithStats(
+      Seq(("f1", 1L, "a-1"), ("f1", 2L, "a-2"), ("f2", 9L, "a-9"))
+        .toDF("file", "payee", "v"),
+      table, "r1", 0L, Seq("file", "payee"))
+    withSqlSession { sess =>
+      sess.createDataFrame(Seq(("f1", 2L, "NEW-2", "U"),
+        ("f2", 9L, "zz", "D"), ("f3", 5L, "NEW-5", "I")))
+        .toDF("file", "payee", "v", "op").createOrReplaceTempView("feed")
+      sess.sql(
+        s"""MERGE INTO graft_commitlog.`$table` AS t USING feed AS s
+           |ON t.file = s.file AND t.payee = s.payee
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = CommitLog.readCommitted(sess, table).get
+        .select("file", "payee", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(out == Set(
+        ("f1", 1L, "a-1"), ("f1", 2L, "NEW-2"),
+        ("f3", 5L, "NEW-5")), out.toString)
+      assert(!CommitLog.readCommitted(sess, table).get.columns.contains("op"),
+        "source-only op column must not land")
+
+      // delete-only MERGE: non-delete source rows touch nothing
+      sess.createDataFrame(Seq(("f1", 1L, "ignored", "D"),
+        ("f3", 5L, "ignored", "U")))
+        .toDF("file", "payee", "v", "op").createOrReplaceTempView("feed2")
+      sess.sql(
+        s"""MERGE INTO graft_commitlog.`$table` t USING feed2 s
+           |ON t.file = s.file AND t.payee = s.payee
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin)
+      val out2 = CommitLog.readCommitted(sess, table).get
+        .select("file", "payee", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(out2 == Set(("f1", 2L, "NEW-2"), ("f3", 5L, "NEW-5")),
+        out2.toString)
+
+      // unsupported shapes fail NAMING the supported form
+      val e = intercept[Exception] {
+        sess.sql(
+          s"""MERGE INTO graft_commitlog.`$table` t USING feed s
+             |ON t.file = s.file AND t.payee = s.payee
+             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e.getMessage.contains("UPDATE SET *"), e.getMessage)
+    }
+  }
+
+  test("CREATE TABLE ... USING graft_commitlog registers in the session catalog") {
+    val table = tmp("graft-dsv2-cat")
+    CommitLog.writeBatchWithStats(rows(8, "a"), table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      sess.sql("DROP TABLE IF EXISTS graft_cat_t")
+      sess.sql(s"CREATE TABLE graft_cat_t USING graft_commitlog LOCATION '$table'")
+      try {
+        val byName = sess.sql("SELECT * FROM graft_cat_t")
+        val byPath = sess.sql(s"SELECT * FROM graft_commitlog.`$table`")
+        assert(canon(byName) == canon(byPath),
+          "catalog-name read must equal the path read")
+        // the committed-visibility contract holds through the catalog:
+        // a torn batch stays invisible
+        rows(99, "torn", 90L).withColumn("run_id", lit("r9"))
+          .withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(table)
+        assert(sess.sql("SELECT count(*) FROM graft_cat_t")
+          .collect()(0).getLong(0) == 8L)
+      } finally sess.sql("DROP TABLE IF EXISTS graft_cat_t")
+    }
+  }
 }
