@@ -81,38 +81,68 @@ object AnnIngest {
     * md5 sample → [[Ann.kmeansCentroids]]), rewrite every indexed
     * vector cell-partitioned under the new model into generation
     * N+1, persist the model alongside, and flip the `_current.gen`
-    * pointer atomically. One pass over the index + a model-sized
+    * pointer atomically. The quantizer KIND survives maintenance: a
+    * two_level generation retrains two-level with its recorded
+    * coarse/fine dials (returning the new coarse centroids), flat
+    * retrains flat with `numCells`. One pass over the index + a model-sized
     * training job; old generations stay on disk for readers that
     * resolved before the flip (reclaim them once drained). Returns
     * the new centroids. */
   def recluster(spark: SparkSession, indexPath: String, numCells: Int,
       iters: Int = 5, sampleRows: Int = 65536): DataFrame = {
     val cur = currentDataPath(spark, indexPath)
+    // preserve the generation's quantizer KIND (r16 ADVICE): a
+    // two_level index retrains two-level with its own coarse/fine
+    // dials — a silent downgrade to flat would flip probeAuto onto
+    // the flat probe path after maintenance; flat (or an index with
+    // no recorded decision — the plain processBatch lineage) retrains
+    // flat with the caller's numCells
+    val prev = try Some(readQuantizerChoice(cur))
+      catch { case _: java.io.IOException => None }
+    val twoLevel = prev.filter(_.kind == "two_level")
     val rows = spark.read.parquet(cur)
       .select(col("id"), col("vec"), col("run_id"), col("batch_id"))
     val sample = rows.select(col("id"), col("vec"))
       .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
       .limit(sampleRows)
-    val cents = Ann.kmeansCentroids(sample, "id", "vec", numCells, iters)
     val genPath = f"$indexPath/_gen${genNumber(cur, indexPath) + 1}%08d"
-    rows.crossJoin(broadcast(Ann.centroidArray(cents)))
-      .select(col("id"), col("vec"),
-        Ann.bestCell(col("vec"), col("cents")).as("cell"),
-        col("run_id"), col("batch_id"))
+    val (returned, assigned, saveModel) = twoLevel match {
+      case Some(p) =>
+        val (coarse, fine) =
+          Ann.twoLevelCentroids(sample, "id", "vec", p.numCoarse, p.numFine)
+        (coarse, rows.crossJoin(broadcast(Ann.twoLevelArrays(coarse, fine)))
+          .select(col("id"), col("vec"),
+            Ann.bestCell2(col("vec"), col("cents"), col("fines")).as("cell"),
+            col("run_id"), col("batch_id")),
+          () => Ann.saveTwoLevel(coarse, fine, s"$genPath/_model"))
+      case None =>
+        val cents = Ann.kmeansCentroids(sample, "id", "vec", numCells, iters)
+        (cents, rows.crossJoin(broadcast(Ann.centroidArray(cents)))
+          .select(col("id"), col("vec"),
+            Ann.bestCell(col("vec"), col("cents")).as("cell"),
+            col("run_id"), col("batch_id")),
+          () => Ann.saveCentroids(cents, s"$genPath/_model/flat"))
+    }
+    assigned
       .repartition(col("cell")) // one file per cell, see processBatch
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "run_id", "batch_id")
       .parquet(genPath)
-    Ann.saveCentroids(cents, s"$genPath/_model/flat")
+    saveModel()
     val props = new java.util.Properties()
-    props.setProperty("kind", "flat")
-    props.setProperty("num_cells", numCells.toString)
+    props.setProperty("kind", twoLevel.map(_.kind).getOrElse("flat"))
+    props.setProperty("num_cells",
+      twoLevel.map(_.numCells.toString).getOrElse(numCells.toString))
     props.setProperty("sample_rows", sampleRows.toString)
-    props.setProperty("mean_top_cosine", "-1")
-    props.setProperty("threshold", "-1")
-    props.setProperty("num_coarse", "0")
-    props.setProperty("num_fine", "0")
+    props.setProperty("mean_top_cosine",
+      twoLevel.map(_.meanTopCosine.toString).getOrElse("-1"))
+    props.setProperty("threshold",
+      twoLevel.map(_.threshold.toString).getOrElse("-1"))
+    props.setProperty("num_coarse",
+      twoLevel.map(_.numCoarse.toString).getOrElse("0"))
+    props.setProperty("num_fine",
+      twoLevel.map(_.numFine.toString).getOrElse("0"))
     val (fs, _) = hfs(spark, indexPath)
     val propsOut = fs.create(
       new org.apache.hadoop.fs.Path(s"$genPath/_quantizer.properties"), true)
@@ -132,7 +162,7 @@ object AnnIngest {
       fs.delete(tmp, false)
       if (!fs.exists(ptr)) sys.error(s"could not publish $ptr")
     }
-    cents
+    returned
   }
 
   /** The maintenance DIAL: how unbalanced the current generation's

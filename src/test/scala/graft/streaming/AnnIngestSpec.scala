@@ -126,4 +126,36 @@ class AnnIngestSpec extends SparkSpec {
     assert(autoU.map(_.toString) === explicitU.map(_.toString))
     assert(autoU.nonEmpty)
   }
+
+  test("recluster preserves the quantizer kind: two_level stays two_level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-rekind").toString
+    val clustered = clusteredCorpus(2000)
+    val c1 = AnnIngest.buildAuto(clustered, "vec_id", "embedding",
+      s"$dir/idx", "r", 0L, numCells = 32, numCoarse = 4, numFine = 4,
+      sampleRows = 1000)
+    assert(c1.kind == "two_level")
+
+    AnnIngest.recluster(spark, s"$dir/idx", numCells = 32, sampleRows = 1000)
+    val gen = AnnIngest.currentDataPath(spark, s"$dir/idx")
+    assert(gen.endsWith("_gen00000001"), gen)
+    val after = AnnIngest.readQuantizerChoice(gen)
+    assert(after.kind == "two_level",
+      s"recluster must not downgrade a two_level index: $after")
+    assert(after.numCoarse == c1.numCoarse && after.numFine == c1.numFine,
+      "the recorded coarse/fine dials survive maintenance")
+
+    // probeAuto still routes through the two-level path, and its
+    // results equal an explicit probe2 through the NEW generation's
+    // model over the same index
+    val queries = clustered.where(col("vec_id") < 3)
+    val auto = AnnIngest.probeAuto(spark, s"$dir/idx", queries,
+        "vec_id", "embedding", k = 5, nCoarseProbe = 2, nprobe = 4)
+      .orderBy("query_id", "rnk").collect()
+    val (coarse, fine) = Ann.loadTwoLevel(spark, s"$gen/_model")
+    val explicit = AnnIngest.probe2(spark, s"$dir/idx", coarse, fine, queries,
+        "vec_id", "embedding", k = 5, nCoarseProbe = 2, nprobe = 4)
+      .orderBy("query_id", "rnk").collect()
+    assert(auto.map(_.toString) === explicit.map(_.toString))
+    assert(auto.nonEmpty)
+  }
 }
