@@ -48,6 +48,17 @@ object StreamScaleSmoke {
     val perSeg = nBatches / segments
     require(perSeg * segments == nBatches, s"$nBatches not divisible by $segments")
     val segSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // offset growth probe (r17): the byte size a graft_commitlog
+    // STREAM following the `valid` table would checkpoint after each
+    // segment — the r16 encoding grew O(all batches ever); the v2
+    // range compression must stay FLAT as batches accumulate
+    val offsetBytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def latestOffsetJson(): String = {
+      val st = CommitLog.logState(spark, valid)
+      val live = st.committed.toSet
+      graft.sources.CommitLogStreamOffset(live, st.entries.toSet -- live)
+        .json()
+    }
     var schema: org.apache.spark.sql.types.StructType = null
     (0 until segments).foreach { seg =>
       (0 until perSeg).foreach { b =>
@@ -74,6 +85,7 @@ object StreamScaleSmoke {
       CommitLog.vacuum(spark, valid, graceMs = 0)
       CommitLog.vacuum(spark, errors, graceMs = 0)
       segSecs += (System.nanoTime() - t0) / 1e9
+      offsetBytes += latestOffsetJson().length
     }
     val total = nBatches.toLong * rowsPerBatch
     // exactly-once end to end
@@ -125,6 +137,7 @@ object StreamScaleSmoke {
       s""""valid_rows":$validRows,"error_rows":$errorRows,"total_rows":$total,""" +
       s""""replay_idempotent":true,"torn_partition_invisible_and_vacuumed":true,""" +
       s""""commits_files_after_compact":$commitFiles,""" +
+      s""""offset_bytes_per_segment":[${offsetBytes.mkString(",")}],""" +
       s""""committed_list_ms":${fmt(listMs)}}"""
     println(json)
     java.nio.file.Files.writeString(
