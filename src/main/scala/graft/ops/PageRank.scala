@@ -44,7 +44,8 @@ object PageRank {
     * smoke measured reliable both faster and flatter at that size). */
   def ranks(edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 4,
-      reliable: Option[Boolean] = None): DataFrame = {
+      reliable: Option[Boolean] = None,
+      broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
@@ -57,26 +58,40 @@ object PageRank {
     useReliable = ConnectedComponents.resolveReliable(e, reliable)
     val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree rides with every edge once, partitioned on the iteration
-    // join key so every round's edges⋈ranks reuses this src-hash
-    // layout and the big side never re-shuffles. LAZY checkpoint, not
-    // cache(): it still materializes inside the first round's job (no
-    // extra job barrier) and rounds 2..n read the pinned blocks — but
-    // the blocks are ContextCleaner-managed and free when the frame is
-    // GC'd, where a cache() entry would sit in the CacheManager until
-    // an unpersist this API can never issue (the caller owns the last
-    // action). Same discipline as GlobalOrder's ordering pin.
-    val ed = e.join(deg, "src").repartition(col("src"))
-    val edp = if (useReliable) ed.checkpoint(eager = false)
-      else ed.localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "PageRank on an empty edge frame")
+    // shuffle regime picked ONCE by node count (the r16 HITS lesson,
+    // transferred): the rank frame is |V| rows —
+    //  - ≤ broadcastNodeLimit: ranks broadcast into each round's join,
+    //    and the edge frame is pinned on the AGGREGATION key (dst) so
+    //    it flows through the broadcast join INTO the groupBy with its
+    //    exchange reused — ZERO edge shuffles per round (the pre-r17
+    //    shape paid a sort-merge join + an edge-sized groupBy exchange
+    //    every round);
+    //  - above it: ranks are too big to ship — pin edges on the JOIN
+    //    key (src) and pay exactly one edge shuffle per round into the
+    //    aggregate, the floor for a shuffle join.
+    val small = n <= broadcastNodeLimit
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree rides with every edge once, partitioned on the regime's
+    // reuse key so rounds never re-shuffle the big side. LAZY
+    // checkpoint, not cache(): it still materializes inside the first
+    // round's job (no extra job barrier) and rounds 2..n read the
+    // pinned blocks — but the blocks are ContextCleaner-managed and
+    // free when the frame is GC'd, where a cache() entry would sit in
+    // the CacheManager until an unpersist this API can never issue.
+    // Same discipline as GlobalOrder's ordering pin.
+    val ed = e.join(deg, "src")
+      .repartition(if (small) col("dst") else col("src"))
+    val edp = if (useReliable) ed.checkpoint(eager = false)
+      else ed.localCheckpoint(eager = false)
     val r0 = 1000000000000L / n
     val base = (r0 * 15L) / 100L
     var ranks = nodes.withColumn("r", lit(r0))
     for (i <- 1 to iters) {
-      val contrib = edp.join(ranks.withColumnRenamed("node", "src"), "src")
+      val rSrc = ranks.withColumnRenamed("node", "src")
+      val contrib = (if (small) edp.join(broadcast(rSrc), "src")
+                     else edp.join(rSrc, "src"))
         .select(col("dst").as("node"),
           expr("(r * 85) div (100 * deg)").as("c"))
         .groupBy("node").agg(sum("c").as("m"))
@@ -101,7 +116,8 @@ object PageRank {
     * Nodes never reached carry rank 0 (they stay in the frame). */
   def personalized(edges: DataFrame, sources: DataFrame, iters: Int = 3,
       checkpointEvery: Int = 4,
-      reliable: Option[Boolean] = None): DataFrame = {
+      reliable: Option[Boolean] = None,
+      broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
@@ -116,10 +132,16 @@ object PageRank {
         sources.select(col("node")).distinct().withColumn("_s", lit(1)),
         Seq("node"), "left")
       .select(col("node"), col("_s").isNotNull.as("is_src")))
+    val n = nodes.count()
+    // same regime switch as [[ranks]] (the r16 HITS lesson): small
+    // graphs broadcast the rank frame and pin edges on the
+    // aggregation key — zero edge shuffles per round
+    val small = n <= broadcastNodeLimit
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // lazy-checkpointed like ranks(): pinned across rounds, freed by
     // the ContextCleaner, no CacheManager residue
-    val ed0 = e.join(deg, "src").repartition(col("src"))
+    val ed0 = e.join(deg, "src")
+      .repartition(if (small) col("dst") else col("src"))
     val ed = if (useReliable) ed0.checkpoint(eager = false)
       else ed0.localCheckpoint(eager = false)
     val nSrc = nodes.where(col("is_src")).count()
@@ -129,7 +151,9 @@ object PageRank {
     var ranks = nodes.select(col("node"),
       when(col("is_src"), lit(r0)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iters) {
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+      val rSrc = ranks.withColumnRenamed("node", "src")
+      val contrib = (if (small) ed.join(broadcast(rSrc), "src")
+                     else ed.join(rSrc, "src"))
         .select(col("dst").as("node"),
           expr("(r * 85) div (100 * deg)").as("c"))
         .groupBy("node").agg(sum("c").as("m"))

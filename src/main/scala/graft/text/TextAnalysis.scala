@@ -40,7 +40,15 @@ object TextAnalysis {
     val nChars = length(t).cast("double")
     val nTokens = wsTokenCount(text).cast("double")
     val nAlpha = coalesce(regexp_count(t, lit("[A-Za-z]")), lit(0)).cast("double")
-    val nSym = coalesce(regexp_count(t, lit("[^A-Za-z0-9\\s]")), lit(0)).cast("double")
+    // symbol count as length MINUS the positive-class count — the
+    // same integer as regexp_count(t, "[^A-Za-z0-9\s]") (every char
+    // either is in the class or is not), but java.util.regex runs a
+    // NEGATED class with few matches ~9x slower than the positive
+    // complement (each no-match find() re-probes per position;
+    // measured 2.7 s vs 0.28 s over 50k docs). Value-identical, so
+    // the DuckDB oracle's negated form still matches bit-for-bit.
+    val nSym = (length(t) - coalesce(
+      regexp_count(t, lit("[A-Za-z0-9\\s]")), lit(0))).cast("double")
     val meanWord = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
     val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
     val symRatio = when(nChars > 0, nSym / nChars).otherwise(lit(0.0))
