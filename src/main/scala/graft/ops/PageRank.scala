@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   * by the join key — the edge frame is checkpointed once and its
   * partitioning reused), map-side-combined sum to dst, left join back
   * to the node set. State never exceeds |V| rows; edges stream.
+  *
+  * Regime note (r17, measured): the HITS small-graph trick — pin
+  * edges on the aggregation key and BROADCAST the score frame, zero
+  * edge shuffles per round — does NOT transfer here and was A/B'd
+  * out. Ranks are a DENSE |V|-row frame rebuilt every round (every
+  * node holds at least the teleport base, where HITS scores stay
+  * sparse), so the per-round broadcast build costs more than the one
+  * small-side shuffle it replaces: at the 10× scale-suite size,
+  * broadcast measured 10.5 s vs 7.3 s shuffled (ranks), 6.9 vs 5.3
+  * (personalized), 11.9 vs 10.7 (ShortestPaths). The residual
+  * t10/t1 ≈ 3-4× suite ratio is t1 fixed-cost amortization (5 rounds
+  * × ~4 tiny stages of scheduling at 32 cores), not a shuffle
+  * regression — the per-round plan is already at the one-exchange
+  * floor.
   */
 object PageRank {
 
@@ -44,8 +58,7 @@ object PageRank {
     * smoke measured reliable both faster and flatter at that size). */
   def ranks(edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 4,
-      reliable: Option[Boolean] = None,
-      broadcastNodeLimit: Long = 4000000L): DataFrame = {
+      reliable: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
@@ -58,40 +71,26 @@ object PageRank {
     useReliable = ConnectedComponents.resolveReliable(e, reliable)
     val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
-    require(n > 0, "PageRank on an empty edge frame")
-    // shuffle regime picked ONCE by node count (the r16 HITS lesson,
-    // transferred): the rank frame is |V| rows —
-    //  - ≤ broadcastNodeLimit: ranks broadcast into each round's join,
-    //    and the edge frame is pinned on the AGGREGATION key (dst) so
-    //    it flows through the broadcast join INTO the groupBy with its
-    //    exchange reused — ZERO edge shuffles per round (the pre-r17
-    //    shape paid a sort-merge join + an edge-sized groupBy exchange
-    //    every round);
-    //  - above it: ranks are too big to ship — pin edges on the JOIN
-    //    key (src) and pay exactly one edge shuffle per round into the
-    //    aggregate, the floor for a shuffle join.
-    val small = n <= broadcastNodeLimit
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree rides with every edge once, partitioned on the regime's
-    // reuse key so rounds never re-shuffle the big side. LAZY
-    // checkpoint, not cache(): it still materializes inside the first
-    // round's job (no extra job barrier) and rounds 2..n read the
-    // pinned blocks — but the blocks are ContextCleaner-managed and
-    // free when the frame is GC'd, where a cache() entry would sit in
-    // the CacheManager until an unpersist this API can never issue.
-    // Same discipline as GlobalOrder's ordering pin.
-    val ed = e.join(deg, "src")
-      .repartition(if (small) col("dst") else col("src"))
+    // degree rides with every edge once, partitioned on the iteration
+    // join key so every round's edges⋈ranks reuses this src-hash
+    // layout and the big side never re-shuffles. LAZY checkpoint, not
+    // cache(): it still materializes inside the first round's job (no
+    // extra job barrier) and rounds 2..n read the pinned blocks — but
+    // the blocks are ContextCleaner-managed and free when the frame is
+    // GC'd, where a cache() entry would sit in the CacheManager until
+    // an unpersist this API can never issue (the caller owns the last
+    // action). Same discipline as GlobalOrder's ordering pin.
+    val ed = e.join(deg, "src").repartition(col("src"))
     val edp = if (useReliable) ed.checkpoint(eager = false)
       else ed.localCheckpoint(eager = false)
+    val n = nodes.count()
+    require(n > 0, "PageRank on an empty edge frame")
     val r0 = 1000000000000L / n
     val base = (r0 * 15L) / 100L
     var ranks = nodes.withColumn("r", lit(r0))
     for (i <- 1 to iters) {
-      val rSrc = ranks.withColumnRenamed("node", "src")
-      val contrib = (if (small) edp.join(broadcast(rSrc), "src")
-                     else edp.join(rSrc, "src"))
+      val contrib = edp.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(r * 85) div (100 * deg)").as("c"))
         .groupBy("node").agg(sum("c").as("m"))
@@ -116,8 +115,7 @@ object PageRank {
     * Nodes never reached carry rank 0 (they stay in the frame). */
   def personalized(edges: DataFrame, sources: DataFrame, iters: Int = 3,
       checkpointEvery: Int = 4,
-      reliable: Option[Boolean] = None,
-      broadcastNodeLimit: Long = 4000000L): DataFrame = {
+      reliable: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
@@ -132,16 +130,10 @@ object PageRank {
         sources.select(col("node")).distinct().withColumn("_s", lit(1)),
         Seq("node"), "left")
       .select(col("node"), col("_s").isNotNull.as("is_src")))
-    val n = nodes.count()
-    // same regime switch as [[ranks]] (the r16 HITS lesson): small
-    // graphs broadcast the rank frame and pin edges on the
-    // aggregation key — zero edge shuffles per round
-    val small = n <= broadcastNodeLimit
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // lazy-checkpointed like ranks(): pinned across rounds, freed by
     // the ContextCleaner, no CacheManager residue
-    val ed0 = e.join(deg, "src")
-      .repartition(if (small) col("dst") else col("src"))
+    val ed0 = e.join(deg, "src").repartition(col("src"))
     val ed = if (useReliable) ed0.checkpoint(eager = false)
       else ed0.localCheckpoint(eager = false)
     val nSrc = nodes.where(col("is_src")).count()
@@ -151,9 +143,7 @@ object PageRank {
     var ranks = nodes.select(col("node"),
       when(col("is_src"), lit(r0)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iters) {
-      val rSrc = ranks.withColumnRenamed("node", "src")
-      val contrib = (if (small) ed.join(broadcast(rSrc), "src")
-                     else ed.join(rSrc, "src"))
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(r * 85) div (100 * deg)").as("c"))
         .groupBy("node").agg(sum("c").as("m"))

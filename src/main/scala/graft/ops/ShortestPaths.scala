@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   * the state frame. The frontier SHRINKS as distances settle — the
   * early exit fires as soon as a round improves nothing, so sparse
   * graphs pay only their true diameter, not `maxHops`.
+  *
+  * Regime note (r17, measured): broadcasting the frontier with edges
+  * pinned on dst (the HITS small-graph shape) was A/B'd SLOWER here
+  * too — 11.9 s vs 10.7 s at the 10× suite scale — because on the
+  * dense purchase bipartite the frontier stays |V|-sized for most of
+  * the hop budget (see the matching note in [[PageRank]]).
   */
 object ShortestPaths {
 
@@ -42,8 +48,7 @@ object ShortestPaths {
     * auto-switches when the materialized edge count is at least
     * [[ConnectedComponents.AutoReliableEdges]]. */
   def bounded(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      reliable: Option[Boolean] = None,
-      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+      reliable: Option[Boolean] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops must be >= 1")
     val spark = edges.sparkSession
     var useReliable = reliable.getOrElse(false)
@@ -52,22 +57,13 @@ object ShortestPaths {
     val INF = Long.MaxValue
     // one materialization of the caller's edge pipeline (often a
     // join+aggregate building a co-occurrence graph), then pin the
-    // hash layout every round's join reuses
+    // src-hash layout every round's join reuses
     val e0 = ckpt(edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w")))
     useReliable = ConnectedComponents.resolveReliable(e0, reliable)
     val negs = e0.filter(col("w") < 0).limit(1).count()
     require(negs == 0L, "ShortestPaths.bounded: negative edge weight")
-    // shuffle regime picked ONCE by edge count (the r16 HITS lesson,
-    // transferred; nodes ≤ 2·edges bounds the frontier): small graphs
-    // BROADCAST the frontier into each hop's join and pin edges on
-    // the AGGREGATION key (dst), so the relax step's groupBy reuses
-    // the pinned exchange — zero edge shuffles per hop (the pre-r17
-    // shape re-sorted the edge frame into a sort-merge join AND paid
-    // an edge-sized groupBy exchange every hop); big graphs keep the
-    // src pin and the shuffle join floor.
-    val small = e0.count() <= broadcastEdgeLimit
-    val e = e0.repartition(if (small) col("dst") else col("src")).cache()
+    val e = e0.repartition(col("src")).cache()
     var state = ckpt(sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = state
@@ -75,9 +71,7 @@ object ShortestPaths {
     var improving = true
     while (improving && hop < maxHops) {
       hop += 1
-      val fSrc = frontier.withColumnRenamed("node", "src")
-      val cand = (if (small) e.join(broadcast(fSrc), "src")
-                  else e.join(fSrc, "src"))
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
       val merged = ckpt(state.join(cand, Seq("node"), "full")
