@@ -21,7 +21,18 @@ import org.apache.spark.sql.functions._
   * wedges — that quadratic is the operator's true cost, and `maxDeg`
   * is the standard dial: hubs above it are EXCLUDED (a neighbor
   * shared by everyone carries ~no signal anyway — its 1/ln(deg) term
-  * is the smallest possible). Exact when maxDeg is None. */
+  * is the smallest possible). Exact when maxDeg is None.
+  *
+  * Inherent-cost pin (r17, measured at the 10× scale-suite size —
+  * why the suite ratio sits near 6× and why that is the WORKLOAD,
+  * not a plan defect): 10× data grew distinct edges 10.2×, wedge
+  * volume 10.4× and the OUTPUT pair frame 92× (0.50M → 46.2M pairs —
+  * the pair space de-saturates as the item vocabulary grows, so
+  * map-side combine stops collapsing wedges), while warm time grew
+  * only 5.8× (2.65 → 15.5 s) — sublinear in every true cost driver.
+  * maxDeg cannot flatten this curve here: per-node degrees are
+  * scale-invariant in the suite's bipartite (suppliers grow with the
+  * data), so no hub cap engages; the growth is pure volume. */
 object LinkPrediction {
 
   /** Adamic-Adar scores for every right-side pair sharing >= 1
