@@ -1223,6 +1223,69 @@ object CommitLog {
       }
     }
 
+  /** OPTIMIZE — small-file bin-packing compaction (Delta's OPTIMIZE
+    * rung): a streaming sink lands one(ish) file per micro-batch per
+    * partition writer, and a year of minutes is a million tiny files
+    * whose per-file open cost dominates every scan. For each
+    * committed batch holding more files than its bytes justify
+    * (`ceil(totalBytes / targetBytes)`, floor 1), rewrite the batch
+    * copy-on-write into that many files under a fresh
+    * `<run>rw<hash>` id and retire the original in the SAME marker —
+    * the identical atomic-swap shape as [[compactDeletes]], so
+    * streaming rewrite-lineage walks skip it (never re-delivered),
+    * the change feed emits nothing (carried-over copies), stats are
+    * recomputed for the columns the original recorded, and
+    * pre-optimize time travel works until [[vacuum]] reclaims the
+    * retired dirs. Live tombstones fold into the rewrite (the
+    * physical application of an already-reported delete — exactly
+    * compactDeletes semantics); batch GRANULARITY is preserved (one
+    * rewrite per original, never N→1 consolidation) so offsets,
+    * as-of pins, and lineage walks keep their single-parent shape.
+    * Retry-idempotent: the rewrite id hashes the batch's current
+    * file inventory, so re-running after a crash overwrites its own
+    * partition and no-ops on the marker. Single-writer like every
+    * mutating operation. */
+  def compactFiles(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024, ts: Long = -1L): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val st = logState(spark, table)
+    val visibleSet = st.committed.toSet
+    val (hfs, _) = fs(spark, table)
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    st.committed.foreach { case (r, b) =>
+      val dirPath = new org.apache.hadoop.fs.Path(
+        s"$table/run_id=$r/batch_id=$b")
+      if (hfs.exists(dirPath)) {
+        val files = hfs.listStatus(dirPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        val totalBytes = files.map(_.getLen).sum
+        val want = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+        if (files.length > want) {
+          val original = spark.read.parquet(dirPath.toString)
+          val unDeleted = st.tombstones
+            .filter(t => t.applies.contains((r, b)) && visibleSet((r, b)))
+            .foldLeft(original)((d, t) =>
+              if (d.columns.contains(t.col)) d.where(!tombstonePred(t)) else d)
+          val kept = unDeleted.repartition(want.toInt)
+            .localCheckpoint(eager = false)
+          val h = scala.util.hashing.MurmurHash3.orderedHash(
+            Seq("optimize", files.length, totalBytes, r, b)) & 0x7fffffff
+          val rwRun = f"${r}rw$h%08x"
+          writeDataOnly(kept, table, rwRun, b)
+          val statsCols = st.meta.get((r, b))
+            .map(_.stats.map(_.col)).getOrElse(Seq.empty)
+          if (!hfs.exists(new org.apache.hadoop.fs.Path(
+              s"$table/run_id=$rwRun/batch_id=$b")))
+            commitTxn(spark, table, Seq.empty, Seq((r, b)), tsv)
+          else commitWithMeta(spark, table, rwRun, b,
+            if (statsCols.isEmpty) Seq.empty else statsOf(kept, statsCols),
+            schemaOf(kept), tsv, Seq((r, b)))
+        }
+      }
+    }
+  }
+
   /** Row-level DELETE, physical phase (copy-on-write at batch
     * granularity): for every batch an un-applied tombstone touches,
     * write the batch MINUS its deleted rows as a NEW

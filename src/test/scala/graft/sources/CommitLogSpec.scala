@@ -634,6 +634,61 @@ class CommitLogSpec extends SparkSpec {
       .where(col("id") === 1L).count() == 1)
   }
 
+  test("compactFiles: small files bin-pack copy-on-write; rows, stats and history survive") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txopt").toString + "/t"
+    // a batch landed as 8 tiny files (the streaming-sink shape)
+    CommitLog.writeDataOnly(rows(400, "a").repartition(8), table, "r1", 0L)
+    CommitLog.commitWithMeta(spark, table, "r1", 0L,
+      Seq(CommitLog.ColStats("id", "num", "0", "399")),
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L)
+    // and one already-compact batch that must NOT be rewritten
+    CommitLog.writeBatchWithStats(rows(10, "b").coalesce(1), table, "r1", 1L,
+      Seq("id"), ts = 2000L)
+    val before = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet
+
+    CommitLog.compactFiles(spark, table, targetBytes = 128L * 1024 * 1024,
+      ts = 3000L)
+    val live = CommitLog.committedBatches(spark, table)
+    assert(live.contains(("r1", 1L)), "compact batch untouched")
+    assert(!live.contains(("r1", 0L)), "fragmented batch retired")
+    val rw = live.filter(k => k._1.startsWith("r1rw") && k._2 == 0L)
+    assert(rw.size == 1, live.toString)
+    // one file now
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rwFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$table/run_id=${rw.head._1}/batch_id=0")).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    assert(rwFiles.size == 1, s"bin-packed to one file: ${rwFiles.size}")
+    // rows identical, stats recomputed on the recorded column
+    assert(CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet == before)
+    assert(CommitLog.batchStats(spark, table)(rw.head)
+      .exists(s => s.col == "id" && s.min == "0" && s.max == "399"))
+    // pre-optimize time travel still sees the original lineage
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get
+      .select("id", "v").as[(Long, String)].collect().toSet == before)
+    // idempotent: a second pass finds nothing fragmented
+    CommitLog.compactFiles(spark, table, ts = 4000L)
+    assert(CommitLog.committedBatches(spark, table).toSet == live.toSet)
+    // the change feed reports NO events for the rewrite (carried copies)
+    assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
+  }
+
+  test("compactFiles folds live tombstones like compactDeletes") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txopt2").toString + "/t"
+    CommitLog.writeDataOnly(rows(100, "a").repartition(6), table, "r1", 0L)
+    CommitLog.commitWithMeta(spark, table, "r1", 0L, Seq.empty,
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(5L), ts = 2000L)
+    CommitLog.compactFiles(spark, table, ts = 3000L)
+    val out = CommitLog.readCommitted(spark, table).get
+    assert(out.count() == 99 && out.where(col("id") === 5L).count() == 0)
+    // the delete was reported at ITS time, not re-reported by optimize
+    assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
+  }
+
   test("run ids with marker-format separators are rejected up front") {
     val table = java.nio.file.Files.createTempDirectory("graft-txrunid").toString + "/t"
     for (bad <- Seq("a,b", "a\tb", "a\nb")) {
