@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolve in the earlier hint-resolution batch, where the
     // identifier shape (2 parts, our format name) is already decided.
     ext.injectHintResolutionRule(spark => graft.sources.ResolveCommitLogSql(spark))
+    // maintenance verbs Spark's grammar lacks (the Delta convention):
+    // OPTIMIZE graft_commitlog.`/p` [TARGET n MB] → compactFiles;
+    // VACUUM graft_commitlog.`/p` [RETAIN n HOURS] → vacuum. Every
+    // other statement passes through the session parser untouched.
+    ext.injectParser((_, delegate) =>
+      new graft.sources.CommitLogSqlParser(delegate))
     // the CHANGE FEED as a SQL table function — the CDC read for SQL
     // users: SELECT * FROM graft_commitlog_changes('/table', since
     // [, until]) with epoch-milli bounds ((since, until], the

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Delegating SQL parser (installed by [[graft.GraftExtensions]] via
+  * `injectParser` — the Delta convention for statements outside
+  * Spark's grammar): intercepts the commit-log MAINTENANCE statements
+  * and hands everything else to the session parser untouched.
+  *
+  *   - `OPTIMIZE graft_commitlog.`/path`` [TARGET <n> MB]` →
+  *     [[CommitLog.compactFiles]] (small-file bin-packing; default
+  *     target 128 MB). Returns (batches_rewritten).
+  *   - `VACUUM graft_commitlog.`/path`` [RETAIN <n> HOURS]` →
+  *     [[CommitLog.vacuum]] (default 168 h — the Delta default; the
+  *     same retention warning applies: a shorter window eats time
+  *     travel and in-flight readers' era). Returns (path).
+  *
+  * Both accept only the path form (`graft_commitlog.`/path``): the
+  * maintenance target is the FORMAT's directory, and resolving a
+  * catalog name would need the analyzer these commands never enter.
+  * DML (INSERT / DELETE / MERGE) stays in Spark's own grammar and
+  * resolves through the DSv2 rules — this parser only adds verbs
+  * Spark has none of. */
+class CommitLogSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+graft_commitlog\s*\.\s*`([^`]+)`\s*(?:TARGET\s+(\d+)\s*MB\s*)?;?\s*""".r
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s+graft_commitlog\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s*HOURS?\s*)?;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case optimizeRe(path, target) =>
+      OptimizeCommitLogCommand(path,
+        Option(target).map(_.toLong * 1024 * 1024)
+          .getOrElse(128L * 1024 * 1024))
+    case vacuumRe(path, hours) =>
+      VacuumCommitLogCommand(path,
+        Option(hours).map(_.toLong * 3600 * 1000)
+          .getOrElse(168L * 3600 * 1000))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private[sources] final case class OptimizeCommitLogCommand(
+    table: String, targetBytes: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("batches_rewritten", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = CommitLog.logState(spark, table).committed.toSet
+    CommitLog.compactFiles(spark, table, targetBytes)
+    val after = CommitLog.logState(spark, table).committed.toSet
+    Seq(Row((before -- after).size.toLong))
+  }
+}
+
+private[sources] final case class VacuumCommitLogCommand(
+    table: String, graceMs: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    CommitLog.vacuum(spark, table, graceMs)
+    Seq(Row(table))
+  }
+}

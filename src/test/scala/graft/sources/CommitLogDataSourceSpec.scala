@@ -381,6 +381,34 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL OPTIMIZE and VACUUM maintenance verbs via the delegating parser") {
+    val table = tmp("graft-dsv2-opt")
+    CommitLog.writeDataOnly(rows(200, "a").repartition(8), table, "r1", 0L)
+    CommitLog.commitWithMeta(spark, table, "r1", 0L, Seq.empty,
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L)
+    withSqlSession { sess =>
+      val opt = sess.sql(s"OPTIMIZE graft_commitlog.`$table`").collect()
+      assert(opt.length == 1 && opt(0).getLong(0) == 1L,
+        s"one fragmented batch rewritten: ${opt.toSeq}")
+      val live = CommitLog.committedBatches(sess, table)
+      assert(live.exists(_._1.startsWith("r1rw")) && !live.contains(("r1", 0L)))
+      assert(CommitLog.readCommitted(sess, table).get.count() == 200)
+      // second pass: nothing fragmented
+      assert(sess.sql(s"OPTIMIZE graft_commitlog.`$table` TARGET 64 MB")
+        .collect()(0).getLong(0) == 0L)
+      // VACUUM RETAIN 0 HOURS reclaims the retired original
+      sess.sql(s"VACUUM graft_commitlog.`$table` RETAIN 0 HOURS")
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(sess.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$table/run_id=r1/batch_id=0")), "vacuum reclaims the retired dir")
+      assert(CommitLog.readCommitted(sess, table).get.count() == 200)
+      // plain SELECT still parses through the delegate untouched
+      assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table`")
+        .collect()(0).getLong(0) == 200L)
+    }
+  }
+
   test("CREATE TABLE ... USING graft_commitlog registers in the session catalog") {
     val table = tmp("graft-dsv2-cat")
     CommitLog.writeBatchWithStats(rows(8, "a"), table, "r1", 0L, Seq("id"))
