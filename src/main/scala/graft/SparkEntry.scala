@@ -92,6 +92,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Build-once scratch commit-log table for the oracle-gated format
+    * queries: a deterministic per-(sf dir, tag) path under the JVM
+    * temp dir, built by `build` exactly once — a `_built` flag guards
+    * bench's repeated executions, because the mutations inside are
+    * deliberately NOT idempotent (deleteWhere/merge append fresh
+    * markers per call). The flag rides OUTSIDE `_commits`, so the log
+    * itself stays exactly what the build wrote. */
+  private def commitLogScratch(s: SparkSession, dir: String, tag: String)(
+      build: String => Unit): String = {
+    val key = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    val table =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cltab_${tag}_$key/t"
+    val flag = new org.apache.hadoop.fs.Path(s"$table/_built")
+    val hfs = flag.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(flag)) {
+      hfs.delete(new org.apache.hadoop.fs.Path(table), true)
+      build(table)
+      hfs.create(flag, true).close()
+    }
+    table
+  }
+
   /** The containment-query corpus: the first 100 docs plus a planted
     * 120-char prefix snippet (doc_id + 1000) of each long ASCII doc.
     * A prefix's distinct 5-grams are a subset of its parent's, so each
@@ -1116,6 +1139,87 @@ object SparkEntry {
     // CDC compaction / latest-record-per-key — the "current state from
     // an append-only change log" shape. row_number per key, never a
     // global window; dedup state is one row per key per partition.
+    // -- commit-log table format on the ORACLE gate (r17) ---------- //
+    // The format's whole read-side contract — atomic batch visibility,
+    // tombstone residual filtering, copy-on-write merge — replayed by
+    // DuckDB against the SOURCE table: build a commit-log table from
+    // lineitem deterministically (once per sf dir, flag-guarded),
+    // mutate it, read it back through the DSv2 front door, aggregate.
+    // The oracle computes the same end state from lineitem directly.
+    "q_commitlog_pricing" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "pricing") { tbl =>
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        // three batches split by a deterministic key hash
+        for (b <- 0 to 2)
+          graft.sources.CommitLog.writeBatchWithStats(
+            li.where(pmod(col("l_orderkey"), lit(3)) === b), tbl,
+            "build", b.toLong, Seq("l_orderkey"), ts = 1000L + b)
+        // a torn batch: data without a marker must stay invisible
+        li.limit(500).withColumn("l_quantity", lit(1000000.0))
+          .withColumn("run_id", lit("torn")).withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(tbl)
+        // row-level delete: orders 100..199 vanish behind a tombstone
+        graft.sources.CommitLog.deleteWhere(s, tbl, "l_orderkey",
+          "range", Seq(100L, 199L), ts = 2000L)
+      }
+      s.read.format("graft_commitlog").load(table)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // composite-key CDC MERGE end state vs the oracle's direct
+    // reconstruction: updates re-land, delete ops vanish, inserts
+    // arrive, untouched rows survive — the 28m contract graded by
+    // DuckDB instead of only ScalaTest
+    "q_commitlog_merge" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "merge") { tbl =>
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        for (b <- 0 to 1)
+          graft.sources.CommitLog.writeBatchWithStats(
+            cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl,
+            "build", b.toLong, Seq("c_custkey", "c_nationkey"), ts = 1000L + b)
+        // CDC feed keyed on (c_custkey, c_nationkey): zero the balance
+        // of nation-0 keys ending in 7, DELETE nation-1 keys ending in
+        // 7, insert two fresh rows
+        val feed = cust
+          .where(pmod(col("c_custkey"), lit(10)) === 7 &&
+            col("c_nationkey").isin(0, 1))
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"), lit(0.0).as("c_acctbal"),
+            when(col("c_nationkey") === 1, "D").otherwise("U").as("op"))
+          .unionByName(s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(9000001L, 7, "BUILDING", 111.11, "I"),
+              org.apache.spark.sql.Row(9000002L, 9, "MACHINERY", 222.22, "I")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c_custkey",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("c_nationkey",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("c_mktsegment",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("c_acctbal",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("op",
+                org.apache.spark.sql.types.StringType)))))
+        graft.sources.CommitLog.merge(s, tbl, feed,
+          Seq("c_custkey", "c_nationkey"), "cdc", 0L, ts = 3000L,
+          statsCols = Seq("c_custkey"),
+          deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+      }
+      s.read.format("graft_commitlog").load(table)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          // per-row floor to integer cents, THEN the BIGINT sum — a
+          // float sum of 2-decimal doubles would be order-dependent
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("c_nationkey")
+    }),
+
     "q_latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -7194,6 +7298,35 @@ object SparkEntry {
         |FROM upd u LEFT JOIN base b USING (c_custkey)
         |WHERE b.c_custkey IS NULL
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_commitlog_pricing" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE NOT (l_orderkey BETWEEN 100 AND 199)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_commitlog_merge" ->
+      """WITH feed_keys AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 10 = 7 AND c_nationkey IN (0, 1)
+        |  UNION ALL SELECT 9000001, 7
+        |  UNION ALL SELECT 9000002, 9
+        |), kept AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM feed_keys f
+        |    WHERE f.c_custkey = c.c_custkey AND f.c_nationkey = c.c_nationkey)
+        |), landed AS (
+        |  SELECT c_custkey, c_nationkey, 0.0 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 10 = 7 AND c_nationkey = 0
+        |  UNION ALL SELECT 9000001, 7, 111.11
+        |  UNION ALL SELECT 9000002, 9, 222.22
+        |), state AS (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM landed
+        |)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value
