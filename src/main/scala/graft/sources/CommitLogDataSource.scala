@@ -153,6 +153,35 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if ourUnresolved(i.table).nonEmpty =>
       i.copy(table = resolveOur(ourUnresolved(i.table).get))
+    // SQL time travel: `... FOR TIMESTAMP AS OF <t>` → asOfTimestamp,
+    // `FOR VERSION AS OF <n>` → asOfBatch (the snapshot pin — the
+    // format's "version" is the per-run batch-id watermark)
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        if ourUnresolved(tt.relation).nonEmpty =>
+      val u = ourUnresolved(tt.relation).get
+      val extra: (String, String) = (tt.timestamp, tt.version) match {
+        case (Some(ts), _) =>
+          val isTs = ts.dataType ==
+            org.apache.spark.sql.types.TimestampType
+          val v = ts.eval(null) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case i: Int => i.toString
+            // a typed TIMESTAMP literal evaluates to MICROS
+            case l: Long if isTs => (l / 1000L).toString
+            case l: Long => l.toString
+            case other => sys.error(
+              "graft_commitlog TIMESTAMP AS OF needs a literal epoch-" +
+                s"millis or 'yyyy-MM-dd HH:mm:ss[.f]' string, got $other")
+          }
+          "asOfTimestamp" -> v
+        case (_, Some(v)) => "asOfBatch" -> v
+        case _ => sys.error("time travel with neither timestamp nor version")
+      }
+      resolveOur(u.copy(options = {
+        val m = new java.util.HashMap[String, String](u.options)
+        m.put(extra._1, extra._2)
+        new CaseInsensitiveStringMap(m)
+      }))
     case u: UnresolvedRelation if ourUnresolved(u).nonEmpty =>
       resolveOur(u)
   }

@@ -381,6 +381,25 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF map onto the read pins") {
+    val table = tmp("graft-dsv2-tt")
+    CommitLog.writeBatch(rows(5, "a"), table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(rows(5, "b", 10L), table, "r1", 1L, ts = 2000L)
+    withSqlSession { sess =>
+      assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table` " +
+        "FOR TIMESTAMP AS OF 1500").collect()(0).getLong(0) == 5L)
+      assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table` " +
+        "FOR VERSION AS OF 0").collect()(0).getLong(0) == 5L)
+      assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table` " +
+        "FOR TIMESTAMP AS OF 2500").collect()(0).getLong(0) == 10L)
+      // string timestamp form routes through the same option parsing
+      val byStr = sess.sql("SELECT count(*) FROM graft_commitlog." +
+        s"`$table` FOR TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+        .collect()(0).getLong(0)
+      assert(byStr == 5L, s"string-form pin: $byStr")
+    }
+  }
+
   test("SQL OPTIMIZE and VACUUM maintenance verbs via the delegating parser") {
     val table = tmp("graft-dsv2-opt")
     CommitLog.writeDataOnly(rows(200, "a").repartition(8), table, "r1", 0L)
