@@ -93,20 +93,29 @@ object SparkEntry {
     Tables.load(s, dir, name)
 
   /** Build-once scratch commit-log table for the oracle-gated format
-    * queries: a deterministic per-(sf dir, tag) path under the JVM
-    * temp dir, built by `build` exactly once — a `_built` flag guards
-    * bench's repeated executions, because the mutations inside are
-    * deliberately NOT idempotent (deleteWhere/merge append fresh
-    * markers per call). The flag rides OUTSIDE `_commits`, so the log
-    * itself stays exactly what the build wrote. */
-  private def commitLogScratch(s: SparkSession, dir: String, tag: String)(
-      build: String => Unit): String = {
+    * queries: a deterministic path under the JVM temp dir keyed by
+    * (sf dir, tag, SOURCE-FILE FINGERPRINT), built by `build` exactly
+    * once — a `_built` flag guards bench's repeated executions,
+    * because the mutations inside are deliberately NOT idempotent
+    * (deleteWhere/merge append fresh markers per call). The key
+    * fingerprints the source table's file inventory (name, length,
+    * mtime), so a REGENERATED testdata dir gets a fresh scratch table
+    * instead of silently diverging from the oracle's view of the
+    * source. The flag rides OUTSIDE `_commits`, so the log itself
+    * stays exactly what the build wrote. */
+  private def commitLogScratch(s: SparkSession, dir: String, tag: String,
+      sourceTable: String)(build: String => Unit): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$sourceTable.parquet")
+    val hfs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inventory = hfs.listStatus(src).toSeq
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sorted
     val key = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      scala.util.hashing.MurmurHash3.orderedHash(
+        dir +: inventory) & 0x7fffffff)
     val table =
       s"${System.getProperty("java.io.tmpdir")}/graft_cltab_${tag}_$key/t"
     val flag = new org.apache.hadoop.fs.Path(s"$table/_built")
-    val hfs = flag.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!hfs.exists(flag)) {
       hfs.delete(new org.apache.hadoop.fs.Path(table), true)
       build(table)
@@ -1147,7 +1156,7 @@ object SparkEntry {
     // mutate it, read it back through the DSv2 front door, aggregate.
     // The oracle computes the same end state from lineitem directly.
     "q_commitlog_pricing" -> ((s, dir) => {
-      val table = commitLogScratch(s, dir, "pricing") { tbl =>
+      val table = commitLogScratch(s, dir, "pricing", "lineitem") { tbl =>
         val li = t(s, dir, "lineitem")
           .select("l_orderkey", "l_returnflag", "l_quantity")
         // three batches split by a deterministic key hash
@@ -1176,7 +1185,7 @@ object SparkEntry {
     // arrive, untouched rows survive — the 28m contract graded by
     // DuckDB instead of only ScalaTest
     "q_commitlog_merge" -> ((s, dir) => {
-      val table = commitLogScratch(s, dir, "merge") { tbl =>
+      val table = commitLogScratch(s, dir, "merge", "customer") { tbl =>
         val cust = t(s, dir, "customer")
           .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
         for (b <- 0 to 1)
