@@ -318,6 +318,11 @@ private[sources] final class CommitLogTable(val table: String,
     }
   private[sources] val ignoreDeletes: Boolean =
     Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+  private[sources] val maxBatchesPerTrigger: Option[Int] =
+    Option(options.get("maxBatchesPerTrigger")).map(v => v.toIntOption
+      .filter(_ > 0).getOrElse(sys.error(
+        "graft_commitlog maxBatchesPerTrigger must be a positive " +
+          s"int, got '$v'")))
   private[sources] val asOfBatch: Option[Long] =
     Option(options.get("asOfBatch")).map(s => s.toLongOption.getOrElse(
       sys.error(s"graft_commitlog asOfBatch must be a long, got '$s'")))
@@ -559,7 +564,8 @@ private[sources] object CommitLogStreamEntry {
       "graft_commitlog streaming tails the live log — asOfBatch / " +
         "asOfTimestamp are batch-read pins (a stream from a frozen " +
         "snapshot would never emit anything new)")
-    new CommitLogMicroBatchStream(t.table, t.schema, t.ignoreDeletes)
+    new CommitLogMicroBatchStream(t.table, t.schema, t.ignoreDeletes,
+      t.maxBatchesPerTrigger)
   }
 }
 

@@ -118,7 +118,9 @@ object CommitLogStreamOffset {
   * frozen schema (later widening-only evolution reads through parquet
   * type promotion; added columns read NULL for older batches). */
 final class CommitLogMicroBatchStream(table: String, schema: StructType,
-    ignoreDeletes: Boolean) extends MicroBatchStream {
+    ignoreDeletes: Boolean, maxBatchesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private val partNames = CommitLogTable.partNames
@@ -129,10 +131,58 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
   override def deserializeOffset(json: String): Offset =
     CommitLogStreamOffset.parse(json)
 
-  override def latestOffset(): Offset = {
+  /** The current full tip plus each live batch's commit ts (the
+    * admission-control ordering — backlog drains oldest-first). */
+  private def fullTip(): (CommitLogStreamOffset, Map[(String, Long), Long]) = {
     val st = CommitLog.logState(spark, table)
     val live = st.committed.toSet
-    CommitLogStreamOffset(live, st.entries.toSet -- live)
+    (CommitLogStreamOffset(live, st.entries.toSet -- live),
+      st.meta.collect { case (k, m) if m.ts.nonEmpty => k -> m.ts.get })
+  }
+
+  override def latestOffset(): Offset = fullTip()._1
+
+  // ---- admission control (r17): maxBatchesPerTrigger ---- //
+  // Without a limit, a stream starting on (or catching up to) a
+  // long-lived table plans its ENTIRE backlog as one micro-batch —
+  // the planning is fine (explicit dirs), but checkpoint granularity
+  // and per-batch memory are not. ReadMaxFiles caps the number of
+  // COMMITTED BATCHES per trigger (a batch is the format's file-ish
+  // admission unit), draining oldest-commit-ts-first;
+  // SupportsTriggerAvailableNow pins the cap's target so AvailableNow
+  // terminates at the snapshot it started with.
+
+  private var availableNowCap: Option[CommitLogStreamOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(fullTip()._1)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxBatchesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val (full, ts) = fullTip()
+    val tip = availableNowCap.getOrElse(full)
+    val s = start.asInstanceOf[CommitLogStreamOffset]
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        val pending = tip.read -- s.all
+        // rewrite-lineage-covered batches deliver nothing — admit them
+        // for free rather than burn limit slots on empty work
+        val (skips, fresh) = pending.partition(chainSeen(_, s.all))
+        if (fresh.size <= mf.maxFiles) tip
+        else {
+          val chosen = fresh.toSeq
+            .sortBy(k => (ts.getOrElse(k, 0L), k._1, k._2))
+            .take(mf.maxFiles)
+          CommitLogStreamOffset(s.read ++ skips ++ chosen,
+            (s.covered ++ tip.covered) -- (s.read ++ skips ++ chosen))
+        }
+      case _ => tip
+    }
   }
 
   /** Walk e's rewrite lineage by run-id shape; an ancestor present in

@@ -175,6 +175,59 @@ class CommitLogStreamSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().toSet)
   }
 
+  test("maxBatchesPerTrigger drains a backlog oldest-first in bounded micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream5").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    for (b <- 0 until 7)
+      CommitLog.writeBatch(rows(b * 10, 3, s"b$b"), table, "r1", b.toLong,
+        ts = 1000L * (b + 1))
+
+    val q = spark.readStream.format("graft_commitlog")
+      .option("maxBatchesPerTrigger", "2").load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+
+    // all 7 batches delivered exactly-once...
+    assert(sunk(sink) == (0 until 7)
+      .flatMap(b => (0 until 3).map(i => (b * 10L + i, s"b$b-$i"))).toSet)
+    // ...across ceil(7/2) = 4 micro-batches, not one flood (the
+    // parquet sink writes one commit per micro-batch)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits == 4, s"expected 4 rate-limited micro-batches, got $commits")
+
+    // a late batch streams after restart, still limited
+    CommitLog.writeBatch(rows(900, 2, "late"), table, "r1", 9L, ts = 9000L)
+    val q2 = spark.readStream.format("graft_commitlog")
+      .option("maxBatchesPerTrigger", "2").load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    assert(sunk(sink).count(_._2.startsWith("late")) == 2)
+    assert(sunk(sink).size == 23)
+  }
+
+  test("stream reads older narrow-typed batches through parquet type promotion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream6").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    // batch 0 wrote INT ids; batch 1 widened to BIGINT — a stream
+    // starting AFTER the widening freezes the reconciled (BIGINT)
+    // schema and must read batch 0's INT32 files through promotion
+    CommitLog.writeBatch(Seq((1, "a-1"), (2, "a-2")).toDF("id", "v"),
+      table, "r1", 0L, ts = 1000L)
+    CommitLog.writeBatch(Seq((10L, "b-10")).toDF("id", "v"),
+      table, "r1", 1L, ts = 2000L)
+    assert(CommitLog.readCommitted(spark, table).get.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    drain(table, ckpt, sink)
+    assert(sunk(sink) == Set((1L, "a-1"), (2L, "a-2"), (10L, "b-10")))
+  }
+
   test("an old checkpoint keeps resolving across compactLog") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clstream4").toString
     val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
