@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [, until]) with epoch-milli bounds ((since, until], the
     // readChangeFeed contract); an empty window returns an empty
     // relation in the feed's schema, not an error
+    // table history (DESCRIBE HISTORY parity): one row per logged
+    // event, newest first, derived from the markers alone
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_commitlog_history"),
+      new ExpressionInfo(graft.sources.CommitLog.getClass.getName,
+        "graft_commitlog_history"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sources.CommitLogHistoryFunction.plan(exprs)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_commitlog_changes"),
       new ExpressionInfo(graft.sources.CommitLog.getClass.getName,

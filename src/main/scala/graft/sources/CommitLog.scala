@@ -872,6 +872,44 @@ object CommitLog {
     else Some(all.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
+  /** Table HISTORY — Delta's DESCRIBE HISTORY rung, derived entirely
+    * from the log state (markers are the audit record; nothing extra
+    * is ever written): one row per logged event, newest first —
+    * `append` (a plain committed batch), `rewrite` (a compactDeletes/
+    * compactFiles copy-on-write), `upsert` (a merge rewrite or its
+    * new batch), `delete` (a tombstone, with its predicate), and
+    * `retire` (an original superseded by a rewrite, with its
+    * retirement time). Events whose markers predate the ts feature
+    * report ts 0. SQL face: `graft_commitlog_history('/path')`. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val st = logState(spark, table)
+    val live = st.committed.toSet
+    val rows = Seq.newBuilder[(Long, String, String, java.lang.Long, String)]
+    st.entries.foreach { case (r, b) =>
+      val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
+      val op = rewriteOf(st, r, b) match {
+        case Some((orig, "rw")) => s"rewrite of run_id=$orig"
+        case Some((orig, "up")) => s"upsert rewrite of run_id=$orig"
+        case _ => "append"
+      }
+      rows += ((ts, op.takeWhile(_ != ' '), r, Long.box(b),
+        (if (live((r, b))) "live" else "retired") +
+          (if (op != "append") s"; ${op.dropWhile(_ != ' ').trim}" else "")))
+    }
+    st.tombstones.foreach { t =>
+      rows += ((t.ts, "delete", "", null,
+        s"${t.col} ${t.kind} ${t.vals.mkString(", ")} over " +
+          s"${t.applies.size} batch(es)"))
+    }
+    st.retired.foreach { case ((r, b), ts) =>
+      rows += ((ts, "retire", r, Long.box(b), "superseded by rewrite"))
+    }
+    import spark.implicits._
+    rows.result()
+      .toDF("ts", "operation", "run_id", "batch_id", "details")
+      .orderBy(col("ts").desc, col("operation"), col("run_id"), col("batch_id"))
+  }
+
   // ---- multi-partition TRANSACTIONS + row-level UPSERT (r16) ---- //
 
   /** Everything one transaction add carries: the partition key plus

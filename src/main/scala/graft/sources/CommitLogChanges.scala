@@ -62,3 +62,22 @@ private[graft] object CommitLogChangesFunction {
     }
   }
 }
+
+/** SQL face of [[CommitLog.history]]:
+  * `SELECT * FROM graft_commitlog_history('/table')` — the DESCRIBE
+  * HISTORY rung, resolving into the history frame at analysis time. */
+private[graft] object CommitLogHistoryFunction {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    val path = exprs match {
+      case Seq(p) => p.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"graft_commitlog_history: path must be a string literal, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft_commitlog_history expects (path), got ${other.size} args")
+    }
+    CommitLog.history(SparkSession.active, path).queryExecution.logical
+  }
+}

@@ -425,6 +425,13 @@ class CommitLogDataSourceSpec extends SparkSpec {
       // plain SELECT still parses through the delegate untouched
       assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table`")
         .collect()(0).getLong(0) == 200L)
+      // DESCRIBE HISTORY parity: the table function lists the
+      // optimize rewrite and the original's retirement
+      val ops = sess.sql(
+        s"SELECT operation FROM graft_commitlog_history('$table')")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.contains("rewrite") && ops.contains("retire") &&
+        ops.contains("append"), ops.toString)
     }
   }
 

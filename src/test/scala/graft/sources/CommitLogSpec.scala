@@ -689,6 +689,28 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("history: every logged event, newest first, from markers alone") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txhist").toString + "/t"
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"), ts = 1000L)
+    CommitLog.writeBatch(rows(5, "b"), table, "r1", 1L, ts = 2000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 3000L)
+    CommitLog.upsert(spark, table, Seq((2L, "NEW")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 4000L, statsCols = Seq("id"))
+    val h = CommitLog.history(spark, table)
+      .select("ts", "operation", "run_id", "details").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(h.head._1 == 4000L, "newest first")
+    assert(h.count(_._2 == "append") == 3, h.mkString("\n")) // r1x2 + upsert's new batch
+    assert(h.exists(t => t._2 == "delete" && t._3 == "" &&
+      t._4.contains("id in 1")))
+    assert(h.exists(t => t._2 == "upsert" && t._4.contains("run_id=r1")))
+    assert(h.exists(t => t._2 == "retire" && t._3 == "r1"))
+    // history survives log compaction (markers fold, events remain)
+    CommitLog.compactLog(spark, table)
+    val h2 = CommitLog.history(spark, table).collect()
+    assert(h2.length == h.length)
+  }
+
   test("run ids with marker-format separators are rejected up front") {
     val table = java.nio.file.Files.createTempDirectory("graft-txrunid").toString + "/t"
     for (bad <- Seq("a,b", "a\tb", "a\nb")) {
