@@ -689,6 +689,35 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("merge past the 10k-key cap: per-column typed envelope prunes, never drops a match") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txenv").toString + "/t"
+    import spark.implicits._
+    // batch A: keys (0..50, grp 0..50); batch B: far-away key range —
+    // the envelope of an 10001-key feed must touch A and PRUNE B
+    CommitLog.writeBatchWithStats(
+      (0L to 50L).map(i => (i, i, s"a-$i")).toDF("k1", "k2", "v"),
+      table, "r1", 0L, Seq("k1", "k2"), ts = 1000L)
+    CommitLog.writeBatchWithStats(
+      (1000000L to 1000050L).map(i => (i, i, s"b-$i")).toDF("k1", "k2", "v"),
+      table, "r1", 1L, Seq("k1", "k2"), ts = 2000L)
+    // 10001 distinct composite keys => someKeys overflows the cap and
+    // the per-COLUMN min/max envelope path must engage (the kRow
+    // 2i/2i+1 indexing across multiple key columns)
+    val feed = spark.range(0L, 10001L)
+      .select(col("id").as("k1"), col("id").as("k2"),
+        concat(lit("new-"), col("id")).as("v"))
+    CommitLog.merge(spark, table, feed, Seq("k1", "k2"), "r2", 0L,
+      ts = 3000L, statsCols = Seq("k1", "k2"))
+    val live = CommitLog.committedBatches(spark, table)
+    assert(live.contains(("r1", 1L)),
+      s"batch B outside the envelope must not be rewritten: $live")
+    assert(!live.contains(("r1", 0L)), "batch A must be rewritten")
+    val out = CommitLog.readCommitted(spark, table).get
+    assert(out.count() == 10001 + 51, "10001 landed + B's 51 untouched")
+    assert(out.where(col("k1") <= 50L && !col("v").startsWith("new-"))
+      .count() == 0, "every matched old copy replaced")
+  }
+
   test("history: every logged event, newest first, from markers alone") {
     val table = java.nio.file.Files.createTempDirectory("graft-txhist").toString + "/t"
     CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"), ts = 1000L)
