@@ -149,10 +149,25 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
       rewriteMerge(m, mergeTargetPath(m.targetTable).get)
     // InsertIntoStatement holds its target as a FIELD, not a child —
     // operator traversal never visits it (Spark's own ResolveRelations
-    // special-cases it the same way)
+    // special-cases it the same way). The target resolves to a
+    // WRITE-ONLY table that is deliberately NOT a FileTable: Spark's
+    // FallBackFileSourceV2 rewrites InsertIntoStatement over any
+    // FileTable relation into a raw V1 parquet
+    // InsertIntoHadoopFsRelationCommand, and it races
+    // ResolveInsertInto (which requires the source query resolved) —
+    // any INSERT whose source is not parse-time resolved (a SELECT,
+    // unlike VALUES) would bypass the marker protocol and physically
+    // clobber the fileIndex's batch directories.
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if ourUnresolved(i.table).nonEmpty =>
-      i.copy(table = resolveOur(ourUnresolved(i.table).get))
+      i.copy(table = resolveOurWrite(ourUnresolved(i.table).get))
+    // the same hazard through a catalog name (CREATE TABLE ... USING
+    // graft_commitlog): swap the target before the session catalog
+    // resolves it to the FileTable form
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if catalogOurLocation(i.table).nonEmpty =>
+      i.copy(table = writeRelation(catalogOurLocation(i.table).get,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())))
     // SQL time travel: `... FOR TIMESTAMP AS OF <t>` → asOfTimestamp,
     // `FOR VERSION AS OF <n>` → asOfBatch (the snapshot pin — the
     // format's "version" is the per-run batch-id watermark)
@@ -202,6 +217,43 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     val cis = new CaseInsensitiveStringMap(opts)
     DataSourceV2Relation.create(
       new CommitLogTable(u.multipartIdentifier(1), cis, None), None, None, cis)
+  }
+
+  private def resolveOurWrite(u: UnresolvedRelation): LogicalPlan = {
+    val opts = new java.util.HashMap[String, String](u.options)
+    opts.put("path", u.multipartIdentifier(1))
+    writeRelation(u.multipartIdentifier(1), new CaseInsensitiveStringMap(opts))
+  }
+
+  private def writeRelation(path: String,
+      cis: CaseInsensitiveStringMap): LogicalPlan =
+    DataSourceV2Relation.create(
+      new CommitLogInsertTable(path, cis), None, None, cis)
+
+  /** The storage location when `p` is an UnresolvedRelation naming a
+    * session-catalog table whose provider is this format — the
+    * CREATE TABLE ... USING graft_commitlog rung. */
+  private def catalogOurLocation(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
+        ourUnresolved(u).isEmpty =>
+      try {
+        val cat = spark.sessionState.catalog
+        val ident = u.multipartIdentifier.toList match {
+          case t :: Nil => org.apache.spark.sql.catalyst.TableIdentifier(t)
+          case db :: t :: Nil =>
+            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+          case _ => return None
+        }
+        if (!cat.tableExists(ident)) None
+        else {
+          val meta = cat.getTableMetadata(ident)
+          if (meta.provider.exists(pr => Set("graft_commitlog", "graft-commitlog")
+              .contains(pr.toLowerCase(java.util.Locale.ROOT))))
+            Some(meta.location.toString)
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
   }
 
   private def mergeTargetPath(p: LogicalPlan): Option[String] = p match {
@@ -284,12 +336,32 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
       deleteCond = Some(Some(
         org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
     // the condition travels as SQL text over SOURCE column names
-    // (qualifiers stripped) — see MergeIntoCommitLogCommand
-    val deleteWhenSql = deleteCond.flatten.map(_.transform {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq(a.nameParts.last))
-    }.sql)
+    // (qualifiers stripped) — see MergeIntoCommitLogCommand. A
+    // TARGET-qualified attribute must be REJECTED before stripping:
+    // silently rewriting `t.op = 'D'` to evaluate against the source's
+    // `op` column would delete the wrong rows with no error — exactly
+    // the silent approximation this rule refuses elsewhere.
+    def aliasesOf(p: LogicalPlan): Set[String] = p match {
+      case SubqueryAlias(id, child) => aliasesOf(child) + id.name
+      case _ => Set.empty
+    }
+    val targetAliases = aliasesOf(m.targetTable)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val deleteWhenSql = deleteCond.flatten.map { cond =>
+      cond.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            targetAliases.contains(
+              a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          fail(s"target-qualified '${a.sql}' in a matched-DELETE " +
+            "condition (delete conditions evaluate on the SOURCE row " +
+            "only — phrase the predicate over source columns, e.g. " +
+            "s.op = 'D'; target-side staleness sequences upstream)")
+        case _ => ()
+      }
+      cond.transform {
+        case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      }.sql
+    }
     MergeIntoCommitLogCommand(path, m.sourceTable, keyCols, deleteWhenSql,
       deleteOnly)
   }
@@ -412,6 +484,33 @@ private[sources] final class CommitLogTable(val table: String,
     reconciled // force the loud empty-table / schema-drift errors
     new CommitLogScanBuilder(this)
   }
+}
+
+/** INSERT target: a write-only DSv2 table that is deliberately NOT a
+  * [[FileTable]]. Spark's FallBackFileSourceV2 analyzer rule rewrites
+  * `InsertIntoStatement` over any FileTable-backed relation into a raw
+  * V1 parquet `InsertIntoHadoopFsRelationCommand` — and it fires
+  * without waiting for the source query to resolve, so it RACES
+  * ResolveInsertInto (which does wait). An INSERT whose source query
+  * is not parse-time resolved (any SELECT, unlike VALUES) would lose
+  * that race, bypass the marker protocol entirely, and physically
+  * overwrite the fileIndex's batch directories — silent table
+  * corruption. A plain SupportsWrite table can never match that rule,
+  * so every INSERT statement reaches [[CommitLogWriteBuilder]]. */
+private[sources] final class CommitLogInsertTable(path: String,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private val inner = new CommitLogTable(path, options, None)
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("run_id"), Expressions.identity("batch_id"))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
 }
 
 private[sources] object CommitLogTable {

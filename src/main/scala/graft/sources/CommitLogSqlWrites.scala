@@ -86,6 +86,17 @@ object CommitLogSqlWrites {
       s"graft_commitlog INSERT: ($runId, $batchId) is already committed " +
         "— committed batches are immutable; pick a fresh batch id")
     val statsCols = statsColsFor(rows, statsOpt)
+    if (rows.isEmpty) {
+      // an empty source (SELECT ... WHERE false) must not commit a
+      // marker: the dynamic-overwrite write of an empty frame creates
+      // no partition directory, so the marker/TxnAdd would dangle and
+      // make the whole table unreadable. Plain INSERT of nothing is a
+      // no-op; INSERT OVERWRITE with an empty source is an atomic
+      // truncate — retire the committed set, add nothing.
+      if (overwrite && st.committed.nonEmpty)
+        CommitLog.commitTxn(spark, table, Seq.empty, retires = st.committed)
+      return
+    }
     if (!overwrite)
       CommitLog.writeBatchWithStats(rows, table, runId, batchId, statsCols)
     else {

@@ -69,8 +69,20 @@ object CommitLogStreamOffset {
             .filter(_.nonEmpty).flatMap { r =>
               val j = r.indexOf('~')
               if (j < 0) Iterator(run -> r.toLong)
-              else (r.substring(0, j).toLong to r.substring(j + 1).toLong)
-                .iterator.map(run -> _)
+              else {
+                val lo = r.substring(0, j).toLong
+                val hi = r.substring(j + 1).toLong
+                // validate BEFORE expansion: a corrupted/adversarial
+                // checkpoint line like 0~9999999999999 would otherwise
+                // materialize an unbounded in-memory set. The cap is
+                // far above any real table (it already means a 16M-
+                // batch materialized offset) — fail loudly, not OOM.
+                if (hi < lo || hi - lo >= (1L << 24)) sys.error(
+                  "graft_commitlog offset: corrupt v2 range " +
+                    s"'$r' for run '$run' (need lo <= hi and width " +
+                    "< 2^24) — the checkpoint offset file is damaged")
+                (lo to hi).iterator.map(run -> _)
+              }
             }
         }.toSet
       CommitLogStreamOffset(decode(parts(0)),
@@ -178,11 +190,39 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
           val chosen = fresh.toSeq
             .sortBy(k => (ts.getOrElse(k, 0L), k._1, k._2))
             .take(mf.maxFiles)
-          CommitLogStreamOffset(s.read ++ skips ++ chosen,
-            (s.covered ++ tip.covered) -- (s.read ++ skips ++ chosen))
+          val reads = s.read ++ skips ++ chosen
+          // INVARIANT: a retired original enters the offset no earlier
+          // than its live descendant. Folding ALL of tip.covered here
+          // would plant retired ancestors of NOT-yet-admitted rewrites
+          // into start.all, making the next trigger's chainSeen classify
+          // the still-undelivered rewrite as already-seen — silent data
+          // loss. Only ancestors of batches admitted (or skipped) THIS
+          // trigger join now; the rest ride the final full-tip return.
+          val admittedAnc = (skips ++ chosen).flatMap(ancestorsOf)
+          CommitLogStreamOffset(reads,
+            (s.covered ++ (tip.covered & admittedAnc)) -- reads)
         }
       case _ => tip
     }
+  }
+
+  /** Every rewrite-lineage ancestor of `e` by run-id shape (the chain
+    * [[chainSeen]] walks), nearest first — the retired originals that
+    * may enter an offset once `e` itself is admitted. */
+  private def ancestorsOf(e: (String, Long)): Set[(String, Long)] = {
+    val m = """^(.*)(?:rw|up)([0-9a-f]{8})$""".r
+    val out = Set.newBuilder[(String, Long)]
+    var cur = e
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      cur._1 match {
+        case m(orig, _) => cur = (orig, cur._2); out += cur
+        case _ => more = false
+      }
+      guard += 1
+    }
+    out.result()
   }
 
   /** Walk e's rewrite lineage by run-id shape; an ancestor present in

@@ -37,10 +37,18 @@ object CommitLogSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (statsCols.isEmpty)
-          CommitLog.writeBatch(batch, table, runId, batchId)
-        else
-          CommitLog.writeBatchWithStats(batch, table, runId, batchId, statsCols)
+        // an empty micro-batch (routine when an upstream filter drops
+        // a whole epoch) must commit NOTHING: the dynamic-overwrite
+        // parquet write of an empty frame creates no partition
+        // directory, so a marker would dangle and break every future
+        // read of the table. Skipping both keeps replay exactly-once —
+        // an empty epoch delivered nothing to re-deliver.
+        if (!batch.isEmpty) {
+          if (statsCols.isEmpty)
+            CommitLog.writeBatch(batch, table, runId, batchId)
+          else
+            CommitLog.writeBatchWithStats(batch, table, runId, batchId, statsCols)
+        }
       }
       .start()
   }

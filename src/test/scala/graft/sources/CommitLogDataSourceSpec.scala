@@ -310,6 +310,29 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("empty-source INSERT commits no dangling marker; empty OVERWRITE truncates") {
+    // the r17 bug: INSERT ... SELECT ... WHERE false committed a
+    // marker for a partition directory the empty write never created,
+    // making the whole table unreadable
+    val table = tmp("graft-dsv2-insempty")
+    CommitLog.writeBatchWithStats(rows(3, "a"), table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      val batchesBefore = CommitLog.committedBatches(sess, table)
+      sess.sql(s"INSERT INTO graft_commitlog.`$table` " +
+        s"SELECT id, v, NULL, NULL FROM graft_commitlog.`$table` WHERE false")
+      // no-op: no new marker, table still readable
+      assert(CommitLog.committedBatches(sess, table) == batchesBefore)
+      assert(CommitLog.readCommitted(sess, table).get.count() == 3)
+      assert(sess.sql(s"SELECT count(*) FROM graft_commitlog.`$table`")
+        .collect()(0).getLong(0) == 3L)
+      // empty OVERWRITE = atomic truncate: retire everything, add nothing
+      sess.sql(s"INSERT OVERWRITE graft_commitlog.`$table` " +
+        s"SELECT id, v, NULL, NULL FROM graft_commitlog.`$table` WHERE false")
+      assert(CommitLog.readCommitted(sess, table).isEmpty,
+        "empty overwrite truncates the committed set")
+    }
+  }
+
   test("SQL DELETE FROM maps onto tombstones; unsupported shapes fail loudly") {
     val table = tmp("graft-dsv2-del")
     CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
@@ -378,6 +401,19 @@ class CommitLogDataSourceSpec extends SparkSpec {
              |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
       }
       assert(e.getMessage.contains("UPDATE SET *"), e.getMessage)
+
+      // a TARGET-qualified delete condition is rejected, never
+      // silently rewritten to evaluate against the source column
+      // (the r17 bug: `t.op = 'D'` quietly became `s.op = 'D'`)
+      val tq = intercept[Exception] {
+        sess.sql(
+          s"""MERGE INTO graft_commitlog.`$table` t USING feed s
+             |ON t.file = s.file AND t.payee = s.payee
+             |WHEN MATCHED AND t.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
+      assert(tq.getMessage.contains("target-qualified") &&
+        tq.getMessage.contains("SOURCE"), tq.getMessage)
     }
   }
 
@@ -454,6 +490,16 @@ class CommitLogDataSourceSpec extends SparkSpec {
           .partitionBy("run_id", "batch_id").parquet(table)
         assert(sess.sql("SELECT count(*) FROM graft_cat_t")
           .collect()(0).getLong(0) == 8L)
+        // INSERT through the catalog NAME with a SELECT source — the
+        // FallBackFileSourceV2 corruption shape: must ride the marker
+        // protocol (one minted batch), never a raw parquet overwrite
+        sess.sql("INSERT INTO graft_cat_t " +
+          "SELECT id + 100, v, NULL, NULL FROM graft_cat_t WHERE id = 0")
+        assert(sess.sql("SELECT count(*) FROM graft_cat_t")
+          .collect()(0).getLong(0) == 9L)
+        assert(CommitLog.committedBatches(sess, table)
+          .exists(_._1.startsWith("sql")), "catalog INSERT must mint a marker")
+        assert(CommitLog.readCommitted(sess, table).get.count() == 9)
       } finally sess.sql("DROP TABLE IF EXISTS graft_cat_t")
     }
   }

@@ -212,6 +212,53 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(sunk(sink).size == 23)
   }
 
+  test("maxBatchesPerTrigger on a backlog containing rewrites loses nothing") {
+    // the r17 bug: the rate-limited offset folded ALL retired
+    // originals (tip.covered) into the offset before their live
+    // rewrites were admitted, so the next trigger's chainSeen found
+    // the ancestor in start.all and classified the still-undelivered
+    // rewrite as already-seen — its rows silently never delivered
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream7").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatchWithStats(rows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.writeBatchWithStats(rows(10, 5, "b"), table, "r1", 1L,
+      Seq("id"), ts = 2000L)
+    CommitLog.writeBatchWithStats(rows(20, 5, "c"), table, "r1", 2L,
+      Seq("id"), ts = 3000L)
+    // stats-pruned upsert rewrites ONLY batch 0 (key 3 ∈ [0,4]);
+    // its rewrite commits LAST (ts 4000), so a 1-batch-per-trigger
+    // fresh stream admits older plain appends before the rewrite
+    CommitLog.upsert(spark, table, Seq((3L, "NEW-3")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 4000L, statsCols = Seq("id"))
+
+    val q = spark.readStream.format("graft_commitlog")
+      .option("maxBatchesPerTrigger", "1").load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+
+    // a fresh stream must deliver exactly the table's current state:
+    // batch 0's rewrite (4 surviving rows), batches 1-2, the new batch
+    assert(sunk(sink) == CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet)
+    assert(sunk(sink).count(_._2.startsWith("a")) == 4,
+      "the rewrite's carried rows must not be dropped by admission control")
+  }
+
+  test("corrupt v2 offset ranges fail loudly instead of materializing unbounded sets") {
+    val e = intercept[RuntimeException] {
+      CommitLogStreamOffset.parse("v2|r:0~9999999999999|")
+    }
+    assert(e.getMessage.contains("corrupt"))
+    val e2 = intercept[RuntimeException] {
+      CommitLogStreamOffset.parse("v2|r:9~3|")
+    }
+    assert(e2.getMessage.contains("corrupt"))
+  }
+
   test("stream reads older narrow-typed batches through parquet type promotion") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clstream6").toString
     val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")

@@ -58,4 +58,30 @@ class CommitLogSinkSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().toSet ==
       rows + ((200L, "v-200")))
   }
+
+  test("an empty micro-batch commits nothing and never breaks the table") {
+    // the r17 bug: an upstream filter dropping a whole epoch wrote no
+    // partition directory but still committed a marker — every later
+    // read of the table then failed with path-does-not-exist
+    val dir = java.nio.file.Files.createTempDirectory("graft-clsink2").toString
+    val (drop, table) = (s"$dir/drop", s"$dir/t")
+    Seq((0L, "dropme")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(drop)
+    Seq((1L, "keep-1")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(drop)
+    val schema = spark.read.parquet(drop).schema
+    // one file per trigger → the all-filtered file is an EMPTY epoch
+    val q = CommitLogSink.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop).where(col("v").startsWith("keep")),
+      table, s"$dir/ckpt", statsCols = Seq("id"))
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    // the table must stay readable: exactly the surviving row, and no
+    // dangling marker for the empty epoch
+    val got = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "keep-1")))
+    assert(CommitLog.committedBatches(spark, table).size == 1,
+      "the empty epoch must not commit a marker")
+  }
 }
