@@ -1113,40 +1113,170 @@ object CommitLog {
       }
     val keys = broadcast(
       ops.select(keyCols.map(c => col(c).as(s"__k_$c")): _*).distinct())
-    val visibleSet = st.committed.toSet
-    val (hfs, _) = fs(spark, table)
-    val rewrites = affected.flatMap { case (r, b) =>
-      val original = spark.read.parquet(s"$table/run_id=$r/batch_id=$b")
-      val unDeleted = st.tombstones
-        .filter(t => t.applies.contains((r, b)) && visibleSet((r, b)))
-        .foldLeft(original)((d, t) =>
-          if (d.columns.contains(t.col)) d.where(!tombstonePred(t)) else d)
-      val matchCond = keyCols.map(c =>
-        unDeleted(c) === keys(s"__k_$c")).reduce(_ && _)
-      val kept = unDeleted.join(keys, matchCond, "left_anti")
-        .localCheckpoint(eager = false)
-      // rewrite id hashed from the merge identity: a RETRY of the
-      // same merge overwrites its own partitions (idempotent), a
-      // later different merge gets fresh ones
+    // rewrite ids hashed from the merge identity: a RETRY of the same
+    // merge overwrites its own partitions (idempotent), a later
+    // different merge gets fresh ones. All affected batches rewrite in
+    // ONE job ([[rewriteBatchSet]]): combined read, one broadcast
+    // anti-join against the merged keys, one dynamic-overwrite write —
+    // a rewrite that kept ZERO rows writes no directory (its add would
+    // dangle and break every future read; the original simply retires
+    // with no replacement).
+    val plan = affected.map { case (r, b) =>
       val h = scala.util.hashing.MurmurHash3.orderedHash(
         Seq(runId, batchId, keyCols.mkString(","), r, b)) & 0x7fffffff
-      val rwRun = f"${r}up$h%08x"
-      writeDataOnly(kept, table, rwRun, b)
-      // a rewrite that kept ZERO rows writes no directory (dynamic
-      // overwrite of an empty frame is a no-op) — adding it anyway
-      // would leave a committed entry with no data behind it and
-      // break every future read; the original simply retires with no
-      // replacement
-      if (!hfs.exists(new org.apache.hadoop.fs.Path(
-          s"$table/run_id=$rwRun/batch_id=$b"))) None
-      else {
-        val rwStats = st.meta.get((r, b)).map(_.stats.map(_.col))
-          .filter(_.nonEmpty).map(statsOf(kept, _)).getOrElse(Seq.empty)
-        Some(TxnAdd(rwRun, b, rwStats, schemaOf(kept)))
-      }
+      RewriteSpec((r, b), f"${r}up$h%08x")
     }
+    val rewrites = rewriteBatchSet(spark, table, st, plan, { df =>
+      val matchCond = keyCols.map(c =>
+        df(c) === keys(s"__k_$c")).reduce(_ && _)
+      df.join(keys, matchCond, "left_anti")
+    }).flatMap(_._2)
     if (affected.isEmpty && newAdd.isEmpty) return // no-op feed
     commitTxn(spark, table, rewrites ++ newAdd, affected, tsv)
+  }
+
+  // ---- single-job copy-on-write rewrites (r18) ---- //
+
+  /** One copy-on-write rewrite: `orig` is rewritten (minus deleted /
+    * merged-away rows) under run id `rwRun` with the SAME batch id;
+    * `wantFiles` asks the rewrite to bin-pack into about that many
+    * files (OPTIMIZE), None preserves the input's file parallelism. */
+  private final case class RewriteSpec(orig: (String, Long), rwRun: String,
+      wantFiles: Option[Int] = None)
+
+  /** Execute MANY copy-on-write batch rewrites as ONE Spark write job
+    * (plus one grouped stats pass) per schema lineage, instead of one
+    * serial job per affected batch — the difference between O(1) and
+    * O(N) jobs when a wide merge or a first OPTIMIZE touches thousands
+    * of batches of a long-lived streaming table. The affected batch
+    * directories are read as one frame with run_id/batch_id carried as
+    * partition columns; live tombstones apply per batch through the
+    * same member predicates [[applyTombstones]] uses; `transform`
+    * (merge's anti-join; identity for compaction) runs once over the
+    * combined frame; each original remaps onto its rewrite run id via
+    * a broadcast mapping and ONE dynamic-partition-overwrite write
+    * lands every rewrite partition atomically-per-partition (exactly
+    * the per-batch write's semantics — an empty rewrite writes no
+    * directory); per-batch row counts and min/max stats come from one
+    * grouped aggregate over the same pinned frame. Only the JOB SHAPE
+    * changes: rewrite ids, marker content, retry idempotency (same
+    * ids → dynamic overwrite of the same partitions) are untouched.
+    *
+    * Batches sharing a recorded marker schema provably share their
+    * physical parquet schema (the marker records the written frame's
+    * schema) and group into one read; batches with no recorded schema
+    * cannot prove that and fall back to singleton groups — the legacy
+    * per-batch shape, paid only by pre-schema-marker writers.
+    *
+    * Returns each spec with its rewrite's TxnAdd, or None when every
+    * row of the original was deleted/merged away (the original then
+    * retires with no replacement). Results keep `plan` order so
+    * marker add-lines stay deterministic. */
+  private def rewriteBatchSet(spark: SparkSession, table: String,
+      st: LogState, plan: Seq[RewriteSpec],
+      transform: DataFrame => DataFrame): Seq[(RewriteSpec, Option[TxnAdd])] = {
+    if (plan.isEmpty) return Seq.empty
+    val visibleSet = st.committed.toSet
+    val groups = plan.groupBy { s =>
+      st.meta.get(s.orig).map(_.schema).filter(_.nonEmpty) match {
+        case Some(sch) => Left(sch)
+        case None => Right(s.orig)
+      }
+    }.values.toSeq
+    val order = plan.zipWithIndex.toMap
+    groups.flatMap(specs =>
+        rewriteGroup(spark, table, st, specs, transform, visibleSet))
+      .sortBy(p => order(p._1))
+  }
+
+  private def rewriteGroup(spark: SparkSession, table: String,
+      st: LogState, specs: Seq[RewriteSpec],
+      transform: DataFrame => DataFrame, visibleSet: Set[(String, Long)])
+      : Seq[(RewriteSpec, Option[TxnAdd])] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StringType, StructField, StructType}
+    val dirs = specs.map(s =>
+      s"$table/run_id=${s.orig._1}/batch_id=${s.orig._2}")
+    val original = spark.read.option("basePath", table).parquet(dirs: _*)
+    val dataCols = original.columns
+      .filterNot(c => c == "run_id" || c == "batch_id").toSeq
+    val origSet = specs.map(_.orig).toSet
+    val liveTombs = st.tombstones
+      .map(t => t.copy(applies = t.applies.filter(k =>
+        origSet(k) && visibleSet(k))))
+      .filter(t => t.applies.nonEmpty && original.columns.contains(t.col))
+    val unDeleted = liveTombs.foldLeft(original) { (acc, t) =>
+      val member = concat_ws("-", col("run_id"), col("batch_id"))
+        .isin(t.applies.map { case (r, b) => s"$r-$b" }: _*)
+      acc.where(!(member && tombstonePred(t)))
+    }
+    val kept = transform(unDeleted)
+    // broadcast (original → rewrite id, file-bucket layout) mapping;
+    // bucket bases are prefix sums so every batch owns a disjoint
+    // dense bucket range and one hash repartition bin-packs ALL
+    // batches at once (a task holding several buckets of one batch
+    // merges them — never MORE than wantFiles files per batch)
+    val bases = specs.scanLeft(0)((acc, s) =>
+      acc + s.wantFiles.getOrElse(1)).init
+    val mapRows = specs.zip(bases).map { case (s, base) =>
+      org.apache.spark.sql.Row(s.orig._1, s.orig._2, s.rwRun, base,
+        s.wantFiles.getOrElse(1))
+    }
+    val mapSchema = StructType(Seq(
+      StructField("__orig_run", StringType, nullable = false),
+      StructField("__orig_batch", LongType, nullable = false),
+      StructField("__rw_run", StringType, nullable = false),
+      StructField("__bucket_base", IntegerType, nullable = false),
+      StructField("__want", IntegerType, nullable = false)))
+    val mapping = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows, 1), mapSchema))
+    val joined = kept.join(mapping,
+      kept("run_id") === mapping("__orig_run") &&
+        kept("batch_id").cast("long") === mapping("__orig_batch"))
+      .withColumn("run_id", col("__rw_run"))
+    val clustered =
+      if (specs.forall(_.wantFiles.isEmpty)) joined
+      else {
+        val totalWant = specs.map(_.wantFiles.getOrElse(1)).sum
+        joined.withColumn("__bucket", (col("__bucket_base") +
+            pmod(xxhash64(monotonically_increasing_id()),
+              col("__want").cast("long")).cast("int")))
+          .repartition(totalWant, col("__bucket"))
+      }
+    val outCols = dataCols.map(col) :+ col("run_id") :+ col("batch_id")
+    val pinned = clustered.select(outCols: _*).localCheckpoint(eager = false)
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id")
+      .parquet(table)
+    // per-rewrite row counts + min/max for the union of the originals'
+    // recorded stats columns, in ONE grouped pass over the pinned frame
+    val statCols = specs
+      .flatMap(s => st.meta.get(s.orig).map(_.stats.map(_.col))
+        .getOrElse(Seq.empty))
+      .distinct.filter(dataCols.contains)
+    val aggs = (count(lit(1)).as("__n") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))).toSeq
+    val byBatch = pinned.groupBy(col("run_id"), col("batch_id"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map(r => (r.getAs[String]("run_id"),
+        r.getAs[Any]("batch_id").toString.toLong) -> r).toMap
+    val types = pinned.schema.fields.map(f => f.name -> f.dataType).toMap
+    val schema = dataCols.map(c => c -> types(c).sql)
+    specs.map { s =>
+      s -> byBatch.get((s.rwRun, s.orig._2)).map { row =>
+        val myCols = st.meta.get(s.orig).map(_.stats.map(_.col))
+          .getOrElse(Seq.empty).filter(statCols.contains)
+        val stats = myCols.flatMap { c =>
+          val mn = row.getAs[Any](s"__mn_$c")
+          val mx = row.getAs[Any](s"__mx_$c")
+          if (mn == null || mx == null) Seq.empty
+          else Seq(ColStats(c,
+            if (types(c).isInstanceOf[NumericType]) "num" else "str",
+            mn.toString, mx.toString))
+        }
+        TxnAdd(s.rwRun, s.orig._2, stats, schema)
+      }
+    }
   }
 
   // ---- row-level DELETE (r16): tombstones + copy-on-write ---- //
@@ -1287,40 +1417,39 @@ object CommitLog {
       targetBytes: Long = 128L * 1024 * 1024, ts: Long = -1L): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val st = logState(spark, table)
-    val visibleSet = st.committed.toSet
     val (hfs, _) = fs(spark, table)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    st.committed.foreach { case (r, b) =>
+    // plan from per-batch file inventories (driver metadata listing),
+    // then ALL fragmented batches rewrite in ONE job: disjoint bucket
+    // ranges per batch let a single hash repartition bin-pack every
+    // batch at once (never more than `want` files per batch)
+    val plan = st.committed.flatMap { case (r, b) =>
       val dirPath = new org.apache.hadoop.fs.Path(
         s"$table/run_id=$r/batch_id=$b")
-      if (hfs.exists(dirPath)) {
+      if (!hfs.exists(dirPath)) None
+      else {
         val files = hfs.listStatus(dirPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
             && !f.getPath.getName.startsWith("."))
         val totalBytes = files.map(_.getLen).sum
         val want = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-        if (files.length > want) {
-          val original = spark.read.parquet(dirPath.toString)
-          val unDeleted = st.tombstones
-            .filter(t => t.applies.contains((r, b)) && visibleSet((r, b)))
-            .foldLeft(original)((d, t) =>
-              if (d.columns.contains(t.col)) d.where(!tombstonePred(t)) else d)
-          val kept = unDeleted.repartition(want.toInt)
-            .localCheckpoint(eager = false)
+        if (files.length <= want) None
+        else {
           val h = scala.util.hashing.MurmurHash3.orderedHash(
             Seq("optimize", files.length, totalBytes, r, b)) & 0x7fffffff
-          val rwRun = f"${r}rw$h%08x"
-          writeDataOnly(kept, table, rwRun, b)
-          val statsCols = st.meta.get((r, b))
-            .map(_.stats.map(_.col)).getOrElse(Seq.empty)
-          if (!hfs.exists(new org.apache.hadoop.fs.Path(
-              s"$table/run_id=$rwRun/batch_id=$b")))
-            commitTxn(spark, table, Seq.empty, Seq((r, b)), tsv)
-          else commitWithMeta(spark, table, rwRun, b,
-            if (statsCols.isEmpty) Seq.empty else statsOf(kept, statsCols),
-            schemaOf(kept), tsv, Seq((r, b)))
+          Some(RewriteSpec((r, b), f"${r}rw$h%08x", Some(want.toInt)))
         }
       }
+    }
+    rewriteBatchSet(spark, table, st, plan, identity).foreach {
+      case (spec, None) =>
+        // tombstones consumed the whole batch: no directory was
+        // written, so a marker would dangle — the original retires
+        // with no replacement (a retire-only transaction marker)
+        commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
+      case (spec, Some(a)) =>
+        commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
+          a.schema, tsv, Seq(spec.orig))
     }
   }
 
@@ -1349,35 +1478,29 @@ object CommitLog {
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .filter { case (key, ts) => ts.exists(tombstoneMayHit(st, _, key)) }
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    perBatch.foreach { case ((runId, batchId), tombs) =>
-      val dirPath = s"$table/run_id=$runId/batch_id=$batchId"
-      val original = spark.read.parquet(dirPath) // no partition cols
-      val kept = tombs.foldLeft(original)((df, t) =>
-        if (df.columns.contains(t.col)) df.where(!tombstonePred(t)) else df)
-      // rewrite run id: derived from the original so lineage is
-      // readable; hash over the tombstone set so re-running after new
-      // deletes yields a fresh partition, while a retry of the SAME
-      // compaction is idempotent (same name → dynamic overwrite + no-op
-      // commit)
+    // rewrite run id: derived from the original so lineage is
+    // readable; hash over the tombstone set so re-running after new
+    // deletes yields a fresh partition, while a retry of the SAME
+    // compaction is idempotent (same name → dynamic overwrite + no-op
+    // commit). Every affected batch rewrites in ONE Spark job
+    // ([[rewriteBatchSet]] applies each batch's tombstones through
+    // member predicates on the combined frame); markers stay
+    // PER BATCH — each original's retirement and its rewrite's
+    // visibility flip in one atomic rename, exactly as before.
+    val plan = perBatch.map { case ((runId, batchId), tombs) =>
       val h = scala.util.hashing.MurmurHash3.orderedHash(
         tombs.map(t => (t.ts, t.col, t.kind, t.vals))) & 0x7fffffff
-      val rwRun = f"${runId}rw$h%08x"
-      val statsCols = st.meta.get((runId, batchId))
-        .map(_.stats.map(_.col)).getOrElse(Seq.empty)
-      val retires = Seq((runId, batchId))
-      val pinnedKept = kept.localCheckpoint(eager = false)
-      writeDataOnly(pinnedKept, table, rwRun, batchId)
-      // tombstones that consumed the WHOLE batch leave an empty
-      // rewrite — no directory is written, so committing its marker
-      // would dangle; the original retires with no replacement
-      // (a retire-only transaction marker)
-      val (hfs, _) = fs(spark, table)
-      if (!hfs.exists(new org.apache.hadoop.fs.Path(
-          s"$table/run_id=$rwRun/batch_id=$batchId")))
-        commitTxn(spark, table, Seq.empty, retires, tsv)
-      else commitWithMeta(spark, table, rwRun, batchId,
-        if (statsCols.isEmpty) Seq.empty else statsOf(pinnedKept, statsCols),
-        schemaOf(pinnedKept), tsv, retires)
+      RewriteSpec((runId, batchId), f"${runId}rw$h%08x")
+    }
+    rewriteBatchSet(spark, table, st, plan, identity).foreach {
+      case (spec, None) =>
+        // tombstones consumed the WHOLE batch: no directory was
+        // written, so committing a marker would dangle; the original
+        // retires with no replacement (a retire-only txn marker)
+        commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
+      case (spec, Some(a)) =>
+        commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
+          a.schema, tsv, Seq(spec.orig))
     }
   }
 }

@@ -689,6 +689,55 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("wide merge: 64 affected batches rewrite with a FLAT Spark job count") {
+    // the r17 shape was one spark.read→anti-join→write JOB PER BATCH
+    // from a driver loop — wall-clock linear in batch count on a
+    // cluster that could do them all at once. The single-job rewrite
+    // must keep the job count O(1) while every batch still rewrites.
+    val table = java.nio.file.Files.createTempDirectory("graft-txwide").toString + "/t"
+    for (b <- 0 until 64)
+      CommitLog.writeDataOnly(
+        Seq((b.toLong, s"a-$b"), (1000L + b, s"keep-$b")).toDF("id", "v")
+          .coalesce(1), table, "r1", b.toLong)
+    (0 until 64).foreach(b => CommitLog.commitWithMeta(spark, table, "r1",
+      b.toLong, Seq(CommitLog.ColStats("id", "num", b.toString,
+        (1000L + b).toString)),
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L + b))
+
+    val feed = (0 until 64).map(b => (b.toLong, s"NEW-$b")).toDF("id", "v")
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-wide-merge", "single-job rewrite scale gate")
+    try CommitLog.merge(spark, table, feed, Seq("id"), "r2", 0L,
+      ts = 9000L, statsCols = Seq("id"))
+    finally sc.clearJobGroup()
+    var jobs = 0
+    var tries = 0
+    while (tries < 50 && jobs == 0) {
+      jobs = sc.statusTracker.getJobIdsForGroup("graft-wide-merge").length
+      if (jobs == 0) Thread.sleep(100)
+      tries += 1
+    }
+    Thread.sleep(500) // let the status store drain the listener bus
+    jobs = sc.statusTracker.getJobIdsForGroup("graft-wide-merge").length
+    assert(jobs > 0 && jobs <= 16,
+      s"wide merge must submit O(1) jobs, not one per batch: $jobs for 64 batches")
+
+    // and the rewrite is CORRECT: every key updated once, carried rows
+    // survive, every original retired behind a live rewrite
+    val out = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(out.size == 128, s"${out.size}")
+    assert((0 until 64).forall(b => out((b.toLong, s"NEW-$b"))))
+    assert((0 until 64).forall(b => out((1000L + b, s"keep-$b"))))
+    val st = CommitLog.logState(spark, table)
+    assert(st.retired.keySet == (0 until 64).map(b => ("r1", b.toLong)).toSet)
+    assert(st.committed.count(_._1.startsWith("r1up")) == 64,
+      "each original must retire behind its own rewrite partition")
+    // rewrites carry recomputed stats: a point read prunes to one dir
+    val pruned = CommitLog.readCommittedRange(spark, table, "id", 1005L, 1005L).get
+    assert(pruned.count() == 1)
+  }
+
   test("merge past the 10k-key cap: per-column typed envelope prunes, never drops a match") {
     val table = java.nio.file.Files.createTempDirectory("graft-txenv").toString + "/t"
     import spark.implicits._
