@@ -292,7 +292,7 @@ object SparkEntry {
       val ord = t(s, dir, "orders").where(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
       val li = t(s, dir, "lineitem").where(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -306,7 +306,7 @@ object SparkEntry {
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
@@ -315,8 +315,10 @@ object SparkEntry {
     }),
 
     // TPC-H Q7 shape (volume shipping): bidirectional nation-pair
-    // revenue by ship year — a 6-table join where only the fact side
-    // is big; every dimension broadcasts
+    // revenue by ship year — a 6-table join. Only the FIXED-cardinality
+    // nation frames carry broadcast hints; customer/supplier GROW with
+    // scale factor, so AQE picks their regime from runtime sizes (a
+    // forced hint would be an OOM order at 100x)
     "q7_volume_shipping" -> ((s, dir) => {
       val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
         col("n_name").as("cust_nation"))
@@ -326,9 +328,9 @@ object SparkEntry {
         .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1998-01-01")))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
         .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -348,13 +350,13 @@ object SparkEntry {
         col("n_name").as("supp_nation"))
       val reg = t(s, dir, "region").where(col("r_name") === "AMERICA")
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").where(col("p_type").startsWith("ECONOMY"))),
+        .join(t(s, dir, "part").where(col("p_type").startsWith("ECONOMY")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
         .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg((floor(sum(when(col("supp_nation") === "NATION_3",
@@ -372,7 +374,7 @@ object SparkEntry {
             .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
               col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -387,7 +389,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-04-01")))
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg((floor(sum(when(col("p_type").startsWith("PROMO"),
             col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
           / sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -397,7 +399,7 @@ object SparkEntry {
     "q_window_top_parts" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
-      val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      val rev = li.join(part, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
@@ -887,7 +889,7 @@ object SparkEntry {
     // support / confidence / lift from one co-occurrence join
     "q_brand_lift" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").where(col("l_orderkey") < 20000)
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .distinct()
       val nOrders = li.select("ok").distinct().count()
@@ -1241,16 +1243,18 @@ object SparkEntry {
     }),
 
     // funnel analysis: signup → later click → later purchase, stage
-    // mins carried forward stage-to-stage. Each stage is one tiny
-    // per-user aggregate; the per-user stage tables broadcast.
+    // mins carried forward stage-to-stage. Each stage is one per-user
+    // aggregate — user count grows with SF, so no broadcast hint: AQE
+    // broadcasts the stage frames while they fit and falls back to
+    // shuffle joins at scale.
     "q_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir).drop("ts_us", "props")
       def stage(tpe: String) = ev.where(col("event_type") === tpe)
       val s1 = stage("signup").groupBy("user_id").agg(min("ts").as("s_ts"))
-      val s2 = stage("click").join(broadcast(s1), "user_id")
+      val s2 = stage("click").join(s1, "user_id")
         .where(col("ts") > col("s_ts"))
         .groupBy("user_id").agg(min("ts").as("c_ts"))
-      val s3 = stage("purchase").join(broadcast(s2), "user_id")
+      val s3 = stage("purchase").join(s2, "user_id")
         .where(col("ts") > col("c_ts"))
         .groupBy("user_id").agg(min("ts").as("p_ts"))
       s1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"), lit("signup").as("name"), col("n"))
@@ -3116,15 +3120,15 @@ object SparkEntry {
     // TPC-H Q9 shape (product type profit): parts of one type traced
     // through lineitem -> orders / supplier -> nation, profit per
     // nation per order year (no partsupp table, so profit = revenue).
-    // part/supplier/nation broadcast; the only shuffle is the final
-    // two-column agg.
+    // Only nation (fixed 25 rows) is hinted; part/supplier scale with
+    // SF and AQE broadcasts them while they are genuinely small.
     "q9_product_profit" -> ((s, dir) => {
       val prt = t(s, dir, "part").where(col("p_type") === "STANDARD")
       val sup = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
       t(s, dir, "lineitem")
-        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
@@ -3170,7 +3174,7 @@ object SparkEntry {
         .where(col("n_nationkey") < 13)
         .select(col("s_suppkey"))
       val value = t(s, dir, "lineitem")
-        .join(broadcast(sup7), col("l_suppkey") === col("s_suppkey"))
+        .join(sup7, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("l_partkey"),
           floor(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy("l_partkey")
@@ -3211,11 +3215,11 @@ object SparkEntry {
         .where(col("p_type") === "ECONOMY" && col("p_size").between(10, 20))
         .select("p_partkey", "p_name")
       val regional = supply
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(prt, col("l_partkey") === col("p_partkey"))
       val minCost = regional.groupBy(col("p_partkey").as("mp"))
         .agg(min("cost_cents").as("min_cents"))
-      regional.join(broadcast(minCost),
+      regional.join(minCost,
           col("p_partkey") === col("mp") && col("cost_cents") === col("min_cents"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("cost_cents"))
@@ -3236,8 +3240,8 @@ object SparkEntry {
           col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
         .select("p_partkey", "p_brand", "p_type", "p_size")
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -3254,8 +3258,8 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part")
-          .where(col("p_name").startsWith("small")).select("p_partkey")),
+        .join(t(s, dir, "part")
+          .where(col("p_name").startsWith("small")).select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
       val perSupp = li.groupBy("l_partkey", "l_suppkey")
@@ -3263,7 +3267,7 @@ object SparkEntry {
       val perPart = li.groupBy(col("l_partkey").as("pp"))
         .agg(sum(floor(col("l_quantity")).cast("long")).as("part_qty"))
       val qualified = perSupp
-        .join(broadcast(perPart), col("l_partkey") === col("pp"))
+        .join(perPart, col("l_partkey") === col("pp"))
         .where(col("supp_qty") * 2 > col("part_qty"))
         .select("l_suppkey").distinct()
       t(s, dir, "supplier")
@@ -3307,7 +3311,7 @@ object SparkEntry {
           * 100).cast("long")).as("total_cents"))
       val top = rev.agg(max("total_cents").as("max_cents"))
       rev.join(broadcast(top), col("total_cents") === col("max_cents"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_cents"))
         .orderBy("s_suppkey")
@@ -3322,7 +3326,7 @@ object SparkEntry {
         .agg(sum("l_quantity").cast("long").as("total_qty"))
         .where(col("total_qty") > 180)
       big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("total_qty"))
@@ -3343,7 +3347,7 @@ object SparkEntry {
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
           col("l_quantity").between(20, 30))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .where(bands)
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 100).cast("long")).as("revenue_cents"),
