@@ -443,6 +443,61 @@ object SqlScaleSmoke {
       s.stop()
       return
     }
+    // "decontam [mult]": stage attribution for the Bloom-prefilter
+    // decontamination — per scale, time (a) the probe-side Bloom build
+    // (fixed probe set: must be scale-FLAT), (b) the corpus gram
+    // stream alone (the linear part), (c) the full query. The r17
+    // verdict flagged the 2.99x end-to-end ratio as unpinned; this
+    // mode is the measurement.
+    if (args.headOption.contains("decontam")) {
+      val m = if (args.length > 1) args(1).toLong else 10L
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.files.minPartitionNum", cpus0)
+        .config("spark.sql.files.openCostInBytes", (8 << 20).toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val root = java.nio.file.Files.createTempDirectory("decontam-scale").toString
+      generate(s, s"$root/m1", 1L)
+      generate(s, s"$root/m$m", m)
+      def time(fn: => Unit): Double = {
+        fn // warm
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val out = Seq(s"$root/m1", s"$root/m$m").map { dir =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val corpus = docs.where(col("doc_id") >= 20)
+        val probes = docs.where(col("doc_id") < 20)
+        val tBloom = time {
+          graft.ops.Decontaminate.wordNgrams(probes, "doc_id", "text", 4)
+            .select(col("gram")).distinct()
+            .stat.bloomFilter("gram", 100000L, 0.01); ()
+        }
+        val tGrams = time {
+          graft.ops.Decontaminate.wordNgrams(corpus, "doc_id", "text", 4)
+            .count(); ()
+        }
+        val tFull = time {
+          graft.ops.Decontaminate.overlapsBloom(corpus, probes,
+            "doc_id", "text", n = 4, minHits = 1L,
+            expectedItems = 100000L, fpp = 0.01).count(); ()
+        }
+        println(f"DECONTAM $dir bloom $tBloom%.3f grams $tGrams%.3f full $tFull%.3f")
+        (tBloom, tGrams, tFull)
+      }
+      val (b1, g1, f1) = out(0); val (bN, gN, fN) = out(1)
+      println(f"DECONTAM x$m ratios: bloom ${bN / b1}%.2f grams ${gN / g1}%.2f full ${fN / f1}%.2f")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SCALE_DECONTAM.json"),
+        f"""{"metric":"decontam_scale","mult":$m,""" +
+        f""""bloom_secs":[$b1%.3f,$bN%.3f],"gram_secs":[$g1%.3f,$gN%.3f],""" +
+        f""""full_secs":[$f1%.3f,$fN%.3f]}""")
+      s.stop()
+      return
+    }
     // "skew [mult]": run only the adversarial-skew smoke (local iteration)
     if (args.headOption.contains("skew")) {
       val m = if (args.length > 1) args(1).toLong else 10L

@@ -62,7 +62,14 @@ object Decontaminate {
     *
     * Size `expectedItems` at or above the probe's distinct gram count;
     * undersizing only raises the false-positive rate (more survivors
-    * reach the verify join), never changes the answer. */
+    * reach the verify join), never changes the answer.
+    *
+    * Scale pin (r18, `SqlScaleSmoke decontam 10`, BENCH_SCALE_DECONTAM
+    * .json): at 10x corpus the Bloom BUILD is scale-flat (0.30 → 0.16
+    * s — probe-set-sized by design), the corpus gram stream is the
+    * linear part (0.30 → 1.65 s, 5.5x on 10x data — sublinear), and
+    * end-to-end reads 0.99 → 2.01 s = 2.0x; the r17 capture's 2.99x
+    * was t1 fixed-cost amortization plus VM draw, not a scale defect. */
   def overlapsBloom(corpus: DataFrame, probes: DataFrame,
                     idCol: String, textCol: String,
                     n: Int = 8, minHits: Long = 1L,
