@@ -1231,6 +1231,33 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // SQL UPDATE (r18): the UpdateCommitLogCommand the analyzer rule
+    // rewrites `UPDATE graft_commitlog.`/t` SET ... WHERE ...` into —
+    // a self-source merge keyed on the WHERE column. The statement →
+    // command mapping (incl. loud shape rejections) is spec-gated in
+    // CommitLogDataSourceSpec; this entry puts the command's SEMANTICS
+    // (simultaneous assignment, exact matched-set replacement, atomic
+    // marker flip) under the DuckDB oracle.
+    "q_commitlog_update" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "update", "customer") { tbl =>
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        for (b <- 0 to 1)
+          graft.sources.CommitLog.writeBatchWithStats(
+            cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl,
+            "build", b.toLong, Seq("c_custkey", "c_nationkey"), ts = 1000L + b)
+        graft.sources.UpdateCommitLogCommand(tbl,
+          whereCol = "c_nationkey", whereSql = "c_nationkey = 3",
+          sets = Seq("c_acctbal" -> "c_acctbal + 1000.0",
+            "c_mktsegment" -> "'UPDATED'")).run(s)
+      }
+      s.read.format("graft_commitlog").load(table)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -7339,6 +7366,19 @@ object SparkEntry {
         |)
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_commitlog_update" ->
+      """WITH state AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey = 3 THEN 'UPDATED'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_nationkey = 3 THEN c_acctbal + 1000.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_latest_per_key" ->

@@ -147,6 +147,13 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
         if mergeTargetPath(m.targetTable).nonEmpty =>
       rewriteMerge(m, mergeTargetPath(m.targetTable).get)
+    // UPDATE ... SET ... WHERE — like MERGE, intercepted before
+    // Spark's row-level planning (which demands
+    // SupportsRowLevelOperations); maps onto CommitLog.merge with a
+    // self-source keyed on the WHERE column
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+        if updateTargetPath(u.table).nonEmpty =>
+      rewriteUpdate(u, updateTargetPath(u.table).get)
     // InsertIntoStatement holds its target as a FIELD, not a child —
     // operator traversal never visits it (Spark's own ResolveRelations
     // special-cases it the same way). The target resolves to a
@@ -269,6 +276,61 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     case _ => None
+  }
+
+  private def updateTargetPath(p: LogicalPlan): Option[String] =
+    mergeTargetPath(p).orElse(catalogOurLocation(p))
+
+  /** Map `UPDATE t SET c = e, ... WHERE <pred on one column>` onto
+    * [[UpdateCommitLogCommand]] (→ [[CommitLog.merge]] with a
+    * self-source). Everything else fails loudly NAMING the supported
+    * form — updating the wrong rows silently is worse than no
+    * support. */
+  private def rewriteUpdate(
+      u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable,
+      path: String): LogicalPlan = {
+    def fail(why: String): Nothing = sys.error(
+      "graft_commitlog UPDATE supports: SET col = <expr over the " +
+        "row's own columns> [, ...] WHERE <predicate over exactly ONE " +
+        "data column> — the WHERE column keys the underlying merge. " +
+        s"Unsupported here: $why (for multi-column row identity use " +
+        "MERGE INTO ... ON t.k = s.k WHEN MATCHED THEN UPDATE SET *)")
+    val cond = u.condition.getOrElse(fail(
+      "no WHERE clause (a full-table rewrite has no key to merge on; " +
+        "INSERT OVERWRITE a transformed SELECT instead)"))
+    def leaf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+      e.collect { case a: UnresolvedAttribute => a.nameParts.last }
+    val whereCols = leaf(cond).distinct
+    if (whereCols.size != 1)
+      fail(s"WHERE references ${whereCols.size} columns " +
+        s"(${whereCols.mkString(", ")})")
+    val whereCol = whereCols.head
+    if (CommitLogTable.partNames.contains(whereCol))
+      fail(s"WHERE on system column '$whereCol' (batches retire whole " +
+        "via compaction, not row updates)")
+    val strip: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression] = {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    val whereSql = cond.transform(strip).sql
+    val sets = u.assignments.map { a =>
+      val name = a.key match {
+        case k: UnresolvedAttribute => k.nameParts.last
+        case other => fail(s"assignment target '${other.sql}' (need a " +
+          "plain column name)")
+      }
+      if (CommitLogTable.partNames.contains(name))
+        fail(s"SET on system column '$name'")
+      if (name == whereCol)
+        fail(s"SET on the WHERE column '$name' — the WHERE column is " +
+          "the row identity the merge keys on; updating it would " +
+          "mis-key the rewrite")
+      name -> a.value.transform(strip).sql
+    }
+    if (sets.isEmpty) fail("empty SET list")
+    val dup = sets.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
+    if (dup.nonEmpty) fail(s"column(s) assigned twice: ${dup.mkString(", ")}")
+    UpdateCommitLogCommand(path, whereCol, whereSql, sets)
   }
 
   /** Map the supported MERGE shapes onto [[MergeIntoCommitLogCommand]]

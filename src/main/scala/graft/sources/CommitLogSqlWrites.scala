@@ -190,6 +190,59 @@ private[sources] final class CommitLogWriteBuilder(t: CommitLogTable,
   }
 }
 
+/** `UPDATE graft_commitlog.`/t` SET c = e, ... WHERE <pred on ONE
+  * column>` rewritten at analysis into this eager command — the one
+  * DML verb r17 left out (a point update had to be phrased as a MERGE
+  * with a self-source; this command IS that phrasing, automated).
+  *
+  * Mapping: the matched target rows, with the SET list applied (all
+  * assignments evaluate against the ORIGINAL row simultaneously, SQL
+  * semantics), become a [[CommitLog.merge]] self-source keyed on the
+  * WHERE column. The key-equivalence is exact because the predicate
+  * references only that column: the matched set IS "rows whose key
+  * value ∈ the matched value set", so the merge's anti-join removes
+  * exactly the matched rows and the new batch re-inserts their
+  * updated forms — one atomic marker, stats-pruned batch rewrites,
+  * time travel into the pre-update era, exactly the library merge.
+  *
+  * Loudly rejected (a silent approximation would update the wrong
+  * rows): WHERE missing or touching >1 column (no key to equate on —
+  * use MERGE INTO with an explicit ON key), assigning the WHERE
+  * column itself (the source's new values would mis-key the
+  * anti-join), assigning run_id/batch_id (system columns). */
+private[graft] final case class UpdateCommitLogCommand(table: String,
+    whereCol: String, whereSql: String, sets: Seq[(String, String)])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val target = CommitLog.readCommitted(spark, table).getOrElse(sys.error(
+      s"graft_commitlog UPDATE: no committed batches at $table"))
+    val dataCols = target.columns
+      .filterNot(CommitLogTable.partNames.contains).toSeq
+    val unknownSet = sets.map(_._1).filterNot(dataCols.contains)
+    if (unknownSet.nonEmpty) sys.error(
+      s"graft_commitlog UPDATE: SET names unknown column(s) " +
+        s"${unknownSet.mkString(", ")} (table has ${dataCols.mkString(", ")})")
+    if (!dataCols.contains(whereCol)) sys.error(
+      s"graft_commitlog UPDATE: WHERE references unknown column '$whereCol'")
+    val setMap = sets.toMap
+    // one select so every assignment sees the ORIGINAL row (SET a=b,
+    // b=a swaps); store-assignment cast back to the column's type
+    val updated = target.where(expr(whereSql)).select(dataCols.map { c =>
+      setMap.get(c)
+        .map(sqlTxt => expr(sqlTxt).cast(target.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    CommitLog.merge(spark, table, updated, Seq(whereCol),
+      runId = "sql" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10),
+      batchId = 0L,
+      statsCols = CommitLogSqlWrites.defaultStatsCols(updated))
+    Seq.empty
+  }
+}
+
 /** `MERGE INTO graft_commitlog.`/t`` rewritten at analysis into this
   * eager command: Spark's own MERGE planning requires
   * SupportsRowLevelOperations (the Iceberg-weight group-based rewrite

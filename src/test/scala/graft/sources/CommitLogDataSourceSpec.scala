@@ -417,6 +417,59 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE maps onto a self-source merge; unsupported shapes fail loudly") {
+    val table = tmp("graft-dsv2-upd")
+    val mirror = tmp("graft-dsv2-updm")
+    val base = Seq((0L, "a-0", 10L), (1L, "a-1", 20L), (2L, "a-2", 30L),
+      (3L, "a-3", 40L)).toDF("id", "v", "n")
+    CommitLog.writeBatchWithStats(base, table, "r1", 0L, Seq("id"))
+    CommitLog.writeBatchWithStats(base, mirror, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      sess.sql(s"UPDATE graft_commitlog.`$table` " +
+        "SET v = concat(v, '!'), n = n + 100 WHERE id IN (1, 3)")
+      // ≡ the library merge with the equivalent self-source, row-for-row
+      val src = CommitLog.readCommitted(sess, mirror).get
+        .where(col("id").isin(1L, 3L))
+        .select(col("id"), concat(col("v"), lit("!")).as("v"),
+          (col("n") + 100).as("n"))
+      CommitLog.merge(sess, mirror, src, Seq("id"), "m1", 0L,
+        statsCols = Seq("id", "v", "n"))
+      assert(canon(CommitLog.readCommitted(sess, table).get
+          .select("id", "v", "n")) ==
+        canon(CommitLog.readCommitted(sess, mirror).get
+          .select("id", "v", "n")))
+      assert(canon(sess.sql(s"SELECT id, v, n FROM graft_commitlog.`$table`")) ==
+        canon(CommitLog.readCommitted(sess, mirror).get
+          .select("id", "v", "n")))
+      // simultaneous-assignment semantics: SET v = n, n = id reads the
+      // ORIGINAL row for both (n must not see the new v)
+      sess.sql(s"UPDATE graft_commitlog.`$table` " +
+        "SET v = cast(n as string), n = id WHERE id = 0")
+      val r0 = CommitLog.readCommitted(sess, table).get
+        .where(col("id") === 0L).select("v", "n").collect()(0)
+      assert(r0.getString(0) == "10" && r0.getLong(1) == 0L, r0.toString)
+
+      // unsupported shapes fail NAMING the supported form
+      def rejects(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { sess.sql(sql) }
+        assert(e.getMessage.contains(needle),
+          s"$sql =>\n${e.getMessage}")
+      }
+      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x'",
+        "no WHERE clause")
+      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
+        "WHERE id = 1 AND n > 5", "2 columns")
+      rejects(s"UPDATE graft_commitlog.`$table` SET id = 9 WHERE id = 1",
+        "WHERE column")
+      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
+        "WHERE batch_id = 0", "system column")
+      // a no-match UPDATE is a clean no-op
+      val before = CommitLog.committedBatches(sess, table)
+      sess.sql(s"UPDATE graft_commitlog.`$table` SET v = 'x' WHERE id = 999")
+      assert(CommitLog.committedBatches(sess, table) == before)
+    }
+  }
+
   test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF map onto the read pins") {
     val table = tmp("graft-dsv2-tt")
     CommitLog.writeBatch(rows(5, "a"), table, "r1", 0L, ts = 1000L)
