@@ -423,7 +423,8 @@ object CommitLog {
       }
     }
     LogState(entries.result().distinct.sorted, retired.result(),
-      meta.toMap, tombs.result().sortBy(_.ts))
+      meta.toMap, tombs.result().sortBy(t =>
+        (t.ts, t.col, t.kind, t.vals.mkString(","))))
   }
 
   /** Per-batch stats from the log. Batches committed without stats
@@ -744,7 +745,7 @@ object CommitLog {
     * or `<origRun>up<8hex>` (upsert); the original must actually be a
     * log entry — a user run that merely ends in the pattern is not a
     * rewrite. */
-  private def rewriteOf(st: LogState, runId: String,
+  private[sources] def rewriteOf(st: LogState, runId: String,
       batchId: Long): Option[(String, String)] = {
     val m = """^(.*)(rw|up)([0-9a-f]{8})$""".r
     runId match {
@@ -1285,7 +1286,7 @@ object CommitLog {
     * NULL predicate values (row's column is NULL, or the column was
     * added after the row's batch) coalesce to NOT deleted — a delete
     * names values, and NULL never equals a value. */
-  private def tombstonePred(t: Tombstone): org.apache.spark.sql.Column = {
+  private[sources] def tombstonePred(t: Tombstone): org.apache.spark.sql.Column = {
     def l(v: String) = lit(v).cast(t.typ)
     val p = t.kind match {
       case "in" => col(t.col).isin(t.vals.map(l): _*)
@@ -1302,7 +1303,7 @@ object CommitLog {
     * (tombstone-applied) batches, are untouched by construction.
     * With `tombstoneAsOf`, only deletes recorded by that wall time
     * apply (time travel sees pre-delete state). */
-  private def applyTombstones(df: DataFrame, visible: Seq[(String, Long)],
+  private[sources] def applyTombstones(df: DataFrame, visible: Seq[(String, Long)],
       st: LogState, tombstoneAsOf: Option[Long]): DataFrame = {
     val visibleSet = visible.toSet
     val live = st.tombstones

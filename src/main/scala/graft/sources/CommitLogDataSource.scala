@@ -452,6 +452,8 @@ private[sources] final class CommitLogTable(val table: String,
     }
   private[sources] val ignoreDeletes: Boolean =
     Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+  private[sources] val readChangeFeedOpt: Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
   private[sources] val maxBatchesPerTrigger: Option[Int] =
     Option(options.get("maxBatchesPerTrigger")).map(v => v.toIntOption
       .filter(_ > 0).getOrElse(sys.error(
@@ -490,8 +492,18 @@ private[sources] final class CommitLogTable(val table: String,
     CommitLog.rawBatchSet(spark, table, committed, st).schema
   }
 
+  /** The change feed's streaming schema: the table's current data
+    * columns plus the feed meta columns. */
+  private[sources] lazy val feedSchema: StructType = StructType(
+    reconciled.fields.filterNot(f => CommitLogTable.partNames.contains(f.name)) :+
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("change_ts",
+        org.apache.spark.sql.types.LongType))
+
   override def name(): String = s"graft_commitlog.`$table`"
-  override lazy val schema: StructType = knownSchema.getOrElse(reconciled)
+  override lazy val schema: StructType = knownSchema.getOrElse(
+    if (readChangeFeedOpt) feedSchema else reconciled)
   override lazy val dataSchema: StructType = StructType(
     schema.fields.filterNot(f => CommitLogTable.partNames.contains(f.name)))
   override def inferSchema(files: Seq[FileStatus]): Option[StructType] =
@@ -544,7 +556,33 @@ private[sources] final class CommitLogTable(val table: String,
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     reconciled // force the loud empty-table / schema-drift errors
-    new CommitLogScanBuilder(this)
+    if (readChangeFeedOpt) new CommitLogChangesScanBuilder(this)
+    else new CommitLogScanBuilder(this)
+  }
+}
+
+/** Scan rung for `option("readChangeFeed", "true")` — a STREAMING-only
+  * scan: `toMicroBatchStream` is the CDC source; a batch read with the
+  * option fails loudly naming the batch faces (readChangeFeed /
+  * graft_commitlog_changes), because a batch scan of a stream-shaped
+  * option would silently be the wrong thing. */
+private[sources] final class CommitLogChangesScanBuilder(t: CommitLogTable)
+    extends ScanBuilder {
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = t.feedSchema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      sys.error("graft_commitlog: readChangeFeed is a STREAMING option " +
+        "(spark.readStream...); for a batch change feed use " +
+        "CommitLog.readChangeFeed(spark, path, sinceTs) or SQL " +
+        "graft_commitlog_changes('/path', sinceMillis)")
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      if (t.asOfTs.nonEmpty || t.asOfBatch.nonEmpty) sys.error(
+        "graft_commitlog: readChangeFeed tails the live log — " +
+          "asOfBatch/asOfTimestamp are batch-read pins")
+      new CommitLogChangesMicroBatchStream(t.table,
+        StructType(t.feedSchema.fields.dropRight(2)), checkpointLocation,
+        t.maxBatchesPerTrigger)
+    }
   }
 }
 

@@ -36,57 +36,60 @@ final case class CommitLogStreamOffset(read: Set[(String, Long)],
     * one range per batch — never wrong, just uncompressed. Run ids
     * are URL-encoded (':' ';' ',' '|' '~' all escape), keeping the
     * separators unambiguous. */
-  override def json(): String = {
-    def part(s: Set[(String, Long)]): String =
-      s.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ks) =>
-        val ids = ks.map(_._2).toSeq.sorted
-        val ranges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-        ids.foreach { b =>
-          if (ranges.nonEmpty && ranges.last._2 == b - 1)
-            ranges(ranges.length - 1) = (ranges.last._1, b)
-          else ranges += ((b, b))
-        }
-        java.net.URLEncoder.encode(r, "UTF-8") + ":" +
-          ranges.map { case (lo, hi) =>
-            if (lo == hi) s"$lo" else s"$lo~$hi" }.mkString(",")
-      }.mkString(";")
-    "v2|" + part(read) + "|" + part(covered)
-  }
+  override def json(): String =
+    "v2|" + CommitLogStreamOffset.encodePart(read) + "|" +
+      CommitLogStreamOffset.encodePart(covered)
 }
 
 object CommitLogStreamOffset {
+  /** Range-compress one batch set (the v2 wire `part`). */
+  private[sources] def encodePart(s: Set[(String, Long)]): String =
+    s.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      val ranges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      ids.foreach { b =>
+        if (ranges.nonEmpty && ranges.last._2 == b - 1)
+          ranges(ranges.length - 1) = (ranges.last._1, b)
+        else ranges += ((b, b))
+      }
+      java.net.URLEncoder.encode(r, "UTF-8") + ":" +
+        ranges.map { case (lo, hi) =>
+          if (lo == hi) s"$lo" else s"$lo~$hi" }.mkString(",")
+    }.mkString(";")
+
+  private[sources] def decodePart(s: String): Set[(String, Long)] =
+    s.split(";").iterator.filter(_.nonEmpty).flatMap { entry =>
+      val i = entry.lastIndexOf(':')
+      val run = java.net.URLDecoder.decode(entry.substring(0, i), "UTF-8")
+      entry.substring(i + 1).split(",").iterator
+        .filter(_.nonEmpty).flatMap { r =>
+          val j = r.indexOf('~')
+          if (j < 0) Iterator(run -> r.toLong)
+          else {
+            val lo = r.substring(0, j).toLong
+            val hi = r.substring(j + 1).toLong
+            // validate BEFORE expansion: a corrupted/adversarial
+            // checkpoint line like 0~9999999999999 would otherwise
+            // materialize an unbounded in-memory set. The cap is
+            // far above any real table (it already means a 16M-
+            // batch materialized offset) — fail loudly, not OOM.
+            if (hi < lo || hi - lo >= (1L << 24)) sys.error(
+              "graft_commitlog offset: corrupt v2 range " +
+                s"'$r' for run '$run' (need lo <= hi and width " +
+                "< 2^24) — the checkpoint offset file is damaged")
+            (lo to hi).iterator.map(run -> _)
+          }
+        }
+    }.toSet
+
   /** Parse either wire format: v2 range-compressed, or the r16
     * full-enumeration form — an old checkpoint keeps resolving, and
     * its next offset write comes out compressed. */
   def parse(json: String): CommitLogStreamOffset =
     if (json.startsWith("v2|")) {
       val parts = json.substring(3).split("\\|", -1)
-      def decode(s: String): Set[(String, Long)] =
-        s.split(";").iterator.filter(_.nonEmpty).flatMap { entry =>
-          val i = entry.lastIndexOf(':')
-          val run = java.net.URLDecoder.decode(entry.substring(0, i), "UTF-8")
-          entry.substring(i + 1).split(",").iterator
-            .filter(_.nonEmpty).flatMap { r =>
-              val j = r.indexOf('~')
-              if (j < 0) Iterator(run -> r.toLong)
-              else {
-                val lo = r.substring(0, j).toLong
-                val hi = r.substring(j + 1).toLong
-                // validate BEFORE expansion: a corrupted/adversarial
-                // checkpoint line like 0~9999999999999 would otherwise
-                // materialize an unbounded in-memory set. The cap is
-                // far above any real table (it already means a 16M-
-                // batch materialized offset) — fail loudly, not OOM.
-                if (hi < lo || hi - lo >= (1L << 24)) sys.error(
-                  "graft_commitlog offset: corrupt v2 range " +
-                    s"'$r' for run '$run' (need lo <= hi and width " +
-                    "< 2^24) — the checkpoint offset file is damaged")
-                (lo to hi).iterator.map(run -> _)
-              }
-            }
-        }.toSet
-      CommitLogStreamOffset(decode(parts(0)),
-        decode(if (parts.length > 1) parts(1) else ""))
+      CommitLogStreamOffset(decodePart(parts(0)),
+        decodePart(if (parts.length > 1) parts(1) else ""))
     } else {
       val read = Set.newBuilder[(String, Long)]
       val covered = Set.newBuilder[(String, Long)]
@@ -300,4 +303,289 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"CommitLogMicroBatchStream($table)"
+}
+
+/** Offset of the STREAMING change feed: everything the stream has
+  * turned into change events so far — the log entries seen (inserts /
+  * upsert-delete pre-images), the retire marks seen (full-batch
+  * deletes), and a count into the log's deterministic tombstone order
+  * (row deletes). All three are derived from the CURRENT log state at
+  * planning time and immutable once recorded, so checkpoint replay
+  * recomputes the identical events with no side state. */
+final case class CommitLogChangesOffset(entries: Set[(String, Long)],
+    retired: Set[(String, Long)], tombs: Int) extends Offset {
+  override def json(): String =
+    "cdc1|" + CommitLogStreamOffset.encodePart(entries) + "|" +
+      CommitLogStreamOffset.encodePart(retired) + "|" + tombs
+}
+
+object CommitLogChangesOffset {
+  def parse(json: String): CommitLogChangesOffset = {
+    require(json.startsWith("cdc1|"),
+      s"graft_commitlog change-feed offset: unknown wire format '$json'")
+    val parts = json.substring(5).split("\\|", -1)
+    CommitLogChangesOffset(
+      CommitLogStreamOffset.decodePart(parts(0)),
+      CommitLogStreamOffset.decodePart(if (parts.length > 1) parts(1) else ""),
+      if (parts.length > 2 && parts(2).nonEmpty) parts(2).toInt else 0)
+  }
+}
+
+/** The change feed as a STREAMING source (the Delta CDF-as-stream
+  * rung): `spark.readStream.format("graft_commitlog")
+  * .option("readChangeFeed", "true").load(path)` delivers
+  * [[CommitLog.readChangeFeed]]'s (data…, change_type, change_ts)
+  * rows INCREMENTALLY — inserts as batches commit, row deletes as
+  * tombstones land, an upsert as its delete pre-image plus the new
+  * batch's inserts, exactly once across restarts; compaction rewrites
+  * (carried copies) emit nothing. A fresh stream replays the table's
+  * whole recorded history first (Delta's startingVersion=0 shape);
+  * vacuumed pre-images fail loudly exactly like the batch feed.
+  *
+  * Each micro-batch's events are computed with the batch feed's own
+  * set algebra over the OFFSET DELTA (new entries / new retires / new
+  * tombstones — all immutable facts), materialized once as parquet
+  * under the stream's checkpoint (`<ckpt>/graft-cdc-stage/<hash>`),
+  * and served through Spark's vectorized [[ParquetScan]]; a replayed
+  * micro-batch reuses its staged bytes (or deterministically
+  * recomputes them after cleanup). Committed batches' stages are
+  * deleted on [[commit]]. `maxBatchesPerTrigger` admission-controls
+  * the backlog in EVENT units — an upsert rewrite admits together
+  * with its original's retire mark so a partial offset can never
+  * misread a paired retire as a full-batch delete. */
+final class CommitLogChangesMicroBatchStream(table: String,
+    dataSchema: StructType, checkpointLocation: String,
+    maxBatchesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  private def spark = SparkSession.active
+  private[sources] val feedSchema: StructType = StructType(
+    dataSchema.fields :+ StructField("change_type", StringType) :+
+      StructField("change_ts", LongType))
+
+  override def initialOffset(): Offset =
+    CommitLogChangesOffset(Set.empty, Set.empty, 0)
+  override def deserializeOffset(json: String): Offset =
+    CommitLogChangesOffset.parse(json)
+
+  private def tipOf(st: CommitLog.LogState): CommitLogChangesOffset =
+    CommitLogChangesOffset(st.entries.toSet, st.retired.keySet,
+      st.tombstones.size)
+
+  override def latestOffset(): Offset =
+    tipOf(CommitLog.logState(spark, table))
+
+  private var availableNowCap: Option[CommitLogChangesOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(tipOf(CommitLog.logState(spark, table)))
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxBatchesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val st = CommitLog.logState(spark, table)
+    val tip = availableNowCap.getOrElse(tipOf(st))
+    val s = start.asInstanceOf[CommitLogChangesOffset]
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        // admission UNITS keep paired facts together: a rewrite entry
+        // carries its original's retire mark (else the next trigger
+        // would see a new retire with no rewrite and emit a spurious
+        // full-batch delete); an unpaired retire is its own unit;
+        // tombstones are their own units, admitted oldest-first with
+        // everything else by recorded ts
+        val newEntries = (tip.entries -- s.entries).toSeq.sorted
+        val newRetired = (tip.retired -- s.retired).toSet
+        def entryTs(k: (String, Long)): Long =
+          st.meta.get(k).flatMap(_.ts).getOrElse(0L)
+        final case class Unit0(ts: Long, entries: Set[(String, Long)],
+          retires: Set[(String, Long)], tombs: Int)
+        val entryUnits = newEntries.map { case (r, b) =>
+          CommitLog.rewriteOf(st, r, b) match {
+            case Some((orig, _)) if newRetired((orig, b)) =>
+              Unit0(entryTs((r, b)), Set((r, b)), Set((orig, b)), 0)
+            case _ => Unit0(entryTs((r, b)), Set((r, b)), Set.empty, 0)
+          }
+        }
+        val pairedRetires = entryUnits.flatMap(_.retires).toSet
+        val retireUnits = (newRetired -- pairedRetires).toSeq.sorted.map(k =>
+          Unit0(st.retired.getOrElse(k, 0L), Set.empty, Set(k), 0))
+        val tombUnits = st.tombstones.slice(s.tombs, tip.tombs)
+          .zipWithIndex.map { case (t, i) => Unit0(t.ts, Set.empty, Set.empty, 1) }
+        val units = (entryUnits ++ retireUnits ++ tombUnits).sortBy(_.ts)
+        if (units.size <= mf.maxFiles) tip
+        else {
+          val chosen = units.take(mf.maxFiles)
+          // tombstone admission is a COUNT into the deterministic
+          // order — only a ts-PREFIX of the pending tombstones can be
+          // admitted, so admit min(chosen tomb units, prefix length)
+          val tombsAdmitted = chosen.map(_.tombs).sum
+          CommitLogChangesOffset(
+            s.entries ++ chosen.flatMap(_.entries),
+            s.retired ++ chosen.flatMap(_.retires),
+            s.tombs + tombsAdmitted)
+        }
+      case _ => tip
+    }
+  }
+
+  /** The delta's change events as one frame in [[feedSchema]], or None
+    * when the delta is empty. Every input is an immutable recorded
+    * fact, so replay recomputes identical rows. */
+  private def eventsFrame(st: CommitLog.LogState, s: CommitLogChangesOffset,
+      e: CommitLogChangesOffset): Option[DataFrame] = {
+    val sp = spark
+    val (hfs, _) = {
+      val p = new org.apache.hadoop.fs.Path(table)
+      (p.getFileSystem(sp.sparkContext.hadoopConfiguration), p)
+    }
+    def requireDir(r: String, b: Long, why: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$table/run_id=$r/batch_id=$b")
+      if (!hfs.exists(p)) sys.error(
+        s"graft_commitlog change-feed stream needs ($r, $b) for $why, " +
+          "but its directory was vacuumed — history before the vacuum " +
+          "grace window is gone")
+    }
+    def withMeta(df: DataFrame, tpe: String, t: Long): DataFrame =
+      df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
+    val parts = Seq.newBuilder[DataFrame]
+    val newEntries = (e.entries -- s.entries).toSeq.sorted
+    newEntries.foreach { case (r, b) =>
+      val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
+      CommitLog.rewriteOf(st, r, b) match {
+        case None =>
+          requireDir(r, b, "an insert")
+          parts += withMeta(CommitLog.rawBatchSet(sp, table, Seq((r, b)), st)
+            .drop("run_id", "batch_id"), "insert", ts)
+        case Some((orig, "up")) =>
+          val rts = st.retired.getOrElse((orig, b), 0L)
+          requireDir(orig, b, "an upsert's pre-image")
+          requireDir(r, b, "an upsert rewrite")
+          val before = CommitLog.applyTombstones(
+            CommitLog.rawBatchSet(sp, table, Seq((orig, b)), st),
+            Seq((orig, b)), st, tombstoneAsOf = Some(rts))
+            .drop("run_id", "batch_id")
+          val after = CommitLog.rawBatchSet(sp, table, Seq((r, b)), st)
+            .drop("run_id", "batch_id")
+          parts += withMeta(before.exceptAll(
+            after.select(before.columns.map(col): _*)), "delete", rts)
+        case Some(_) => () // compaction rewrite: carried copies, no events
+      }
+    }
+    (e.retired -- s.retired).toSeq.sorted.foreach { case (r, b) =>
+      val hasRewriteEntry = e.entries.exists { case (r2, b2) =>
+        b2 == b && r2 != r &&
+          CommitLog.rewriteOf(st, r2, b2).exists(_._1 == r) }
+      if (!hasRewriteEntry) {
+        val rts = st.retired.getOrElse((r, b), 0L)
+        requireDir(r, b, "a full-batch delete's pre-image")
+        parts += withMeta(CommitLog.applyTombstones(
+          CommitLog.rawBatchSet(sp, table, Seq((r, b)), st),
+          Seq((r, b)), st, tombstoneAsOf = Some(rts))
+          .drop("run_id", "batch_id"), "delete", rts)
+      }
+    }
+    st.tombstones.slice(s.tombs, e.tombs).foreach { t =>
+      t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") }
+      if (t.applies.nonEmpty) {
+        val visible = CommitLog.applyTombstones(
+          CommitLog.rawBatchSet(sp, table, t.applies, st),
+          t.applies, st, tombstoneAsOf = Some(t.ts - 1))
+        parts += withMeta(visible.drop("run_id", "batch_id")
+          .where(coalesce(CommitLog.tombstonePred(t), lit(false))), "delete", t.ts)
+      }
+    }
+    val all = parts.result()
+    if (all.isEmpty) None
+    else {
+      val union = all.reduce(_.unionByName(_, allowMissingColumns = true))
+      Some(union.select(feedSchema.fields.toSeq.map { f =>
+        if (union.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*))
+    }
+  }
+
+  private def stageDir(s: CommitLogChangesOffset,
+      e: CommitLogChangesOffset): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(
+      s.json() + "->" + e.json()) & 0x7fffffff
+    f"$checkpointLocation/graft-cdc-stage/$h%08x"
+  }
+
+  // stages created this run, planning order — committed ones delete
+  private val staged =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitLogChangesOffset]
+    val e = end.asInstanceOf[CommitLogChangesOffset]
+    val sp = spark
+    val dir = stageDir(s, e)
+    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val hfs = success.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(success)) {
+      val st = CommitLog.logState(sp, table)
+      eventsFrame(st, s, e) match {
+        case None => return Array.empty
+        case Some(df) => df.write.mode("overwrite").parquet(dir)
+      }
+    }
+    staged.synchronized { staged(e.json()) = dir }
+    // a staged-but-empty frame (all events filtered) still has _SUCCESS
+    val files = hfs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return Array.empty
+    stageScan(Seq(dir)).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    stageScan(Seq.empty).toBatch.createReaderFactory()
+
+  private def stageScan(dirs: Seq[String]): ParquetScan = {
+    val sp = spark
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      sp, dirs.map(new org.apache.hadoop.fs.Path(_)), Map.empty,
+      Some(feedSchema),
+      org.apache.spark.sql.execution.datasources.FileStatusCache.getOrCreate(sp),
+      None, None)
+    ParquetScan(sp, sp.sessionState.newHadoopConfWithOptions(Map.empty),
+      index, feedSchema, feedSchema, StructType(Seq.empty), Array.empty,
+      CaseInsensitiveStringMap.empty())
+  }
+
+  /** Spark committed every batch up to `end`: their staged parquet is
+    * consumed and deletable (a later replay would start after `end`).
+    * The stage for `end` itself stays until a LATER commit passes it —
+    * conservative, bounded by one stage dir per in-flight batch. */
+  override def commit(end: Offset): Unit = {
+    val endJson = end.json()
+    staged.synchronized {
+      val keys = staged.keys.toSeq
+      val cut = keys.indexOf(endJson)
+      if (cut > 0) {
+        val sp = spark
+        keys.take(cut).foreach { k =>
+          val dir = staged.remove(k)
+          dir.foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val hfs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+            try hfs.delete(p, true)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      }
+    }
+  }
+  override def stop(): Unit = ()
+  override def toString: String = s"CommitLogChangesMicroBatchStream($table)"
 }

@@ -275,6 +275,101 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(sunk(sink) == Set((1L, "a-1"), (2L, "a-2"), (10L, "b-10")))
   }
 
+  test("streaming change feed: exactly-once CDC across restarts; upsert = one delete+insert pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    def drainCdc(ck: String, out: String): Unit = {
+      val q = spark.readStream.format("graft_commitlog")
+        .option("readChangeFeed", "true").load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    def events(out: String): Seq[(Long, String, String, Long)] =
+      spark.read.parquet(out).select("id", "v", "change_type", "change_ts")
+        .as[(Long, String, String, Long)].collect().toSeq.sorted
+
+    CommitLog.writeBatchWithStats(rows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    drainCdc(ckpt, sink)
+    assert(events(sink) == (0 until 5)
+      .map(i => (i.toLong, s"a-$i", "insert", 1000L)).sorted)
+
+    // upsert (update id 3, insert id 100) + a row delete, then resume:
+    // the RESTARTED stream delivers exactly the incremental events
+    CommitLog.upsert(spark, table,
+      Seq((3L, "NEW-3"), (100L, "NEW-100")).toDF("id", "v"),
+      "id", "r2", 0L, ts = 2000L, statsCols = Seq("id"))
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 3000L)
+    drainCdc(ckpt, sink)
+    val all = events(sink)
+    assert(all.count(_ == ((3L, "a-3", "delete", 2000L))) == 1,
+      s"upsert pre-image exactly once: $all")
+    assert(all.count(_ == ((3L, "NEW-3", "insert", 2000L))) == 1)
+    assert(all.count(_ == ((100L, "NEW-100", "insert", 2000L))) == 1)
+    assert(all.count(_ == ((1L, "a-1", "delete", 3000L))) == 1,
+      s"tombstone delete exactly once: $all")
+    assert(all.size == 9, s"5 inserts + upsert pair + 1 delete: $all")
+
+    // idle restart: nothing re-delivers
+    drainCdc(ckpt, sink)
+    assert(events(sink).size == 9)
+    // compaction (carried copies) emits NOTHING on the change feed
+    CommitLog.compactDeletes(spark, table, ts = 4000L)
+    drainCdc(ckpt, sink)
+    assert(events(sink).size == 9, "compaction must not re-report")
+    // a later append arrives incrementally
+    CommitLog.writeBatch(rows(200, 2, "late"), table, "r1", 1L, ts = 5000L)
+    drainCdc(ckpt, sink)
+    assert(events(sink).size == 11)
+    assert(events(sink).count(_._3 == "insert") == 9)
+
+    // a FRESH stream replays the table's whole recorded history
+    val (ckpt2, sink2) = (s"$dir/ckpt2", s"$dir/sink2")
+    drainCdc(ckpt2, sink2)
+    val hist = events(sink2)
+    assert(hist.size == 11, hist.toString)
+    assert(hist.count(_._3 == "delete") == 2)
+
+    // batch read with the streaming option fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft_commitlog")
+        .option("readChangeFeed", "true").load(table).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage match { case null => "" case m => m }) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("STREAMING"))
+  }
+
+  test("streaming change feed: maxBatchesPerTrigger paces the history replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream2").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    for (b <- 0 until 5)
+      CommitLog.writeBatch(rows(b * 10, 2, s"b$b"), table, "r1", b.toLong,
+        ts = 1000L * (b + 1))
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(0L), ts = 9000L)
+    val q = spark.readStream.format("graft_commitlog")
+      .option("readChangeFeed", "true")
+      .option("maxBatchesPerTrigger", "2").load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select("id", "v", "change_type").as[(Long, String, String)]
+      .collect().toSeq
+    assert(got.size == 11, s"10 inserts + 1 delete: $got") // 5x2 + delete
+    assert(got.count(_._3 == "delete") == 1)
+    // ceil(6 units / 2) = 3 rate-limited micro-batches
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits == 3, s"expected 3 paced micro-batches, got $commits")
+  }
+
   test("an old checkpoint keeps resolving across compactLog") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clstream4").toString
     val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
