@@ -115,6 +115,24 @@ object CommitLog {
       }
     }
 
+  // per-FILE stats wire format (r18, recorded by OPTIMIZE ... ZORDER
+  // BY): `escFile@escStatsBlob|...` — the stats blob is the ordinary
+  // encodeStats form escaped a second level so its ':'/';' (and any
+  // literal '|'/'@' in rendered values or file names) cannot collide
+  // with the outer separators; unesc() already decodes %7c/%40.
+  private def escF(s: String): String =
+    esc(s).replace("|", "%7c").replace("@", "%40")
+  private def encodeFileStats(v: Seq[(String, Seq[ColStats])]): String =
+    v.map { case (f, st) => escF(f) + "@" + escF(encodeStats(st)) }
+      .mkString("|")
+  private def decodeFileStats(s: String): Seq[(String, Seq[ColStats])] =
+    s.split("\\|").toSeq.filter(_.nonEmpty).flatMap { part =>
+      part.split("@", 2) match {
+        case Array(f, blob) => Seq((unesc(f), decodeStats(unesc(blob))))
+        case _ => Seq.empty
+      }
+    }
+
   // ---- schema-in-marker (r15): evolution without footer reads ---- //
 
   /** The (name, type-DDL) fingerprint of a batch frame, recorded in
@@ -234,7 +252,8 @@ object CommitLog {
   def commitWithMeta(spark: SparkSession, table: String, runId: String,
       batchId: Long, stats: Seq[ColStats],
       schema: Seq[(String, String)], ts: Long = -1L,
-      retires: Seq[(String, Long)] = Seq.empty): Unit = {
+      retires: Seq[(String, Long)] = Seq.empty,
+      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
@@ -253,9 +272,11 @@ object CommitLog {
     val retiresLine =
       if (retires.isEmpty) ""
       else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
+    val fstatsLine =
+      if (fileStats.isEmpty) "" else s"fstats=${encodeFileStats(fileStats)}\n"
     val out = hfs.create(tmp, true)
     try out.write(
-      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine$retiresLine"
+      s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine$fstatsLine$retiresLine"
         .getBytes("UTF-8"))
     finally out.close()
     // retiring commits (compactDeletes rewrites) get the same
@@ -278,7 +299,8 @@ object CommitLog {
     * (older writers, pre-stats snapshots) are empty/None — readers
     * degrade conservatively. */
   final case class BatchMeta(stats: Seq[ColStats],
-      schema: Seq[(String, String)], ts: Option[Long])
+      schema: Seq[(String, String)], ts: Option[Long],
+      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty)
 
   /** One row-level DELETE recorded in the log: `pred` rows are gone
     * from exactly the `applies` batches (the committed set at delete
@@ -358,6 +380,10 @@ object CommitLog {
         meta(key) = BatchMeta(stats, schema, ts)
       if (parts.length > 4 && parts(4).nonEmpty)
         parts(4).toLongOption.foreach(t => retired += key -> t)
+      if (parts.length > 5 && parts(5).nonEmpty) {
+        val prev = meta.getOrElse(key, BatchMeta(stats, schema, ts))
+        meta(key) = prev.copy(fileStats = decodeFileStats(parts(5)))
+      }
     }
     files.foreach { st =>
       val n = st.getPath.getName
@@ -383,19 +409,21 @@ object CommitLog {
         var stats = Seq.empty[ColStats]
         var schema = Seq.empty[(String, String)]
         var ts = Option.empty[Long]
+        var fstats = Seq.empty[(String, Seq[ColStats])]
         var retires = Seq.empty[(String, Long)]
         readText(st.getPath).linesIterator.foreach { l =>
           if (l.startsWith("stats=")) stats = decodeStats(l.stripPrefix("stats="))
           else if (l.startsWith("schema=")) schema = decodeSchema(l.stripPrefix("schema="))
           else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption
+          else if (l.startsWith("fstats=")) fstats = decodeFileStats(l.stripPrefix("fstats="))
           else if (l.startsWith("retires=")) retires =
             l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
               val i = e.lastIndexOf(',')
               (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
             }
         }
-        if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
-          meta(key) = BatchMeta(stats, schema, ts)
+        if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty || fstats.nonEmpty)
+          meta(key) = BatchMeta(stats, schema, ts, fstats)
         retires.foreach(k => retired += k -> ts.getOrElse(0L))
       } else if (n.endsWith(".snapshot")) {
         // snapshot line: the folded per-batch form (earlier fields may
@@ -693,7 +721,8 @@ object CommitLog {
         m.map(_.stats).filter(_.nonEmpty).map(encodeStats),
         m.map(_.schema).filter(_.nonEmpty).map(encodeSchema),
         m.flatMap(_.ts).map(_.toString),
-        st.retired.get((r, b)).map(_.toString))
+        st.retired.get((r, b)).map(_.toString),
+        m.map(_.fileStats).filter(_.nonEmpty).map(encodeFileStats))
       val upto = fields.lastIndexWhere(_.isDefined)
       if (upto < 0) s"$r,$b"
       else s"$r,$b\t" +
@@ -917,7 +946,8 @@ object CommitLog {
     * the marker metadata a single-batch commit would have recorded. */
   final case class TxnAdd(runId: String, batchId: Long,
       stats: Seq[ColStats] = Seq.empty,
-      schema: Seq[(String, String)] = Seq.empty)
+      schema: Seq[(String, String)] = Seq.empty,
+      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty)
 
   /** Commit SEVERAL already-written partitions — and retire others —
     * in ONE atomic marker rename: the multi-batch visibility flip an
@@ -939,9 +969,12 @@ object CommitLog {
       val fields = Seq(
         Some(a.stats).filter(_.nonEmpty).map(encodeStats),
         Some(a.schema).filter(_.nonEmpty).map(encodeSchema),
-        Some(tsv.toString))
+        Some(tsv.toString),
+        None, // retire-ts slot: adds never retire themselves
+        Some(a.fileStats).filter(_.nonEmpty).map(encodeFileStats))
+      val upto = fields.lastIndexWhere(_.isDefined)
       s"add=${a.runId},${a.batchId}\t" +
-        fields.map(_.getOrElse("")).mkString("\t") + "\n"
+        fields.take(upto + 1).map(_.getOrElse("")).mkString("\t") + "\n"
     }.mkString
     val retiresLine =
       if (retires.isEmpty) ""
@@ -1175,7 +1208,8 @@ object CommitLog {
     * marker add-lines stay deterministic. */
   private def rewriteBatchSet(spark: SparkSession, table: String,
       st: LogState, plan: Seq[RewriteSpec],
-      transform: DataFrame => DataFrame): Seq[(RewriteSpec, Option[TxnAdd])] = {
+      transform: DataFrame => DataFrame,
+      zorderBy: Seq[String] = Seq.empty): Seq[(RewriteSpec, Option[TxnAdd])] = {
     if (plan.isEmpty) return Seq.empty
     val visibleSet = st.committed.toSet
     val groups = plan.groupBy { s =>
@@ -1186,13 +1220,14 @@ object CommitLog {
     }.values.toSeq
     val order = plan.zipWithIndex.toMap
     groups.flatMap(specs =>
-        rewriteGroup(spark, table, st, specs, transform, visibleSet))
+        rewriteGroup(spark, table, st, specs, transform, visibleSet, zorderBy))
       .sortBy(p => order(p._1))
   }
 
   private def rewriteGroup(spark: SparkSession, table: String,
       st: LogState, specs: Seq[RewriteSpec],
-      transform: DataFrame => DataFrame, visibleSet: Set[(String, Long)])
+      transform: DataFrame => DataFrame, visibleSet: Set[(String, Long)],
+      zorderBy: Seq[String] = Seq.empty)
       : Seq[(RewriteSpec, Option[TxnAdd])] = {
     import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StringType, StructField, StructType}
     val dirs = specs.map(s =>
@@ -1234,8 +1269,22 @@ object CommitLog {
       kept("run_id") === mapping("__orig_run") &&
         kept("batch_id").cast("long") === mapping("__orig_batch"))
       .withColumn("run_id", col("__rw_run"))
+    val zCols = zorderBy.filter(dataCols.contains)
     val clustered =
-      if (specs.forall(_.wantFiles.isEmpty)) joined
+      if (zCols.nonEmpty) {
+        // Z-ORDER layout: one range exchange over (batch, z-value)
+        // keeps each batch's rows contiguous AND z-clustered, so every
+        // output file covers a tight range of EVERY z column — the
+        // per-file stats recorded below then prune files the way batch
+        // stats prune directories. Sorting within partitions tightens
+        // parquet row-group stats as well.
+        val totalWant = specs.map(_.wantFiles.getOrElse(1)).sum
+        val z = graft.ops.Layout.zorderValue(joined, zCols)
+        joined.withColumn("__z", z)
+          .repartitionByRange(math.max(totalWant, 1),
+            col("run_id"), col("batch_id"), col("__z"))
+          .sortWithinPartitions(col("run_id"), col("batch_id"), col("__z"))
+      } else if (specs.forall(_.wantFiles.isEmpty)) joined
       else {
         val totalWant = specs.map(_.wantFiles.getOrElse(1)).sum
         joined.withColumn("__bucket", (col("__bucket_base") +
@@ -1251,9 +1300,9 @@ object CommitLog {
       .parquet(table)
     // per-rewrite row counts + min/max for the union of the originals'
     // recorded stats columns, in ONE grouped pass over the pinned frame
-    val statCols = specs
+    val statCols = (specs
       .flatMap(s => st.meta.get(s.orig).map(_.stats.map(_.col))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty)) ++ zCols)
       .distinct.filter(dataCols.contains)
     val aggs = (count(lit(1)).as("__n") +: statCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))).toSeq
@@ -1263,19 +1312,45 @@ object CommitLog {
         r.getAs[Any]("batch_id").toString.toLong) -> r).toMap
     val types = pinned.schema.fields.map(f => f.name -> f.dataType).toMap
     val schema = dataCols.map(c => c -> types(c).sql)
+    def render(c: String, mn: Any, mx: Any): Seq[ColStats] =
+      if (mn == null || mx == null) Seq.empty
+      else Seq(ColStats(c,
+        if (types(c).isInstanceOf[NumericType]) "num" else "str",
+        mn.toString, mx.toString))
+    // per-FILE stats for the z-order columns (one grouped pass over
+    // the freshly-written rewrite dirs): the marker-level analogue of
+    // Delta's per-file stats — readers prune FILES inside surviving
+    // batch directories before any footer is opened
+    val fileStats: Map[(String, Long), Seq[(String, Seq[ColStats])]] =
+      if (zCols.isEmpty) Map.empty
+      else {
+        val dirs = specs.filter(s => byBatch.contains((s.rwRun, s.orig._2)))
+          .map(s => s"$table/run_id=${s.rwRun}/batch_id=${s.orig._2}")
+        if (dirs.isEmpty) Map.empty
+        else {
+          val fAggs = (count(lit(1)).as("__n") +: zCols.flatMap(c =>
+            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))).toSeq
+          spark.read.option("basePath", table).parquet(dirs: _*)
+            .withColumn("__f", input_file_name())
+            .groupBy(col("run_id"), col("batch_id"), col("__f"))
+            .agg(fAggs.head, fAggs.tail: _*).collect()
+            .groupBy(r => (r.getAs[String]("run_id"),
+              r.getAs[Any]("batch_id").toString.toLong))
+            .map { case (k, rs) => k -> rs.toSeq.map { r =>
+              val fname = r.getAs[String]("__f").split('/').last
+              fname -> zCols.flatMap(c =>
+                render(c, r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")))
+            }.sortBy(_._1) }
+        }
+      }
     specs.map { s =>
       s -> byBatch.get((s.rwRun, s.orig._2)).map { row =>
-        val myCols = st.meta.get(s.orig).map(_.stats.map(_.col))
-          .getOrElse(Seq.empty).filter(statCols.contains)
-        val stats = myCols.flatMap { c =>
-          val mn = row.getAs[Any](s"__mn_$c")
-          val mx = row.getAs[Any](s"__mx_$c")
-          if (mn == null || mx == null) Seq.empty
-          else Seq(ColStats(c,
-            if (types(c).isInstanceOf[NumericType]) "num" else "str",
-            mn.toString, mx.toString))
-        }
-        TxnAdd(s.rwRun, s.orig._2, stats, schema)
+        val myCols = (st.meta.get(s.orig).map(_.stats.map(_.col))
+          .getOrElse(Seq.empty) ++ zCols).distinct.filter(statCols.contains)
+        val stats = myCols.flatMap(c =>
+          render(c, row.getAs[Any](s"__mn_$c"), row.getAs[Any](s"__mx_$c")))
+        TxnAdd(s.rwRun, s.orig._2, stats, schema,
+          fileStats.getOrElse((s.rwRun, s.orig._2), Seq.empty))
       }
     }
   }
@@ -1415,15 +1490,24 @@ object CommitLog {
     * partition and no-ops on the marker. Single-writer like every
     * mutating operation. */
   def compactFiles(spark: SparkSession, table: String,
-      targetBytes: Long = 128L * 1024 * 1024, ts: Long = -1L): Unit = {
+      targetBytes: Long = 128L * 1024 * 1024, ts: Long = -1L,
+      zorderBy: Seq[String] = Seq.empty): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(!zorderBy.exists(c => c == "run_id" || c == "batch_id"),
+      "ZORDER BY needs data columns — run_id/batch_id are the " +
+        "partition layout itself")
     val st = logState(spark, table)
     val (hfs, _) = fs(spark, table)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
     // plan from per-batch file inventories (driver metadata listing),
-    // then ALL fragmented batches rewrite in ONE job: disjoint bucket
+    // then ALL planned batches rewrite in ONE job: disjoint bucket
     // ranges per batch let a single hash repartition bin-pack every
-    // batch at once (never more than `want` files per batch)
+    // batch at once (never more than `want` files per batch). Plain
+    // OPTIMIZE rewrites only fragmented batches; OPTIMIZE ... ZORDER
+    // BY rewrites EVERY batch (re-clustering is the point — like
+    // Delta, a repeat invocation re-clusters; a RETRY of a crashed
+    // pass stays idempotent because the hash covers the file
+    // inventory, unchanged until the swap lands).
     val plan = st.committed.flatMap { case (r, b) =>
       val dirPath = new org.apache.hadoop.fs.Path(
         s"$table/run_id=$r/batch_id=$b")
@@ -1434,15 +1518,17 @@ object CommitLog {
             && !f.getPath.getName.startsWith("."))
         val totalBytes = files.map(_.getLen).sum
         val want = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-        if (files.length <= want) None
+        if (files.length <= want && zorderBy.isEmpty) None
+        else if (files.isEmpty) None
         else {
           val h = scala.util.hashing.MurmurHash3.orderedHash(
-            Seq("optimize", files.length, totalBytes, r, b)) & 0x7fffffff
+            Seq("optimize", zorderBy.mkString(","), files.length,
+              totalBytes, r, b)) & 0x7fffffff
           Some(RewriteSpec((r, b), f"${r}rw$h%08x", Some(want.toInt)))
         }
       }
     }
-    rewriteBatchSet(spark, table, st, plan, identity).foreach {
+    rewriteBatchSet(spark, table, st, plan, identity, zorderBy).foreach {
       case (spec, None) =>
         // tombstones consumed the whole batch: no directory was
         // written, so a marker would dangle — the original retires
@@ -1450,7 +1536,7 @@ object CommitLog {
         commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
       case (spec, Some(a)) =>
         commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
-          a.schema, tsv, Seq(spec.orig))
+          a.schema, tsv, Seq(spec.orig), a.fileStats)
     }
   }
 

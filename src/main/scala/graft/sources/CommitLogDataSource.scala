@@ -717,8 +717,36 @@ private[sources] final class CommitLogScanBuilder(t: CommitLogTable)
       t.asOfTs.forall(tb.ts <= _) && tb.applies.exists(survivingSet))
     if (surviving.nonEmpty && oneLineage && !tombstoned) {
       val spark = t.spark
+      // per-FILE pruning inside surviving batches (stats recorded by
+      // OPTIMIZE ... ZORDER BY): a batch whose marker carries per-file
+      // min/max lists only the files every bound may match — the
+      // Delta-manifest rung below directory-level pruning. Data files
+      // of committed batches are immutable, and a file with no stats
+      // row for a bound's column stays conservatively.
+      def fileMayMatch(stats: Seq[CommitLog.ColStats], b: Bound): Boolean =
+        if (b.name == "run_id" || b.name == "batch_id") true
+        else stats.find(_.col == b.name) match {
+          case None => true
+          case Some(s) => b.anyOf match {
+            case Some(vs) =>
+              vs.exists(v => CommitLog.statsMayMatch(s, Some(v), Some(v)))
+            case None => CommitLog.statsMayMatch(s, b.lo, b.hi)
+          }
+        }
+      val filePruned = bounds.nonEmpty && surviving.exists(key =>
+        t.st.meta.get(key).exists(_.fileStats.nonEmpty))
       val index =
-        if (surviving == t.committed) t.fileIndex // reuse the table listing
+        if (filePruned) {
+          val paths = surviving.flatMap { key =>
+            val fst = t.st.meta.get(key).map(_.fileStats).getOrElse(Seq.empty)
+            val dir = s"${t.table}/run_id=${key._1}/batch_id=${key._2}"
+            if (fst.isEmpty) Seq(new Path(dir))
+            else fst.filter(f => bounds.forall(b => fileMayMatch(f._2, b)))
+              .map(f => new Path(s"$dir/${f._1}"))
+          }
+          new InMemoryFileIndex(spark, paths, Map("basePath" -> t.table),
+            Some(fullSchema), FileStatusCache.getOrCreate(spark), None, None)
+        } else if (surviving == t.committed) t.fileIndex // reuse the table listing
         else CommitLogTable.index(spark, t.table, surviving, fullSchema)
       val readPart = StructType(
         required.fields.filter(f => partNames.contains(f.name)))

@@ -13,9 +13,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * Spark's grammar): intercepts the commit-log MAINTENANCE statements
   * and hands everything else to the session parser untouched.
   *
-  *   - `OPTIMIZE graft_commitlog.`/path`` [TARGET <n> MB]` →
-  *     [[CommitLog.compactFiles]] (small-file bin-packing; default
-  *     target 128 MB). Returns (batches_rewritten).
+  *   - `OPTIMIZE graft_commitlog.`/path`` [ZORDER BY (c1, c2)]
+  *     [TARGET <n> MB]` → [[CommitLog.compactFiles]] (small-file
+  *     bin-packing; default target 128 MB). ZORDER BY re-clusters
+  *     every batch on the named data columns and records per-file
+  *     min/max in the markers — scans with bounds on those columns
+  *     then prune FILES inside surviving batch directories. Returns
+  *     (batches_rewritten).
   *   - `VACUUM graft_commitlog.`/path`` [RETAIN <n> HOURS]` →
   *     [[CommitLog.vacuum]] (default 168 h — the Delta default; the
   *     same retention warning applies: a shorter window eats time
@@ -30,15 +34,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class CommitLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val optimizeRe =
-    """(?is)\s*OPTIMIZE\s+graft_commitlog\s*\.\s*`([^`]+)`\s*(?:TARGET\s+(\d+)\s*MB\s*)?;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+graft_commitlog\s*\.\s*`([^`]+)`\s*""" +
+      """(?:ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\)\s*)?""" +
+      """(?:TARGET\s+(\d+)\s*MB\s*)?;?\s*""").r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+graft_commitlog\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s*HOURS?\s*)?;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case optimizeRe(path, target) =>
+    case optimizeRe(path, zorder, target) =>
       OptimizeCommitLogCommand(path,
         Option(target).map(_.toLong * 1024 * 1024)
-          .getOrElse(128L * 1024 * 1024))
+          .getOrElse(128L * 1024 * 1024),
+        Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case vacuumRe(path, hours) =>
       VacuumCommitLogCommand(path,
         Option(hours).map(_.toLong * 3600 * 1000)
@@ -65,12 +73,13 @@ class CommitLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 private[sources] final case class OptimizeCommitLogCommand(
-    table: String, targetBytes: Long) extends LeafRunnableCommand {
+    table: String, targetBytes: Long,
+    zorderBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("batches_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val before = CommitLog.logState(spark, table).committed.toSet
-    CommitLog.compactFiles(spark, table, targetBytes)
+    CommitLog.compactFiles(spark, table, targetBytes, zorderBy = zorderBy)
     val after = CommitLog.logState(spark, table).committed.toSet
     Seq(Row((before -- after).size.toLong))
   }

@@ -521,6 +521,15 @@ class CommitLogDataSourceSpec extends SparkSpec {
         .collect().map(_.getString(0)).toSeq
       assert(ops.contains("rewrite") && ops.contains("retire") &&
         ops.contains("append"), ops.toString)
+      // OPTIMIZE ... ZORDER BY re-clusters every batch and records
+      // per-file stats in the markers
+      val z = sess.sql(s"OPTIMIZE graft_commitlog.`$table` " +
+        "ZORDER BY (id) TARGET 64 MB").collect()
+      assert(z(0).getLong(0) == 1L, s"zorder rewrites the batch: ${z.toSeq}")
+      val st = CommitLog.logState(sess, table)
+      assert(st.committed.forall(k => st.meta(k).fileStats.nonEmpty),
+        "ZORDER must record per-file stats")
+      assert(CommitLog.readCommitted(sess, table).get.count() == 200)
     }
   }
 

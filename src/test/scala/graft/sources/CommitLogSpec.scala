@@ -676,6 +676,62 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("OPTIMIZE ZORDER BY: per-file stats prune files inside surviving batches") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txzorder").toString + "/t"
+    // two batches, 6 files each, x round-robin across files — every
+    // file spans the whole x range, so a point filter must read ALL
+    // files pre-zorder
+    def batch(tag: String) = spark.range(600).select(
+      col("id").as("x"), concat(lit(tag), col("id")).as("v"))
+      .repartition(6)
+    CommitLog.writeBatchWithStats(batch("a-"), table, "r1", 0L, Seq("x"), ts = 1000L)
+    CommitLog.writeBatchWithStats(batch("b-"), table, "r1", 1L, Seq("x"), ts = 2000L)
+    val before = CommitLog.readCommitted(spark, table).get
+      .select("x", "v").as[(Long, String)].collect().toSet
+
+    def filtered() = spark.read.format("graft_commitlog").load(table)
+      .where(col("x").between(0, 9))
+    val preFiles = CommitLogDataSource.scanInputFiles(filtered())
+    assert(preFiles.size == 12, s"every file spans the range: ${preFiles.size}")
+
+    // target sized to keep ~4 files per batch
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchBytes = hfs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$table/run_id=r1/batch_id=0")).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+    CommitLog.compactFiles(spark, table, targetBytes = batchBytes / 4 + 1,
+      ts = 3000L, zorderBy = Seq("x"))
+
+    val st = CommitLog.logState(spark, table)
+    val live = st.committed
+    assert(live.forall(_._1.startsWith("r1rw")), s"every batch re-clustered: $live")
+    assert(live.forall(k => st.meta(k).fileStats.nonEmpty),
+      "markers must record per-file stats")
+    // rows identical; the filtered read now opens a FILE subset
+    assert(CommitLog.readCommitted(spark, table).get
+      .select("x", "v").as[(Long, String)].collect().toSet == before)
+    val postAll = CommitLogDataSource.scanInputFiles(
+      spark.read.format("graft_commitlog").load(table))
+    val postFiltered = CommitLogDataSource.scanInputFiles(filtered())
+    assert(postFiltered.nonEmpty && postFiltered.size < postAll.size,
+      s"x∈[0,9] must prune files: ${postFiltered.size} of ${postAll.size}")
+    assert(postFiltered.size <= live.size * 2,
+      s"~one z-range file per batch: ${postFiltered.size}")
+    assert(filtered().select("x", "v").as[(Long, String)].collect().toSet ==
+      before.filter(r => r._1 >= 0 && r._1 <= 9), "pruning never changes rows")
+
+    // change feed silent (carried copies); pre-zorder time travel intact
+    assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
+    assert(CommitLog.readCommittedAsOfTimestamp(spark, table, 2500L).get
+      .select("x", "v").as[(Long, String)].collect().toSet == before)
+    // per-file stats survive log compaction (folded snapshot field)
+    CommitLog.compactLog(spark, table)
+    val postSnap = CommitLogDataSource.scanInputFiles(filtered())
+    assert(postSnap.toSet == postFiltered.toSet,
+      "file pruning must survive compactLog")
+  }
+
   test("compactFiles folds live tombstones like compactDeletes") {
     val table = java.nio.file.Files.createTempDirectory("graft-txopt2").toString + "/t"
     CommitLog.writeDataOnly(rows(100, "a").repartition(6), table, "r1", 0L)
