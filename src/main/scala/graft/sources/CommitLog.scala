@@ -1491,12 +1491,22 @@ object CommitLog {
     * mutating operation. */
   def compactFiles(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024, ts: Long = -1L,
-      zorderBy: Seq[String] = Seq.empty): Unit = {
+      zorderBy: Seq[String] = Seq.empty): Unit =
+    compactFilesFrom(spark, table, logState(spark, table), targetBytes,
+      ts, zorderBy)
+
+  /** [[compactFiles]] planning from an explicit log-state snapshot —
+    * the OCC race surface made testable: a mutation landing between
+    * this snapshot and the per-batch commits makes exactly the
+    * contended batches skip (commitMaintenance) while the rest of the
+    * pass proceeds. */
+  private[sources] def compactFilesFrom(spark: SparkSession, table: String,
+      st: LogState, targetBytes: Long, ts: Long,
+      zorderBy: Seq[String]): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     require(!zorderBy.exists(c => c == "run_id" || c == "batch_id"),
       "ZORDER BY needs data columns — run_id/batch_id are the " +
         "partition layout itself")
-    val st = logState(spark, table)
     val (hfs, _) = fs(spark, table)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
     // plan from per-batch file inventories (driver metadata listing),
@@ -1528,17 +1538,40 @@ object CommitLog {
         }
       }
     }
+    // empty rewrites retire-only; conflicted batches OCC-skip (a
+    // concurrent mutation won that original) — see commitMaintenance
     rewriteBatchSet(spark, table, st, plan, identity, zorderBy).foreach {
-      case (spec, None) =>
-        // tombstones consumed the whole batch: no directory was
-        // written, so a marker would dangle — the original retires
-        // with no replacement (a retire-only transaction marker)
-        commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
-      case (spec, Some(a)) =>
-        commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
-          a.schema, tsv, Seq(spec.orig), a.fileStats)
+      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv)
     }
   }
+
+  /** Commit one MAINTENANCE rewrite (compactDeletes / compactFiles)
+    * with OCC tolerance: when a concurrent mutation already retired
+    * this original (the [[checkRetireConflict]] loud error), the
+    * racing writer's rewrite IS the current state and ours is stale —
+    * SKIP this batch (the uncommitted rewrite partition stays
+    * structurally invisible; [[vacuum]] reclaims it) and let the rest
+    * of the pass proceed. This is what makes maintenance safe to
+    * SCHEDULE next to a CDC feed: an OPTIMIZE racing a merge loses
+    * exactly the contended batches and commits the disjoint ones,
+    * instead of aborting the whole pass. Data-mutating merges keep
+    * the loud conflict — their source-derived rewrite really is stale.
+    * Returns true when the commit landed. */
+  private def commitMaintenance(spark: SparkSession, table: String,
+      spec: RewriteSpec, add: Option[TxnAdd], tsv: Long): Boolean =
+    try {
+      add match {
+        case None =>
+          commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
+        case Some(a) =>
+          commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
+            a.schema, tsv, Seq(spec.orig), a.fileStats)
+      }
+      true
+    } catch {
+      case e: RuntimeException if e.getMessage != null &&
+          e.getMessage.contains("write conflict") => false
+    }
 
   /** Row-level DELETE, physical phase (copy-on-write at batch
     * granularity): for every batch an un-applied tombstone touches,
@@ -1579,15 +1612,12 @@ object CommitLog {
         tombs.map(t => (t.ts, t.col, t.kind, t.vals))) & 0x7fffffff
       RewriteSpec((runId, batchId), f"${runId}rw$h%08x")
     }
+    // empty rewrite (tombstones consumed the whole batch): no
+    // directory was written, so committing a marker would dangle; the
+    // original retires with no replacement (a retire-only txn marker).
+    // Conflicted batches OCC-skip — see commitMaintenance.
     rewriteBatchSet(spark, table, st, plan, identity).foreach {
-      case (spec, None) =>
-        // tombstones consumed the WHOLE batch: no directory was
-        // written, so committing a marker would dangle; the original
-        // retires with no replacement (a retire-only txn marker)
-        commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
-      case (spec, Some(a)) =>
-        commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
-          a.schema, tsv, Seq(spec.orig))
+      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv)
     }
   }
 }

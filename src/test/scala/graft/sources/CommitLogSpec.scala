@@ -676,6 +676,73 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("OCC maintenance: OPTIMIZE racing a merge skips the contended batch, commits the rest") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txocc").toString + "/t"
+    def frag(lo: Long, tag: String) = (0 until 20)
+      .map(i => (lo + i, s"$tag-$i")).toDF("id", "v").repartition(5)
+    CommitLog.writeDataOnly(frag(0, "a"), table, "r1", 0L)
+    CommitLog.commitWithMeta(spark, table, "r1", 0L,
+      Seq(CommitLog.ColStats("id", "num", "0", "19")),
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L)
+    CommitLog.writeDataOnly(frag(100, "b"), table, "r1", 1L)
+    CommitLog.commitWithMeta(spark, table, "r1", 1L,
+      Seq(CommitLog.ColStats("id", "num", "100", "119")),
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 2000L)
+    // the race, deterministically: OPTIMIZE plans from THIS snapshot...
+    val stale = CommitLog.logState(spark, table)
+    // ...then a CDC merge lands first and retires (r1, 0) behind its
+    // own rewrite (stats prune the merge to batch 0 only)
+    CommitLog.merge(spark, table, Seq((3L, "NEW-3")).toDF("id", "v"),
+      Seq("id"), "cdc", 0L, ts = 3000L, statsCols = Seq("id"))
+    // the stale-planned OPTIMIZE must NOT abort: the contended batch
+    // OCC-skips (the merge's rewrite is the current state), the
+    // disjoint batch compacts
+    CommitLog.compactFilesFrom(spark, table, stale,
+      targetBytes = 128L * 1024 * 1024, ts = 4000L, zorderBy = Seq.empty)
+    val st = CommitLog.logState(spark, table)
+    assert(st.committed.exists(k => k._1.startsWith("r1rw") && k._2 == 1L),
+      s"disjoint batch must compact: ${st.committed}")
+    assert(st.committed.exists(k => k._1.startsWith("r1up") && k._2 == 0L),
+      s"the merge's rewrite must stay the winner: ${st.committed}")
+    // no doubled or lost rows: exactly the merge's result, compacted
+    val out = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(out.size == 40 && out.toSet.size == 40, s"${out.size}")
+    assert(out.count(_._1 == 3L) == 1 &&
+      out.find(_._1 == 3L).get._2 == "NEW-3")
+    // vacuum reclaims the skipped (never-committed) rewrite partition
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    assert(CommitLog.readCommitted(spark, table).get.count() == 40)
+  }
+
+  test("concurrent appends and OPTIMIZE: both succeed with no manual retry") {
+    val table = java.nio.file.Files.createTempDirectory("graft-txocc2").toString + "/t"
+    CommitLog.writeDataOnly(rows(100, "base").repartition(8), table, "r1", 0L)
+    CommitLog.commitWithMeta(spark, table, "r1", 0L, Seq.empty,
+      Seq("id" -> "BIGINT", "v" -> "STRING"), ts = 1000L)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val appender = Future {
+      for (b <- 1 to 5)
+        CommitLog.writeBatch(
+          (0 until 10).map(i => (1000L * b + i, s"app$b-$i")).toDF("id", "v"),
+          table, "r2", b.toLong, ts = 2000L + b)
+    }
+    val optimizer = Future {
+      CommitLog.compactFiles(spark, table, ts = 9000L)
+    }
+    Await.result(appender, 120.seconds)
+    Await.result(optimizer, 120.seconds)
+    // every append visible exactly once; the fragmented base compacted
+    val got = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got.size == 150 && got.toSet.size == 150, s"${got.size}")
+    assert(!CommitLog.committedBatches(spark, table).contains(("r1", 0L)),
+      "base batch must have compacted")
+  }
+
   test("OPTIMIZE ZORDER BY: per-file stats prune files inside surviving batches") {
     val table = java.nio.file.Files.createTempDirectory("graft-txzorder").toString + "/t"
     // two batches, 6 files each, x round-robin across files — every
