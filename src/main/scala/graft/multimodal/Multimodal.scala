@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * MJPEG-in-MP4 frames decoding end-to-end too — with matching
   * pure-JDK encoders ([[MjpegAvi.write]], [[MjpegMp4.write]]) for
   * round-trip tests. Only coded
-  * H.26x frame decode (and compressed audio: mp3/flac/ogg) needs a
+  * H.26x frame decode (and compressed audio: mp3/ogg) needs a
   * native codec absent here; those fall back to the deterministic
   * stubs below with identical operator contracts, so a cluster swaps
   * in a JNI/FFmpeg binding without touching the operator code.
@@ -170,13 +170,21 @@ object Multimodal {
     * the root-mean-square over every channel's samples normalized to
     * full scale [-1, 1] — the loudness feature a speech-corpus filter
     * keys on. Streams frame-buffer-at-a-time, so memory is bounded by
-    * the read buffer, not the clip length. Compressed formats
-    * (mp3/flac/ogg) have no JDK codec → None, surfaced as nulls (the
-    * same contract as unreadable images; swap in a JNI codec on a
-    * cluster for those). */
+    * the read buffer, not the clip length. FLAC decodes for REAL
+    * through the pure-JVM [[Flac]] codec (r18); the remaining
+    * compressed formats (mp3/ogg) have no JDK codec and a conformant
+    * in-JVM decoder is out of scope (patent-thicket DSP) → None,
+    * surfaced as nulls — the PERMANENT external-decoder seam: route
+    * those payloads to a JNI/ffmpeg sidecar and join the decoded
+    * features back on the row id. */
   object JdkAudioCodec {
     def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Double)] = {
       import javax.sound.sampled._
+      // FLAC decodes through the pure-JVM [[Flac]] codec (r18) — the
+      // JDK SPI has no codec for it; mp3/ogg remain the documented
+      // external-decoder boundary (null metadata)
+      if (Flac.isFlac(payload))
+        return Flac.decode(payload).map(a => (a.sampleRate, a.nFrames, a.rms))
       try {
         val in = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
