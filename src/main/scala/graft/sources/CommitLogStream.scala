@@ -517,9 +517,13 @@ final class CommitLogChangesMicroBatchStream(table: String,
 
   private def stageDir(s: CommitLogChangesOffset,
       e: CommitLogChangesOffset): String = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(
-      s.json() + "->" + e.json()) & 0x7fffffff
-    f"$checkpointLocation/graft-cdc-stage/$h%08x"
+    // 62 bits across two seeds: a stage-key collision between two
+    // different offset ranges would silently serve the WRONG staged
+    // rows, so one 31-bit hash is not enough headroom
+    val key = s.json() + "->" + e.json()
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(key, 0x5ca1e) & 0x7fffffff
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(key, 0x9e3779) & 0x7fffffff
+    f"$checkpointLocation/graft-cdc-stage/$h1%08x$h2%08x"
   }
 
   // stages created this run, planning order — committed ones delete
