@@ -52,6 +52,17 @@ class CommitLogOffsetPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cdc offset: parse(json) == identity over arbitrary state triples") {
+    for (seed <- 1 to 300) {
+      val entries = sample(batchSet, 200000L + seed)
+      val retired = sample(batchSet, 300000L + seed)
+      val tombs = (seed * 7) % 40
+      val o = CommitLogChangesOffset(entries, retired, tombs)
+      val parsed = CommitLogChangesOffset.parse(o.json())
+      assert(parsed == o, s"seed $seed: ${o.json()}")
+    }
+  }
+
   test("dense runs stay O(runs): json length independent of batch count") {
     def dense(runs: Int, n: Int) = CommitLogStreamOffset(
       (0 until runs).flatMap(r =>

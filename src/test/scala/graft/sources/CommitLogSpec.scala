@@ -676,6 +676,30 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readChangeFeed(spark, table, 2500L).isEmpty)
   }
 
+  test("merge over legacy schema-less batches rides the singleton-group fallback") {
+    // batches committed via bare commit() record no marker schema —
+    // rewriteBatchSet cannot prove a shared physical schema for them,
+    // so each falls back to its own single-batch read group; the merge
+    // result must be indistinguishable from the schema-recorded path
+    val table = java.nio.file.Files.createTempDirectory("graft-txlegacy").toString + "/t"
+    CommitLog.writeDataOnly(
+      Seq((0L, "a-0"), (1L, "a-1")).toDF("id", "v"), table, "r1", 0L)
+    CommitLog.commit(spark, table, "r1", 0L) // no schema, no stats
+    CommitLog.writeDataOnly(
+      Seq((10L, "b-10"), (11L, "b-11")).toDF("id", "v"), table, "r1", 1L)
+    CommitLog.commit(spark, table, "r1", 1L)
+    CommitLog.merge(spark, table,
+      Seq((1L, "NEW-1"), (11L, "NEW-11"), (50L, "NEW-50")).toDF("id", "v"),
+      Seq("id"), "r2", 0L, ts = 2000L, statsCols = Seq("id"))
+    val out = CommitLog.readCommitted(spark, table).get
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((0L, "a-0"), (1L, "NEW-1"), (10L, "b-10"),
+      (11L, "NEW-11"), (50L, "NEW-50")), out.toString)
+    // stat-less originals are unprunable → both rewritten and retired
+    val st = CommitLog.logState(spark, table)
+    assert(st.retired.keySet == Set(("r1", 0L), ("r1", 1L)))
+  }
+
   test("OCC maintenance: OPTIMIZE racing a merge skips the contended batch, commits the rest") {
     val table = java.nio.file.Files.createTempDirectory("graft-txocc").toString + "/t"
     def frag(lo: Long, tag: String) = (0 until 20)
