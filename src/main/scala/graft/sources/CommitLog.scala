@@ -910,7 +910,13 @@ object CommitLog {
     * new batch), `delete` (a tombstone, with its predicate), and
     * `retire` (an original superseded by a rewrite, with its
     * retirement time). Events whose markers predate the ts feature
-    * report ts 0. SQL face: `graft_commitlog_history('/path')`. */
+    * report ts 0. SQL face: `graft_commitlog_history('/path')`.
+    *
+    * Cost posture: like [[logState]], each call decodes the log and
+    * builds O(#batches) DRIVER state — the same bound Delta's snapshot
+    * carries, kept small in practice by [[compactLog]]'s folds. Call
+    * it per maintenance pass / audit query, never per row or inside a
+    * hot loop. */
   def history(spark: SparkSession, table: String): DataFrame = {
     val st = logState(spark, table)
     val live = st.committed.toSet

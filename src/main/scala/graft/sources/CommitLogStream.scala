@@ -519,16 +519,20 @@ final class CommitLogChangesMicroBatchStream(table: String,
       e: CommitLogChangesOffset): String = {
     // 62 bits across two seeds: a stage-key collision between two
     // different offset ranges would silently serve the WRONG staged
-    // rows, so one 31-bit hash is not enough headroom
+    // rows, so one 31-bit hash is not enough headroom. The name leads
+    // with a MONOTONIC watermark (entries + retires + tombstones seen
+    // — each nondecreasing, and every non-empty micro-batch advances
+    // the sum) so commit-time cleanup can also sweep ORPHANS from
+    // prior runs (stages whose batch committed before a crash lost
+    // the in-memory tracking map) by prefix comparison alone.
     val key = s.json() + "->" + e.json()
     val h1 = scala.util.hashing.MurmurHash3.stringHash(key, 0x5ca1e) & 0x7fffffff
     val h2 = scala.util.hashing.MurmurHash3.stringHash(key, 0x9e3779) & 0x7fffffff
-    f"$checkpointLocation/graft-cdc-stage/$h1%08x$h2%08x"
+    f"$checkpointLocation/graft-cdc-stage/${watermark(e)}%020d-$h1%08x$h2%08x"
   }
 
-  // stages created this run, planning order — committed ones delete
-  private val staged =
-    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private def watermark(o: CommitLogChangesOffset): Long =
+    o.entries.size.toLong + o.retired.size + o.tombs
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CommitLogChangesOffset]
@@ -544,7 +548,6 @@ final class CommitLogChangesMicroBatchStream(table: String,
         case Some(df) => df.write.mode("overwrite").parquet(dir)
       }
     }
-    staged.synchronized { staged(e.json()) = dir }
     // a staged-but-empty frame (all events filtered) still has _SUCCESS
     val files = hfs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -570,25 +573,26 @@ final class CommitLogChangesMicroBatchStream(table: String,
   /** Spark committed every batch up to `end`: their staged parquet is
     * consumed and deletable (a later replay would start after `end`).
     * The stage for `end` itself stays until a LATER commit passes it —
-    * conservative, bounded by one stage dir per in-flight batch. */
+    * conservative, bounded by one stage dir per in-flight batch. The
+    * sweep is by the dirs' monotonic watermark prefix alone (no
+    * in-memory tracking to lose), so it also reclaims ORPHANS a
+    * crashed prior run left behind — their watermarks sit strictly
+    * below the committed end's. */
   override def commit(end: Offset): Unit = {
-    val endJson = end.json()
-    staged.synchronized {
-      val keys = staged.keys.toSeq
-      val cut = keys.indexOf(endJson)
-      if (cut > 0) {
-        val sp = spark
-        keys.take(cut).foreach { k =>
-          val dir = staged.remove(k)
-          dir.foreach { d =>
-            val p = new org.apache.hadoop.fs.Path(d)
-            val hfs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-            try hfs.delete(p, true)
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
+    val endMark = watermark(end.asInstanceOf[CommitLogChangesOffset])
+    val sp = spark
+    val root = new org.apache.hadoop.fs.Path(
+      s"$checkpointLocation/graft-cdc-stage")
+    try {
+      val hfs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (hfs.exists(root)) {
+        hfs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          val mark = name.takeWhile(_ != '-').toLongOption
+          if (mark.exists(_ < endMark)) hfs.delete(st.getPath, true)
         }
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
   override def stop(): Unit = ()
   override def toString: String = s"CommitLogChangesMicroBatchStream($table)"
