@@ -145,7 +145,108 @@ object StreamScaleSmoke {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  /** Long-run CDC REPLICA smoke (`runMain graft.StreamScaleSmoke
+    * cdclongrun [batches] [rowsPerBatch]`): a source table takes
+    * appends + an upsert + a row delete per segment; a
+    * [[graft.streaming.CommitLogReplica]] follows through the
+    * readChangeFeed STREAMING source off the SAME checkpoint
+    * (restart-resume per segment). Pins, per segment: replica ≡
+    * source by count AND content checksum; wall time flat (no
+    * state/lineage growth); the CDC offset's byte size (grows only
+    * with REWRITE RUNS — one range per minted rewrite id — never with
+    * plain append count); staged micro-batch dirs bounded (commit-time
+    * watermark sweep). One JSON line → BENCH_SCALE_CDC_LONGRUN.json. */
+  def cdcLongrun(spark: SparkSession, nBatches: Int, rowsPerBatch: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit, xxhash64}
+    import graft.sources.CommitLog
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val root = java.nio.file.Files.createTempDirectory("cdc-longrun").toString
+    val (src, rep, ckpt) = (s"$root/src", s"$root/rep", s"$root/ckpt")
+    val segments = 6
+    val perSeg = nBatches / segments
+    require(perSeg * segments == nBatches, s"$nBatches not divisible by $segments")
+    val segSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val offsetBytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stageDirs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def rows(seg: Int, b: Int) = {
+      val base = (seg * perSeg + b).toLong * rowsPerBatch
+      spark.range(base, base + rowsPerBatch)
+        .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+    }
+    def checksum(table: String): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free under ANSI mode
+      val df = CommitLog.readCommitted(spark, table).get
+        .select(xxhash64(col("id"), col("v")).as("h"))
+      val r = df.agg(org.apache.spark.sql.functions.expr("bit_xor(h)").as("h"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until segments).foreach { seg =>
+      val t0 = System.nanoTime()
+      (0 until perSeg).foreach { b =>
+        CommitLog.writeBatchWithStats(rows(seg, b), src, "r1",
+          (seg * perSeg + b).toLong, Seq("id"))
+      }
+      // one CDC update + one delete per segment — the change kinds a
+      // replica must net correctly, accumulating rewrite runs
+      val k = seg.toLong * perSeg * rowsPerBatch + 3
+      CommitLog.upsert(spark, src,
+        spark.range(k, k + 1).select(col("id"),
+          concat(lit("UPD-"), col("id")).as("v")),
+        "id", s"u$seg", 0L, statsCols = Seq("id"))
+      CommitLog.deleteWhere(spark, src, "id", "in", Seq(k + 1))
+      val q = graft.streaming.CommitLogReplica.start(spark, src, rep,
+        Seq("id"), ckpt, statsCols = Seq("id"))
+      require(q.awaitTermination(240000), "cdc replica drain timed out")
+      q.stop()
+      segSecs += (System.nanoTime() - t0) / 1e9
+      val st = CommitLog.logState(spark, src)
+      offsetBytes += graft.sources.CommitLogChangesOffset(
+        st.entries.toSet, st.retired.keySet, st.tombstones.size).json().length
+      val stageRoot = new org.apache.hadoop.fs.Path(s"$ckpt/graft-cdc-stage")
+      stageDirs += (if (hfs.exists(stageRoot)) hfs.listStatus(stageRoot).length else 0)
+      // periodic maintenance on BOTH tables, mid-life
+      CommitLog.compactLog(spark, src); CommitLog.compactLog(spark, rep)
+      val (sh, sn) = checksum(src)
+      val (rh, rn) = checksum(rep)
+      require(sn == rn && sh == rh,
+        s"replica diverged at segment $seg: src ($sn, $sh) vs rep ($rn, $rh)")
+    }
+    val flat = segSecs.max / segSecs.min
+    // stage dirs bounded: at most the in-flight tail per run, never
+    // one per delivered micro-batch
+    require(stageDirs.last <= 3, s"stage dirs unbounded: ${stageDirs.mkString(",")}")
+    val json =
+      s"""{"metric":"cdc_longrun","batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+      s""""segments":$segments,"segment_secs":[${segSecs.map(fmt).mkString(",")}],""" +
+      s""""segment_max_over_min":${fmt(flat)},""" +
+      s""""offset_bytes_per_segment":[${offsetBytes.mkString(",")}],""" +
+      s""""stage_dirs_per_segment":[${stageDirs.mkString(",")}],""" +
+      s""""replica_checksum_equal":true}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_CDC_LONGRUN.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cdclongrun")) {
+      val nBatches = if (args.length > 1) args(1).toInt else 60
+      val rowsPerBatch = if (args.length > 2) args(2).toLong else 5000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      cdcLongrun(spark, nBatches, rowsPerBatch)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("longrun")) {
       val nBatches = if (args.length > 1) args(1).toInt else 120
       val rowsPerBatch = if (args.length > 2) args(2).toLong else 20000L
