@@ -459,13 +459,35 @@ final class CommitLogChangesMicroBatchStream(table: String,
       df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
     val parts = Seq.newBuilder[DataFrame]
     val newEntries = (e.entries -- s.entries).toSeq.sorted
+    // plain inserts read as ONE multi-dir frame (rawBatchSet already
+    // reconciles schema lineages) with per-batch commit ts attached by
+    // a broadcast mapping — a fresh stream bootstrapping a year-old
+    // table must not build a union plan with one scan node per batch
+    val inserts = newEntries.filter { case (r, b) =>
+      CommitLog.rewriteOf(st, r, b).isEmpty }
+    if (inserts.nonEmpty) {
+      inserts.foreach { case (r, b) => requireDir(r, b, "an insert") }
+      val tsRows = inserts.map { case (r, b) =>
+        org.apache.spark.sql.Row(r, b,
+          st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) }
+      val tsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cr",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cb", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cts", LongType, nullable = false)))
+      val mapping = broadcast(sp.createDataFrame(
+        sp.sparkContext.parallelize(tsRows, 1), tsSchema))
+      val raw = CommitLog.rawBatchSet(sp, table, inserts, st)
+      parts += raw.join(mapping,
+          raw("run_id") === mapping("__cr") &&
+            raw("batch_id").cast("long") === mapping("__cb"))
+        .withColumn("change_type", lit("insert"))
+        .withColumn("change_ts", col("__cts"))
+        .drop("run_id", "batch_id", "__cr", "__cb", "__cts")
+    }
     newEntries.foreach { case (r, b) =>
-      val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
       CommitLog.rewriteOf(st, r, b) match {
-        case None =>
-          requireDir(r, b, "an insert")
-          parts += withMeta(CommitLog.rawBatchSet(sp, table, Seq((r, b)), st)
-            .drop("run_id", "batch_id"), "insert", ts)
+        case None => () // handled above as one combined insert frame
         case Some((orig, "up")) =>
           val rts = st.retired.getOrElse((orig, b), 0L)
           requireDir(orig, b, "an upsert's pre-image")
