@@ -826,15 +826,36 @@ object CommitLog {
 
     // inserts: in-window commits that are not rewrites (read raw even
     // if since retired — an upsert later in the window retires them,
-    // but their arrival was still an insert event)
-    st.entries.foreach { case (r, b) =>
-      val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
-      if (inWindow(ts) && rewriteOf(st, r, b).isEmpty) {
-        requireDir(r, b, "an in-window insert")
-        parts += withMeta(
-          rawBatchSet(spark, table, Seq((r, b)), st)
-            .drop("run_id", "batch_id"), "insert", ts)
-      }
+    // but their arrival was still an insert event). All insert batches
+    // read as ONE multi-dir frame (rawBatchSet reconciles lineages)
+    // with per-batch commit ts attached by a broadcast mapping — a
+    // wide window over a long table must not build a union plan with
+    // one scan node per batch (r18, matching the streaming feed).
+    val inserts = st.entries.filter { case (r, b) =>
+      inWindow(st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) &&
+        rewriteOf(st, r, b).isEmpty
+    }
+    if (inserts.nonEmpty) {
+      inserts.foreach { case (r, b) => requireDir(r, b, "an in-window insert") }
+      val tsRows = inserts.map { case (r, b) =>
+        org.apache.spark.sql.Row(r, b,
+          st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) }
+      val tsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cr",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cb",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cts",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val mapping = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(tsRows, 1), tsSchema))
+      val raw = rawBatchSet(spark, table, inserts, st)
+      parts += raw.join(mapping,
+          raw("run_id") === mapping("__cr") &&
+            raw("batch_id").cast("long") === mapping("__cb"))
+        .withColumn("change_type", lit("insert"))
+        .withColumn("change_ts", col("__cts"))
+        .drop("run_id", "batch_id", "__cr", "__cb", "__cts")
     }
 
     // tombstone deletes: the matching rows of each in-window delete —
