@@ -454,6 +454,20 @@ private[sources] final class CommitLogTable(val table: String,
     Option(options.get("ignoreDeletes")).exists(_.toBoolean)
   private[sources] val readChangeFeedOpt: Boolean =
     Option(options.get("readChangeFeed")).exists(_.toBoolean)
+  private[sources] val startingTs: Option[Long] =
+    Option(options.get("startingTimestamp")).map { s =>
+      s.toLongOption.getOrElse(
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException => sys.error(
+            "graft_commitlog startingTimestamp must be epoch millis or " +
+              s"'yyyy-MM-dd HH:mm:ss[.f]', got '$s'")
+        })
+    }
+  if (startingTs.nonEmpty && !readChangeFeedOpt)
+    sys.error("graft_commitlog: startingTimestamp is a readChangeFeed " +
+      "streaming option (the append stream has no history semantics " +
+      "to skip — use asOfTimestamp for batch time travel)")
   private[sources] val maxBatchesPerTrigger: Option[Int] =
     Option(options.get("maxBatchesPerTrigger")).map(v => v.toIntOption
       .filter(_ > 0).getOrElse(sys.error(
@@ -581,7 +595,7 @@ private[sources] final class CommitLogChangesScanBuilder(t: CommitLogTable)
           "asOfBatch/asOfTimestamp are batch-read pins")
       new CommitLogChangesMicroBatchStream(t.table,
         StructType(t.feedSchema.fields.dropRight(2)), checkpointLocation,
-        t.maxBatchesPerTrigger)
+        t.maxBatchesPerTrigger, t.startingTs)
     }
   }
 }

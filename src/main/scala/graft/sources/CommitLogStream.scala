@@ -355,7 +355,8 @@ object CommitLogChangesOffset {
   * misread a paired retire as a full-batch delete. */
 final class CommitLogChangesMicroBatchStream(table: String,
     dataSchema: StructType, checkpointLocation: String,
-    maxBatchesPerTrigger: Option[Int] = None)
+    maxBatchesPerTrigger: Option[Int] = None,
+    startingTs: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -368,8 +369,23 @@ final class CommitLogChangesMicroBatchStream(table: String,
     dataSchema.fields :+ StructField("change_type", StringType) :+
       StructField("change_ts", LongType))
 
-  override def initialOffset(): Offset =
-    CommitLogChangesOffset(Set.empty, Set.empty, 0)
+  /** Empty (replay ALL recorded history — the startingVersion=0
+    * shape), or, with `startingTimestamp`, the log state as of that
+    * wall time: changes recorded AFTER it deliver, nothing before —
+    * the Delta CDF startingTimestamp rung. All three components are
+    * ts-prefixes of immutable facts (the tombstone order leads with
+    * ts), so the skipped history is exactly the batch feed's
+    * (-inf, T] window. */
+  override def initialOffset(): Offset = startingTs match {
+    case None => CommitLogChangesOffset(Set.empty, Set.empty, 0)
+    case Some(t) =>
+      val st = CommitLog.logState(spark, table)
+      CommitLogChangesOffset(
+        st.entries.filter(k =>
+          st.meta.get(k).flatMap(_.ts).forall(_ <= t)).toSet,
+        st.retired.filter(_._2 <= t).keySet,
+        st.tombstones.count(_.ts <= t))
+  }
   override def deserializeOffset(json: String): Offset =
     CommitLogChangesOffset.parse(json)
 

@@ -344,6 +344,42 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(rootMsg(e).contains("STREAMING"))
   }
 
+  test("streaming change feed: startingTimestamp skips history, delivers only later changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream3").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatchWithStats(rows(0, 5, "old"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 2000L)
+    CommitLog.writeBatchWithStats(rows(10, 2, "new"), table, "r1", 1L,
+      Seq("id"), ts = 3000L)
+    val q = spark.readStream.format("graft_commitlog")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "1500").load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select("id", "v", "change_type", "change_ts")
+      .as[(Long, String, String, Long)].collect().toSet
+    // the delete (2000) and the later inserts (3000) — never the
+    // pre-T history (the 5 'old' inserts at 1000)
+    assert(got == Set(
+      (1L, "old-1", "delete", 2000L),
+      (10L, "new-0", "insert", 3000L),
+      (11L, "new-1", "insert", 3000L)), got.toString)
+    // the option is CDC-only: the append stream rejects it loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft_commitlog")
+        .option("startingTimestamp", "1500").load(table)
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage match { case null => "" case m => m }) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("readChangeFeed"))
+  }
+
   test("streaming change feed: maxBatchesPerTrigger paces the history replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream2").toString
     val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
