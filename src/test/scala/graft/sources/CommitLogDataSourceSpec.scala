@@ -562,6 +562,11 @@ class CommitLogDataSourceSpec extends SparkSpec {
         assert(CommitLog.committedBatches(sess, table)
           .exists(_._1.startsWith("sql")), "catalog INSERT must mint a marker")
         assert(CommitLog.readCommitted(sess, table).get.count() == 9)
+        // UPDATE through the catalog name rides the same self-source merge
+        sess.sql("UPDATE graft_cat_t SET v = 'CAT-UPD' WHERE id = 100")
+        assert(sess.sql("SELECT v FROM graft_cat_t WHERE id = 100")
+          .collect()(0).getString(0) == "CAT-UPD")
+        assert(CommitLog.readCommitted(sess, table).get.count() == 9)
       } finally sess.sql("DROP TABLE IF EXISTS graft_cat_t")
     }
   }
