@@ -498,6 +498,66 @@ object SqlScaleSmoke {
       s.stop()
       return
     }
+    // "zorder [mult]": OPTIMIZE ... ZORDER BY effectiveness at scale —
+    // a commit-log table whose every file spans the full key range
+    // (the streaming-ingest arrival order) vs the same table after a
+    // z-order pass: files LISTED by a range scan and the scan's wall
+    // time, before and after. The claim under measurement is the r18
+    // per-file-stats rung: at 100 TB the difference between opening
+    // every file of every surviving batch and opening the one z-range
+    // file per batch a bound selects.
+    if (args.headOption.contains("zorder")) {
+      val m = if (args.length > 1) args(1).toLong else 10L
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import graft.sources.{CommitLog, CommitLogDataSource}
+      val table = java.nio.file.Files
+        .createTempDirectory("zorder-scale").toString + "/t"
+      val rowsPerBatch = 250000L * m
+      val nBatches = 8
+      for (b <- 0 until nBatches) {
+        // x uniform over [0, 1e6) in ARRIVAL order — every one of the
+        // 8 files per batch spans the whole range
+        val df = s.range(rowsPerBatch).select(
+          pmod(xxhash64(lit("zx"), col("id"), lit(b)), lit(1000000L)).as("x"),
+          concat(lit(s"b$b-"), col("id")).as("v"))
+          .repartition(8)
+        CommitLog.writeBatchWithStats(df, table, "r1", b.toLong, Seq("x"))
+      }
+      def query(): (Double, Int, Long) = {
+        val df = s.read.format("graft_commitlog").load(table)
+          .where(col("x").between(500000L, 500999L))
+        val files = CommitLogDataSource.scanInputFiles(df).size
+        df.count() // warm
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, files, n)
+      }
+      val (secB, filesB, nB) = query()
+      val t0 = System.nanoTime()
+      CommitLog.compactFiles(s, table, targetBytes = 16L * 1024 * 1024,
+        zorderBy = Seq("x"))
+      val optSec = (System.nanoTime() - t0) / 1e9
+      val (secA, filesA, nA) = query()
+      require(nA == nB, s"zorder changed the answer: $nA vs $nB")
+      require(filesA < filesB, s"zorder must prune files: $filesA vs $filesB")
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val json =
+        s"""{"metric":"zorder_scale","mult":$m,"rows":${rowsPerBatch * nBatches},""" +
+        s""""batches":$nBatches,"files_listed_before":$filesB,""" +
+        s""""files_listed_after":$filesA,"query_sec_before":${fmt(secB)},""" +
+        s""""query_sec_after":${fmt(secA)},"optimize_sec":${fmt(optSec)},""" +
+        s""""rows_matched":$nA}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SCALE_ZORDER.json"), json)
+      s.stop()
+      return
+    }
     // "skew [mult]": run only the adversarial-skew smoke (local iteration)
     if (args.headOption.contains("skew")) {
       val m = if (args.length > 1) args(1).toLong else 10L
