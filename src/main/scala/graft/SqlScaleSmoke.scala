@@ -558,6 +558,103 @@ object SqlScaleSmoke {
       s.stop()
       return
     }
+    // "widemerge [batches]": the r18 single-job copy-on-write rewrite
+    // measured against the EVICTED r17 shape (one read→anti-join→write
+    // Spark job per affected batch from a driver loop), on identical
+    // tables with an identical feed touching EVERY batch — the
+    // maintenance/CDC case the rework exists for. Results are asserted
+    // equal; the JSON records wall secs and Spark job counts for both.
+    if (args.headOption.contains("widemerge")) {
+      val nB = if (args.length > 1) args(1).toInt else 128
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import graft.sources.CommitLog
+      val root = java.nio.file.Files.createTempDirectory("widemerge").toString
+      val (ta, tb) = (s"$root/a", s"$root/b")
+      for (t <- Seq(ta, tb); b <- 0 until nB) {
+        val lo = b.toLong * 10000
+        CommitLog.writeBatchWithStats(
+          s.range(lo, lo + 2000).select(col("id"),
+            concat(lit("v-"), col("id")).as("v")).coalesce(1),
+          t, "r1", b.toLong, Seq("id"))
+      }
+      val feedKeys = (0 until nB).map(b => b.toLong * 10000 + 3)
+      def feed = s.createDataFrame(
+        s.sparkContext.parallelize(feedKeys.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .select(col("id"), concat(lit("NEW-"), col("id")).as("v"))
+      def jobsIn(group: String)(fn: => Unit): (Double, Int) = {
+        s.sparkContext.setJobGroup(group, group)
+        val t0 = System.nanoTime()
+        try fn finally s.sparkContext.clearJobGroup()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        (sec, s.sparkContext.statusTracker.getJobIdsForGroup(group).length)
+      }
+      // shipped single-job path
+      val (secSingle, jobsSingle) = jobsIn("wm-single") {
+        CommitLog.merge(s, ta, feed, Seq("id"), "cdc", 0L,
+          statsCols = Seq("id"))
+      }
+      // the evicted r17 shape, reproduced through the same public
+      // building blocks: per batch, read its dir, anti-join the
+      // broadcast keys, dynamic-overwrite its rewrite partition,
+      // recompute stats — then ONE txn marker (identical protocol)
+      val (secLoop, jobsLoop) = jobsIn("wm-loop") {
+        val keys = broadcast(feed.select(col("id").as("__k")))
+        val adds = (0 until nB).map { b =>
+          val kept = s.read.parquet(s"$tb/run_id=r1/batch_id=$b")
+            .join(keys, col("id") === col("__k"), "left_anti")
+            .localCheckpoint(eager = false)
+          val rw = f"r1up$b%08x"
+          kept.withColumn("run_id", lit(rw))
+            .withColumn("batch_id", lit(b.toLong))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id").parquet(tb)
+          val r = kept.agg(min("id"), max("id")).head()
+          CommitLog.TxnAdd(rw, b.toLong,
+            Seq(CommitLog.ColStats("id", "num",
+              r.get(0).toString, r.get(1).toString)),
+            Seq("id" -> "BIGINT", "v" -> "STRING"))
+        }
+        val newRw = "cdc"
+        feed.withColumn("run_id", lit(newRw)).withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(tb)
+        CommitLog.commitTxn(s, tb,
+          adds :+ CommitLog.TxnAdd(newRw, 0L,
+            Seq(CommitLog.ColStats("id", "num", feedKeys.min.toString,
+              feedKeys.max.toString)),
+            Seq("id" -> "BIGINT", "v" -> "STRING")),
+          retires = (0 until nB).map(b => ("r1", b.toLong)))
+      }
+      // identical end state
+      def sig(t: String) = CommitLog.readCommitted(s, t).get
+        .select(xxhash64(col("id"), col("v")).as("h"))
+        .agg(expr("bit_xor(h)").as("h")).head().getLong(0)
+      val (na, nb2) = (CommitLog.readCommitted(s, ta).get.count(),
+        CommitLog.readCommitted(s, tb).get.count())
+      require(na == nb2 && sig(ta) == sig(tb),
+        s"single-job and per-batch merges disagree: $na vs $nb2")
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val json =
+        s"""{"metric":"widemerge_scale","batches":$nB,""" +
+        s""""single_job_sec":${fmt(secSingle)},"single_job_jobs":$jobsSingle,""" +
+        s""""per_batch_sec":${fmt(secLoop)},"per_batch_jobs":$jobsLoop,""" +
+        s""""speedup":${fmt(secLoop / secSingle)}}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SCALE_WIDEMERGE.json"), json)
+      s.stop()
+      return
+    }
     // "skew [mult]": run only the adversarial-skew smoke (local iteration)
     if (args.headOption.contains("skew")) {
       val m = if (args.length > 1) args(1).toLong else 10L
