@@ -90,7 +90,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class CommitLogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft_commitlog"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // external metadata admits CREATE TABLE t (cols) USING
+  // graft_commitlog — the declared schema bootstraps the FIRST insert
+  // into an empty location; once batches exist the LOG's reconciled
+  // schema is authoritative and a stale catalog/user schema is ignored
+  // (see CommitLogTable.schema)
+  override def supportsExternalMetadata(): Boolean = true
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(sys.error(
@@ -173,8 +178,10 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     // resolves it to the FileTable form
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if catalogOurLocation(i.table).nonEmpty =>
-      i.copy(table = writeRelation(catalogOurLocation(i.table).get,
-        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())))
+      val (loc, declared) = catalogOurLocation(i.table).get
+      i.copy(table = writeRelation(loc,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+        declared))
     // SQL time travel: `... FOR TIMESTAMP AS OF <t>` → asOfTimestamp,
     // `FOR VERSION AS OF <n>` → asOfBatch (the snapshot pin — the
     // format's "version" is the per-run batch-id watermark)
@@ -232,15 +239,18 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     writeRelation(u.multipartIdentifier(1), new CaseInsensitiveStringMap(opts))
   }
 
-  private def writeRelation(path: String,
-      cis: CaseInsensitiveStringMap): LogicalPlan =
+  private def writeRelation(path: String, cis: CaseInsensitiveStringMap,
+      declared: Option[StructType] = None): LogicalPlan =
     DataSourceV2Relation.create(
-      new CommitLogInsertTable(path, cis), None, None, cis)
+      new CommitLogInsertTable(path, cis, declared), None, None, cis)
 
-  /** The storage location when `p` is an UnresolvedRelation naming a
-    * session-catalog table whose provider is this format — the
-    * CREATE TABLE ... USING graft_commitlog rung. */
-  private def catalogOurLocation(p: LogicalPlan): Option[String] = p match {
+  /** The storage location (and the CREATE TABLE-declared schema, when
+    * one was given — the EMPTY-table bootstrap case: the first INSERT
+    * has no committed batches to infer from) when `p` is an
+    * UnresolvedRelation naming a session-catalog table whose provider
+    * is this format. */
+  private def catalogOurLocation(
+      p: LogicalPlan): Option[(String, Option[StructType])] = p match {
     case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
         ourUnresolved(u).isEmpty =>
       try {
@@ -256,7 +266,8 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
           val meta = cat.getTableMetadata(ident)
           if (meta.provider.exists(pr => Set("graft_commitlog", "graft-commitlog")
               .contains(pr.toLowerCase(java.util.Locale.ROOT))))
-            Some(meta.location.toString)
+            Some((meta.location.toString,
+              Some(meta.schema).filter(_.nonEmpty)))
           else None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -279,7 +290,7 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def updateTargetPath(p: LogicalPlan): Option[String] =
-    mergeTargetPath(p).orElse(catalogOurLocation(p))
+    mergeTargetPath(p).orElse(catalogOurLocation(p).map(_._1))
 
   /** Map `UPDATE t SET c = e, ... WHERE <pred on one column>` onto
     * [[UpdateCommitLogCommand]] (→ [[CommitLog.merge]] with a
@@ -516,8 +527,15 @@ private[sources] final class CommitLogTable(val table: String,
         org.apache.spark.sql.types.LongType))
 
   override def name(): String = s"graft_commitlog.`$table`"
-  override lazy val schema: StructType = knownSchema.getOrElse(
-    if (readChangeFeedOpt) feedSchema else reconciled)
+  // a known/declared schema is honored only while the table is EMPTY
+  // (the CREATE TABLE bootstrap era — there is nothing to reconcile);
+  // once batches exist the log is the source of truth, so a catalog
+  // schema gone stale after widening evolution (or a user-supplied
+  // read schema) can never silently shadow the reconciled one
+  override lazy val schema: StructType = knownSchema match {
+    case Some(s) if committed.isEmpty => s
+    case _ => if (readChangeFeedOpt) feedSchema else reconciled
+  }
   override lazy val dataSchema: StructType = StructType(
     schema.fields.filterNot(f => CommitLogTable.partNames.contains(f.name)))
   override def inferSchema(files: Seq[FileStatus]): Option[StructType] =
@@ -612,10 +630,16 @@ private[sources] final class CommitLogChangesScanBuilder(t: CommitLogTable)
   * corruption. A plain SupportsWrite table can never match that rule,
   * so every INSERT statement reaches [[CommitLogWriteBuilder]]. */
 private[sources] final class CommitLogInsertTable(path: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    declared: Option[StructType] = None)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  private val inner = new CommitLogTable(path, options, None)
+  // a CREATE TABLE-declared schema lets the FIRST insert into an
+  // empty table resolve (nothing committed to infer from); once
+  // batches exist the log's reconciled schema is authoritative
+  private val inner = new CommitLogTable(path, options,
+    declared.filter(_ =>
+      CommitLog.logState(SparkSession.active, path).committed.isEmpty))
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema
   override def partitioning(): Array[Transform] =

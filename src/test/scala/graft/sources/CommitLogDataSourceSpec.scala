@@ -570,4 +570,27 @@ class CommitLogDataSourceSpec extends SparkSpec {
       } finally sess.sql("DROP TABLE IF EXISTS graft_cat_t")
     }
   }
+
+  test("CREATE TABLE with a declared schema bootstraps an EMPTY table via INSERT") {
+    val table = tmp("graft-dsv2-boot")
+    withSqlSession { sess =>
+      sess.sql("DROP TABLE IF EXISTS graft_boot_t")
+      sess.sql("CREATE TABLE graft_boot_t (id BIGINT, v STRING) " +
+        s"USING graft_commitlog LOCATION '$table'")
+      try {
+        // nothing committed yet: the declared schema lets the first
+        // INSERT resolve; the write mints a marker like any other
+        sess.sql("INSERT INTO graft_boot_t VALUES (1, 'first'), (2, 'second')")
+        assert(CommitLog.readCommitted(sess, table).get.count() == 2)
+        assert(CommitLog.committedBatches(sess, table)
+          .exists(_._1.startsWith("sql")), "bootstrap INSERT must mint a marker")
+        // and a SELECT-sourced insert (the FallBack shape) works too —
+        // after the bootstrap the table carries the system columns
+        sess.sql("INSERT INTO graft_boot_t " +
+          "SELECT id + 10, v, NULL, NULL FROM graft_boot_t WHERE id = 1")
+        assert(sess.sql("SELECT count(*) FROM graft_boot_t")
+          .collect()(0).getLong(0) == 3L)
+      } finally sess.sql("DROP TABLE IF EXISTS graft_boot_t")
+    }
+  }
 }
