@@ -253,7 +253,8 @@ object CommitLog {
       batchId: Long, stats: Seq[ColStats],
       schema: Seq[(String, String)], ts: Long = -1L,
       retires: Seq[(String, Long)] = Seq.empty,
-      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty): Unit = {
+      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty,
+      seq: Option[Long] = None): Unit = {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
@@ -265,7 +266,7 @@ object CommitLog {
     val schemaLine =
       if (schema.isEmpty) "" else s"schema=${encodeSchema(schema)}\n"
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    val tsLine = s"ts=$tsv\n"
+    val tsLine = s"ts=$tsv\n" + seq.map(s => s"seq=$s\n").getOrElse("")
     // a compactDeletes rewrite RETIRES its original in the same
     // marker: the visibility flip (original out, rewrite in) is one
     // atomic rename — no crash window where both are live
@@ -297,25 +298,33 @@ object CommitLog {
 
   /** Everything a marker can carry about one batch. Absent fields
     * (older writers, pre-stats snapshots) are empty/None — readers
-    * degrade conservatively. */
+    * degrade conservatively. `seq` is the committing transaction's
+    * monotonic sequence (see [[LogState.nextSeq]]); `cdata` names the
+    * `_changes/<dir>` partition holding the WRITE-TIME change rows
+    * (the merge's delete pre-images) the committing txn persisted. */
   final case class BatchMeta(stats: Seq[ColStats],
       schema: Seq[(String, String)], ts: Option[Long],
-      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty)
+      fileStats: Seq[(String, Seq[ColStats])] = Seq.empty,
+      seq: Option[Long] = None, cdata: Option[String] = None)
 
   /** One row-level DELETE recorded in the log: `pred` rows are gone
     * from exactly the `applies` batches (the committed set at delete
     * time — batches committed later are untouched). `kind` ∈
     * {"in", "range"}; `typ` is the Spark DDL type the string-rendered
-    * `vals` cast back to. */
+    * `vals` cast back to. `seq` is the delete's monotonic sequence
+    * (absent on legacy markers — the effective sequence falls back to
+    * `ts`). */
   final case class Tombstone(ts: Long, col: String, typ: String,
-      kind: String, vals: Seq[String], applies: Seq[(String, Long)])
+      kind: String, vals: Seq[String], applies: Seq[(String, Long)],
+      seq: Option[Long] = None)
 
   /** The full decoded state of a table's commit log. */
   final case class LogState(
       entries: Seq[(String, Long)],
       retired: Map[(String, Long), Long],
       meta: Map[(String, Long), BatchMeta],
-      tombstones: Seq[Tombstone]) {
+      tombstones: Seq[Tombstone],
+      retiredSeq: Map[(String, Long), Long] = Map.empty) {
     /** The live committed set: log entries minus retired batches. */
     def committed: Seq[(String, Long)] =
       entries.filterNot(retired.contains)
@@ -327,6 +336,38 @@ object CommitLog {
         meta.get(key).flatMap(_.ts).forall(_ <= tsMillis) &&
           retired.get(key).forall(_ > tsMillis)
       }
+
+    // ---- the monotonic TOTAL ORDER over log events (r19) ---- //
+    // Mutating writers record a `seq` in their markers, minted as
+    // nextSeq() from the log state they already hold; facts written
+    // before the feature (or by plain concurrent appends, which never
+    // read the log) fall back to their commit ts — same millis domain,
+    // so mixed logs stay ordered. Under the documented single-writer
+    // discipline for mutations, every new mutation's seq is strictly
+    // greater than every recorded effective seq: the tombstone order
+    // below is PREFIX-STABLE under appends (a streamed count into it
+    // never shifts), and the change feed can expose the order as a
+    // `_change_seq` column — the Delta _commit_version rung.
+
+    /** Effective sequence of a committed entry (recorded seq, else
+      * commit ts, else 0). */
+    def entrySeq(k: (String, Long)): Long =
+      meta.get(k).flatMap(m => m.seq.orElse(m.ts)).getOrElse(0L)
+    /** Effective sequence of a retirement (recorded seq, else the
+      * retire ts). */
+    def retireSeqOf(k: (String, Long)): Long =
+      retiredSeq.getOrElse(k, retired.getOrElse(k, 0L))
+    /** Effective sequence of a tombstone (recorded seq, else its ts). */
+    def tombSeq(t: Tombstone): Long = t.seq.getOrElse(t.ts)
+    /** Largest effective sequence any recorded fact carries. */
+    def maxSeq: Long =
+      (entries.iterator.map(entrySeq) ++
+        retired.keysIterator.map(retireSeqOf) ++
+        tombstones.iterator.map(tombSeq)).foldLeft(0L)(math.max)
+    /** The sequence a mutation committing at wall-time `tsv` should
+      * record: past every recorded fact AND never behind the wall
+      * clock (so seqs stay comparable with ts-only legacy facts). */
+    def nextSeq(tsv: Long): Long = math.max(tsv, maxSeq + 1)
   }
 
   private def parseKey(stem: String): (String, Long) = {
@@ -361,11 +402,14 @@ object CommitLog {
     }
     val entries = Seq.newBuilder[(String, Long)]
     val retired = Map.newBuilder[(String, Long), Long]
+    val retiredSeq = Map.newBuilder[(String, Long), Long]
     val meta = scala.collection.mutable.Map.empty[(String, Long), BatchMeta]
     val tombs = Seq.newBuilder[Tombstone]
-    // "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>]]]]" — the folded
-    // per-batch form shared by snapshot lines and txn add= lines
-    def parseFolded(line: String): Unit = {
+    // "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>[\t<fstats>
+    // [\t<seq>[\t<retireSeq>[\t<cdata>]]]]]]]]" — the folded per-batch
+    // form shared by snapshot lines and txn add= lines; returns the
+    // parsed key so txn parsing can attach txn-level fields
+    def parseFolded(line: String): (String, Long) = {
       val parts = line.split("\t", -1)
       val Array(r, b) = parts(0).split(",", 2)
       val key = (r, b.toLong)
@@ -380,41 +424,66 @@ object CommitLog {
         meta(key) = BatchMeta(stats, schema, ts)
       if (parts.length > 4 && parts(4).nonEmpty)
         parts(4).toLongOption.foreach(t => retired += key -> t)
-      if (parts.length > 5 && parts(5).nonEmpty) {
-        val prev = meta.getOrElse(key, BatchMeta(stats, schema, ts))
-        meta(key) = prev.copy(fileStats = decodeFileStats(parts(5)))
-      }
+      def upd(f: BatchMeta => BatchMeta): Unit =
+        meta(key) = f(meta.getOrElse(key, BatchMeta(stats, schema, ts)))
+      if (parts.length > 5 && parts(5).nonEmpty)
+        upd(_.copy(fileStats = decodeFileStats(parts(5))))
+      if (parts.length > 6 && parts(6).nonEmpty)
+        parts(6).toLongOption.foreach(s => upd(_.copy(seq = Some(s))))
+      if (parts.length > 7 && parts(7).nonEmpty)
+        parts(7).toLongOption.foreach(s => retiredSeq += key -> s)
+      if (parts.length > 8 && parts(8).nonEmpty)
+        upd(_.copy(cdata = Some(unesc(parts(8)))))
+      key
     }
     files.foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("txn-") && n.endsWith(".commit")) {
         // transaction marker: several partitions become visible (and
         // several retire) in the ONE atomic rename that created this
-        // file — the multi-batch commit an upsert/merge needs
+        // file — the multi-batch commit an upsert/merge needs. A
+        // txn-level seq/cdata line attaches to every add of the txn
+        // (and the seq to its retires).
         var ts = 0L
+        var seqOpt = Option.empty[Long]
+        var cdataOpt = Option.empty[String]
         var retires = Seq.empty[(String, Long)]
+        val added = Seq.newBuilder[(String, Long)]
         readText(st.getPath).linesIterator.foreach { l =>
-          if (l.startsWith("add=")) parseFolded(l.stripPrefix("add="))
+          if (l.startsWith("add=")) added += parseFolded(l.stripPrefix("add="))
           else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption.getOrElse(0L)
+          else if (l.startsWith("seq=")) seqOpt = l.stripPrefix("seq=").toLongOption
+          else if (l.startsWith("cdata=")) cdataOpt = Some(unesc(l.stripPrefix("cdata=")))
           else if (l.startsWith("retires=")) retires =
             l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
               val i = e.lastIndexOf(',')
               (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
             }
         }
-        retires.foreach(k => retired += k -> ts)
+        if (seqOpt.nonEmpty || cdataOpt.nonEmpty) added.result().foreach { k =>
+          val prev = meta.getOrElse(k,
+            BatchMeta(Seq.empty, Seq.empty, Some(ts).filter(_ > 0)))
+          meta(k) = prev.copy(seq = seqOpt.orElse(prev.seq),
+            cdata = cdataOpt.orElse(prev.cdata))
+        }
+        retires.foreach { k =>
+          retired += k -> ts
+          seqOpt.foreach(s => retiredSeq += k -> s)
+        }
       } else if (n.endsWith(".commit")) {
         val key = parseKey(n.stripSuffix(".commit"))
         entries += key
         var stats = Seq.empty[ColStats]
         var schema = Seq.empty[(String, String)]
         var ts = Option.empty[Long]
+        var seqOpt = Option.empty[Long]
         var fstats = Seq.empty[(String, Seq[ColStats])]
         var retires = Seq.empty[(String, Long)]
         readText(st.getPath).linesIterator.foreach { l =>
           if (l.startsWith("stats=")) stats = decodeStats(l.stripPrefix("stats="))
           else if (l.startsWith("schema=")) schema = decodeSchema(l.stripPrefix("schema="))
           else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption
+          else if (l.startsWith("seq=")) seqOpt = l.stripPrefix("seq=").toLongOption
           else if (l.startsWith("fstats=")) fstats = decodeFileStats(l.stripPrefix("fstats="))
           else if (l.startsWith("retires=")) retires =
             l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
@@ -422,9 +491,13 @@ object CommitLog {
               (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
             }
         }
-        if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty || fstats.nonEmpty)
-          meta(key) = BatchMeta(stats, schema, ts, fstats)
-        retires.foreach(k => retired += k -> ts.getOrElse(0L))
+        if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty ||
+            fstats.nonEmpty || seqOpt.nonEmpty)
+          meta(key) = BatchMeta(stats, schema, ts, fstats, seqOpt)
+        retires.foreach { k =>
+          retired += k -> ts.getOrElse(0L)
+          seqOpt.foreach(s => retiredSeq += k -> s)
+        }
       } else if (n.endsWith(".snapshot")) {
         // snapshot line: the folded per-batch form (earlier fields may
         // be empty when a later one rides; field 5 present ⇔ THIS
@@ -432,12 +505,14 @@ object CommitLog {
         readText(st.getPath).linesIterator.filter(_.nonEmpty).foreach(parseFolded)
       } else if (n.endsWith(".tombstone")) {
         var ts = 0L; var colN = ""; var typ = ""; var kind = ""
+        var seqOpt = Option.empty[Long]
         var vals = Seq.empty[String]; var applies = Seq.empty[(String, Long)]
         readText(st.getPath).linesIterator.foreach { l =>
           if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption.getOrElse(0L)
           else if (l.startsWith("col=")) colN = unesc(l.stripPrefix("col="))
           else if (l.startsWith("typ=")) typ = unesc(l.stripPrefix("typ="))
           else if (l.startsWith("kind=")) kind = l.stripPrefix("kind=")
+          else if (l.startsWith("seq=")) seqOpt = l.stripPrefix("seq=").toLongOption
           else if (l.startsWith("vals=")) vals =
             l.stripPrefix("vals=").split(";", -1).toSeq.filter(_.nonEmpty).map(unesc)
           else if (l.startsWith("applies=")) applies =
@@ -447,12 +522,19 @@ object CommitLog {
             }
         }
         if (colN.nonEmpty && kind.nonEmpty)
-          tombs += Tombstone(ts, colN, typ, kind, vals, applies)
+          tombs += Tombstone(ts, colN, typ, kind, vals, applies, seqOpt)
       }
     }
+    // tombstone order leads with the monotonic effective seq: under
+    // the single-writer discipline for mutations, a NEW delete always
+    // sorts after every existing one (its seq exceeds all recorded
+    // effective seqs), so a count into this order — the streaming
+    // change feed's offset — is PREFIX-STABLE under appends. Legacy
+    // same-ts tombstones keep the old deterministic tiebreak.
     LogState(entries.result().distinct.sorted, retired.result(),
       meta.toMap, tombs.result().sortBy(t =>
-        (t.ts, t.col, t.kind, t.vals.mkString(","))))
+        (t.seq.getOrElse(t.ts), t.ts, t.col, t.kind, t.vals.mkString(","))),
+      retiredSeq.result())
   }
 
   /** Per-batch stats from the log. Batches committed without stats
@@ -722,7 +804,10 @@ object CommitLog {
         m.map(_.schema).filter(_.nonEmpty).map(encodeSchema),
         m.flatMap(_.ts).map(_.toString),
         st.retired.get((r, b)).map(_.toString),
-        m.map(_.fileStats).filter(_.nonEmpty).map(encodeFileStats))
+        m.map(_.fileStats).filter(_.nonEmpty).map(encodeFileStats),
+        m.flatMap(_.seq).map(_.toString),
+        st.retiredSeq.get((r, b)).map(_.toString),
+        m.flatMap(_.cdata).map(esc))
       val upto = fields.lastIndexWhere(_.isDefined)
       if (upto < 0) s"$r,$b"
       else s"$r,$b\t" +
@@ -765,6 +850,21 @@ object CommitLog {
         case None => now - batchDir.getModificationTime > graceMs
       })
     } hfs.delete(batchDir.getPath, true)
+    // orphaned write-time change partitions (a merge that crashed
+    // between its `_changes` write and the marker rename — never
+    // referenced by any marker, structurally invisible) age out by
+    // mtime; REFERENCED change partitions are kept — they are the
+    // O(changed rows) record CDC consumers replay history from, and
+    // unlike retired batch dirs they do not grow with table size
+    val changesRoot = new org.apache.hadoop.fs.Path(s"$table/_changes")
+    if (hfs.exists(changesRoot)) {
+      val referenced = st.meta.valuesIterator.flatMap(_.cdata).toSet
+      hfs.listStatus(changesRoot).foreach { d =>
+        if (d.isDirectory && !referenced.contains(d.getPath.getName) &&
+            now - d.getModificationTime > graceMs)
+          hfs.delete(d.getPath, true)
+      }
+    }
   }
 
   // ---- CHANGE FEED (r16): the incremental read over the log ---- //
@@ -819,8 +919,9 @@ object CommitLog {
         s"change feed needs ($r, $b) for $why, but its directory was " +
           "vacuumed — history before the vacuum grace window is gone")
     }
-    def withMeta(df: DataFrame, tpe: String, t: Long): DataFrame =
+    def withMeta(df: DataFrame, tpe: String, t: Long, seq: Long): DataFrame =
       df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
+        .withColumn("_change_seq", lit(seq))
 
     val parts = Seq.newBuilder[DataFrame]
 
@@ -828,7 +929,7 @@ object CommitLog {
     // if since retired — an upsert later in the window retires them,
     // but their arrival was still an insert event). All insert batches
     // read as ONE multi-dir frame (rawBatchSet reconciles lineages)
-    // with per-batch commit ts attached by a broadcast mapping — a
+    // with per-batch commit ts/seq attached by a broadcast mapping — a
     // wide window over a long table must not build a union plan with
     // one scan node per batch (r18, matching the streaming feed).
     val inserts = st.entries.filter { case (r, b) =>
@@ -837,25 +938,7 @@ object CommitLog {
     }
     if (inserts.nonEmpty) {
       inserts.foreach { case (r, b) => requireDir(r, b, "an in-window insert") }
-      val tsRows = inserts.map { case (r, b) =>
-        org.apache.spark.sql.Row(r, b,
-          st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) }
-      val tsSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__cr",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cb",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cts",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val mapping = broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(tsRows, 1), tsSchema))
-      val raw = rawBatchSet(spark, table, inserts, st)
-      parts += raw.join(mapping,
-          raw("run_id") === mapping("__cr") &&
-            raw("batch_id").cast("long") === mapping("__cb"))
-        .withColumn("change_type", lit("insert"))
-        .withColumn("change_ts", col("__cts"))
-        .drop("run_id", "batch_id", "__cr", "__cb", "__cts")
+      parts += insertEventsFrame(spark, table, inserts, st)
     }
 
     // tombstone deletes: the matching rows of each in-window delete —
@@ -870,7 +953,8 @@ object CommitLog {
           t.applies, st, tombstoneAsOf = Some(t.ts - 1))
         parts += withMeta(
           visible.drop("run_id", "batch_id")
-            .where(coalesce(tombstonePred(t), lit(false))), "delete", t.ts)
+            .where(coalesce(tombstonePred(t), lit(false))), "delete",
+          t.ts, st.tombSeq(t))
       }
     }
 
@@ -890,37 +974,113 @@ object CommitLog {
           rawBatchSet(spark, table, Seq((r, b)), st),
           Seq((r, b)), st, tombstoneAsOf = Some(rts))
           .drop("run_id", "batch_id")
-        parts += withMeta(before, "delete", rts)
+        parts += withMeta(before, "delete", rts, st.retireSeqOf((r, b)))
       }
     }
 
-    // upsert deletes: original ∖ rewrite = the matched old copies
-    st.entries.foreach { case (r, b) =>
-      rewriteOf(st, r, b) match {
-        case Some((orig, "up")) =>
-          val ts = st.retired.getOrElse((orig, b), 0L)
-          if (inWindow(ts)) {
-            requireDir(orig, b, "an upsert's pre-image")
-            requireDir(r, b, "an upsert rewrite")
-            // pre-image = what was visible just before the upsert:
-            // tombstone-deleted rows were folded OUT of the rewrite
-            // but already reported at their own delete time
-            val before = applyTombstones(
-              rawBatchSet(spark, table, Seq((orig, b)), st),
-              Seq((orig, b)), st, tombstoneAsOf = Some(ts))
-              .drop("run_id", "batch_id")
-            val after = rawBatchSet(spark, table, Seq((r, b)), st)
-              .drop("run_id", "batch_id")
-            parts += withMeta(before.exceptAll(
-              after.select(before.columns.map(col): _*)), "delete", ts)
-          }
-        case _ => ()
-      }
-    }
+    // upsert deletes: the matched old copies. FAST PATH (r19): merges
+    // persist their delete pre-images as write-time change files —
+    // read O(changed rows) from `_changes/` instead of recomputing the
+    // 2-scan + shuffle exceptAll per rewrite. Legacy rewrites (no
+    // cdata recorded, or cdata vacuumed away with its era) keep the
+    // original ∖ rewrite reconstruction.
+    upsertDeleteFrames(spark, table, st,
+      st.entries.filter { case (r, b) =>
+        rewriteOf(st, r, b).exists(_._2 == "up") &&
+          inWindow(st.retired.getOrElse(
+            (rewriteOf(st, r, b).get._1, b), 0L))
+      }, requireDir).foreach(parts += _)
 
     val all = parts.result()
     if (all.isEmpty) None
     else Some(all.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** The insert change events of `inserts` as ONE frame: a combined
+    * rawBatchSet scan with per-batch (change_ts, _change_seq) attached
+    * by a broadcast mapping. Shared by the batch feed and the
+    * streaming feed. */
+  private[sources] def insertEventsFrame(spark: SparkSession,
+      table: String, inserts: Seq[(String, Long)],
+      st: LogState): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tsRows = inserts.map { case (r, b) =>
+      org.apache.spark.sql.Row(r, b,
+        st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L),
+        st.entrySeq((r, b))) }
+    val tsSchema = StructType(Seq(
+      StructField("__cr", StringType, nullable = false),
+      StructField("__cb", LongType, nullable = false),
+      StructField("__cts", LongType, nullable = false),
+      StructField("__cseq", LongType, nullable = false)))
+    val mapping = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(tsRows, 1), tsSchema))
+    val raw = rawBatchSet(spark, table, inserts, st)
+    raw.join(mapping,
+        raw("run_id") === mapping("__cr") &&
+          raw("batch_id").cast("long") === mapping("__cb"))
+      .withColumn("change_type", lit("insert"))
+      .withColumn("change_ts", col("__cts"))
+      .withColumn("_change_seq", col("__cseq"))
+      .drop("run_id", "batch_id", "__cr", "__cb", "__cts", "__cseq")
+  }
+
+  /** The upsert-delete change events for the given upsert REWRITE
+    * entries, grouped so each write-time change partition is read
+    * exactly once (filtered to the asked originals — admission control
+    * may deliver a transaction's rewrites across micro-batches), with
+    * per-original exceptAll reconstruction for legacy rewrites.
+    * Shared by the batch feed and the streaming feed. */
+  private[sources] def upsertDeleteFrames(spark: SparkSession,
+      table: String, st: LogState, rewriteEntries: Seq[(String, Long)],
+      requireDir: (String, Long, String) => Unit): Seq[DataFrame] = {
+    def withMeta(df: DataFrame, t: Long, seq: Long): DataFrame =
+      df.withColumn("change_type", lit("delete"))
+        .withColumn("change_ts", lit(t)).withColumn("_change_seq", lit(seq))
+    final case class Up(entry: (String, Long), orig: (String, Long),
+      rts: Long, seq: Long, cdata: Option[String])
+    val ups = rewriteEntries.sorted.flatMap { case (r, b) =>
+      rewriteOf(st, r, b) match {
+        case Some((orig, "up")) =>
+          val rts = st.retired.getOrElse((orig, b), 0L)
+          Some(Up((r, b), (orig, b), rts, st.retireSeqOf((orig, b)),
+            st.meta.get((r, b)).flatMap(_.cdata).filter { rel =>
+              val (hfs, p) = fs(spark, s"$table/_changes/$rel")
+              hfs.exists(p)
+            }))
+        case _ => None
+      }
+    }
+    val out = Seq.newBuilder[DataFrame]
+    // fast path: one scan per change partition, filtered to the asked
+    // originals; (ts, seq) are txn-constant so any member's meta works
+    ups.filter(_.cdata.nonEmpty).groupBy(_.cdata.get).toSeq.sortBy(_._1)
+      .foreach { case (rel, members) =>
+        val df = spark.read.parquet(s"$table/_changes/$rel")
+        val origs = members.map(m => s"${m.orig._1}-${m.orig._2}")
+        out += withMeta(
+          df.where(concat_ws("-", col("__orig_run"),
+            col("__orig_batch")).isin(origs: _*))
+            .drop("__orig_run", "__orig_batch"),
+          members.head.rts, members.head.seq)
+      }
+    ups.filter(_.cdata.isEmpty).foreach { up =>
+      val (orig, b) = (up.orig._1, up.orig._2)
+      requireDir(orig, b, "an upsert's pre-image")
+      requireDir(up.entry._1, b, "an upsert rewrite")
+      // pre-image = what was visible just before the upsert:
+      // tombstone-deleted rows were folded OUT of the rewrite
+      // but already reported at their own delete time
+      val before = applyTombstones(
+        rawBatchSet(spark, table, Seq(up.orig), st),
+        Seq(up.orig), st, tombstoneAsOf = Some(up.rts))
+        .drop("run_id", "batch_id")
+      val after = rawBatchSet(spark, table, Seq(up.entry), st)
+        .drop("run_id", "batch_id")
+      out += withMeta(before.exceptAll(
+        after.select(before.columns.map(col): _*)), up.rts, up.seq)
+    }
+    out.result()
   }
 
   /** Table HISTORY — Delta's DESCRIBE HISTORY rung, derived entirely
@@ -985,7 +1145,8 @@ object CommitLog {
     * stats/schema/ts pruning and evolution work unchanged, and
     * [[compactLog]] folds transaction markers like any other. */
   def commitTxn(spark: SparkSession, table: String, adds: Seq[TxnAdd],
-      retires: Seq[(String, Long)], ts: Long = -1L): Unit = {
+      retires: Seq[(String, Long)], ts: Long = -1L,
+      seq: Option[Long] = None, cdata: Option[String] = None): Unit = {
     require(adds.nonEmpty || retires.nonEmpty,
       "a transaction must add or retire at least one partition")
     val (hfs, dir) = fs(spark, commitsDir(table))
@@ -1006,10 +1167,12 @@ object CommitLog {
     val retiresLine =
       if (retires.isEmpty) ""
       else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
+    val seqLine = seq.map(s => s"seq=$s\n").getOrElse("")
+    val cdataLine = cdata.map(d => s"cdata=${esc(d)}\n").getOrElse("")
     val name = f"txn-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.commit"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val out = hfs.create(tmp, true)
-    try out.write(s"ts=$tsv\n$addLines$retiresLine".getBytes("UTF-8"))
+    try out.write(s"ts=$tsv\n$seqLine$cdataLine$addLines$retiresLine".getBytes("UTF-8"))
     finally out.close()
     // conflict detection, re-read as late as possible: a concurrent
     // upsert/compactDeletes that already retired one of our retires
@@ -1102,7 +1265,49 @@ object CommitLog {
       keyCols: Seq[String], runId: String, batchId: Long, ts: Long = -1L,
       statsCols: Seq[String] = Seq.empty,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      dropCols: Seq[String] = Seq.empty): Unit = {
+      dropCols: Seq[String] = Seq.empty): Unit =
+    mergeWithHook(spark, table, source, keyCols, runId, batchId, ts,
+      statsCols, deleteWhen, dropCols, () => ())
+
+  /** [[merge]] with a test seam (`beforeCommit` runs after planning,
+    * just before the transaction marker lands — the OCC race window
+    * made injectable) and BOUNDED OCC RETRY (r19): a write conflict —
+    * a concurrent transaction retired one of this merge's rewrite
+    * targets between planning and commit — no longer loud-fails the
+    * whole merge. The losing merge RE-PLANS against the fresh log
+    * state (where the winner's rewrite is live, so the stats pruning
+    * re-derives the batches that now hold our keys, including the
+    * winner's rewrite itself) and retries; its orphaned rewrite
+    * partitions stay structurally invisible and [[vacuum]] reclaims
+    * them. Bounded retries keep a genuinely contended table loud: past
+    * the bound the conflict error propagates with the retry count. */
+  private[sources] def mergeWithHook(spark: SparkSession, table: String,
+      source: DataFrame, keyCols: Seq[String], runId: String,
+      batchId: Long, ts: Long = -1L, statsCols: Seq[String] = Seq.empty,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      dropCols: Seq[String] = Seq.empty,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val maxAttempts = 3
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try {
+        mergeAttempt(spark, table, source, keyCols, runId, batchId, ts,
+          statsCols, deleteWhen, dropCols, beforeCommit)
+        done = true
+      } catch {
+        case e: RuntimeException if attempt < maxAttempts &&
+            e.getMessage != null && e.getMessage.contains("write conflict") =>
+          attempt += 1
+      }
+    }
+  }
+
+  private def mergeAttempt(spark: SparkSession, table: String,
+      source: DataFrame, keyCols: Seq[String], runId: String,
+      batchId: Long, ts: Long, statsCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      dropCols: Seq[String], beforeCommit: () => Unit): Unit = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val st = logState(spark, table)
     require(!st.entries.contains((runId, batchId)),
@@ -1187,13 +1392,63 @@ object CommitLog {
         Seq(runId, batchId, keyCols.mkString(","), r, b)) & 0x7fffffff
       RewriteSpec((r, b), f"${r}up$h%08x")
     }
-    val rewrites = rewriteBatchSet(spark, table, st, plan, { df =>
+    val rewriteResults = rewriteBatchSet(spark, table, st, plan, { df =>
       val matchCond = keyCols.map(c =>
         df(c) === keys(s"__k_$c")).reduce(_ && _)
       df.join(keys, matchCond, "left_anti")
-    }).flatMap(_._2)
+    })
+    val rewrites = rewriteResults.flatMap(_._2)
     if (affected.isEmpty && newAdd.isEmpty) return // no-op feed
-    commitTxn(spark, table, rewrites ++ newAdd, affected, tsv)
+    // WRITE-TIME CHANGE DATA (r19): persist the merge's delete
+    // pre-images (the matched old rows the rewrites dropped — the
+    // anti-join's complement) under `_changes/` and reference the
+    // partition from the transaction marker, so change-feed consumers
+    // read O(changed rows) instead of recomputing a 2-scan+shuffle
+    // exceptAll per historical rewrite per consumer (the Delta
+    // `_change_data` rung). Only batches WITH a surviving rewrite are
+    // covered: a fully-consumed original retires with no rewrite entry
+    // and the feed's full-batch-delete path reads its pre-image
+    // directly. The dir name hashes the merge identity, so a retry
+    // overwrites its own change files; a crash before the marker
+    // leaves an orphan that is never referenced and vacuum reclaims.
+    val cdataDir: Option[String] = {
+      val covered = rewriteResults.collect { case (s, Some(_)) => s.orig }
+      if (covered.isEmpty) None
+      else {
+        val h = scala.util.hashing.MurmurHash3.orderedHash(
+          Seq(runId, batchId.toString, keyCols.mkString(","))) & 0x7fffffff
+        val rel = f"cd-$runId-$batchId%d-$h%08x"
+        val dir = s"$table/_changes/$rel"
+        val visible = applyTombstones(
+          rawBatchSet(spark, table, covered, st), covered, st,
+          tombstoneAsOf = Some(tsv))
+        val matchCond = keyCols.map(c =>
+          visible(c) === keys(s"__k_$c")).reduce(_ && _)
+        val removed = visible.join(keys, matchCond, "left_semi")
+          .withColumn("__orig_run", col("run_id"))
+          .withColumn("__orig_batch", col("batch_id").cast("long"))
+          .drop("run_id", "batch_id")
+        removed.write.mode("overwrite").parquet(dir)
+        // an all-false-positive plan (stats matched, no row did) can
+        // write ZERO part files — land one schema-only file so readers
+        // can open the dir and see "no change rows" (vs. vacuumed)
+        val (hfs, dirPath) = fs(spark, dir)
+        if (!hfs.listStatus(dirPath).exists(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet")))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            removed.schema).repartition(1)
+            .write.mode("overwrite").parquet(dir)
+        Some(rel)
+      }
+    }
+    // monotonic txn seq: totally orders this merge's change events
+    // (delete pre-images + the new batch's inserts) against every
+    // other recorded fact, even within one wall millisecond
+    val seqv = st.nextSeq(tsv)
+    beforeCommit()
+    commitTxn(spark, table, rewrites ++ newAdd, affected, tsv,
+      seq = Some(seqv), cdata = cdataDir)
   }
 
   // ---- single-job copy-on-write rewrites (r18) ---- //
@@ -1462,9 +1717,14 @@ object CommitLog {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    // monotonic seq past every recorded fact (even with a pinned ts):
+    // keeps the tombstone order prefix-stable for streaming offsets
+    // and totally orders this delete's change events
+    val seqv = st.nextSeq(tsv)
     val name = f"del-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.tombstone"
     val body =
       s"""ts=$tsv
+         |seq=$seqv
          |col=${esc(column)}
          |typ=${esc(typ)}
          |kind=$kind
@@ -1536,8 +1796,14 @@ object CommitLog {
         "partition layout itself")
     val (hfs, _) = fs(spark, table)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    // plan from per-batch file inventories (driver metadata listing),
-    // then ALL planned batches rewrite in ONE job: disjoint bucket
+    val seqv = Some(st.nextSeq(tsv))
+    // plan from per-batch file inventories (driver metadata listing,
+    // PARALLELIZED r19: the serial per-batch listStatus loop was one
+    // round-trip per committed batch — metadata-free on local/HDFS but
+    // 100k serial RPCs on an object-store table with 100k batches
+    // before the single rewrite job could start; a bounded listing
+    // pool keeps planning wall-time flat in batch count), then ALL
+    // planned batches rewrite in ONE job: disjoint bucket
     // ranges per batch let a single hash repartition bin-pack every
     // batch at once (never more than `want` files per batch). Plain
     // OPTIMIZE rewrites only fragmented batches; OPTIMIZE ... ZORDER
@@ -1545,7 +1811,7 @@ object CommitLog {
     // Delta, a repeat invocation re-clusters; a RETRY of a crashed
     // pass stays idempotent because the hash covers the file
     // inventory, unchanged until the swap lands).
-    val plan = st.committed.flatMap { case (r, b) =>
+    def planOne(r: String, b: Long): Option[RewriteSpec] = {
       val dirPath = new org.apache.hadoop.fs.Path(
         s"$table/run_id=$r/batch_id=$b")
       if (!hfs.exists(dirPath)) None
@@ -1565,11 +1831,29 @@ object CommitLog {
         }
       }
     }
+    val plan = listParallel(st.committed)(k => planOne(k._1, k._2)).flatten
     // empty rewrites retire-only; conflicted batches OCC-skip (a
     // concurrent mutation won that original) — see commitMaintenance
     rewriteBatchSet(spark, table, st, plan, identity, zorderBy).foreach {
-      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv)
+      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv, seqv)
     }
+  }
+
+  /** Run a metadata operation over many batch keys on a bounded
+    * thread pool (Hadoop FileSystem instances are thread-safe for
+    * listing), preserving input order. Driver-side parallelism for
+    * the listing-bound planning phases — never for data. */
+  private def listParallel[A, B](keys: Seq[A])(f: A => B): Seq[B] = {
+    if (keys.length <= 4) return keys.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, keys.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = keys.map(k => new java.util.concurrent.Callable[B] {
+        override def call(): B = f(k)
+      })
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Commit one MAINTENANCE rewrite (compactDeletes / compactFiles)
@@ -1585,14 +1869,15 @@ object CommitLog {
     * the loud conflict — their source-derived rewrite really is stale.
     * Returns true when the commit landed. */
   private def commitMaintenance(spark: SparkSession, table: String,
-      spec: RewriteSpec, add: Option[TxnAdd], tsv: Long): Boolean =
+      spec: RewriteSpec, add: Option[TxnAdd], tsv: Long,
+      seqv: Option[Long] = None): Boolean =
     try {
       add match {
         case None =>
-          commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv)
+          commitTxn(spark, table, Seq.empty, Seq(spec.orig), tsv, seqv)
         case Some(a) =>
           commitWithMeta(spark, table, a.runId, a.batchId, a.stats,
-            a.schema, tsv, Seq(spec.orig), a.fileStats)
+            a.schema, tsv, Seq(spec.orig), a.fileStats, seqv)
       }
       true
     } catch {
@@ -1634,6 +1919,7 @@ object CommitLog {
     // member predicates on the combined frame); markers stay
     // PER BATCH — each original's retirement and its rewrite's
     // visibility flip in one atomic rename, exactly as before.
+    val seqv = Some(st.nextSeq(tsv))
     val plan = perBatch.map { case ((runId, batchId), tombs) =>
       val h = scala.util.hashing.MurmurHash3.orderedHash(
         tombs.map(t => (t.ts, t.col, t.kind, t.vals))) & 0x7fffffff
@@ -1644,7 +1930,7 @@ object CommitLog {
     // original retires with no replacement (a retire-only txn marker).
     // Conflicted batches OCC-skip — see commitMaintenance.
     rewriteBatchSet(spark, table, st, plan, identity).foreach {
-      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv)
+      case (spec, add) => commitMaintenance(spark, table, spec, add, tsv, seqv)
     }
   }
 }

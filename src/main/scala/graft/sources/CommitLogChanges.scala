@@ -55,7 +55,8 @@ private[graft] object CommitLogChangesFunction {
           .filterNot(f => CommitLogTable.partNames.contains(f.name))
         val schema = StructType(
           dataCols :+ StructField("change_type", StringType) :+
-            StructField("change_ts", LongType))
+            StructField("change_ts", LongType) :+
+            StructField("_change_seq", LongType))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .queryExecution.logical

@@ -524,6 +524,8 @@ private[sources] final class CommitLogTable(val table: String,
       org.apache.spark.sql.types.StructField("change_type",
         org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("change_ts",
+        org.apache.spark.sql.types.LongType) :+
+      org.apache.spark.sql.types.StructField("_change_seq",
         org.apache.spark.sql.types.LongType))
 
   override def name(): String = s"graft_commitlog.`$table`"
@@ -612,7 +614,7 @@ private[sources] final class CommitLogChangesScanBuilder(t: CommitLogTable)
         "graft_commitlog: readChangeFeed tails the live log — " +
           "asOfBatch/asOfTimestamp are batch-read pins")
       new CommitLogChangesMicroBatchStream(t.table,
-        StructType(t.feedSchema.fields.dropRight(2)), checkpointLocation,
+        StructType(t.feedSchema.fields.dropRight(3)), checkpointLocation,
         t.maxBatchesPerTrigger, t.startingTs)
     }
   }

@@ -367,7 +367,8 @@ final class CommitLogChangesMicroBatchStream(table: String,
   private def spark = SparkSession.active
   private[sources] val feedSchema: StructType = StructType(
     dataSchema.fields :+ StructField("change_type", StringType) :+
-      StructField("change_ts", LongType))
+      StructField("change_ts", LongType) :+
+      StructField("_change_seq", LongType))
 
   /** Empty (replay ALL recorded history — the startingVersion=0
     * shape), or, with `startingTimestamp`, the log state as of that
@@ -471,54 +472,29 @@ final class CommitLogChangesMicroBatchStream(table: String,
           "but its directory was vacuumed — history before the vacuum " +
           "grace window is gone")
     }
-    def withMeta(df: DataFrame, tpe: String, t: Long): DataFrame =
+    def withMeta(df: DataFrame, tpe: String, t: Long, seq: Long): DataFrame =
       df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
+        .withColumn("_change_seq", lit(seq))
     val parts = Seq.newBuilder[DataFrame]
     val newEntries = (e.entries -- s.entries).toSeq.sorted
     // plain inserts read as ONE multi-dir frame (rawBatchSet already
-    // reconciles schema lineages) with per-batch commit ts attached by
-    // a broadcast mapping — a fresh stream bootstrapping a year-old
+    // reconciles schema lineages) with per-batch commit ts/seq attached
+    // by a broadcast mapping — a fresh stream bootstrapping a year-old
     // table must not build a union plan with one scan node per batch
     val inserts = newEntries.filter { case (r, b) =>
       CommitLog.rewriteOf(st, r, b).isEmpty }
     if (inserts.nonEmpty) {
       inserts.foreach { case (r, b) => requireDir(r, b, "an insert") }
-      val tsRows = inserts.map { case (r, b) =>
-        org.apache.spark.sql.Row(r, b,
-          st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) }
-      val tsSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__cr",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cb", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cts", LongType, nullable = false)))
-      val mapping = broadcast(sp.createDataFrame(
-        sp.sparkContext.parallelize(tsRows, 1), tsSchema))
-      val raw = CommitLog.rawBatchSet(sp, table, inserts, st)
-      parts += raw.join(mapping,
-          raw("run_id") === mapping("__cr") &&
-            raw("batch_id").cast("long") === mapping("__cb"))
-        .withColumn("change_type", lit("insert"))
-        .withColumn("change_ts", col("__cts"))
-        .drop("run_id", "batch_id", "__cr", "__cb", "__cts")
+      parts += CommitLog.insertEventsFrame(sp, table, inserts, st)
     }
-    newEntries.foreach { case (r, b) =>
-      CommitLog.rewriteOf(st, r, b) match {
-        case None => () // handled above as one combined insert frame
-        case Some((orig, "up")) =>
-          val rts = st.retired.getOrElse((orig, b), 0L)
-          requireDir(orig, b, "an upsert's pre-image")
-          requireDir(r, b, "an upsert rewrite")
-          val before = CommitLog.applyTombstones(
-            CommitLog.rawBatchSet(sp, table, Seq((orig, b)), st),
-            Seq((orig, b)), st, tombstoneAsOf = Some(rts))
-            .drop("run_id", "batch_id")
-          val after = CommitLog.rawBatchSet(sp, table, Seq((r, b)), st)
-            .drop("run_id", "batch_id")
-          parts += withMeta(before.exceptAll(
-            after.select(before.columns.map(col): _*)), "delete", rts)
-        case Some(_) => () // compaction rewrite: carried copies, no events
-      }
-    }
+    // upsert deletes: write-time change files where the merge recorded
+    // them (read O(changed rows), filtered to THIS delta's originals —
+    // admission control may split a transaction across micro-batches),
+    // per-original exceptAll reconstruction for legacy rewrites
+    CommitLog.upsertDeleteFrames(sp, table, st,
+      newEntries.filter(k =>
+        CommitLog.rewriteOf(st, k._1, k._2).exists(_._2 == "up")),
+      (r, b, why) => requireDir(r, b, why)).foreach(parts += _)
     (e.retired -- s.retired).toSeq.sorted.foreach { case (r, b) =>
       val hasRewriteEntry = e.entries.exists { case (r2, b2) =>
         b2 == b && r2 != r &&
@@ -529,7 +505,7 @@ final class CommitLogChangesMicroBatchStream(table: String,
         parts += withMeta(CommitLog.applyTombstones(
           CommitLog.rawBatchSet(sp, table, Seq((r, b)), st),
           Seq((r, b)), st, tombstoneAsOf = Some(rts))
-          .drop("run_id", "batch_id"), "delete", rts)
+          .drop("run_id", "batch_id"), "delete", rts, st.retireSeqOf((r, b)))
       }
     }
     st.tombstones.slice(s.tombs, e.tombs).foreach { t =>
@@ -539,7 +515,8 @@ final class CommitLogChangesMicroBatchStream(table: String,
           CommitLog.rawBatchSet(sp, table, t.applies, st),
           t.applies, st, tombstoneAsOf = Some(t.ts - 1))
         parts += withMeta(visible.drop("run_id", "batch_id")
-          .where(coalesce(CommitLog.tombstonePred(t), lit(false))), "delete", t.ts)
+          .where(coalesce(CommitLog.tombstonePred(t), lit(false))),
+          "delete", t.ts, st.tombSeq(t))
       }
     }
     val all = parts.result()

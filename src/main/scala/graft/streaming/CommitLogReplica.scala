@@ -69,17 +69,26 @@ object CommitLogReplica {
     // converged no-op)
     if (CommitLog.committedBatches(spark, replica).contains((runId, epoch)))
       return
-    // latest event per key: change_ts desc, inserts over deletes at
-    // equal ts (an upsert's pair shares its ts and nets to the insert)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("change_ts").desc,
-        (col("change_type") === "insert").desc)
+    // latest event per key: (change_ts, _change_seq) desc — the feed's
+    // monotonic transaction sequence totally orders two merges that
+    // commit within the same wall millisecond, so the reduce is
+    // DETERMINISTIC on ts ties (r19; legacy feeds without the column
+    // order by ts alone, the pre-seq behavior); inserts over deletes
+    // last (an upsert's delete+insert pair shares its (ts, seq) and
+    // must net to the insert)
+    val hasSeq = batch.columns.contains("_change_seq")
+    val ordering =
+      (col("change_ts").desc +:
+        (if (hasSeq) Seq(col("_change_seq").desc) else Seq.empty)) :+
+        (col("change_type") === "insert").desc
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
     val latest = batch
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     CommitLog.merge(spark, replica, latest, keyCols,
       runId = runId, batchId = epoch, statsCols = statsCols,
       deleteWhen = Some(col("change_type") === "delete"),
-      dropCols = Seq("change_type", "change_ts"))
+      dropCols = Seq("change_type", "change_ts") ++
+        (if (hasSeq) Seq("_change_seq") else Seq.empty))
   }
 }
