@@ -1247,11 +1247,69 @@ object SparkEntry {
             cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl,
             "build", b.toLong, Seq("c_custkey", "c_nationkey"), ts = 1000L + b)
         graft.sources.UpdateCommitLogCommand(tbl,
-          whereCol = "c_nationkey", whereSql = "c_nationkey = 3",
+          whereCols = Seq("c_nationkey"), whereSql = "c_nationkey = 3",
           sets = Seq("c_acctbal" -> "c_acctbal + 1000.0",
             "c_mktsegment" -> "'UPDATED'")).run(s)
       }
       s.read.format("graft_commitlog").load(table)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // the format's FLAGSHIP composition under the DuckDB oracle (r19):
+    // source table → two same-millisecond merges (the _change_seq
+    // total order decides the winner), a delete-op merge, a tombstone
+    // → the change-feed STREAM applied by CommitLogReplica into a
+    // second commit-log table → read the REPLICA. The oracle replays
+    // the operation history in issue order against the source rows —
+    // byte-equality here gates the whole CDC loop (feed events, seq
+    // ordering, latest-per-key reduce, per-epoch merge, exactly-once
+    // markers) end to end.
+    "q_commitlog_cdc" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "cdc", "customer") { tbl =>
+        // a crashed prior build leaves replica/checkpoint siblings the
+        // scratch helper's `t`-only delete misses — clear them first
+        val hfs = new org.apache.hadoop.fs.Path(tbl)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl + "_replica"), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl + "_ckpt"), true)
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        for (b <- 0 to 1)
+          graft.sources.CommitLog.writeBatchWithStats(
+            cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl,
+            "build", b.toLong, Seq("c_custkey"), ts = 1000L + b)
+        def k10(m: Int) = pmod(col("c_custkey"), lit(10)) === m
+        // merge 1 and merge 2 share ts=3000 and overlap on %20==3 keys:
+        // only the monotonic seq makes "merge 2 wins" deterministic
+        graft.sources.CommitLog.merge(s, tbl,
+          cust.where(k10(3)).select(col("c_custkey"), col("c_nationkey"),
+            lit("M1").as("c_mktsegment"), lit(111.0).as("c_acctbal")),
+          Seq("c_custkey"), "cdc1", 0L, ts = 3000L,
+          statsCols = Seq("c_custkey"))
+        graft.sources.CommitLog.merge(s, tbl,
+          cust.where(pmod(col("c_custkey"), lit(20)) === 3)
+            .select(col("c_custkey"), col("c_nationkey"),
+              lit("M2").as("c_mktsegment"), lit(222.0).as("c_acctbal")),
+          Seq("c_custkey"), "cdc2", 0L, ts = 3000L,
+          statsCols = Seq("c_custkey"))
+        // delete-op merge (the CDC op-feed shape), then a tombstone
+        graft.sources.CommitLog.merge(s, tbl,
+          cust.where(k10(7)).select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"), col("c_acctbal"), lit("D").as("op")),
+          Seq("c_custkey"), "cdc3", 0L, ts = 4000L,
+          statsCols = Seq("c_custkey"),
+          deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+        graft.sources.CommitLog.deleteWhere(s, tbl, "c_custkey",
+          "range", Seq(10L, 19L), ts = 5000L)
+        // the change-feed stream into the replica, exactly-once
+        graft.streaming.CommitLogReplica.start(s, tbl, tbl + "_replica",
+          Seq("c_custkey"), checkpoint = tbl + "_ckpt",
+          statsCols = Seq("c_custkey")).awaitTermination()
+      }
+      s.read.format("graft_commitlog").load(table + "_replica")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
@@ -7366,6 +7424,23 @@ object SparkEntry {
         |)
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_commitlog_cdc" ->
+      """WITH state AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 20 = 3 THEN 'M2'
+        |         WHEN c_custkey % 10 = 3 THEN 'M1'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 20 = 3 THEN 222.0
+        |         WHEN c_custkey % 10 = 3 THEN 111.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 10 <> 7
+        |    AND c_custkey NOT BETWEEN 10 AND 19)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_commitlog_update" ->

@@ -721,6 +721,46 @@ object CommitLog {
       .where(col(column).between(lit(lo), lit(hi))))
   }
 
+  /** One column's conjunct-derived constraint for DML source pruning:
+    * a point set (`col = v` / `col IN (...)`) or a half/fully bounded
+    * range (`>=`/`<=`/BETWEEN conjuncts). Values are EXTERNAL
+    * (String/boxed numeric/Decimal) so [[probePrunable]] can judge
+    * float-render exactness against the recorded column type. */
+  private[sources] final case class ColBound(col: String,
+      points: Option[Seq[Any]], lo: Option[Any], hi: Option[Any])
+
+  /** The committed batches a conjunction of [[ColBound]]s cannot rule
+    * out by recorded per-batch stats — the directory-level skip a SQL
+    * UPDATE/DELETE self-source scan applies before listing anything
+    * (r19, the same skip [[readCommittedRange]] gives library reads).
+    * Batches without stats for a constrained column, unrenderable
+    * probe values, and columns with no extractable bound all degrade
+    * to UNPRUNABLE — the residual WHERE always applies, so pruning is
+    * an optimization, never a semantics change. */
+  private[sources] def prunedCommitted(st: LogState,
+      bounds: Seq[ColBound]): Seq[(String, Long)] =
+    st.committed.filter { key =>
+      val m = st.meta.get(key)
+      bounds.forall { b =>
+        m.flatMap(_.stats.find(_.col == b.col)) match {
+          case None => true // no stats recorded → cannot prune
+          case Some(s) =>
+            def recTyp = m.flatMap(_.schema.find(_._1 == b.col)).map(_._2)
+            b.points match {
+              case Some(ps) => ps.exists(p => p == null ||
+                !probePrunable(p, recTyp) ||
+                statsMayMatch(s, Some(p.toString), Some(p.toString)))
+              case None =>
+                val loS = b.lo.filter(v =>
+                  v != null && probePrunable(v, recTyp)).map(_.toString)
+                val hiS = b.hi.filter(v =>
+                  v != null && probePrunable(v, recTyp)).map(_.toString)
+                statsMayMatch(s, loS, hiS)
+            }
+        }
+      }
+    }
+
   /** Is rendered-decimal stats pruning EXACT for probe value `k`
     * against a batch whose recorded key-column type is
     * `recordedTyp`? Floating-point values render lossily across the

@@ -292,33 +292,36 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
   private def updateTargetPath(p: LogicalPlan): Option[String] =
     mergeTargetPath(p).orElse(catalogOurLocation(p).map(_._1))
 
-  /** Map `UPDATE t SET c = e, ... WHERE <pred on one column>` onto
+  /** Map `UPDATE t SET c = e, ... WHERE <pred over data columns>` onto
     * [[UpdateCommitLogCommand]] (→ [[CommitLog.merge]] with a
-    * self-source). Everything else fails loudly NAMING the supported
-    * form — updating the wrong rows silently is worse than no
-    * support. */
+    * self-source keyed on every WHERE-referenced column). Everything
+    * else fails loudly NAMING the supported form — updating the wrong
+    * rows silently is worse than no support. */
   private def rewriteUpdate(
       u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable,
       path: String): LogicalPlan = {
     def fail(why: String): Nothing = sys.error(
       "graft_commitlog UPDATE supports: SET col = <expr over the " +
-        "row's own columns> [, ...] WHERE <predicate over exactly ONE " +
-        "data column> — the WHERE column keys the underlying merge. " +
-        s"Unsupported here: $why (for multi-column row identity use " +
+        "row's own columns> [, ...] WHERE <deterministic predicate " +
+        "over the row's own data columns> — every WHERE-referenced " +
+        "column keys the underlying merge. " +
+        s"Unsupported here: $why (for source-driven row identity use " +
         "MERGE INTO ... ON t.k = s.k WHEN MATCHED THEN UPDATE SET *)")
     val cond = u.condition.getOrElse(fail(
       "no WHERE clause (a full-table rewrite has no key to merge on; " +
         "INSERT OVERWRITE a transformed SELECT instead)"))
+    if (cond.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      fail("a subquery in WHERE (the matched set must be a function " +
+        "of the row's own columns)")
     def leaf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
       e.collect { case a: UnresolvedAttribute => a.nameParts.last }
     val whereCols = leaf(cond).distinct
-    if (whereCols.size != 1)
-      fail(s"WHERE references ${whereCols.size} columns " +
-        s"(${whereCols.mkString(", ")})")
-    val whereCol = whereCols.head
-    if (CommitLogTable.partNames.contains(whereCol))
-      fail(s"WHERE on system column '$whereCol' (batches retire whole " +
-        "via compaction, not row updates)")
+    if (whereCols.isEmpty)
+      fail("WHERE references no columns (nothing keys the merge)")
+    whereCols.filter(CommitLogTable.partNames.contains).foreach(c =>
+      fail(s"WHERE on system column '$c' (batches retire whole " +
+        "via compaction, not row updates)"))
     val strip: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression,
         org.apache.spark.sql.catalyst.expressions.Expression] = {
       case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
@@ -332,16 +335,16 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (CommitLogTable.partNames.contains(name))
         fail(s"SET on system column '$name'")
-      if (name == whereCol)
-        fail(s"SET on the WHERE column '$name' — the WHERE column is " +
-          "the row identity the merge keys on; updating it would " +
-          "mis-key the rewrite")
+      if (whereCols.contains(name))
+        fail(s"SET on the WHERE column '$name' — the WHERE-referenced " +
+          "columns are the row identity the merge keys on; updating " +
+          "one would mis-key the rewrite")
       name -> a.value.transform(strip).sql
     }
     if (sets.isEmpty) fail("empty SET list")
     val dup = sets.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
     if (dup.nonEmpty) fail(s"column(s) assigned twice: ${dup.mkString(", ")}")
-    UpdateCommitLogCommand(path, whereCol, whereSql, sets)
+    UpdateCommitLogCommand(path, whereCols, whereSql, sets)
   }
 
   /** Map the supported MERGE shapes onto [[MergeIntoCommitLogCommand]]

@@ -153,6 +153,76 @@ object CommitLogSqlWrites {
     fs.isEmpty || toTombstone(fs).nonEmpty
   }
 
+  /** Per-column [[CommitLog.ColBound]]s extracted from a WHERE's SQL
+    * text (parsed, unresolved): top-level AND conjuncts of the shapes
+    * `col = v`, `col IN (...)`, `col >/>=/</<= v` (either operand
+    * order; BETWEEN parses into the >= / <= pair). Everything else —
+    * ORs, functions, non-literal operands — contributes no bound:
+    * the residual WHERE always applies, so extraction is only ever an
+    * optimization. Literal internals convert to stats-comparable
+    * externals; types whose rendering cannot match the recorded stats
+    * rendering (timestamps, binaries, …) are dropped. */
+  private[sources] def whereBounds(spark: SparkSession,
+      whereSql: String): Seq[CommitLog.ColBound] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(whereSql)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    def attrOf(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    def litOf(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, dt) if v != null => dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(v.toString) // UTF8String renders exactly
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => Some(v)
+        case _: org.apache.spark.sql.types.DecimalType => Some(v)
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => Some(v)
+        case DateType => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .daysToLocalDate(v.asInstanceOf[Int]).toString)
+        case _ => None
+      }
+      case _ => None
+    }
+    val out = Seq.newBuilder[CommitLog.ColBound]
+    // `col >= v` bounds below; `v >= col` bounds above (strict bounds
+    // widen to inclusive — over-inclusion only, the residual filters)
+    def cmp(a: ce.Expression, l: ce.Expression, loSide: Boolean): Unit = {
+      for (c <- attrOf(a); v <- litOf(l))
+        out += (if (loSide) CommitLog.ColBound(c, None, Some(v), None)
+                else CommitLog.ColBound(c, None, None, Some(v)))
+      for (c <- attrOf(l); v <- litOf(a))
+        out += (if (loSide) CommitLog.ColBound(c, None, None, Some(v))
+                else CommitLog.ColBound(c, None, Some(v), None))
+    }
+    def walk(e: ce.Expression): Unit = e match {
+      case ce.And(l, r) => walk(l); walk(r)
+      case ce.EqualTo(a, l) =>
+        for (c <- attrOf(a); v <- litOf(l))
+          out += CommitLog.ColBound(c, Some(Seq(v)), None, None)
+        for (c <- attrOf(l); v <- litOf(a))
+          out += CommitLog.ColBound(c, Some(Seq(v)), None, None)
+      case ce.In(a, vs) if attrOf(a).nonEmpty && vs.nonEmpty =>
+        val lits = vs.map(litOf)
+        if (lits.forall(_.nonEmpty))
+          out += CommitLog.ColBound(attrOf(a).get,
+            Some(lits.map(_.get)), None, None)
+      case ce.GreaterThan(a, l) => cmp(a, l, loSide = true)
+      case ce.GreaterThanOrEqual(a, l) => cmp(a, l, loSide = true)
+      case ce.LessThan(a, l) => cmp(a, l, loSide = false)
+      case ce.LessThanOrEqual(a, l) => cmp(a, l, loSide = false)
+      case _ => ()
+    }
+    walk(parsed)
+    out.result()
+  }
+
   private[sources] def delete(spark: SparkSession, table: String,
       filters: Array[Filter]): Unit = {
     val fs = conjuncts(filters)
@@ -190,51 +260,110 @@ private[sources] final class CommitLogWriteBuilder(t: CommitLogTable,
   }
 }
 
-/** `UPDATE graft_commitlog.`/t` SET c = e, ... WHERE <pred on ONE
-  * column>` rewritten at analysis into this eager command — the one
+/** `UPDATE graft_commitlog.`/t` SET c = e, ... WHERE <pred over data
+  * columns>` rewritten at analysis into this eager command — the one
   * DML verb r17 left out (a point update had to be phrased as a MERGE
   * with a self-source; this command IS that phrasing, automated).
   *
   * Mapping: the matched target rows, with the SET list applied (all
   * assignments evaluate against the ORIGINAL row simultaneously, SQL
-  * semantics), become a [[CommitLog.merge]] self-source keyed on the
-  * WHERE column. The key-equivalence is exact because the predicate
-  * references only that column: the matched set IS "rows whose key
-  * value ∈ the matched value set", so the merge's anti-join removes
-  * exactly the matched rows and the new batch re-inserts their
-  * updated forms — one atomic marker, stats-pruned batch rewrites,
-  * time travel into the pre-update era, exactly the library merge.
+  * semantics), become a [[CommitLog.merge]] self-source keyed on EVERY
+  * column the WHERE references (r19 — the r18 form required exactly
+  * one). The key-equivalence is exact because a deterministic
+  * predicate is a function of the columns it references: every row
+  * sharing a matched row's key TUPLE is itself matched, so the merge's
+  * anti-join removes exactly the matched rows and the new batch
+  * re-inserts their updated forms — one atomic marker, stats-pruned
+  * batch rewrites, time travel into the pre-update era, exactly the
+  * library merge.
+  *
+  * The SOURCE scan is stats-pruned (r19): conjunct bounds extracted
+  * from the WHERE ([[CommitLogSqlWrites.whereBounds]]) skip whole
+  * batch directories by recorded min/max before any file is listed —
+  * a point UPDATE on a 100k-batch table plans candidate batches, not
+  * the table.
   *
   * Loudly rejected (a silent approximation would update the wrong
-  * rows): WHERE missing or touching >1 column (no key to equate on —
-  * use MERGE INTO with an explicit ON key), assigning the WHERE
-  * column itself (the source's new values would mis-key the
-  * anti-join), assigning run_id/batch_id (system columns). */
+  * rows): WHERE missing, assigning a WHERE-referenced column (the
+  * source's new values would mis-key the anti-join), assigning
+  * run_id/batch_id (system columns), a NONDETERMINISTIC predicate
+  * (rand() is not a function of the key tuple), and — at run time —
+  * a predicate matching rows with NULL in a key column (merge's
+  * equi-join can never remove them, so the update would DUPLICATE
+  * those rows; MERGE semantics share the restriction). */
 private[graft] final case class UpdateCommitLogCommand(table: String,
-    whereCol: String, whereSql: String, sets: Seq[(String, String)])
+    whereCols: Seq[String], whereSql: String, sets: Seq[(String, String)])
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, expr}
-    val target = CommitLog.readCommitted(spark, table).getOrElse(sys.error(
-      s"graft_commitlog UPDATE: no committed batches at $table"))
-    val dataCols = target.columns
-      .filterNot(CommitLogTable.partNames.contains).toSeq
+    val st = CommitLog.logState(spark, table)
+    if (st.committed.isEmpty) sys.error(
+      s"graft_commitlog UPDATE: no committed batches at $table")
+    // column validation against the RECORDED schema union (metadata
+    // only — no file listing yet); pre-schema-marker tables fall back
+    // to the full read's columns
+    val recorded = {
+      val names = scala.collection.mutable.LinkedHashSet.empty[String]
+      st.committed.foreach(k => st.meta.get(k).toSeq
+        .flatMap(_.schema).foreach(f => names += f._1))
+      names.toSeq
+    }
+    lazy val fullRead = CommitLog.readBatchSet(spark, table, st.committed, st)
+    val dataCols =
+      if (recorded.nonEmpty) recorded
+      else fullRead.columns.filterNot(CommitLogTable.partNames.contains).toSeq
     val unknownSet = sets.map(_._1).filterNot(dataCols.contains)
     if (unknownSet.nonEmpty) sys.error(
       s"graft_commitlog UPDATE: SET names unknown column(s) " +
         s"${unknownSet.mkString(", ")} (table has ${dataCols.mkString(", ")})")
-    if (!dataCols.contains(whereCol)) sys.error(
-      s"graft_commitlog UPDATE: WHERE references unknown column '$whereCol'")
+    val unknownWhere = whereCols.filterNot(dataCols.contains)
+    if (unknownWhere.nonEmpty) sys.error(
+      s"graft_commitlog UPDATE: WHERE references unknown column(s) " +
+        s"${unknownWhere.mkString(", ")}")
+    // stats-pruned self-source: only batches the WHERE bounds cannot
+    // rule out are listed/read (the residual filter still applies)
+    val bounds = CommitLogSqlWrites.whereBounds(spark, whereSql)
+      .filter(b => whereCols.contains(b.col))
+    val surviving = CommitLog.prunedCommitted(st, bounds)
+    if (surviving.isEmpty) return Seq.empty // stats prove no match
+    val pruned = CommitLog.readBatchSet(spark, table, surviving, st)
+    // a referenced column missing from every surviving batch (added
+    // by batches the pruning skipped) degrades to the full read —
+    // correctness over pruning
+    val needed = (sets.map(_._1) ++ whereCols).distinct
+    val target =
+      if (needed.forall(pruned.columns.contains)) pruned else fullRead
+    val matched = target.where(expr(whereSql))
+    matched.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f.condition
+    }.foreach(c => sys.error(
+      "graft_commitlog UPDATE: nondeterministic WHERE " +
+        s"(${c.sql}) — the matched set must be a function of the key " +
+        "columns or the merge anti-join removes the wrong rows"))
+    // NULL in a key column never equi-joins: matched NULL-keyed rows
+    // would be re-inserted updated WITHOUT removing the originals —
+    // silent duplication. Fail loudly naming the remedy.
+    if (!matched.where(whereCols.map(col(_).isNull)
+        .reduce(_ || _)).isEmpty) sys.error(
+      "graft_commitlog UPDATE: the WHERE predicate matches row(s) with " +
+        s"NULL in key column(s) ${whereCols.mkString(", ")} — NULL never " +
+        "matches the underlying merge's key equi-join, so the update " +
+        "would duplicate those rows; filter them out (AND col IS NOT " +
+        "NULL) or rewrite them via INSERT OVERWRITE of a transformed " +
+        "SELECT")
     val setMap = sets.toMap
     // one select so every assignment sees the ORIGINAL row (SET a=b,
     // b=a swaps); store-assignment cast back to the column's type
-    val updated = target.where(expr(whereSql)).select(dataCols.map { c =>
+    val outCols = target.columns
+      .filterNot(CommitLogTable.partNames.contains).toSeq
+    val updated = matched.select(outCols.map { c =>
       setMap.get(c)
         .map(sqlTxt => expr(sqlTxt).cast(target.schema(c).dataType).as(c))
         .getOrElse(col(c))
     }: _*)
-    CommitLog.merge(spark, table, updated, Seq(whereCol),
+    CommitLog.merge(spark, table, updated, whereCols,
       runId = "sql" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10),
       batchId = 0L,

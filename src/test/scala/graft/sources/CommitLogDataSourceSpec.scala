@@ -457,16 +457,85 @@ class CommitLogDataSourceSpec extends SparkSpec {
       }
       rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x'",
         "no WHERE clause")
-      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
-        "WHERE id = 1 AND n > 5", "2 columns")
       rejects(s"UPDATE graft_commitlog.`$table` SET id = 9 WHERE id = 1",
         "WHERE column")
       rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
         "WHERE batch_id = 0", "system column")
+      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
+        "WHERE rand() > 0.5 AND id = 1", "nondeterministic")
+      rejects(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
+        s"WHERE id IN (SELECT id FROM graft_commitlog.`$table`)",
+        "subquery")
       // a no-match UPDATE is a clean no-op
       val before = CommitLog.committedBatches(sess, table)
       sess.sql(s"UPDATE graft_commitlog.`$table` SET v = 'x' WHERE id = 999")
       assert(CommitLog.committedBatches(sess, table) == before)
+
+      // multi-column WHERE (r19): every referenced column keys the
+      // merge. Current state: (0,"10",0) (1,"a-1!",120) (2,"a-2",30)
+      // (3,"a-3!",140) — the predicate matches id=2 only
+      sess.sql(s"UPDATE graft_commitlog.`$table` " +
+        "SET v = 'MULTI' WHERE id >= 2 AND n <= 130")
+      val multi = CommitLog.readCommitted(sess, table).get
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap
+      assert(multi(2L) == "MULTI" && multi(3L) == "a-3!" &&
+        multi(1L) == "a-1!", multi.toString)
+    }
+  }
+
+  test("SQL UPDATE rejects NULL-matching predicates instead of duplicating rows") {
+    val table = tmp("graft-dsv2-updnull")
+    val df = Seq((Option(1L), "a"), (Option.empty[Long], "b"),
+      (Option(3L), "c")).toDF("id", "v")
+    CommitLog.writeBatchWithStats(df, table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      val e = intercept[Exception] {
+        sess.sql(s"UPDATE graft_commitlog.`$table` SET v = 'x' " +
+          "WHERE id IS NULL OR id = 1")
+      }
+      assert(e.getMessage.contains("NULL"), e.getMessage)
+      // nothing landed: the table is untouched
+      assert(CommitLog.readCommitted(sess, table).get.count() == 3)
+      assert(CommitLog.logState(sess, table).retired.isEmpty)
+      // the non-NULL-matching form works
+      sess.sql(s"UPDATE graft_commitlog.`$table` SET v = 'X' WHERE id = 1")
+      assert(CommitLog.readCommitted(sess, table).get
+        .where(col("v") === "X").count() == 1)
+    }
+  }
+
+  test("SQL UPDATE stats-prunes its self-source scan to candidate batches") {
+    val table = tmp("graft-dsv2-updprune")
+    // three id-disjoint batches with recorded stats
+    for (b <- 0 until 3)
+      CommitLog.writeBatchWithStats(
+        (0 until 10).map(i => (b * 100L + i, s"b$b-$i")).toDF("id", "v"),
+        table, "r1", b.toLong, Seq("id"))
+    val st = CommitLog.logState(spark, table)
+    // the pruning primitive the command scans through: a point probe
+    // lists exactly the one candidate batch's files
+    val bounds = CommitLogSqlWrites.whereBounds(spark, "id = 105")
+    assert(bounds == Seq(CommitLog.ColBound("id", Some(Seq(105L)), None, None)))
+    assert(CommitLog.prunedCommitted(st, bounds) == Seq(("r1", 1L)))
+    // range + conjunct bounds
+    assert(CommitLog.prunedCommitted(st,
+      CommitLogSqlWrites.whereBounds(spark, "id >= 200 AND id <= 205")) ==
+      Seq(("r1", 2L)))
+    // an unboundable predicate keeps every batch (residual filters)
+    assert(CommitLog.prunedCommitted(st,
+      CommitLogSqlWrites.whereBounds(spark, "id % 7 = 0")).size == 3)
+    // end-to-end: the UPDATE touches only batch 1 (others' markers
+    // stay live and un-rewritten) and is correct
+    withSqlSession { sess =>
+      sess.sql(s"UPDATE graft_commitlog.`$table` SET v = 'HIT' WHERE id = 105")
+      val after = CommitLog.logState(sess, table)
+      assert(after.retired.keySet == Set(("r1", 1L)),
+        s"only the candidate batch rewrote: ${after.retired.keySet}")
+      val out = CommitLog.readCommitted(sess, table).get
+      assert(out.where(col("v") === "HIT").select("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(105L))
+      assert(out.count() == 30)
     }
   }
 
