@@ -232,7 +232,160 @@ object StreamScaleSmoke {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  /** CDC bootstrap A/B (`runMain graft.StreamScaleSmoke cdatabootstrap
+    * [merges] [rowsPerBatch]`): a consumer replaying an N-merge
+    * history through the change feed, measured with the r19 WRITE-TIME
+    * change partitions vs the legacy per-rewrite exceptAll
+    * reconstruction (the r18 shape — 2 scans + a shuffle per
+    * historical rewrite, per consumer). Same events both ways
+    * (bit_xor checksum), the cdata plan audited free of
+    * Except/replicaterows/anti-join. One JSON line →
+    * BENCH_SCALE_CDATA.json. */
+  def cdataBootstrap(spark: SparkSession, nMerges: Int,
+      rowsPerBatch: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, count, expr, lit, xxhash64}
+    import graft.sources.CommitLog
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val root = java.nio.file.Files.createTempDirectory("cdata-boot").toString
+    val src = s"$root/src"
+    val baseBatches = 4
+    (0 until baseBatches).foreach { b =>
+      CommitLog.writeBatchWithStats(
+        spark.range(b * rowsPerBatch, (b + 1) * rowsPerBatch)
+          .select(col("id"), concat(lit("v-"), col("id")).as("v")),
+        src, "base", b.toLong, Seq("id"))
+    }
+    val total = baseBatches * rowsPerBatch
+    // each merge updates a key slice spread across EVERY base batch —
+    // the worst case for read-time reconstruction (every rewrite's
+    // exceptAll rescans its original)
+    (0 until nMerges).foreach { m =>
+      val stride = total / 200
+      CommitLog.merge(spark, src,
+        spark.range(0, 200).select((col("id") * stride + m).as("id"),
+          concat(lit(s"upd$m-"), col("id")).as("v")),
+        Seq("id"), s"m$m", 0L, statsCols = Seq("id"))
+    }
+    def feedChecksum(): (Long, Long, Double, String) = {
+      val t0 = System.nanoTime()
+      val df = CommitLog.readChangeFeed(spark, src, 0L).get
+      val r = df.select(xxhash64(col("id"), col("v"), col("change_type"),
+          col("change_ts")).as("h"))
+        .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n")).head()
+      ((r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9,
+        df.queryExecution.optimizedPlan.toString))
+    }
+    val (h1, n1, tCdata, plan) = feedChecksum()
+    require(!plan.contains("Except") && !plan.contains("replicaterows") &&
+      !plan.toLowerCase.contains("leftanti"),
+      "cdata bootstrap plan must carry no reconstruction nodes")
+    // age the change partitions away → the legacy reconstruction path
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$src/_changes"), true)
+    val (h2, n2, tLegacy, _) = feedChecksum()
+    require(h1 == h2 && n1 == n2,
+      s"cdata and legacy events diverge: ($n1, $h1) vs ($n2, $h2)")
+    val json =
+      s"""{"metric":"cdc_bootstrap","merges":$nMerges,""" +
+      s""""rows_per_batch":$rowsPerBatch,"events":$n1,""" +
+      s""""cdata_secs":${fmt(tCdata)},"legacy_secs":${fmt(tLegacy)},""" +
+      s""""speedup":${fmt(tLegacy / tCdata)},"events_equal":true}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_CDATA.json"), json)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
+  /** OPTIMIZE planning flatness (`runMain graft.StreamScaleSmoke
+    * optplan [batches]`): a table with N one-file committed batches
+    * (driver-side dir copies + ONE txn marker — no N write jobs) where
+    * nothing needs compaction, so compactFiles is PURE planning: the
+    * per-batch file-inventory listing the r19 bounded pool
+    * parallelizes. Measured at N and 4N; the per-batch planning cost
+    * must stay flat (the r18 loop was one serial listStatus
+    * round-trip per batch). One JSON line → BENCH_SCALE_OPTPLAN.json. */
+  def optPlanSmoke(spark: SparkSession, nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.CommitLog
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def build(n: Int): String = {
+      val table = java.nio.file.Files
+        .createTempDirectory(s"optplan$n").toString + "/t"
+      CommitLog.writeBatch(
+        spark.range(0, 100)
+          .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+          .coalesce(1), table, "r1", 0L)
+      val hfs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      val tpl = new org.apache.hadoop.fs.Path(s"$table/run_id=r1/batch_id=0")
+      (1 until n).foreach { b =>
+        org.apache.hadoop.fs.FileUtil.copy(hfs, tpl, hfs,
+          new org.apache.hadoop.fs.Path(s"$table/run_id=r1/batch_id=$b"),
+          false, conf)
+      }
+      CommitLog.commitTxn(spark, table,
+        (1 until n).map(b => CommitLog.TxnAdd("r1", b.toLong)), Seq.empty)
+      table
+    }
+    def timePlan(table: String, n: Int): Double = {
+      val t0 = System.nanoTime()
+      CommitLog.compactFiles(spark, table) // 1 small file/batch → plan-only
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(CommitLog.logState(spark, table).retired.isEmpty,
+        "optplan smoke must be planning-only (nothing to rewrite)")
+      secs
+    }
+    val t1 = build(nBatches)
+    val t4 = build(nBatches * 4)
+    timePlan(t1, nBatches) // warm FS/code paths once
+    val small = timePlan(t1, nBatches)
+    val big = timePlan(t4, nBatches * 4)
+    val perSmall = small / nBatches * 1e6
+    val perBig = big / (nBatches * 4) * 1e6
+    val json =
+      s"""{"metric":"optimize_planning","batches_small":$nBatches,""" +
+      s""""batches_big":${nBatches * 4},"secs_small":${fmt(small)},""" +
+      s""""secs_big":${fmt(big)},"us_per_batch_small":${fmt(perSmall)},""" +
+      s""""us_per_batch_big":${fmt(perBig)},""" +
+      s""""per_batch_ratio":${fmt(perBig / perSmall)}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_OPTPLAN.json"), json)
+    Seq(t1, t4).foreach(t => new scala.reflect.io.Directory(
+      new java.io.File(t).getParentFile).deleteRecursively())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cdatabootstrap")) {
+      val nMerges = if (args.length > 1) args(1).toInt else 24
+      val rowsPerBatch = if (args.length > 2) args(2).toLong else 250000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      cdataBootstrap(spark, nMerges, rowsPerBatch)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("optplan")) {
+      val nBatches = if (args.length > 1) args(1).toInt else 1000
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      optPlanSmoke(spark, nBatches)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("cdclongrun")) {
       val nBatches = if (args.length > 1) args(1).toInt else 60
       val rowsPerBatch = if (args.length > 2) args(2).toLong else 5000L

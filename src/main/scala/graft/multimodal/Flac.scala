@@ -163,9 +163,24 @@ object Flac {
         bits < 4 || bits > 32 || sampleRate <= 0) return None
     val out = Array.fill(channels)(
       new scala.collection.mutable.ArrayBuilder.ofInt)
+    // OUTPUT BOUND: a crafted payload of CONSTANT subframes (a few
+    // bytes each expanding to a 65536-sample block per channel) is a
+    // ~10^5x allocation amplifier — an executor OOM from one malicious
+    // crawl row. STREAMINFO's total-samples field bounds legitimate
+    // output exactly; when a writer recorded 0 (unknown), cap
+    // amplification relative to payload size (legit unknown-length
+    // streams are encoder pipes, not stored crawl payloads).
+    val maxSamples =
+      if (total > 0) total
+      else payload.length.toLong * 16 + 65536
+    var decoded = 0L
     // frames until end of payload
     while (off + 2 <= payload.length) {
       off = decodeFrame(payload, off, sampleRate, channels, bits, out)
+      decoded = out(0).knownSize.toLong
+      if (decoded > maxSamples) sys.error(
+        s"flac: stream emits more samples than STREAMINFO declares " +
+          s"($decoded > $maxSamples) — refusing amplification")
     }
     Some(FlacAudio(sampleRate, channels, bits, out.map(_.result())))
   }
@@ -240,6 +255,13 @@ object Flac {
         case 10 => if (c == 1) 1 else 0 // mid/side
         case _ => 0
       }
+      // samples buffer in Array[Int]: a 32-bit stream's 33-bit side
+      // channel would silently truncate (CRCs still pass — they cover
+      // the coded bytes, not the reconstruction) → wrong PCM/RMS.
+      // Refuse loudly; decode() maps it to None.
+      if (bits + extraBit > 32) sys.error(
+        "flac: 32-bit stream with stereo decorrelation needs 33-bit " +
+          "side samples — beyond this decoder's Int buffers")
       chans(c) = decodeSubframe(r, blockSize, bits + extraBit)
       c += 1
     }

@@ -385,7 +385,11 @@ final class CommitLogChangesMicroBatchStream(table: String,
         st.entries.filter(k =>
           st.meta.get(k).flatMap(_.ts).forall(_ <= t)).toSet,
         st.retired.filter(_._2 <= t).keySet,
-        st.tombstones.count(_.ts <= t))
+        // the offset is a COUNT into the seq-led order (r19), so only
+        // a PREFIX may be skipped: takeWhile, not count — a tombstone
+        // with a pinned pre-T ts but a post-T recording position stays
+        // deliverable (erring toward delivery, never a silent skip)
+        st.tombstones.takeWhile(_.ts <= t).size)
   }
   override def deserializeOffset(json: String): Offset =
     CommitLogChangesOffset.parse(json)

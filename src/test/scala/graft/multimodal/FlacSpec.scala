@@ -75,6 +75,42 @@ class FlacSpec extends SparkSpec {
     assert(Flac.decode("not a flac".getBytes).isEmpty)
   }
 
+  test("a stream emitting more samples than STREAMINFO declares is refused, not allocated") {
+    // splice a second encode's frames after the first: STREAMINFO says
+    // 4096 samples, the payload carries 8192 — the shape a crafted
+    // CONSTANT-subframe amplification bomb takes (small bytes, huge
+    // decoded output). The decoder must bail, not balloon.
+    val pcm = Array.fill(4096)(777)
+    val one = Flac.encode(Array(pcm), 8000, 16)
+    val framesStart = 4 + 4 + 34 // fLaC + block header + STREAMINFO
+    val frames = java.util.Arrays.copyOfRange(one, framesStart, one.length)
+    val bomb = one ++ frames
+    assert(Flac.decode(bomb).isEmpty,
+      "over-declared output must refuse, not amplify")
+    // the untampered file still decodes
+    assert(Flac.decode(one).get.samples(0).toSeq == pcm.toSeq)
+  }
+
+  test("32-bit stereo decorrelation (33-bit side samples) is refused, never truncated") {
+    // force a decorrelated assignment: near-identical channels make
+    // the side channel almost free, so the encoder picks chCode 8/9/10
+    val l = Array.tabulate(4096)(i => (i % 1000) * 1000000 - 500000000)
+    val r = l.map(_ + 1)
+    val flac = Flac.encode(Array(l, r), 44100, 32, midSide = true)
+    // sanity: the fixture really chose a decorrelated assignment
+    // (byte 42 starts the first frame header; channel code sits in the
+    // 4 bits after the 32-bit sync+flags+bs+sr fields = byte 45 high)
+    val chCode = (flac(45) & 0xf0) >> 4
+    assert(chCode >= 8 && chCode <= 10, s"fixture chose chCode $chCode")
+    assert(Flac.decode(flac).isEmpty,
+      "33-bit side samples exceed Int buffers — must refuse, not " +
+        "silently truncate to wrong PCM")
+    // 32-bit INDEPENDENT channels still round-trip exactly
+    val indep = Flac.encode(Array(l, r), 44100, 32)
+    val a = Flac.decode(indep).get
+    assert(a.samples(0).toSeq == l.toSeq && a.samples(1).toSeq == r.toSeq)
+  }
+
   test("decodeAudioJdk surfaces real FLAC metadata next to WAV; mp3-ish stays null") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
