@@ -1239,7 +1239,9 @@ object SparkEntry {
     // (simultaneous assignment, exact matched-set replacement, atomic
     // marker flip) under the DuckDB oracle.
     "q_commitlog_update" -> ((s, dir) => {
-      val table = commitLogScratch(s, dir, "update", "customer") { tbl =>
+      // tag bumped with the build recipe (the scratch cache keys on
+      // source-table inventory only, not on this build's logic)
+      val table = commitLogScratch(s, dir, "update_r19", "customer") { tbl =>
         val cust = t(s, dir, "customer")
           .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
         for (b <- 0 to 1)
@@ -1250,6 +1252,12 @@ object SparkEntry {
           whereCols = Seq("c_nationkey"), whereSql = "c_nationkey = 3",
           sets = Seq("c_acctbal" -> "c_acctbal + 1000.0",
             "c_mktsegment" -> "'UPDATED'")).run(s)
+        // second statement: MULTI-COLUMN WHERE (r19) — the tuple-keyed
+        // self-source merge, stats-pruned on both referenced columns
+        graft.sources.UpdateCommitLogCommand(tbl,
+          whereCols = Seq("c_nationkey", "c_custkey"),
+          whereSql = "c_nationkey = 5 AND c_custkey % 2 = 0",
+          sets = Seq("c_mktsegment" -> "'UPDATED2'")).run(s)
       }
       s.read.format("graft_commitlog").load(table)
         .groupBy("c_mktsegment")
@@ -7446,7 +7454,9 @@ object SparkEntry {
     "q_commitlog_update" ->
       """WITH state AS (
         |  SELECT c_custkey,
-        |    CASE WHEN c_nationkey = 3 THEN 'UPDATED'
+        |    CASE WHEN c_nationkey = 5 AND c_custkey % 2 = 0
+        |           THEN 'UPDATED2'
+        |         WHEN c_nationkey = 3 THEN 'UPDATED'
         |         ELSE c_mktsegment END AS c_mktsegment,
         |    CASE WHEN c_nationkey = 3 THEN c_acctbal + 1000.0
         |         ELSE c_acctbal END AS c_acctbal

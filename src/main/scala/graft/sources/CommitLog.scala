@@ -1141,7 +1141,7 @@ object CommitLog {
   def history(spark: SparkSession, table: String): DataFrame = {
     val st = logState(spark, table)
     val live = st.committed.toSet
-    val rows = Seq.newBuilder[(Long, String, String, java.lang.Long, String)]
+    val rows = Seq.newBuilder[(Long, Long, String, String, java.lang.Long, String)]
     st.entries.foreach { case (r, b) =>
       val ts = st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)
       val op = rewriteOf(st, r, b) match {
@@ -1149,22 +1149,27 @@ object CommitLog {
         case Some((orig, "up")) => s"upsert rewrite of run_id=$orig"
         case _ => "append"
       }
-      rows += ((ts, op.takeWhile(_ != ' '), r, Long.box(b),
+      rows += ((ts, st.entrySeq((r, b)), op.takeWhile(_ != ' '), r, Long.box(b),
         (if (live((r, b))) "live" else "retired") +
           (if (op != "append") s"; ${op.dropWhile(_ != ' ').trim}" else "")))
     }
     st.tombstones.foreach { t =>
-      rows += ((t.ts, "delete", "", null,
+      rows += ((t.ts, st.tombSeq(t), "delete", "", null,
         s"${t.col} ${t.kind} ${t.vals.mkString(", ")} over " +
           s"${t.applies.size} batch(es)"))
     }
     st.retired.foreach { case ((r, b), ts) =>
-      rows += ((ts, "retire", r, Long.box(b), "superseded by rewrite"))
+      rows += ((ts, st.retireSeqOf((r, b)), "retire", r, Long.box(b),
+        "superseded by rewrite"))
     }
     import spark.implicits._
+    // seq (r19): the monotonic transaction sequence — the total order
+    // over the table's mutation history (Delta's version column rung);
+    // ts-only legacy facts report their ts
     rows.result()
-      .toDF("ts", "operation", "run_id", "batch_id", "details")
-      .orderBy(col("ts").desc, col("operation"), col("run_id"), col("batch_id"))
+      .toDF("ts", "seq", "operation", "run_id", "batch_id", "details")
+      .orderBy(col("seq").desc, col("ts").desc, col("operation"),
+        col("run_id"), col("batch_id"))
   }
 
   // ---- multi-partition TRANSACTIONS + row-level UPSERT (r16) ---- //

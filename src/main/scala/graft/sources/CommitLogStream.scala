@@ -423,26 +423,25 @@ final class CommitLogChangesMicroBatchStream(table: String,
         // would see a new retire with no rewrite and emit a spurious
         // full-batch delete); an unpaired retire is its own unit;
         // tombstones are their own units, admitted oldest-first with
-        // everything else by recorded ts
+        // everything else by effective SEQ (r19 — the recording order;
+        // legacy facts fall back to their ts, the pre-seq behavior)
         val newEntries = (tip.entries -- s.entries).toSeq.sorted
         val newRetired = (tip.retired -- s.retired).toSet
-        def entryTs(k: (String, Long)): Long =
-          st.meta.get(k).flatMap(_.ts).getOrElse(0L)
-        final case class Unit0(ts: Long, entries: Set[(String, Long)],
+        final case class Unit0(seq: Long, entries: Set[(String, Long)],
           retires: Set[(String, Long)], tombs: Int)
         val entryUnits = newEntries.map { case (r, b) =>
           CommitLog.rewriteOf(st, r, b) match {
             case Some((orig, _)) if newRetired((orig, b)) =>
-              Unit0(entryTs((r, b)), Set((r, b)), Set((orig, b)), 0)
-            case _ => Unit0(entryTs((r, b)), Set((r, b)), Set.empty, 0)
+              Unit0(st.entrySeq((r, b)), Set((r, b)), Set((orig, b)), 0)
+            case _ => Unit0(st.entrySeq((r, b)), Set((r, b)), Set.empty, 0)
           }
         }
         val pairedRetires = entryUnits.flatMap(_.retires).toSet
         val retireUnits = (newRetired -- pairedRetires).toSeq.sorted.map(k =>
-          Unit0(st.retired.getOrElse(k, 0L), Set.empty, Set(k), 0))
+          Unit0(st.retireSeqOf(k), Set.empty, Set(k), 0))
         val tombUnits = st.tombstones.slice(s.tombs, tip.tombs)
-          .zipWithIndex.map { case (t, i) => Unit0(t.ts, Set.empty, Set.empty, 1) }
-        val units = (entryUnits ++ retireUnits ++ tombUnits).sortBy(_.ts)
+          .map(t => Unit0(st.tombSeq(t), Set.empty, Set.empty, 1))
+        val units = (entryUnits ++ retireUnits ++ tombUnits).sortBy(_.seq)
         if (units.size <= mf.maxFiles) tip
         else {
           val chosen = units.take(mf.maxFiles)
