@@ -1266,6 +1266,28 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // generalized SQL DELETE (r19): a predicate with NO tombstone form
+    // (multi-column conjunct + modulo) rides the delete-only
+    // self-source merge — DuckDB replays the surviving set
+    "q_commitlog_delete" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "delete_r19", "customer") { tbl =>
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        for (b <- 0 to 1)
+          graft.sources.CommitLog.writeBatchWithStats(
+            cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl,
+            "build", b.toLong, Seq("c_custkey"), ts = 1000L + b)
+        graft.sources.DeleteCommitLogCommand(tbl,
+          whereCols = Seq("c_custkey", "c_acctbal"),
+          whereSql = "c_custkey % 10 = 4 AND c_acctbal > 0").run(s)
+      }
+      s.read.format("graft_commitlog").load(table)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("c_nationkey")
+    }),
+
     // the format's FLAGSHIP composition under the DuckDB oracle (r19):
     // source table → two same-millisecond merges (the _change_seq
     // total order decides the winner), a delete-op merge, a tombstone
@@ -7433,6 +7455,14 @@ object SparkEntry {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_commitlog_delete" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer
+        |WHERE NOT (c_custkey % 10 = 4 AND c_acctbal > 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_commitlog_cdc" ->
       """WITH state AS (

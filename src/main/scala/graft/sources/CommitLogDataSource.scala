@@ -159,6 +159,14 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
         if updateTargetPath(u.table).nonEmpty =>
       rewriteUpdate(u, updateTargetPath(u.table).get)
+    // DELETE whose predicate has NO exact tombstone form (r19): the
+    // cheap logical-delete path (SupportsDelete → deleteWhere
+    // tombstones) keeps handling `=`/`IN`/`BETWEEN`-on-one-column and
+    // WHERE-less truncates; everything else used to fail loudly and
+    // now maps onto a DELETE-ONLY self-source merge (copy-on-write)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if updateTargetPath(d.table).nonEmpty && !tombstoneShaped(d.condition) =>
+      rewriteDelete(d, updateTargetPath(d.table).get)
     // InsertIntoStatement holds its target as a FIELD, not a child —
     // operator traversal never visits it (Spark's own ResolveRelations
     // special-cases it the same way). The target resolves to a
@@ -291,6 +299,82 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def updateTargetPath(p: LogicalPlan): Option[String] =
     mergeTargetPath(p).orElse(catalogOurLocation(p).map(_._1))
+
+  /** Does the DELETE predicate have an exact tombstone form — one the
+    * SupportsDelete logical-delete path already handles (mirrors
+    * [[CommitLogSqlWrites.toTombstone]] over the UNRESOLVED catalyst
+    * shape, plus the WHERE-less truncate)? Structure only: a
+    * tombstone-shaped predicate on a system column stays on the
+    * existing path and keeps its loud rejection. */
+  private def tombstoneShaped(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def conj(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conj(l) ++ conj(r)
+      case o => Seq(o)
+    }
+    def isLit(e: ce.Expression): Boolean = e match {
+      case ce.Literal(v, _) => v != null
+      case _ => false
+    }
+    def isAttr(e: ce.Expression): Boolean =
+      e.isInstanceOf[UnresolvedAttribute]
+    def attrName(e: ce.Expression): String =
+      e.asInstanceOf[UnresolvedAttribute].nameParts.last
+    conj(cond).filterNot(_ == ce.Literal.TrueLiteral) match {
+      case Seq() => true // DELETE FROM t — the atomic truncate path
+      case Seq(ce.EqualTo(a, l)) if isAttr(a) && isLit(l) => true
+      case Seq(ce.EqualTo(l, a)) if isAttr(a) && isLit(l) => true
+      case Seq(ce.In(a, vs)) if isAttr(a) && vs.nonEmpty && vs.forall(isLit) => true
+      // BETWEEN parses to 'between(attr, lo, hi) — unresolved at this rule
+      case Seq(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction)
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.size == 3 &&
+            isAttr(f.arguments(0)) && isLit(f.arguments(1)) &&
+            isLit(f.arguments(2)) => true
+      case Seq(ce.GreaterThanOrEqual(a, lo), ce.LessThanOrEqual(b, hi))
+          if isAttr(a) && isAttr(b) && attrName(a) == attrName(b) &&
+            isLit(lo) && isLit(hi) => true
+      case Seq(ce.LessThanOrEqual(b, hi), ce.GreaterThanOrEqual(a, lo))
+          if isAttr(a) && isAttr(b) && attrName(a) == attrName(b) &&
+            isLit(lo) && isLit(hi) => true
+      case _ => false
+    }
+  }
+
+  /** Map the non-tombstone-shaped `DELETE FROM t WHERE <pred>` onto
+    * [[DeleteCommitLogCommand]] (→ a delete-only [[CommitLog.merge]]
+    * with the matched rows as its self-source, keyed on every
+    * WHERE-referenced column). */
+  private def rewriteDelete(
+      d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable,
+      path: String): LogicalPlan = {
+    def fail(why: String): Nothing = sys.error(
+      "graft_commitlog DELETE supports col = v / col IN (...) / col " +
+        "BETWEEN lo AND hi on one data column (logical tombstones), " +
+        "DELETE FROM t (atomic truncate), or any other DETERMINISTIC " +
+        "predicate over the row's own data columns (copy-on-write " +
+        s"via a delete-only self-source merge). Unsupported here: $why")
+    val cond = d.condition
+    if (cond.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      fail("a subquery in WHERE (the matched set must be a function " +
+        "of the row's own columns; materialize the subquery and use " +
+        "MERGE ... WHEN MATCHED THEN DELETE)")
+    def leaf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+      e.collect { case a: UnresolvedAttribute => a.nameParts.last }
+    val whereCols = leaf(cond).distinct
+    if (whereCols.isEmpty)
+      fail("WHERE references no columns (nothing keys the merge)")
+    whereCols.filter(CommitLogTable.partNames.contains).foreach(c =>
+      fail(s"WHERE on system column '$c' (batches retire whole via " +
+        "compaction or DELETE FROM t)"))
+    val strip: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression] = {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    DeleteCommitLogCommand(path, whereCols, cond.transform(strip).sql)
+  }
 
   /** Map `UPDATE t SET c = e, ... WHERE <pred over data columns>` onto
     * [[UpdateCommitLogCommand]] (→ [[CommitLog.merge]] with a

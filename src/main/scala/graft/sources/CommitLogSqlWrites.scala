@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -217,6 +217,12 @@ object CommitLogSqlWrites {
       case ce.GreaterThanOrEqual(a, l) => cmp(a, l, loSide = true)
       case ce.LessThan(a, l) => cmp(a, l, loSide = false)
       case ce.LessThanOrEqual(a, l) => cmp(a, l, loSide = false)
+      // BETWEEN parses to 'between(attr, lo, hi) (unresolved function)
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.size == 3 =>
+        cmp(f.arguments(0), f.arguments(1), loSide = true)
+        cmp(f.arguments(0), f.arguments(2), loSide = false)
       case _ => ()
     }
     walk(parsed)
@@ -368,6 +374,81 @@ private[graft] final case class UpdateCommitLogCommand(table: String,
         .replace("-", "").take(10),
       batchId = 0L,
       statsCols = CommitLogSqlWrites.defaultStatsCols(updated))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM graft_commitlog.`/t` WHERE <pred over data columns>`
+  * for predicates with NO exact tombstone form (r19 — the r18 surface
+  * loud-rejected anything beyond one-column `=`/`IN`/`BETWEEN`, so a
+  * user's second DELETE hit a wall): rewritten at analysis into this
+  * eager command — a DELETE-ONLY [[CommitLog.merge]] whose self-source
+  * is the matched rows, keyed on every WHERE-referenced column
+  * (tuple-membership removal is exact for deterministic predicates,
+  * the 28t argument). Copy-on-write, not logical: affected batches
+  * rewrite minus the matched rows in ONE stats-pruned transaction —
+  * pre-delete time travel and change-feed delete events ride the
+  * merge machinery (write-time change data included). Tombstone-shaped
+  * predicates keep the cheap logical-delete path ([[CommitLogTable]]'s
+  * SupportsDelete) — this command only catches what that path would
+  * reject. Shares UPDATE's loud rejections: nondeterministic
+  * predicates, subqueries, system columns, and NULL-matching key
+  * tuples (the equi-join could never remove them — a silent SKIP of
+  * rows the user asked to delete). */
+private[graft] final case class DeleteCommitLogCommand(table: String,
+    whereCols: Seq[String], whereSql: String)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val st = CommitLog.logState(spark, table)
+    if (st.committed.isEmpty) sys.error(
+      s"graft_commitlog DELETE: no committed batches at $table")
+    val recorded = {
+      val names = scala.collection.mutable.LinkedHashSet.empty[String]
+      st.committed.foreach(k => st.meta.get(k).toSeq
+        .flatMap(_.schema).foreach(f => names += f._1))
+      names.toSeq
+    }
+    lazy val fullRead = CommitLog.readBatchSet(spark, table, st.committed, st)
+    val dataCols =
+      if (recorded.nonEmpty) recorded
+      else fullRead.columns.filterNot(CommitLogTable.partNames.contains).toSeq
+    val unknownWhere = whereCols.filterNot(dataCols.contains)
+    if (unknownWhere.nonEmpty) sys.error(
+      s"graft_commitlog DELETE: WHERE references unknown column(s) " +
+        s"${unknownWhere.mkString(", ")}")
+    val bounds = CommitLogSqlWrites.whereBounds(spark, whereSql)
+      .filter(b => whereCols.contains(b.col))
+    val surviving = CommitLog.prunedCommitted(st, bounds)
+    if (surviving.isEmpty) return Seq.empty // stats prove no match
+    val pruned = CommitLog.readBatchSet(spark, table, surviving, st)
+    val target =
+      if (whereCols.forall(pruned.columns.contains)) pruned else fullRead
+    val matched = target.where(expr(whereSql))
+    matched.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f.condition
+    }.foreach(c => sys.error(
+      "graft_commitlog DELETE: nondeterministic WHERE " +
+        s"(${c.sql}) — the matched set must be a function of the key " +
+        "columns or the merge anti-join removes the wrong rows"))
+    if (!matched.where(whereCols.map(col(_).isNull)
+        .reduce(_ || _)).isEmpty) sys.error(
+      "graft_commitlog DELETE: the WHERE predicate matches row(s) with " +
+        s"NULL in key column(s) ${whereCols.mkString(", ")} — NULL never " +
+        "matches the underlying merge's key equi-join, so those rows " +
+        "would silently SURVIVE the delete; add `AND col IS NOT NULL` " +
+        "and handle NULL-keyed rows via INSERT OVERWRITE of a filtered " +
+        "SELECT")
+    val outCols = target.columns
+      .filterNot(CommitLogTable.partNames.contains).toSeq
+    CommitLog.merge(spark, table, matched.select(outCols.map(col): _*),
+      whereCols,
+      runId = "sql" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10),
+      batchId = 0L,
+      deleteWhen = Some(org.apache.spark.sql.functions.lit(true)))
     Seq.empty
   }
 }

@@ -342,12 +342,14 @@ class CommitLogDataSourceSpec extends SparkSpec {
       val left = CommitLog.readCommitted(sess, table).get
         .select("id").as[Long](implicitly).collect().toSet
       assert(left == Set(0L, 2L, 4L, 5L, 6L, 9L), left.toString)
-      // a shape with no exact tombstone form is REJECTED, not approximated
-      val e = intercept[Exception] {
-        sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE v LIKE 'a%'")
-      }
-      assert(e.getMessage.contains("DELETE") || e.getMessage.contains("delete"),
-        e.getMessage)
+      // a shape with no exact tombstone form rides the r19 delete-only
+      // self-source merge instead of being rejected (copy-on-write,
+      // no new tombstone)
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE v LIKE '%4'")
+      val left2 = CommitLog.readCommitted(sess, table).get
+        .select("id").as[Long](implicitly).collect().toSet
+      assert(left2 == Set(0L, 2L, 5L, 6L, 9L), left2.toString)
+      assert(CommitLog.logState(sess, table).tombstones.size == 2)
       // DELETE with no WHERE retires the whole committed set atomically
       sess.sql(s"DELETE FROM graft_commitlog.`$table`")
       assert(CommitLog.readCommitted(sess, table).isEmpty)
@@ -481,6 +483,57 @@ class CommitLogDataSourceSpec extends SparkSpec {
         .toMap
       assert(multi(2L) == "MULTI" && multi(3L) == "a-3!" &&
         multi(1L) == "a-1!", multi.toString)
+    }
+  }
+
+  test("SQL DELETE with non-tombstone predicates rides a delete-only self-source merge") {
+    val table = tmp("graft-dsv2-delmerge")
+    val base = Seq((Option(0L), "a-0", 10L), (Option(1L), "a-1", 20L),
+      (Option(2L), "a-2", 30L), (Option(3L), "a-3", 40L),
+      (Option(4L), "a-4", 50L), (Option(5L), "a-5", 60L),
+      (Option.empty[Long], "a-null", 70L))
+      .toDF("id", "v", "n")
+    CommitLog.writeBatchWithStats(base, table, "r1", 0L, Seq("id"))
+    withSqlSession { sess =>
+      // multi-conjunct, modulo — no tombstone form exists; the r18
+      // surface loud-failed here. Copy-on-write: matched rows vanish,
+      // no tombstone is recorded, the original retires behind a rewrite
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` " +
+        "WHERE id % 2 = 0 AND n > 15")
+      val kept = CommitLog.readCommitted(sess, table).get
+      val after = kept.where(col("id").isNotNull)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(after == Set(0L, 1L, 3L, 5L), after.toString) // 2,4 matched
+      assert(kept.count() == 5, "the NULL-keyed unmatched row survives")
+      val st = CommitLog.logState(sess, table)
+      assert(st.tombstones.isEmpty, "physical delete, not a tombstone")
+      assert(st.retired.keySet == Set(("r1", 0L)))
+      // the change feed reports the physical deletes (write-time
+      // change data — O(changed rows))
+      val dels = CommitLog.readChangeFeed(sess, table, 0L).get
+        .where(col("change_type") === "delete")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(dels == Set(2L, 4L))
+
+      // tombstone-shaped predicates KEEP the cheap logical path
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` WHERE id = 1")
+      val st2 = CommitLog.logState(sess, table)
+      assert(st2.tombstones.size == 1, "shape with an exact tombstone " +
+        "form must stay logical")
+      assert(CommitLog.readCommitted(sess, table).get.count() == 4)
+
+      // loud rejections, table untouched: a predicate MATCHING the
+      // NULL-keyed row would silently skip it (the equi-join can
+      // never remove it) — rejected naming the remedy
+      def rejects(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { sess.sql(sql) }
+        assert(e.getMessage.contains(needle), s"$sql =>\n${e.getMessage}")
+      }
+      rejects(s"DELETE FROM graft_commitlog.`$table` " +
+        "WHERE id IS NULL OR n > 1000000", "NULL")
+      rejects(s"DELETE FROM graft_commitlog.`$table` " +
+        "WHERE rand() > 0.5 AND n > 5", "nondeterministic")
+      assert(CommitLog.readCommitted(sess, table).get.count() == 4)
     }
   }
 
