@@ -1079,7 +1079,11 @@ object CommitLog {
         .withColumn("change_ts", lit(t)).withColumn("_change_seq", lit(seq))
     final case class Up(entry: (String, Long), orig: (String, Long),
       rts: Long, seq: Long, cdata: Option[String])
-    val ups = rewriteEntries.sorted.flatMap { case (r, b) =>
+    // change-partition existence checks run on the bounded listing
+    // pool (one serial metadata RPC per historical rewrite would make
+    // a full-history replay's PLANNING linear in rewrite count on an
+    // object store)
+    val ups = listParallel(rewriteEntries.sorted) { case (r, b) =>
       rewriteOf(st, r, b) match {
         case Some((orig, "up")) =>
           val rts = st.retired.getOrElse((orig, b), 0L)
@@ -1090,7 +1094,7 @@ object CommitLog {
             }))
         case _ => None
       }
-    }
+    }.flatten
     val out = Seq.newBuilder[DataFrame]
     // fast path: one scan per change partition, filtered to the asked
     // originals; (ts, seq) are txn-constant so any member's meta works
