@@ -107,4 +107,49 @@ class CommitLogModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("racing merges converge: the loser re-plans against the winner (r19 OCC retry)") {
+    // every step runs TWO merges planned from the SAME log state (the
+    // injectable race window): the inner one commits first, the outer
+    // one hits the write conflict, re-plans and lands LAST — the model
+    // applies inner then outer. Keys are seeded up front so every
+    // merge updates EXISTING rows (two merges INSERTING the same fresh
+    // key is the documented concurrent-append serializability hole —
+    // out of scope for the retry, as for Delta without constraints).
+    for (seed <- Seq(11L, 57L)) {
+      val rnd = new scala.util.Random(seed)
+      val table = java.nio.file.Files
+        .createTempDirectory(s"graft-race$seed").toString + "/t"
+      val keys = (0L until 40L).toVector
+      var model: Vector[Row2] = keys.map(k => (k, s"base$k"))
+      CommitLog.writeBatchWithStats(model.toDF("id", "v"), table,
+        "r", 0L, Seq("id"), ts = 1000L)
+      var ts = 1000L
+      var batch = 0L
+      def picks(tag: String): Seq[Row2] =
+        Seq.fill(1 + rnd.nextInt(4))(keys(rnd.nextInt(keys.size)))
+          .distinct.map(k => (k, s"$tag$k"))
+      for (step <- 1 to 8) {
+        ts += 1000
+        val outer = picks(s"o$step-")
+        val inner = picks(s"i$step-") // may overlap outer's keys
+        batch += 2
+        val (ob, ib) = (batch - 1, batch)
+        var fired = false
+        CommitLog.mergeWithHook(spark, table, outer.toDF("id", "v"),
+          Seq("id"), "o", ob, ts = ts, statsCols = Seq("id"),
+          beforeCommit = () => if (!fired) {
+            fired = true
+            CommitLog.merge(spark, table, inner.toDF("id", "v"),
+              Seq("id"), "i", ib, ts = ts, statsCols = Seq("id"))
+          })
+        val innerKeys = inner.map(_._1).toSet
+        val outerKeys = outer.map(_._1).toSet
+        model = model.filterNot(r => innerKeys(r._1)) ++ inner
+        model = model.filterNot(r => outerKeys(r._1)) ++ outer
+        assert(readRows(table) == count(model),
+          s"seed $seed step $step after racing merges")
+      }
+    }
+  }
 }
