@@ -150,8 +150,8 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     // traversal resolves the target relation in the same pass, so
     // match both the unresolved and just-resolved shapes
     case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
-        if mergeTargetPath(m.targetTable).nonEmpty =>
-      rewriteMerge(m, mergeTargetPath(m.targetTable).get)
+        if updateTargetPath(m.targetTable).nonEmpty =>
+      rewriteMerge(m, updateTargetPath(m.targetTable).get)
     // UPDATE ... SET ... WHERE — like MERGE, intercepted before
     // Spark's row-level planning (which demands
     // SupportsRowLevelOperations); maps onto CommitLog.merge with a
@@ -297,8 +297,11 @@ case class ResolveCommitLogSql(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def updateTargetPath(p: LogicalPlan): Option[String] =
-    mergeTargetPath(p).orElse(catalogOurLocation(p).map(_._1))
+  private def updateTargetPath(p: LogicalPlan): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) =>
+      updateTargetPath(child)
+    case _ => mergeTargetPath(p).orElse(catalogOurLocation(p).map(_._1))
+  }
 
   /** Does the DELETE predicate have an exact tombstone form — one the
     * SupportsDelete logical-delete path already handles (mirrors

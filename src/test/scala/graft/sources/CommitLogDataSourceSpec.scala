@@ -689,6 +689,20 @@ class CommitLogDataSourceSpec extends SparkSpec {
         assert(sess.sql("SELECT v FROM graft_cat_t WHERE id = 100")
           .collect()(0).getString(0) == "CAT-UPD")
         assert(CommitLog.readCommitted(sess, table).get.count() == 9)
+        // MERGE through the catalog name (r19 — the interception now
+        // consults the catalog like UPDATE/DELETE do)
+        sess.sql("MERGE INTO graft_cat_t t USING " +
+          "(SELECT 100 AS id, 'CAT-MERGED' AS v) s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(sess.sql("SELECT v FROM graft_cat_t WHERE id = 100")
+          .collect()(0).getString(0) == "CAT-MERGED")
+        // non-tombstone DELETE through the catalog name (the r19
+        // delete-only self-source merge)
+        sess.sql("DELETE FROM graft_cat_t WHERE id % 100 = 0 AND id > 50")
+        assert(sess.sql("SELECT count(*) FROM graft_cat_t")
+          .collect()(0).getLong(0) == 8L) // id=100 gone
+        assert(CommitLog.logState(sess, table).tombstones.isEmpty)
       } finally sess.sql("DROP TABLE IF EXISTS graft_cat_t")
     }
   }
