@@ -296,6 +296,11 @@ class CommitLogStreamSpec extends SparkSpec {
     drainCdc(ckpt, sink)
     assert(events(sink) == (0 until 5)
       .map(i => (i.toLong, s"a-$i", "insert", 1000L)).sorted)
+    // the streamed feed carries the total-order seq column (r19) and
+    // every event has one (legacy ts fallback included)
+    val seqs = spark.read.parquet(sink).select("_change_seq")
+      .as[Long].collect()
+    assert(seqs.length == 5 && seqs.forall(_ == 1000L), seqs.toSeq.toString)
 
     // upsert (update id 3, insert id 100) + a row delete, then resume:
     // the RESTARTED stream delivers exactly the incremental events
