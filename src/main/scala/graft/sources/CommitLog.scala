@@ -324,7 +324,8 @@ object CommitLog {
       retired: Map[(String, Long), Long],
       meta: Map[(String, Long), BatchMeta],
       tombstones: Seq[Tombstone],
-      retiredSeq: Map[(String, Long), Long] = Map.empty) {
+      retiredSeq: Map[(String, Long), Long] = Map.empty,
+      retiredCdata: Map[(String, Long), String] = Map.empty) {
     /** The live committed set: log entries minus retired batches. */
     def committed: Seq[(String, Long)] =
       entries.filterNot(retired.contains)
@@ -403,6 +404,7 @@ object CommitLog {
     val entries = Seq.newBuilder[(String, Long)]
     val retired = Map.newBuilder[(String, Long), Long]
     val retiredSeq = Map.newBuilder[(String, Long), Long]
+    val retiredCdata = Map.newBuilder[(String, Long), String]
     val meta = scala.collection.mutable.Map.empty[(String, Long), BatchMeta]
     val tombs = Seq.newBuilder[Tombstone]
     // "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>[\t<fstats>
@@ -434,6 +436,8 @@ object CommitLog {
         parts(7).toLongOption.foreach(s => retiredSeq += key -> s)
       if (parts.length > 8 && parts(8).nonEmpty)
         upd(_.copy(cdata = Some(unesc(parts(8)))))
+      if (parts.length > 9 && parts(9).nonEmpty)
+        retiredCdata += key -> unesc(parts(9))
       key
     }
     files.foreach { st =>
@@ -469,6 +473,7 @@ object CommitLog {
         retires.foreach { k =>
           retired += k -> ts
           seqOpt.foreach(s => retiredSeq += k -> s)
+          cdataOpt.foreach(d => retiredCdata += k -> d)
         }
       } else if (n.endsWith(".commit")) {
         val key = parseKey(n.stripSuffix(".commit"))
@@ -534,7 +539,7 @@ object CommitLog {
     LogState(entries.result().distinct.sorted, retired.result(),
       meta.toMap, tombs.result().sortBy(t =>
         (t.seq.getOrElse(t.ts), t.ts, t.col, t.kind, t.vals.mkString(","))),
-      retiredSeq.result())
+      retiredSeq.result(), retiredCdata.result())
   }
 
   /** Per-batch stats from the log. Batches committed without stats
@@ -847,7 +852,8 @@ object CommitLog {
         m.map(_.fileStats).filter(_.nonEmpty).map(encodeFileStats),
         m.flatMap(_.seq).map(_.toString),
         st.retiredSeq.get((r, b)).map(_.toString),
-        m.flatMap(_.cdata).map(esc))
+        m.flatMap(_.cdata).map(esc),
+        st.retiredCdata.get((r, b)).map(esc))
       val upto = fields.lastIndexWhere(_.isDefined)
       if (upto < 0) s"$r,$b"
       else s"$r,$b\t" +
@@ -1001,22 +1007,17 @@ object CommitLog {
     // full-consumption deletes: an original retired with NO surviving
     // rewrite entry (the rewrite kept zero rows, so none was added) —
     // every row still visible at retirement was removed. A merge
-    // whose keys matched the whole batch lands here; compactDeletes
+    // whose keys matched the whole batch lands here (read from its
+    // write-time change partition when recorded); compactDeletes
     // reaches this state only when tombstones (already reported at
     // their own times) had deleted every row, so its `before` frame
     // is empty and nothing double-reports.
-    st.retired.foreach { case ((r, b), rts) =>
-      val hasRewriteEntry = st.entries.exists { case (r2, b2) =>
-        b2 == b && r2 != r && rewriteOf(st, r2, b2).exists(_._1 == r) }
-      if (inWindow(rts) && !hasRewriteEntry) {
-        requireDir(r, b, "a full-batch delete's pre-image")
-        val before = applyTombstones(
-          rawBatchSet(spark, table, Seq((r, b)), st),
-          Seq((r, b)), st, tombstoneAsOf = Some(rts))
-          .drop("run_id", "batch_id")
-        parts += withMeta(before, "delete", rts, st.retireSeqOf((r, b)))
-      }
-    }
+    retireDeleteFrames(spark, table, st,
+      st.retired.toSeq.collect { case ((r, b), rts)
+          if inWindow(rts) && !st.entries.exists { case (r2, b2) =>
+            b2 == b && r2 != r && rewriteOf(st, r2, b2).exists(_._1 == r) } =>
+        (r, b)
+      }, requireDir).foreach(parts += _)
 
     // upsert deletes: the matched old copies. FAST PATH (r19): merges
     // persist their delete pre-images as write-time change files —
@@ -1063,6 +1064,49 @@ object CommitLog {
       .withColumn("change_ts", col("__cts"))
       .withColumn("_change_seq", col("__cseq"))
       .drop("run_id", "batch_id", "__cr", "__cb", "__cts", "__cseq")
+  }
+
+  /** The full-batch delete change events for originals retired with NO
+    * surviving rewrite (fully-consumed merges; truncates), grouped so
+    * each write-time change partition is read once; retires without
+    * recorded change data (truncates, pre-r19 merges, aged-out
+    * partitions) reconstruct from the original's directory as before.
+    * Shared by the batch feed and the streaming feed. */
+  private[sources] def retireDeleteFrames(spark: SparkSession,
+      table: String, st: LogState, retires: Seq[(String, Long)],
+      requireDir: (String, Long, String) => Unit): Seq[DataFrame] = {
+    def withMeta(df: DataFrame, t: Long, seq: Long): DataFrame =
+      df.withColumn("change_type", lit("delete"))
+        .withColumn("change_ts", lit(t)).withColumn("_change_seq", lit(seq))
+    final case class Re(orig: (String, Long), rts: Long, seq: Long,
+      cdata: Option[String])
+    val res = listParallel(retires.sorted) { k =>
+      Re(k, st.retired.getOrElse(k, 0L), st.retireSeqOf(k),
+        st.retiredCdata.get(k).filter { rel =>
+          val (hfs, p) = fs(spark, s"$table/_changes/$rel")
+          hfs.exists(p)
+        })
+    }
+    val out = Seq.newBuilder[DataFrame]
+    res.filter(_.cdata.nonEmpty).groupBy(_.cdata.get).toSeq.sortBy(_._1)
+      .foreach { case (rel, members) =>
+        val df = spark.read.parquet(s"$table/_changes/$rel")
+        val origs = members.map(m => s"${m.orig._1}-${m.orig._2}")
+        out += withMeta(
+          df.where(concat_ws("-", col("__orig_run"),
+            col("__orig_batch")).isin(origs: _*))
+            .drop("__orig_run", "__orig_batch"),
+          members.head.rts, members.head.seq)
+      }
+    res.filter(_.cdata.isEmpty).foreach { re =>
+      val (r, b) = re.orig
+      requireDir(r, b, "a full-batch delete's pre-image")
+      out += withMeta(applyTombstones(
+        rawBatchSet(spark, table, Seq(re.orig), st),
+        Seq(re.orig), st, tombstoneAsOf = Some(re.rts))
+        .drop("run_id", "batch_id"), re.rts, re.seq)
+    }
+    out.result()
   }
 
   /** The upsert-delete change events for the given upsert REWRITE
@@ -1461,7 +1505,11 @@ object CommitLog {
     // overwrites its own change files; a crash before the marker
     // leaves an orphan that is never referenced and vacuum reclaims.
     val cdataDir: Option[String] = {
-      val covered = rewriteResults.collect { case (s, Some(_)) => s.orig }
+      // EVERY affected batch is covered (r19b): survivors' pre-images
+      // serve the upsert-delete events, fully-consumed originals' the
+      // full-batch-delete events — so a CDC history replay touches no
+      // retired directory at all, and the events outlive vacuum
+      val covered = affected
       if (covered.isEmpty) None
       else {
         val h = scala.util.hashing.MurmurHash3.orderedHash(

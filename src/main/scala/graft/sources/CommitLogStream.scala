@@ -498,19 +498,12 @@ final class CommitLogChangesMicroBatchStream(table: String,
       newEntries.filter(k =>
         CommitLog.rewriteOf(st, k._1, k._2).exists(_._2 == "up")),
       (r, b, why) => requireDir(r, b, why)).foreach(parts += _)
-    (e.retired -- s.retired).toSeq.sorted.foreach { case (r, b) =>
-      val hasRewriteEntry = e.entries.exists { case (r2, b2) =>
-        b2 == b && r2 != r &&
-          CommitLog.rewriteOf(st, r2, b2).exists(_._1 == r) }
-      if (!hasRewriteEntry) {
-        val rts = st.retired.getOrElse((r, b), 0L)
-        requireDir(r, b, "a full-batch delete's pre-image")
-        parts += withMeta(CommitLog.applyTombstones(
-          CommitLog.rawBatchSet(sp, table, Seq((r, b)), st),
-          Seq((r, b)), st, tombstoneAsOf = Some(rts))
-          .drop("run_id", "batch_id"), "delete", rts, st.retireSeqOf((r, b)))
-      }
-    }
+    CommitLog.retireDeleteFrames(sp, table, st,
+      (e.retired -- s.retired).toSeq.filterNot { case (r, b) =>
+        e.entries.exists { case (r2, b2) =>
+          b2 == b && r2 != r &&
+            CommitLog.rewriteOf(st, r2, b2).exists(_._1 == r) }
+      }, (r, b, why) => requireDir(r, b, why)).foreach(parts += _)
     st.tombstones.slice(s.tombs, e.tombs).foreach { t =>
       t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") }
       if (t.applies.nonEmpty) {

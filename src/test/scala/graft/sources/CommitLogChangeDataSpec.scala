@@ -57,10 +57,10 @@ class CommitLogChangeDataSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("replicaterows"))
   }
 
-  test("change data covers only surviving rewrites; a fully-consumed original still reports once") {
+  test("change data covers every affected batch; fully-consumed originals report once and outlive vacuum") {
     val table = java.nio.file.Files.createTempDirectory("graft-cdata2").toString + "/t"
     // batch 0 holds ONLY merged keys (fully consumed → retire-only);
-    // batch 1 is partially matched (surviving rewrite → change data)
+    // batch 1 is partially matched (surviving rewrite)
     CommitLog.writeBatchWithStats(idRows(0, 2, "a"), table, "r1", 0L,
       Seq("id"), ts = 1000L)
     CommitLog.writeBatchWithStats(idRows(100, 4, "b"), table, "r1", 1L,
@@ -68,14 +68,25 @@ class CommitLogChangeDataSpec extends SparkSpec {
     CommitLog.merge(spark, table,
       Seq((0L, "N0"), (1L, "N1"), (100L, "N100")).toDF("id", "v"),
       Seq("id"), "m", 0L, ts = 2000L, statsCols = Seq("id"))
-    val evs = CommitLog.readChangeFeed(spark, table, 1500L).get
+    def mergeEvents() = CommitLog.readChangeFeed(spark, table, 1500L).get
       .select("change_type", "id", "v")
       .as[(String, Long, String)].collect().toList
+    val evs = mergeEvents()
     val deletes = evs.filter(_._1 == "delete").toSet
     assert(evs.count(_._1 == "delete") == 3, s"no double-report: $evs")
     assert(deletes == Set(("delete", 0L, "a-0"), ("delete", 1L, "a-1"),
       ("delete", 100L, "b-0")))
     assert(CommitLog.readCommitted(spark, table).get.count() == 6)
+    // the retire carries the change-partition reference too: vacuum
+    // reclaiming the retired ORIGINAL dirs does not lose the merge
+    // era's CDC history (r18 failed loudly here; referenced change
+    // partitions are kept)
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+      s"$table/run_id=r1/batch_id=0")), "retired original reclaimed")
+    assert(mergeEvents() == evs, "merge-era CDC replay survives vacuum")
   }
 
   test("same-millisecond merges totally order by seq; the replica reduce is deterministic") {
