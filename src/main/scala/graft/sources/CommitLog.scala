@@ -49,6 +49,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * they will not read, which on object stores is the difference
   * between O(committed) and O(everything ever attempted).
   */
+/** A commit lost the optimistic-concurrency race: another transaction
+  * retired one of this transaction's rewrite targets between planning
+  * and the marker rename. TYPED so retry logic matches on CLASS, not
+  * message text (r20 — the r19 string match silently stopped retrying
+  * on any rewording, and a foreachBatch/SparkException wrapper hid the
+  * message entirely). */
+final class CommitLogWriteConflict(msg: String) extends RuntimeException(msg)
+
+object CommitLogWriteConflict {
+  /** Is `e` a write conflict, at any depth of a wrapper chain (Spark
+    * wraps sink/foreachBatch failures in SparkException layers)? */
+  @annotation.tailrec
+  def is(e: Throwable): Boolean = e match {
+    case null => false
+    case _: CommitLogWriteConflict => true
+    case other => is(other.getCause)
+  }
+}
+
 object CommitLog {
 
   private def fs(spark: SparkSession, path: String) = {
@@ -259,6 +278,20 @@ object CommitLog {
     hfs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, markerName(runId, batchId))
     if (hfs.exists(marker)) return
+    // retiring commits (compactDeletes rewrites) get the same
+    // conflict check as transactions — a retry of the SAME rewrite is
+    // already a no-op via the marker-exists return above, so reaching
+    // here with an already-retired original means a DIFFERENT
+    // concurrent rewrite won. The same re-read re-mints a seq another
+    // mutation got to first. Plain appends (no retires, no seq) never
+    // read the log — they stay freely concurrent and cheap.
+    val finalSeq =
+      if (retires.isEmpty && seq.isEmpty) seq
+      else {
+        val cur = logState(spark, table)
+        checkRetireConflict(cur, table, retires)
+        bumpSeq(cur, seq)
+      }
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".${markerName(runId, batchId)}.${java.util.UUID.randomUUID()}.tmp")
     val statsLine =
@@ -266,7 +299,7 @@ object CommitLog {
     val schemaLine =
       if (schema.isEmpty) "" else s"schema=${encodeSchema(schema)}\n"
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
-    val tsLine = s"ts=$tsv\n" + seq.map(s => s"seq=$s\n").getOrElse("")
+    val tsLine = s"ts=$tsv\n" + finalSeq.map(s => s"seq=$s\n").getOrElse("")
     // a compactDeletes rewrite RETIRES its original in the same
     // marker: the visibility flip (original out, rewrite in) is one
     // atomic rename — no crash window where both are live
@@ -280,13 +313,6 @@ object CommitLog {
       s"run_id=$runId\nbatch_id=$batchId\n$statsLine$schemaLine$tsLine$fstatsLine$retiresLine"
         .getBytes("UTF-8"))
     finally out.close()
-    // retiring commits (compactDeletes rewrites) get the same
-    // conflict check as transactions — a retry of the SAME rewrite is
-    // already a no-op via the marker-exists return above, so reaching
-    // here with an already-retired original means a DIFFERENT
-    // concurrent rewrite won
-    try checkRetireConflict(spark, table, retires)
-    catch { case e: Throwable => hfs.delete(tmp, false); throw e }
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
     if (!hfs.rename(tmp, marker)) {
@@ -751,20 +777,36 @@ object CommitLog {
           case None => true // no stats recorded → cannot prune
           case Some(s) =>
             def recTyp = m.flatMap(_.schema.find(_._1 == b.col)).map(_._2)
+            def ok(v: Any) = probePrunable(v, recTyp) && familyMatches(v, s.typ)
             b.points match {
-              case Some(ps) => ps.exists(p => p == null ||
-                !probePrunable(p, recTyp) ||
+              case Some(ps) => ps.exists(p => p == null || !ok(p) ||
                 statsMayMatch(s, Some(p.toString), Some(p.toString)))
               case None =>
-                val loS = b.lo.filter(v =>
-                  v != null && probePrunable(v, recTyp)).map(_.toString)
-                val hiS = b.hi.filter(v =>
-                  v != null && probePrunable(v, recTyp)).map(_.toString)
+                val loS = b.lo.filter(v => v != null && ok(v)).map(_.toString)
+                val hiS = b.hi.filter(v => v != null && ok(v)).map(_.toString)
                 statsMayMatch(s, loS, hiS)
             }
         }
       }
     }
+
+  /** Is a probe value's TYPE FAMILY the one the recorded stats compare
+    * in? A cross-family predicate (`WHERE strcol = 5`) is pruned in
+    * the wrong order: the stats of a string column compare in UTF8
+    * order, but Spark's residual predicate coerces BOTH sides
+    * numerically — a batch whose stats span "01".."04" holds "05"
+    * rows the numeric probe 5 matches, yet "5" > "04" lexicographically
+    * would prune the batch, and because the batch is then never READ,
+    * the residual can never recover the skipped rows (a silent DML
+    * no-op on rows the user asked to change). Mismatched families
+    * degrade to UNPRUNABLE — the same posture as [[probePrunable]]'s
+    * float guard. */
+  private def familyMatches(p: Any, statsTyp: String): Boolean = p match {
+    case _: String => statsTyp != "num"
+    case _: java.lang.Number => statsTyp == "num" // incl. BigDecimal
+    case _: org.apache.spark.sql.types.Decimal => statsTyp == "num"
+    case _ => false // unknown family → never prune on it
+  }
 
   /** Is rendered-decimal stats pruning EXACT for probe value `k`
     * against a batch whose recorded key-column type is
@@ -904,7 +946,14 @@ object CommitLog {
     // unlike retired batch dirs they do not grow with table size
     val changesRoot = new org.apache.hadoop.fs.Path(s"$table/_changes")
     if (hfs.exists(changesRoot)) {
-      val referenced = st.meta.valuesIterator.flatMap(_.cdata).toSet
+      // BOTH reference forms keep a partition alive: add-side (txn
+      // entries' cdata) and retire-side (retiredCdata) — a pure-delete
+      // merge that fully consumes its batches lands NO add entry, so
+      // its change partition is referenced only from the retires;
+      // reclaiming it would break CDC replay of that era (the same
+      // era whose original directories this vacuum just reclaimed)
+      val referenced = (st.meta.valuesIterator.flatMap(_.cdata) ++
+        st.retiredCdata.valuesIterator).toSet
       hfs.listStatus(changesRoot).foreach { d =>
         if (d.isDirectory && !referenced.contains(d.getPath.getName) &&
             now - d.getModificationTime > graceMs)
@@ -1245,6 +1294,24 @@ object CommitLog {
     val (hfs, dir) = fs(spark, commitsDir(table))
     hfs.mkdirs(dir)
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    // conflict detection + seq re-mint, re-read as late as possible: a
+    // concurrent upsert/compactDeletes that already retired one of our
+    // retires means BOTH transactions rewrote the same original —
+    // committing ours too would leave two live rewrites and double its
+    // rows ([[CommitLogWriteConflict]], typed so OCC retry matches by
+    // class). The same re-read bumps a seq another mutation got to
+    // first (two mutations planned from the same state would otherwise
+    // record EQUAL seqs, degrading the total order to the tiebreak).
+    // Failing here narrows the exposure to the re-read→rename window;
+    // full serialization needs the documented single-writer discipline
+    // for mutating operations.
+    val finalSeq =
+      if (retires.isEmpty && seq.isEmpty) seq
+      else {
+        val cur = logState(spark, table)
+        checkRetireConflict(cur, table, retires)
+        bumpSeq(cur, seq)
+      }
     val addLines = adds.map { a =>
       markerName(a.runId, a.batchId) // validates the run id
       val fields = Seq(
@@ -1260,44 +1327,47 @@ object CommitLog {
     val retiresLine =
       if (retires.isEmpty) ""
       else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
-    val seqLine = seq.map(s => s"seq=$s\n").getOrElse("")
+    val seqLine = finalSeq.map(s => s"seq=$s\n").getOrElse("")
     val cdataLine = cdata.map(d => s"cdata=${esc(d)}\n").getOrElse("")
     val name = f"txn-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.commit"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val out = hfs.create(tmp, true)
     try out.write(s"ts=$tsv\n$seqLine$cdataLine$addLines$retiresLine".getBytes("UTF-8"))
     finally out.close()
-    // conflict detection, re-read as late as possible: a concurrent
-    // upsert/compactDeletes that already retired one of our retires
-    // means BOTH transactions rewrote the same original — committing
-    // ours too would leave two live rewrites and double its rows.
-    // Failing here narrows the exposure to the re-read→rename window;
-    // full serialization needs the documented single-writer
-    // discipline for mutating operations.
-    try checkRetireConflict(spark, table, retires)
-    catch { case e: Throwable => hfs.delete(tmp, false); throw e }
     val marker = new org.apache.hadoop.fs.Path(dir, name)
     if (!hfs.rename(tmp, marker)) {
       hfs.delete(tmp, false); sys.error(s"could not commit $marker")
     }
   }
 
-  /** Fail loudly when any of `retires` was already retired by a
-    * concurrent transaction (both rewrote the same original — two
-    * live rewrites would double its rows). Shared by [[commitTxn]]
-    * and the retiring form of [[commitWithMeta]]. */
-  private def checkRetireConflict(spark: SparkSession, table: String,
+  /** Fail with a typed [[CommitLogWriteConflict]] when any of
+    * `retires` was already retired in `cur` by a concurrent
+    * transaction (both rewrote the same original — two live rewrites
+    * would double its rows). Shared by [[commitTxn]] and the retiring
+    * form of [[commitWithMeta]], which pass the log state they just
+    * re-read (the same read that re-mints a colliding seq). */
+  private def checkRetireConflict(cur: LogState, table: String,
       retires: Seq[(String, Long)]): Unit =
     if (retires.nonEmpty) {
-      val cur = logState(spark, table)
       val conflicted = retires.filter(cur.retired.contains)
-      if (conflicted.nonEmpty) sys.error(
+      if (conflicted.nonEmpty) throw new CommitLogWriteConflict(
         s"commit-log write conflict on $table: original batch(es) " +
           s"${conflicted.take(3).mkString(", ")} already retired by a " +
           "concurrent upsert/compactDeletes — this rewrite is based on " +
           "stale state; re-run against the current log (mutating " +
           "operations are single-writer per table)")
     }
+
+  /** The commit-time seq re-check (r20): a mutation's seq was minted
+    * from the log state it PLANNED against; if a concurrent mutation
+    * committed since (e.g. a deleteWhere racing an OCC-retried merge,
+    * both legitimately in flight), both would record the SAME seq and
+    * the claimed strict total order would silently degrade to the
+    * tiebreak. Re-mint past the re-read state's maxSeq — the same
+    * re-read the retire conflict check runs on, so the unprotected
+    * window narrows to the final write+rename. */
+  private def bumpSeq(cur: LogState, seq: Option[Long]): Option[Long] =
+    seq.map(s => math.max(s, cur.maxSeq + 1))
 
   /** Row-level UPSERT — the full-row MERGE a CDC feed applies
     * (`WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT
@@ -1389,8 +1459,12 @@ object CommitLog {
           statsCols, deleteWhen, dropCols, beforeCommit)
         done = true
       } catch {
-        case e: RuntimeException if attempt < maxAttempts &&
-            e.getMessage != null && e.getMessage.contains("write conflict") =>
+        // matched by CLASS through any wrapper chain (r20): a reworded
+        // message or a SparkException wrapper must neither turn a
+        // retryable conflict into a hard failure nor a coincidental
+        // message into a silent retry
+        case e: Throwable if attempt < maxAttempts &&
+            CommitLogWriteConflict.is(e) =>
           attempt += 1
       }
     }
@@ -1816,8 +1890,21 @@ object CommitLog {
     val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
     // monotonic seq past every recorded fact (even with a pinned ts):
     // keeps the tombstone order prefix-stable for streaming offsets
-    // and totally orders this delete's change events
-    val seqv = st.nextSeq(tsv)
+    // and totally orders this delete's change events. Minted from a
+    // FRESH re-read (r20): a merge that committed while this delete
+    // planned would otherwise share our seq — and if it RETIRED one of
+    // our applies batches, the tombstone would name superseded
+    // originals and miss the rewrite's rows entirely, so that races is
+    // a typed conflict, not a silent partial delete.
+    val cur = logState(spark, table)
+    val conflicted = applies.filter(cur.retired.contains)
+    if (conflicted.nonEmpty) throw new CommitLogWriteConflict(
+      s"commit-log write conflict on $table: deleteWhere planned " +
+        s"against batch(es) ${conflicted.take(3).mkString(", ")} that a " +
+        "concurrent upsert/compactDeletes has since retired — the " +
+        "tombstone would miss the rewrite's rows; re-run against the " +
+        "current log")
+    val seqv = cur.nextSeq(tsv)
     val name = f"del-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.tombstone"
     val body =
       s"""ts=$tsv
@@ -1978,8 +2065,7 @@ object CommitLog {
       }
       true
     } catch {
-      case e: RuntimeException if e.getMessage != null &&
-          e.getMessage.contains("write conflict") => false
+      case e: Throwable if CommitLogWriteConflict.is(e) => false
     }
 
   /** Row-level DELETE, physical phase (copy-on-write at batch

@@ -229,6 +229,30 @@ object CommitLogSqlWrites {
     out.result()
   }
 
+  /** The data columns UPDATE/DELETE validate SET/WHERE names against.
+    * Marker-recorded schemas are metadata-only and preferred; on a
+    * MIXED-ERA table (some batches predate schema markers) a column
+    * present only in the marker-less batches must not be loudly
+    * rejected as unknown — union in the inferred columns of exactly
+    * the marker-less group (footer reads bounded to those batches).
+    * A fully pre-schema table falls back to the full read's columns. */
+  private[sources] def dataColsOf(spark: SparkSession, table: String,
+      st: CommitLog.LogState): Seq[String] = {
+    val recorded = {
+      val names = scala.collection.mutable.LinkedHashSet.empty[String]
+      st.committed.foreach(k => st.meta.get(k).toSeq
+        .flatMap(_.schema).foreach(f => names += f._1))
+      names.toSeq
+    }
+    val markerless = st.committed.filter(k =>
+      st.meta.get(k).forall(_.schema.isEmpty))
+    val inferred =
+      if (markerless.isEmpty) Seq.empty[String]
+      else CommitLog.readBatchSet(spark, table, markerless, st).columns
+        .filterNot(CommitLogTable.partNames.contains).toSeq
+    (recorded ++ inferred).distinct
+  }
+
   private[sources] def delete(spark: SparkSession, table: String,
       filters: Array[Filter]): Unit = {
     val fs = conjuncts(filters)
@@ -306,19 +330,11 @@ private[graft] final case class UpdateCommitLogCommand(table: String,
     val st = CommitLog.logState(spark, table)
     if (st.committed.isEmpty) sys.error(
       s"graft_commitlog UPDATE: no committed batches at $table")
-    // column validation against the RECORDED schema union (metadata
-    // only — no file listing yet); pre-schema-marker tables fall back
-    // to the full read's columns
-    val recorded = {
-      val names = scala.collection.mutable.LinkedHashSet.empty[String]
-      st.committed.foreach(k => st.meta.get(k).toSeq
-        .flatMap(_.schema).foreach(f => names += f._1))
-      names.toSeq
-    }
+    // column validation against recorded schemas (metadata-only when
+    // every batch has a marker), unioned with the inferred columns of
+    // any marker-less batches — see CommitLogSqlWrites.dataColsOf
     lazy val fullRead = CommitLog.readBatchSet(spark, table, st.committed, st)
-    val dataCols =
-      if (recorded.nonEmpty) recorded
-      else fullRead.columns.filterNot(CommitLogTable.partNames.contains).toSeq
+    val dataCols = CommitLogSqlWrites.dataColsOf(spark, table, st)
     val unknownSet = sets.map(_._1).filterNot(dataCols.contains)
     if (unknownSet.nonEmpty) sys.error(
       s"graft_commitlog UPDATE: SET names unknown column(s) " +
@@ -404,16 +420,8 @@ private[graft] final case class DeleteCommitLogCommand(table: String,
     val st = CommitLog.logState(spark, table)
     if (st.committed.isEmpty) sys.error(
       s"graft_commitlog DELETE: no committed batches at $table")
-    val recorded = {
-      val names = scala.collection.mutable.LinkedHashSet.empty[String]
-      st.committed.foreach(k => st.meta.get(k).toSeq
-        .flatMap(_.schema).foreach(f => names += f._1))
-      names.toSeq
-    }
     lazy val fullRead = CommitLog.readBatchSet(spark, table, st.committed, st)
-    val dataCols =
-      if (recorded.nonEmpty) recorded
-      else fullRead.columns.filterNot(CommitLogTable.partNames.contains).toSeq
+    val dataCols = CommitLogSqlWrites.dataColsOf(spark, table, st)
     val unknownWhere = whereCols.filterNot(dataCols.contains)
     if (unknownWhere.nonEmpty) sys.error(
       s"graft_commitlog DELETE: WHERE references unknown column(s) " +

@@ -171,6 +171,70 @@ class CommitLogChangeDataSpec extends SparkSpec {
     assert(st.entries.contains(("m1", 0L)) && st.entries.contains(("m2", 0L)))
   }
 
+  test("retire-only merge: its change partition is retire-referenced and CDC replay survives vacuum") {
+    val table = java.nio.file.Files.createTempDirectory("graft-cdret").toString + "/t"
+    // batch 0 holds ONLY the keys a delete-only merge consumes: the
+    // merge lands NO new batch, so its change partition is referenced
+    // exclusively from the RETIRES (r20 — the add-side-only referenced
+    // set reclaimed it, then replay needed the original dir the same
+    // vacuum had already taken)
+    CommitLog.writeBatchWithStats(idRows(0, 2, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.merge(spark, table, Seq((0L, "D"), (1L, "D")).toDF("id", "v"),
+      Seq("id"), "m", 0L, ts = 2000L, statsCols = Seq("id"),
+      deleteWhen = Some(lit(true)))
+    val st = CommitLog.logState(spark, table)
+    assert(st.committed.isEmpty && st.retiredCdata.nonEmpty,
+      s"pure retire with retire-side cdata: ${st.retired} / ${st.retiredCdata}")
+    assert(st.meta.valuesIterator.flatMap(_.cdata).isEmpty,
+      "no add entry carries the reference — only the retires do")
+    CommitLog.vacuum(spark, table, graceMs = -1L)
+    // the original's directory is reclaimed, the change partition is not
+    assert(!new java.io.File(s"$table/run_id=r1/batch_id=0").exists())
+    assert(new java.io.File(s"$table/_changes").listFiles().nonEmpty)
+    // replay of the merge era (post-insert window — the insert era's
+    // directory is legitimately gone, the vacuum contract) reads the
+    // delete pre-images from the surviving change partition
+    val evs = CommitLog.readChangeFeed(spark, table, 1500L).get
+      .select("change_type", "id", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(evs == Set(("delete", 0L, "a-0"), ("delete", 1L, "a-1")), s"$evs")
+  }
+
+  test("write conflicts are typed: class match through wrapper chains; racing mutations never share a seq") {
+    // the retry classifier sees through SparkException-style wrapping
+    // and never fires on a coincidental message
+    val conflict = new CommitLogWriteConflict("x")
+    assert(CommitLogWriteConflict.is(conflict))
+    assert(CommitLogWriteConflict.is(
+      new RuntimeException("outer", new RuntimeException("mid", conflict))))
+    assert(!CommitLogWriteConflict.is(
+      new RuntimeException("commit-log write conflict on /t: …")))
+    assert(!CommitLogWriteConflict.is(null))
+
+    // a merge and a deleteWhere planned from the SAME log state (both
+    // would mint seq 2000): the merge's commit-time re-read must bump
+    // past the tombstone's seq — equal seqs would silently degrade the
+    // total order behind streaming offsets and replica ties
+    val table = java.nio.file.Files.createTempDirectory("graft-seqrace").toString + "/t"
+    CommitLog.writeBatchWithStats(idRows(0, 5, "a"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    var raced = false
+    CommitLog.mergeWithHook(spark, table,
+      Seq((100L, "NEW")).toDF("id", "v"), Seq("id"), "m", 0L,
+      ts = 2000L, statsCols = Seq("id"),
+      beforeCommit = () => if (!raced) {
+        raced = true
+        CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 2000L)
+      })
+    val st = CommitLog.logState(spark, table)
+    val mergeSeq = st.entrySeq(("m", 0L))
+    val tombSeq = st.tombSeq(st.tombstones.head)
+    assert(tombSeq == 2000L, s"delete minted first: $tombSeq")
+    assert(mergeSeq == 2001L,
+      s"merge re-minted past the tombstone at commit time: $mergeSeq")
+  }
+
   test("vacuum reclaims orphaned change partitions and keeps referenced ones") {
     val table = java.nio.file.Files.createTempDirectory("graft-cdvac").toString + "/t"
     CommitLog.writeBatchWithStats(idRows(0, 5, "a"), table, "r1", 0L,

@@ -592,6 +592,68 @@ class CommitLogDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("cross-type DML predicates never prune on mismatched stats families") {
+    import spark.implicits._
+    val table = tmp("graft-dsv2-coerce")
+    // a STRING column whose stats span "01".."20": the numeric probe 5
+    // compares lexicographically against them ("5" > "20"), while the
+    // residual predicate coerces BOTH sides numerically — r19 pruned
+    // the batch and the UPDATE silently skipped "05"
+    CommitLog.writeBatchWithStats(
+      Seq(("01", 1L), ("05", 2L), ("20", 3L)).toDF("s", "id"),
+      table, "r1", 0L, Seq("s", "id"))
+    val st = CommitLog.logState(spark, table)
+    // numeric probe vs string stats → unprunable (family mismatch)
+    assert(CommitLog.prunedCommitted(st,
+      Seq(CommitLog.ColBound("s", Some(Seq(5)), None, None))) ==
+      Seq(("r1", 0L)))
+    assert(CommitLog.prunedCommitted(st,
+      Seq(CommitLog.ColBound("s", None, Some(5), Some(7)))) ==
+      Seq(("r1", 0L)))
+    // string probe vs numeric stats → unprunable (conservative)
+    assert(CommitLog.prunedCommitted(st,
+      Seq(CommitLog.ColBound("id", Some(Seq("2")), None, None))) ==
+      Seq(("r1", 0L)))
+    // matched families still prune: a string point probe out of range
+    assert(CommitLog.prunedCommitted(st,
+      Seq(CommitLog.ColBound("s", Some(Seq("99")), None, None))).isEmpty)
+    assert(CommitLog.prunedCommitted(st,
+      Seq(CommitLog.ColBound("id", Some(Seq(99L)), None, None))).isEmpty)
+    // end-to-end: the cross-type UPDATE reaches the row it matches
+    withSqlSession { sess =>
+      sess.sql(s"UPDATE graft_commitlog.`$table` SET id = 50 WHERE s = 5")
+      assert(CommitLog.readCommitted(sess, table).get
+        .where(col("s") === "05").select("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(50L))
+    }
+  }
+
+  test("mixed-era tables: DML column validation unions marker-less batches' inferred columns") {
+    import spark.implicits._
+    val table = tmp("graft-dsv2-mixed")
+    // era 1: schema-marker batch (id, v) with id stats 0..9
+    CommitLog.writeBatchWithStats(rows(10, "a"), table, "r1", 0L, Seq("id"))
+    // era 0 (pre-schema-marker writer): data + bare marker, column
+    // `extra` exists ONLY here and is recorded NOWHERE
+    CommitLog.writeDataOnly(
+      Seq((100L, "b-0", "keep"), (101L, "b-1", "kill")).toDF("id", "v", "extra"),
+      table, "r0", 0L)
+    CommitLog.commit(spark, table, "r0", 0L)
+    val st = CommitLog.logState(spark, table)
+    // the validation column set sees the marker-less era's columns
+    assert(CommitLogSqlWrites.dataColsOf(spark, table, st).toSet ==
+      Set("id", "v", "extra"))
+    // r19 loudly rejected `extra` as unknown; the id bound keeps the
+    // merge machinery off the era-1 batch (which lacks the column)
+    withSqlSession { sess =>
+      sess.sql(s"DELETE FROM graft_commitlog.`$table` " +
+        "WHERE extra = 'kill' AND id >= 100")
+      val out = CommitLog.readCommitted(sess, table).get
+      assert(out.count() == 11)
+      assert(out.where(col("id") === 101L).isEmpty)
+    }
+  }
+
   test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF map onto the read pins") {
     val table = tmp("graft-dsv2-tt")
     CommitLog.writeBatch(rows(5, "a"), table, "r1", 0L, ts = 1000L)
