@@ -298,6 +298,108 @@ object StreamScaleSmoke {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  /** Change-feed BOOTSTRAP plan flatness (`runMain
+    * graft.StreamScaleSmoke cdataplan [txns]`): a synthetic log with N
+    * merge transactions (orig batch retired, `up` rewrite live,
+    * write-time change partition referenced — built with THREE
+    * partitionBy write jobs + driver-side renames and markers, never N
+    * write jobs) replayed from zero by `readChangeFeed`. The r19
+    * delete side built one DataFrame per change-partition group and
+    * union-reduced them — O(txns-in-window) plan nodes, a quadratic
+    * analyzer stall before the first task of exactly the
+    * replica-bootstrap read 28y exists to serve. The r20 one-scan +
+    * broadcast-mapping assembly must hold BOTH plan-node count and
+    * analysis wall-time FLAT from N/4 to N (events themselves stay
+    * correct: N inserts + N deletes, checked exactly). compactLog runs
+    * during the build, so fold-surviving cdata references are
+    * exercised at scale too. One JSON line →
+    * BENCH_SCALE_CDATA_BOOT.json. */
+  def cdataPlanSmoke(spark: SparkSession, nTxns: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, hex, lit, lower, lpad}
+    import graft.sources.CommitLog
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def build(n: Int): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"cdboot$n").toString
+      val table = s"$root/t"
+      // orig batches r/0..n-1, one row each — ONE dynamic-partition job
+      spark.range(0, n).select(col("id"),
+          concat(lit("orig-"), col("id")).as("v"),
+          lit("r").as("run_id"), col("id").as("batch_id"))
+        .repartition(8)
+        .write.partitionBy("run_id", "batch_id").mode("append").parquet(table)
+      // each txn's surviving rewrite rup<8hex>/i — ONE job
+      spark.range(0, n).select(col("id"),
+          concat(lit("new-"), col("id")).as("v"),
+          concat(lit("rup"), lpad(lower(hex(col("id"))), 8, "0")).as("run_id"),
+          col("id").as("batch_id"))
+        .repartition(8)
+        .write.partitionBy("run_id", "batch_id").mode("append").parquet(table)
+      // write-time change partitions: ONE staged job + driver renames
+      val stage = s"$root/stage"
+      spark.range(0, n).select(col("id"),
+          concat(lit("orig-"), col("id")).as("v"),
+          lit("r").as("__orig_run"), col("id").as("__orig_batch"),
+          col("id").as("__pd"))
+        .repartition(8).write.partitionBy("__pd").parquet(stage)
+      val hfs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_changes"))
+      (0 until n).foreach { i =>
+        hfs.rename(new org.apache.hadoop.fs.Path(s"$stage/__pd=$i"),
+          new org.apache.hadoop.fs.Path(s"$table/_changes/cd$i"))
+      }
+      val schema = Seq("id" -> "BIGINT", "v" -> "STRING")
+      CommitLog.commitTxn(spark, table,
+        (0 until n).map(i => CommitLog.TxnAdd("r", i.toLong,
+          Seq.empty, schema)), Seq.empty, ts = 1000L)
+      (0 until n).foreach { i =>
+        CommitLog.commitTxn(spark, table,
+          Seq(CommitLog.TxnAdd(f"rup$i%08x", i.toLong, Seq.empty, schema)),
+          retires = Seq(("r", i.toLong)), ts = 2000L + i,
+          seq = Some(2000L + i), cdata = Some(s"cd$i"))
+        // fold periodically: keeps the conflict-check re-reads (and
+        // the feed's final logState) off an O(n) marker listing, and
+        // proves cdata references survive snapshot folds at scale
+        if ((i + 1) % 256 == 0) CommitLog.compactLog(spark, table)
+      }
+      table
+    }
+    def measure(table: String, n: Int): (Int, Double, Double) = {
+      val t0 = System.nanoTime()
+      val df = CommitLog.readChangeFeed(spark, table, 0L).get
+      val nodes = df.queryExecution.optimizedPlan.collect { case p => p }.size
+      val tPlan = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val byType = df.groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tExec = (System.nanoTime() - t1) / 1e9
+      require(byType == Map("insert" -> n.toLong, "delete" -> n.toLong),
+        s"bootstrap events wrong at $n: $byType")
+      (nodes, tPlan, tExec)
+    }
+    val small = nTxns / 4
+    val tSmall = build(small)
+    val tBig = build(nTxns)
+    measure(tSmall, small) // warm code paths once
+    val (nodesS, planS, execS) = measure(tSmall, small)
+    val (nodesB, planB, execB) = measure(tBig, nTxns)
+    require(nodesB == nodesS,
+      s"plan must be flat in window size: $nodesS nodes @ $small vs " +
+        s"$nodesB @ $nTxns")
+    val json =
+      s"""{"metric":"cdc_bootstrap_plan","txns_small":$small,""" +
+      s""""txns_big":$nTxns,"plan_nodes_small":$nodesS,""" +
+      s""""plan_nodes_big":$nodesB,"plan_secs_small":${fmt(planS)},""" +
+      s""""plan_secs_big":${fmt(planB)},"exec_secs_small":${fmt(execS)},""" +
+      s""""exec_secs_big":${fmt(execB)}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE_CDATA_BOOT.json"), json)
+    Seq(tSmall, tBig).foreach(t => new scala.reflect.io.Directory(
+      new java.io.File(t).getParentFile).deleteRecursively())
+  }
+
   /** OPTIMIZE planning flatness (`runMain graft.StreamScaleSmoke
     * optplan [batches]`): a table with N one-file committed batches
     * (driver-side dir copies + ONE txn marker — no N write jobs) where
@@ -359,6 +461,19 @@ object StreamScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cdataplan")) {
+      val nTxns = if (args.length > 1) args(1).toInt else 2048
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      cdataPlanSmoke(spark, nTxns)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("cdatabootstrap")) {
       val nMerges = if (args.length > 1) args(1).toInt else 24
       val rowsPerBatch = if (args.length > 2) args(2).toLong else 250000L

@@ -352,6 +352,10 @@ object CommitLog {
       tombstones: Seq[Tombstone],
       retiredSeq: Map[(String, Long), Long] = Map.empty,
       retiredCdata: Map[(String, Long), String] = Map.empty) {
+    /** Membership view of `entries` — O(1) lookups for the per-entry
+      * classification passes (rewrite detection over a long history
+      * was O(entries²) through Seq.contains). */
+    lazy val entrySet: Set[(String, Long)] = entries.toSet
     /** The live committed set: log entries minus retired batches. */
     def committed: Seq[(String, Long)] =
       entries.filterNot(retired.contains)
@@ -973,7 +977,7 @@ object CommitLog {
       batchId: Long): Option[(String, String)] = {
     val m = """^(.*)(rw|up)([0-9a-f]{8})$""".r
     runId match {
-      case m(orig, kind, _) if st.entries.contains((orig, batchId)) =>
+      case m(orig, kind, _) if st.entrySet((orig, batchId)) =>
         Some((orig, kind))
       case _ => None
     }
@@ -1014,10 +1018,6 @@ object CommitLog {
         s"change feed needs ($r, $b) for $why, but its directory was " +
           "vacuumed — history before the vacuum grace window is gone")
     }
-    def withMeta(df: DataFrame, tpe: String, t: Long, seq: Long): DataFrame =
-      df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
-        .withColumn("_change_seq", lit(seq))
-
     val parts = Seq.newBuilder[DataFrame]
 
     // inserts: in-window commits that are not rewrites (read raw even
@@ -1037,49 +1037,38 @@ object CommitLog {
     }
 
     // tombstone deletes: the matching rows of each in-window delete —
-    // of what was VISIBLE at delete time (earlier tombstones applied
-    // first, so a row deleted twice is reported once, at its first
-    // delete)
-    st.tombstones.filter(t => inWindow(t.ts)).foreach { t =>
-      t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") }
-      if (t.applies.nonEmpty) {
-        val visible = applyTombstones(
-          rawBatchSet(spark, table, t.applies, st),
-          t.applies, st, tombstoneAsOf = Some(t.ts - 1))
-        parts += withMeta(
-          visible.drop("run_id", "batch_id")
-            .where(coalesce(tombstonePred(t), lit(false))), "delete",
-          t.ts, st.tombSeq(t))
-      }
-    }
+    // of what was VISIBLE at delete time (earlier tombstones shadow,
+    // so a row deleted twice is reported once, at its first delete).
+    // ONE frame for every in-window tombstone (r20): the per-tombstone
+    // DataFrame union made a long-window bootstrap's PLAN
+    // O(tombstones-in-window) nodes.
+    tombstoneDeleteFrame(spark, table, st,
+      i => inWindow(st.tombstones(i).ts), requireDir).foreach(parts += _)
 
-    // full-consumption deletes: an original retired with NO surviving
-    // rewrite entry (the rewrite kept zero rows, so none was added) —
-    // every row still visible at retirement was removed. A merge
-    // whose keys matched the whole batch lands here (read from its
-    // write-time change partition when recorded); compactDeletes
-    // reaches this state only when tombstones (already reported at
-    // their own times) had deleted every row, so its `before` frame
-    // is empty and nothing double-reports.
-    retireDeleteFrames(spark, table, st,
-      st.retired.toSeq.collect { case ((r, b), rts)
-          if inWindow(rts) && !st.entries.exists { case (r2, b2) =>
-            b2 == b && r2 != r && rewriteOf(st, r2, b2).exists(_._1 == r) } =>
+    // full-consumption deletes (an original retired with NO surviving
+    // rewrite — fully-consumed merges; truncates) and upsert deletes
+    // (the matched old copies): one assembler for both. FAST PATH
+    // (r19): merges persist their delete pre-images as write-time
+    // change files — read O(changed rows) from `_changes/`, and (r20)
+    // as ONE multi-dir scan per schema lineage joined to a broadcast
+    // (partition, original) → (ts, seq) mapping, so a long-window
+    // bootstrap's plan stays flat in transaction count. Legacy
+    // rewrites (no cdata recorded, or cdata vacuumed away with its
+    // era) keep the per-original reconstruction.
+    // classify every entry ONCE (rewrite-of relation inverted to a
+    // set): the per-retire scan of all entries was O(history²) driver
+    // work on a bootstrap window
+    val rewrites = st.entries.flatMap { case (r, b) =>
+      rewriteOf(st, r, b).map { case (orig, kind) => ((r, b), (orig, b), kind) } }
+    val rewrittenOrigs = rewrites.map(_._2).toSet
+    parts ++= deleteEventFrames(spark, table, st,
+      st.retired.keysIterator.collect { case (r, b)
+          if inWindow(st.retired((r, b))) && !rewrittenOrigs((r, b)) =>
         (r, b)
-      }, requireDir).foreach(parts += _)
-
-    // upsert deletes: the matched old copies. FAST PATH (r19): merges
-    // persist their delete pre-images as write-time change files —
-    // read O(changed rows) from `_changes/` instead of recomputing the
-    // 2-scan + shuffle exceptAll per rewrite. Legacy rewrites (no
-    // cdata recorded, or cdata vacuumed away with its era) keep the
-    // original ∖ rewrite reconstruction.
-    upsertDeleteFrames(spark, table, st,
-      st.entries.filter { case (r, b) =>
-        rewriteOf(st, r, b).exists(_._2 == "up") &&
-          inWindow(st.retired.getOrElse(
-            (rewriteOf(st, r, b).get._1, b), 0L))
-      }, requireDir).foreach(parts += _)
+      }.toSeq,
+      rewrites.collect { case (entry, orig, "up")
+          if inWindow(st.retired.getOrElse(orig, 0L)) => entry },
+      requireDir)
 
     val all = parts.result()
     if (all.isEmpty) None
@@ -1115,38 +1104,149 @@ object CommitLog {
       .drop("run_id", "batch_id", "__cr", "__cb", "__cts", "__cseq")
   }
 
-  /** The full-batch delete change events for originals retired with NO
-    * surviving rewrite (fully-consumed merges; truncates), grouped so
-    * each write-time change partition is read once; retires without
-    * recorded change data (truncates, pre-r19 merges, aged-out
-    * partitions) reconstruct from the original's directory as before.
-    * Shared by the batch feed and the streaming feed. */
-  private[sources] def retireDeleteFrames(spark: SparkSession,
+  /** One (write-time change partition, original) the delete side of a
+    * change-feed window needs, with the (ts, seq) its events carry —
+    * a retire-side reference (fully-consumed original) or an add-side
+    * one (surviving upsert rewrite), unified so the whole window reads
+    * as one scan per schema lineage ([[cdataDeleteFrames]]). */
+  private[sources] final case class CdataRef(rel: String,
+    orig: (String, Long), ts: Long, seq: Long)
+
+  /** The delete change events of `refs` as ONE multi-dir scan per
+    * schema lineage (r20): all change partitions of a lineage read in
+    * one frame, each row's partition derived from its file path and
+    * INNER-joined to a broadcast (partition, original) → (ts, seq)
+    * mapping — the join both filters to the asked originals (admission
+    * control may deliver a transaction's rewrites across micro-batches)
+    * and attaches the event metadata. The r19 shape built one
+    * DataFrame per change-partition group and union-reduced them:
+    * O(transactions-in-window) plan nodes, a driver-side analyzer bomb
+    * on exactly the replica-bootstrap path write-time change data
+    * exists to serve (the IO was already O(changed rows); this makes
+    * the PLAN O(schema lineages)).
+    *
+    * Lineage grouping is proved from MARKER metadata, like
+    * [[rewriteBatchSet]]'s: a change partition's physical schema is
+    * the widened union of its covered originals' recorded schemas
+    * (what the merge's `removed` frame was built from), so partitions
+    * whose widened unions agree provably share a physical schema
+    * (parquet resolves columns by NAME, so column order is free).
+    * A partition covering any batch with no recorded schema cannot
+    * prove membership and reads as its own singleton group — the
+    * legacy per-partition shape, paid only behind pre-schema-marker
+    * writers. */
+  private def cdataDeleteFrames(spark: SparkSession, table: String,
+      st: LogState, refs: Seq[CdataRef]): Seq[DataFrame] = {
+    if (refs.isEmpty) return Seq.empty
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // rel → every batch referencing it, inverted ONCE (a per-rel scan
+    // of the meta map would be O(window²) driver work on a long
+    // bootstrap window — the exact cost class this assembler removes)
+    val coveredBy: Map[String, Seq[(String, Long)]] =
+      (st.meta.iterator.collect { case (k, m) if m.cdata.nonEmpty =>
+        m.cdata.get -> k } ++ st.retiredCdata.iterator.map(_.swap))
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    // rel → the widened (name → type) union of every covered original's
+    // recorded schema, name-sorted (order-insensitive fingerprint);
+    // None when any covered original predates schema markers
+    def lineageOf(rel: String): Option[Seq[(String, String)]] = {
+      val origs = coveredBy.getOrElse(rel, Seq.empty)
+      val schemas = origs.map(k =>
+        st.meta.get(k).map(_.schema).getOrElse(Seq.empty))
+      if (origs.isEmpty || schemas.exists(_.isEmpty)) return None
+      val target = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      schemas.flatten.foreach { case (n, t) =>
+        target.get(n) match {
+          case None => target(n) = t
+          case Some(prev) => widen(prev, t) match {
+            case Some(w) => target(n) = w
+            case None => return None // unprovable → singleton group
+          }
+        }
+      }
+      Some(target.toSeq.sortBy(_._1))
+    }
+    val groups = refs.groupBy(r => lineageOf(r.rel) match {
+      case Some(key) => Left(key)
+      case None => Right(r.rel)
+    }).toSeq.sortBy(_._2.head.rel)
+    groups.map { case (_, members) =>
+      val rels = members.map(_.rel).distinct.sorted
+      val df = spark.read.parquet(rels.map(r => s"$table/_changes/$r"): _*)
+      val mapRows = members.distinct.map(m =>
+        org.apache.spark.sql.Row(m.rel, m.orig._1, m.orig._2, m.ts, m.seq))
+      val mapSchema = StructType(Seq(
+        StructField("__crel", StringType, nullable = false),
+        StructField("__cor", StringType, nullable = false),
+        StructField("__cob", LongType, nullable = false),
+        StructField("__cts", LongType, nullable = false),
+        StructField("__cseq", LongType, nullable = false)))
+      val mapping = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows, 1), mapSchema))
+      // the partition a row came from is its file's parent directory —
+      // no per-partition scan node, one expression
+      val withRel = df.withColumn("__crelf",
+        element_at(split(input_file_name(), "/"), -2))
+      withRel.join(mapping,
+          withRel("__crelf") === mapping("__crel") &&
+            withRel("__orig_run") === mapping("__cor") &&
+            withRel("__orig_batch") === mapping("__cob"))
+        .withColumn("change_type", lit("delete"))
+        .withColumn("change_ts", col("__cts"))
+        .withColumn("_change_seq", col("__cseq"))
+        .drop("__orig_run", "__orig_batch", "__crelf",
+          "__crel", "__cor", "__cob", "__cts", "__cseq")
+    }
+  }
+
+  /** The delete change events of a window — full-batch deletes for
+    * `retires` (originals retired with NO surviving rewrite:
+    * fully-consumed merges; truncates) and upsert deletes (the matched
+    * old copies) for the upsert REWRITE entries — as a handful of
+    * frames: all write-time change partitions assemble through
+    * [[cdataDeleteFrames]] (one scan per schema lineage); retires and
+    * rewrites without usable change data (truncates, pre-r19 merges,
+    * aged-out partitions) keep the per-original reconstruction from
+    * the original's directory. Change-partition existence checks run
+    * on the bounded listing pool (one serial metadata RPC per
+    * historical rewrite would make a full-history replay's PLANNING
+    * linear in rewrite count on an object store). Shared by the batch
+    * feed and the streaming feed. */
+  private[sources] def deleteEventFrames(spark: SparkSession,
       table: String, st: LogState, retires: Seq[(String, Long)],
+      rewriteEntries: Seq[(String, Long)],
       requireDir: (String, Long, String) => Unit): Seq[DataFrame] = {
     def withMeta(df: DataFrame, t: Long, seq: Long): DataFrame =
       df.withColumn("change_type", lit("delete"))
         .withColumn("change_ts", lit(t)).withColumn("_change_seq", lit(seq))
+    def cdataExists(rel: String): Boolean = {
+      val (hfs, p) = fs(spark, s"$table/_changes/$rel")
+      hfs.exists(p)
+    }
     final case class Re(orig: (String, Long), rts: Long, seq: Long,
       cdata: Option[String])
     val res = listParallel(retires.sorted) { k =>
       Re(k, st.retired.getOrElse(k, 0L), st.retireSeqOf(k),
-        st.retiredCdata.get(k).filter { rel =>
-          val (hfs, p) = fs(spark, s"$table/_changes/$rel")
-          hfs.exists(p)
-        })
+        st.retiredCdata.get(k).filter(cdataExists))
     }
-    val out = Seq.newBuilder[DataFrame]
-    res.filter(_.cdata.nonEmpty).groupBy(_.cdata.get).toSeq.sortBy(_._1)
-      .foreach { case (rel, members) =>
-        val df = spark.read.parquet(s"$table/_changes/$rel")
-        val origs = members.map(m => s"${m.orig._1}-${m.orig._2}")
-        out += withMeta(
-          df.where(concat_ws("-", col("__orig_run"),
-            col("__orig_batch")).isin(origs: _*))
-            .drop("__orig_run", "__orig_batch"),
-          members.head.rts, members.head.seq)
+    final case class Up(entry: (String, Long), orig: (String, Long),
+      rts: Long, seq: Long, cdata: Option[String])
+    val ups = listParallel(rewriteEntries.sorted) { case (r, b) =>
+      rewriteOf(st, r, b) match {
+        case Some((orig, "up")) =>
+          val rts = st.retired.getOrElse((orig, b), 0L)
+          Some(Up((r, b), (orig, b), rts, st.retireSeqOf((orig, b)),
+            st.meta.get((r, b)).flatMap(_.cdata).filter(cdataExists)))
+        case _ => None
       }
+    }.flatten
+    val refs =
+      res.collect { case re if re.cdata.nonEmpty =>
+        CdataRef(re.cdata.get, re.orig, re.rts, re.seq) } ++
+      ups.collect { case up if up.cdata.nonEmpty =>
+        CdataRef(up.cdata.get, up.orig, up.rts, up.seq) }
+    val out = Seq.newBuilder[DataFrame]
+    out ++= cdataDeleteFrames(spark, table, st, refs)
     res.filter(_.cdata.isEmpty).foreach { re =>
       val (r, b) = re.orig
       requireDir(r, b, "a full-batch delete's pre-image")
@@ -1155,52 +1255,6 @@ object CommitLog {
         Seq(re.orig), st, tombstoneAsOf = Some(re.rts))
         .drop("run_id", "batch_id"), re.rts, re.seq)
     }
-    out.result()
-  }
-
-  /** The upsert-delete change events for the given upsert REWRITE
-    * entries, grouped so each write-time change partition is read
-    * exactly once (filtered to the asked originals — admission control
-    * may deliver a transaction's rewrites across micro-batches), with
-    * per-original exceptAll reconstruction for legacy rewrites.
-    * Shared by the batch feed and the streaming feed. */
-  private[sources] def upsertDeleteFrames(spark: SparkSession,
-      table: String, st: LogState, rewriteEntries: Seq[(String, Long)],
-      requireDir: (String, Long, String) => Unit): Seq[DataFrame] = {
-    def withMeta(df: DataFrame, t: Long, seq: Long): DataFrame =
-      df.withColumn("change_type", lit("delete"))
-        .withColumn("change_ts", lit(t)).withColumn("_change_seq", lit(seq))
-    final case class Up(entry: (String, Long), orig: (String, Long),
-      rts: Long, seq: Long, cdata: Option[String])
-    // change-partition existence checks run on the bounded listing
-    // pool (one serial metadata RPC per historical rewrite would make
-    // a full-history replay's PLANNING linear in rewrite count on an
-    // object store)
-    val ups = listParallel(rewriteEntries.sorted) { case (r, b) =>
-      rewriteOf(st, r, b) match {
-        case Some((orig, "up")) =>
-          val rts = st.retired.getOrElse((orig, b), 0L)
-          Some(Up((r, b), (orig, b), rts, st.retireSeqOf((orig, b)),
-            st.meta.get((r, b)).flatMap(_.cdata).filter { rel =>
-              val (hfs, p) = fs(spark, s"$table/_changes/$rel")
-              hfs.exists(p)
-            }))
-        case _ => None
-      }
-    }.flatten
-    val out = Seq.newBuilder[DataFrame]
-    // fast path: one scan per change partition, filtered to the asked
-    // originals; (ts, seq) are txn-constant so any member's meta works
-    ups.filter(_.cdata.nonEmpty).groupBy(_.cdata.get).toSeq.sortBy(_._1)
-      .foreach { case (rel, members) =>
-        val df = spark.read.parquet(s"$table/_changes/$rel")
-        val origs = members.map(m => s"${m.orig._1}-${m.orig._2}")
-        out += withMeta(
-          df.where(concat_ws("-", col("__orig_run"),
-            col("__orig_batch")).isin(origs: _*))
-            .drop("__orig_run", "__orig_batch"),
-          members.head.rts, members.head.seq)
-      }
     ups.filter(_.cdata.isEmpty).foreach { up =>
       val (orig, b) = (up.orig._1, up.orig._2)
       requireDir(orig, b, "an upsert's pre-image")
@@ -1218,6 +1272,64 @@ object CommitLog {
         after.select(before.columns.map(col): _*)), up.rts, up.seq)
     }
     out.result()
+  }
+
+  /** The tombstone (row-level) delete change events of one window as
+    * ONE frame (r20 — the r19 shape built one DataFrame per tombstone
+    * and unioned): a single combined scan of every reported
+    * tombstone's applies set, each row classified by the FIRST
+    * tombstone deleting it — a `coalesce(when…)` cascade over the
+    * recorded (seq-led) order, so earlier deletes shadow later ones
+    * and a row deleted twice reports once, at its first delete — then
+    * INNER-joined to a broadcast (tombstone index) → (ts, seq)
+    * mapping, which also drops rows whose first delete is outside the
+    * window. `reportIdx` selects which tombstones (by index into
+    * [[LogState.tombstones]]) this window reports: a ts-window for the
+    * batch feed, an offset slice for the stream. Plan size is
+    * O(1) nodes; the cascade is O(#tombstones) EXPRESSIONS inside one
+    * projection — tombstones are one file per delete, orders of
+    * magnitude rarer than merge transactions. */
+  private[sources] def tombstoneDeleteFrame(spark: SparkSession,
+      table: String, st: LogState, reportIdx: Int => Boolean,
+      requireDir: (String, Long, String) => Unit): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val indexed = st.tombstones.zipWithIndex
+    val reported = indexed.filter { case (t, i) =>
+      reportIdx(i) && t.applies.nonEmpty }
+    if (reported.isEmpty) return None
+    reported.foreach { case (t, _) =>
+      t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") } }
+    val batches = reported.flatMap(_._1.applies).distinct.sorted
+    val batchSet = batches.toSet
+    val raw = rawBatchSet(spark, table, batches, st)
+    // every tombstone touching these batches — including out-of-window
+    // ones, which SHADOW (their rows were reported at their own time)
+    // but never report; a tombstone on a column absent from this
+    // lineage span deletes nothing here
+    val relevant = indexed.filter { case (t, _) =>
+      t.applies.exists(batchSet) && raw.columns.contains(t.col) }
+    if (!relevant.exists { case (_, i) => reportIdx(i) }) return None
+    def member(t: Tombstone) =
+      concat_ws("-", col("run_id"), col("batch_id"))
+        .isin(t.applies.filter(batchSet)
+          .map { case (r, b) => s"$r-$b" }: _*)
+    val firstIdx = coalesce(relevant.map { case (t, i) =>
+      when(member(t) && tombstonePred(t), lit(i)) } :+
+      lit(null).cast(IntegerType): _*)
+    val mapRows = reported.map { case (t, i) =>
+      org.apache.spark.sql.Row(i, t.ts, st.tombSeq(t)) }
+    val mapSchema = StructType(Seq(
+      StructField("__mti", IntegerType, nullable = false),
+      StructField("__mts", LongType, nullable = false),
+      StructField("__mseq", LongType, nullable = false)))
+    val mapping = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows, 1), mapSchema))
+    val withIdx = raw.withColumn("__ti", firstIdx)
+    Some(withIdx.join(mapping, withIdx("__ti") === mapping("__mti"))
+      .withColumn("change_type", lit("delete"))
+      .withColumn("change_ts", col("__mts"))
+      .withColumn("_change_seq", col("__mseq"))
+      .drop("run_id", "batch_id", "__ti", "__mti", "__mts", "__mseq"))
   }
 
   /** Table HISTORY — Delta's DESCRIBE HISTORY rung, derived entirely

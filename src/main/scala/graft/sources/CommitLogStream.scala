@@ -475,9 +475,6 @@ final class CommitLogChangesMicroBatchStream(table: String,
           "but its directory was vacuumed — history before the vacuum " +
           "grace window is gone")
     }
-    def withMeta(df: DataFrame, tpe: String, t: Long, seq: Long): DataFrame =
-      df.withColumn("change_type", lit(tpe)).withColumn("change_ts", lit(t))
-        .withColumn("_change_seq", lit(seq))
     val parts = Seq.newBuilder[DataFrame]
     val newEntries = (e.entries -- s.entries).toSeq.sorted
     // plain inserts read as ONE multi-dir frame (rawBatchSet already
@@ -490,31 +487,26 @@ final class CommitLogChangesMicroBatchStream(table: String,
       inserts.foreach { case (r, b) => requireDir(r, b, "an insert") }
       parts += CommitLog.insertEventsFrame(sp, table, inserts, st)
     }
-    // upsert deletes: write-time change files where the merge recorded
-    // them (read O(changed rows), filtered to THIS delta's originals —
+    // delete events — full-batch deletes for this delta's unpaired
+    // retires, upsert deletes for its rewrites: write-time change
+    // partitions assemble as ONE scan per schema lineage (r20, shared
+    // with the batch feed; filtered to THIS delta's originals —
     // admission control may split a transaction across micro-batches),
     // per-original exceptAll reconstruction for legacy rewrites
-    CommitLog.upsertDeleteFrames(sp, table, st,
+    // rewrite-of relation inverted ONCE over the end offset's entries
+    // (the per-retire scan was O(history²) on a bootstrap delta)
+    val rewrittenOrigs = e.entries.iterator.flatMap { case (r2, b2) =>
+      CommitLog.rewriteOf(st, r2, b2).map { case (orig, _) => (orig, b2) }
+    }.toSet
+    parts ++= CommitLog.deleteEventFrames(sp, table, st,
+      (e.retired -- s.retired).toSeq.filterNot(rewrittenOrigs),
       newEntries.filter(k =>
         CommitLog.rewriteOf(st, k._1, k._2).exists(_._2 == "up")),
+      (r, b, why) => requireDir(r, b, why))
+    // row deletes: this delta's tombstone slice as ONE frame
+    CommitLog.tombstoneDeleteFrame(sp, table, st,
+      i => i >= s.tombs && i < e.tombs,
       (r, b, why) => requireDir(r, b, why)).foreach(parts += _)
-    CommitLog.retireDeleteFrames(sp, table, st,
-      (e.retired -- s.retired).toSeq.filterNot { case (r, b) =>
-        e.entries.exists { case (r2, b2) =>
-          b2 == b && r2 != r &&
-            CommitLog.rewriteOf(st, r2, b2).exists(_._1 == r) }
-      }, (r, b, why) => requireDir(r, b, why)).foreach(parts += _)
-    st.tombstones.slice(s.tombs, e.tombs).foreach { t =>
-      t.applies.foreach { case (r, b) => requireDir(r, b, "a delete") }
-      if (t.applies.nonEmpty) {
-        val visible = CommitLog.applyTombstones(
-          CommitLog.rawBatchSet(sp, table, t.applies, st),
-          t.applies, st, tombstoneAsOf = Some(t.ts - 1))
-        parts += withMeta(visible.drop("run_id", "batch_id")
-          .where(coalesce(CommitLog.tombstonePred(t), lit(false))),
-          "delete", t.ts, st.tombSeq(t))
-      }
-    }
     val all = parts.result()
     if (all.isEmpty) None
     else {
