@@ -1269,6 +1269,40 @@ object SparkEntry {
     // generalized SQL DELETE (r19): a predicate with NO tombstone form
     // (multi-column conjunct + modulo) rides the delete-only
     // self-source merge — DuckDB replays the surviving set
+    // write-time CHECK constraints (r20): a RuleSet enforced at the
+    // commit-log front door — valid rows commit to the data table,
+    // rejects (with their comma-joined ERROR_DESC) to a commit-log
+    // error table under the same batch identity. The oracle replays
+    // the rule set over the source and reproduces BOTH end states.
+    "q_commitlog_checked" -> ((s, dir) => {
+      val table = commitLogScratch(s, dir, "checked_r20", "customer") { tbl =>
+        val hfs = new org.apache.hadoop.fs.Path(tbl)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl + "_errors"), true)
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val rules = graft.rules.RuleSet(Seq(
+          graft.rules.Rule("acct_nonneg", col("c_acctbal") < 0,
+            "account balance negative"),
+          graft.rules.Rule("mod7", pmod(col("c_custkey"), lit(7)) === 0,
+            "custkey divisible by 7")))
+        for (b <- 0 to 1)
+          graft.sources.CommitLogChecked.writeBatchChecked(
+            cust.where(pmod(col("c_custkey"), lit(2)) === b), tbl, rules,
+            tbl + "_errors", "build", b.toLong, Seq("c_custkey"),
+            ts = 1000L + b)
+      }
+      val valid = s.read.format("graft_commitlog").load(table)
+        .select(col("c_acctbal"), lit("").as("errs"))
+      val rejected = s.read.format("graft_commitlog").load(table + "_errors")
+        .select(col("c_acctbal"), col("_errors").as("errs"))
+      valid.unionByName(rejected)
+        .groupBy("errs")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("errs")
+    }),
+
     "q_commitlog_delete" -> ((s, dir) => {
       val table = commitLogScratch(s, dir, "delete_r19", "customer") { tbl =>
         val cust = t(s, dir, "customer")
@@ -7455,6 +7489,19 @@ object SparkEntry {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_commitlog_checked" ->
+      """WITH checked AS (
+        |  SELECT c_acctbal,
+        |    concat_ws(', ',
+        |      CASE WHEN c_acctbal < 0 THEN 'account balance negative' END,
+        |      CASE WHEN c_custkey % 7 = 0 THEN 'custkey divisible by 7' END)
+        |      AS errs
+        |  FROM customer)
+        |SELECT errs, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM checked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_commitlog_delete" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

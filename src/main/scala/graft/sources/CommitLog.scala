@@ -315,7 +315,7 @@ object CommitLog {
     finally out.close()
     // rename onto the final name; losing a race to another committer
     // of the same batch is success, not failure
-    if (!hfs.rename(tmp, marker)) {
+    if (!CommitArbiter.get.publish(hfs, tmp, marker)) {
       hfs.delete(tmp, false)
       if (!hfs.exists(marker))
         sys.error(s"could not commit $marker")
@@ -339,10 +339,25 @@ object CommitLog {
     * {"in", "range"}; `typ` is the Spark DDL type the string-rendered
     * `vals` cast back to. `seq` is the delete's monotonic sequence
     * (absent on legacy markers — the effective sequence falls back to
-    * `ts`). */
+    * `ts`). `cancelTs`/`cancelSeq` are set when a [[restoreTo]] to a
+    * point before this delete CANCELLED it: current reads no longer
+    * apply it, as-of-T reads with T inside [ts, cancelTs) still do. */
   final case class Tombstone(ts: Long, col: String, typ: String,
       kind: String, vals: Seq[String], applies: Seq[(String, Long)],
-      seq: Option[Long] = None)
+      seq: Option[Long] = None, cancelTs: Option[Long] = None,
+      cancelSeq: Option[Long] = None, src: Option[String] = None) {
+    def cancelled: Boolean = cancelSeq.nonEmpty
+  }
+
+  /** One RESTORE recorded in the log (its own marker — the Delta
+    * `RESTORE TABLE` rung): at (`ts`, `seq`) the table was rolled back
+    * to the state as of sequence `target` — `readds` re-added batches
+    * a post-target mutation had retired, `retires` retired batches
+    * committed after the target, `cancels` names the tombstone FILES
+    * of post-target row deletes (their rows are visible again). */
+  final case class Restore(target: Long, ts: Long, seq: Long,
+      readds: Seq[(String, Long)], retires: Seq[(String, Long)],
+      cancels: Seq[String])
 
   /** The full decoded state of a table's commit log. */
   final case class LogState(
@@ -351,21 +366,39 @@ object CommitLog {
       meta: Map[(String, Long), BatchMeta],
       tombstones: Seq[Tombstone],
       retiredSeq: Map[(String, Long), Long] = Map.empty,
-      retiredCdata: Map[(String, Long), String] = Map.empty) {
+      retiredCdata: Map[(String, Long), String] = Map.empty,
+      addEv: Map[(String, Long), Seq[(Long, Long)]] = Map.empty,
+      retireEv: Map[(String, Long), Seq[(Long, Long)]] = Map.empty,
+      restores: Seq[Restore] = Seq.empty) {
     /** Membership view of `entries` — O(1) lookups for the per-entry
       * classification passes (rewrite detection over a long history
       * was O(entries²) through Seq.contains). */
     lazy val entrySet: Set[(String, Long)] = entries.toSet
-    /** The live committed set: log entries minus retired batches. */
+    /** The live committed set: entries whose LATEST add/retire fact
+      * (by effective sequence) is an add. With no restore in the log
+      * this is exactly "entries minus retired" (a retire fact always
+      * postdates the add it supersedes; equal sequences — legacy
+      * same-millisecond markers — break toward retired, the pre-r20
+      * behavior); a [[restoreTo]] re-add carries a fresh seq past the
+      * retire it undoes, so the batch is live again. */
     def committed: Seq[(String, Long)] =
-      entries.filterNot(retired.contains)
+      entries.filter { k =>
+        val r = retireEv.getOrElse(k, Nil)
+        r.isEmpty || addEv.getOrElse(k, Nil).map(_._2).maxOption
+          .exists(_ > r.iterator.map(_._2).max)
+      }
     /** Live committed set as a reader at wall-time `tsMillis` saw it:
-      * batches committed by then (no recorded ts = predates the
-      * feature, included) and not yet retired by then. */
+      * the latest add/retire event recorded by then decides (no
+      * recorded add ts = predates the feature, included; a same-ts
+      * tie breaks toward retired, matching pre-event behavior). */
     def committedAsOf(tsMillis: Long): Seq[(String, Long)] =
       entries.filter { key =>
-        meta.get(key).flatMap(_.ts).forall(_ <= tsMillis) &&
-          retired.get(key).forall(_ > tsMillis)
+        val seen =
+          (addEv.getOrElse(key, Seq((0L, 0L))).iterator
+            .map { case (t, s) => (t, s, 0) } ++
+          retireEv.getOrElse(key, Nil).iterator
+            .map { case (t, s) => (t, s, 1) }).filter(_._1 <= tsMillis).toSeq
+        seen.nonEmpty && seen.max._3 == 0
       }
 
     // ---- the monotonic TOTAL ORDER over log events (r19) ---- //
@@ -394,7 +427,8 @@ object CommitLog {
     def maxSeq: Long =
       (entries.iterator.map(entrySeq) ++
         retired.keysIterator.map(retireSeqOf) ++
-        tombstones.iterator.map(tombSeq)).foldLeft(0L)(math.max)
+        tombstones.iterator.map(tombSeq) ++
+        restores.iterator.map(_.seq)).foldLeft(0L)(math.max)
     /** The sequence a mutation committing at wall-time `tsv` should
       * record: past every recorded fact AND never behind the wall
       * clock (so seqs stay comparable with ts-only legacy facts). */
@@ -432,79 +466,131 @@ object CommitLog {
       } finally in.close()
     }
     val entries = Seq.newBuilder[(String, Long)]
-    val retired = Map.newBuilder[(String, Long), Long]
-    val retiredSeq = Map.newBuilder[(String, Long), Long]
-    val retiredCdata = Map.newBuilder[(String, Long), String]
     val meta = scala.collection.mutable.Map.empty[(String, Long), BatchMeta]
-    val tombs = Seq.newBuilder[Tombstone]
+    val addEv = scala.collection.mutable.Map
+      .empty[(String, Long), List[(Long, Long)]]
+    val retireEv = scala.collection.mutable.Map
+      .empty[(String, Long), List[(Long, Long)]]
+    // latest retire FACT per key (by effective seq; later-parsed wins
+    // ties) — feeds the legacy retired/retiredSeq/retiredCdata maps
+    val bestRetire = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Option[Long], Option[String])]
+    val tombsRaw = Seq.newBuilder[(String, Tombstone)]
+    val restoresB = Seq.newBuilder[Restore]
+
+    def effSeqOf(m: BatchMeta): Long = m.seq.orElse(m.ts).getOrElse(0L)
+    // duplicate add facts for one key (snapshot-fold crash leftovers;
+    // a restore re-add next to the original marker) MERGE rather than
+    // last-parse-wins: the higher-effective-seq record is primary and
+    // its empty fields fill from the other, so the arbitrary file
+    // listing order never changes the decoded state
+    def putMeta(k: (String, Long), m: BatchMeta): Unit =
+      meta(k) = meta.get(k) match {
+        case None => m
+        case Some(prev) =>
+          val (p, s) =
+            if (effSeqOf(m) > effSeqOf(prev)) (m, prev) else (prev, m)
+          BatchMeta(
+            if (p.stats.nonEmpty) p.stats else s.stats,
+            if (p.schema.nonEmpty) p.schema else s.schema,
+            p.ts.orElse(s.ts),
+            if (p.fileStats.nonEmpty) p.fileStats else s.fileStats,
+            (p.seq.toSeq ++ s.seq.toSeq).maxOption,
+            p.cdata.orElse(s.cdata))
+      }
+    def addEvent(k: (String, Long), ts: Option[Long],
+        seq: Option[Long]): Unit =
+      addEv(k) = (ts.getOrElse(0L), seq.orElse(ts).getOrElse(0L)) ::
+        addEv.getOrElse(k, Nil)
+    def retireEvent(k: (String, Long), ts: Long, seq: Option[Long],
+        cdata: Option[String]): Unit = {
+      val eff = seq.getOrElse(ts)
+      retireEv(k) = (ts, eff) :: retireEv.getOrElse(k, Nil)
+      if (bestRetire.get(k).forall { case (bts, bseq, _) =>
+          eff >= bseq.getOrElse(bts) })
+        // a later retire with no change data must not DROP an earlier
+        // one's reference — it keeps that _changes partition alive
+        // through vacuum and replayable in the feed
+        bestRetire(k) = (ts, seq,
+          cdata.orElse(bestRetire.get(k).flatMap(_._3)))
+    }
+    def parsePairs(s: String): Seq[(String, Long)] =
+      s.split(";").toSeq.filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(',')
+        (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
+      }
     // "r,b[\t<stats>[\t<schema>[\t<ts>[\t<retireTs>[\t<fstats>
-    // [\t<seq>[\t<retireSeq>[\t<cdata>]]]]]]]]" — the folded per-batch
-    // form shared by snapshot lines and txn add= lines; returns the
-    // parsed key so txn parsing can attach txn-level fields
+    // [\t<seq>[\t<retireSeq>[\t<cdata>[\t<retiredCdata>]]]]]]]]]" —
+    // the folded per-batch form shared by snapshot lines and txn add=
+    // lines; returns the parsed key so txn parsing can attach
+    // txn-level fields
     def parseFolded(line: String): (String, Long) = {
       val parts = line.split("\t", -1)
       val Array(r, b) = parts(0).split(",", 2)
       val key = (r, b.toLong)
       entries += key
-      val stats = if (parts.length > 1 && parts(1).nonEmpty)
-        decodeStats(parts(1)) else Seq.empty
-      val schema = if (parts.length > 2 && parts(2).nonEmpty)
-        decodeSchema(parts(2)) else Seq.empty
-      val ts = if (parts.length > 3 && parts(3).nonEmpty)
-        parts(3).toLongOption else None
-      if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty)
-        meta(key) = BatchMeta(stats, schema, ts)
-      if (parts.length > 4 && parts(4).nonEmpty)
-        parts(4).toLongOption.foreach(t => retired += key -> t)
-      def upd(f: BatchMeta => BatchMeta): Unit =
-        meta(key) = f(meta.getOrElse(key, BatchMeta(stats, schema, ts)))
-      if (parts.length > 5 && parts(5).nonEmpty)
-        upd(_.copy(fileStats = decodeFileStats(parts(5))))
-      if (parts.length > 6 && parts(6).nonEmpty)
-        parts(6).toLongOption.foreach(s => upd(_.copy(seq = Some(s))))
-      if (parts.length > 7 && parts(7).nonEmpty)
-        parts(7).toLongOption.foreach(s => retiredSeq += key -> s)
-      if (parts.length > 8 && parts(8).nonEmpty)
-        upd(_.copy(cdata = Some(unesc(parts(8)))))
-      if (parts.length > 9 && parts(9).nonEmpty)
-        retiredCdata += key -> unesc(parts(9))
+      def f(i: Int): Option[String] =
+        if (parts.length > i && parts(i).nonEmpty) Some(parts(i)) else None
+      val stats = f(1).map(decodeStats).getOrElse(Seq.empty)
+      val schema = f(2).map(decodeSchema).getOrElse(Seq.empty)
+      val ts = f(3).flatMap(_.toLongOption)
+      val fstats = f(5).map(decodeFileStats).getOrElse(Seq.empty)
+      val seqOpt = f(6).flatMap(_.toLongOption)
+      val cdataOpt = f(8).map(unesc)
+      if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty ||
+          fstats.nonEmpty || seqOpt.nonEmpty || cdataOpt.nonEmpty)
+        putMeta(key, BatchMeta(stats, schema, ts, fstats, seqOpt, cdataOpt))
+      addEvent(key, ts, seqOpt)
+      f(4).flatMap(_.toLongOption).foreach { rts =>
+        retireEvent(key, rts, f(7).flatMap(_.toLongOption), f(9).map(unesc))
+      }
       key
     }
     files.foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("txn-") && n.endsWith(".commit")) {
+      if ((n.startsWith("txn-") || n.startsWith("restore-")) &&
+          n.endsWith(".commit")) {
         // transaction marker: several partitions become visible (and
         // several retire) in the ONE atomic rename that created this
         // file — the multi-batch commit an upsert/merge needs. A
         // txn-level seq/cdata line attaches to every add of the txn
-        // (and the seq to its retires).
+        // (and the seq to its retires). A RESTORE marker is the same
+        // shape plus a `restore=<targetSeq>` line (and optionally
+        // `cancels=` naming undone tombstone files); it survives
+        // compaction as its own file, like tombstones.
         var ts = 0L
         var seqOpt = Option.empty[Long]
         var cdataOpt = Option.empty[String]
         var retires = Seq.empty[(String, Long)]
+        var target = Option.empty[Long]
+        var cancels = Seq.empty[String]
         val added = Seq.newBuilder[(String, Long)]
         readText(st.getPath).linesIterator.foreach { l =>
           if (l.startsWith("add=")) added += parseFolded(l.stripPrefix("add="))
           else if (l.startsWith("ts=")) ts = l.stripPrefix("ts=").toLongOption.getOrElse(0L)
           else if (l.startsWith("seq=")) seqOpt = l.stripPrefix("seq=").toLongOption
           else if (l.startsWith("cdata=")) cdataOpt = Some(unesc(l.stripPrefix("cdata=")))
+          else if (l.startsWith("restore=")) target = l.stripPrefix("restore=").toLongOption
+          else if (l.startsWith("cancels=")) cancels = l.stripPrefix("cancels=")
+            .split(";").toSeq.filter(_.nonEmpty).map(unesc)
           else if (l.startsWith("retires=")) retires =
-            l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
-              val i = e.lastIndexOf(',')
-              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
+            parsePairs(l.stripPrefix("retires="))
+        }
+        val addedKeys = added.result()
+        if (seqOpt.nonEmpty || cdataOpt.nonEmpty) addedKeys.foreach { k =>
+          putMeta(k, BatchMeta(Seq.empty, Seq.empty, Some(ts).filter(_ > 0),
+            Seq.empty, seqOpt, cdataOpt))
+          // the txn-level seq IS this add's event sequence
+          seqOpt.foreach { s =>
+            addEv(k) = addEv(k) match {
+              case (t0, _) :: tail => (t0, s) :: tail
+              case other => other
             }
+          }
         }
-        if (seqOpt.nonEmpty || cdataOpt.nonEmpty) added.result().foreach { k =>
-          val prev = meta.getOrElse(k,
-            BatchMeta(Seq.empty, Seq.empty, Some(ts).filter(_ > 0)))
-          meta(k) = prev.copy(seq = seqOpt.orElse(prev.seq),
-            cdata = cdataOpt.orElse(prev.cdata))
-        }
-        retires.foreach { k =>
-          retired += k -> ts
-          seqOpt.foreach(s => retiredSeq += k -> s)
-          cdataOpt.foreach(d => retiredCdata += k -> d)
-        }
+        retires.foreach(k => retireEvent(k, ts, seqOpt, cdataOpt))
+        target.foreach(tg => restoresB +=
+          Restore(tg, ts, seqOpt.getOrElse(ts), addedKeys, retires, cancels))
       } else if (n.endsWith(".commit")) {
         val key = parseKey(n.stripSuffix(".commit"))
         entries += key
@@ -521,18 +607,13 @@ object CommitLog {
           else if (l.startsWith("seq=")) seqOpt = l.stripPrefix("seq=").toLongOption
           else if (l.startsWith("fstats=")) fstats = decodeFileStats(l.stripPrefix("fstats="))
           else if (l.startsWith("retires=")) retires =
-            l.stripPrefix("retires=").split(";").toSeq.filter(_.nonEmpty).map { e =>
-              val i = e.lastIndexOf(',')
-              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
-            }
+            parsePairs(l.stripPrefix("retires="))
         }
         if (stats.nonEmpty || schema.nonEmpty || ts.nonEmpty ||
             fstats.nonEmpty || seqOpt.nonEmpty)
-          meta(key) = BatchMeta(stats, schema, ts, fstats, seqOpt)
-        retires.foreach { k =>
-          retired += k -> ts.getOrElse(0L)
-          seqOpt.foreach(s => retiredSeq += k -> s)
-        }
+          putMeta(key, BatchMeta(stats, schema, ts, fstats, seqOpt))
+        addEvent(key, ts, seqOpt)
+        retires.foreach(k => retireEvent(k, ts.getOrElse(0L), seqOpt, None))
       } else if (n.endsWith(".snapshot")) {
         // snapshot line: the folded per-batch form (earlier fields may
         // be empty when a later one rides; field 5 present ⇔ THIS
@@ -551,25 +632,44 @@ object CommitLog {
           else if (l.startsWith("vals=")) vals =
             l.stripPrefix("vals=").split(";", -1).toSeq.filter(_.nonEmpty).map(unesc)
           else if (l.startsWith("applies=")) applies =
-            l.stripPrefix("applies=").split(";").toSeq.filter(_.nonEmpty).map { e =>
-              val i = e.lastIndexOf(',')
-              (unesc(e.substring(0, i)), e.substring(i + 1).toLong)
-            }
+            parsePairs(l.stripPrefix("applies="))
         }
         if (colN.nonEmpty && kind.nonEmpty)
-          tombs += Tombstone(ts, colN, typ, kind, vals, applies, seqOpt)
+          tombsRaw += n -> Tombstone(ts, colN, typ, kind, vals, applies,
+            seqOpt, src = Some(n))
+      }
+    }
+    val restores = restoresB.result().sortBy(r => (r.seq, r.ts))
+    // a restore names the tombstone FILES it cancelled (file names are
+    // stable identities — tombstones are never folded); the earliest
+    // cancelling restore sets the cancel point
+    val cancelBy: Map[String, Restore] =
+      restores.flatMap(r => r.cancels.map(_ -> r))
+        .groupBy(_._1).view.mapValues(_.map(_._2).minBy(_.seq)).toMap
+    val tombs = tombsRaw.result().map { case (fname, t) =>
+      cancelBy.get(fname) match {
+        case Some(r) => t.copy(cancelTs = Some(r.ts), cancelSeq = Some(r.seq))
+        case None => t
       }
     }
     // tombstone order leads with the monotonic effective seq: under
     // the single-writer discipline for mutations, a NEW delete always
     // sorts after every existing one (its seq exceeds all recorded
     // effective seqs), so a count into this order — the streaming
-    // change feed's offset — is PREFIX-STABLE under appends. Legacy
-    // same-ts tombstones keep the old deterministic tiebreak.
-    LogState(entries.result().distinct.sorted, retired.result(),
-      meta.toMap, tombs.result().sortBy(t =>
+    // change feed's offset — is PREFIX-STABLE under appends (cancelled
+    // tombstones KEEP their slot for the same reason — they are marked,
+    // never removed). Legacy same-ts tombstones keep the old
+    // deterministic tiebreak.
+    LogState(entries.result().distinct.sorted,
+      bestRetire.view.mapValues(_._1).toMap,
+      meta.toMap,
+      tombs.sortBy(t =>
         (t.seq.getOrElse(t.ts), t.ts, t.col, t.kind, t.vals.mkString(","))),
-      retiredSeq.result(), retiredCdata.result())
+      bestRetire.collect { case (k, (_, Some(s), _)) => k -> s }.toMap,
+      bestRetire.collect { case (k, (_, _, Some(d))) => k -> d }.toMap,
+      addEv.view.mapValues(_.reverse: Seq[(Long, Long)]).toMap,
+      retireEv.view.mapValues(_.reverse: Seq[(Long, Long)]).toMap,
+      restores)
   }
 
   /** Per-batch stats from the log. Batches committed without stats
@@ -875,11 +975,15 @@ object CommitLog {
     // could delete such a marker without folding it, permanently
     // hiding a committed batch).
     val olds = hfs.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.endsWith(".commit") ||
+      .filter(s => (s.getPath.getName.endsWith(".commit") &&
+        !s.getPath.getName.startsWith("restore-")) ||
         s.getPath.getName.endsWith(".snapshot"))
-    // retire markers and tombstones are NOT folded: they stay as
-    // individual files (rare — one per compactDeletes rewrite / one
-    // per delete), so their semantics survive any compaction order
+    // tombstones and RESTORE markers are NOT folded: they stay as
+    // individual files (rare — one per delete / one per restore), so
+    // tombstone-file identities stay resolvable for `cancels=` lines
+    // and a restore's re-add/cancel semantics survive any compaction
+    // order (the folded snapshot encodes the pre-restore facts; the
+    // restore marker reapplies on every decode)
     val st = logStateOf(hfs, olds)
     val committed = st.entries
     if (committed.isEmpty) return
@@ -910,7 +1014,7 @@ object CommitLog {
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val snap = new org.apache.hadoop.fs.Path(dir, name)
-    if (!hfs.rename(tmp, snap)) { hfs.delete(tmp, false); sys.error(s"snapshot rename failed: $snap") }
+    if (!CommitArbiter.get.publish(hfs, tmp, snap)) { hfs.delete(tmp, false); sys.error(s"snapshot rename failed: $snap") }
     olds.foreach(s => hfs.delete(s.getPath, false))
   }
 
@@ -1020,20 +1124,29 @@ object CommitLog {
     }
     val parts = Seq.newBuilder[DataFrame]
 
-    // inserts: in-window commits that are not rewrites (read raw even
-    // if since retired — an upsert later in the window retires them,
-    // but their arrival was still an insert event). All insert batches
+    // inserts: in-window ADD EVENTS (read raw even if since retired —
+    // an upsert later in the window retires them, but their arrival
+    // was still an insert event). A batch's FIRST add is an insert
+    // only when it is not a copy-on-write rewrite (carried copies);
+    // LATER adds are [[restoreTo]] re-adds and always insert — even a
+    // re-added rewrite's rows came back at the restore. All events
     // read as ONE multi-dir frame (rawBatchSet reconciles lineages)
-    // with per-batch commit ts/seq attached by a broadcast mapping — a
+    // with per-event (ts, seq) attached by a broadcast mapping — a
     // wide window over a long table must not build a union plan with
     // one scan node per batch (r18, matching the streaming feed).
-    val inserts = st.entries.filter { case (r, b) =>
-      inWindow(st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L)) &&
-        rewriteOf(st, r, b).isEmpty
+    val insertEvents = st.entries.flatMap { k =>
+      val evs = st.addEv.getOrElse(k,
+          Seq((st.meta.get(k).flatMap(_.ts).getOrElse(0L), st.entrySeq(k))))
+        .sortBy(e => (e._2, e._1))
+      evs.zipWithIndex.collect {
+        case ((t, s), i) if inWindow(t) &&
+            (i > 0 || rewriteOf(st, k._1, k._2).isEmpty) => (k, t, s)
+      }
     }
-    if (inserts.nonEmpty) {
-      inserts.foreach { case (r, b) => requireDir(r, b, "an in-window insert") }
-      parts += insertEventsFrame(spark, table, inserts, st)
+    if (insertEvents.nonEmpty) {
+      insertEvents.map(_._1).distinct.foreach { case (r, b) =>
+        requireDir(r, b, "an in-window insert") }
+      parts += insertEventsFrame(spark, table, insertEvents, st)
     }
 
     // tombstone deletes: the matching rows of each in-window delete —
@@ -1057,36 +1170,61 @@ object CommitLog {
     // era) keep the per-original reconstruction.
     // classify every entry ONCE (rewrite-of relation inverted to a
     // set): the per-retire scan of all entries was O(history²) driver
-    // work on a bootstrap window
+    // work on a bootstrap window. A retire EVENT pairs with a rewrite
+    // when the rewrite's add carries the same sequence (they committed
+    // in one transaction) — paired retires are upsert deletes /
+    // carried copies, unpaired ones full-batch deletes. Per-EVENT so a
+    // batch retired, restored, and retired again reports BOTH deletes.
     val rewrites = st.entries.flatMap { case (r, b) =>
       rewriteOf(st, r, b).map { case (orig, kind) => ((r, b), (orig, b), kind) } }
-    val rewrittenOrigs = rewrites.map(_._2).toSet
+    val pairedRetires: Set[((String, Long), Long)] =
+      rewrites.iterator.flatMap { case (entry, orig, _) =>
+        st.addEv.getOrElse(entry, Nil).map(e => (orig, e._2)) }.toSet
     parts ++= deleteEventFrames(spark, table, st,
-      st.retired.keysIterator.collect { case (r, b)
-          if inWindow(st.retired((r, b))) && !rewrittenOrigs((r, b)) =>
-        (r, b)
-      }.toSeq,
-      rewrites.collect { case (entry, orig, "up")
-          if inWindow(st.retired.getOrElse(orig, 0L)) => entry },
+      st.retireEv.toSeq.sortBy(_._1).flatMap { case (k, evs) =>
+        evs.collect { case (t, s)
+            if inWindow(t) && !pairedRetires((k, s)) => (k, t, s) }
+      },
+      rewrites.flatMap { case (entry, orig, kind) =>
+        if (kind != "up") None
+        else {
+          val entrySeq0 = st.addEv.getOrElse(entry, Nil).map(_._2)
+            .minOption.getOrElse(st.entrySeq(entry))
+          st.retireEv.getOrElse(orig, Nil).find(_._2 == entrySeq0)
+            .collect { case (t, s) if inWindow(t) => (entry, orig, t, s) }
+        }
+      },
       requireDir)
+
+    // restore resurrections: rows a CANCELLED delete had removed from
+    // batches that stayed live through the restore become visible
+    // again — inserts at the restore's (ts, seq). Re-added batches
+    // emit their own full insert events; restore-retired ones their
+    // own full-batch deletes.
+    st.restores.filter(r => inWindow(r.ts) && r.cancels.nonEmpty)
+      .foreach(r =>
+        resurrectionFrame(spark, table, st, r, requireDir)
+          .foreach(parts += _))
 
     val all = parts.result()
     if (all.isEmpty) None
     else Some(all.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
-  /** The insert change events of `inserts` as ONE frame: a combined
-    * rawBatchSet scan with per-batch (change_ts, _change_seq) attached
-    * by a broadcast mapping. Shared by the batch feed and the
-    * streaming feed. */
+  /** The insert change events of `events` — (batch, change_ts,
+    * _change_seq) triples, possibly SEVERAL per batch (a batch
+    * re-added by a [[restoreTo]] was inserted twice, at its original
+    * commit and at the restore) — as ONE frame: a combined rawBatchSet
+    * scan joined to a broadcast event mapping (a key with two events
+    * emits its rows twice, once per event — exactly the history).
+    * Shared by the batch feed and the streaming feed. */
   private[sources] def insertEventsFrame(spark: SparkSession,
-      table: String, inserts: Seq[(String, Long)],
+      table: String, events: Seq[((String, Long), Long, Long)],
       st: LogState): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val tsRows = inserts.map { case (r, b) =>
-      org.apache.spark.sql.Row(r, b,
-        st.meta.get((r, b)).flatMap(_.ts).getOrElse(0L),
-        st.entrySeq((r, b))) }
+    val keys = events.map(_._1).distinct.sorted
+    val tsRows = events.map { case ((r, b), t, s) =>
+      org.apache.spark.sql.Row(r, b, t, s) }
     val tsSchema = StructType(Seq(
       StructField("__cr", StringType, nullable = false),
       StructField("__cb", LongType, nullable = false),
@@ -1094,7 +1232,7 @@ object CommitLog {
       StructField("__cseq", LongType, nullable = false)))
     val mapping = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(tsRows, 1), tsSchema))
-    val raw = rawBatchSet(spark, table, inserts, st)
+    val raw = rawBatchSet(spark, table, keys, st)
     raw.join(mapping,
         raw("run_id") === mapping("__cr") &&
           raw("batch_id").cast("long") === mapping("__cb"))
@@ -1213,8 +1351,9 @@ object CommitLog {
     * linear in rewrite count on an object store). Shared by the batch
     * feed and the streaming feed. */
   private[sources] def deleteEventFrames(spark: SparkSession,
-      table: String, st: LogState, retires: Seq[(String, Long)],
-      rewriteEntries: Seq[(String, Long)],
+      table: String, st: LogState,
+      retires: Seq[((String, Long), Long, Long)],
+      upserts: Seq[((String, Long), (String, Long), Long, Long)],
       requireDir: (String, Long, String) => Unit): Seq[DataFrame] = {
     def withMeta(df: DataFrame, t: Long, seq: Long): DataFrame =
       df.withColumn("change_type", lit("delete"))
@@ -1225,21 +1364,20 @@ object CommitLog {
     }
     final case class Re(orig: (String, Long), rts: Long, seq: Long,
       cdata: Option[String])
-    val res = listParallel(retires.sorted) { k =>
-      Re(k, st.retired.getOrElse(k, 0L), st.retireSeqOf(k),
-        st.retiredCdata.get(k).filter(cdataExists))
+    val res = listParallel(retires.sorted) { case (k, rts, rseq) =>
+      // the recorded change-partition reference belongs to the LATEST
+      // retire fact; an earlier retire event (pre-restore era) of a
+      // re-retired batch reconstructs from the original's directory
+      Re(k, rts, rseq,
+        st.retiredCdata.get(k).filter(_ => rseq == st.retireSeqOf(k))
+          .filter(cdataExists))
     }
     final case class Up(entry: (String, Long), orig: (String, Long),
       rts: Long, seq: Long, cdata: Option[String])
-    val ups = listParallel(rewriteEntries.sorted) { case (r, b) =>
-      rewriteOf(st, r, b) match {
-        case Some((orig, "up")) =>
-          val rts = st.retired.getOrElse((orig, b), 0L)
-          Some(Up((r, b), (orig, b), rts, st.retireSeqOf((orig, b)),
-            st.meta.get((r, b)).flatMap(_.cdata).filter(cdataExists)))
-        case _ => None
-      }
-    }.flatten
+    val ups = listParallel(upserts.sorted) { case (entry, orig, rts, rseq) =>
+      Up(entry, orig, rts, rseq,
+        st.meta.get(entry).flatMap(_.cdata).filter(cdataExists))
+    }
     val refs =
       res.collect { case re if re.cdata.nonEmpty =>
         CdataRef(re.cdata.get, re.orig, re.rts, re.seq) } ++
@@ -1332,6 +1470,55 @@ object CommitLog {
       .drop("run_id", "batch_id", "__ti", "__mti", "__mts", "__mseq"))
   }
 
+  /** The resurrection insert events of one [[restoreTo]]: rows that a
+    * tombstone CANCELLED by restore `r` had deleted, in batches that
+    * stayed live through the restore (batches the restore re-added or
+    * retired emit their own full insert/delete events), minus rows a
+    * still-active earlier tombstone keeps deleted — visible again at
+    * the restore's (ts, seq). One combined scan; OR-chains over the
+    * cancelled / still-active predicates. */
+  private def resurrectionFrame(spark: SparkSession, table: String,
+      st: LogState, r: Restore,
+      requireDir: (String, Long, String) => Unit): Option[DataFrame] = {
+    val cancelled = st.tombstones.filter(_.cancelSeq.contains(r.seq))
+    if (cancelled.isEmpty) return None
+    val excluded = (r.readds ++ r.retires).toSet
+    def liveThrough(k: (String, Long)): Boolean = {
+      val seen = (st.addEv.getOrElse(k, Seq((0L, 0L))).iterator
+          .map(e => (e._2, 0)) ++
+        st.retireEv.getOrElse(k, Nil).iterator.map(e => (e._2, 1)))
+        .filter(_._1 < r.seq).toSeq
+      seen.nonEmpty && seen.max._2 == 0
+    }
+    val batches = cancelled.flatMap(_.applies).distinct
+      .filterNot(excluded).filter(liveThrough).sorted
+    if (batches.isEmpty) return None
+    batches.foreach { case (rr, b) =>
+      requireDir(rr, b, "a restore's resurrected rows") }
+    val batchSet = batches.toSet
+    val raw = rawBatchSet(spark, table, batches, st)
+    def member(t: Tombstone) =
+      concat_ws("-", col("run_id"), col("batch_id"))
+        .isin(t.applies.filter(batchSet)
+          .map { case (rr, b) => s"$rr-$b" }: _*)
+    def preds(ts: Seq[Tombstone]) = ts
+      .filter(t => t.applies.exists(batchSet) && raw.columns.contains(t.col))
+      .map(t => member(t) && tombstonePred(t))
+    val wasDeleted = preds(cancelled)
+    if (wasDeleted.isEmpty) return None
+    val stillDeleted = preds(st.tombstones.filter(t =>
+      tombSeqOf(t) < r.seq && t.cancelSeq.forall(_ > r.seq)))
+    Some(raw
+      .where(wasDeleted.reduce(_ || _) &&
+        !stillDeleted.foldLeft(lit(false))(_ || _))
+      .drop("run_id", "batch_id")
+      .withColumn("change_type", lit("insert"))
+      .withColumn("change_ts", lit(r.ts))
+      .withColumn("_change_seq", lit(r.seq)))
+  }
+
+  private def tombSeqOf(t: Tombstone): Long = t.seq.getOrElse(t.ts)
+
   /** Table HISTORY — Delta's DESCRIBE HISTORY rung, derived entirely
     * from the log state (markers are the audit record; nothing extra
     * is ever written): one row per logged event, newest first —
@@ -1370,6 +1557,14 @@ object CommitLog {
     st.retired.foreach { case ((r, b), ts) =>
       rows += ((ts, st.retireSeqOf((r, b)), "retire", r, Long.box(b),
         "superseded by rewrite"))
+    }
+    // a RESTORE is its own versioned event: what it rolled back to,
+    // and what that took
+    st.restores.foreach { r =>
+      rows += ((r.ts, r.seq, "restore", "", null,
+        s"to seq ${r.target}: ${r.readds.size} batch(es) re-added, " +
+          s"${r.retires.size} retired, ${r.cancels.size} delete(s) " +
+          "cancelled"))
     }
     import spark.implicits._
     // seq (r19): the monotonic transaction sequence — the total order
@@ -1424,18 +1619,7 @@ object CommitLog {
         checkRetireConflict(cur, table, retires)
         bumpSeq(cur, seq)
       }
-    val addLines = adds.map { a =>
-      markerName(a.runId, a.batchId) // validates the run id
-      val fields = Seq(
-        Some(a.stats).filter(_.nonEmpty).map(encodeStats),
-        Some(a.schema).filter(_.nonEmpty).map(encodeSchema),
-        Some(tsv.toString),
-        None, // retire-ts slot: adds never retire themselves
-        Some(a.fileStats).filter(_.nonEmpty).map(encodeFileStats))
-      val upto = fields.lastIndexWhere(_.isDefined)
-      s"add=${a.runId},${a.batchId}\t" +
-        fields.take(upto + 1).map(_.getOrElse("")).mkString("\t") + "\n"
-    }.mkString
+    val addLines = addLinesOf(adds, tsv)
     val retiresLine =
       if (retires.isEmpty) ""
       else s"retires=${retires.map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
@@ -1447,8 +1631,156 @@ object CommitLog {
     try out.write(s"ts=$tsv\n$seqLine$cdataLine$addLines$retiresLine".getBytes("UTF-8"))
     finally out.close()
     val marker = new org.apache.hadoop.fs.Path(dir, name)
-    if (!hfs.rename(tmp, marker)) {
+    if (!CommitArbiter.get.publish(hfs, tmp, marker)) {
       hfs.delete(tmp, false); sys.error(s"could not commit $marker")
+    }
+  }
+
+  /** The folded `add=` lines of a txn/restore marker — each add's
+    * stats/schema/fileStats in the per-batch folded form, committed at
+    * `tsv`. */
+  private def addLinesOf(adds: Seq[TxnAdd], tsv: Long): String =
+    adds.map { a =>
+      markerName(a.runId, a.batchId) // validates the run id
+      val fields = Seq(
+        Some(a.stats).filter(_.nonEmpty).map(encodeStats),
+        Some(a.schema).filter(_.nonEmpty).map(encodeSchema),
+        Some(tsv.toString),
+        None, // retire-ts slot: adds never retire themselves
+        Some(a.fileStats).filter(_.nonEmpty).map(encodeFileStats))
+      val upto = fields.lastIndexWhere(_.isDefined)
+      s"add=${a.runId},${a.batchId}\t" +
+        fields.take(upto + 1).map(_.getOrElse("")).mkString("\t") + "\n"
+    }.mkString
+
+  /** RESTORE — roll the table back to a recorded point (Delta's
+    * `RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF` rung), as ONE
+    * atomic restore marker:
+    *
+    *   - batches committed AFTER the target point RETIRE (their
+    *     retirement emits full-batch delete events in the change
+    *     feed, at the restore's time);
+    *   - batches the post-target mutations had retired RE-ADD —
+    *     metadata-only where their directories survived [[vacuum]]
+    *     (the marker re-lists their recorded stats/schema under a
+    *     fresh sequence), LOUDLY impossible where vacuum reclaimed
+    *     them (naming the missing directories — size vacuum grace to
+    *     the restore window you want, the Delta contract);
+    *   - row deletes ([[deleteWhere]] tombstones) recorded after the
+    *     target are CANCELLED by file identity — current reads see
+    *     their rows again, as-of-T reads inside [delete, restore)
+    *     still apply them.
+    *
+    * `version` is a point on the table's monotonic mutation sequence —
+    * the `seq` column of [[history]] (note: the READ-side SQL
+    * `FOR VERSION AS OF` is the older per-run batch-id watermark pin,
+    * a different axis kept for compatibility); `timestamp` is a wall
+    * time resolved against recorded commit timestamps, exactly like
+    * [[readCommittedAsOfTimestamp]]. The restore itself is a new
+    * versioned event: [[history]] shows it, a later restore can target
+    * the state before it, and pre-restore reads stay reproducible
+    * until vacuum. Restoring to a point where a tombstone that a
+    * PREVIOUS restore cancelled was still active would need
+    * re-activation — unsupported, fails loudly (re-delete instead).
+    * Single-writer like every mutating operation; the commit-time
+    * re-read turns a lost race into a typed [[CommitLogWriteConflict]].
+    */
+  def restoreTo(spark: SparkSession, table: String,
+      version: Option[Long] = None, timestamp: Option[Long] = None,
+      ts: Long = -1L): Unit = {
+    require(version.nonEmpty != timestamp.nonEmpty,
+      "restoreTo needs exactly one of version (a history seq) or timestamp")
+    val st = logState(spark, table)
+    val tsv = if (ts >= 0) ts else java.lang.System.currentTimeMillis()
+    // the snapshot at the target point: live batches + active deletes
+    val (snapshot, tombsAtTarget, targetSeq) = version match {
+      case Some(v) =>
+        val snap = st.entries.filter { k =>
+          val adds = st.addEv.getOrElse(k, Seq((0L, 0L)))
+            .filter(_._2 <= v).map(_._2)
+          val rets = st.retireEv.getOrElse(k, Nil)
+            .filter(_._2 <= v).map(_._2)
+          adds.nonEmpty && rets.forall(_ < adds.max)
+        }
+        (snap, st.tombstones.filter(t =>
+          st.tombSeq(t) <= v && t.cancelSeq.forall(_ > v)), v)
+      case None =>
+        val T = timestamp.get
+        val snap = st.committedAsOf(T)
+        val seqAt = (st.addEv.valuesIterator.flatten ++
+          st.retireEv.valuesIterator.flatten ++
+          st.tombstones.iterator.map(t => (t.ts, st.tombSeq(t))) ++
+          st.restores.iterator.map(r => (r.ts, r.seq)))
+          .filter(_._1 <= T).map(_._2).foldLeft(0L)(math.max)
+        (snap, st.tombstones.filter(t =>
+          t.ts <= T && t.cancelTs.forall(_ > T)), seqAt)
+    }
+    val live = st.committed
+    val liveSet = live.toSet
+    val snapSet = snapshot.toSet
+    val toRetire = live.filterNot(snapSet)
+    val toReadd = snapshot.filterNot(liveSet)
+    val targetActive = tombsAtTarget.toSet
+    val toCancel = st.tombstones
+      .filterNot(_.cancelled).filterNot(targetActive)
+    val needReactivation = tombsAtTarget.filter(_.cancelled)
+    if (needReactivation.nonEmpty) sys.error(
+      "commit-log RESTORE: the target state depends on row delete(s) " +
+        s"(on ${needReactivation.map(_.col).distinct.mkString(", ")}) " +
+        "that a previous restore cancelled — re-activating a cancelled " +
+        "delete is unsupported; restore to a point at or after that " +
+        "restore, or re-issue the delete afterwards")
+    toCancel.filter(_.src.isEmpty) match {
+      case Seq() => ()
+      case bad => sys.error(
+        s"commit-log RESTORE: ${bad.size} post-target delete(s) have no " +
+          "resolvable tombstone file identity — cannot cancel them")
+    }
+    if (toRetire.isEmpty && toReadd.isEmpty && toCancel.isEmpty) return
+    // re-adds are metadata-only — but only while the directories exist
+    val gone = listParallel(toReadd.sorted) { case (r, b) =>
+      val (hfs, p) = fs(spark, s"$table/run_id=$r/batch_id=$b")
+      if (hfs.exists(p)) None else Some((r, b))
+    }.flatten
+    if (gone.nonEmpty) sys.error(
+      s"commit-log RESTORE: batch(es) ${gone.take(3).mkString(", ")} of " +
+        "the target state were vacuumed — history before the vacuum " +
+        "grace window is gone and this restore point is unreachable")
+    val adds = toReadd.sorted.map { k =>
+      val m = st.meta.getOrElse(k, BatchMeta(Seq.empty, Seq.empty, None))
+      TxnAdd(k._1, k._2, m.stats, m.schema, m.fileStats)
+    }
+    val (hfs, dir) = fs(spark, commitsDir(table))
+    hfs.mkdirs(dir)
+    // commit-time re-read: another mutation since planning is a typed
+    // conflict (restore is single-writer like every mutation); the
+    // same read re-mints a seq another writer got to first
+    val cur = logState(spark, table)
+    val curLive = cur.committed.toSet
+    val conflicted = toRetire.filterNot(curLive) ++ toReadd.filter(curLive)
+    if (conflicted.nonEmpty)
+      throw new CommitLogWriteConflict(
+        s"commit-log write conflict on $table: the state RESTORE " +
+          "planned against changed before its marker landed — re-run " +
+          "against the current log")
+    val seqv = cur.nextSeq(tsv)
+    val retiresLine =
+      if (toRetire.isEmpty) ""
+      else s"retires=${toRetire.sorted
+        .map { case (r, b) => s"${esc(r)},$b" }.mkString(";")}\n"
+    val cancelsLine =
+      if (toCancel.isEmpty) ""
+      else s"cancels=${toCancel.flatMap(_.src).map(esc).mkString(";")}\n"
+    val name = f"restore-$tsv%020d-${java.util.UUID.randomUUID().toString.take(8)}.commit"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(
+      (s"ts=$tsv\nseq=$seqv\nrestore=$targetSeq\n$cancelsLine" +
+        addLinesOf(adds, tsv) + retiresLine).getBytes("UTF-8"))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, name)
+    if (!CommitArbiter.get.publish(hfs, tmp, marker)) {
+      hfs.delete(tmp, false); sys.error(s"could not commit restore $marker")
     }
   }
 
@@ -1947,7 +2279,12 @@ object CommitLog {
       st: LogState, tombstoneAsOf: Option[Long]): DataFrame = {
     val visibleSet = visible.toSet
     val live = st.tombstones
-      .filter(t => tombstoneAsOf.forall(t.ts <= _))
+      .filter(t => tombstoneAsOf match {
+        // current read: a restore-CANCELLED delete no longer applies
+        case None => !t.cancelled
+        // as-of read: the delete applies inside [its ts, its cancel)
+        case Some(asOf) => t.ts <= asOf && t.cancelTs.forall(_ > asOf)
+      })
       .map(t => t.copy(applies = t.applies.filter(visibleSet)))
       .filter(_.applies.nonEmpty)
     live.foldLeft(df) { (acc, t) =>
@@ -2031,7 +2368,7 @@ object CommitLog {
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val marker = new org.apache.hadoop.fs.Path(dir, name)
-    if (!hfs.rename(tmp, marker)) {
+    if (!CommitArbiter.get.publish(hfs, tmp, marker)) {
       hfs.delete(tmp, false); sys.error(s"could not write tombstone $marker")
     }
   }
@@ -2199,8 +2536,9 @@ object CommitLog {
       ts: Long = -1L): Unit = {
     val st = logState(spark, table)
     val visibleSet = st.committed.toSet
-    // batch → the tombstones that still apply to it
-    val perBatch = st.tombstones
+    // batch → the tombstones that still apply to it (restore-cancelled
+    // deletes must NOT be materialized — their rows are live again)
+    val perBatch = st.tombstones.filterNot(_.cancelled)
       .flatMap(t => t.applies.filter(visibleSet).map(_ -> t))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .filter { case (key, ts) => ts.exists(tombstoneMayHit(st, _, key)) }

@@ -569,6 +569,21 @@ private[sources] final class CommitLogTable(val table: String,
     sys.error("graft_commitlog: startingTimestamp is a readChangeFeed " +
       "streaming option (the append stream has no history semantics " +
       "to skip — use asOfTimestamp for batch time travel)")
+  // `startingVersion` (r20): the exact-resume form — a consumer
+  // persists the last `_change_seq` it applied and resumes PAST it,
+  // unambiguous where wall-clock timestamps are not (the seq is the
+  // table's total mutation order; `graft_commitlog_history` shows it)
+  private[sources] val startingSeq: Option[Long] =
+    Option(options.get("startingVersion")).map(s =>
+      s.toLongOption.getOrElse(sys.error(
+        "graft_commitlog startingVersion must be a long change " +
+          s"sequence (the _change_seq / history seq), got '$s'")))
+  if (startingSeq.nonEmpty && !readChangeFeedOpt)
+    sys.error("graft_commitlog: startingVersion is a readChangeFeed " +
+      "streaming option")
+  if (startingSeq.nonEmpty && startingTs.nonEmpty)
+    sys.error("graft_commitlog: set startingVersion OR " +
+      "startingTimestamp, not both")
   private[sources] val maxBatchesPerTrigger: Option[Int] =
     Option(options.get("maxBatchesPerTrigger")).map(v => v.toIntOption
       .filter(_ > 0).getOrElse(sys.error(
@@ -705,7 +720,7 @@ private[sources] final class CommitLogChangesScanBuilder(t: CommitLogTable)
           "asOfBatch/asOfTimestamp are batch-read pins")
       new CommitLogChangesMicroBatchStream(t.table,
         StructType(t.feedSchema.fields.dropRight(3)), checkpointLocation,
-        t.maxBatchesPerTrigger, t.startingTs)
+        t.maxBatchesPerTrigger, t.startingTs, t.startingSeq)
     }
   }
 }

@@ -39,8 +39,27 @@ class CommitLogSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:TARGET\s+(\d+)\s*MB\s*)?;?\s*""").r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+graft_commitlog\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s*HOURS?\s*)?;?\s*""".r
+  // RESTORE [TABLE] graft_commitlog.`/p` TO VERSION AS OF <seq>
+  //                                    | TO TIMESTAMP AS OF <millis|'yyyy-MM-dd HH:mm:ss[.f]'>
+  private val restoreRe =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?graft_commitlog\s*\.\s*`([^`]+)`\s*""" +
+      """TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case restoreRe(path, kind, num, quoted) =>
+      val byVersion = kind.equalsIgnoreCase("VERSION")
+      val value =
+        if (num != null) num.toLong
+        else if (byVersion) sys.error(
+          "RESTORE ... TO VERSION AS OF takes a numeric history seq")
+        else
+          try java.sql.Timestamp.valueOf(quoted).getTime
+          catch {
+            case _: IllegalArgumentException => sys.error(
+              "RESTORE ... TO TIMESTAMP AS OF takes epoch millis or " +
+                s"'yyyy-MM-dd HH:mm:ss[.f]', got '$quoted'")
+          }
+      RestoreCommitLogCommand(path, byVersion, value)
     case optimizeRe(path, zorder, target) =>
       OptimizeCommitLogCommand(path,
         Option(target).map(_.toLong * 1024 * 1024)
@@ -82,6 +101,35 @@ private[sources] final case class OptimizeCommitLogCommand(
     CommitLog.compactFiles(spark, table, targetBytes, zorderBy = zorderBy)
     val after = CommitLog.logState(spark, table).committed.toSet
     Seq(Row((before -- after).size.toLong))
+  }
+}
+
+/** `RESTORE [TABLE] graft_commitlog.`/p`` TO VERSION AS OF <seq>` /
+  * `TO TIMESTAMP AS OF <t>` → [[CommitLog.restoreTo]] — the escape
+  * hatch after a bad merge/delete: post-target mutations roll back in
+  * one atomic restore marker (re-adds metadata-only while their
+  * directories survive vacuum, post-target tombstones cancelled).
+  * VERSION is the monotonic `seq` of `graft_commitlog_history`.
+  * Returns (readds, retires, cancels) counts. */
+private[sources] final case class RestoreCommitLogCommand(
+    table: String, byVersion: Boolean, value: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("batches_readded", LongType, nullable = false)(),
+    AttributeReference("batches_retired", LongType, nullable = false)(),
+    AttributeReference("deletes_cancelled", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = CommitLog.logState(spark, table).restores.size
+    CommitLog.restoreTo(spark, table,
+      version = if (byVersion) Some(value) else None,
+      timestamp = if (byVersion) None else Some(value))
+    val after = CommitLog.logState(spark, table).restores
+    if (after.size == before) Seq(Row(0L, 0L, 0L)) // no-op restore
+    else {
+      val r = after.maxBy(_.seq)
+      Seq(Row(r.readds.size.toLong, r.retires.size.toLong,
+        r.cancels.size.toLong))
+    }
   }
 }
 

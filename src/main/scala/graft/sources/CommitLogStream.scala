@@ -270,7 +270,7 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
       def materialized(k: (String, Long)): Boolean =
         live.exists(e => e._2 == k._2 && e != k && chainSeen(e, Set(k)))
       val deltaSet = delta.toSet
-      st.tombstones.find(t => t.applies.exists(k =>
+      st.tombstones.filterNot(_.cancelled).find(t => t.applies.exists(k =>
         deltaSet(k) && CommitLog.tombstoneMayHit(st, t, k) &&
           !materialized(k))).foreach { t =>
         sys.error("graft_commitlog stream: a live row-delete (tombstone " +
@@ -313,10 +313,15 @@ final class CommitLogMicroBatchStream(table: String, schema: StructType,
   * planning time and immutable once recorded, so checkpoint replay
   * recomputes the identical events with no side state. */
 final case class CommitLogChangesOffset(entries: Set[(String, Long)],
-    retired: Set[(String, Long)], tombs: Int) extends Offset {
+    retired: Set[(String, Long)], tombs: Int, restores: Int = 0)
+    extends Offset {
+  // `restores` counts RESTORE markers seen — the stream cannot express
+  // a rollback as append-only increments, so crossing one fails loudly
+  // at planning (field absent on pre-r20 checkpoints → 0)
   override def json(): String =
     "cdc1|" + CommitLogStreamOffset.encodePart(entries) + "|" +
-      CommitLogStreamOffset.encodePart(retired) + "|" + tombs
+      CommitLogStreamOffset.encodePart(retired) + "|" + tombs +
+      "|" + restores
 }
 
 object CommitLogChangesOffset {
@@ -327,7 +332,8 @@ object CommitLogChangesOffset {
     CommitLogChangesOffset(
       CommitLogStreamOffset.decodePart(parts(0)),
       CommitLogStreamOffset.decodePart(if (parts.length > 1) parts(1) else ""),
-      if (parts.length > 2 && parts(2).nonEmpty) parts(2).toInt else 0)
+      if (parts.length > 2 && parts(2).nonEmpty) parts(2).toInt else 0,
+      if (parts.length > 3 && parts(3).nonEmpty) parts(3).toInt else 0)
   }
 }
 
@@ -356,7 +362,8 @@ object CommitLogChangesOffset {
 final class CommitLogChangesMicroBatchStream(table: String,
     dataSchema: StructType, checkpointLocation: String,
     maxBatchesPerTrigger: Option[Int] = None,
-    startingTs: Option[Long] = None)
+    startingTs: Option[Long] = None,
+    startingSeq: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -377,9 +384,9 @@ final class CommitLogChangesMicroBatchStream(table: String,
     * ts-prefixes of immutable facts (the tombstone order leads with
     * ts), so the skipped history is exactly the batch feed's
     * (-inf, T] window. */
-  override def initialOffset(): Offset = startingTs match {
-    case None => CommitLogChangesOffset(Set.empty, Set.empty, 0)
-    case Some(t) =>
+  override def initialOffset(): Offset = (startingTs, startingSeq) match {
+    case (None, None) => CommitLogChangesOffset(Set.empty, Set.empty, 0)
+    case (Some(t), _) =>
       val st = CommitLog.logState(spark, table)
       CommitLogChangesOffset(
         st.entries.filter(k =>
@@ -389,14 +396,40 @@ final class CommitLogChangesMicroBatchStream(table: String,
         // a PREFIX may be skipped: takeWhile, not count — a tombstone
         // with a pinned pre-T ts but a post-T recording position stays
         // deliverable (erring toward delivery, never a silent skip)
-        st.tombstones.takeWhile(_.ts <= t).size)
+        st.tombstones.takeWhile(_.ts <= t).size,
+        st.restores.count(_.ts <= t))
+    case (None, Some(v)) =>
+      // startingVersion (r20): resume PAST an exact change sequence —
+      // what a consumer actually persists (`_change_seq`). Facts with
+      // effective seq ≤ v are already applied; everything later
+      // delivers, with no wall-clock ambiguity.
+      val st = CommitLog.logState(spark, table)
+      CommitLogChangesOffset(
+        st.entries.filter(k => st.entrySeq(k) <= v).toSet,
+        st.retired.keySet.filter(k => st.retireSeqOf(k) <= v),
+        st.tombstones.takeWhile(t => st.tombSeq(t) <= v).size,
+        st.restores.count(_.seq <= v))
   }
   override def deserializeOffset(json: String): Offset =
     CommitLogChangesOffset.parse(json)
 
   private def tipOf(st: CommitLog.LogState): CommitLogChangesOffset =
     CommitLogChangesOffset(st.entries.toSet, st.retired.keySet,
-      st.tombstones.size)
+      st.tombstones.size, st.restores.size)
+
+  /** A RESTORE inside the stream's pending range cannot be expressed
+    * as append-only change increments (re-adds do not change the
+    * entry SET the offset tracks, and a rollback is not an append) —
+    * fail loudly with the remedy rather than silently skip it. */
+  private def requireNoRestore(s: CommitLogChangesOffset,
+      tip: CommitLogChangesOffset): Unit =
+    if (tip.restores > s.restores) sys.error(
+      "graft_commitlog change-feed stream: a RESTORE was performed on " +
+        "this table past the stream's checkpoint — a rollback cannot " +
+        "be delivered as append-only increments; restart the CDC " +
+        "consumer from a fresh checkpoint (full replay, or " +
+        "startingTimestamp after the restore), or rebuild the replica " +
+        "from CommitLog.readChangeFeed, which replays restores exactly")
 
   override def latestOffset(): Offset =
     tipOf(CommitLog.logState(spark, table))
@@ -416,6 +449,7 @@ final class CommitLogChangesMicroBatchStream(table: String,
     val st = CommitLog.logState(spark, table)
     val tip = availableNowCap.getOrElse(tipOf(st))
     val s = start.asInstanceOf[CommitLogChangesOffset]
+    requireNoRestore(s, tip)
     limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         // admission UNITS keep paired facts together: a rewrite entry
@@ -452,7 +486,8 @@ final class CommitLogChangesMicroBatchStream(table: String,
           CommitLogChangesOffset(
             s.entries ++ chosen.flatMap(_.entries),
             s.retired ++ chosen.flatMap(_.retires),
-            s.tombs + tombsAdmitted)
+            s.tombs + tombsAdmitted,
+            s.restores) // == tip.restores (requireNoRestore passed)
         }
       case _ => tip
     }
@@ -485,7 +520,9 @@ final class CommitLogChangesMicroBatchStream(table: String,
       CommitLog.rewriteOf(st, r, b).isEmpty }
     if (inserts.nonEmpty) {
       inserts.foreach { case (r, b) => requireDir(r, b, "an insert") }
-      parts += CommitLog.insertEventsFrame(sp, table, inserts, st)
+      parts += CommitLog.insertEventsFrame(sp, table,
+        inserts.map(k => (k, st.meta.get(k).flatMap(_.ts).getOrElse(0L),
+          st.entrySeq(k))), st)
     }
     // delete events — full-batch deletes for this delta's unpaired
     // retires, upsert deletes for its rewrites: write-time change
@@ -499,9 +536,16 @@ final class CommitLogChangesMicroBatchStream(table: String,
       CommitLog.rewriteOf(st, r2, b2).map { case (orig, _) => (orig, b2) }
     }.toSet
     parts ++= CommitLog.deleteEventFrames(sp, table, st,
-      (e.retired -- s.retired).toSeq.filterNot(rewrittenOrigs),
-      newEntries.filter(k =>
-        CommitLog.rewriteOf(st, k._1, k._2).exists(_._2 == "up")),
+      (e.retired -- s.retired).toSeq.filterNot(rewrittenOrigs)
+        .map(k => (k, st.retired.getOrElse(k, 0L), st.retireSeqOf(k))),
+      newEntries.flatMap { k =>
+        CommitLog.rewriteOf(st, k._1, k._2) match {
+          case Some((orig, "up")) =>
+            val ok = (orig, k._2)
+            Some((k, ok, st.retired.getOrElse(ok, 0L), st.retireSeqOf(ok)))
+          case _ => None
+        }
+      },
       (r, b, why) => requireDir(r, b, why))
     // row deletes: this delta's tombstone slice as ONE frame
     CommitLog.tombstoneDeleteFrame(sp, table, st,
@@ -540,6 +584,7 @@ final class CommitLogChangesMicroBatchStream(table: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CommitLogChangesOffset]
     val e = end.asInstanceOf[CommitLogChangesOffset]
+    requireNoRestore(s, e)
     val sp = spark
     val dir = stageDir(s, e)
     val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")

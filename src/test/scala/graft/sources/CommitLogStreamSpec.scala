@@ -385,6 +385,48 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(rootMsg(e).contains("readChangeFeed"))
   }
 
+  test("streaming change feed: startingVersion resumes past an exact _change_seq, no duplicates or drops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream4").toString
+    val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
+    CommitLog.writeBatchWithStats(rows(0, 5, "old"), table, "r1", 0L,
+      Seq("id"), ts = 1000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(1L), ts = 2000L)
+    // the boundary a consumer would persist: the delete's _change_seq
+    val resumeFrom = CommitLog.logState(spark, table).maxSeq
+    assert(resumeFrom == 2000L)
+    CommitLog.writeBatchWithStats(rows(10, 2, "new"), table, "r1", 1L,
+      Seq("id"), ts = 3000L)
+    CommitLog.deleteWhere(spark, table, "id", "in", Seq(10L), ts = 4000L)
+    val q = spark.readStream.format("graft_commitlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", resumeFrom.toString).load(table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select("id", "v", "change_type", "_change_seq")
+      .as[(Long, String, String, Long)].collect().toSet
+    // everything with seq > resumeFrom, nothing at or before it: the
+    // boundary event itself (the delete at seq 2000) never re-delivers
+    assert(got == Set(
+      (10L, "new-0", "insert", 3000L),
+      (11L, "new-1", "insert", 3000L),
+      (10L, "new-0", "delete", 4000L)), got.toString)
+    // both skip options at once is ambiguous — loud
+    val e = intercept[Exception] {
+      spark.readStream.format("graft_commitlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "1").load(table)
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage match { case null => "" case m => m }) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("not both"))
+  }
+
   test("streaming change feed: maxBatchesPerTrigger paces the history replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream2").toString
     val (table, ckpt, sink) = (s"$dir/t", s"$dir/ckpt", s"$dir/sink")
