@@ -4157,8 +4157,10 @@ object SparkEntry {
     "graph_walk_pairs" -> ((s, dir) => {
       val edges = graft.ops.Graphs.coOccurrence(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      // coOccurrence output is distinct by construction — skip the
+      // walker's defensive dedup exchange (r20)
       val walks = graft.ops.RandomWalks.walks(edges, walksPerNode = 2,
-        walkLen = 8)
+        walkLen = 8, distinctEdges = false)
       val corpus = walks.select(col("walk_id"),
         concat_ws(" ", col("path")).as("text"))
       graft.text.SkipGram.trainingPairs(corpus, "walk_id", "text",

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Scale-adaptive scan widening (guide §2.5: unsplittable input). A
+    * single-row-group parquet file arrives as ONE effective scan task,
+    * serializing whatever per-row compute sits behind it — here the
+    * |corpus|·|queries|·dim scoring loop, measured as a 4.2 s
+    * single-task stage at sf0.1 while 31 cores idled. When the frame's
+    * planned partition count is below the session's default
+    * parallelism, repartition round-robin up to it: one corpus-bytes
+    * exchange buys full-width scoring. A properly-split corpus (the
+    * 100 TB case — thousands of scan splits) passes through UNTOUCHED:
+    * no exchange is added, so the scale plan shape is unchanged. */
+  private[graft] def widenScan(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Cosine similarity between two float-array columns: native fused
     * expression (graft.expr.CosineSimF) — bit-identical to the
     * higher-order formulation below but one codegen'd loop instead of
@@ -61,7 +77,7 @@ object Ann {
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = widenScan(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.crossJoin(q)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -108,11 +124,13 @@ object Ann {
       corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
         .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
         .limit(cells))))
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val assigned = widenScan(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
       .crossJoin(cents)
       .select(col("neighbor_id"), col("cv"),
         bestCell(col("cv"), col("cents")).as("cell"))
-    val probes = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = widenScan(
+        corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
       .crossJoin(cents)
       .select(col("query_id"), col("qv"),
         explode(topCells(col("qv"), col("cents"), nprobe)).as("p"))

@@ -47,7 +47,13 @@ object ConnectedComponents {
     * runs unchanged. An EXPLICIT `reliable` choice always takes the
     * distributed path: asking for a checkpoint mode is asking for the
     * distributed machinery. */
-  val DriverFoldEdges = 500000L
+  // 2M (was 500k, r20): the r20 profile measured the distributed
+  // closure on a 1.05M-edge core-core graph (dbscan) at ~10 s of round
+  // fixed cost where the driver fold streams it in ~1 s; 2M edges is
+  // ≤ ~64 MB in the primitive-keyed map — two orders of magnitude
+  // under the driver heap, same answer by construction (min-id
+  // union-find).
+  val DriverFoldEdges = 2000000L
 
   /** Resolve the checkpoint mode for an iterative operator: an
     * explicit choice wins; otherwise reliable iff a checkpoint dir is

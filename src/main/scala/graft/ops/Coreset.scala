@@ -55,15 +55,19 @@ object Coreset {
     var prev: DataFrame = null
     var i = 1
     while (i < k) {
-      // farthest from the chosen set; ties to the smaller id
+      // farthest from the chosen set; ties to the smaller id. The
+      // vector rides INSIDE the argmax struct (it can never drive the
+      // comparison — (d, nid) is already unique per row), so each
+      // round is ONE job instead of argmax + a full re-scan for the
+      // winner's vector (r20: halves the per-round job count).
       val far = state
-        .agg(max(struct(col("dmin").as("d"), (-col("id")).as("nid"))).as("m"))
-        .select(col("m.d"), (-col("m.nid")).as("id")).collect()(0)
+        .agg(max(struct(col("dmin").as("d"), (-col("id")).as("nid"),
+          col("v").as("fv"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("id"), col("m.fv")).collect()(0)
       if (far.isNullAt(0)) return chosen.toSeq // corpus exhausted
       val farId = far.getLong(1)
       val radius = far.getDouble(0)
-      val farVec = state.where(col("id") === farId)
-        .select("v").collect()(0).getSeq[Float](0).toArray
+      val farVec = far.getSeq[Float](2).toArray
       chosen += ((farId, farVec, radius))
       val old = state
       state = state.where(col("id") =!= farId)

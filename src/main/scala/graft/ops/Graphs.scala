@@ -29,13 +29,24 @@ object Graphs {
     val capped =
       if (maxBasket <= 0) b
       else {
+        // the guard stays COUNT-based (a count buffer is O(1) per
+        // basket; collecting an uncapped basket's item list first
+        // would be the very blowup the cap exists to stop)
         val ok = b.groupBy("bk").agg(count(lit(1)).as("bsz"))
           .where(col("bsz") <= maxBasket)
         b.join(ok.select("bk"), "bk")
       }
-    capped.as("a").join(capped.as("c"), col("a.bk") === col("c.bk") &&
-        col("a.it") =!= col("c.it"))
-      .select(col("a.it").as("src"), col("c.it").as("dst"))
+    // r20: pair generation via one per-basket list + a streaming
+    // double-explode instead of the basket-key SELF-JOIN — the join
+    // evaluated the capped subtree twice and re-exchanged both copies;
+    // this shape shares the cap join's bk layout (groupBy adds NO
+    // exchange), emits the same Σ|basket|² pair stream lazily, and
+    // keeps only a |basket|-bounded (≤ maxBasket) array per row.
+    capped.groupBy("bk").agg(collect_list(col("it")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
       .distinct()
   }
 }

@@ -27,15 +27,29 @@ import org.apache.spark.sql.functions._
   * one action; previous round's blocks released. */
 object LabelPropagation {
 
+  /** Driver-fold budget (the [[ConnectedComponents.DriverFoldEdges]]
+    * tier applied to LPA): at or below this many materialized input
+    * edges the synchronous rounds run on the driver over the collected
+    * edge list — every distributed round is a graph-sized job, pure
+    * scheduler/shuffle fixed cost on a bounded graph (r20 profile:
+    * ~0.6 s/round on a 6k-edge kNN graph where the fold does all
+    * rounds in ~10 ms). Identical semantics by construction: same
+    * symmetric-deduped neighborhood, same (count desc, label asc)
+    * argmax, same synchronous update + convergence/maxRounds stop.
+    * Smaller than CC's budget because per-node neighbor sets and label
+    * counts are heavier than union-find's two flat arrays. */
+  val DriverFoldEdges = 500000L
+
   /** (id, community) for every node in `edges` (two long-castable
     * columns src, dst; self-loops admit isolated nodes, which keep
     * their own label). Also returns rounds via
     * [[communitiesInstrumented]]. */
-  def communities(edges: DataFrame, maxRounds: Int = 10): DataFrame =
-    communitiesInstrumented(edges, maxRounds)._1
+  def communities(edges: DataFrame, maxRounds: Int = 10,
+      driverFoldEdges: Long = DriverFoldEdges): DataFrame =
+    communitiesInstrumented(edges, maxRounds, driverFoldEdges)._1
 
-  def communitiesInstrumented(edges: DataFrame,
-                              maxRounds: Int = 10): (DataFrame, Int) = {
+  def communitiesInstrumented(edges: DataFrame, maxRounds: Int = 10,
+      driverFoldEdges: Long = DriverFoldEdges): (DataFrame, Int) = {
     require(maxRounds >= 1, s"maxRounds: $maxRounds")
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
     def ckptLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
@@ -45,6 +59,66 @@ object LabelPropagation {
     }
     val und = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull))
+    // bounded driver fold: the checkpoint above materialized the edge
+    // list, so its exact size decides the tier (the CC discipline)
+    if (driverFoldEdges > 0) {
+      val nEdges = und.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+        case _ => Long.MaxValue
+      }
+      if (nEdges <= driverFoldEdges) {
+        val rows = und.collect()
+        release(und)
+        val nbrs = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.HashSet[Long]]
+        var labels = scala.collection.mutable.LongMap.empty[Long]
+        rows.foreach { r =>
+          val s = r.getLong(0); val d = r.getLong(1)
+          labels(s) = s; labels(d) = d
+          if (s != d) {
+            nbrs.getOrElseUpdate(s,
+              scala.collection.mutable.HashSet.empty[Long]) += d
+            nbrs.getOrElseUpdate(d,
+              scala.collection.mutable.HashSet.empty[Long]) += s
+          }
+        }
+        var round = 0
+        var converged = false
+        while (!converged && round < maxRounds) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          var changed = false
+          labels.foreach { case (id, lbl) =>
+            val ns = nbrs.getOrElse(id, null)
+            if (ns == null || ns.isEmpty) next(id) = lbl
+            else {
+              val cnt = scala.collection.mutable.LongMap.empty[Long]
+              ns.foreach { nb =>
+                val l = labels(nb)
+                cnt(l) = cnt.getOrElse(l, 0L) + 1L
+              }
+              var bestL = Long.MaxValue
+              var bestN = 0L
+              cnt.foreach { case (l, c) =>
+                if (c > bestN || (c == bestN && l < bestL)) {
+                  bestN = c; bestL = l
+                }
+              }
+              next(id) = bestL
+              if (bestL != lbl) changed = true
+            }
+          }
+          converged = !changed
+          labels = next
+          round += 1
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val out = spark.createDataset(
+          labels.toSeq.map { case (id, c) => (id, c) })
+          .toDF("id", "community")
+        return (out, round)
+      }
+    }
     val sym = ckpt(und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst")).distinct()
       .select(col("src").as("e_id"), col("dst").as("e_nbr")))

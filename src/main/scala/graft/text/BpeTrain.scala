@@ -39,6 +39,22 @@ object BpeTrain {
   /** End-of-word marker symbol (kept distinct from any character). */
   val EndOfWord = "</w>"
 
+  /** Driver-fold budget: when the corpus' distinct-word vocabulary has
+    * at most this many entries, the merge loop runs on the DRIVER over
+    * the collected (word, freq) table — the same bounded-collect tier
+    * as [[graft.ops.ConnectedComponents.DriverFoldEdges]] and the IVF
+    * centroid collects. Rationale: every merge round is a vocab-sized
+    * job, so below the budget the whole loop is pure scheduler/shuffle
+    * fixed cost (measured 0.3 s/round at a 20k-word vocab = 14.5 s for
+    * a 1k-merge induction that folds in ~1.5 s on the driver); above
+    * it — web-corpus vocabularies with hundreds of millions of hapaxes
+    * — the distributed loop runs unchanged. 1M words ≈ tens of MB
+    * driver-resident, the standard model-data bound here. The fold is
+    * BIT-IDENTICAL to the distributed loop: same greedy counting, same
+    * top-(want·4) candidate window, same (count desc, pair asc) order,
+    * same batch selection — pinned by BpeTrainSpec. */
+  val DriverFoldWords = 1000000
+
   /** Greedy left-to-right merge of one adjacent pair in a symbol
     * sequence — the reference semantics ("a a a" + (a,a) → ["aa","a"]). */
   private[text] def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
@@ -67,10 +83,27 @@ object BpeTrain {
     * linearly, which is what makes a realistic ≥1k-merge vocabulary
     * affordable when every round is a driver-coordinated job. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            batchK: Int = 1, autoBatch: Boolean = false): Seq[(String, String)] = {
+            batchK: Int = 1, autoBatch: Boolean = false,
+            driverFoldWords: Int = DriverFoldWords): Seq[(String, String)] = {
     require(numMerges > 0 && batchK >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE corpus pass builds the word-frequency table (checkpointed so
+    // the fold-tier probe below never re-runs it); the merge loop then
+    // runs wherever the vocabulary's size says it should.
+    val wf = Bpe.wordFreq(docs, textCol).as[(String, Long)]
+      .localCheckpoint(true)
+    // bounded driver fold (see [[DriverFoldWords]]): the limit-probed
+    // collect reads the checkpoint, costs one vocab-bounded job, and
+    // decides the tier — at or below the budget the whole loop runs on
+    // the driver with bit-identical semantics; above it, distributed.
+    val head =
+      if (driverFoldWords > 0) wf.limit(driverFoldWords + 1).collect()
+      else Array.empty[(String, Long)]
+    if (driverFoldWords > 0 && head.length <= driverFoldWords) {
+      wf.unpersist()
+      return trainLocal(head, numMerges, batchK, autoBatch)
+    }
     // localCheckpoint (not persist): each round's rewrite chains a map
     // on the previous round's Dataset, so by round N the lineage is N
     // plans deep — Catalyst re-analyzes the whole chain every round
@@ -78,9 +111,10 @@ object BpeTrain {
     // just printing the tree. Eager localCheckpoint materializes AND
     // truncates the lineage, keeping every round's plan constant-size
     // (the same flat-cost discipline as kmeansCentroids' driver loop).
-    var vocab: Dataset[(Array[String], Long)] = Bpe.wordFreq(docs, textCol)
-      .as[(String, Long)].map { case (w, f) => (toSyms(w), f) }
+    var vocab: Dataset[(Array[String], Long)] = wf
+      .map { case (w, f) => (toSyms(w), f) }
       .localCheckpoint(true)
+    wf.unpersist()
     // previous round's vocab blocks: releasable only after the CURRENT
     // round's (lazily-checkpointed) vocab has materialized — which the
     // pair-count action below does, so each round costs exactly ONE
@@ -140,6 +174,96 @@ object BpeTrain {
     }
     if (prevVocab ne null) prevVocab.unpersist()
     vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** UTF-8 binary "less than" — code-point order, exactly the order
+    * Spark's UTF8String gives the distributed loop's `orderBy(pair
+    * asc)`. Scala's String.compareTo ranks by UTF-16 code UNIT, which
+    * disagrees for supplementary characters vs [U+E000, U+FFFF] — the
+    * driver fold must not diverge there. */
+  private[text] def utf8Lt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    (a.length - i) < (b.length - j)
+  }
+
+  /** The driver-resident merge loop — semantics bit-identical to the
+    * distributed rounds in [[train]]: same greedy adjacent-pair
+    * counting weighted by word frequency, same (count desc, pair asc)
+    * rank, same top-(want·4) candidate window, same
+    * produced-symbol-excluding batch selection, same in-order rewrite.
+    * Cost: O(Σ syms) counting + one candidate sort per round, no jobs. */
+  private def trainLocal(wordFreq: Array[(String, Long)], numMerges: Int,
+      batchK: Int, autoBatch: Boolean): Seq[(String, String)] = {
+    var vocab: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (toSyms(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges) {
+      val k = if (autoBatch)
+        math.max(batchK, math.min(256, 1 + merges.length / 4)) else batchK
+      val want = math.min(k, numMerges - merges.length)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      // bounded top-(want·4) selection: a size-capped heap evicting
+      // the worst-ranked candidate — O(pairs·log lim), not a full sort
+      def rankLt(x: (String, String, Long), y: (String, String, Long)): Boolean =
+        if (x._3 != y._3) x._3 > y._3
+        else if (x._1 != y._1) utf8Lt(x._1, y._1)
+        else utf8Lt(x._2, y._2)
+      val lim = math.max(want * 4, want)
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty(Ordering.fromLessThan(rankLt))
+      counts.foreach { case ((a, b), n) =>
+        pq.enqueue((a, b, n))
+        if (pq.size > lim) pq.dequeue()
+      }
+      val top = pq.dequeueAll.reverse
+      if (top.isEmpty) return merges.toSeq // vocab fully fused
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val produced = scala.collection.mutable.Set.empty[String]
+      top.iterator.takeWhile(_ => chosen.length < want).foreach { case (a, b, _) =>
+        if (!produced(a) && !produced(b)) {
+          chosen += ((a, b)); produced += a + b
+        }
+      }
+      if (chosen.isEmpty) return merges.toSeq
+      merges ++= chosen
+      val picked = chosen.toArray
+      // rewrite, skipping no-ops: mergePair(s, a, b) is the identity
+      // unless BOTH symbols occur in the word — probe a per-word
+      // symbol set instead of scanning every word for every picked
+      // pair (a late autoBatch round picks up to 256 pairs; the blind
+      // fold was 256 full scans per word). The set only grows (merged
+      // symbols may survive elsewhere in the word) — pure pruning,
+      // identical rewrites in identical order.
+      vocab = vocab.map { case (syms, f) =>
+        val present = scala.collection.mutable.HashSet.empty[String]
+        syms.foreach(present += _)
+        var s = syms
+        picked.foreach { case (a, b) =>
+          if (present.contains(a) && present.contains(b)) {
+            val merged = mergePair(s, a, b)
+            if (merged.length != s.length) { s = merged; present += a + b }
+          }
+        }
+        (s, f)
+      }
+    }
     merges.toSeq
   }
 

@@ -48,6 +48,22 @@ class LabelPropagationSpec extends SparkSpec {
     assert(m(50L) == 50L)
   }
 
+  test("driver fold and distributed rounds agree label-for-label (r20)") {
+    // a hashed pseudo-random graph with hubs, isolated self-loops and
+    // asymmetric degrees — every tier-divergence surface at once
+    val edges = (0 until 400).map { i =>
+      val s = (i * 2654435761L) % 97
+      val d = (i * 40503L + 13) % 97
+      (s, d)
+    }.toDF("src", "dst")
+    val fold = LabelPropagation.communities(edges, maxRounds = 6)
+      .as[(Long, Long)].collect().toMap
+    val dist = LabelPropagation.communities(edges, maxRounds = 6,
+        driverFoldEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fold == dist)
+  }
+
   test("bounded rounds: oscillation-prone bipartite edge stops at maxRounds") {
     // a single edge flips labels every synchronous round (a adopts b,
     // b adopts a) — the loop must terminate and report maxRounds

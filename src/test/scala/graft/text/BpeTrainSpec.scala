@@ -91,6 +91,25 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("driver fold and distributed loop learn identical merges (r20)") {
+    import spark.implicits._
+    // enough vocabulary that batching, ties and the top-(want·4)
+    // candidate window all exercise; unicode words exercise the UTF-8
+    // rank order the fold must reproduce
+    val docs = (0 until 400).map { i =>
+      val w = Iterator.tabulate(6)(j =>
+        java.lang.Long.toHexString((i * 37 + j * 101) % 4096L))
+      (i.toLong, w.mkString(" ") + (if (i % 7 == 0) " héllo wörld ābc" else ""))
+    }.toDF("doc_id", "text")
+    for ((k, auto) <- Seq((1, false), (3, false), (1, true))) {
+      val dist = BpeTrain.train(docs, "text", numMerges = 40,
+        batchK = k, autoBatch = auto, driverFoldWords = 0)
+      val fold = BpeTrain.train(docs, "text", numMerges = 40,
+        batchK = k, autoBatch = auto)
+      assert(fold == dist, s"tiers diverge at batchK=$k autoBatch=$auto")
+    }
+  }
+
   test("merge list round-trips through parquet in rank order") {
     import spark.implicits._
     val docs = Seq("low lower lowest", "low low newest widest").toDF("text")
