@@ -23,12 +23,30 @@ object Ann {
     * parallelism, repartition round-robin up to it: one corpus-bytes
     * exchange buys full-width scoring. A properly-split corpus (the
     * 100 TB case — thousands of scan splits) passes through UNTOUCHED:
-    * no exchange is added, so the scale plan shape is unchanged. */
+    * no exchange is added, so the scale plan shape is unchanged.
+    *
+    * Guarded to SCAN-SHAPED plans: probing `.rdd` on a plan containing
+    * exchanges would execute its AQE query stages eagerly just to read
+    * the partition count (measured as a full duplicate run of the
+    * upstream pipeline). A frame whose optimized plan holds anything
+    * beyond project/filter/generate over a leaf passes through
+    * untouched — those plans end in an exchange whose width the
+    * session's shuffle sizing already governs. */
   private[graft] def widenScan(df: DataFrame): DataFrame = {
+    val scanShaped = df.queryExecution.optimizedPlan.collectFirst {
+      case n if !ScanShapedNodes(n.getClass.getSimpleName) => n
+    }.isEmpty
+    if (!scanShaped) return df
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** Logical nodes that never introduce an exchange — the plans on
+    * which the `.rdd` partition-count probe is free. */
+  private val ScanShapedNodes: Set[String] = Set(
+    "Project", "Filter", "Generate", "LogicalRelation", "LogicalRDD",
+    "LocalRelation", "Range", "DataSourceV2ScanRelation")
 
   /** Cosine similarity between two float-array columns: native fused
     * expression (graft.expr.CosineSimF) — bit-identical to the

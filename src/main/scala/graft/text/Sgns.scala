@@ -121,10 +121,19 @@ object Sgns {
         lit(false).as("pos"))
     val pos = cp.select(col("center"), col("context").as("target"),
       col("n"), lit(true).as("pos"))
+    // repartition before the cache (r20): every epoch re-scans this
+    // frame, and AQE's small-shuffle coalescing otherwise pins it to
+    // ONE partition locally (the whole gradient loop on one core —
+    // measured 1 s/epoch single-task). One balanced exchange of the
+    // collapsed pair table, amortized over `epochs` scans; the
+    // integer-quantized fold makes the result partitioning-independent
+    // by construction. (NOT the widenScan probe: .rdd on a multi-join
+    // AQE plan executes its stages eagerly just to read the count.)
     val rows = pos.unionAll(negs)
       .join(idxDf.select(col("word").as("center"), col("idx").as("ci")), "center")
       .join(idxDf.select(col("word").as("target"), col("idx").as("ti")), "target")
       .select(col("ci"), col("ti"), col("n"), col("pos"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Int, Int, Long, Boolean)]
       .cache()
     val nTotal = cp.agg(sum("n")).as[Long].head()
@@ -354,10 +363,12 @@ object Sgns {
         lit(false).as("pos"))
     val pos = cp.select(col("center"), col("context").as("target"),
       col("n"), lit(true).as("pos"))
+    // balanced epoch layout (r20): same rationale as [[train]]
     val rows = pos.unionAll(negs)
       .join(idxDf.select(col("word").as("center"), col("idx").as("ci")), "center")
       .join(idxDf.select(col("word").as("target"), col("idx").as("ti")), "target")
       .select(col("ci"), col("ti"), col("n"), col("pos"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Int, Int, Long, Boolean)]
       .cache()
     val nTotal = cp.agg(sum("n")).as[Long].head()
