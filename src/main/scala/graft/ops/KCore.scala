@@ -43,6 +43,17 @@ object KCore {
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // lazy variant + FULL count: one action per round materializes the
+    // round's edge checkpoint AND answers the peel test (was an eager
+    // checkpoint job + an isEmpty job per round, r20); a full count
+    // never truncates lineage over partially computed blocks.
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     var e = ckpt(edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")))
     useReliable = ConnectedComponents.resolveReliable(e, reliable)
@@ -52,14 +63,15 @@ object KCore {
     while (peeled && rounds < maxRounds) {
       rounds += 1
       val survivors = deg.where(col("deg") >= k).select(col("src").as("node"))
-      val e2 = ckpt(e
+      val e2 = ckptLazy(e
         .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
           "left_semi")
         .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
           "left_semi"))
       val deg2 = e2.groupBy("src").agg(count(lit(1)).as("deg"))
       // peel again only if some surviving node fell below k
-      peeled = !deg2.where(col("deg") < k).isEmpty
+      peeled = deg2.where(col("deg") < k).count() > 0L
+      release(e)
       e = e2
       deg = deg2
     }

@@ -54,6 +54,17 @@ object ShortestPaths {
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // lazy variant: materialization rides the round's convergence count
+    // (the CC one-action-per-round discipline). The count is FULL, so
+    // the deferred checkpoint never truncates lineage over partially
+    // computed blocks (the limit/isEmpty hazard).
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     val INF = Long.MaxValue
     // one materialization of the caller's edge pipeline (often a
     // join+aggregate building a co-occurrence graph), then pin the
@@ -66,6 +77,7 @@ object ShortestPaths {
     val e = e0.repartition(col("src")).cache()
     var state = ckpt(sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
+    var roundCkpt: DataFrame = null
     var frontier = state
     var hop = 0
     var improving = true
@@ -74,15 +86,20 @@ object ShortestPaths {
       val cand = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
-      val merged = ckpt(state.join(cand, Seq("node"), "full")
+      // ONE action per round: the improved-count both materializes the
+      // lazily-checkpointed merge and decides the early exit (was an
+      // eager checkpoint job + a separate isEmpty job, r20)
+      val merged = ckptLazy(state.join(cand, Seq("node"), "full")
         .select(col("node"),
           least(coalesce(col("dist"), lit(INF)),
             coalesce(col("nd"), lit(INF))).as("dist"),
           (coalesce(col("nd"), lit(INF)) <
             coalesce(col("dist"), lit(INF))).as("improved")))
+      improving = merged.filter(col("improved")).count() > 0L
       frontier = merged.filter(col("improved")).select("node", "dist")
-      improving = !frontier.isEmpty
       state = merged.select("node", "dist")
+      if (roundCkpt ne null) release(roundCkpt)
+      roundCkpt = merged
     }
     e.unpersist()
     state
