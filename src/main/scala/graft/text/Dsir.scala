@@ -54,8 +54,14 @@ object Dsir {
     val len = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
       (x, y) => concat_ws(" ", x, y))
-    val feats = docs.select(col(idCol).as("doc_id"),
-      explode(concat(toks, bigrams)).as("feat"))
+    // widenScan (r20): tokenize+hash is the heavy per-row stage and the
+    // per-(doc,bucket) partial aggregation runs right behind it in the
+    // scan stage — on an unsplittable local file that whole pipeline
+    // sat on one task (0.8 s while 31 cores idled). Guarded: derived
+    // (non-scan-shaped) inputs pass through untouched.
+    val feats = graft.ops.Ann.widenScan(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(concat(toks, bigrams)).as("feat"))
     val bucket =
       if (replayable)
         conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long") % dim
