@@ -4144,6 +4144,9 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .agg(log1p(sum(col("l_quantity"))).as("rating"))
+        // materialize once: train AND rmse both scan the rating build
+        // (the join+aggregate re-ran end to end for the rmse pass, r20)
+        .localCheckpoint()
       val m = graft.ops.Als.train(ratings, "user", "item", "rating",
         rank = 8, reg = 0.05, iters = 4)
       graft.ops.Als.rmse(m, ratings, "user", "item", "rating")

@@ -52,6 +52,17 @@ class AlsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("driver fold and distributed alternation agree bit-for-bit (r20)") {
+    def run(budget: Long) = {
+      val m = Als.train(lowRank, "user", "item", "rating",
+        rank = 2, reg = 0.1, iters = 3, driverFoldRatings = budget)
+      (m.userFactors.orderBy("user").collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toSeq)).toSeq,
+        m.itemFactors.toSeq.sortBy(_._1).map { case (k, v) => (k, v.toSeq) })
+    }
+    assert(run(0L) == run(Als.DriverFoldRatings))
+  }
+
   test("item cap and unknown-item predictions") {
     val m = Als.train(lowRank, "user", "item", "rating",
       rank = 2, reg = 0.1, iters = 2)
