@@ -200,65 +200,103 @@ object BpeTrain {
     * counting weighted by word frequency, same (count desc, pair asc)
     * rank, same top-(want·4) candidate window, same
     * produced-symbol-excluding batch selection, same in-order rewrite.
-    * Cost: O(Σ syms) counting + one candidate sort per round, no jobs. */
+    * Symbols are interned to ints (pair counting in a packed-long map,
+    * rewrites on int arrays); candidate rank compares the interned
+    * symbols' cached UTF-8 bytes — the same order Spark's UTF8String
+    * gives the distributed orderBy. Cost: O(Σ syms) counting + one
+    * capped-heap selection per round, no jobs. */
   private def trainLocal(wordFreq: Array[(String, Long)], numMerges: Int,
       batchK: Int, autoBatch: Boolean): Seq[(String, String)] = {
-    var vocab: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, f) => (toSyms(w), f) }
+    val symOf = new scala.collection.mutable.AnyRefMap[String, Int]()
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val symBytes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def intern(s: String): Int = symOf.getOrElseUpdate(s, {
+      syms += s
+      symBytes += s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      syms.length - 1
+    })
+    // unsigned byte compare over cached UTF-8 = UTF8String's order
+    def bytesLt(x: Int, y: Int): Boolean = {
+      val a = symBytes(x); val b = symBytes(y)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    var vocab: Array[(Array[Int], Long)] =
+      wordFreq.map { case (w, f) => (toSyms(w).map(intern), f) }
+    def mergePairInt(s: Array[Int], a: Int, b: Int, ab: Int): Array[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += ab; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (merges.length < numMerges) {
       val k = if (autoBatch)
         math.max(batchK, math.min(256, 1 + merges.length / 4)) else batchK
       val want = math.min(k, numMerges - merges.length)
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, f) =>
+      val counts = new scala.collection.mutable.LongMap[Long]()
+      vocab.foreach { case (ws, f) =>
         var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
+        while (i < ws.length - 1) {
+          val p = (ws(i).toLong << 32) | (ws(i + 1).toLong & 0xffffffffL)
+          counts(p) = counts.getOrElse(p, 0L) + f
           i += 1
         }
       }
       // bounded top-(want·4) selection: a size-capped heap evicting
       // the worst-ranked candidate — O(pairs·log lim), not a full sort
-      def rankLt(x: (String, String, Long), y: (String, String, Long)): Boolean =
-        if (x._3 != y._3) x._3 > y._3
-        else if (x._1 != y._1) utf8Lt(x._1, y._1)
-        else utf8Lt(x._2, y._2)
+      def rankLt(x: (Long, Long), y: (Long, Long)): Boolean = {
+        if (x._2 != y._2) return x._2 > y._2
+        val xa = (x._1 >>> 32).toInt; val ya = (y._1 >>> 32).toInt
+        if (xa != ya) return bytesLt(xa, ya)
+        bytesLt(x._1.toInt, y._1.toInt)
+      }
       val lim = math.max(want * 4, want)
       val pq = scala.collection.mutable.PriorityQueue
         .empty(Ordering.fromLessThan(rankLt))
-      counts.foreach { case ((a, b), n) =>
-        pq.enqueue((a, b, n))
+      counts.foreach { case (p, n) =>
+        pq.enqueue((p, n))
         if (pq.size > lim) pq.dequeue()
       }
       val top = pq.dequeueAll.reverse
       if (top.isEmpty) return merges.toSeq // vocab fully fused
-      val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val produced = scala.collection.mutable.Set.empty[String]
-      top.iterator.takeWhile(_ => chosen.length < want).foreach { case (a, b, _) =>
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      val produced = scala.collection.mutable.Set.empty[Int]
+      top.iterator.takeWhile(_ => chosen.length < want).foreach { case (p, _) =>
+        val a = (p >>> 32).toInt
+        val b = p.toInt
         if (!produced(a) && !produced(b)) {
-          chosen += ((a, b)); produced += a + b
+          val ab = intern(syms(a) + syms(b))
+          chosen += ((a, b, ab)); produced += ab
         }
       }
       if (chosen.isEmpty) return merges.toSeq
-      merges ++= chosen
+      merges ++= chosen.map { case (a, b, _) => (syms(a), syms(b)) }
       val picked = chosen.toArray
-      // rewrite, skipping no-ops: mergePair(s, a, b) is the identity
-      // unless BOTH symbols occur in the word — probe a per-word
-      // symbol set instead of scanning every word for every picked
-      // pair (a late autoBatch round picks up to 256 pairs; the blind
-      // fold was 256 full scans per word). The set only grows (merged
-      // symbols may survive elsewhere in the word) — pure pruning,
-      // identical rewrites in identical order.
-      vocab = vocab.map { case (syms, f) =>
-        val present = scala.collection.mutable.HashSet.empty[String]
-        syms.foreach(present += _)
-        var s = syms
-        picked.foreach { case (a, b) =>
+      // rewrite, skipping no-ops: a pair rewrites a word only when
+      // BOTH symbols occur in it — probe a per-word symbol set instead
+      // of scanning every word for every picked pair (a late autoBatch
+      // round picks up to 256 pairs). The set only grows (merged
+      // symbols may survive elsewhere) — pure pruning, identical
+      // rewrites in identical order.
+      vocab = vocab.map { case (ws, f) =>
+        val present = scala.collection.mutable.BitSet.empty
+        ws.foreach(present += _)
+        var s = ws
+        picked.foreach { case (a, b, ab) =>
           if (present.contains(a) && present.contains(b)) {
-            val merged = mergePair(s, a, b)
-            if (merged.length != s.length) { s = merged; present += a + b }
+            val merged = mergePairInt(s, a, b, ab)
+            if (merged.length != s.length) { s = merged; present += ab }
           }
         }
         (s, f)
