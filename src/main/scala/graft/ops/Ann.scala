@@ -455,7 +455,9 @@ object Ann {
         .orderBy(md5(col("cent_id").cast("string")).asc, col("cent_id").asc)
         .limit(k).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    // widenScan (r20): every k-means iteration re-scans the corpus with
+    // a k-way argmin per row — widen a narrow scan, no-op otherwise
+    val c = widenScan(corpus.select(col(idCol).as("vid"), col(vecCol).as("cv")))
     for (_ <- 1 to iters) {
       val assigned = c.crossJoin(broadcast(centroidArray(toDf(cents))))
         .select(bestCell(col("cv"), col("cents")).as("cell"), col("cv"))

@@ -46,11 +46,19 @@ object Hits {
     *    shuffle join. */
   def scores(edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 4,
-      broadcastNodeLimit: Long = 4000000L): DataFrame = {
+      broadcastNodeLimit: Long = 4000000L,
+      driverFoldEdges: Long = ConnectedComponents.DriverFoldEdges): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     val dec = "decimal(38,0)"
     val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
+    // bounded driver fold (r20, the CC/PageRank tier): every half-step
+    // is a graph-sized job; the fold replays the same integer sums and
+    // (s·10¹²) div smax normalization (Long sums are exact under the
+    // 2M-edge budget: ≤ 2M·10¹² < 2⁶³; the division runs in BigInt
+    // like the decimal(38,0) plan). Bit-identical, parity-tested.
+    if (PageRank.foldable(e, driverFoldEdges))
+      return scoresLocal(e, iters)
     // node set pre-partitioned by node: every round's two left joins
     // land on this exchange instead of re-shuffling the full node set
     val nodes = e.select(col("src").as("node"))
@@ -115,5 +123,80 @@ object Hits {
       .join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("authority"))
+  }
+
+  /** Driver fold of [[scores]] — the same recurrence edge by edge:
+    * edges dedupe null-safely (dropDuplicates semantics), a null
+    * endpoint never matches a score row (SQL join), but a null-keyed
+    * SUM group still participates in the max (the distributed groupBy
+    * keeps it); the final densify joins on node, so null-keyed scores
+    * drop and the null node (if present) reads 0/0. */
+  private def scoresLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val one = 1000000000000L
+    val in = new PageRank.NodeIntern
+    val dedup = new java.util.LinkedHashSet[Long]() // (srcId << 32) | dstId
+    e.collect().foreach { r =>
+      val s = in.id(r.get(0)); val d = in.id(r.get(1))
+      dedup.add((s.toLong << 32) | (d.toLong & 0xffffffffL))
+    }
+    val n = in.values.length
+    val nullId = in.nullId
+    val srcA = new Array[Int](dedup.size)
+    val dstA = new Array[Int](dedup.size)
+    var k = 0
+    dedup.forEach { p =>
+      srcA(k) = (p >>> 32).toInt; dstA(k) = p.toInt; k += 1
+    }
+    // sparse scores as (present, value) slot pairs
+    var hub = Array.fill(n)(true)
+    var hubV = Array.fill(n)(one)
+    var auth = new Array[Boolean](n)
+    var authV = new Array[Long](n)
+    // sum by `group` over edges whose `lookup` endpoint has a score;
+    // a null lookup never joins, a null GROUP key still sums (and
+    // feeds the max) — the distributed groupBy keeps it
+    def halfStep(inP: Array[Boolean], inV: Array[Long],
+        lookupA: Array[Int], groupA: Array[Int])
+        : (Array[Boolean], Array[Long]) = {
+      val sumP = new Array[Boolean](n)
+      val sumV = new Array[Long](n)
+      var i = 0
+      while (i < lookupA.length) {
+        val l = lookupA(i)
+        if (l != nullId && inP(l)) {
+          val g = groupA(i)
+          sumP(g) = true
+          sumV(g) += inV(l)
+        }
+        i += 1
+      }
+      var smax = Long.MinValue
+      var any = false
+      i = 0
+      while (i < n) {
+        if (sumP(i)) { any = true; if (sumV(i) > smax) smax = sumV(i) }
+        i += 1
+      }
+      if (!any) return (sumP, sumV)
+      val smaxB = BigInt(smax)
+      i = 0
+      while (i < n) {
+        if (sumP(i)) sumV(i) = ((BigInt(sumV(i)) * one) / smaxB).toLong
+        i += 1
+      }
+      (sumP, sumV)
+    }
+    for (_ <- 1 to iters) {
+      val a = halfStep(hub, hubV, srcA, dstA)
+      auth = a._1; authV = a._2
+      val h = halfStep(auth, authV, dstA, srcA)
+      hub = h._1; hubV = h._2
+    }
+    PageRank.localScoreDf(spark, e.schema.fields(0).dataType, in.values,
+      Seq("hub", "authority"),
+      v => Seq(
+        if (v != nullId && hub(v)) hubV(v) else 0L,
+        if (v != nullId && auth(v)) authV(v) else 0L))
   }
 }

@@ -50,7 +50,10 @@ object Pq {
 
     val subs = (0 until m).map(s => struct(lit(s).as("sub"),
       slice(col(vecCol), s * dsub + 1, dsub).as("sv")))
-    val ex = corpus.select(explode(array(subs: _*)).as("e"))
+    // widenScan (r20): every k-means iteration scans this frame — on an
+    // unsplittable local file the argmin+aggregate ran single-task
+    val ex = graft.ops.Ann.widenScan(
+        corpus.select(explode(array(subs: _*)).as("e")))
       .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
       .localCheckpoint(eager = false)
 
@@ -121,7 +124,10 @@ object Pq {
         slice(col(vecCol), s * dsub + 1, dsub), centsLit(books(s)))
         .cast("int")
     }
-    corpus.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+    // widenScan (r20): m argmins over ksub codewords per row is the
+    // heavy per-row stage; widen a narrow scan, no-op otherwise
+    graft.ops.Ann.widenScan(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
   }
 
   /** Top-k nearest (smallest ADC distance) corpus codes per query:
