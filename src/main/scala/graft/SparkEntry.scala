@@ -3532,9 +3532,20 @@ object SparkEntry {
     // the oracle unrolls the same 4 relax-and-merge stages.
     "q_sssp_parts" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.join(op.withColumnRenamed("p", "p2"), "ok")
+      // pair generation via per-order collect_set + double-explode
+      // (the Graphs.coOccurrence r20 shape): the old
+      // distinct-then-self-join evaluated the distinct subtree twice
+      // and re-exchanged both copies; collect_set additionally fuses
+      // the (ok, p) distinct INTO the basket aggregation (one
+      // exchange on ok instead of distinct's (ok, p) exchange plus a
+      // re-exchange on ok). Same (p, p2) multiset — each basket holds
+      // its distinct parts exactly once, so every ordered pair
+      // contributes once and the groupBy count is unchanged. TPC-H
+      // baskets are ≤7 lines, so the per-row array is bounded.
+      val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .groupBy("ok").agg(collect_set(col("p")).as("items"))
+        .select(explode(col("items")).as("p"), col("items"))
+        .select(col("p"), explode(col("items")).as("p2"))
         .filter(col("p") =!= col("p2"))
         .groupBy(col("p").as("src"), col("p2").as("dst"))
         .agg(count(lit(1)).as("cnt"))

@@ -42,6 +42,19 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Fold budget for the PageRank family ([[ranks]]/[[personalized]])
+    * and [[ShortestPaths.bounded]] — deliberately far below
+    * [[ConnectedComponents.DriverFoldEdges]] (2M): the r20 driver
+    * capture measured the fold LOSING 0.51–0.87× on the ~1M
+    * string-keyed purchase bipartites (collect of ~1M Rows + ~2M
+    * hash-map interning lookups on a cold driver outweigh the ~6 small
+    * distributed rounds it saves), while CC's distributed rounds are
+    * heavy enough that its 2M budget still pays. HITS keeps the 2M
+    * budget too — its two joins + two max-normalizations per round
+    * make the distributed side ~2× costlier per round (measured 1.89×
+    * improved at ~600k collected rows in the same capture). */
+  val DriverFoldEdges = 250000L
+
   /** Ranks after `iters` rounds over directed `(src, dst)` edges.
     * Output: `(node, rank)` — rank in 10¹² micro-units; the initial
     * mass is `10¹² div |V|` per node and `base = (r0·15) div 100` is
@@ -59,7 +72,7 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 4,
       reliable: Option[Boolean] = None,
-      driverFoldEdges: Long = ConnectedComponents.DriverFoldEdges): DataFrame = {
+      driverFoldEdges: Long = DriverFoldEdges): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =
@@ -214,7 +227,7 @@ object PageRank {
   def personalized(edges: DataFrame, sources: DataFrame, iters: Int = 3,
       checkpointEvery: Int = 4,
       reliable: Option[Boolean] = None,
-      driverFoldEdges: Long = ConnectedComponents.DriverFoldEdges): DataFrame = {
+      driverFoldEdges: Long = DriverFoldEdges): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     var useReliable = reliable.getOrElse(false)
     def ckpt(df: DataFrame): DataFrame =

@@ -49,7 +49,7 @@ object ShortestPaths {
     * [[ConnectedComponents.AutoReliableEdges]]. */
   def bounded(edges: DataFrame, sources: DataFrame, maxHops: Int,
       reliable: Option[Boolean] = None,
-      driverFoldEdges: Long = ConnectedComponents.DriverFoldEdges): DataFrame = {
+      driverFoldEdges: Long = PageRank.DriverFoldEdges): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops must be >= 1")
     val spark = edges.sparkSession
     var useReliable = reliable.getOrElse(false)
