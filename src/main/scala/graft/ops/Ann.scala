@@ -48,6 +48,23 @@ object Ann {
     "Project", "Filter", "Generate", "LogicalRelation", "LogicalRDD",
     "LocalRelation", "Range", "DataSourceV2ScanRelation")
 
+  /** Materialize a DERIVED frame once (lazy localCheckpoint) before it
+    * feeds several subtrees of one query — [[knnGraph]] references its
+    * corpus three times (centroid seed, cell assignment, probes) and
+    * [[EmbedEval.neighborPurity]] two more, so an un-pinned derived
+    * corpus (a join+aggregate embedding pipeline) re-executes per
+    * reference (measured: the whole SGNS doc-embedding build ran 5×
+    * inside one sgns_embed_eval action). Scan-shaped frames pass
+    * through untouched: re-reading a columnar scan is cheaper than
+    * writing a copy of it to block storage, and at 100 TB the pin
+    * would double the corpus' storage footprint for no saved work. */
+  private[graft] def pinDerived(df: DataFrame): DataFrame = {
+    val scanShaped = df.queryExecution.optimizedPlan.collectFirst {
+      case n if !ScanShapedNodes(n.getClass.getSimpleName) => n
+    }.isEmpty
+    if (scanShaped) df else df.localCheckpoint(eager = false)
+  }
+
   /** Cosine similarity between two float-array columns: native fused
     * expression (graft.expr.CosineSimF) — bit-identical to the
     * higher-order formulation below but one codegen'd loop instead of
@@ -133,9 +150,12 @@ object Ann {
     * k-means quantizer ([[kmeansCentroids]]) if the corpus clusters
     * hard. Approximate like any IVF probe: neighbors outside the
     * probed cells are missed (recall dials are cells/nprobe). */
-  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+  def knnGraph(corpus0: DataFrame, idCol: String, vecCol: String, k: Int,
                cells: Int = 0, nprobe: Int = 0,
                centroids: Option[DataFrame] = None): DataFrame = {
+    // a derived corpus is consumed by three subtrees below (and twice
+    // as query + corpus side of the brute path) — pin it once
+    val corpus = pinDerived(corpus0)
     if (cells <= 0) return bruteTopK(corpus, corpus, idCol, vecCol, k)
     require(nprobe >= 1, "nprobe must be >= 1 when cells are used")
     val cents = broadcast(centroidArray(centroids.getOrElse(

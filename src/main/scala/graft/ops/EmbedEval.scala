@@ -32,8 +32,12 @@ object EmbedEval {
     * result replays identically under any partitioning. `n_edges`
     * can be < n_queries·k only when the corpus (or a probed cell) has
     * fewer than k+1 vectors. */
-  def neighborPurity(corpus: DataFrame, idCol: String, vecCol: String,
+  def neighborPurity(corpus0: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, cells: Int = 0, nprobe: Int = 0): DataFrame = {
+    // the corpus feeds the kNN graph AND both label joins — pin a
+    // derived corpus once instead of re-executing its pipeline per
+    // reference (scan-shaped corpora pass through, see Ann.pinDerived)
+    val corpus = Ann.pinDerived(corpus0)
     val g = Ann.knnGraph(corpus, idCol, vecCol, k, cells, nprobe)
     val qLab = corpus.select(col(idCol).cast("long").as("query_id"),
       col(labelCol).as("_qlbl"))

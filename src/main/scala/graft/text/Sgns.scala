@@ -496,9 +496,17 @@ object Sgns {
     * Out-of-vocabulary tokens are skipped; docs with NO in-vocab
     * token are omitted (no vector to offer). */
   def docEmbeddings(docs: DataFrame, idCol: String, textCol: String,
-      wordVecs: DataFrame): DataFrame =
-    docEmbeddingsFrozen(docs, idCol, textCol,
-      idfWeights(docs, idCol, textCol, wordVecs))
+      wordVecs: DataFrame): DataFrame = {
+    // tokenize ONCE: the idf pass and the embedding pass consume the
+    // identical (doc_id, word) explode — un-shared it ran twice (and
+    // single-task on an unsplittable local scan; widenScan spreads the
+    // tokenize, a no-op on a properly-split corpus). Results are
+    // byte-identical to the compose-of-publics form below.
+    val toks = tokensOf(docs, idCol, textCol).localCheckpoint(eager = false)
+    val n = docs.select(col(idCol)).distinct().count()
+    docEmbeddingsFrozenFromToks(toks,
+      idfWeightsFromToks(toks, n, wordVecs))
+  }
 
   /** The FROZEN (word, embedding, weight) frame a serving/streaming
     * embedder scores against: idf = ln(N / df) captured over THIS
@@ -507,11 +515,24 @@ object Sgns {
     * next to the model; [[docEmbeddingsFrozen]] then embeds any batch
     * against it without corpus statistics of its own. */
   def idfWeights(docs: DataFrame, idCol: String, textCol: String,
-      wordVecs: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+      wordVecs: DataFrame): DataFrame =
+    idfWeightsFromToks(tokensOf(docs, idCol, textCol),
+      docs.select(col(idCol)).distinct().count(), wordVecs)
+
+  /** The shared (doc_id, word) tokenize both document-embedding passes
+    * consume; widened when the underlying scan planned below the
+    * session parallelism (single-row-group local files — a no-op on a
+    * properly-split corpus, see [[graft.ops.Ann.widenScan]]). */
+  private def tokensOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.Ann.widenScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")))
+      .select(col("doc_id"),
+        explode(filter(split(trim(lower(col("_t"))), "\\s+"),
           t => length(t) > 0)).as("word"))
-    val n = docs.select(col(idCol)).distinct().count()
+
+  private def idfWeightsFromToks(toks: DataFrame, n: Long,
+      wordVecs: DataFrame): DataFrame = {
     val vecs = wordVecs.select(col("word"),
       col("embedding").cast("array<double>").as("vec"))
     toks.join(broadcast(vecs), "word")
@@ -529,10 +550,12 @@ object Sgns {
     * captured once at model time (the LogReg/NbClassifier serving
     * discipline). Same quantize-before-sum bit-reproducibility. */
   def docEmbeddingsFrozen(docs: DataFrame, idCol: String, textCol: String,
+      weightedVecs: DataFrame): DataFrame =
+    docEmbeddingsFrozenFromToks(tokensOf(docs, idCol, textCol),
+      weightedVecs)
+
+  private def docEmbeddingsFrozenFromToks(toks: DataFrame,
       weightedVecs: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
-          t => length(t) > 0)).as("word"))
     // floor-quantize each weighted element to 1e-4 units: the values
     // are integer-valued and |w·v·1e4| stays under 2^24, so the
     // float fold below adds them EXACTLY in any partition order
