@@ -4044,10 +4044,16 @@ object SparkEntry {
     * the score, lang=='en' as the binary label, `source` carried for
     * the grouped metrics. */
   private def evalScored(docs: DataFrame): DataFrame =
-    docs.select(
-      col("source"),
-      graft.text.TextAnalysis.qualityScore(col("text")).as("score"),
-      coalesce((col("lang") === "en").cast("int"), lit(0)).as("label"))
+    // widenScan (r21): the two regexp_count passes inside qualityScore
+    // ran as ONE task on the unsplittable local documents file (a
+    // 1.2-1.5 s single-task stage in every eval_quality_* entry while
+    // 31 cores idled); a properly-split corpus passes through untouched
+    graft.ops.Ann.widenScan(
+        docs.select(col("source"), col("text"), col("lang")))
+      .select(
+        col("source"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"),
+        coalesce((col("lang") === "en").cast("int"), lit(0)).as("label"))
 
   /** Bench-only queries: the production code paths a user actually
     * runs where the oracle-gated [[queries]] entry must use a

@@ -317,6 +317,26 @@ object Kernels {
     true
   }
 
+  /** Count of bytes whose bit is set in the 128-bit ASCII mask —
+    * value-identical to `regexp_count(s, "[<class>]")` for an
+    * ASCII-only single-char class: ASCII chars are single UTF-8 bytes,
+    * every byte of a multi-byte sequence has the high bit set (never
+    * in the mask), and an ASCII class can never match a non-ASCII
+    * char, so counting mask-member BYTES counts exactly the regex's
+    * per-char matches. */
+  def countInSet(s: UTF8String, m0: Long, m1: Long): Int = {
+    val n = s.numBytes
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b < 64) cnt += ((m0 >>> b) & 1L).toInt
+      else if (b < 128) cnt += ((m1 >>> (b - 64)) & 1L).toInt
+      i += 1
+    }
+    cnt
+  }
+
   private def isDigitB(b: Int): Boolean = b >= '0' && b <= '9'
   private def isAlphaB(b: Int): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')

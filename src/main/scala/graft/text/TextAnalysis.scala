@@ -39,16 +39,25 @@ object TextAnalysis {
     val t = trim(text)
     val nChars = length(t).cast("double")
     val nTokens = wsTokenCount(text).cast("double")
-    val nAlpha = coalesce(regexp_count(t, lit("[A-Za-z]")), lit(0)).cast("double")
+    // native char-class counters (graft.expr.CountInSet, r21): both
+    // classes are ASCII-only single-char classes, where counting
+    // mask-member BYTES equals regexp_count's per-char matches
+    // (CountInSetSpec pins the equality property-style) — but one
+    // branch-light byte loop instead of java.util.regex's per-position
+    // find() state machine (the two regexp passes were the dominant
+    // per-row cost of every eval_quality_* scan). Value-identical, so
+    // the DuckDB oracles' regexp forms still match bit-for-bit.
+    val alphaSet = ('A' to 'Z').mkString + ('a' to 'z').mkString
+    val nAlpha = coalesce(
+      graft.expr.CountInSet.countInSet(t, alphaSet), lit(0)).cast("double")
     // symbol count as length MINUS the positive-class count — the
-    // same integer as regexp_count(t, "[^A-Za-z0-9\s]") (every char
-    // either is in the class or is not), but java.util.regex runs a
-    // NEGATED class with few matches ~9x slower than the positive
-    // complement (each no-match find() re-probes per position;
-    // measured 2.7 s vs 0.28 s over 50k docs). Value-identical, so
-    // the DuckDB oracle's negated form still matches bit-for-bit.
+    // same integer as counting [^A-Za-z0-9\s] (every char either is
+    // in the class or is not); the negated-class regex form was ~9x
+    // slower still (r20 measurement, kept for the record).
     val nSym = (length(t) - coalesce(
-      regexp_count(t, lit("[A-Za-z0-9\\s]")), lit(0))).cast("double")
+      graft.expr.CountInSet.countInSet(t,
+        alphaSet + ('0' to '9').mkString +
+          graft.expr.CountInSet.RegexWhitespace), lit(0))).cast("double")
     val meanWord = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
     val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
     val symRatio = when(nChars > 0, nSym / nChars).otherwise(lit(0.0))
