@@ -2757,7 +2757,10 @@ object SparkEntry {
     // plain embedding ATTRIBUTE (never a derived array — no
     // re-evaluation blowup), one narrow pass then one groupBy.
     "emb_second_moments" -> ((s, dir) => {
-      t(s, dir, "embeddings")
+      // widenScan (r21): the dim² quantized outer product + 200M-row
+      // explode ran as ONE task on the unsplittable local file (1.5 s
+      // single-task stage); a properly-split corpus passes untouched
+      graft.ops.Ann.widenScan(t(s, dir, "embeddings").select("embedding"))
         .select(posexplode(flatten(transform(col("embedding"), x =>
           transform(col("embedding"), y =>
             floor(x.cast("double") * y.cast("double") * 1e6).cast("long")))))
@@ -3886,10 +3889,10 @@ object SparkEntry {
       val bi = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("bk"),
           col("l_suppkey").cast("long").as("it"))
-      val pairs = graft.ops.Itemsets.frequentPairs(bi, "bk", "it",
-        minSupport = 5)
-      val triples = graft.ops.Itemsets.frequentTriples(bi, "bk", "it",
-        minSupport = 5)
+      // one basket build + one pair count for both halves (r21): the
+      // separate public calls re-derived them inside the triple pass
+      val (pairs, triples) = graft.ops.Itemsets.frequentPairsAndTriples(
+        bi, "bk", "it", minSupport = 5)
       pairs.select(lit(2).as("k"), col("i1"), col("i2"),
           lit(null).cast("long").as("i3"), col("support"))
         .unionAll(triples.select(lit(3).as("k"), col("i1"), col("i2"),

@@ -44,16 +44,34 @@ object Itemsets {
       .select("bk", "it")
   }
 
-  /** Frequent pairs: `(i1, i2, support)` with i1 < i2 (item order),
-    * support = baskets containing both, >= minSupport. */
-  def frequentPairs(bi: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, maxBasket: Int = 0): DataFrame = {
-    val b1 = baskets(bi, basketCol, itemCol, minSupport, maxBasket)
+  private def pairsFromBaskets(b1: DataFrame, minSupport: Long): DataFrame =
     b1.as("a").join(b1.as("c"),
         col("a.bk") === col("c.bk") && col("a.it") < col("c.it"))
       .groupBy(col("a.it").as("i1"), col("c.it").as("i2"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+
+  /** Frequent pairs: `(i1, i2, support)` with i1 < i2 (item order),
+    * support = baskets containing both, >= minSupport. */
+  def frequentPairs(bi: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasket: Int = 0): DataFrame =
+    pairsFromBaskets(baskets(bi, basketCol, itemCol, minSupport, maxBasket),
+      minSupport)
+
+  /** [[frequentPairs]] and [[frequentTriples]] from ONE basket build
+    * and ONE pair count: a caller consuming both (the standard
+    * pairs-then-triples report) otherwise executes the basket
+    * distinct+L1 three times and the pair join twice — the triple pass
+    * re-derives both internally (r21 profile: the repeated exchanges
+    * were a third of the entry). Same rows as the two public forms. */
+  def frequentPairsAndTriples(bi: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long, maxBasket: Int = 0)
+      : (DataFrame, DataFrame) = {
+    val b1 = baskets(bi, basketCol, itemCol, minSupport, maxBasket)
+      .localCheckpoint(eager = false)
+    val pairs = pairsFromBaskets(b1, minSupport)
+      .localCheckpoint(eager = false)
+    (pairs, triplesFrom(b1, pairs.select("i1", "i2"), minSupport))
   }
 
   /** Frequent triples: `(i1, i2, i3, support)` with i1 < i2 < i3.
@@ -66,6 +84,11 @@ object Itemsets {
       .localCheckpoint(eager = false)
     val fp = frequentPairs(bi, basketCol, itemCol, minSupport, maxBasket)
       .select("i1", "i2").localCheckpoint(eager = false)
+    triplesFrom(b1, fp, minSupport)
+  }
+
+  private def triplesFrom(b1: DataFrame, fp: DataFrame,
+      minSupport: Long): DataFrame = {
     val wedge = b1.as("a").join(b1.as("c"),
         col("a.bk") === col("c.bk") && col("a.it") < col("c.it"))
       .select(col("a.bk").as("bk"), col("a.it").as("i1"),
