@@ -321,7 +321,9 @@ object BpeTrain {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = docs.schema.fieldIndex(textCol)
-    docs.mapPartitions { rows =>
+    // widenScan (r21): the per-word merge loop is the heavy per-row
+    // stage; on an unsplittable local file it ran single-task
+    graft.ops.Ann.widenScan(docs).mapPartitions { rows =>
       val ms = bc.value
       rows.map { r =>
         val text = r.getString(idx)

@@ -225,7 +225,9 @@ object UnigramTokenizer {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = docs.schema.fieldIndex(textCol)
-    docs.mapPartitions { rows =>
+    // widenScan (r21): per-word Viterbi is the heavy per-row stage; on
+    // an unsplittable local file it ran single-task
+    graft.ops.Ann.widenScan(docs).mapPartitions { rows =>
       val m = bc.value
       rows.map { r =>
         val text = r.getString(idx)
