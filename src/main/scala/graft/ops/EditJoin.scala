@@ -56,25 +56,27 @@ object EditJoin {
       .select(col("rid"), col("g.j").as("j"), col("g.seg").as("seg"),
         col("g.slen").as("slen"))
 
+    // probe generation as exploded (j, dl, d) SEQUENCES, not a literal
+    // array of (k+1)·(2k+1)² struct expressions (r21): the unrolled
+    // form put 75 substr/when subtrees into one plan and the entry's
+    // dominant cost became per-run ANALYSIS of that tree (~3 s driver
+    // at k=2, jobs themselves ~1 s). One arithmetic template over
+    // three generators emits the identical probe rows.
     val lt = length(col("_s"))
-    val probes = for {
-      j <- 0 until p
-      dl <- -k to k
-      d <- -k to k
-    } yield {
-      val l2 = lt + dl
-      val b = ibase(l2); val r = irem(l2)
-      val lenJ = b + when(lit(j) < r, 1).otherwise(0)
-      val startJ = lit(j) * b + least(lit(j), r) + d
-      val valid = (l2 >= p) && (startJ >= 0) && (startJ + lenJ <= lt)
-      struct(lit(j).as("j"),
+    val l2 = lt + col("dl")
+    val bP = ibase(l2); val rP = irem(l2)
+    val lenJ = bP + when(col("j") < rP, 1).otherwise(0)
+    val startJ = col("j") * bP + least(col("j"), rP) + col("d")
+    val valid = (l2 >= p) && (startJ >= 0) && (startJ + lenJ <= lt)
+    val probed = base.select(col("_id").as("lid"), col("_s"),
+        explode(sequence(lit(0), lit(p - 1))).as("j"))
+      .select(col("lid"), col("_s"), col("j"),
+        explode(sequence(lit(-k), lit(k))).as("dl"))
+      .select(col("lid"), col("_s"), col("j"), col("dl"),
+        explode(sequence(lit(-k), lit(k))).as("d"))
+      .select(col("lid"), col("j"),
         when(valid, col("_s").substr(startJ + 1, lenJ)).as("seg"),
         l2.as("slen"))
-    }
-    val probed = base.select(col("_id").as("lid"),
-        explode(array(probes: _*)).as("g"))
-      .select(col("lid"), col("g.j").as("j"), col("g.seg").as("seg"),
-        col("g.slen").as("slen"))
       .where(col("seg").isNotNull)
 
     val cands = probed.join(index, Seq("j", "seg", "slen"))
