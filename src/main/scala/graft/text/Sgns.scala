@@ -121,19 +121,20 @@ object Sgns {
         lit(false).as("pos"))
     val pos = cp.select(col("center"), col("context").as("target"),
       col("n"), lit(true).as("pos"))
-    // repartition before the cache (r20): every epoch re-scans this
-    // frame, and AQE's small-shuffle coalescing otherwise pins it to
-    // ONE partition locally (the whole gradient loop on one core —
-    // measured 1 s/epoch single-task). One balanced exchange of the
-    // collapsed pair table, amortized over `epochs` scans; the
-    // integer-quantized fold makes the result partitioning-independent
-    // by construction. (NOT the widenScan probe: .rdd on a multi-join
-    // AQE plan executes its stages eagerly just to read the count.)
+    // NO epoch-frame repartition (r21): the r20 unconditional
+    // repartition(defaultParallelism) before this cache answered a
+    // 1 s/epoch single-task hazard, but the r21 re-A/B (four windows,
+    // VERDICT ask #8) measured the repartitioned variant SLOWER on the
+    // doc-embedding paths (sgns_doc_embed ~4.3 vs 3.8 s, sgns_embed_eval
+    // ~7.6 vs 7.1 s; sgns_train_docs inside noise): the pair table now
+    // arrives from cp's aggregate with enough partitions, and the extra
+    // exchange materializing the union+joins costs more than the
+    // (already sub-0.1 s) epochs save. The integer-quantized fold is
+    // partitioning-independent by construction either way.
     val rows = pos.unionAll(negs)
       .join(idxDf.select(col("word").as("center"), col("idx").as("ci")), "center")
       .join(idxDf.select(col("word").as("target"), col("idx").as("ti")), "target")
       .select(col("ci"), col("ti"), col("n"), col("pos"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Int, Int, Long, Boolean)]
       .cache()
     val nTotal = cp.agg(sum("n")).as[Long].head()
