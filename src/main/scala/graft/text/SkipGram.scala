@@ -63,14 +63,20 @@ object SkipGram {
     require(window >= 1 && window <= 16, s"window must be in [1,16]: $window")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val scale = (1 to window).foldLeft(1L)((acc, d) => acc / gcd(acc, d) * d)
-    val toks = toksCol(col(textCol))
+    val toks = toksCol(col("_t"))
     val perOffset = (1 to window).map { d =>
       val len = greatest(size(toks) - d, lit(0))
       zip_with(slice(toks, lit(1), len), slice(toks, lit(1 + d), len),
         (a, b) => struct(a.as("w1"), b.as("w2"), lit(scale / d).as("wq")))
     }
-    docs.select(col(idCol).as("doc_id"),
-        explode(concat(perOffset: _*)).as("p"))
+    // widenScan (r21): the window-3 weighted pair generation is heavy
+    // enough per row that spreading the unsplittable local scan pays
+    // (unlike the plain window-2 pairs()/trainingPairs() tokenize,
+    // where the r20 A/B measured the extra exchange as a net loss);
+    // a properly-split corpus passes through untouched
+    graft.ops.Ann.widenScan(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("_t")))
+      .select(col("doc_id"), explode(concat(perOffset: _*)).as("p"))
       .select(explode(array(
         struct(col("p.w1").as("center"), col("p.w2").as("context"),
           col("p.wq").as("wq")),
