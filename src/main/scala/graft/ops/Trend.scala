@@ -81,13 +81,40 @@ object Trend {
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("key"), col(orderCol).as("t"),
         col(valueCol).cast("long").as("y"))
+      // EXPLICIT key repartition + partition-local runs instead of
+      // groupByKey (r21): the per-key slope work is huge relative to
+      // its bytes (2400 points = 2.9M slopes from ~60 KB of rows), and
+      // AQE sizes post-shuffle partitions by BYTES — it coalesced the
+      // key exchange to one partition and serialized every key's O(n²)
+      // work onto one core (1.6 s single-task at sf0.1). A
+      // user-specified repartition is never AQE-coalesced, and placed
+      // BELOW the window it is also the exchange that satisfies the
+      // window's clustering (above it, the optimizer dropped it as
+      // redundant against the window's own coalescible exchange). The
+      // sort clusters each key's rows so the mapper streams one key
+      // (≤8192 points by the require) at a time.
+      .repartition(spark.sparkContext.defaultParallelism, col("key"))
       .withColumn("x", row_number().over(
         Window.partitionBy("key").orderBy("t")).cast("long"))
       .select(col("key"), col("x"), col("y"))
+      .sortWithinPartitions("key", "x")
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val pts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        Iterator.continually {
+          if (!it.hasNext) None
+          else {
+            val key = it.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (it.hasNext && it.head._1 == key) {
+              val r = it.next(); buf += ((r._2, r._3))
+            }
+            Some((key, buf.toArray))
+          }
+        }.takeWhile(_.isDefined).map(_.get)
+      }
+      .flatMap { case (key, pts0) =>
+        val pts = pts0.sortBy(_._1)
         val n = pts.length
         require(n <= 8192,
           s"theilSen: series for key '$key' has $n points (max 8192); " +
